@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table access for the driver-provided TPC-H-ish testdata
   * (see TESTDATA.md). Reads are plain parquet scans so Catalyst can
@@ -17,7 +18,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 cannot
+    * read natively; sessions set spark.sql.legacy.parquet.nanosAsLong, and
+    * this reader converts nanos → microsecond timestamp (integer division —
+    * a double division would lose precision above 2^53 ns).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

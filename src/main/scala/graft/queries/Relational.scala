@@ -1,26 +1,39 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
-/** Core relational operator surface (SURVEY.md §2.2–§2.8) expressed over
-  * the driver testdata. Each query has a DuckDB oracle in [[Relational.oracle]]
-  * with identical column names/aliases (the driver hash-compares by sorted
-  * column name).
+/** Core relational operator surface (SURVEY.md §2.2–§2.8) expressed over the
+  * driver testdata, one query per operator family, each with a DuckDB oracle
+  * in [[Relational.oracle]] using identical column aliases (the driver
+  * hash-compares columns sorted by name).
   *
-  * Scale notes: aggregate results are rounded where they sum doubles (Spark
-  * and DuckDB may differ in the last ulp under different summation orders);
-  * dimension joins (region/nation) are broadcast; all scans rely on Catalyst
-  * predicate pushdown + column pruning into the parquet reader.
+  * Cross-engine determinism rules used throughout:
+  *   - double aggregates are `round()`ed (Spark and DuckDB sum in different
+  *     orders; last-ulp differences would fail the hash compare);
+  *   - integer sums are kept in BIGINT on the oracle side (DuckDB widens
+  *     SUM(BIGINT) to HUGEINT, Spark keeps LongType);
+  *   - timestamps cross the boundary as formatted strings (parquet ns vs µs
+  *     precision and pandas dtype mismatches otherwise);
+  *   - every LIMIT / window rank has a total tiebreak order.
+  *
+  * Scale notes (100 TB thinking, verified via .explain on the local runs):
+  *   - dimension joins (region, nation) are explicit `broadcast()`;
+  *     fact-fact joins are left to Catalyst + AQE (sort-merge with runtime
+  *     skew handling);
+  *   - every scan projects/filters first so parquet pushdown + column
+  *     pruning apply; no collect()-driven logic anywhere;
+  *   - group-bys are single-shuffle partial/final hash aggregates.
   */
 object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Flagship: TPC-H Q1-style pricing summary (SURVEY §2.4; partial/final
-    * agg split + whole-stage codegen come free from Catalyst).
-    */
+  // ---------------------------------------------------------------- scans/aggs
+
+  /** Flagship: TPC-H Q1-style pricing summary (SURVEY §2.4 A-family). */
   val q1Agg: Q = (s, d) =>
     lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -32,8 +45,264 @@ object Relational {
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
+  /** TPC-H Q3-style: multiway join + agg + deterministic top-k (O2 + J4). */
+  val q3TopkJoin: Q = (s, d) => {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // ------------------------------------------------- point lookups / filters
+
+  /** P1: exact point lookup by numeric key (reference: Lucene uid index,
+    * GraphBase.java:122-136 → parquet pushdown `PushedFilters: [EqualTo]`). */
+  val p1PointLookup: Q = (s, d) =>
+    customer(s, d).filter(col("c_custkey") === 42L)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+
+  /** P2: exact lookup by name (GraphBase.java:145-159). */
+  val p2LookupName: Q = (s, d) =>
+    nation(s, d).filter(col("n_name") === "NATION_7")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+
+  /** P5: partition a request id list into found / not-found
+    * (tree_of_life_v3.java:293-330 in-tree vs not-in-tree split). */
+  val p5IdPartition: Q = (s, d) =>
+    s.range(1400L, 1601L).toDF("id")
+      .join(customer(s, d).select(col("c_custkey")),
+        col("id") === col("c_custkey"), "left_outer")
+      .select(col("id"), col("c_custkey").isNotNull.as("found"))
+
+  /** P7: projection + range filter, pushdown-friendly (node blob projection
+    * GraphExplorer.java:203-214). */
+  val p7ProjectionFilter: Q = (s, d) =>
+    orders(s, d).filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderstatus"))
+
+  /** P9/F4: label formatting + newick-safe name scrub
+    * (GraphExplorer.java:673-694, JadeNode.java:23). */
+  val p9LabelScrub: Q = (s, d) =>
+    customer(s, d).select(
+      col("c_custkey"),
+      regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "_").as("scrubbed"),
+      concat(col("c_name"), lit(" ott"), col("c_custkey")).as("name_and_id"))
+
+  // ----------------------------------------------------------------- joins
+
+  /** J1: semi-join (taxonomy ⋉ tree tips, IngestSynthesisData.java:161-208). */
+  val j1SemiJoin: Q = (s, d) =>
+    customer(s, d).join(orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** J6: anti-join (ids not found reported back, tree_of_life_v3.java:303-309). */
+  val j6AntiJoin: Q = (s, d) =>
+    customer(s, d).join(
+        orders(s, d).filter(col("o_orderstatus") === "P").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** J2: left-outer join (tree ⟕ annotations, IngestSynthesisData.java:430-434). */
+  val j2LeftOuterJoin: Q = (s, d) =>
+    orders(s, d).filter(col("o_orderkey") < 1000L)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"), "left_outer")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** J4: multiway fact⋈dims join — revenue per region; dims broadcast. */
+  val j4MultiwayJoin: Q = (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** J5: small dim⋈dim broadcast join (sources ⋈ source_map). */
+  val j5BroadcastJoin: Q = (s, d) =>
+    nation(s, d).join(broadcast(region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+
+  // ------------------------------------------------------------- aggregations
+
+  /** A3: distinct + sort (synth tree ids, GraphExplorer.java:95-114). */
+  val a3DistinctSort: Q = (s, d) =>
+    orders(s, d).select(col("o_orderpriority")).distinct()
+      .orderBy(col("o_orderpriority"))
+
+  /** A5: distinct pair accumulation (unique sources, GraphExplorer.java:300-332). */
+  val a5DistinctPairs: Q = (s, d) =>
+    documents(s, d).select(col("lang"), col("source")).distinct()
+
+  /** A7: per-parent child count (ChildNumberEvaluator.java:25-40). */
+  val a7GroupCount: Q = (s, d) =>
+    orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  /** A8: effective-parents inverse Simpson index (GraphExporter.java:302-307):
+    * per nation, 1 / Σ (segment share)². */
+  val a8EffectiveParents: Q = (s, d) => {
+    val counts = customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val w = Window.partitionBy(col("c_nationkey"))
+    counts.withColumn("tot", sum(col("cnt")).over(w))
+      .groupBy(col("c_nationkey"))
+      .agg(round(lit(1.0) / sum((col("cnt") / col("tot")) * (col("cnt") / col("tot"))), 4)
+        .as("eff_segments"))
+  }
+
+  // ------------------------------------------------------------------ windows
+
+  /** W1: rank within partition (lineage position ordering, GraphExplorer.java:228-236). */
+  val w1RankTopn: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    orders(s, d).withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("rn"))
+  }
+
+  /** W2: first/last representative per group (GraphExplorer.java:451-490). */
+  val w2FirstLast: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_orderkey"),
+        last(col("o_orderkey")).over(w).as("last_orderkey"))
+      .distinct()
+  }
+
+  /** W3: running sum with an explicit frame (depth/accumulation analog). */
+  val w3RunningSum: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d).filter(col("l_suppkey") < 10L)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_extendedprice")).over(w), 2).as("running_price"))
+  }
+
+  // -------------------------------------------------------------- sort / topk
+
+  /** O1: global sort (tree-id sort, GraphExplorer.java:94-107). */
+  val o1Sort: Q = (s, d) =>
+    supplier(s, d).orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+
+  /** O2: deterministic top-k (result-size guards / caps, tree_of_life_v3.java:591). */
+  val o2Topk: Q = (s, d) =>
+    customer(s, d).orderBy(col("c_acctbal").desc, col("c_custkey")).limit(10)
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"))
+
+  // ---------------------------------------------------------------- set ops
+
+  /** SET1: except (tips = children − internal, GraphExplorer.java:527). */
+  val set1Except: Q = (s, d) =>
+    orders(s, d).filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+      .except(orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct())
+
+  /** SET2: intersect (path retainAll, GraphExplorer.java:750-753). */
+  val set2Intersect: Q = (s, d) =>
+    orders(s, d).filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+
+  /** SET3: union + distinct (HashSet unions, IngestSynthesisData.java:161-180). */
+  val set3UnionDistinct: Q = (s, d) =>
+    customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  // ---------------------------------------------------------- scalar functions
+
+  /** F1: packed-string → map round-trip (stringToMap, GraphExplorer.java:601-612). */
+  val f1StrToMap: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("packed", concat(lit("lang:"), col("lang"), lit(",src:"), col("source")))
+      .withColumn("m", str_to_map(col("packed"), lit(","), lit(":")))
+      .select(col("doc_id"), col("m")("lang").as("lang2"), col("m")("src").as("src2"))
+
+  /** F5: id codec `ott<uid>` format + parse (IngestSynthesisData.java:124,241). */
+  val f5IdCodec: Q = (s, d) =>
+    customer(s, d).select(
+      col("c_custkey"),
+      concat(lit("ott"), col("c_custkey")).as("ott_id"),
+      expr("CAST(substring(concat('ott', c_custkey), 4) AS BIGINT)").as("parsed_back"))
+
+  /** F8: zero → epsilon branch-length rule (JadeNode.java:174-179). */
+  val f8ZeroEpsilon: Q = (s, d) =>
+    lineitem(s, d)
+      .withColumn("eps_disc",
+        when(col("l_discount") === 0.0, lit(1e-22)).otherwise(col("l_discount")))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("eps_disc")).as("min_disc"), count(lit(1)).as("n"))
+
+  /** F9-analog: JSON field extraction from the events props column. */
+  val fjJsonExtract: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .filter(col("k_val") > 90L)
+
+  /** Event-time bucketed aggregation (batch form of the streaming surface). */
+  val evHourAgg: Q = (s, d) =>
+    events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  // ---------------------------------------------------------------- registry
+
   val registry: Map[String, Q] = Map(
-    "q1_agg" -> q1Agg
+    "q1_agg" -> q1Agg,
+    "q3_topk_join" -> q3TopkJoin,
+    "p1_point_lookup" -> p1PointLookup,
+    "p2_lookup_name" -> p2LookupName,
+    "p5_id_partition" -> p5IdPartition,
+    "p7_projection_filter" -> p7ProjectionFilter,
+    "p9_label_scrub" -> p9LabelScrub,
+    "j1_semi_join" -> j1SemiJoin,
+    "j2_left_outer_join" -> j2LeftOuterJoin,
+    "j4_multiway_join" -> j4MultiwayJoin,
+    "j5_broadcast_join" -> j5BroadcastJoin,
+    "j6_anti_join" -> j6AntiJoin,
+    "a3_distinct_sort" -> a3DistinctSort,
+    "a5_distinct_pairs" -> a5DistinctPairs,
+    "a7_group_count" -> a7GroupCount,
+    "a8_effective_parents" -> a8EffectiveParents,
+    "w1_rank_topn" -> w1RankTopn,
+    "w2_first_last" -> w2FirstLast,
+    "w3_running_sum" -> w3RunningSum,
+    "o1_sort" -> o1Sort,
+    "o2_topk" -> o2Topk,
+    "set1_except" -> set1Except,
+    "set2_intersect" -> set2Intersect,
+    "set3_union_distinct" -> set3UnionDistinct,
+    "f1_str_to_map" -> f1StrToMap,
+    "f5_id_codec" -> f5IdCodec,
+    "f8_zero_epsilon" -> f8ZeroEpsilon,
+    "fj_json_extract" -> fjJsonExtract,
+    "ev_hour_agg" -> evHourAgg
   )
 
   val oracle: Map[String, String] = Map(
@@ -44,6 +313,127 @@ object Relational {
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk_join" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "p1_point_lookup" ->
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer WHERE c_custkey = 42",
+    "p2_lookup_name" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_name = 'NATION_7'",
+    "p5_id_partition" ->
+      """SELECT t.id, (c_custkey IS NOT NULL) AS found
+        |FROM generate_series(1400, 1600) t(id)
+        |LEFT JOIN customer ON t.id = c_custkey""".stripMargin,
+    "p7_projection_filter" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+        |FROM orders WHERE o_totalprice > 400000.0""".stripMargin,
+    "p9_label_scrub" ->
+      """SELECT c_custkey,
+        |  regexp_replace(lower(c_name), '[^a-z0-9]+', '_', 'g') AS scrubbed,
+        |  c_name || ' ott' || c_custkey AS name_and_id
+        |FROM customer""".stripMargin,
+    "j1_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "j2_left_outer_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey < 1000""".stripMargin,
+    "j4_multiway_join" ->
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "j5_broadcast_join" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "j6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
+    "a3_distinct_sort" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    "a5_distinct_pairs" ->
+      "SELECT DISTINCT lang, source FROM documents",
+    "a7_group_count" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "a8_effective_parents" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+        |t AS (
+        |  SELECT c_nationkey, cnt, sum(cnt) OVER (PARTITION BY c_nationkey) AS tot FROM c)
+        |SELECT c_nationkey,
+        |  round(1.0 / sum((cnt / tot) * (cnt / tot)), 4) AS eff_segments
+        |FROM t GROUP BY c_nationkey""".stripMargin,
+    "w1_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "w2_first_last" ->
+      """SELECT DISTINCT o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_orderkey,
+        |  last_value(o_orderkey) OVER w AS last_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "w3_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_price
+        |FROM lineitem WHERE l_suppkey < 10""".stripMargin,
+    "o1_sort" ->
+      """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier ORDER BY s_acctbal DESC, s_suppkey""".stripMargin,
+    "o2_topk" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
+    "set1_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "set2_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "set3_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "f1_str_to_map" ->
+      "SELECT doc_id, lang AS lang2, source AS src2 FROM documents",
+    "f5_id_codec" ->
+      """SELECT c_custkey, 'ott' || c_custkey AS ott_id,
+        |  CAST(substring('ott' || c_custkey, 4) AS BIGINT) AS parsed_back
+        |FROM customer""".stripMargin,
+    "f8_zero_epsilon" ->
+      """SELECT l_returnflag,
+        |  min(CASE WHEN l_discount = 0.0 THEN 1e-22 ELSE l_discount END) AS min_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "fj_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90""".stripMargin,
+    "ev_hour_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Relational
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every registered query runs and yields a non-empty schema") {
+    Relational.registry.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.schema.nonEmpty, s"$name has empty schema")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("every query has an oracle, and no orphan oracles") {
+    assert(Relational.oracle.keySet == Relational.registry.keySet)
+  }
+
+  test("q1_agg aggregates the full lineitem table") {
+    val df = Relational.q1Agg(spark, sf)
+    val total = df.agg(org.apache.spark.sql.functions.sum("count_order"))
+      .head.getLong(0)
+    assert(total == Tables.lineitem(spark, sf).count())
+  }
+
+  test("o2_topk is ordered desc and limited to 10") {
+    val rows = Relational.o2Topk(spark, sf).collect()
+    assert(rows.length == 10)
+    val bals = rows.map(_.getAs[Double]("c_acctbal"))
+    assert(bals.zip(bals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("p5_id_partition marks existing and missing customer ids") {
+    val rows = Relational.p5IdPartition(spark, sf).collect()
+    assert(rows.length == 201)
+    // sf0.001 has 150 customers, so ids 1400..1600 are all missing there
+    assert(rows.forall(!_.getAs[Boolean]("found")))
+  }
+
+  test("set operations are consistent: except ∩ intersect = ∅") {
+    val ex = Relational.set1Except(spark, sf)
+    val in = Relational.set2Intersect(spark, sf)
+    assert(ex.intersect(in).count() == 0)
+  }
+}
