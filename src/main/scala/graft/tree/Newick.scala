@@ -1,0 +1,166 @@
+package graft.tree
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One parsed tree node in DFS-preorder. `nodeId` is the preorder index,
+  * which doubles as the `pre` interval label downstream.
+  */
+final case class ParsedNode(
+    nodeId: Long,
+    parentId: Long, // -1 for the root
+    label: String,  // raw newick label ("" if absent)
+    branchLength: Double, // NaN if absent
+    childOrd: Int)
+
+/** Newick parse + serialize, driver-side and iterative (a 2.4M-tip chain
+  * must not blow the JVM stack).
+  *
+  * Capability reference (behavior only, re-implemented from scratch):
+  * char-by-char recursive-descent parse of `(),;:[]` with labels, branch
+  * lengths and bracket comments — /root/reference/src/main/java/jade/tree/
+  * deprecated/TreeReader.java:20-143; serialization with insertion-order
+  * children and 0-length → 1e-22 epsilon — JadeNode.java:167-195.
+  */
+object Newick {
+
+  val MinBranchLength = 1e-22 // JadeNode.java:10
+
+  /** Characters replaced with '_' in newick-safe labels
+    * (JadeNode.java:23 offendingChars + whitespace).
+    */
+  private val Offending = "[\\Q\"_~`:;/[]{}|<>,.!@#$%^&*()?+=\\\\\\E\\s]+".r
+
+  def scrub(name: String): String = Offending.replaceAllIn(name, "_")
+
+  /** Parse a single newick string into preorder nodes. Quoted labels
+    * ('...', with '' escaping) and [comments] are handled; whitespace
+    * outside labels is ignored.
+    */
+  def parse(newick: String): IndexedSeq[ParsedNode] = {
+    val s = newick
+    val n = s.length
+    val out = ArrayBuffer.empty[ParsedNode]
+    // stack of (nodeId, nextChildOrd)
+    var stackIds = List.empty[Long]
+    var childCounts = scala.collection.mutable.Map.empty[Long, Int]
+    var i = 0
+    var nextId = 0L
+
+    def nextOrd(parent: Long): Int = {
+      val c = childCounts.getOrElse(parent, 0)
+      childCounts(parent) = c + 1
+      c
+    }
+
+    // allocate a node under the current stack top
+    def openNode(): Long = {
+      val parent = stackIds.headOption.getOrElse(-1L)
+      val id = nextId
+      nextId += 1
+      val ord = if (parent >= 0) nextOrd(parent) else 0
+      out += ParsedNode(id, parent, "", Double.NaN, ord)
+      id
+    }
+
+    def setLabel(id: Long, label: String): Unit = {
+      val idx = id.toInt
+      out(idx) = out(idx).copy(label = label)
+    }
+    def setBL(id: Long, bl: Double): Unit = {
+      val idx = id.toInt
+      out(idx) = out(idx).copy(branchLength = bl)
+    }
+
+    def readLabel(): String = {
+      val sb = new StringBuilder
+      if (i < n && s(i) == '\'') { // quoted
+        i += 1
+        var done = false
+        while (!done && i < n) {
+          if (s(i) == '\'') {
+            if (i + 1 < n && s(i + 1) == '\'') { sb += '\''; i += 2 }
+            else { i += 1; done = true }
+          } else { sb += s(i); i += 1 }
+        }
+      } else {
+        while (i < n && !"(),;:[".contains(s(i)) && !s(i).isWhitespace) {
+          sb += s(i); i += 1
+        }
+      }
+      sb.result()
+    }
+
+    def skipComment(): Unit = { // '[' ... ']', no nesting in newick
+      while (i < n && s(i) != ']') i += 1
+      if (i < n) i += 1
+    }
+
+    var current = -1L
+    var done = false
+    while (i < n && !done) {
+      s(i) match {
+        case c if c.isWhitespace => i += 1
+        case '[' => skipComment()
+        case '(' =>
+          val id = openNode() // internal node, label arrives at ')'
+          stackIds = id :: stackIds
+          i += 1
+          current = -1L
+        case ',' =>
+          i += 1
+          current = -1L
+        case ')' =>
+          current = stackIds.head
+          stackIds = stackIds.tail
+          i += 1
+        case ':' =>
+          i += 1
+          val start = i
+          while (i < n && !"(),;:[".contains(s(i)) && !s(i).isWhitespace) i += 1
+          setBL(current, s.substring(start, i).toDouble)
+        case ';' => done = true
+        case _ =>
+          if (current < 0) current = openNode() // leaf
+          setLabel(current, readLabel())
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Serialize a subtree to newick, iteratively. `children` must list each
+    * node's children in emission order; `label` is the final (already
+    * formatted/scrubbed) node label.
+    */
+  def serialize(
+      rootId: Long,
+      children: Long => Seq[Long],
+      label: Long => String,
+      branchLength: Long => Option[Double] = _ => None): String = {
+    val sb = new StringBuilder
+    // frames: (nodeId, childIdx)
+    var stack = List((rootId, 0))
+    while (stack.nonEmpty) {
+      val (id, ci) = stack.head
+      val kids = children(id)
+      if (ci < kids.length) {
+        if (ci == 0) sb += '('
+        stack = (kids(ci), 0) :: (id, ci + 1) :: stack.tail
+      } else {
+        if (kids.nonEmpty) sb += ')'
+        sb ++= label(id)
+        branchLength(id).foreach { bl =>
+          val v = if (bl == 0.0) MinBranchLength else bl
+          sb += ':'
+          sb ++= v.toString
+        }
+        stack = stack.tail
+        // emit separator if this node has a following sibling
+        stack.headOption.foreach { case (pid, nci) =>
+          if (nci < children(pid).length) sb += ','
+        }
+      }
+    }
+    sb += ';'
+    sb.result()
+  }
+}

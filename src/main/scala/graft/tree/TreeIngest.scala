@@ -1,0 +1,157 @@
+package graft.tree
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The ingest pipeline (SURVEY §2.1 S1–S4): labelled-supertree newick +
+  * OTT taxonomy TSV + annotations JSON → labeled `nodes`, `edges`,
+  * `tree_meta`, `source_map` DataFrames (reference flow:
+  * IngestSynthesisData.java:92-143).
+  *
+  * Deliberate departures from the reference (SURVEY §1.3 "wart to NOT
+  * replicate"): annotation maps/arrays are stored as native MapType/
+  * ArrayType columns instead of `:`/`,`/`&`-packed strings
+  * (IngestSynthesisData.java:460-480), and the string-encoded `tax_source`
+  * ("ncbi:123,gbif:456") becomes Map[String,String] at ingest.
+  */
+object TreeIngest {
+
+  final case class Ingested(
+      nodes: DataFrame,    // labeled + ot attributes + annotations
+      edges: DataFrame,    // child_id, parent_id, child_ord, branch_length, tree_id
+      treeMeta: DataFrame, // one row of tree-level metadata
+      sourceMap: DataFrame // (source_id, git_sha, tree_id, study_id)
+  )
+
+  /** Per-node annotation payload (annotations JSON `nodes.{ot_node_id}`,
+    * IngestSynthesisData.java:462-498). Sources of map-of-array fields keep
+    * their arrays (reference flattens them into '&'-packed strings).
+    */
+  val annotationSchema: DataType = MapType(StringType, StructType(Seq(
+    StructField("supported_by", MapType(StringType, StringType)),
+    StructField("terminal", MapType(StringType, StringType)),
+    StructField("partial_path_of", MapType(StringType, StringType)),
+    StructField("resolves", MapType(StringType, StringType)),
+    StructField("conflicts_with", MapType(StringType, ArrayType(StringType))),
+    StructField("resolved_by", MapType(StringType, ArrayType(StringType))),
+    StructField("was_constrained", BooleanType),
+    StructField("was_uncontested", BooleanType))))
+
+  val sourceMapSchema: DataType =
+    MapType(StringType, MapType(StringType, StringType))
+
+  /** Parse the newick (driver-side: it is one string, as in the reference,
+    * TreeReader.java:20-143) and label it with the distributed
+    * [[TreeLabeler]] — one code path from 5-tip fixtures to 2.4M-tip trees.
+    */
+  def ingest(spark: SparkSession, newickPath: String, annotationsPath: String,
+      taxonomyPath: String, treeId: String): Ingested = {
+    import spark.implicits._
+
+    // ---- S1: newick scan + parse → edge rows
+    val newickStr = spark.read.option("wholetext", "true").text(newickPath)
+      .head().getString(0).trim
+    val parsed = Newick.parse(newickStr)
+    ingestParsed(spark, parsed, annotationsPath, taxonomyPath, treeId)
+  }
+
+  def ingestParsed(spark: SparkSession, parsed: IndexedSeq[ParsedNode],
+      annotationsPath: String, taxonomyPath: String, treeId: String): Ingested = {
+    import spark.implicits._
+
+    val parsedDf = spark.createDataFrame(parsed)
+      .withColumnRenamed("label", "ot_node_id")
+
+    val edges = parsedDf.filter(col("parentId") >= 0)
+      .select(col("nodeId").as("child_id"), col("parentId").as("parent_id"),
+        col("childOrd").as("child_ord"), col("branchLength").as("branch_length"))
+      .withColumn("tree_id", lit(treeId))
+
+    // ---- labeling pass (depth/pre/post/ancestors/tip_descendants)
+    val labeled = TreeLabeler.label(spark, edges)
+
+    // ---- S2: taxonomy TSV (fields separated by "\t|\t",
+    //          IngestSynthesisData.java:208-240), semi-joined to tree ids (J1)
+    val taxonomy = readTaxonomy(spark, taxonomyPath)
+
+    // ---- S3: annotations JSON → per-node annotations, tree meta, source map
+    val annText = spark.read.option("wholetext", "true").text(annotationsPath)
+      .select(col("value").as("j"))
+    val annotations = annText
+      .select(explode(from_json(get_json_object(col("j"), "$.nodes"),
+        annotationSchema)).as(Seq("ot_node_id", "ann")))
+      .select(col("ot_node_id"), col("ann.*"))
+
+    val treeMetaRaw = annText.select(
+      get_json_object(col("j"), "$.tree_id").as("tree_id"),
+      get_json_object(col("j"), "$.date_completed").as("date_completed"),
+      get_json_object(col("j"), "$.taxonomy_version").as("taxonomy_version"),
+      get_json_object(col("j"), "$.num_tips").cast("long").as("num_tips"),
+      get_json_object(col("j"), "$.num_source_studies").cast("long").as("num_source_studies"),
+      get_json_object(col("j"), "$.num_source_trees").cast("long").as("num_source_trees"),
+      from_json(get_json_object(col("j"), "$.filtered_flags"),
+        ArrayType(StringType)).as("filtered_flags"),
+      from_json(get_json_object(col("j"), "$.sources"),
+        ArrayType(StringType)).as("sources"))
+
+    val sourceMap = annText
+      .select(explode(from_json(get_json_object(col("j"), "$.source_id_map"),
+        sourceMapSchema)).as(Seq("source_id", "m")))
+      .select(col("source_id"), col("m")("git_sha").as("git_sha"),
+        col("m")("tree_id").as("source_tree_id"),
+        col("m")("study_id").as("study_id"),
+        col("m")("taxonomy").as("taxonomy"))
+
+    val taxonomyVersion = treeMetaRaw.select(col("taxonomy_version")).head().getString(0)
+
+    // ---- J2/J3: tree ⟕ taxonomy ⟕ annotations; taxonomy-support injection
+    //      for ott* nodes (IngestSynthesisData.java:484-496); unique_name
+    //      falls back to name when empty (IngestSynthesisData.java:247-251)
+    val ids = parsedDf.select(col("nodeId").as("node_id"), col("ot_node_id"))
+      .withColumn("tax_uid",
+        when(col("ot_node_id").rlike("^ott\\d+$"),
+          regexp_extract(col("ot_node_id"), "^ott(\\d+)$", 1).cast("long")))
+
+    val nodes = labeled
+      .join(ids, "node_id")
+      .join(taxonomy, Seq("tax_uid"), "left_outer")
+      .join(annotations, Seq("ot_node_id"), "left_outer")
+      .withColumn("unique_name",
+        when(col("unique_name").isNull || col("unique_name") === "", col("name"))
+          .otherwise(col("unique_name")))
+      .withColumn("supported_by",
+        when(col("tax_uid").isNotNull,
+          map_concat(coalesce(col("supported_by"),
+              map().cast(MapType(StringType, StringType))),
+            map(concat(lit("ott"), lit(taxonomyVersion)), col("ot_node_id"))))
+          .otherwise(col("supported_by")))
+
+    // root ot id onto tree meta (IngestSynthesisData.java:346-349)
+    val rootOt = nodes.filter(col("parent_id") === -1L)
+      .select(col("ot_node_id")).head().getString(0)
+    val treeMeta = treeMetaRaw.withColumn("root_ot_node_id", lit(rootOt))
+
+    Ingested(nodes, edges, treeMeta, sourceMap)
+  }
+
+  /** Taxonomy TSV: header starts with "uid", fields separated by "\t|\t",
+    * 7 columns: uid, parent_uid, name, rank, sourceinfo, uniqname, flags.
+    * sourceinfo ("ncbi:123,gbif:456") is unpacked to a native map (the
+    * reference re-parses the packed string per query,
+    * GraphExplorer.java:186-190).
+    */
+  def readTaxonomy(spark: SparkSession, path: String): DataFrame = {
+    spark.read.text(path)
+      .filter(!col("value").startsWith("uid") && length(trim(col("value"))) > 0)
+      .select(split(col("value"), "\t\\|\t").as("f"))
+      .select(
+        expr("try_cast(element_at(f, 1) AS BIGINT)").as("tax_uid"),
+        expr("try_cast(element_at(f, 2) AS BIGINT)").as("parent_uid"),
+        element_at(col("f"), 3).as("name"),
+        element_at(col("f"), 4).as("tax_rank"),
+        str_to_map(element_at(col("f"), 5), lit(","), lit(":")).as("tax_sources"),
+        element_at(col("f"), 6).as("unique_name"),
+        element_at(col("f"), 7).as("flags"))
+  }
+}

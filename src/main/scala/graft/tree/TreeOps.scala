@@ -1,0 +1,229 @@
+package graft.tree
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query operators over a labeled tree (output of [[TreeLabeler.label]] or
+  * [[TreeIngest]]). Each mirrors a reference capability, re-expressed as
+  * relational algebra on the interval/ancestor labels:
+  *
+  *  - lineage      — GraphExplorer.java:795-814 (getPathToRoot)
+  *  - mrca         — GraphExplorer.java:617-650 (getDraftTreeMRCA)
+  *  - mrta         — GraphExplorer.java:654-664 (nearest taxon above)
+  *  - subtree      — GraphExplorer.java:543-574 (depth-limited reconstruct)
+  *  - induced      — GraphExplorer.java:704-785 (getInducedSubtree)
+  *  - newick       — JadeNode.java:167-195 serialization with the
+  *                   label-format rules of GraphExplorer.java:673-694
+  */
+object TreeOps {
+
+  /** Root-paths of the nodes matching `pred`:
+    * (node_id, ancestor_id, ancestor_depth), self included; ordering
+    * root→node is by ancestor_depth (W1 lineage position ordering).
+    */
+  def lineageWhere(nodes: DataFrame, pred: Column): DataFrame = {
+    val d = nodes.select(col("node_id").as("ancestor_id"),
+      col("depth").as("ancestor_depth"))
+    nodes.filter(pred)
+      .select(col("node_id"), explode(col("ancestors")).as("ancestor_id"))
+      .join(d, "ancestor_id")
+  }
+
+  /** Pairwise MRCA: for each (a, b) row, the deepest common ancestor.
+    * Ancestor arrays are root→self ordered, so common ancestors form a
+    * shared prefix and the MRCA is the last element of the intersection —
+    * a single codegen'd expression, no traversal, no shuffle beyond the
+    * two lookups. A single-node "pair" (a = b) returns the node itself,
+    * matching GraphExplorer.java:643-645.
+    */
+  def mrcaPairs(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val na = nodes.select(col("node_id").as("a"), col("ancestors").as("anc_a"))
+    val nb = nodes.select(col("node_id").as("b"), col("ancestors").as("anc_b"))
+    pairs.join(na, "a").join(nb, "b")
+      .withColumn("common", array_intersect(col("anc_a"), col("anc_b")))
+      .select(col("a"), col("b"),
+        element_at(col("common"), size(col("common"))).as("mrca_id"))
+  }
+
+  /** MRCA of a whole id set: deepest node whose subtree covers every id.
+    * Relational form of the rootward-walk kernel: explode ancestors,
+    * keep ancestors common to all ids, take the deepest.
+    */
+  def mrcaOfSet(nodes: DataFrame, ids: Seq[Long]): DataFrame = {
+    val n = ids.length.toLong
+    val hits = nodes.filter(col("node_id").isin(ids: _*))
+      .select(col("node_id"), explode(col("ancestors")).as("anc"))
+      .groupBy(col("anc")).agg(countDistinct(col("node_id")).as("n_cover"))
+      .filter(col("n_cover") === n)
+    hits.join(nodes.select(col("node_id").as("anc"), col("depth")), "anc")
+      .orderBy(col("depth").desc).limit(1)
+      .select(col("anc").as("mrca_id"), col("depth"))
+  }
+
+  /** Nearest taxon above: walk rootward from `nodeId` to the first node
+    * with a non-null tax_uid (requires a `tax_uid` column).
+    */
+  def mrta(nodes: DataFrame, nodeId: Long): DataFrame = {
+    val anc = nodes.filter(col("node_id") === nodeId)
+      .select(explode(col("ancestors")).as("anc"))
+    anc.join(nodes.withColumnRenamed("node_id", "anc"), "anc")
+      .filter(col("tax_uid").isNotNull)
+      .orderBy(col("depth").desc).limit(1)
+  }
+
+  /** Depth-limited subtree: one interval range predicate instead of a
+    * traversal (descendants(n) ≡ pre BETWEEN n.pre AND n.post). maxDepth<0
+    * means unlimited (newick default; arguson default 5,
+    * tree_of_life_v3.java:589-590).
+    */
+  def subtree(nodes: DataFrame, rootId: Long, maxDepth: Int = -1): DataFrame = {
+    val root = nodes.filter(col("node_id") === rootId)
+      .select(col("pre").as("r_pre"), col("post").as("r_post"),
+        col("depth").as("r_depth"))
+    val joined = nodes.join(broadcast(root),
+      col("pre") >= col("r_pre") && col("pre") <= col("r_post"))
+    val lim = if (maxDepth >= 0) joined.filter(col("depth") <= col("r_depth") + maxDepth)
+              else joined
+    lim.withColumn("rel_depth", col("depth") - col("r_depth"))
+      .drop("r_pre", "r_post", "r_depth")
+  }
+
+  /** Number of tips that `subtree` would materialize — the cheap size guard
+    * run before collecting (tree_of_life_v3.java:685-716): O(1) lookup when
+    * unlimited (precomputed tip_descendants), else a count over the
+    * depth-limited interval (leaves of the *limited* tree = nodes at the
+    * depth cut plus true leaves above it).
+    */
+  def subtreeTipCount(nodes: DataFrame, rootId: Long, maxDepth: Int = -1): Long =
+    if (maxDepth < 0) {
+      nodes.filter(col("node_id") === rootId)
+        .select(col("tip_descendants")).head().getLong(0)
+    } else {
+      subtree(nodes, rootId, maxDepth)
+        .filter(col("is_leaf") || col("rel_depth") === maxDepth)
+        .count()
+    }
+
+  /** Induced (minimal spanning) subtree over a query set — the relational
+    * formulation of GraphExplorer.java:704-785: keep the query nodes, the
+    * overall MRCA, and every ancestor at/below the MRCA from which ≥2
+    * distinct query-ward branches descend; re-parent each kept node to its
+    * nearest kept proper ancestor. Query nodes that are ancestors of other
+    * query nodes stay internal (possibly unary), matching the reference.
+    *
+    * @return (node_id, parent_id (-1 at induced root), is_query)
+    */
+  def induced(nodes: DataFrame, tips: Seq[Long]): DataFrame = {
+    val spark = nodes.sparkSession
+    val tipRows = nodes.filter(col("node_id").isin(tips: _*))
+    // (tip, ancestor, child-on-path-toward-tip)
+    val paths = tipRows.select(col("node_id").as("tip"),
+        posexplode(col("ancestors")).as(Seq("pos", "anc")),
+        col("ancestors"))
+      .withColumn("child_on_path",
+        when(col("pos") + 1 < size(col("ancestors")),
+          element_at(col("ancestors"), col("pos") + 2)))
+      .drop("ancestors", "pos")
+
+    val depths = nodes.select(col("node_id").as("anc"), col("depth").as("anc_depth"))
+    val nTips = tipRows.count()
+
+    val stats = paths.groupBy(col("anc"))
+      .agg(countDistinct(col("tip")).as("n_tips"),
+        countDistinct(col("child_on_path")).as("n_branch"))
+      .join(depths, "anc")
+
+    val mrca = stats.filter(col("n_tips") === nTips)
+      .orderBy(col("anc_depth").desc).limit(1)
+      .select(col("anc").as("mrca_id"), col("anc_depth").as("mrca_depth"))
+
+    val kept = stats.crossJoin(broadcast(mrca))
+      .filter((col("n_branch") >= 2 && col("anc_depth") >= col("mrca_depth")) ||
+        col("anc") === col("mrca_id"))
+      .select(col("anc").as("node_id"))
+      .union(tipRows.select(col("node_id")))
+      .distinct()
+
+    // nearest kept proper ancestor, truncated at the MRCA
+    val keptAnc = nodes.join(kept, "node_id")
+      .select(col("node_id"), explode(col("ancestors")).as("anc"))
+      .filter(col("anc") =!= col("node_id"))
+      .join(kept.withColumnRenamed("node_id", "anc"), "anc")
+      .join(depths, "anc")
+      .crossJoin(broadcast(mrca))
+      .filter(col("anc_depth") >= col("mrca_depth"))
+      .groupBy(col("node_id"))
+      .agg(max_by(col("anc"), col("anc_depth")).as("ind_parent"))
+
+    nodes.join(kept, "node_id")
+      .join(keptAnc, Seq("node_id"), "left_outer")
+      .select(col("node_id"),
+        coalesce(col("ind_parent"), lit(-1L)).as("parent_id"),
+        col("node_id").isin(tips: _*).as("is_query"),
+        col("pre"))
+  }
+
+  // ------------------------------------------------------------- labeling
+
+  /** Node label per the reference's format rules (GraphExplorer.java:673-694):
+    * named nodes render name / ot_node_id / name_ott<uid>; unnamed nodes
+    * render ot_node_id only when `idsForUnnamed` (include_all_node_labels).
+    */
+  def labelCol(format: String, idsForUnnamed: Boolean): Column = {
+    val named = format match {
+      case "name"        => col("name")
+      case "id"          => col("ot_node_id")
+      case "name_and_id" => concat(col("name"), lit("_ott"), col("tax_uid"))
+      case other => throw new IllegalArgumentException(
+        s"Invalid 'label_format' arg: '$other'. Valid formats: \"name\", \"id\", or \"name_and_id\" (default).")
+    }
+    when(col("name").isNotNull, named)
+      .otherwise(if (idsForUnnamed) col("ot_node_id") else lit(""))
+  }
+
+  /** Hard caps before materializing (tree_of_life_v3.java:591-592). */
+  val MaxTipsNewick = 100000L
+  val MaxTipsArguson = 25000L
+
+  /** Newick of a subtree: size-guard, interval-filtered collect of the
+    * bounded subtree, driver-side assembly in `pre` (tree) order.
+    * Requires ot-columns (`name`, `ot_node_id`, `tax_uid`).
+    */
+  def newick(nodes: DataFrame, rootId: Long, maxDepth: Int = -1,
+      labelFormat: String = "name_and_id", idsForUnnamed: Boolean = false,
+      cap: Long = MaxTipsNewick): String = {
+    val tips = subtreeTipCount(nodes, rootId, maxDepth)
+    require(tips <= cap, s"requested tree ($tips tips) is larger than currently allowed ($cap)")
+    val rows = subtree(nodes, rootId, maxDepth)
+      .withColumn("lbl", TreeOps.scrubCol(labelCol(labelFormat, idsForUnnamed)))
+      .select(col("node_id"), col("parent_id"), col("pre"), col("lbl"))
+      .collect()
+    assemble(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))), rootId)
+  }
+
+  /** Newick of an induced subtree result joined back to node attributes. */
+  def inducedNewick(nodes: DataFrame, tips: Seq[Long],
+      labelFormat: String = "name_and_id", idsForUnnamed: Boolean = false): String = {
+    val ind = induced(nodes, tips)
+    val rows = ind.join(nodes.select(col("node_id"), col("name"),
+        col("ot_node_id"), col("tax_uid")), "node_id")
+      .withColumn("lbl", TreeOps.scrubCol(labelCol(labelFormat, idsForUnnamed)))
+      .select(col("node_id"), col("parent_id"), col("pre"), col("lbl"))
+      .collect()
+    val rootId = rows.find(_.getLong(1) == -1L).map(_.getLong(0))
+      .getOrElse(throw new IllegalStateException("induced tree has no root"))
+    assemble(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))), rootId)
+  }
+
+  private def scrubCol(c: Column): Column =
+    regexp_replace(c, "[\"_~`:;/\\[\\]{}|<>,.!@#$%^&*()?+=\\\\\\s]+", "_")
+
+  /** Driver-side assembly of collected (node, parent, pre, label) rows. */
+  private def assemble(rows: Array[(Long, Long, Long, String)], rootId: Long): String = {
+    val byParent = rows.filter(_._1 != rootId).groupBy(_._2)
+    val children: Long => Seq[Long] =
+      id => byParent.getOrElse(id, Array.empty).sortBy(_._3).map(_._1).toSeq
+    val labels = rows.map(r => r._1 -> r._4).toMap
+    Newick.serialize(rootId, children, labels)
+  }
+}
