@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / deduplication operators for large-scale training-data
+  * pipelines: tokenization, fingerprinting, exact + MinHash-LSH + SimHash
+  * dedup, n-gram Jaccard, language-ID heuristics, quality scoring.
+  *
+  * Design constraints:
+  *  - everything is built-in Catalyst expressions (codegen'd; no UDFs), so
+  *    plans stay inside whole-stage codegen and push down through scans;
+  *  - all hashing is md5-of-string, which DuckDB computes identically —
+  *    every operator here is oracle-checkable cross-engine;
+  *  - pairwise operators take a pre-bounded candidate set (LSH buckets or
+  *    an id window): at 100 TB nothing may do an unbounded self-join.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens. */
+  def tokensCol(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct-token-set fingerprint: md5 of the sorted distinct tokens.
+    * Collapses reordered/duplicated-word documents to one key — the
+    * hash-groupBy exact-dedup key that survives token shuffling.
+    */
+  def fingerprintCol(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokensCol(text))), " "))
+
+  /** Word n-gram shingles (n consecutive tokens joined by spaces). */
+  def shinglesCol(text: Column, n: Int): Column = {
+    val toks = tokensCol(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n), // inclusive: size-n+1 shingles
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature of the distinct token set: `k` permutations
+    * simulated as lexicographic minima of seeded md5s (min-wise independent
+    * enough for LSH banding, and bit-identical in any engine with md5).
+    */
+  def minhashCol(text: Column, k: Int = 8): Column = {
+    val toks = array_distinct(tokensCol(text))
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(toks,
+        w => md5(concat(s.cast("string"), lit(":"), w)))))
+  }
+
+  /** LSH band keys from a minhash signature: hash of each band's
+    * concatenated minima. Docs sharing any band key are candidates.
+    */
+  def bandKeys(df: DataFrame, sigCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    df.select(col("*"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_key", md5(concat_ws("",
+        (1 to rowsPerBand).map(r =>
+          element_at(col(sigCol), col("band") * rowsPerBand + r)): _*)))
+  }
+
+  /** Candidate near-duplicate pairs (a < b) sharing at least one LSH band —
+    * the scale path for MinHash dedup: cost is Σ bucket², never n².
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"), minhashCol(col(textCol), k).as("sig"))
+    val banded = bandKeys(sig, "sig", bands, k / bands)
+      .select(col("id"), col("band"), col("band_key"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** SimHash signature: `bits` independent seeded hashes per token; each
+    * bit is the sign of Σ(±1) over the token set (top hex nibble of the
+    * seeded md5 ≥ 8 → +1). Returned as a '0'/'1' string, bit 0 first.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(tokensCol(col(textCol)))).as("tok"))
+    toks.select(col("id"), col("tok"),
+        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .withColumn("contrib",
+        when(substring(md5(concat(col("bit").cast("string"), lit(":"), col("tok"))), 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+      .groupBy(col("id"), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("ch", when(col("s") > 0, lit("1")).otherwise(lit("0")))
+      .groupBy(col("id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("bit"), col("ch")))),
+        x => x("ch")), "").as("simhash"))
+  }
+
+  /** Exact token-set Jaccard for a candidate pair set (explode + join +
+    * aggregate; |A∪B| = |A|+|B|−|A∩B|).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val t = docs.select(col(idCol).as("id"),
+      array_distinct(tokensCol(col(textCol))).as("toks"))
+    val sizes = t.select(col("id"), size(col("toks")).as("n"))
+    val ex = t.select(col("id"), explode(col("toks")).as("tok"))
+    ex.alias("x").join(ex.alias("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Stopword-marker language-ID heuristic. Fixed CASE precedence
+    * (en, es, de, fr, else und when no markers hit) keeps the argmax
+    * deterministic in any engine.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "une"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, words) =>
+      lang -> size(filter(tokensCol(text),
+        t => t.isin(words.map(lit(_)): _*)))
+    }
+
+  def langIdCol(text: Column): Column = {
+    val s = langScores(text).toMap
+    when(s("en") === 0 && s("es") === 0 && s("de") === 0 && s("fr") === 0, "und")
+      .when(s("en") >= s("es") && s("en") >= s("de") && s("en") >= s("fr"), "en")
+      .when(s("es") >= s("de") && s("es") >= s("fr"), "es")
+      .when(s("de") >= s("fr"), "de")
+      .otherwise("fr")
+  }
+
+  /** Quality features + a composite score (length, punctuation, stopword
+    * density) — all ratios rounded for cross-engine stability.
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokensCol(text)
+    val nTok = size(toks)
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    val stops = size(filter(toks, t => t.isin(langMarkers.flatMap(_._2).map(lit(_)): _*)))
+    docs.select(
+      col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+      round(length(text).cast("double") / nTok, 4).as("avg_chars_per_token"),
+      round(punct.cast("double") / length(text), 4).as("punct_ratio"),
+      round(stops.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5
+        + (lit(1.0) - punct.cast("double") / length(text)) * 0.3
+        + (stops.cast("double") / nTok) * 0.2, 4).as("quality_score"))
+  }
+}

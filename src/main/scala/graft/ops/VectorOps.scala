@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Brute-force cosine top-k is the exact baseline (bounded query side ×
+  * full corpus — a broadcast-joinable pattern at cluster scale); the
+  * LSH-bucketed variant (random hyperplane signs) is the 100 TB path:
+  * candidates come from a signature-prefix bucket join instead of the
+  * full cross product.
+  *
+  * Dot products are computed in double precision with a sequential
+  * index-order fold (`aggregate`), which matches DuckDB's list fold — the
+  * oracle can reproduce values bit-for-bit before rounding.
+  */
+object VectorOps {
+
+  /** Array[Float] → Array[Double] (do the math in doubles; summing floats
+    * loses associativity headroom and diverges across engines).
+    */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for a bounded query set.
+    * @param queries (id, vec) — small (broadcast at scale)
+    * @param corpus  (id, vec) — full
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), toDouble(col("vec")).as("q_vec"))
+    val c = corpus.select(col("id").as("n_id"), toDouble(col("vec")).as("n_vec"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+  }
+
+  /** Cosine-threshold near-duplicate pairs within a candidate set. */
+  def nearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val a = vecs.select(col("id").as("a"), toDouble(col("vec")).as("va"))
+    val b = vecs.select(col("id").as("b"), toDouble(col("vec")).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") > threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(v · h_i) where h_i is a
+    * deterministic ±1 hyperplane derived from md5(seed:i:dim). Hamming-
+    * close signatures ⇒ cosine-close vectors; bucketing on the signature
+    * turns ANN into a group-by join.
+    */
+  def rhpSignature(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16, seed: String = "graft"): DataFrame = {
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    // hyperplanes as literal arrays: hp(i)(d) ∈ {+1,-1} from md5 parity
+    val planes: Seq[Seq[Double]] = (0 until bits).map { i =>
+      (0 until dims).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$i:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+    val planeLits = array(planes.map(p => array(p.map(lit(_)): _*)): _*)
+    df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("sig", array_join(transform(planeLits,
+        p => when(aggregate(zip_with(col("v"), p, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) >= 0, "1").otherwise("0")), ""))
+  }
+
+  /** ANN via LSH buckets: exact cosine only within same-signature-prefix
+    * buckets. Recall/cost is tuned by `prefixBits`.
+    */
+  def annLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      bits: Int = 16, prefixBits: Int = 8): DataFrame = {
+    val sigs = rhpSignature(df, idCol, vecCol, bits)
+      .withColumn("bucket", substring(col("sig"), 1, prefixBits))
+    val a = sigs.select(col("id").as("q_id"), col("v").as("q_vec"), col("bucket"))
+    val b = sigs.select(col("id").as("n_id"), col("v").as("n_vec"), col("bucket"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+  }
+}

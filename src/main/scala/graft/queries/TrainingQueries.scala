@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{TextOps, VectorOps}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis) over the documents/embeddings tables, each with a DuckDB
+  * oracle. Pairwise operators run on fixed id windows so outputs are
+  * bounded at every SF; the unbounded-scale variants (LSH banding /
+  * bucketed ANN) live in [[graft.ops]] with the same code path.
+  */
+object TrainingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact-dedup mechanics: per-source doc counts vs distinct text hashes. */
+  val ddSourceStats: Q = (s, d) =>
+    Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+
+  /** Token-set fingerprint dedup: groups of docs whose distinct-token sets
+    * coincide (survives word reordering/repetition).
+    */
+  val ddFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** MinHash(k=8) + LSH(4 bands × 2 rows) candidate pairs on an id window. */
+  val ddMinhashLsh: Q = (s, d) =>
+    TextOps.minhashCandidates(
+      Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
+
+  /** Exact token-set Jaccard ≥ 0.5 on the same window (verification pass
+    * of the MinHash candidates in a real pipeline).
+    */
+  val ddJaccard: Q = (s, d) =>
+    TextOps.jaccardPairs(
+      Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", 0.5)
+
+  /** 16-bit SimHash signatures on an id window. */
+  val ddSimhash: Q = (s, d) =>
+    TextOps.simhash(
+      Tables.documents(s, d).filter(col("doc_id") < 50), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+
+  /** Embedding cosine near-duplicate pairs in an id window. */
+  val embNearDup: Q = (s, d) =>
+    VectorOps.nearDupPairs(
+      Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      threshold = 0.3)
+
+  /** Brute-force exact cosine top-5 for query vectors vec_id < 5. */
+  val annTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    VectorOps.topK(e.filter(col("id") < 5), e, k = 5)
+  }
+
+  /** Quality features + composite score per document. */
+  val txtQuality: Q = (s, d) =>
+    TextOps.quality(Tables.documents(s, d), "doc_id", "text")
+
+  /** Stopword-marker language ID with per-language scores. */
+  val txtLangid: Q = (s, d) => {
+    val scores = TextOps.langScores(col("text"))
+    Tables.documents(s, d).select(
+      Seq(col("doc_id"), TextOps.langIdCol(col("text")).as("lang_pred")) ++
+        scores.map { case (l, c) => c.cast("long").as(s"s_$l") }: _*)
+  }
+
+  val registry: Map[String, Q] = Map(
+    "dd_source_stats" -> ddSourceStats,
+    "dd_fingerprint" -> ddFingerprint,
+    "dd_minhash_lsh" -> ddMinhashLsh,
+    "dd_jaccard" -> ddJaccard,
+    "dd_simhash" -> ddSimhash,
+    "emb_neardup" -> embNearDup,
+    "ann_topk" -> annTopk,
+    "txt_quality" -> txtQuality,
+    "txt_langid" -> txtLangid
+  )
+
+  private val toksSql = "string_split_regex(lower(text), '\\s+')"
+
+  val oracle: Map[String, String] = Map(
+    "dd_source_stats" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
+        |FROM documents GROUP BY source""".stripMargin,
+    "dd_fingerprint" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |  FROM documents)
+         |SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+         |FROM f GROUP BY fp HAVING count(*) > 1""".stripMargin,
+    "dd_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks
+         |  FROM documents WHERE doc_id < 100),
+         |mh AS (SELECT doc_id, list_transform(range(0, 8),
+         |    s -> list_min(list_transform(toks, w -> md5(s::VARCHAR || ':' || w)))) AS sig
+         |  FROM t),
+         |bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bk
+         |  FROM mh, unnest(range(0, 4)) u(b))
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y
+         |  ON x.bk = y.bk AND x.b = y.b AND x.doc_id < y.doc_id""".stripMargin,
+    "dd_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks
+         |  FROM documents WHERE doc_id < 100),
+         |ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |sz AS (SELECT doc_id, len(toks) AS n FROM t),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |  FROM ex x JOIN ex y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b,
+         |  round(inter::DOUBLE / (xa.n + xb.n - inter), 4) AS jaccard
+         |FROM p JOIN sz xa ON xa.doc_id = a JOIN sz xb ON xb.doc_id = b
+         |WHERE round(inter::DOUBLE / (xa.n + xb.n - inter), 4) >= 0.5""".stripMargin,
+    "dd_simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+         |  FROM documents WHERE doc_id < 50),
+         |c AS (SELECT doc_id, b,
+         |  CASE WHEN substr(md5(b::VARCHAR || ':' || tok), 1, 1)
+         |    IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS contrib
+         |  FROM t, unnest(range(0, 16)) u(b)),
+         |s AS (SELECT doc_id, b, sum(contrib) AS s FROM c GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+         |FROM s GROUP BY doc_id""".stripMargin,
+    "emb_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT a, b, cos FROM p WHERE cos > 0.3""".stripMargin,
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  round(list_dot_product(q.v, c.v) /
+        |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |  FROM (SELECT * FROM e WHERE vec_id < 5) q
+        |  JOIN e c ON c.vec_id <> q.vec_id),
+        |ranked AS (SELECT q_id, n_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "txt_quality" ->
+      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks,
+         |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+         |  len(list_filter($toksSql, t -> t IN
+         |    ('the','and','of','to','a','el','la','de','los','que',
+         |     'der','die','und','das','ist','le','les','des','et','une'))) AS stops
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+         |  round(length(text)::DOUBLE / len(toks), 4) AS avg_chars_per_token,
+         |  round(punct::DOUBLE / length(text), 4) AS punct_ratio,
+         |  round(stops::DOUBLE / len(toks), 4) AS stopword_ratio,
+         |  round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
+         |    + (1.0 - punct::DOUBLE / length(text)) * 0.3
+         |    + (stops::DOUBLE / len(toks)) * 0.2, 4) AS quality_score
+         |FROM base""".stripMargin,
+    "txt_langid" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  len(list_filter($toksSql, t -> t IN ('the','and','of','to','a'))) AS s_en,
+         |  len(list_filter($toksSql, t -> t IN ('el','la','de','los','que'))) AS s_es,
+         |  len(list_filter($toksSql, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+         |  len(list_filter($toksSql, t -> t IN ('le','les','des','et','une'))) AS s_fr
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+         |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |    WHEN s_de >= s_fr THEN 'de'
+         |    ELSE 'fr' END AS lang_pred,
+         |  s_en, s_es, s_de, s_fr
+         |FROM b""".stripMargin
+  )
+}

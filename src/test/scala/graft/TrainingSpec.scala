@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{TextOps, VectorOps}
+import graft.queries.TrainingQueries
+
+class TrainingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val docs = Tables.documents(spark, sf)
+  lazy val embs = Tables.embeddings(spark, sf)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("minhash LSH recall: near-identical docs (jaccard >= 0.9) are candidates") {
+    val window = docs.filter(col("doc_id") < 200)
+    val truth = TextOps.jaccardPairs(window, "doc_id", "text", 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = TextOps.minhashCandidates(window, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-duplicate docs")
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhash: near-identical docs have close signatures") {
+    val window = docs.filter(col("doc_id") < 200)
+    val sig = TextOps.simhash(window, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dupPair = TextOps.jaccardPairs(window, "doc_id", "text", 1.0).head()
+    val (a, b) = (dupPair.getLong(0), dupPair.getLong(1))
+    assert(sig(a) == sig(b), "identical token sets must have identical simhash")
+    assert(sig.values.forall(s => s.length == 16 && s.forall("01".contains(_))))
+  }
+
+  test("brute-force topK is exact: rank 1 has max cosine, ranks ordered") {
+    val res = VectorOps.topK(embs.filter(col("id") < 3), embs, 5).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(2))
+      val coss = sorted.map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (x, y) => x >= y })
+      assert(sorted.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
+  test("RHP LSH: deterministic signatures; bucketed ANN returns ranked subsets") {
+    val s1 = VectorOps.rhpSignature(embs, "id", "vec").select("id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = VectorOps.rhpSignature(embs, "id", "vec").select("id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)
+    assert(s1.values.forall(_.length == 16))
+    val ann = VectorOps.annLsh(embs, "id", "vec", k = 3).collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall(_.getLong(2) <= 3))
+  }
+
+  test("quality scores bounded and langid in range") {
+    val q = TrainingQueries.txtQuality(spark, sf).collect()
+    assert(q.forall { r =>
+      val s = r.getAs[Double]("quality_score"); s >= 0.0 && s <= 1.0 })
+    val langs = TrainingQueries.txtLangid(spark, sf)
+      .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+
+  test("shingles: n-gram construction") {
+    import spark.implicits._
+    val df = Seq(Tuple1("a b c d")).toDF("text")
+    val sh = df.select(TextOps.shinglesCol(col("text"), 3).as("s"))
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+  }
+}
