@@ -8,9 +8,11 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.registry ++ TreeQueries.registry ++ TrainingQueries.registry
+    Relational.registry ++ TreeQueries.registry ++ TrainingQueries.registry ++
+      ExtQueries.registry
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TreeQueries.oracle ++ TrainingQueries.oracle
+    Relational.oracle ++ TreeQueries.oracle ++ TrainingQueries.oracle ++
+      ExtQueries.oracle
 }

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.MrcaIdCodec
+import graft.ops.Multimodal
+import graft.streaming.EventStreams
+
+/** Extension-surface queries: batch forms of the streaming operators, the
+  * custom-Expression id codec, and the multimodal metadata path.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sessionization (gaps-and-islands batch form; the streaming twin is
+    * EventStreams.sessionize via flatMapGroupsWithState).
+    */
+  val evSessions: Q = (s, d) =>
+    EventStreams.sessionizeBatch(Tables.events(s, d))
+
+  /** v2 id codec round-trip through the native Catalyst expressions. */
+  val mrcaCodec: Q = (s, d) =>
+    Tables.customer(s, d).filter(col("c_custkey") < 100)
+      .select(col("c_custkey"),
+        MrcaIdCodec.mrca_pack(col("c_custkey"), col("c_custkey") + 1L).as("packed"))
+      .select(col("c_custkey"), col("packed"),
+        MrcaIdCodec.mrca_unpack_a(col("packed")).as("back_a"),
+        MrcaIdCodec.mrca_unpack_b(col("packed")).as("back_b"))
+
+  /** Multimodal metadata through the binary column + mapPartitions stub. */
+  val mmMediaMeta: Q = (s, d) =>
+    Multimodal.extractMeta(s, Multimodal.withMedia(Tables.documents(s, d))).toDF()
+
+  val registry: Map[String, Q] = Map(
+    "ev_sessions" -> evSessions,
+    "f10_mrca_codec" -> mrcaCodec,
+    "mm_media_meta" -> mmMediaMeta
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_sessions" ->
+      """WITH e AS (SELECT event_id, user_id, value, ts::TIMESTAMP AS t FROM events),
+        |x AS (SELECT *, lag(epoch_us(t)) OVER
+        |  (PARTITION BY user_id ORDER BY t, event_id) AS prev_us FROM e),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL
+        |  OR epoch_us(t) - prev_us > 600000000 THEN 1 ELSE 0 END AS is_new FROM x),
+        |z AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM y)
+        |SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM z GROUP BY user_id, session_idx""".stripMargin,
+    "f10_mrca_codec" ->
+      """SELECT c_custkey,
+        |  c_custkey + 10000000 * (c_custkey + 1) AS packed,
+        |  (c_custkey + 10000000 * (c_custkey + 1)) % 10000000 AS back_a,
+        |  (c_custkey + 10000000 * (c_custkey + 1)) // 10000000 AS back_b
+        |FROM customer WHERE c_custkey < 100""".stripMargin,
+    "mm_media_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS byte_len,
+        |  16 * (octet_length(encode(text)) % 64 + 1) AS width,
+        |  9 * (octet_length(encode(text)) % 64 + 1) AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN 1
+        |    ELSE octet_length(encode(text)) % 1000 END AS n_frames
+        |FROM documents""".stripMargin
+  )
+}

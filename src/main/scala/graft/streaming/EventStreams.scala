@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Open-session state buffer for [[EventStreams.sessionize]] (top-level and
+  * public: the state encoder's generated code must reach the constructor).
+  */
+final case class SessionBuf(start: Long, end: Long, n: Long, sum: Double)
+
+/** Structured Streaming surface over the events table (SURVEY §2.9: the
+  * reference is batch-only; this is the idiomatic-Spark extension surface —
+  * watermarked windowed aggregation and stateful sessionization). The batch
+  * formulations live alongside so the streaming output is checkable against
+  * a deterministic batch/oracle result.
+  */
+object EventStreams {
+
+  /** events schema as written by the driver (ts arrives as ns-long when
+    * read with nanosAsLong; the streaming reader uses an explicit schema).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // ns since epoch (TIMESTAMP(NANOS) parquet)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** File-source stream of events from a directory of parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts/sums with a watermark for late data. */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Batch equivalent of [[windowedAgg]] (same output schema, no watermark). */
+  def windowedAggBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming sessionization: per-user sessions split on `gapMinutes` of
+    * event-time silence, via flatMapGroupsWithState with event-time timeout.
+    * Sessions are emitted when the watermark passes their gap horizon.
+    */
+  /** Timestamp ↔ microseconds (Timestamp.getTime alone truncates to ms). */
+  private def tsToMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  def sessionize(events: DataFrame, gapMinutes: Int = 10,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60 * 1000000L
+
+    events.withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionBuf], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionBuf]]) =>
+          if (state.hasTimedOut) {
+            val done = state.getOption.getOrElse(Nil).map(b =>
+              Session(userId, microsToTs(b.start), microsToTs(b.end), b.n, b.sum))
+            state.remove()
+            done.iterator
+          } else {
+            // merge new events into (possibly several) open session buffers
+            val sorted = rows.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id))
+            var bufs = state.getOption.getOrElse(Nil).sortBy(_.start)
+            sorted.foreach { e =>
+              val t = tsToMicros(e.ts)
+              bufs = bufs match {
+                case head :: tail if t - head.end <= gapUs && t >= head.start =>
+                  head.copy(end = math.max(head.end, t), n = head.n + 1,
+                    sum = head.sum + e.value) :: tail
+                case other =>
+                  SessionBuf(t, t, 1, e.value) :: other
+              }
+              bufs = bufs.sortBy(-_.start) // newest first
+            }
+            // emit sessions already beyond the watermark's reach
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (closed, open) = bufs.partition(b => wmUs > b.end + gapUs)
+            if (open.nonEmpty) {
+              state.update(open)
+              state.setTimeoutTimestamp((open.map(_.end).max + gapUs) / 1000L + 1L)
+            } else state.remove()
+            closed.map(b => Session(userId, microsToTs(b.start),
+              microsToTs(b.end), b.n, b.sum)).iterator
+          }
+      }
+  }
+
+  /** Batch sessionization (gaps-and-islands): identical session boundaries
+    * to [[sessionize]], expressed with window functions — this is the
+    * oracle-checkable registry form.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60 * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+  }
+}

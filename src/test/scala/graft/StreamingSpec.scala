@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Streaming surface: the windowed aggregation and sessionization streams
+  * must converge to their batch formulations on the same data.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def batchEvents = Tables.events(spark, sf)
+
+  test("streaming windowed agg (complete mode) equals batch windowed agg") {
+    val dir = Files.createTempDirectory("graft_win").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/part-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.windowedAgg(stream)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("win_out")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val want = EventStreams.windowedAggBatch(batchEvents)
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming sessionization equals batch gaps-and-islands") {
+    // three-file feed: real data, then two future sentinels that advance the
+    // watermark so event-time timeouts fire and sessions flush
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Files.copy(
+      Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/part-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    import spark.implicits._
+    val farFuture = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val farFuture2 = java.sql.Timestamp.valueOf("2030-06-01 00:00:00")
+    Seq((-1L, farFuture)).toDF("user_id", "ts")
+      .select(lit(-1L).as("event_id"), unix_micros(col("ts")) * 1000,
+        col("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/s1")
+    Seq((-1L, farFuture2)).toDF("user_id", "ts")
+      .select(lit(-2L).as("event_id"), unix_micros(col("ts")) * 1000,
+        col("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/s2")
+    // flatten sentinel files into the stream dir in order
+    def promote(sub: String, name: String): Unit = {
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(s"$dir/$name"))
+    }
+    promote("s1", "part-001.parquet")
+    promote("s2", "part-002.parquet")
+
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part-*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.sessionize(stream)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("sess_out").filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val want = EventStreams.sessionizeBatch(batchEvents)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
