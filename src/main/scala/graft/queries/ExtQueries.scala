@@ -6,6 +6,7 @@ import graft.Tables
 import graft.functions.MrcaIdCodec
 import graft.ops.Multimodal
 import graft.streaming.EventStreams
+import graft.tree.{TreeApi, TreeIngest}
 
 /** Extension-surface queries: batch forms of the streaming operators, the
   * custom-Expression id codec, and the multimodal metadata path.
@@ -33,10 +34,35 @@ object ExtQueries {
   val mmMediaMeta: Q = (s, d) =>
     Multimodal.extractMeta(s, Multimodal.withMedia(Tables.documents(s, d))).toDF()
 
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TreeIngest.Ingested]()
+
+  /** The Gavia fixture tree (same files the golden tests use), ingested
+    * once per JVM — lets the driver's harness exercise the serving-API
+    * path end-to-end (rows-only check; endpoint shapes aren't SQL).
+    */
+  private def fixture(s: SparkSession): TreeIngest.Ingested =
+    fixtureCache.computeIfAbsent("gavia", _ => {
+      val fx = "src/test/resources/fixture"
+      TreeIngest.ingest(s, s"$fx/gavia.tre", s"$fx/gavia_annotations.json",
+        s"$fx/gavia_taxonomy.tsv", treeId = "opentree4.1")
+    })
+
+  /** `about` endpoint over the fixture tree (no SQL oracle: rows-only). */
+  val apiAbout: Q = (s, _) => TreeApi.about(fixture(s))
+
+  /** `node_info` with lineage over the fixture tree (rows-only). */
+  val apiNodeInfo: Q = (s, _) =>
+    TreeApi.nodeInfo(fixture(s), "ott1085739", includeLineage = true)
+      .drop("tax_sources", "supported_by", "terminal", "partial_path_of",
+        "resolves", "conflicts_with", "resolved_by") // map cols: parquet-safe but noisy
+
   val registry: Map[String, Q] = Map(
     "ev_sessions" -> evSessions,
     "f10_mrca_codec" -> mrcaCodec,
-    "mm_media_meta" -> mmMediaMeta
+    "mm_media_meta" -> mmMediaMeta,
+    "api_about" -> apiAbout,
+    "api_node_info" -> apiNodeInfo
   )
 
   val oracle: Map[String, String] = Map(

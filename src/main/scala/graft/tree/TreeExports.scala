@@ -1,0 +1,90 @@
+package graft.tree
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Export utilities (SURVEY §2.1 S8–S13). The heavy lifting is relational;
+  * string templates (DOT/GraphML) render driver-side over bounded inputs,
+  * as in the reference's exporters (GraphExporter.java).
+  */
+object TreeExports {
+
+  /** S10: CSV-ready edge dump — edges resolved to node names
+    * (GraphExporter.java:543-575). Caller appends `.write.csv(...)`.
+    */
+  def edgeDump(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val n = nodes.select(col("node_id"), col("ot_node_id"), col("name"))
+    edges
+      .join(n.select(col("node_id").as("child_id"),
+        col("ot_node_id").as("src_id"), col("name").as("src_name")), "child_id")
+      .join(n.select(col("node_id").as("parent_id"),
+        col("ot_node_id").as("dst_id"), col("name").as("dst_name")), "parent_id")
+      .select(col("src_id"), col("dst_id"), col("src_name"), col("dst_name"),
+        col("tree_id"), col("branch_length"))
+  }
+
+  /** S8: Graphviz DOT of a bounded subtree (GraphExporter.java:202-295). */
+  def dot(nodes: DataFrame, rootId: Long, maxDepth: Int = -1,
+      cap: Long = 10000): String = {
+    val sub = TreeOps.subtree(nodes, rootId, maxDepth)
+      .select(col("node_id"), col("parent_id"), col("ot_node_id")).collect()
+    require(sub.length <= cap, s"subtree has ${sub.length} nodes > cap $cap")
+    val ids = sub.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val sb = new StringBuilder("digraph synth {\n")
+    sub.foreach { r =>
+      sb ++= s"""  n${r.getLong(0)} [label="${ids(r.getLong(0))}"];\n"""
+    }
+    sub.filter(_.getLong(0) != rootId).foreach { r =>
+      sb ++= s"  n${r.getLong(0)} -> n${r.getLong(1)} [label=\"SYNTHCHILDOF\"];\n"
+    }
+    sb ++= "}\n"
+    sb.result()
+  }
+
+  /** S9/A8: effective number of parents per child node — inverse Simpson
+    * index 1/Σ pᵢ² over the child's parent-edge distribution
+    * (GraphExporter.java:302-307). Degenerates to 1.0 on trees; meaningful
+    * on multi-parent graphs (e.g. pre-synthesis alignment graphs).
+    */
+  def effectiveParents(edges: DataFrame): DataFrame = {
+    val counts = edges.groupBy(col("child_id"), col("parent_id"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val tot = counts.groupBy(col("child_id")).agg(sum(col("cnt")).as("tot"))
+    counts.join(tot, "child_id")
+      .groupBy(col("child_id"))
+      .agg(round(lit(1.0) / sum((col("cnt") / col("tot")) * (col("cnt") / col("tot"))), 6)
+        .as("effective_parents"))
+  }
+
+  /** S11: MRP membership matrix in long form — (tip, clade, 1) for every
+    * internal clade containing the tip (GraphExporter.java:577-632; the
+    * reference materializes the dense 0/1 matrix, which at scale is the
+    * wrong shape — pivot downstream if a dense dump is really needed).
+    */
+  def mrpMatrix(nodes: DataFrame): DataFrame =
+    nodes.filter(col("is_leaf"))
+      .select(col("node_id").as("tip_id"), explode(col("ancestors")).as("clade_id"))
+      .filter(col("clade_id") =!= col("tip_id"))
+
+  /** S13: taxonomy TSV → newick (MainRunner.java:250-367), rooted at the
+    * row whose parent is absent (reference falls back to "cellular
+    * organisms"/93302). Children are emitted in uid order.
+    */
+  def taxonomyToNewick(spark: SparkSession, taxonomy: DataFrame,
+      cap: Long = 1000000): String = {
+    val rows = taxonomy.select(col("tax_uid"), col("parent_uid"), col("name"))
+      .collect()
+    require(rows.length <= cap, s"taxonomy has ${rows.length} rows > cap $cap")
+    val uids = rows.map(_.getLong(0)).toSet
+    val roots = rows.filter(r => r.isNullAt(1) || !uids.contains(r.getLong(1)))
+    require(roots.length == 1,
+      s"expected a single root, found ${roots.length}")
+    val root = roots.head.getLong(0)
+    val children = rows.filter(r => !r.isNullAt(1) && uids.contains(r.getLong(1)))
+      .groupBy(_.getLong(1)).map { case (k, v) =>
+        k -> v.map(_.getLong(0)).sorted.toSeq }
+    val names = rows.map(r => r.getLong(0) ->
+      (Newick.scrub(Option(r.getString(2)).getOrElse("")) + "_ott" + r.getLong(0))).toMap
+    Newick.serialize(root, id => children.getOrElse(id, Seq.empty), names)
+  }
+}

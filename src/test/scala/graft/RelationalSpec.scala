@@ -30,8 +30,11 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has an oracle, and no orphan oracles") {
-    assert(Relational.oracle.keySet == Relational.registry.keySet)
+  test("every oracle has a query; rows-only queries are the known API ones") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q))
+    assert(q -- o == Set("api_about", "api_node_info"))
   }
 
   test("q1_agg aggregates the full lineitem table") {

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tree._
+
+class TreeApiSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  val fx = "src/test/resources/fixture"
+  lazy val t = TreeIngest.ingest(spark,
+    s"$fx/gavia.tre", s"$fx/gavia_annotations.json", s"$fx/gavia_taxonomy.tsv",
+    treeId = "opentree4.1")
+
+  def idOf(ot: String): Long =
+    t.nodes.filter(col("ot_node_id") === ot).select("node_id").head().getLong(0)
+
+  test("about: tree metadata + root blob") {
+    val a = TreeApi.about(t).head()
+    assert(a.getAs[String]("tree_id") == "opentree4.1")
+    assert(a.getAs[String]("root_ot_node_id") == "ott803675")
+    assert(a.getAs[String]("root_name") == "Gavia")
+    assert(a.getAs[Long]("root_num_tips") == 5L)
+  }
+
+  test("node_info: taxon blob, num_tips, lineage nearest-first") {
+    val ni = TreeApi.nodeInfo(t, "ott1085739", includeLineage = true).head()
+    assert(ni.getAs[String]("name") == "Gavia arctica")
+    assert(ni.getAs[Long]("num_tips") == 1L)
+    assert(ni.getAs[scala.collection.Seq[String]]("lineage").toList ==
+      List("mrcaott651474ott1085739", "mrcaott90560ott651474", "ott803675"))
+    // unnamed node still has num_tips + annotations
+    val mrca = TreeApi.nodeInfo(t, "mrcaott90560ott1057518").head()
+    assert(mrca.getAs[Long]("num_tips") == 2L)
+    assert(mrca.isNullAt(mrca.fieldIndex("name")))
+  }
+
+  test("supporting studies resolve through the source map") {
+    val st = TreeApi.supportingStudies(t, idOf("ott803675")).collect()
+    val bySrc = st.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bySrc.contains("pg_01@tree1"))
+    assert(bySrc.get("ott2.9draft12").contains(null) || bySrc.contains("ott2.9draft12"))
+  }
+
+  test("arguson: nested doc with children in tree order and lineage") {
+    val j = TreeApi.arguson(t, idOf("mrcaott90560ott651474"), heightLimit = 2)
+    assert(j.startsWith("{\"arguson\":{"))
+    assert(j.contains("\"node_id\":\"mrcaott90560ott651474\""))
+    assert(j.contains("\"children\":["))
+    assert(j.contains("\"lineage\":[{\"node_id\":\"ott803675\""))
+    assert(j.contains("\"taxon\":{\"name\":\"Gavia immer\""))
+    // parses as JSON (use Spark's parser as a neutral check)
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(j).toDS)
+    assert(parsed.columns.contains("arguson"))
+  }
+
+  test("arguson height limit bounds the document") {
+    val shallow = TreeApi.arguson(t, idOf("ott803675"), heightLimit = 1)
+    assert(!shallow.contains("Gavia immer")) // depth-2 tip not included
+    assert(shallow.contains("mrcaott90560ott651474"))
+  }
+
+  test("edge dump resolves names on both sides") {
+    val dump = TreeExports.edgeDump(t.nodes, t.edges).collect()
+    assert(dump.length == 8)
+    assert(dump.exists(r => r.getAs[String]("src_id") == "ott1057044" &&
+      r.getAs[String]("dst_id") == "ott803675"))
+  }
+
+  test("dot export") {
+    val d = TreeExports.dot(t.nodes, idOf("ott803675"))
+    assert(d.startsWith("digraph synth {"))
+    assert(d.contains("label=\"ott1057044\""))
+    assert(d.linesIterator.count(_.contains("->")) == 8)
+  }
+
+  test("effective parents is 1.0 on a tree") {
+    val ep = TreeExports.effectiveParents(t.edges).collect()
+    assert(ep.nonEmpty)
+    assert(ep.forall(_.getAs[Double]("effective_parents") == 1.0))
+  }
+
+  test("mrp matrix long form") {
+    val m = TreeExports.mrpMatrix(t.nodes)
+    // 5 tips, each a member of its proper ancestors (root + 0..2 mrca nodes)
+    val cnt = m.groupBy("tip_id").count().collect().map(_.getLong(1))
+    assert(m.count() == cnt.sum && cnt.forall(c => c >= 1 && c <= 3))
+  }
+
+  test("taxonomy → newick round-trips through the parser") {
+    val tax = TreeIngest.readTaxonomy(spark, s"$fx/gavia_taxonomy.tsv")
+    val nwk = TreeExports.taxonomyToNewick(spark, tax)
+    assert(nwk.endsWith("Gavia_ott803675;"))
+    val parsed = Newick.parse(nwk)
+    assert(parsed.length == 6 && parsed.count(_.parentId == 0L) == 5)
+  }
+}
