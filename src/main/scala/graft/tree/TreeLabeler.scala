@@ -19,15 +19,20 @@ import org.apache.spark.storage.StorageLevel
   *     (replaces the reference's edge-stored counter,
   *     IngestSynthesisData.java:435-442)
   *
-  * Scale: levels are computed by iterative parent joins (tree-depth
-  * iterations, each a shuffle bounded by the level size); `pre` comes from
-  * a distributed sort + zipWithIndex (no driver collect); `post` and
-  * `tip_descendants` come from one explode + aggregate whose root-key skew
-  * is absorbed by partial (map-side) aggregation.
+  * Ancestor chains are computed by **pointer doubling** (each round jumps
+  * 2^k parents, carrying the path segment), so a depth-d tree labels in
+  * ⌈log₂ d⌉ join rounds instead of d sequential frontier joins — on a
+  * deep phylogeny (d in the hundreds) that is ~8 shuffles instead of
+  * hundreds. Every round is eagerly localCheckpoint'd: without plan
+  * truncation the round-N logical plan nests all predecessors and
+  * analysis alone OOMs. `pre` comes from a distributed range-partitioned
+  * sort + zipWithIndex (no driver collect); `post`/`tip_descendants` come
+  * from one explode + aggregate whose root-key skew is absorbed by
+  * partial (map-side) aggregation.
   */
 object TreeLabeler {
 
-  /** Label a tree given as an edge list.
+  /** Label a tree (or forest) given as an edge list.
     *
     * @param edges DataFrame with columns child_id: Long, parent_id: Long,
     *              child_ord: Int (sibling order; determines DFS order)
@@ -36,7 +41,7 @@ object TreeLabeler {
     *         pre, post (Long), is_leaf (Boolean), tip_descendants (Long),
     *         n_desc (Long, descendants incl. self)
     */
-  def label(spark: SparkSession, edges: DataFrame, maxDepth: Int = 1000): DataFrame = {
+  def label(spark: SparkSession, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     import spark.implicits._
 
     val e = edges.select(
@@ -49,41 +54,55 @@ object TreeLabeler {
     val roots = e.select(col("parent_id").as("node_id")).distinct()
       .join(e.select(col("child_id")).distinct(),
         col("node_id") === col("child_id"), "left_anti")
-      .select(
-        col("node_id"),
-        lit(-1L).as("parent_id"),
-        lit(0L).as("depth"),
-        lit(0).as("child_ord"),
-        array(col("node_id")).as("ancestors"),
-        array().cast("array<int>").as("ord_path"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // localCheckpoint (eager) truncates the logical plan at every level —
-    // without it the level-N plan nests all N-1 predecessors, the union is
-    // quadratic in depth, and downstream self-joins double it again (plan
-    // analysis alone ran minutes/OOM'd on a 12-level tree).
-    var levels = List(roots.localCheckpoint())
-    var frontier = levels.head
-    var d = 0
-    var n = frontier.count()
-    while (n > 0 && d < maxDepth) {
-      val next = frontier.alias("f")
-        .join(e.alias("e"), col("f.node_id") === col("e.parent_id"))
-        .select(
-          col("e.child_id").as("node_id"),
-          col("f.node_id").as("parent_id"),
-          (col("f.depth") + 1L).as("depth"),
-          col("e.child_ord"),
-          concat(col("f.ancestors"), array(col("e.child_id"))).as("ancestors"),
-          concat(col("f.ord_path"), array(col("e.child_ord"))).as("ord_path"))
-        .localCheckpoint()
-      n = next.count()
-      if (n > 0) levels = next :: levels
-      frontier = next
-      d += 1
+    // Pointer-doubling state per non-root node:
+    //   top   — highest ancestor reached so far
+    //   ords  — sibling-ord path from just-below-top down to the node
+    //   chain — node ids from just-below-top down to the node (inclusive)
+    //   done  — top is a root
+    val isRoot = roots.select(col("node_id").as("top")).withColumn("root_hit", lit(true))
+    var t = e.select(
+        col("child_id").as("node_id"),
+        col("parent_id").as("top"),
+        array(col("child_ord")).as("ords"),
+        array(col("child_id")).as("chain"))
+      .join(isRoot, Seq("top"), "left_outer")
+      .withColumn("done", coalesce(col("root_hit"), lit(false)))
+      // fix column ORDER: the join put its key first, and the loop below
+      // unions by position with (node_id, top, ...) frames
+      .select("node_id", "top", "ords", "chain", "done")
+      .localCheckpoint()
+
+    var round = 0
+    var remaining = t.filter(!col("done")).count()
+    while (remaining > 0 && round < maxRounds) {
+      // self-join: qualify both sides explicitly (unqualified columns in a
+      // self-join silently capture the wrong side after dedup rewriting)
+      val undone = t.filter(!col("done")).alias("l")
+        .join(t.alias("r"), col("l.top") === col("r.node_id"))
+        .select(col("l.node_id").as("node_id"),
+          col("r.top").as("top"),
+          concat(col("r.ords"), col("l.ords")).as("ords"),
+          concat(col("r.chain"), col("l.chain")).as("chain"),
+          col("r.done").as("done"))
+      t = t.filter(col("done")).union(undone).localCheckpoint()
+      remaining = t.filter(!col("done")).count()
+      round += 1
     }
-    require(d < maxDepth, s"tree deeper than $maxDepth or cyclic")
+    require(remaining == 0, s"tree not rooted within $maxRounds doubling rounds (cycle?)")
 
-    val all = levels.reverse.reduce(_ union _).persist(StorageLevel.MEMORY_AND_DISK)
+    val nonRoot = t.select(
+      col("node_id"),
+      size(col("chain")).cast("long").as("depth"),
+      concat(array(col("top")), col("chain")).as("ancestors"),
+      col("ords").as("ord_path"))
+    val rootRows = roots.select(
+      col("node_id"),
+      lit(0L).as("depth"),
+      array(col("node_id")).as("ancestors"),
+      array().cast("array<int>").as("ord_path"))
+    val all = nonRoot.union(rootRows).persist(StorageLevel.MEMORY_AND_DISK)
 
     // pre = rank in DFS order = lexicographic rank of the sibling-order path.
     // Distributed: range-partitioned sort, then order-preserving zipWithIndex.
@@ -92,8 +111,13 @@ object TreeLabeler {
       .map { case (r, idx) => (r.getLong(0), idx) }
       .toDF("node_id", "pre")
 
+    val parentOf = e.select(col("child_id").as("node_id"),
+      col("parent_id"), col("child_ord"))
     val parents = e.select(col("parent_id").as("node_id")).distinct()
     val withPre = all.join(pre, "node_id")
+      .join(parentOf, Seq("node_id"), "left_outer")
+      .withColumn("parent_id", coalesce(col("parent_id"), lit(-1L)))
+      .withColumn("child_ord", coalesce(col("child_ord"), lit(0)))
       .join(parents.withColumn("has_kids", lit(true)), Seq("node_id"), "left_outer")
       .withColumn("is_leaf", coalesce(col("has_kids"), lit(false)) === false)
       .drop("has_kids")
@@ -110,7 +134,7 @@ object TreeLabeler {
         count(lit(1)).as("n_desc"))
       .withColumnRenamed("anc", "node_id")
 
-    // Checkpoint the result too: consumers self-join it repeatedly (lineage,
+    // Checkpoint the result: consumers self-join it repeatedly (lineage,
     // subtree, induced), and a truncated plan keeps those joins flat.
     val out = withPre.join(agg, "node_id")
       .select("node_id", "parent_id", "depth", "child_ord", "ancestors",
@@ -118,6 +142,7 @@ object TreeLabeler {
       .localCheckpoint()
     withPre.unpersist()
     all.unpersist()
+    roots.unpersist()
     e.unpersist()
     out
   }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries._
+
+/** Physical-plan audit: the properties that make these operators scale are
+  * asserted here so a regression (lost pushdown, lost broadcast, broken
+  * codegen) fails loudly rather than silently costing a full scan or an
+  * extra shuffle at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // let AQE settle to the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("point lookup pushes the equality filter into the parquet scan") {
+    val p = finalPlan(Relational.p1PointLookup(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"), p)
+  }
+
+  test("projection prunes the parquet read schema to selected columns") {
+    val p = finalPlan(Relational.p9LabelScrub(spark, sf))
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"), p)
+  }
+
+  test("dim joins broadcast; no shuffle of the small side") {
+    val p = finalPlan(Relational.j5BroadcastJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level") {
+    assert(finalPlan(Relational.j1SemiJoin(spark, sf)).contains("LeftSemi"))
+    assert(finalPlan(Relational.j6AntiJoin(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("q1 aggregation is a partial/final hash aggregate inside codegen") {
+    val p = finalPlan(Relational.q1Agg(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // map-side combine
+    assert(p.contains("*("), p) // whole-stage codegen spans
+  }
+
+  test("deterministic top-k fuses into TakeOrderedAndProject (no full sort)") {
+    val p = finalPlan(Relational.o2Topk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("ANN top-k broadcasts the bounded query side") {
+    val e = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"))
+    val p = finalPlan(graft.ops.VectorOps.topK(
+      e.filter(org.apache.spark.sql.functions.col("id") < 3), e, 3))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("interval subtree filter broadcasts the single-row root bound") {
+    val p = finalPlan(TreeQueries.treeSubtree(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("custom codec expression leaves pushdown and codegen intact") {
+    val p = finalPlan(ExtQueries.mrcaCodec(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,100)]"), p)
+    assert(p.contains("mrcapack"), p)
+    assert(p.contains("*("), p)
+  }
+}
