@@ -57,12 +57,35 @@ object ExtQueries {
       .drop("tax_sources", "supported_by", "terminal", "partial_path_of",
         "resolves", "conflicts_with", "resolved_by") // map cols: parquet-safe but noisy
 
+  /** `mrca` endpoint over the fixture (rows-only): unnamed MRCA with a
+    * nearest-taxon walk, plus the bad-id partition flag.
+    */
+  val apiMrca: Q = (s, _) => {
+    import s.implicits._
+    val r = TreeApi.mrca(fixture(s),
+      nodeIds = Seq("ott1085739", "ott90560", "ottNOPE"))
+    Seq((r.mrcaOtId, r.mrcaName.orNull, r.nearestTaxonOtId.orNull,
+      r.nodeIdsNotInTree.mkString(","), r.ok))
+      .toDF("mrca_ot_id", "mrca_name", "nearest_taxon", "bad_node_ids", "ok")
+  }
+
+  /** `induced_subtree` endpoint over the fixture (rows-only). */
+  val apiInduced: Q = (s, _) => {
+    import s.implicits._
+    val r = TreeApi.inducedSubtree(fixture(s),
+      nodeIds = Seq("ott1085739", "ott1057518", "ott90560"),
+      idsForUnnamed = true)
+    Seq((r.newick, r.ok)).toDF("newick", "ok")
+  }
+
   val registry: Map[String, Q] = Map(
     "ev_sessions" -> evSessions,
     "f10_mrca_codec" -> mrcaCodec,
     "mm_media_meta" -> mmMediaMeta,
     "api_about" -> apiAbout,
-    "api_node_info" -> apiNodeInfo
+    "api_node_info" -> apiNodeInfo,
+    "api_mrca" -> apiMrca,
+    "api_induced" -> apiInduced
   )
 
   val oracle: Map[String, String] = Map(

@@ -11,6 +11,72 @@ import graft.tree.TreeIngest.Ingested
   */
 object TreeApi {
 
+  /** `mrca` endpoint result (tree_of_life_v3.java:258-363). `ok=false`
+    * mirrors the reference's BadIdsException path: the result is still
+    * computed from the valid ids, but partial-invalid input is flagged
+    * (thrown-after-computing semantics, tree_of_life_v3.java:359-361).
+    */
+  final case class MrcaResult(
+      mrcaOtId: String,
+      mrcaName: Option[String],
+      nearestTaxonOtId: Option[String], // set when the MRCA itself is unnamed
+      nodeIdsNotInTree: Seq[String],
+      ottIdsNotInTree: Seq[Long],
+      ok: Boolean)
+
+  /** `induced_subtree` endpoint result (tree_of_life_v3.java:403-518). */
+  final case class InducedResult(
+      newick: String,
+      nodeIdsNotInTree: Seq[String],
+      ottIdsNotInTree: Seq[Long],
+      ok: Boolean)
+
+  /** Resolve request ids (ot_node_id strings and/or ott ids) against the
+    * tree: (found internal node ids, node_ids not in tree, ott_ids not in
+    * tree) — the P5/J6 partition of SURVEY §3.1 step 3.
+    */
+  def resolveIds(t: Ingested, nodeIds: Seq[String], ottIds: Seq[Long])
+      : (Seq[Long], Seq[String], Seq[Long]) = {
+    val byOt = t.nodes.filter(col("ot_node_id").isin(nodeIds: _*))
+      .select(col("ot_node_id"), col("node_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byUid = t.nodes.filter(col("tax_uid").isin(ottIds: _*))
+      .select(col("tax_uid"), col("node_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val found = (nodeIds.flatMap(byOt.get) ++ ottIds.flatMap(byUid.get)).distinct
+    (found, nodeIds.filterNot(byOt.contains), ottIds.filterNot(byUid.contains))
+  }
+
+  /** `mrca`: deepest node covering all valid query ids; when unnamed, also
+    * the nearest taxon above it (GraphExplorer.java:617-664).
+    */
+  def mrca(t: Ingested, nodeIds: Seq[String] = Nil, ottIds: Seq[Long] = Nil): MrcaResult = {
+    val (found, badNodes, badOtts) = resolveIds(t, nodeIds, ottIds)
+    require(found.nonEmpty, "no valid node or ott ids provided")
+    val m = TreeOps.mrcaOfSet(t.nodes, found).head().getLong(0)
+    val row = t.nodes.filter(col("node_id") === m)
+      .select(col("ot_node_id"), col("name")).head()
+    val nearest =
+      if (row.isNullAt(1))
+        Some(TreeOps.mrta(t.nodes, m).select(col("ot_node_id")).head().getString(0))
+      else None
+    MrcaResult(row.getString(0), Option(row.getString(1)), nearest,
+      badNodes, badOtts, ok = badNodes.isEmpty && badOtts.isEmpty)
+  }
+
+  /** `induced_subtree`: minimal spanning tree over ≥2 valid ids, as newick
+    * with not-in-tree lists (tree_of_life_v3.java:403-518).
+    */
+  def inducedSubtree(t: Ingested, nodeIds: Seq[String] = Nil,
+      ottIds: Seq[Long] = Nil, labelFormat: String = "name_and_id",
+      idsForUnnamed: Boolean = false): InducedResult = {
+    val (found, badNodes, badOtts) = resolveIds(t, nodeIds, ottIds)
+    require(found.size >= 2,
+      s"at least 2 valid ids required, got ${found.size}")
+    val nwk = TreeOps.inducedNewick(t.nodes, found, labelFormat, idsForUnnamed)
+    InducedResult(nwk, badNodes, badOtts, ok = badNodes.isEmpty && badOtts.isEmpty)
+  }
+
   /** `about` (tree_of_life_v3.java:39-122): tree-level metadata plus the
     * root node blob.
     */

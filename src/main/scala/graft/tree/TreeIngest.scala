@@ -113,8 +113,11 @@ object TreeIngest {
         when(col("ot_node_id").rlike("^ott\\d+$"),
           regexp_extract(col("ot_node_id"), "^ott(\\d+)$", 1).cast("long")))
 
+    val bl = edges.select(col("child_id").as("node_id"), col("branch_length"))
+
     val nodes = labeled
       .join(ids, "node_id")
+      .join(bl, Seq("node_id"), "left_outer")
       .join(taxonomy, Seq("tax_uid"), "left_outer")
       .join(annotations, Seq("ot_node_id"), "left_outer")
       .withColumn("unique_name",

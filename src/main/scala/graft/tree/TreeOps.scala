@@ -191,14 +191,25 @@ object TreeOps {
     */
   def newick(nodes: DataFrame, rootId: Long, maxDepth: Int = -1,
       labelFormat: String = "name_and_id", idsForUnnamed: Boolean = false,
-      cap: Long = MaxTipsNewick): String = {
+      withBranchLengths: Boolean = false, cap: Long = MaxTipsNewick): String = {
     val tips = subtreeTipCount(nodes, rootId, maxDepth)
     require(tips <= cap, s"requested tree ($tips tips) is larger than currently allowed ($cap)")
-    val rows = subtree(nodes, rootId, maxDepth)
+    val base = subtree(nodes, rootId, maxDepth)
       .withColumn("lbl", TreeOps.scrubCol(labelCol(labelFormat, idsForUnnamed)))
-      .select(col("node_id"), col("parent_id"), col("pre"), col("lbl"))
+    val rows = (if (withBranchLengths && base.columns.contains("branch_length"))
+        base.select(col("node_id"), col("parent_id"), col("pre"), col("lbl"),
+          col("branch_length"))
+      else base.select(col("node_id"), col("parent_id"), col("pre"), col("lbl"),
+          lit(null).cast("double").as("branch_length")))
       .collect()
-    assemble(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))), rootId)
+    val bls: Map[Long, Option[Double]] = rows.map(r => r.getLong(0) ->
+      (if (withBranchLengths && !r.isNullAt(4) && !r.getDouble(4).isNaN &&
+           r.getLong(0) != rootId) Some(r.getDouble(4)) else None)).toMap
+    val byParent = rows.filter(_.getLong(0) != rootId).groupBy(_.getLong(1))
+    val children: Long => Seq[Long] =
+      id => byParent.getOrElse(id, Array.empty).sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    val labels = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    Newick.serialize(rootId, children, labels, bls)
   }
 
   /** Newick of an induced subtree result joined back to node attributes. */

@@ -1,0 +1,123 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tree.{Newick, TreeLabeler, TreeOps}
+
+/** Property tests for the invariants the reference only implies
+  * (SURVEY §5): labeler correctness on random trees, MRCA algebra,
+  * induced-subtree containment, newick round-trips. Trees are generated
+  * from fixed seeds so failures reproduce.
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Random tree as a parent array: node i+1 gets parent in [0, i]. */
+  private def randomTree(seed: Long): Array[Int] = {
+    val rnd = new Random(seed)
+    val n = 2 + rnd.nextInt(39)
+    Array.tabulate(n - 1)(i => if (i == 0) 0 else rnd.nextInt(i + 1))
+  }
+
+  private def labelTree(parents: Array[Int]) = {
+    import spark.implicits._
+    val edges = parents.zipWithIndex
+      .map { case (p, i) => (i + 1L, p.toLong, i) } // ord = arrival order
+      .toSeq.toDF("child_id", "parent_id", "child_ord")
+    TreeLabeler.label(spark, edges)
+  }
+
+  test("labeler invariants hold on random trees") {
+    (1L to 8L).foreach { seed =>
+      val parents = randomTree(seed)
+      val n = parents.length + 1
+      val nodes = labelTree(parents).collect()
+      assert(nodes.length == n, s"seed=$seed")
+      val byId = nodes.map(r => r.getAs[Long]("node_id") -> r).toMap
+      def depthOf(i: Int): Int = if (i == 0) 0 else 1 + depthOf(parents(i - 1))
+      nodes.foreach { r =>
+        assert(r.getAs[Long]("depth") == depthOf(r.getAs[Long]("node_id").toInt),
+          s"seed=$seed node=$r")
+        val anc = r.getAs[scala.collection.Seq[Long]]("ancestors")
+        assert(anc.head == 0L && anc.last == r.getAs[Long]("node_id"))
+        assert(anc.length == r.getAs[Long]("depth") + 1)
+      }
+      val root = byId(0L)
+      assert(root.getAs[Long]("tip_descendants") ==
+        nodes.count(_.getAs[Boolean]("is_leaf")), s"seed=$seed")
+      nodes.filter(_.getAs[Long]("node_id") != 0L).foreach { r =>
+        val p = byId(r.getAs[Long]("parent_id"))
+        assert(r.getAs[Long]("pre") > p.getAs[Long]("pre"), s"seed=$seed")
+        assert(r.getAs[Long]("post") <= p.getAs[Long]("post"), s"seed=$seed")
+      }
+    }
+  }
+
+  test("mrca is commutative and idempotent on random trees") {
+    (11L to 15L).foreach { seed =>
+      import spark.implicits._
+      val parents = randomTree(seed)
+      val labeled = labelTree(parents).cache()
+      val n = parents.length + 1
+      val ids = (0 until n by math.max(1, n / 5)).map(_.toLong)
+      val pairs = ids.flatMap(a => ids.map(b => (a, b))).toDF("a", "b")
+      val m = TreeOps.mrcaPairs(labeled, pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      ids.foreach { a =>
+        assert(m((a, a)) == a, s"seed=$seed") // mrca(a,a) = a
+        ids.foreach(b => assert(m((a, b)) == m((b, a)), s"seed=$seed"))
+      }
+      labeled.unpersist()
+    }
+  }
+
+  test("induced subtree: kept ⊇ tips; parents are proper ancestors") {
+    (21L to 25L).foreach { seed =>
+      val parents = randomTree(seed)
+      val labeled = labelTree(parents).cache()
+      val n = parents.length + 1
+      val tips = (1 until n by math.max(1, n / 4)).map(_.toLong).distinct
+      if (tips.size >= 2) {
+        val ind = TreeOps.induced(labeled, tips).collect()
+        val kept = ind.map(_.getLong(0)).toSet
+        assert(tips.toSet.subsetOf(kept), s"seed=$seed")
+        val anc = labeled.select(col("node_id"), col("ancestors")).collect()
+          .map(r => r.getLong(0) ->
+            r.getAs[scala.collection.Seq[Long]](1).toSet).toMap
+        ind.filter(_.getLong(1) != -1L).foreach { r =>
+          assert(anc(r.getLong(0)).contains(r.getLong(1)) &&
+            r.getLong(1) != r.getLong(0), s"seed=$seed")
+        }
+      }
+      labeled.unpersist()
+    }
+  }
+
+  test("newick round-trip preserves structure on random trees") {
+    (31L to 40L).foreach { seed =>
+      val parents = randomTree(seed)
+      val n = parents.length + 1
+      val children = (0 until n).map { p =>
+        p.toLong -> parents.zipWithIndex.collect {
+          case (pp, i) if pp == p => i + 1L }.toSeq
+      }.toMap
+      val ser = Newick.serialize(0L, children.getOrElse(_, Seq.empty),
+        id => s"n$id")
+      val parsed = Newick.parse(ser)
+      assert(parsed.length == n, s"seed=$seed")
+      val cc1 = children.values.map(_.length).filter(_ > 0).toSeq.sorted
+      val cc2 = parsed.groupBy(_.parentId).filter(_._1 >= 0)
+        .values.map(_.length).toSeq.sorted
+      assert(cc1 == cc2, s"seed=$seed")
+    }
+  }
+
+  test("newick branch lengths serialize with the zero→epsilon rule") {
+    val s = Newick.serialize(0L,
+      Map(0L -> Seq(1L, 2L)).withDefaultValue(Seq.empty),
+      Map(0L -> "r", 1L -> "a", 2L -> "b"),
+      Map(0L -> None, 1L -> Some(0.0), 2L -> Some(1.5)))
+    assert(s == s"(a:${Newick.MinBranchLength},b:1.5)r;")
+  }
+}

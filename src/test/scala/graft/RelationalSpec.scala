@@ -34,7 +34,7 @@ class RelationalSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    assert(q -- o == Set("api_about", "api_node_info"))
+    assert(q -- o == Set("api_about", "api_node_info", "api_mrca", "api_induced"))
   }
 
   test("q1_agg aggregates the full lineitem table") {

@@ -88,6 +88,48 @@ class TreeApiSpec extends AnyFunSuite {
     assert(m.count() == cnt.sum && cnt.forall(c => c >= 1 && c <= 3))
   }
 
+  test("mrca endpoint: named mrca, nearest taxon for unnamed, bad-id partition") {
+    // two tips under an unnamed mrca → nearest taxon is the genus
+    val m1 = TreeApi.mrca(t, nodeIds = Seq("ott1085739", "ott90560"))
+    assert(m1.mrcaOtId == "mrcaott90560ott651474")
+    assert(m1.mrcaName.isEmpty && m1.nearestTaxonOtId.contains("ott803675"))
+    assert(m1.ok)
+    // ott_ids resolve through tax_uid; invalid ids are partitioned, ok=false
+    val m2 = TreeApi.mrca(t, nodeIds = Seq("ott1057044", "ottDOESNOTEXIST"),
+      ottIds = Seq(90560L, 424242L))
+    assert(m2.mrcaOtId == "ott803675" && m2.mrcaName.contains("Gavia"))
+    assert(m2.nodeIdsNotInTree == Seq("ottDOESNOTEXIST"))
+    assert(m2.ottIdsNotInTree == Seq(424242L))
+    assert(!m2.ok)
+  }
+
+  test("induced_subtree endpoint: newick + not-in-tree lists; <2 valid rejects") {
+    val r = TreeApi.inducedSubtree(t,
+      nodeIds = Seq("ott1085739", "ott1057518", "ott90560", "ottNOPE"),
+      idsForUnnamed = true)
+    assert(r.newick == "(Gavia_arctica_ott1085739,(Gavia_immer_ott1057518," +
+      "Gavia_adamsii_ott90560)mrcaott90560ott1057518)mrcaott90560ott651474;")
+    assert(r.nodeIdsNotInTree == Seq("ottNOPE") && !r.ok)
+    intercept[IllegalArgumentException] {
+      TreeApi.inducedSubtree(t, nodeIds = Seq("ott1085739"))
+    }
+  }
+
+  test("newick with branch lengths uses ingested lengths and epsilon rule") {
+    val fx2 = java.nio.file.Files.createTempDirectory("blfix")
+    java.nio.file.Files.writeString(fx2.resolve("t.tre"),
+      "(ott1057044:0.5,(ott1085739:0,ott651474:2.5)mrcaott651474ott1085739:1)ott803675;")
+    val ing = TreeIngest.ingestParsed(spark,
+      Newick.parse(java.nio.file.Files.readString(fx2.resolve("t.tre"))),
+      s"$fx/gavia_annotations.json", s"$fx/gavia_taxonomy.tsv", "opentree4.1")
+    val rootId = ing.nodes.filter(col("parent_id") === -1L)
+      .select("node_id").head().getLong(0)
+    val nwk = TreeOps.newick(ing.nodes, rootId, labelFormat = "id",
+      idsForUnnamed = true, withBranchLengths = true)
+    assert(nwk == "(ott1057044:0.5,(ott1085739:1.0E-22,ott651474:2.5)" +
+      "mrcaott651474ott1085739:1.0)ott803675;")
+  }
+
   test("taxonomy → newick round-trips through the parser") {
     val tax = TreeIngest.readTaxonomy(spark, s"$fx/gavia_taxonomy.tsv")
     val nwk = TreeExports.taxonomyToNewick(spark, tax)
