@@ -6,7 +6,7 @@ import graft.Tables
 import graft.functions.MrcaIdCodec
 import graft.ops.Multimodal
 import graft.streaming.EventStreams
-import graft.tree.{TreeApi, TreeIngest}
+import graft.tree.{Nexson, TreeApi, TreeIngest}
 
 /** Extension-surface queries: batch forms of the streaming operators, the
   * custom-Expression id codec, and the multimodal metadata path.
@@ -85,7 +85,9 @@ object ExtQueries {
     "api_about" -> apiAbout,
     "api_node_info" -> apiNodeInfo,
     "api_mrca" -> apiMrca,
-    "api_induced" -> apiInduced
+    "api_induced" -> apiInduced,
+    "s12_nexson" -> ((s, _) =>
+      Nexson.readStudy(s, "src/test/resources/fixture/study.nexson"))
   )
 
   val oracle: Map[String, String] = Map(

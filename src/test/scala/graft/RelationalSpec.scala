@@ -34,7 +34,8 @@ class RelationalSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    assert(q -- o == Set("api_about", "api_node_info", "api_mrca", "api_induced"))
+    assert(q -- o == Set("api_about", "api_node_info", "api_mrca",
+      "api_induced", "s12_nexson"))
   }
 
   test("q1_agg aggregates the full lineitem table") {

@@ -130,6 +130,22 @@ class TreeApiSpec extends AnyFunSuite {
       "mrcaott651474ott1085739:1.0)ott803675;")
   }
 
+  test("nexson study reads relationally and converts to newick") {
+    val study = Nexson.readStudy(spark, s"$fx/study.nexson")
+    assert(study.count() == 4)
+    val row = study.filter(col("child") === "n3").head()
+    assert(row.getAs[String]("label") == "Gavia arctica")
+    assert(row.getAs[Long]("ott_id") == 1085739L)
+    val nwk = Nexson.toNewick(spark, study, "tree1")
+    assert(nwk == "(Gavia_stellata,(Gavia_arctica,Gavia_immer));")
+    val nwkBl = Nexson.toNewick(spark, study, "tree1", withBranchLengths = true)
+    assert(nwkBl == s"(Gavia_stellata:0.7,(Gavia_arctica:${Newick.MinBranchLength}," +
+      "Gavia_immer:1.25):0.2);")
+    intercept[IllegalArgumentException] {
+      Nexson.toNewick(spark, study, "treeNOPE")
+    }
+  }
+
   test("taxonomy → newick round-trips through the parser") {
     val tax = TreeIngest.readTaxonomy(spark, s"$fx/gavia_taxonomy.tsv")
     val nwk = TreeExports.taxonomyToNewick(spark, tax)
