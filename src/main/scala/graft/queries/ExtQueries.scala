@@ -6,7 +6,7 @@ import graft.Tables
 import graft.functions.MrcaIdCodec
 import graft.ops.Multimodal
 import graft.streaming.EventStreams
-import graft.tree.{Nexson, TreeApi, TreeIngest}
+import graft.tree.{Nexson, TreeApi, TreeIngest, V2Adapter}
 
 /** Extension-surface queries: batch forms of the streaming operators, the
   * custom-Expression id codec, and the multimodal metadata path.
@@ -87,7 +87,17 @@ object ExtQueries {
     "api_mrca" -> apiMrca,
     "api_induced" -> apiInduced,
     "s12_nexson" -> ((s, _) =>
-      Nexson.readStudy(s, "src/test/resources/fixture/study.nexson"))
+      Nexson.readStudy(s, "src/test/resources/fixture/study.nexson")),
+    "api_v2_mrca" -> ((s, _) => {
+      import s.implicits._
+      val m = V2Adapter.mrca(fixture(s), nodeIds = Seq(1085739L, 90560L))
+      Seq((m("mrca_node_id").asInstanceOf[Long],
+        m("nearest_taxon_mrca_name").toString,
+        m("nearest_taxon_mrca_ott_id").asInstanceOf[Long],
+        m("tree_id").toString))
+        .toDF("mrca_node_id", "nearest_taxon_mrca_name",
+          "nearest_taxon_mrca_ott_id", "tree_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(

@@ -35,7 +35,7 @@ class RelationalSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
     assert(q -- o == Set("api_about", "api_node_info", "api_mrca",
-      "api_induced", "s12_nexson"))
+      "api_induced", "s12_nexson", "api_v2_mrca"))
   }
 
   test("q1_agg aggregates the full lineitem table") {

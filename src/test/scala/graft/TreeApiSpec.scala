@@ -130,6 +130,31 @@ class TreeApiSpec extends AnyFunSuite {
       "mrcaott651474ott1085739:1.0)ott803675;")
   }
 
+  test("v2 adapter: id codec and flat mrca/induced reshaping") {
+    import graft.tree.V2Adapter
+    assert(V2Adapter.otIdToLong("ott803675") == 803675L)
+    assert(V2Adapter.otIdToLong("mrcaott90560ott651474") ==
+      90560L + 10000000L * 651474L)
+    assert(V2Adapter.longToOtId(90560L + 10000000L * 651474L) ==
+      "mrcaott90560ott651474")
+    assert(V2Adapter.longToOtId(803675L) == "ott803675")
+
+    val m = V2Adapter.mrca(t, nodeIds = Seq(1085739L, 90560L))
+    assert(m("mrca_node_id") == 90560L + 10000000L * 651474L)
+    assert(m("mrca_name") == "" && m("ott_id") == "null") // unnamed mrca
+    assert(m("nearest_taxon_mrca_name") == "Gavia")
+    assert(m("nearest_taxon_mrca_ott_id") == 803675L)
+    assert(m("tree_id") == "opentree4.1")
+
+    val m2 = V2Adapter.mrca(t, ottIds = Seq(1057044L, 803675L))
+    assert(m2("mrca_name") == "Gavia")
+    assert(m2("mrca_unique_name") == "") // unique_name == name quirk
+
+    val ind = V2Adapter.inducedSubtree(t,
+      nodeIds = Seq(1085739L, 1057518L, 90560L))
+    assert(ind("newick").toString.startsWith("(Gavia_arctica_ott1085739"))
+  }
+
   test("nexson study reads relationally and converts to newick") {
     val study = Nexson.readStudy(spark, s"$fx/study.nexson")
     assert(study.count() == 4)
