@@ -109,7 +109,7 @@ object TextOps {
       .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+        q4(col("inter") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -139,8 +139,15 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Floor-quantize to 4 decimals. Ratios of small integers (k/80 …)
+    * regularly land exactly on round()'s half boundary, where Spark
+    * (HALF_UP on the binary value) and DuckDB disagree; floor of the
+    * bit-identical double is deterministic in any engine.
+    */
+  private def q4(c: Column): Column = floor(c * 10000.0) / 10000.0
+
   /** Quality features + a composite score (length, punctuation, stopword
-    * density) — all ratios rounded for cross-engine stability.
+    * density) — ratios floor-quantized for cross-engine stability.
     */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)
@@ -152,11 +159,11 @@ object TextOps {
       col(idCol),
       nTok.cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
-      round(length(text).cast("double") / nTok, 4).as("avg_chars_per_token"),
-      round(punct.cast("double") / length(text), 4).as("punct_ratio"),
-      round(stops.cast("double") / nTok, 4).as("stopword_ratio"),
-      round(least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5
+      q4(length(text).cast("double") / nTok).as("avg_chars_per_token"),
+      q4(punct.cast("double") / length(text)).as("punct_ratio"),
+      q4(stops.cast("double") / nTok).as("stopword_ratio"),
+      q4(least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5
         + (lit(1.0) - punct.cast("double") / length(text)) * 0.3
-        + (stops.cast("double") / nTok) * 0.2, 4).as("quality_score"))
+        + (stops.cast("double") / nTok) * 0.2).as("quality_score"))
   }
 }

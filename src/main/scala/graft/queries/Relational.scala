@@ -157,17 +157,20 @@ object Relational {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
 
   /** A8: effective-parents inverse Simpson index (GraphExporter.java:302-307):
-    * per nation, 1 / Σ (segment share)². */
-  val a8EffectiveParents: Q = (s, d) => {
-    val counts = customer(s, d)
+    * per nation, 1 / Σ (segment share)². Computed as tot²/Σcnt² in exact
+    * integer arithmetic first — a float Σ over rows is summation-order-
+    * dependent and not reproducible cross-engine; a single division of
+    * exact integers is bit-identical everywhere.
+    */
+  val a8EffectiveParents: Q = (s, d) =>
+    customer(s, d)
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
-      .agg(count(lit(1)).cast("double").as("cnt"))
-    val w = Window.partitionBy(col("c_nationkey"))
-    counts.withColumn("tot", sum(col("cnt")).over(w))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("c_nationkey"))
-      .agg(round(lit(1.0) / sum((col("cnt") / col("tot")) * (col("cnt") / col("tot"))), 4)
-        .as("eff_segments"))
-  }
+      .agg(sum(col("cnt")).as("tot"), sum(col("cnt") * col("cnt")).as("ss"))
+      .select(col("c_nationkey"),
+        (floor((col("tot") * col("tot")).cast("double") / col("ss") * 10000.0)
+          / 10000.0).as("eff_segments"))
 
   // ------------------------------------------------------------------ windows
 
@@ -373,13 +376,15 @@ object Relational {
         |FROM orders GROUP BY o_custkey""".stripMargin,
     "a8_effective_parents" ->
       """WITH c AS (
-        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS DOUBLE) AS cnt
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS cnt
         |  FROM customer GROUP BY c_nationkey, c_mktsegment),
         |t AS (
-        |  SELECT c_nationkey, cnt, sum(cnt) OVER (PARTITION BY c_nationkey) AS tot FROM c)
+        |  SELECT c_nationkey, CAST(sum(cnt) AS BIGINT) AS tot,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS ss
+        |  FROM c GROUP BY c_nationkey)
         |SELECT c_nationkey,
-        |  round(1.0 / sum((cnt / tot) * (cnt / tot)), 4) AS eff_segments
-        |FROM t GROUP BY c_nationkey""".stripMargin,
+        |  floor(CAST(tot * tot AS DOUBLE) / ss * 10000.0) / 10000.0 AS eff_segments
+        |FROM t""".stripMargin,
     "w1_rank_topn" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, rn
         |FROM (SELECT o_custkey, o_orderkey, o_orderdate,

@@ -119,9 +119,9 @@ object TrainingQueries {
          |  FROM ex x JOIN ex y ON x.tok = y.tok AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2)
          |SELECT a, b,
-         |  round(inter::DOUBLE / (xa.n + xb.n - inter), 4) AS jaccard
+         |  floor(inter::DOUBLE / (xa.n + xb.n - inter) * 10000.0) / 10000.0 AS jaccard
          |FROM p JOIN sz xa ON xa.doc_id = a JOIN sz xb ON xb.doc_id = b
-         |WHERE round(inter::DOUBLE / (xa.n + xb.n - inter), 4) >= 0.5""".stripMargin,
+         |WHERE floor(inter::DOUBLE / (xa.n + xb.n - inter) * 10000.0) / 10000.0 >= 0.5""".stripMargin,
     "dd_simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
          |  FROM documents WHERE doc_id < 50),
@@ -163,12 +163,12 @@ object TrainingQueries {
          |SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
-         |  round(length(text)::DOUBLE / len(toks), 4) AS avg_chars_per_token,
-         |  round(punct::DOUBLE / length(text), 4) AS punct_ratio,
-         |  round(stops::DOUBLE / len(toks), 4) AS stopword_ratio,
-         |  round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
+         |  floor(length(text)::DOUBLE / len(toks) * 10000.0) / 10000.0 AS avg_chars_per_token,
+         |  floor(punct::DOUBLE / length(text) * 10000.0) / 10000.0 AS punct_ratio,
+         |  floor(stops::DOUBLE / len(toks) * 10000.0) / 10000.0 AS stopword_ratio,
+         |  floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
          |    + (1.0 - punct::DOUBLE / length(text)) * 0.3
-         |    + (stops::DOUBLE / len(toks)) * 0.2, 4) AS quality_score
+         |    + (stops::DOUBLE / len(toks)) * 0.2) * 10000.0) / 10000.0 AS quality_score
          |FROM base""".stripMargin,
     "txt_langid" ->
       s"""WITH b AS (SELECT doc_id,

@@ -104,6 +104,47 @@ object TreeOps {
         .count()
     }
 
+  /** Degree-pruned subtree (O3, ChildNumberEvaluator.java:25-40 with the
+    * 100-children web-display threshold, GraphExplorer.java:70-71): the
+    * subtree of `rootId`, but nothing *below* a node with ≥ `maxChildren`
+    * children (the high-degree node itself is kept as a frontier tip).
+    * Relational form: exclude any node with a high-degree proper ancestor
+    * strictly inside the subtree.
+    */
+  def subtreePruned(nodes: DataFrame, rootId: Long, maxChildren: Long = 100,
+      maxDepth: Int = -1): DataFrame = {
+    val sub = subtree(nodes, rootId, maxDepth)
+    val degrees = nodes.groupBy(col("parent_id")).agg(count(lit(1)).as("n_children"))
+      .filter(col("n_children") >= maxChildren && col("parent_id") =!= -1L)
+      .select(col("parent_id").as("hi_deg"))
+    val blocked = sub
+      .select(col("node_id"), explode(col("ancestors")).as("anc"))
+      .filter(col("anc") =!= col("node_id") && col("anc") =!= lit(rootId))
+      .join(degrees, col("anc") === col("hi_deg"), "left_semi")
+      // only ancestors inside the subtree block (root-side ones don't)
+      .join(sub.select(col("node_id").as("anc")), Seq("anc"), "left_semi")
+      .select(col("node_id")).distinct()
+    sub.join(blocked, Seq("node_id"), "left_anti")
+  }
+
+  /** First/last representative named descendant per child branch of a node
+    * (W2, GraphExplorer.java:451-490: recurse until a named node is found).
+    * Relational form: min/max `pre` over named nodes in each child's
+    * interval — no recursion.
+    */
+  def representativeChildren(nodes: DataFrame, nodeId: Long): DataFrame = {
+    val kids = nodes.filter(col("parent_id") === nodeId)
+      .select(col("node_id").as("child_id"), col("pre").as("c_pre"),
+        col("post").as("c_post"), col("child_ord"))
+    val named = nodes.filter(col("name").isNotNull)
+      .select(col("node_id").as("rep_id"), col("name").as("rep_name"), col("pre"))
+    kids.join(named, col("pre") >= col("c_pre") && col("pre") <= col("c_post"))
+      .groupBy(col("child_id"), col("child_ord"))
+      .agg(min_by(col("rep_name"), col("pre")).as("first_named"),
+        max_by(col("rep_name"), col("pre")).as("last_named"))
+      .orderBy(col("child_ord"))
+  }
+
   /** Induced (minimal spanning) subtree over a query set — the relational
     * formulation of GraphExplorer.java:704-785: keep the query nodes, the
     * overall MRCA, and every ancestor at/below the MRCA from which ≥2

@@ -26,6 +26,43 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project") && plan.contains("mrcapack"), plan)
   }
 
+  test("SQL registration: mrca codec callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT mrca_pack(90560L, 651474L) AS p, " +
+      "mrca_unpack_a(mrca_pack(90560L, 651474L)) AS a, " +
+      "mrca_unpack_b(mrca_pack(90560L, 651474L)) AS b").head()
+    assert(r.getLong(0) == 90560L + 10000000L * 651474L)
+    assert(r.getLong(1) == 90560L && r.getLong(2) == 651474L)
+  }
+
+  test("degree-pruned subtree stops below high-degree nodes") {
+    import org.apache.spark.sql.functions._
+    val labeled = graft.queries.TreeQueries.labeled(spark, sf)
+    // heap tree: every internal node has ≤2 children, so threshold 2 prunes
+    // everything below depth-1 nodes; threshold 3 prunes nothing
+    val pruned = graft.tree.TreeOps.subtreePruned(labeled, 1L, maxChildren = 2)
+    assert(pruned.count() == 3) // root + its two children
+    val full = graft.tree.TreeOps.subtree(labeled, 1L)
+    assert(graft.tree.TreeOps.subtreePruned(labeled, 1L, maxChildren = 3)
+      .count() == full.count())
+  }
+
+  test("representative children via interval min/max, no recursion") {
+    val fx = "src/test/resources/fixture"
+    val t = graft.tree.TreeIngest.ingest(spark, s"$fx/gavia.tre",
+      s"$fx/gavia_annotations.json", s"$fx/gavia_taxonomy.tsv", "opentree4.1")
+    val rootId = t.nodes.filter(org.apache.spark.sql.functions.col("ot_node_id") === "ott803675")
+      .select("node_id").head().getLong(0)
+    val reps = graft.tree.TreeOps.representativeChildren(t.nodes, rootId)
+      .collect()
+    assert(reps.length == 2)
+    // first child branch is the stellata tip itself; second spans arctica..adamsii
+    assert(reps(0).getAs[String]("first_named") == "Gavia stellata")
+    assert(reps(1).getAs[String]("first_named") == "Gavia arctica")
+    assert(reps(1).getAs[String]("last_named") == "Gavia adamsii")
+  }
+
   test("multimodal: stub decode is deterministic and schema-stable") {
     val docs = Multimodal.withMedia(Tables.documents(spark, sf))
     val m1 = Multimodal.extractMeta(spark, docs).collect().map(_.toString).sorted
