@@ -167,14 +167,17 @@ object TreeOps {
       .drop("ancestors", "pos")
 
     val depths = nodes.select(col("node_id").as("anc"), col("depth").as("anc_depth"))
-    val nTips = tipRows.count()
 
     val stats = paths.groupBy(col("anc"))
       .agg(countDistinct(col("tip")).as("n_tips"),
         countDistinct(col("child_on_path")).as("n_branch"))
       .join(depths, "anc")
 
-    val mrca = stats.filter(col("n_tips") === nTips)
+    // the MRCA covers every found tip, i.e. has the maximal n_tips — no
+    // separate driver-side count needed, the whole kernel stays lazy
+    val allTips = stats.agg(max(col("n_tips")).as("all_tips"))
+    val mrca = stats.crossJoin(broadcast(allTips))
+      .filter(col("n_tips") === col("all_tips"))
       .orderBy(col("anc_depth").desc).limit(1)
       .select(col("anc").as("mrca_id"), col("anc_depth").as("mrca_depth"))
 
