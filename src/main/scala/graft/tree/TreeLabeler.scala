@@ -58,14 +58,18 @@ object TreeLabeler {
 
     // Pointer-doubling state per non-root node:
     //   top   — highest ancestor reached so far
-    //   ords  — sibling-ord path from just-below-top down to the node
+    //   ords  — sibling-ord path from just-below-top down to the node, as a
+    //           fixed-width hex string (8 chars/level): byte-comparable, so
+    //           the DFS-rank sort below runs as a codegen'd binary compare
+    //           (sorting array<int> keys uses interpreted ordering and was
+    //           the scale bottleneck)
     //   chain — node ids from just-below-top down to the node (inclusive)
     //   done  — top is a root
     val isRoot = roots.select(col("node_id").as("top")).withColumn("root_hit", lit(true))
-    var t = e.select(
+    val init = e.select(
         col("child_id").as("node_id"),
         col("parent_id").as("top"),
-        array(col("child_ord")).as("ords"),
+        lpad(hex(col("child_ord")), 8, "0").as("ords"),
         array(col("child_id")).as("chain"))
       .join(isRoot, Seq("top"), "left_outer")
       .withColumn("done", coalesce(col("root_hit"), lit(false)))
@@ -74,25 +78,34 @@ object TreeLabeler {
       .select("node_id", "top", "ords", "chain", "done")
       .localCheckpoint()
 
+    // Only the undone set is rewritten each round; finished rows park in
+    // doneParts (they still serve as jump targets). Without this, every
+    // round checkpoints all n rows — O(n·rounds) storage writes.
+    var doneParts: List[DataFrame] = List(init.filter(col("done")))
+    var undone = init.filter(!col("done"))
     var round = 0
-    var remaining = t.filter(!col("done")).count()
+    var remaining = undone.count()
     while (remaining > 0 && round < maxRounds) {
       // self-join: qualify both sides explicitly (unqualified columns in a
       // self-join silently capture the wrong side after dedup rewriting)
-      val undone = t.filter(!col("done")).alias("l")
-        .join(t.alias("r"), col("l.top") === col("r.node_id"))
+      val jump = (undone :: doneParts).reduce(_ union _)
+      val next = undone.alias("l")
+        .join(jump.alias("r"), col("l.top") === col("r.node_id"))
         .select(col("l.node_id").as("node_id"),
           col("r.top").as("top"),
           concat(col("r.ords"), col("l.ords")).as("ords"),
           concat(col("r.chain"), col("l.chain")).as("chain"),
           col("r.done").as("done"))
-      t = t.filter(col("done")).union(undone).localCheckpoint()
-      remaining = t.filter(!col("done")).count()
+        .localCheckpoint()
+      doneParts = next.filter(col("done")) :: doneParts
+      undone = next.filter(!col("done"))
+      remaining = undone.count()
       round += 1
     }
     require(remaining == 0, s"tree not rooted within $maxRounds doubling rounds (cycle?)")
 
-    val nonRoot = t.select(
+    val fin = doneParts.reduce(_ union _)
+    val nonRoot = fin.select(
       col("node_id"),
       size(col("chain")).cast("long").as("depth"),
       concat(array(col("top")), col("chain")).as("ancestors"),
@@ -101,7 +114,7 @@ object TreeLabeler {
       col("node_id"),
       lit(0L).as("depth"),
       array(col("node_id")).as("ancestors"),
-      array().cast("array<int>").as("ord_path"))
+      lit("").as("ord_path"))
     val all = nonRoot.union(rootRows).persist(StorageLevel.MEMORY_AND_DISK)
 
     // pre = rank in DFS order = lexicographic rank of the sibling-order path.
