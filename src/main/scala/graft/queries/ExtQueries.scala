@@ -41,9 +41,18 @@ object ExtQueries {
     * once per JVM — lets the driver's harness exercise the serving-API
     * path end-to-end (rows-only check; endpoint shapes aren't SQL).
     */
+  /** Fixture dir, robust to the harness cwd (falls back to the repo's
+    * absolute path when not launched from the repo root).
+    */
+  private def fixtureDir: String = {
+    val rel = "src/test/resources/fixture"
+    if (new java.io.File(s"$rel/gavia.tre").exists()) rel
+    else "/root/repo/src/test/resources/fixture"
+  }
+
   private def fixture(s: SparkSession): TreeIngest.Ingested =
     fixtureCache.computeIfAbsent("gavia", _ => {
-      val fx = "src/test/resources/fixture"
+      val fx = fixtureDir
       TreeIngest.ingest(s, s"$fx/gavia.tre", s"$fx/gavia_annotations.json",
         s"$fx/gavia_taxonomy.tsv", treeId = "opentree4.1")
     })
@@ -87,7 +96,7 @@ object ExtQueries {
     "api_mrca" -> apiMrca,
     "api_induced" -> apiInduced,
     "s12_nexson" -> ((s, _) =>
-      Nexson.readStudy(s, "src/test/resources/fixture/study.nexson")),
+      Nexson.readStudy(s, s"$fixtureDir/study.nexson")),
     "api_v2_mrca" -> ((s, _) => {
       import s.implicits._
       val m = V2Adapter.mrca(fixture(s), nodeIds = Seq(1085739L, 90560L))
