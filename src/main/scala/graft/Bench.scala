@@ -23,13 +23,17 @@ object Bench {
     }
     val results = qs0.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // a failed query reports -1, never a fake wall-clock entry
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,6 +63,9 @@ object TextOps {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands " +
+        "(a remainder would silently drop trailing signature rows)")
     val sig = docs.select(col(idCol).as("id"), minhashCol(col(textCol), k).as("sig"))
     val banded = bandKeys(sig, "sig", bands, k / bands)
       .select(col("id"), col("band"), col("band_key"))

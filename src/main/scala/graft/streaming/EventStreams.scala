@@ -91,19 +91,26 @@ object EventStreams {
             state.remove()
             done.iterator
           } else {
-            // merge new events into (possibly several) open session buffers
+            // merge new events into (possibly several) open session buffers:
+            // an event joins every buffer within gap reach (bridging them if
+            // it falls between two), else opens a new one — exactly the
+            // gaps-and-islands semantics of [[sessionizeBatch]], independent
+            // of buffer order and of which micro-batch an event arrives in
             val sorted = rows.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id))
-            var bufs = state.getOption.getOrElse(Nil).sortBy(_.start)
+            var bufs = state.getOption.getOrElse(Nil)
             sorted.foreach { e =>
               val t = tsToMicros(e.ts)
-              bufs = bufs match {
-                case head :: tail if t - head.end <= gapUs && t >= head.start =>
-                  head.copy(end = math.max(head.end, t), n = head.n + 1,
-                    sum = head.sum + e.value) :: tail
-                case other =>
-                  SessionBuf(t, t, 1, e.value) :: other
-              }
-              bufs = bufs.sortBy(-_.start) // newest first
+              val (near, far) = bufs.partition(b =>
+                t >= b.start - gapUs && t <= b.end + gapUs)
+              val merged =
+                if (near.isEmpty) SessionBuf(t, t, 1, e.value)
+                else near.reduce((x, y) => SessionBuf(
+                    math.min(x.start, y.start), math.max(x.end, y.end),
+                    x.n + y.n, x.sum + y.sum)) match {
+                  case b => SessionBuf(math.min(b.start, t), math.max(b.end, t),
+                    b.n + 1, b.sum + e.value)
+                }
+              bufs = merged :: far
             }
             // emit sessions already beyond the watermark's reach
             val wmUs = state.getCurrentWatermarkMs() * 1000L

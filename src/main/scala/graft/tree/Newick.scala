@@ -107,13 +107,18 @@ object Newick {
           i += 1
           current = -1L
         case ',' =>
+          if (current < 0) openNode() // empty child slot, e.g. "(,b);"
           i += 1
           current = -1L
         case ')' =>
+          if (current < 0) openNode() // trailing empty child slot, "(a,);"
           current = stackIds.head
           stackIds = stackIds.tail
           i += 1
         case ':' =>
+          // legal newick allows an unnamed leaf carrying only a branch
+          // length, e.g. "(:0.5,a);" — open it with an empty label
+          if (current < 0) current = openNode()
           i += 1
           val start = i
           while (i < n && !"(),;:[".contains(s(i)) && !s(i).isWhitespace) i += 1

@@ -36,10 +36,16 @@ object TreeLabeler {
     *
     * @param edges DataFrame with columns child_id: Long, parent_id: Long,
     *              child_ord: Int (sibling order; determines DFS order)
-    * @return DataFrame: node_id, parent_id (-1 at root), depth (Long),
-    *         child_ord, ancestors (Array[Long], root→self inclusive),
+    * @return DataFrame: node_id, parent_id (-1 at root), root_id, depth
+    *         (Long), child_ord, ancestors (Array[Long], root→self inclusive),
     *         pre, post (Long), is_leaf (Boolean), tip_descendants (Long),
     *         n_desc (Long, descendants incl. self)
+    *
+    * Forests label correctly: the DFS sort key is prefixed with a
+    * fixed-width encoding of the root id, so each tree's pre/post interval
+    * block is contiguous and deterministic (trees ordered by root id) —
+    * without the prefix every root's path is "" and the interval blocks of
+    * different trees would interleave nondeterministically.
     */
   def label(spark: SparkSession, edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     import spark.implicits._
@@ -105,16 +111,20 @@ object TreeLabeler {
     require(remaining == 0, s"tree not rooted within $maxRounds doubling rounds (cycle?)")
 
     val fin = doneParts.reduce(_ union _)
+    // per-root discriminator prefix (16 hex chars = one long) keeps each
+    // tree's DFS ranks in a contiguous, deterministic block
     val nonRoot = fin.select(
       col("node_id"),
+      col("top").as("root_id"),
       size(col("chain")).cast("long").as("depth"),
       concat(array(col("top")), col("chain")).as("ancestors"),
-      col("ords").as("ord_path"))
+      concat(lpad(hex(col("top")), 16, "0"), col("ords")).as("ord_path"))
     val rootRows = roots.select(
       col("node_id"),
+      col("node_id").as("root_id"),
       lit(0L).as("depth"),
       array(col("node_id")).as("ancestors"),
-      lit("").as("ord_path"))
+      lpad(hex(col("node_id")), 16, "0").as("ord_path"))
     val all = nonRoot.union(rootRows).persist(StorageLevel.MEMORY_AND_DISK)
 
     // pre = rank in DFS order = lexicographic rank of the sibling-order path.
@@ -150,8 +160,8 @@ object TreeLabeler {
     // Checkpoint the result: consumers self-join it repeatedly (lineage,
     // subtree, induced), and a truncated plan keeps those joins flat.
     val out = withPre.join(agg, "node_id")
-      .select("node_id", "parent_id", "depth", "child_ord", "ancestors",
-        "pre", "post", "is_leaf", "tip_descendants", "n_desc")
+      .select("node_id", "parent_id", "root_id", "depth", "child_ord",
+        "ancestors", "pre", "post", "is_leaf", "tip_descendants", "n_desc")
       .localCheckpoint()
     withPre.unpersist()
     all.unpersist()

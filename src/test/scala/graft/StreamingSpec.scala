@@ -35,6 +35,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("sessionization with multiple open sessions across micro-batches") {
+    // user 1 holds TWO open sessions after batch 1 (00:00 and 00:20, gap
+    // 10 min); batch 2 delivers 00:25, which must extend the NEWER session
+    // — the regression was matching only against the oldest buffer and
+    // spuriously opening a third session
+    val dir = Files.createTempDirectory("graft_multisess").toString
+    import spark.implicits._
+    def writeBatch(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val sub = Files.createTempDirectory("graft_ms_tmp").toString + "/w"
+      rows.toDF("event_id", "t", "value")
+        .select(col("event_id"),
+          unix_micros(to_timestamp(col("t"))) * 1000,
+          lit(1L).as("user_id"), lit("x").as("event_type"),
+          col("value"), lit("{}").as("props"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(sub)
+      val f = new java.io.File(sub).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(s"$dir/$name"))
+    }
+    writeBatch("part-000.parquet", Seq(
+      (1L, "2020-01-01 00:00:00", 1.0), (2L, "2020-01-01 00:20:00", 2.0)))
+    writeBatch("part-001.parquet", Seq((3L, "2020-01-01 00:25:00", 4.0)))
+    writeBatch("part-002.parquet", Seq((99L, "2030-01-01 00:00:00", 0.0)))
+    writeBatch("part-003.parquet", Seq((98L, "2030-06-01 00:00:00", 0.0)))
+
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part-*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.sessionize(stream)
+      .writeStream.format("memory").queryName("multisess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("multisess_out")
+      .filter(col("session_start") < "2029-01-01")
+      .select(date_format(col("session_start"), "HH:mm").as("s"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(Seq("00:00", 1L, 1.0), Seq("00:20", 2L, 6.0)))
+  }
+
   test("streaming sessionization equals batch gaps-and-islands") {
     // three-file feed: real data, then two future sentinels that advance the
     // watermark so event-time timeouts fire and sessions flush

@@ -151,6 +151,47 @@ class TreeSpec extends AnyFunSuite {
       Map("ncbi" -> "37040", "gbif" -> "2481962"))
   }
 
+  test("newick parse: unnamed leaves with only a branch length or empty slots") {
+    val p = Newick.parse("(:0.5,a);")
+    assert(p.length == 3)
+    assert(p.exists(n => n.label == "" && n.branchLength == 0.5 && n.parentId == 0))
+    assert(p.exists(_.label == "a"))
+    val q = Newick.parse("(,b);")
+    assert(q.length == 3) // empty leaf is kept, not dropped
+    assert(q.count(_.parentId == 0) == 2)
+    val r = Newick.parse("(a,);")
+    assert(r.length == 3)
+  }
+
+  test("forest labeling: per-root contiguous intervals, deterministic pre") {
+    import spark.implicits._
+    val edges = Seq(
+      (11L, 10L, 0), (12L, 10L, 1),                 // tree rooted at 10
+      (21L, 20L, 0), (22L, 20L, 1), (23L, 20L, 2),  // tree rooted at 20
+      (24L, 21L, 0)
+    ).toDF("child_id", "parent_id", "child_ord")
+    val lab = TreeLabeler.label(spark, edges).collect()
+      .map(r => r.getAs[Long]("node_id") -> r).toMap
+    assert(lab(10L).getAs[Long]("root_id") == 10L)
+    assert(lab(24L).getAs[Long]("root_id") == 20L)
+    assert(lab.values.count(_.getAs[Long]("parent_id") == -1L) == 2)
+    // roots sort by id: all of tree-10's pre ranks precede tree-20's
+    val maxT10 = Seq(10L, 11L, 12L).map(lab(_).getAs[Long]("pre")).max
+    val minT20 = Seq(20L, 21L, 22L, 23L, 24L).map(lab(_).getAs[Long]("pre")).min
+    assert(maxT10 < minT20)
+    // interval containment stays within the owning tree
+    val r20 = lab(20L)
+    Seq(21L, 22L, 23L, 24L).foreach { n =>
+      assert(lab(n).getAs[Long]("pre") > r20.getAs[Long]("pre"))
+      assert(lab(n).getAs[Long]("pre") <= r20.getAs[Long]("post"))
+    }
+    Seq(10L, 11L, 12L).foreach { n =>
+      assert(lab(n).getAs[Long]("pre") < r20.getAs[Long]("pre") ||
+        lab(n).getAs[Long]("pre") > r20.getAs[Long]("post"))
+    }
+    assert(lab(20L).getAs[Long]("tip_descendants") == 3L)
+  }
+
   test("newick round-trip: parse(serialize(parse(x))) preserves structure") {
     val src = "(a,(b,(c,d)e)f,g)r;"
     val p1 = Newick.parse(src)
