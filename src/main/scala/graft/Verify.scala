@@ -23,6 +23,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // the ingested Gavia fixture tables, so the api_* oracles can query the
+    // same relational state the endpoints see (maps flattened to JSON)
+    try graft.queries.ExtQueries.fixtureTables(spark).foreach { case (n, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_fixture/$n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] fixture dump failed: ${e.getMessage}")
+    }
+    val fixtureAbs = new java.io.File(s"$outDir/_fixture").getAbsolutePath
+    val fixtureSrcAbs =
+      new java.io.File(graft.queries.ExtQueries.fixtureDir).getAbsolutePath
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -36,7 +46,11 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val sql = v.replace("__FIXTURE__", fixtureAbs)
+          .replace("__FIXSRC__", fixtureSrcAbs)
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -42,9 +42,10 @@ object ExtQueries {
     * path end-to-end (rows-only check; endpoint shapes aren't SQL).
     */
   /** Fixture dir, robust to the harness cwd (falls back to the repo's
-    * absolute path when not launched from the repo root).
+    * absolute path when not launched from the repo root). Public: Verify
+    * substitutes it into the fixture-based oracle SQL.
     */
-  private def fixtureDir: String = {
+  def fixtureDir: String = {
     val rel = "src/test/resources/fixture"
     if (new java.io.File(s"$rel/gavia.tre").exists()) rel
     else "/root/repo/src/test/resources/fixture"
@@ -57,14 +58,44 @@ object ExtQueries {
         s"$fx/gavia_taxonomy.tsv", treeId = "opentree4.1")
     })
 
-  /** `about` endpoint over the fixture tree (no SQL oracle: rows-only). */
-  val apiAbout: Q = (s, _) => TreeApi.about(fixture(s))
+  /** The ingested fixture tables, flattened for a parquet dump that DuckDB
+    * can read back (map columns → JSON strings): Verify writes these under
+    * `outDir/_fixture/` so every api_* gate gets a real SQL oracle.
+    */
+  def fixtureTables(s: SparkSession): Map[String, DataFrame] = {
+    val t = fixture(s)
+    Map(
+      "nodes" -> t.nodes.select(
+        col("node_id"), col("parent_id"), col("root_id"), col("depth"),
+        col("child_ord"), col("pre"), col("post"), col("is_leaf"),
+        col("tip_descendants"), col("n_desc"), col("ancestors"),
+        col("ot_node_id"), col("tax_uid"), col("name"), col("unique_name"),
+        col("tax_rank"), col("branch_length"),
+        to_json(col("supported_by")).as("supported_by_json")),
+      "edges" -> t.edges,
+      "tree_meta" -> t.treeMeta,
+      "source_map" -> t.sourceMap)
+  }
 
-  /** `node_info` with lineage over the fixture tree (rows-only). */
+  /** `about` endpoint over the fixture tree; array columns flattened to
+    * JSON strings for the driver's pandas hash compare.
+    */
+  val apiAbout: Q = (s, _) =>
+    TreeApi.about(fixture(s))
+      .withColumn("filtered_flags", to_json(col("filtered_flags")))
+      .withColumn("sources", to_json(col("sources")))
+
+  /** `node_info` with lineage over the fixture tree — lineage exploded to
+    * one row per ancestor (nearest first), the SQL-oracle-friendly shape.
+    */
   val apiNodeInfo: Q = (s, _) =>
     TreeApi.nodeInfo(fixture(s), "ott1085739", includeLineage = true)
       .drop("tax_sources", "supported_by", "terminal", "partial_path_of",
         "resolves", "conflicts_with", "resolved_by") // map cols: parquet-safe but noisy
+      .select(col("ot_node_id"), col("name"), col("unique_name"),
+        col("tax_uid"), col("tax_rank"), col("num_tips"),
+        posexplode(col("lineage")).as(Seq("lineage_pos", "lineage_ot_id")))
+      .withColumn("lineage_pos", col("lineage_pos").cast("long"))
 
   /** `mrca` endpoint over the fixture (rows-only): unnamed MRCA with a
     * nearest-taxon walk, plus the bad-id partition flag.
@@ -78,13 +109,22 @@ object ExtQueries {
       .toDF("mrca_ot_id", "mrca_name", "nearest_taxon", "bad_node_ids", "ok")
   }
 
-  /** `induced_subtree` endpoint over the fixture (rows-only). */
+  /** `induced_subtree` endpoint over the fixture, as the relational
+    * edge-list shape (node → induced parent, is_query) so the DuckDB oracle
+    * can recompute it from the ancestors arrays; the newick serialization
+    * of the same kernel is locked by TreeApiSpec goldens.
+    */
   val apiInduced: Q = (s, _) => {
-    import s.implicits._
-    val r = TreeApi.inducedSubtree(fixture(s),
-      nodeIds = Seq("ott1085739", "ott1057518", "ott90560"),
-      idsForUnnamed = true)
-    Seq((r.newick, r.ok)).toDF("newick", "ok")
+    val t = fixture(s)
+    val ids = t.nodes
+      .filter(col("ot_node_id").isin("ott1085739", "ott1057518", "ott90560"))
+      .select(col("node_id")).collect().map(_.getLong(0)).toSeq
+    val ind = graft.tree.TreeOps.induced(t.nodes, ids)
+    val ots = t.nodes.select(col("node_id"), col("ot_node_id"))
+    ind.join(ots, "node_id")
+      .join(ots.select(col("node_id").as("parent_id"),
+        col("ot_node_id").as("parent_ot_id")), Seq("parent_id"), "left_outer")
+      .select(col("ot_node_id"), col("parent_ot_id"), col("is_query"))
   }
 
   val registry: Map[String, Q] = Map(
@@ -96,7 +136,8 @@ object ExtQueries {
     "api_mrca" -> apiMrca,
     "api_induced" -> apiInduced,
     "s12_nexson" -> ((s, _) =>
-      Nexson.readStudy(s, s"$fixtureDir/study.nexson")),
+      Nexson.readStudy(s, s"$fixtureDir/study.nexson")
+        .withColumn("child_ord", col("child_ord").cast("long"))),
     "api_v2_mrca" -> ((s, _) => {
       import s.implicits._
       val m = V2Adapter.mrca(fixture(s), nodeIds = Seq(1085739L, 90560L))
@@ -136,6 +177,148 @@ object ExtQueries {
         |  9 * (octet_length(encode(text)) % 64 + 1) AS height,
         |  CASE WHEN doc_id % 3 = 0 THEN 1
         |    ELSE octet_length(encode(text)) % 1000 END AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // ---- fixture-tree endpoint oracles. Verify dumps the ingested Gavia
+    //      tables under outDir/_fixture and substitutes __FIXTURE__ /
+    //      __FIXSRC__ with absolute paths before writing oracle_sql.json,
+    //      so these run as plain DuckDB SQL against the same tables the
+    //      endpoints query.
+    "api_about" ->
+      """SELECT m.tree_id, m.date_completed, m.taxonomy_version, m.num_tips,
+        |  m.num_source_studies, m.num_source_trees,
+        |  to_json(m.filtered_flags) AS filtered_flags,
+        |  to_json(m.sources) AS sources,
+        |  n.ot_node_id AS root_ot_node_id, n.name AS root_name,
+        |  n.unique_name AS root_unique_name, n.tax_uid AS root_tax_uid,
+        |  n.tip_descendants AS root_num_tips
+        |FROM read_parquet('__FIXTURE__/tree_meta/*.parquet') m,
+        |     read_parquet('__FIXTURE__/nodes/*.parquet') n
+        |WHERE n.parent_id = -1""".stripMargin,
+    "api_node_info" ->
+      """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |t AS (SELECT * FROM n WHERE ot_node_id = 'ott1085739'),
+        |l AS (SELECT t.node_id, t.ot_node_id, t.name, t.unique_name,
+        |        t.tax_uid, t.tax_rank, t.tip_descendants AS num_tips,
+        |        unnest(t.ancestors) AS anc,
+        |        generate_subscripts(t.ancestors, 1) AS pos,
+        |        len(t.ancestors) AS la
+        |      FROM t)
+        |SELECT l.ot_node_id, l.name, l.unique_name, l.tax_uid, l.tax_rank,
+        |  l.num_tips, CAST(l.la - 1 - l.pos AS BIGINT) AS lineage_pos,
+        |  a.ot_node_id AS lineage_ot_id
+        |FROM l JOIN n a ON a.node_id = l.anc
+        |WHERE l.anc <> l.node_id""".stripMargin,
+    "api_mrca" ->
+      """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |req(id) AS (VALUES ('ott1085739'), ('ott90560'), ('ottNOPE')),
+        |found AS (SELECT n.node_id, n.ancestors FROM n
+        |          JOIN req ON n.ot_node_id = req.id),
+        |hits AS (SELECT node_id, unnest(ancestors) AS anc FROM found),
+        |common AS (SELECT anc FROM hits GROUP BY anc
+        |           HAVING count(DISTINCT node_id) = (SELECT count(*) FROM found)),
+        |m AS (SELECT n.* FROM n JOIN common c ON n.node_id = c.anc
+        |      ORDER BY n.depth DESC LIMIT 1),
+        |nt AS (SELECT a.ot_node_id FROM m, n a
+        |       WHERE a.tax_uid IS NOT NULL
+        |         AND list_contains(m.ancestors, a.node_id)
+        |       ORDER BY a.depth DESC LIMIT 1),
+        |bad AS (SELECT coalesce(string_agg(req.id, ','), '') AS bad_node_ids,
+        |               count(*) AS n_bad
+        |        FROM req LEFT JOIN n ON n.ot_node_id = req.id
+        |        WHERE n.node_id IS NULL)
+        |SELECT m.ot_node_id AS mrca_ot_id, m.name AS mrca_name,
+        |  CASE WHEN m.name IS NULL THEN (SELECT ot_node_id FROM nt) END
+        |    AS nearest_taxon,
+        |  b.bad_node_ids, b.n_bad = 0 AS ok
+        |FROM m, bad b""".stripMargin,
+    // MATERIALIZED CTEs: DuckDB 1.0 hits an internal binder error when the
+    // unnest-derived CTEs here are inlined at multiple reference sites
+    "api_induced" ->
+      """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |q(id) AS (VALUES ('ott1085739'), ('ott1057518'), ('ott90560')),
+        |tips AS (SELECT n.* FROM n JOIN q ON n.ot_node_id = q.id),
+        |paths AS MATERIALIZED (
+        |  SELECT t.node_id AS tip, unnest(t.ancestors) AS anc,
+        |         generate_subscripts(t.ancestors, 1) AS pos, t.ancestors AS arr
+        |  FROM tips t),
+        |p2 AS (SELECT tip, anc, arr[pos + 1] AS child_on_path FROM paths),
+        |stats AS MATERIALIZED (
+        |  SELECT p.anc, count(DISTINCT p.tip) AS n_tips,
+        |         count(DISTINCT p.child_on_path) AS n_branch, d.depth
+        |  FROM p2 p JOIN n d ON d.node_id = p.anc
+        |  GROUP BY p.anc, d.depth),
+        |m AS MATERIALIZED (
+        |  SELECT anc AS mrca_id, depth AS mrca_depth FROM stats
+        |  WHERE n_tips = (SELECT count(*) FROM tips)
+        |  ORDER BY depth DESC LIMIT 1),
+        |kept AS MATERIALIZED (SELECT DISTINCT node_id FROM (
+        |    SELECT s.anc AS node_id FROM stats s, m
+        |    WHERE (s.n_branch >= 2 AND s.depth >= m.mrca_depth)
+        |       OR s.anc = m.mrca_id
+        |    UNION ALL SELECT node_id FROM tips)),
+        |kanc AS MATERIALIZED (SELECT node_id, anc, pos FROM (
+        |    SELECT k.node_id AS node_id, unnest(nn.ancestors) AS anc,
+        |           generate_subscripts(nn.ancestors, 1) AS pos
+        |    FROM kept k JOIN n nn ON nn.node_id = k.node_id)),
+        |cand AS (SELECT ka.node_id, ka.anc, ka.pos
+        |         FROM kanc ka JOIN kept k2 ON ka.anc = k2.node_id
+        |         CROSS JOIN m
+        |         WHERE ka.anc <> ka.node_id AND ka.pos - 1 >= m.mrca_depth),
+        |par AS (SELECT node_id, max(pos) AS mpos FROM cand GROUP BY node_id),
+        |par2 AS (SELECT c.node_id, c.anc AS parent_id
+        |         FROM cand c JOIN par p
+        |           ON p.node_id = c.node_id AND p.mpos = c.pos)
+        |SELECT nn.ot_node_id, pn.ot_node_id AS parent_ot_id,
+        |  (nn.ot_node_id IN (SELECT id FROM q)) AS is_query
+        |FROM kept k JOIN n nn ON nn.node_id = k.node_id
+        |LEFT JOIN par2 ON par2.node_id = k.node_id
+        |LEFT JOIN n pn ON pn.node_id = par2.parent_id""".stripMargin,
+    "api_v2_mrca" ->
+      """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |req(id) AS (VALUES ('ott1085739'), ('ott90560')),
+        |found AS (SELECT n.node_id, n.ancestors FROM n
+        |          JOIN req ON n.ot_node_id = req.id),
+        |hits AS (SELECT node_id, unnest(ancestors) AS anc FROM found),
+        |common AS (SELECT anc FROM hits GROUP BY anc
+        |           HAVING count(DISTINCT node_id) = (SELECT count(*) FROM found)),
+        |m AS (SELECT n.* FROM n JOIN common c ON n.node_id = c.anc
+        |      ORDER BY n.depth DESC LIMIT 1),
+        |ntx AS (SELECT CASE WHEN m.name IS NOT NULL THEN m.node_id ELSE
+        |          (SELECT a.node_id FROM n a
+        |           WHERE a.tax_uid IS NOT NULL
+        |             AND list_contains(m.ancestors, a.node_id)
+        |           ORDER BY a.depth DESC LIMIT 1) END AS nid FROM m)
+        |SELECT
+        |  CASE WHEN m.ot_node_id LIKE 'mrcaott%' THEN
+        |    CAST(regexp_extract(m.ot_node_id, 'mrcaott(\d+)ott(\d+)', 1) AS BIGINT)
+        |    + 10000000 * CAST(regexp_extract(m.ot_node_id, 'mrcaott(\d+)ott(\d+)', 2) AS BIGINT)
+        |  ELSE CAST(substr(m.ot_node_id, 4) AS BIGINT) END AS mrca_node_id,
+        |  tn.name AS nearest_taxon_mrca_name,
+        |  tn.tax_uid AS nearest_taxon_mrca_ott_id,
+        |  (SELECT tree_id FROM read_parquet('__FIXTURE__/tree_meta/*.parquet'))
+        |    AS tree_id
+        |FROM m, ntx JOIN n tn ON tn.node_id = ntx.nid""".stripMargin,
+    "s12_nexson" ->
+      """WITH j AS (SELECT data.nexml AS nx
+        |           FROM read_json_auto('__FIXSRC__/study.nexson')),
+        |t AS (SELECT unnest(nx.trees.tree) AS tr, nx.otus.otu AS otus FROM j),
+        |e AS (SELECT tr."@id" AS tree_id, unnest(tr.edge) AS ed,
+        |             generate_subscripts(tr.edge, 1) AS ord,
+        |             tr.node AS nodes, otus FROM t),
+        |nm AS (SELECT unnest(nodes) AS nd FROM (SELECT DISTINCT nodes FROM e)),
+        |om AS (SELECT unnest(otus) AS o FROM (SELECT DISTINCT otus FROM e)),
+        |omap AS (SELECT o."@id" AS otu_id, o."@label" AS label,
+        |           (SELECT CAST(m."$" AS BIGINT)
+        |            FROM (SELECT unnest(o.meta) AS m)
+        |            WHERE m."@property" = 'ot:ottId' LIMIT 1) AS ott_id
+        |         FROM om)
+        |SELECT e.tree_id, e.ed."@target" AS child, e.ed."@source" AS parent,
+        |       CAST(e.ord - 1 AS BIGINT) AS child_ord,
+        |       CAST(e.ed."@length" AS DOUBLE) AS branch_length,
+        |       omap.label, omap.ott_id
+        |FROM e
+        |LEFT JOIN nm ON nm.nd."@id" = e.ed."@target"
+        |LEFT JOIN omap ON omap.otu_id = nm.nd."@otu"""".stripMargin
   )
 }

@@ -30,12 +30,11 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
-  test("every oracle has a query; rows-only queries are the known API ones") {
+  test("every oracle has a query; every query has an oracle") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(o.subsetOf(q))
-    assert(q -- o == Set("api_about", "api_node_info", "api_mrca",
-      "api_induced", "s12_nexson", "api_v2_mrca"))
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
   }
 
   test("q1_agg aggregates the full lineitem table") {
