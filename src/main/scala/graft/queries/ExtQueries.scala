@@ -88,14 +88,24 @@ object ExtQueries {
   /** `node_info` with lineage over the fixture tree — lineage exploded to
     * one row per ancestor (nearest first), the SQL-oracle-friendly shape.
     */
-  val apiNodeInfo: Q = (s, _) =>
-    TreeApi.nodeInfo(fixture(s), "ott1085739", includeLineage = true)
-      .drop("tax_sources", "supported_by", "terminal", "partial_path_of",
-        "resolves", "conflicts_with", "resolved_by") // map cols: parquet-safe but noisy
+  val apiNodeInfo: Q = (s, _) => {
+    val t = fixture(s)
+    // lineage as rows directly (nearest first): one broadcast join, no
+    // aggregate-then-reexplode round trip
+    val tgt = t.nodes.filter(col("ot_node_id") === "ott1085739")
+      .select(col("node_id"), col("ot_node_id"), col("name"),
+        col("unique_name"), col("tax_uid"), col("tax_rank"),
+        col("tip_descendants").as("num_tips"), col("depth"),
+        posexplode(col("ancestors")).as(Seq("pos", "anc")))
+      .filter(col("anc") =!= col("node_id"))
+    broadcast(tgt)
+      .join(t.nodes.select(col("node_id").as("anc"),
+        col("ot_node_id").as("lineage_ot_id")), "anc")
       .select(col("ot_node_id"), col("name"), col("unique_name"),
         col("tax_uid"), col("tax_rank"), col("num_tips"),
-        posexplode(col("lineage")).as(Seq("lineage_pos", "lineage_ot_id")))
-      .withColumn("lineage_pos", col("lineage_pos").cast("long"))
+        (col("depth") - 1L - col("pos")).as("lineage_pos"),
+        col("lineage_ot_id"))
+  }
 
   /** `mrca` endpoint over the fixture (rows-only): unnamed MRCA with a
     * nearest-taxon walk, plus the bad-id partition flag.
@@ -115,19 +125,89 @@ object ExtQueries {
     * of the same kernel is locked by TreeApiSpec goldens.
     */
   val apiInduced: Q = (s, _) => {
+    import s.implicits._
     val t = fixture(s)
-    val ids = t.nodes
+    // run the serving endpoint (request-bounded driver kernel + newick)
+    val r = TreeApi.inducedSubtree(t,
+      nodeIds = Seq("ott1085739", "ott1057518", "ott90560"),
+      idsForUnnamed = true)
+    require(r.newick.nonEmpty && r.ok)
+    // and emit its edge relation for the DuckDB oracle
+    val rows = t.nodes
       .filter(col("ot_node_id").isin("ott1085739", "ott1057518", "ott90560"))
-      .select(col("node_id")).collect().map(_.getLong(0)).toSeq
-    val ind = graft.tree.TreeOps.induced(t.nodes, ids)
+      .select(col("node_id"), col("ancestors"), col("ot_node_id")).collect()
+    val edges = TreeApi.inducedEdges(
+      rows.map(x => x.getLong(0) -> x.getSeq[Long](1).toSeq).toSeq)
     val ots = t.nodes.select(col("node_id"), col("ot_node_id"))
-    ind.join(ots, "node_id")
+    edges.toDF("node_id", "parent_id", "is_query")
+      .join(ots, "node_id")
       .join(ots.select(col("node_id").as("parent_id"),
         col("ot_node_id").as("parent_ot_id")), Seq("parent_id"), "left_outer")
       .select(col("ot_node_id"), col("parent_ot_id"), col("is_query"))
   }
 
+  /** ot_node_id string → v2 numeric id, as a codegen'd column expression
+    * (both branches rlike-guarded: ANSI mode throws on cast("") otherwise).
+    */
+  private def v2IdCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val mrcaPat = "^mrcaott(\\d+)ott(\\d+)$"
+    when(c.rlike(mrcaPat),
+      regexp_extract(c, mrcaPat, 1).cast("long") +
+        lit(10000000L) * regexp_extract(c, mrcaPat, 2).cast("long"))
+      .when(c.rlike("^ott\\d+$"),
+        regexp_extract(c, "^ott(\\d+)$", 1).cast("long"))
+  }
+
+  /** v2 `about` flattened to one row per study_list entry. */
+  val apiV2About: Q = (s, _) => {
+    import s.implicits._
+    val a = V2Adapter.about(fixture(s))
+    val sl = a("study_list").asInstanceOf[List[Map[String, String]]]
+    sl.zipWithIndex.map { case (b, i) =>
+      (a("date").toString, a("num_tips").asInstanceOf[Long],
+        a("num_source_studies").asInstanceOf[Long],
+        a("taxonomy_version").toString, a("root_node_id").asInstanceOf[Long],
+        a("root_ott_id").asInstanceOf[Long], a("root_taxon_name").toString,
+        a("tree_id").toString, i.toLong,
+        b.get("git_sha").orNull, b.get("study_id").orNull,
+        b.get("taxonomy").orNull)
+    }.toDF("date", "num_tips", "num_source_studies", "taxonomy_version",
+      "root_node_id", "root_ott_id", "root_taxon_name", "tree_id",
+      "source_pos", "src_git_sha", "src_study_id", "src_taxonomy")
+  }
+
+  /** v2 `subtree` — the endpoint (newick assembly) runs, and the gate emits
+    * the relational node rows behind it (v2 numeric ids + the exact labels
+    * the newick carries) so DuckDB can recompute them independently.
+    */
+  val apiV2Subtree: Q = (s, _) => {
+    val t = fixture(s)
+    val r = V2Adapter.subtree(t, ottId = Some(803675L))
+    require(r("newick").toString.nonEmpty)
+    val root = t.nodes.filter(col("tax_uid") === 803675L)
+      .select(col("pre"), col("post"), col("depth")).head()
+    val sub = graft.tree.TreeOps.subtreeByBounds(t.nodes,
+        root.getLong(0), root.getLong(1), root.getLong(2))
+      .select(col("node_id"), col("parent_id"), col("ot_node_id"),
+        col("is_leaf"),
+        graft.tree.TreeOps.formattedLabel("name_and_id", idsForUnnamed = false)
+          .as("label"))
+    sub.alias("c")
+      .join(broadcast(sub.select(col("node_id").as("pid"),
+        col("ot_node_id").as("p_ot")).alias("p")),
+        col("c.parent_id") === col("p.pid"), "left_outer")
+      .select(v2IdCol(col("c.ot_node_id")).as("v2_node_id"),
+        v2IdCol(col("p_ot")).as("v2_parent_id"),
+        col("c.label"), col("c.is_leaf"))
+  }
+
+  /** `draft_trees` metadata projection. */
+  val apiDraftTrees: Q = (s, _) => TreeApi.draftTrees(fixture(s))
+
   val registry: Map[String, Q] = Map(
+    "api_v2_about" -> apiV2About,
+    "api_v2_subtree" -> apiV2Subtree,
+    "api_draft_trees" -> apiDraftTrees,
     "ev_sessions" -> evSessions,
     "f10_mrca_codec" -> mrcaCodec,
     "mm_media_meta" -> mmMediaMeta,
@@ -299,6 +379,47 @@ object ExtQueries {
         |  (SELECT tree_id FROM read_parquet('__FIXTURE__/tree_meta/*.parquet'))
         |    AS tree_id
         |FROM m, ntx JOIN n tn ON tn.node_id = ntx.nid""".stripMargin,
+    "api_v2_about" ->
+      """WITH m AS (SELECT * FROM read_parquet('__FIXTURE__/tree_meta/*.parquet')),
+        |n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')
+        |      WHERE parent_id = -1),
+        |s AS (SELECT unnest(m.sources) AS source_id,
+        |        CAST(generate_subscripts(m.sources, 1) - 1 AS BIGINT) AS source_pos
+        |      FROM m)
+        |SELECT m.date_completed AS date, n.tip_descendants AS num_tips,
+        |  m.num_source_studies, m.taxonomy_version,
+        |  CAST(substr(n.ot_node_id, 4) AS BIGINT) AS root_node_id,
+        |  n.tax_uid AS root_ott_id, n.name AS root_taxon_name, m.tree_id,
+        |  s.source_pos, sm.git_sha AS src_git_sha, sm.study_id AS src_study_id,
+        |  sm.taxonomy AS src_taxonomy
+        |FROM m, n, s
+        |LEFT JOIN read_parquet('__FIXTURE__/source_map/*.parquet') sm
+        |  ON sm.source_id = s.source_id""".stripMargin,
+    "api_v2_subtree" ->
+      """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |r AS (SELECT pre AS r_pre, post AS r_post FROM n WHERE tax_uid = 803675),
+        |sub AS (SELECT n.* FROM n, r WHERE n.pre >= r.r_pre AND n.pre <= r.r_post),
+        |v AS (SELECT node_id, parent_id, is_leaf, ot_node_id,
+        |        CASE WHEN ot_node_id LIKE 'mrcaott%' THEN
+        |          CAST(regexp_extract(ot_node_id, 'mrcaott(\d+)ott(\d+)', 1) AS BIGINT)
+        |          + 10000000 * CAST(regexp_extract(ot_node_id, 'mrcaott(\d+)ott(\d+)', 2) AS BIGINT)
+        |        ELSE CAST(substr(ot_node_id, 4) AS BIGINT) END AS v2_id,
+        |        CASE WHEN name IS NOT NULL THEN
+        |          regexp_replace(name || '_ott' || tax_uid,
+        |            '["_~`:;/\[\]{}|<>,.!@#$%^&*()?+=\\\s]+', '_', 'g')
+        |        ELSE '' END AS label
+        |      FROM sub)
+        |SELECT c.v2_id AS v2_node_id, p.v2_id AS v2_parent_id,
+        |  c.label, c.is_leaf
+        |FROM v c LEFT JOIN v p ON p.node_id = c.parent_id""".stripMargin,
+    "api_draft_trees" ->
+      """SELECT m.tree_id AS synth_id, m.date_completed, m.taxonomy_version,
+        |  m.num_tips, m.num_source_studies, m.num_source_trees,
+        |  n.ot_node_id AS root_node_id, n.name AS root_taxon_name,
+        |  n.tax_uid AS root_ott_id
+        |FROM read_parquet('__FIXTURE__/tree_meta/*.parquet') m,
+        |     read_parquet('__FIXTURE__/nodes/*.parquet') n
+        |WHERE n.parent_id = -1""".stripMargin,
     "s12_nexson" ->
       """WITH j AS (SELECT data.nexml AS nx
         |           FROM read_json_auto('__FIXSRC__/study.nexson')),

@@ -11,10 +11,16 @@ import graft.tree.TreeIngest.Ingested
   */
 object TreeApi {
 
+  /** Taxon fields of a node, as the v2/v3 blobs render them. */
+  final case class TaxonBlob(name: String, rank: String, uniqueName: String,
+      ottId: Option[Long])
+
   /** `mrca` endpoint result (tree_of_life_v3.java:258-363). `ok=false`
     * mirrors the reference's BadIdsException path: the result is still
     * computed from the valid ids, but partial-invalid input is flagged
     * (thrown-after-computing semantics, tree_of_life_v3.java:359-361).
+    * `nearestTaxon` is the deepest taxon at-or-above the MRCA (== the MRCA
+    * itself when it is a taxon), carried so adapters need no extra lookup.
     */
   final case class MrcaResult(
       mrcaOtId: String,
@@ -22,7 +28,9 @@ object TreeApi {
       nearestTaxonOtId: Option[String], // set when the MRCA itself is unnamed
       nodeIdsNotInTree: Seq[String],
       ottIdsNotInTree: Seq[Long],
-      ok: Boolean)
+      ok: Boolean,
+      mrcaTaxon: Option[TaxonBlob] = None,
+      nearestTaxon: Option[TaxonBlob] = None)
 
   /** `induced_subtree` endpoint result (tree_of_life_v3.java:403-518). */
   final case class InducedResult(
@@ -37,13 +45,29 @@ object TreeApi {
     */
   def resolveIds(t: Ingested, nodeIds: Seq[String], ottIds: Seq[Long])
       : (Seq[Long], Seq[String], Seq[Long]) = {
-    val byOt = t.nodes.filter(col("ot_node_id").isin(nodeIds: _*))
-      .select(col("ot_node_id"), col("node_id")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val byUid = t.nodes.filter(col("tax_uid").isin(ottIds: _*))
-      .select(col("tax_uid"), col("node_id")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val found = (nodeIds.flatMap(byOt.get) ++ ottIds.flatMap(byUid.get)).distinct
+    val (rows, badNodes, badOtts) = resolveRows(t, nodeIds, ottIds)
+    (rows.map(_._1), badNodes, badOtts)
+  }
+
+  /** Resolve both id spaces in ONE job (each sequential action pays a
+    * scheduling floor, and interactive endpoints chain several of these),
+    * returning each found node's root-path so request-bounded kernels
+    * (mrca, induced) can run driver-side like the reference's pointer
+    * walks (GraphExplorer.java:617-664,704-785) instead of paying 3-5
+    * distributed stages for a request-sized problem.
+    */
+  private def resolveRows(t: Ingested, nodeIds: Seq[String], ottIds: Seq[Long])
+      : (Seq[(Long, Seq[Long])], Seq[String], Seq[Long]) = {
+    val hits = t.nodes.filter(col("ot_node_id").isin(nodeIds: _*) ||
+        col("tax_uid").isin(ottIds: _*))
+      .select(col("ot_node_id"), col("tax_uid"), col("node_id"),
+        col("ancestors")).collect()
+    val byOt = hits.map(r => r.getString(0) -> r).toMap
+    val byUid = hits.filter(!_.isNullAt(1))
+      .map(r => r.getLong(1) -> r).toMap
+    val found = (nodeIds.flatMap(byOt.get) ++ ottIds.flatMap(byUid.get))
+      .map(r => r.getLong(2) -> r.getSeq[Long](3).toSeq)
+      .distinctBy(_._1)
     (found, nodeIds.filterNot(byOt.contains), ottIds.filterNot(byUid.contains))
   }
 
@@ -51,29 +75,99 @@ object TreeApi {
     * the nearest taxon above it (GraphExplorer.java:617-664).
     */
   def mrca(t: Ingested, nodeIds: Seq[String] = Nil, ottIds: Seq[Long] = Nil): MrcaResult = {
-    val (found, badNodes, badOtts) = resolveIds(t, nodeIds, ottIds)
-    require(found.nonEmpty, "no valid node or ott ids provided")
-    val m = TreeOps.mrcaOfSet(t.nodes, found).head().getLong(0)
-    val row = t.nodes.filter(col("node_id") === m)
-      .select(col("ot_node_id"), col("name")).head()
-    val nearest =
-      if (row.isNullAt(1))
-        Some(TreeOps.mrta(t.nodes, m).select(col("ot_node_id")).head().getString(0))
-      else None
-    MrcaResult(row.getString(0), Option(row.getString(1)), nearest,
-      badNodes, badOtts, ok = badNodes.isEmpty && badOtts.isEmpty)
+    val (rows, badNodes, badOtts) = resolveRows(t, nodeIds, ottIds)
+    require(rows.nonEmpty, "no valid node or ott ids provided")
+    // Driver-side MRCA: ancestor arrays are root→self ordered, so the MRCA
+    // of the set is the last element of the arrays' common prefix —
+    // request-bounded work, exactly the reference's rootward walk. A single
+    // found node yields itself (GraphExplorer.java:643-645). Job 2 fetches
+    // the attributes of the MRCA's root path (depth-bounded) in one go.
+    val common = rows.map(_._2).reduce { (a, b) =>
+      a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
+    }
+    require(common.nonEmpty, "query nodes do not share a root (different trees?)")
+    val mrcaId = common.last
+    val attrs = t.nodes.filter(col("node_id").isin(common: _*))
+      .select(col("node_id"), col("ot_node_id"), col("name"), col("tax_uid"),
+        col("depth"), col("tax_rank"), col("unique_name"))
+      .collect()
+    def blobOf(r: Row) = TaxonBlob(r.getString(2), r.getString(5),
+      r.getString(6), if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    val mrcaRow = attrs.find(_.getLong(0) == mrcaId).get
+    val nearestRow = attrs.filter(!_.isNullAt(3)).sortBy(-_.getLong(4)).headOption
+    val mName = Option(mrcaRow.getString(2))
+    MrcaResult(
+      mrcaRow.getString(1), mName,
+      if (mName.isEmpty) nearestRow.map(_.getString(1)) else None,
+      badNodes, badOtts, ok = badNodes.isEmpty && badOtts.isEmpty,
+      mrcaTaxon = if (mName.isDefined) Some(blobOf(mrcaRow)) else None,
+      nearestTaxon = nearestRow.map(blobOf))
+  }
+
+  /** Induced-subtree kernel on collected root paths — the request-bounded
+    * form of [[TreeOps.induced]] (same semantics, verified equal by the
+    * shared oracle): kept nodes are the query ids, the overall MRCA, and
+    * every ancestor at/below the MRCA where ≥2 query-ward branches split;
+    * each kept node re-parents to its nearest kept proper ancestor.
+    *
+    * @param paths (node_id, ancestors root→self) of the resolved query ids
+    * @return (node_id, induced parent (-1 at root), is_query), unordered
+    */
+  def inducedEdges(paths: Seq[(Long, Seq[Long])]): Seq[(Long, Long, Boolean)] = {
+    val tips = paths.map(_._1).toSet
+    val arrays = paths.map(_._2)
+    val depthOf = collection.mutable.Map.empty[Long, Int]
+    val cover = collection.mutable.Map.empty[Long, Int]
+    val branches = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    arrays.foreach { a =>
+      a.indices.foreach { i =>
+        val anc = a(i)
+        depthOf(anc) = i
+        cover(anc) = cover.getOrElse(anc, 0) + 1
+        if (i + 1 < a.length)
+          branches.getOrElseUpdate(anc, collection.mutable.Set.empty) += a(i + 1)
+      }
+    }
+    val n = arrays.size
+    val mrcaId = cover.collect { case (id, c) if c == n => id }.maxBy(depthOf)
+    val mrcaDepth = depthOf(mrcaId)
+    val kept = tips ++ branches.collect { case (id, ch)
+      if ch.size >= 2 && depthOf(id) >= mrcaDepth => id } + mrcaId
+    val out = collection.mutable.Map.empty[Long, (Long, Boolean)]
+    arrays.foreach { a =>
+      a.indices.foreach { i =>
+        val id = a(i)
+        if (kept(id) && !out.contains(id)) {
+          val parent = (i - 1 to 0 by -1).iterator.map(a)
+            .find(p => kept(p) && depthOf(p) >= mrcaDepth)
+          out(id) = (parent.getOrElse(-1L), tips(id))
+        }
+      }
+    }
+    out.toSeq.map { case (id, (p, q)) => (id, p, q) }
   }
 
   /** `induced_subtree`: minimal spanning tree over ≥2 valid ids, as newick
-    * with not-in-tree lists (tree_of_life_v3.java:403-518).
+    * with not-in-tree lists (tree_of_life_v3.java:403-518). Two jobs total:
+    * resolve (with root paths), then one attribute fetch for the kept set.
     */
   def inducedSubtree(t: Ingested, nodeIds: Seq[String] = Nil,
       ottIds: Seq[Long] = Nil, labelFormat: String = "name_and_id",
       idsForUnnamed: Boolean = false): InducedResult = {
-    val (found, badNodes, badOtts) = resolveIds(t, nodeIds, ottIds)
-    require(found.size >= 2,
-      s"at least 2 valid ids required, got ${found.size}")
-    val nwk = TreeOps.inducedNewick(t.nodes, found, labelFormat, idsForUnnamed)
+    val (rows, badNodes, badOtts) = resolveRows(t, nodeIds, ottIds)
+    require(rows.size >= 2,
+      s"at least 2 valid ids required, got ${rows.size}")
+    val edges = inducedEdges(rows)
+    val parentOf = edges.map(e => e._1 -> e._2).toMap
+    val keptIds = edges.map(_._1)
+    val attrs = t.nodes.filter(col("node_id").isin(keptIds: _*))
+      .withColumn("lbl",
+        TreeOps.formattedLabel(labelFormat, idsForUnnamed))
+      .select(col("node_id"), col("pre"), col("lbl"))
+      .collect()
+    val nwk = TreeOps.assembleNewick(
+      attrs.map(r => (r.getLong(0), parentOf(r.getLong(0)), r.getLong(1),
+        r.getString(2))))
     InducedResult(nwk, badNodes, badOtts, ok = badNodes.isEmpty && badOtts.isEmpty)
   }
 
@@ -130,23 +224,70 @@ object TreeApi {
       .select(col("source_id"), col("study_id"), col("git_sha"))
   }
 
+  /** Released per-edge annotation fields spliced into arguson node blobs
+    * (GraphExplorer.java:300-332 releasedFields).
+    */
+  private val ArgusonAnnFields = Seq("supported_by", "terminal",
+    "partial_path_of", "resolves", "conflicts_with", "resolved_by")
+
   /** Arguson subtree document (S6, GraphExplorer.java:342-354): nested JSON
-    * with children[] ordered in tree order and a lineage[] on the root.
+    * with children[] in tree order, per-node support annotations
+    * (getSynthMetadataAndUniqueSources, GraphExplorer.java:300-332),
+    * `descendant_name_list` for unnamed nodes (first/last representative
+    * named descendant by pre order, GraphExplorer.java:450-494), a
+    * lineage[] on the root, and the document-level `source_id_map` of every
+    * annotation source seen (GraphExplorer.java:217-226,351-352).
     * Driver-side assembly under the 25k-tip cap, mirroring the newick path.
     */
   def arguson(t: Ingested, rootId: Long, heightLimit: Int = 5): String = {
     val tips = TreeOps.subtreeTipCount(t.nodes, rootId, heightLimit)
     require(tips <= TreeOps.MaxTipsArguson,
       s"requested tree ($tips tips) is larger than currently allowed (${TreeOps.MaxTipsArguson})")
-    val rows = TreeOps.subtree(t.nodes, rootId, heightLimit)
-      .select(col("node_id"), col("parent_id"), col("pre"), col("ot_node_id"),
-        col("name"), col("unique_name"), col("tax_rank"), col("tax_uid"),
-        col("tip_descendants"))
+
+    val linIds = t.nodes.filter(col("node_id") === rootId)
+      .select(col("ancestors")).head().getSeq[Long](0).dropRight(1).reverse
+
+    val sub = TreeOps.subtree(t.nodes, rootId, heightLimit)
+      .withColumn("in_lineage", lit(false))
+    val lin = t.nodes.filter(col("node_id").isin(linIds: _*))
+      .withColumn("rel_depth", lit(-1L)).withColumn("in_lineage", lit(true))
+    val targets = sub.select(col("node_id")).union(lin.select(col("node_id")))
+
+    // first/last representative named descendant per target node, computed
+    // relationally for all targets in one shuffle: named nodes broadcast
+    // their (name, pre) to each ancestor in the target set
+    val reps = t.nodes.filter(col("name").isNotNull)
+      .select(col("node_id").as("d_id"), col("name").as("d_name"),
+        col("pre").as("d_pre"), explode(col("ancestors")).as("node_id"))
+      .filter(col("d_id") =!= col("node_id"))
+      .join(broadcast(targets), Seq("node_id"), "left_semi")
+      .groupBy(col("node_id"))
+      .agg(min_by(col("d_name"), col("d_pre")).as("first_named"),
+        max_by(col("d_name"), col("d_pre")).as("last_named"))
+
+    val annJson = ArgusonAnnFields.map(f => to_json(col(f)).as(s"${f}_json"))
+    // per-field value types differ (map<_,string> vs map<_,array>), so the
+    // null-guard must stay on the keys side
+    val annKeys = array_distinct(concat(ArgusonAnnFields.map(f =>
+      when(col(f).isNotNull, map_keys(col(f)))
+        .otherwise(array().cast("array<string>"))): _*)).as("src_keys")
+
+    def collectRows(df: DataFrame) = df
+      .join(reps, Seq("node_id"), "left_outer")
+      .select(Seq(col("node_id"), col("parent_id"), col("pre"),
+        col("ot_node_id"), col("name"), col("unique_name"), col("tax_rank"),
+        col("tax_uid"), col("tip_descendants"), col("first_named"),
+        col("last_named"), col("in_lineage"), annKeys) ++ annJson: _*)
       .collect()
+
+    val all = collectRows(sub) ++ collectRows(lin)
+    val rows = all.filter(!_.getBoolean(11))
+    val linRows = all.filter(_.getBoolean(11)).map(r => r.getLong(0) -> r).toMap
 
     val byParent = rows.filter(_.getLong(0) != rootId)
       .groupBy(_.getLong(1)).map { case (k, v) => k -> v.sortBy(_.getLong(2)) }
     val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val uniqueSources = scala.collection.mutable.SortedSet.empty[String]
 
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -161,7 +302,21 @@ object TreeApi {
         if (!r.isNullAt(6)) sb ++= ",\"rank\":\"" ++= esc(r.getString(6)) ++= "\""
         if (!r.isNullAt(7)) sb ++= ",\"ott_id\":" ++= r.getLong(7).toString
         sb += '}'
+      } else {
+        // unnamed: representative descendant names (first/last by pre)
+        val names = Seq(Option(r.getString(9)), Option(r.getString(10)))
+          .flatten.distinct
+        sb ++= ",\"descendant_name_list\":["
+        sb ++= names.map(n => "\"" + esc(n) + "\"").mkString(",")
+        sb += ']'
       }
+      // released annotation fields, already JSON via to_json
+      ArgusonAnnFields.zipWithIndex.foreach { case (f, i) =>
+        if (!r.isNullAt(13 + i)) {
+          sb ++= ",\"" ++= f ++= "\":" ++= r.getString(13 + i)
+        }
+      }
+      r.getSeq[String](12).foreach(uniqueSources += _)
     }
 
     // iterative nested assembly (children in pre order)
@@ -185,21 +340,41 @@ object TreeApi {
     build(rootId)
 
     // lineage of the root, nearest first (arguson includes it)
-    val linIds = t.nodes.filter(col("node_id") === rootId)
-      .select(col("ancestors")).head().getSeq[Long](0).dropRight(1).reverse
-    val linRows = t.nodes.filter(col("node_id").isin(linIds: _*))
-      .select(col("node_id"), col("parent_id"), col("pre"), col("ot_node_id"),
-        col("name"), col("unique_name"), col("tax_rank"), col("tax_uid"),
-        col("tip_descendants"))
-      .collect().map(r => r.getLong(0) -> r).toMap
     val linSb = new StringBuilder
     linIds.foreach { id =>
       if (linSb.nonEmpty) linSb += ','
       blob(linRows(id), linSb); linSb += '}'
     }
+
+    // document-level source_id_map over every source seen in any blob
+    val srcSb = new StringBuilder
+    uniqueSources.foreach { s =>
+      val b = t.sourceBlobs.getOrElse(s, Map.empty)
+      if (srcSb.nonEmpty) srcSb += ','
+      srcSb ++= "\"" ++= esc(s) ++= "\":{"
+      srcSb ++= b.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+        .mkString(",")
+      srcSb += '}'
+    }
+
     val body = sb.result()
-    // splice lineage into the root object (before its closing content)
+    // splice lineage + source map into the root object (before its close)
     "{\"arguson\":" + body.patch(body.length - 1,
-      ",\"lineage\":[" + linSb.result() + "]}", 1) + "}"
+      ",\"lineage\":[" + linSb.result() + "]" +
+        ",\"source_id_map\":{" + srcSb.result() + "}}", 1) + "}"
+  }
+
+  /** `draft_trees` (tree_of_life_v3.java:778-826): per-synth-tree metadata
+    * projection — synth id, dates, taxonomy version, root taxon info, size.
+    */
+  def draftTrees(t: Ingested): DataFrame = {
+    val root = t.nodes.filter(col("parent_id") === -1L)
+      .select(col("ot_node_id").as("root_node_id"),
+        col("name").as("root_taxon_name"), col("tax_uid").as("root_ott_id"))
+    t.treeMeta.select(col("tree_id").as("synth_id"), col("date_completed"),
+      col("taxonomy_version"), col("num_tips"), col("num_source_studies"),
+      col("num_source_trees"))
+      .crossJoin(broadcast(root))
   }
 }

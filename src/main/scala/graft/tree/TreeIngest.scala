@@ -18,11 +18,31 @@ import org.apache.spark.sql.types._
 object TreeIngest {
 
   final case class Ingested(
-      nodes: DataFrame,    // labeled + ot attributes + annotations
+      nodes: DataFrame,    // labeled + ot attributes + annotations (persisted)
       edges: DataFrame,    // child_id, parent_id, child_ord, branch_length, tree_id
       treeMeta: DataFrame, // one row of tree-level metadata
       sourceMap: DataFrame // (source_id, git_sha, tree_id, study_id)
-  )
+  ) {
+    /** Synth tree id, fetched once per Ingested — serving endpoints stamp it
+      * into every response and must not pay a Spark job each time.
+      */
+    lazy val treeIdStr: String =
+      treeMeta.select(org.apache.spark.sql.functions.col("tree_id"))
+        .head().getString(0)
+
+    /** source_id → non-null blob fields, collected once (the source map is
+      * request-metadata-sized; arguson / v2 about splice it per call).
+      */
+    lazy val sourceBlobs: Map[String, Map[String, String]] =
+      sourceMap.collect().map { r =>
+        r.getAs[String]("source_id") -> Seq(
+          "git_sha" -> r.getAs[String]("git_sha"),
+          "tree_id" -> r.getAs[String]("source_tree_id"),
+          "study_id" -> r.getAs[String]("study_id"),
+          "taxonomy" -> r.getAs[String]("taxonomy"))
+          .filter(_._2 != null).toMap
+      }.toMap
+  }
 
   /** Per-node annotation payload (annotations JSON `nodes.{ot_node_id}`,
     * IngestSynthesisData.java:462-498). Sources of map-of-array fields keep
@@ -130,12 +150,17 @@ object TreeIngest {
             map(concat(lit("ott"), lit(taxonomyVersion)), col("ot_node_id"))))
           .otherwise(col("supported_by")))
 
+    // Persist the serving table: every endpoint action re-reads it, and the
+    // taxonomy/annotation join pipeline must run once at ingest, not per
+    // query (the reference likewise materializes its graph at ingest).
+    val nodesP = nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // root ot id onto tree meta (IngestSynthesisData.java:346-349)
-    val rootOt = nodes.filter(col("parent_id") === -1L)
+    val rootOt = nodesP.filter(col("parent_id") === -1L)
       .select(col("ot_node_id")).head().getString(0)
     val treeMeta = treeMetaRaw.withColumn("root_ot_node_id", lit(rootOt))
 
-    Ingested(nodes, edges, treeMeta, sourceMap)
+    Ingested(nodesP, edges, treeMeta, sourceMap)
   }
 
   /** Taxonomy TSV: header starts with "uid", fields separated by "\t|\t",

@@ -88,6 +88,18 @@ object TreeOps {
       .drop("r_pre", "r_post", "r_depth")
   }
 
+  /** [[subtree]] with the root's labels already in hand (callers that
+    * resolved the root row pass them as literals): a pure filter, no
+    * broadcast-subquery exchange — one fewer job on interactive endpoints,
+    * and the range predicate pushes down to the scan.
+    */
+  def subtreeByBounds(nodes: DataFrame, rPre: Long, rPost: Long,
+      rDepth: Long, maxDepth: Int = -1): DataFrame = {
+    val base = nodes.filter(col("pre") >= rPre && col("pre") <= rPost)
+      .withColumn("rel_depth", col("depth") - rDepth)
+    if (maxDepth >= 0) base.filter(col("rel_depth") <= maxDepth) else base
+  }
+
   /** Number of tips that `subtree` would materialize — the cheap size guard
     * run before collecting (tree_of_life_v3.java:685-716): O(1) lookup when
     * unlimited (precomputed tip_descendants), else a count over the
@@ -235,10 +247,19 @@ object TreeOps {
     */
   def newick(nodes: DataFrame, rootId: Long, maxDepth: Int = -1,
       labelFormat: String = "name_and_id", idsForUnnamed: Boolean = false,
-      withBranchLengths: Boolean = false, cap: Long = MaxTipsNewick): String = {
-    val tips = subtreeTipCount(nodes, rootId, maxDepth)
+      withBranchLengths: Boolean = false, cap: Long = MaxTipsNewick,
+      knownTips: Option[Long] = None,
+      rootBounds: Option[(Long, Long, Long)] = None): String = {
+    // callers that already resolved the root row pass its tip count (skips
+    // the size-guard job) and pre/post/depth bounds (skips the broadcast
+    // subquery) — interactive endpoints count their jobs
+    val tips = knownTips.getOrElse(subtreeTipCount(nodes, rootId, maxDepth))
     require(tips <= cap, s"requested tree ($tips tips) is larger than currently allowed ($cap)")
-    val base = subtree(nodes, rootId, maxDepth)
+    val subDf = rootBounds match {
+      case Some((p, q, d)) => subtreeByBounds(nodes, p, q, d, maxDepth)
+      case None => subtree(nodes, rootId, maxDepth)
+    }
+    val base = subDf
       .withColumn("lbl", TreeOps.scrubCol(labelCol(labelFormat, idsForUnnamed)))
     val rows = (if (withBranchLengths && base.columns.contains("branch_length"))
         base.select(col("node_id"), col("parent_id"), col("pre"), col("lbl"),
@@ -270,8 +291,19 @@ object TreeOps {
     assemble(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))), rootId)
   }
 
+  /** Formatted + scrubbed label column (the exact string newick emits). */
+  def formattedLabel(format: String, idsForUnnamed: Boolean): Column =
+    scrubCol(labelCol(format, idsForUnnamed))
+
   private def scrubCol(c: Column): Column =
     regexp_replace(c, "[\"_~`:;/\\[\\]{}|<>,.!@#$%^&*()?+=\\\\\\s]+", "_")
+
+  /** Driver-side assembly of (node, parent(-1 at root), pre, label) rows. */
+  def assembleNewick(rows: Array[(Long, Long, Long, String)]): String = {
+    val rootId = rows.find(_._2 == -1L).map(_._1)
+      .getOrElse(throw new IllegalStateException("induced tree has no root"))
+    assemble(rows, rootId)
+  }
 
   /** Driver-side assembly of collected (node, parent, pre, label) rows. */
   private def assemble(rows: Array[(Long, Long, Long, String)], rootId: Long): String = {

@@ -35,27 +35,23 @@ object V2Adapter {
       : Map[String, Any] = {
     val v3 = TreeApi.mrca(t, nodeIds.map(longToOtId), ottIds)
 
-    def blob(otId: String): Map[String, Any] = {
-      val r = t.nodes.filter(col("ot_node_id") === otId)
-        .select(col("name"), col("tax_rank"), col("unique_name"), col("tax_uid"))
-        .head()
-      Map("name" -> r.getString(0), "rank" -> r.getString(1),
-        "unique_name" -> r.getString(2),
-        "ott_id" -> (if (r.isNullAt(3)) null else r.getLong(3)))
-    }
+    // taxon blobs ride along on the v3 result — no extra job per blob
+    def render(b: TreeApi.TaxonBlob): Map[String, Any] =
+      Map("name" -> b.name, "rank" -> b.rank, "unique_name" -> b.uniqueName,
+        "ott_id" -> b.ottId.map(x => x: Any).orNull)
 
     val mrcaLong = otIdToLong(v3.mrcaOtId)
     val base = Map[String, Any](
       "mrca_node_id" -> mrcaLong,
-      "tree_id" -> t.treeMeta.select(col("tree_id")).head().getString(0),
+      "tree_id" -> t.treeIdStr,
       "node_ids_not_in_tree" -> v3.nodeIdsNotInTree.map(otIdToLong),
       "ott_ids_not_in_tree" -> v3.ottIdsNotInTree,
       "invalid_node_ids" -> Nil,
       "invalid_ott_ids" -> Nil)
 
-    val taxonFields = v3.mrcaName match {
-      case Some(_) =>
-        val b = blob(v3.mrcaOtId)
+    val taxonFields = v3.mrcaTaxon match {
+      case Some(bt) =>
+        val b = render(bt)
         Map[String, Any]("ott_id" -> b("ott_id"),
           "mrca_name" -> b("name"), "mrca_rank" -> Option(b("rank")).getOrElse(""),
           // unique_name identical to name renders "" (tree_of_life.java:240-244)
@@ -66,8 +62,8 @@ object V2Adapter {
           "mrca_rank" -> "", "mrca_unique_name" -> "")
     }
 
-    val nearestOt = v3.nearestTaxonOtId.getOrElse(v3.mrcaOtId)
-    val nb = blob(nearestOt)
+    val nb = render(v3.nearestTaxon
+      .getOrElse(TreeApi.TaxonBlob(null, null, null, None)))
     val nearestFields = Map[String, Any](
       "nearest_taxon_mrca_ott_id" -> nb("ott_id"),
       "nearest_taxon_mrca_name" -> nb("name"),
@@ -88,5 +84,55 @@ object V2Adapter {
     Map("newick" -> v3.newick,
       "node_ids_not_in_tree" -> v3.nodeIdsNotInTree.map(otIdToLong),
       "ott_ids_not_in_tree" -> v3.ottIdsNotInTree)
+  }
+
+  /** v2 `about` (tree_of_life.java:50-138): field renames of the v3 blob —
+    * `date`, root fields hoisted flat, numeric root_node_id — plus
+    * `study_list` (default true, the v3 source_list resolved through
+    * source_id_map in source order).
+    */
+  def about(t: Ingested, studyList: Boolean = true): Map[String, Any] = {
+    val m = TreeApi.about(t).head()
+    val base = Map[String, Any](
+      "date" -> m.getAs[String]("date_completed"),
+      "num_tips" -> m.getAs[Long]("root_num_tips"),
+      "num_source_studies" -> m.getAs[Long]("num_source_studies"),
+      "taxonomy_version" -> m.getAs[String]("taxonomy_version"),
+      "root_node_id" -> otIdToLong(m.getAs[String]("root_ot_node_id")),
+      "tree_id" -> t.treeIdStr) ++
+      (Option(m.getAs[String]("root_name")) match {
+        case Some(nm) => Map[String, Any]("root_taxon_name" -> nm,
+          "root_ott_id" -> m.getAs[Long]("root_tax_uid"))
+        case None => Map.empty[String, Any]
+      })
+    if (!studyList) base
+    else {
+      val order = m.getAs[scala.collection.Seq[String]]("sources")
+      base + ("study_list" ->
+        order.map(s => t.sourceBlobs.getOrElse(s, Map.empty[String, String]))
+          .toList)
+    }
+  }
+
+  /** v2 `subtree` (tree_of_life.java:336-383): exactly one of node_id /
+    * ott_id; v3 doSubtree with name_and_id labels, unnamed nodes
+    * unlabeled, no depth limit; out = newick + tree_id.
+    */
+  def subtree(t: Ingested, nodeId: Option[Long] = None,
+      ottId: Option[Long] = None): Map[String, Any] = {
+    require(nodeId.isDefined ^ ottId.isDefined,
+      "must provide exactly one of node_id or ott_id")
+    val pred = nodeId.map(id => col("ot_node_id") === longToOtId(id))
+      .getOrElse(col("tax_uid") === ottId.get)
+    val hit = t.nodes.filter(pred)
+      .select(col("node_id"), col("tip_descendants"), col("pre"),
+        col("post"), col("depth")).collect()
+    require(hit.nonEmpty, s"node not found in the synthetic tree")
+    val r = hit(0)
+    val nwk = TreeOps.newick(t.nodes, r.getLong(0), maxDepth = -1,
+      labelFormat = "name_and_id", idsForUnnamed = false,
+      knownTips = Some(r.getLong(1)),
+      rootBounds = Some((r.getLong(2), r.getLong(3), r.getLong(4))))
+    Map("newick" -> nwk, "tree_id" -> t.treeIdStr)
   }
 }

@@ -171,6 +171,68 @@ class TreeApiSpec extends AnyFunSuite {
     }
   }
 
+  test("arguson carries annotations, descendant names, and source_id_map") {
+    val j = TreeApi.arguson(t, idOf("mrcaott90560ott651474"), heightLimit = 2)
+    // unnamed nodes carry descendant_name_list instead of a taxon blob
+    assert(j.contains("\"descendant_name_list\":[\"Gavia arctica\",\"Gavia adamsii\"]"))
+    // released annotation fields spliced per node (ws-tests/check.py:213-232)
+    assert(j.contains("\"supported_by\":{\"pg_01@tree1\":\"node2\"}"))
+    assert(j.contains("\"conflicts_with\":{\"pg_02@tree9\":[\"node77\",\"node78\"]}"))
+    // document-level source map resolves every source seen in a blob
+    assert(j.contains("\"source_id_map\":{"))
+    assert(j.contains("\"pg_01@tree1\":{}") || j.contains("\"pg_02@tree9\":{}"))
+    // taxonomy-injected support source on the lineage root
+    assert(j.contains("\"ott2.9draft12\""))
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(j).toDS)
+    assert(parsed.columns.contains("arguson"))
+  }
+
+  test("v2 about: flat renames, numeric root id, study_list in source order") {
+    val a = V2Adapter.about(t)
+    assert(a("date") == "2026-01-01")
+    assert(a("num_tips") == 5L)
+    assert(a("num_source_studies") == 2L)
+    assert(a("taxonomy_version") == "2.9draft12")
+    assert(a("root_node_id") == 803675L)
+    assert(a("root_ott_id") == 803675L)
+    assert(a("root_taxon_name") == "Gavia")
+    assert(a("tree_id") == "opentree4.1")
+    val sl = a("study_list").asInstanceOf[List[Map[String, String]]]
+    assert(sl == List(
+      Map("git_sha" -> "abc123", "tree_id" -> "tree1", "study_id" -> "pg_01"),
+      Map("taxonomy" -> "ott2.9draft12")))
+    assert(!V2Adapter.about(t, studyList = false).contains("study_list"))
+  }
+
+  test("v2 subtree: one of node_id/ott_id, newick + tree_id") {
+    val byOtt = V2Adapter.subtree(t, ottId = Some(803675L))
+    assert(byOtt("newick") == "(Gavia_stellata_ott1057044,((Gavia_arctica_ott1085739," +
+      "Gavia_pacifica_ott651474),(Gavia_immer_ott1057518,Gavia_adamsii_ott90560)))" +
+      "Gavia_ott803675;")
+    assert(byOtt("tree_id") == "opentree4.1")
+    val byNode = V2Adapter.subtree(t,
+      nodeId = Some(90560L + 10000000L * 1057518L))
+    assert(byNode("newick") ==
+      "(Gavia_immer_ott1057518,Gavia_adamsii_ott90560);")
+    intercept[IllegalArgumentException] {
+      V2Adapter.subtree(t, nodeId = Some(1L), ottId = Some(2L))
+    }
+    intercept[IllegalArgumentException] { V2Adapter.subtree(t) }
+    intercept[IllegalArgumentException] {
+      V2Adapter.subtree(t, ottId = Some(424242L))
+    }
+  }
+
+  test("draft_trees: per-tree metadata projection") {
+    val d = TreeApi.draftTrees(t).head()
+    assert(d.getAs[String]("synth_id") == "opentree4.1")
+    assert(d.getAs[Long]("num_tips") == 5L)
+    assert(d.getAs[String]("root_node_id") == "ott803675")
+    assert(d.getAs[String]("root_taxon_name") == "Gavia")
+    assert(d.getAs[Long]("root_ott_id") == 803675L)
+  }
+
   test("taxonomy → newick round-trips through the parser") {
     val tax = TreeIngest.readTaxonomy(spark, s"$fx/gavia_taxonomy.tsv")
     val nwk = TreeExports.taxonomyToNewick(spark, tax)
