@@ -96,23 +96,34 @@ object TextOps {
         x => x("ch")), "").as("simhash"))
   }
 
-  /** Exact token-set Jaccard for a candidate pair set (explode + join +
-    * aggregate; |A∪B| = |A|+|B|−|A∩B|).
+  /** All (a < b) pairs over a BOUNDED document set — the explicit
+    * "candidates" input for [[jaccardVerify]] when no LSH pass ran. The
+    * caller owns the bound: this is quadratic by construction and exists
+    * for small windows and tests, never for a full corpus.
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double): DataFrame = {
+  def allPairs(docs: DataFrame, idCol: String): DataFrame = {
+    val ids = docs.select(col(idCol))
+    ids.select(col(idCol).as("a"))
+      .join(ids.select(col(idCol).as("b")), col("a") < col("b"))
+  }
+
+  /** Exact token-set Jaccard over an explicit candidate-pair set (the LSH
+    * output in a real pipeline): two key joins to attach token arrays,
+    * then a row-local array intersection — cost O(|candidates|·|tokens|).
+    * The previous formulation self-joined exploded tokens on equality,
+    * which costs Σ token-frequency² (one common stopword ⇒ |docs|² rows);
+    * a verifier must never cost more than the candidate set it verifies.
+    */
+  def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double): DataFrame = {
     val t = docs.select(col(idCol).as("id"),
       array_distinct(tokensCol(col(textCol))).as("toks"))
-    val sizes = t.select(col("id"), size(col("toks")).as("n"))
-    val ex = t.select(col("id"), explode(col("toks")).as("tok"))
-    ex.alias("x").join(ex.alias("y"),
-        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+    candidates.select(col("a"), col("b"))
+      .join(t.select(col("id").as("a"), col("toks").as("ta")), "a")
+      .join(t.select(col("id").as("b"), col("toks").as("tb")), "b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard",
-        q4(col("inter") / (col("na") + col("nb") - col("inter"))))
+        q4(col("inter") / (size(col("ta")) + size(col("tb")) - col("inter"))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
   }

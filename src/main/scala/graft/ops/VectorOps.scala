@@ -80,21 +80,42 @@ object VectorOps {
           lit(0.0), (acc, x) => acc + x) >= 0, "1").otherwise("0")), ""))
   }
 
-  /** ANN via LSH buckets: exact cosine only within same-signature-prefix
-    * buckets. Recall/cost is tuned by `prefixBits`.
+  /** ANN via OR-amplified LSH: `tables` independent hash tables, each
+    * keyed by a disjoint band of the signature, so a pair is a candidate
+    * when ANY band matches (the same banding shape as the MinHash dedup
+    * path, TextOps.bandKeys). Candidate generation costs Σ bucket² per
+    * table with `tables · 2^(bits/tables)` effective buckets — tune
+    * `bits`/`tables` to the corpus so buckets stay bounded; the
+    * single-prefix variant this replaces capped out at 2^prefixBits
+    * buckets and degenerated to n²/buckets at scale. Pairs are deduped
+    * before scoring, so each candidate is scored exactly once.
     */
   def annLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      bits: Int = 16, prefixBits: Int = 8): DataFrame = {
+      bits: Int = 16, tables: Int = 4): DataFrame = {
+    require(bits % tables == 0,
+      s"bits=$bits must be divisible by tables=$tables")
+    val rpt = bits / tables
     val sigs = rhpSignature(df, idCol, vecCol, bits)
-      .withColumn("bucket", substring(col("sig"), 1, prefixBits))
-    val a = sigs.select(col("id").as("q_id"), col("v").as("q_vec"), col("bucket"))
-    val b = sigs.select(col("id").as("n_id"), col("v").as("n_vec"), col("bucket"))
-    val scored = a.join(b, Seq("bucket"))
-      .filter(col("q_id") =!= col("n_id"))
+    val banded = sigs.select(col("id"),
+        explode(sequence(lit(0), lit(tables - 1))).as("tbl"),
+        col("sig"))
+      .withColumn("bucket", expr(s"substr(sig, tbl * $rpt + 1, $rpt)"))
+      .select(col("id"), col("tbl"), col("bucket"))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    // score each pair once, then rank from both endpoints' perspectives
+    val vecs = sigs.select(col("id"), col("v"))
+    val sym = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
+    val scored = sym
+      .join(vecs.select(col("id").as("a"), col("v").as("q_vec")), "a")
+      .join(vecs.select(col("id").as("b"), col("v").as("n_vec")), "b")
       .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+      .select(col("a").as("q_id"), col("b").as("n_id"), col("rank"), col("cos"))
   }
 }

@@ -36,12 +36,29 @@ object TrainingQueries {
     TextOps.minhashCandidates(
       Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
 
-  /** Exact token-set Jaccard ≥ 0.5 on the same window (verification pass
-    * of the MinHash candidates in a real pipeline).
+  /** Exact token-set Jaccard ≥ 0.5 on an explicit all-pairs candidate set
+    * over the same window (the caller-owned-bound form of the verifier).
     */
-  val ddJaccard: Q = (s, d) =>
-    TextOps.jaccardPairs(
-      Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", 0.5)
+  val ddJaccard: Q = (s, d) => {
+    val w = Tables.documents(s, d).filter(col("doc_id") < 100)
+    TextOps.jaccardVerify(TextOps.allPairs(w, "doc_id"), w, "doc_id", "text", 0.5)
+  }
+
+  /** The real dedup pipeline shape: MinHash-LSH candidates → exact Jaccard
+    * verification, chained — verifier cost is bounded by the candidate set.
+    */
+  val ddLshVerified: Q = (s, d) => {
+    val w = Tables.documents(s, d).filter(col("doc_id") < 100)
+    TextOps.jaccardVerify(TextOps.minhashCandidates(w, "doc_id", "text"),
+      w, "doc_id", "text", 0.5)
+  }
+
+  /** OR-amplified LSH ANN (2 tables × 4-bit bands) on an id window. */
+  val annLsh: Q = (s, d) =>
+    VectorOps.annLsh(
+      Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "id", "vec", k = 5, bits = 8, tables = 2)
 
   /** 16-bit SimHash signatures on an id window. */
   val ddSimhash: Q = (s, d) =>
@@ -80,6 +97,8 @@ object TrainingQueries {
     "dd_fingerprint" -> ddFingerprint,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_jaccard" -> ddJaccard,
+    "dd_lsh_verified" -> ddLshVerified,
+    "ann_lsh" -> annLsh,
     "dd_simhash" -> ddSimhash,
     "emb_neardup" -> embNearDup,
     "ann_topk" -> annTopk,
@@ -122,6 +141,49 @@ object TrainingQueries {
          |  floor(inter::DOUBLE / (xa.n + xb.n - inter) * 10000.0) / 10000.0 AS jaccard
          |FROM p JOIN sz xa ON xa.doc_id = a JOIN sz xb ON xb.doc_id = b
          |WHERE floor(inter::DOUBLE / (xa.n + xb.n - inter) * 10000.0) / 10000.0 >= 0.5""".stripMargin,
+    "dd_lsh_verified" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks
+         |  FROM documents WHERE doc_id < 100),
+         |mh AS (SELECT doc_id, list_transform(range(0, 8),
+         |    s -> list_min(list_transform(toks, w -> md5(s::VARCHAR || ':' || w)))) AS sig
+         |  FROM t),
+         |bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bk
+         |  FROM mh, unnest(range(0, 4)) u(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.bk = y.bk AND x.b = y.b AND x.doc_id < y.doc_id),
+         |j AS (SELECT c.a, c.b,
+         |    len(list_intersect(ta.toks, tb.toks)) AS inter,
+         |    len(ta.toks) AS na, len(tb.toks) AS nb
+         |  FROM cand c JOIN t ta ON ta.doc_id = c.a JOIN t tb ON tb.doc_id = c.b)
+         |SELECT a, b,
+         |  floor(inter::DOUBLE / (na + nb - inter) * 10000.0) / 10000.0 AS jaccard
+         |FROM j
+         |WHERE floor(inter::DOUBLE / (na + nb - inter) * 10000.0) / 10000.0 >= 0.5""".stripMargin,
+    "ann_lsh" ->
+      """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |planes AS (SELECT i, list_transform(range(0, 64), d ->
+        |    CASE WHEN substr(md5('graft:' || i::VARCHAR || ':' || d::VARCHAR), 2, 1)
+        |      IN ('1','3','5','7','9','b','d','f') THEN -1.0 ELSE 1.0 END) AS p
+        |  FROM unnest(range(0, 8)) u(i)),
+        |sigs AS (SELECT e.id,
+        |    string_agg(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+        |      THEN '1' ELSE '0' END, '' ORDER BY pl.i) AS sig
+        |  FROM e, planes pl GROUP BY e.id),
+        |banded AS (SELECT id, t, substr(sig, t*4 + 1, 4) AS bucket
+        |  FROM sigs, unnest(range(0, 2)) u(t)),
+        |cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM banded x
+        |  JOIN banded y ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id),
+        |sym AS (SELECT a, b FROM cand UNION ALL SELECT b AS a, a AS b FROM cand),
+        |scored AS (SELECT s.a AS q_id, s.b AS n_id,
+        |    round(list_dot_product(va.v, vb.v) /
+        |      (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos
+        |  FROM sym s JOIN e va ON va.id = s.a JOIN e vb ON vb.id = s.b),
+        |ranked AS (SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
     "dd_simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
          |  FROM documents WHERE doc_id < 50),

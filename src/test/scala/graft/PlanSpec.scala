@@ -64,6 +64,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("LSH ANN candidate joins are hash/merge equi-joins, never a full nested loop") {
+    val e = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"))
+    val p = finalPlan(graft.ops.VectorOps.annLsh(e, "id", "vec",
+      k = 3, bits = 8, tables = 2))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("minhash→jaccard verifier joins only on candidate keys (no token self-join)") {
+    val w = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+    val p = finalPlan(graft.ops.TextOps.jaccardVerify(
+      graft.ops.TextOps.minhashCandidates(w, "doc_id", "text"),
+      w, "doc_id", "text", 0.5))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("custom codec expression leaves pushdown and codegen intact") {
     val p = finalPlan(ExtQueries.mrcaCodec(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,100)]"), p)

@@ -14,7 +14,8 @@ class TrainingSpec extends AnyFunSuite {
 
   test("minhash LSH recall: near-identical docs (jaccard >= 0.9) are candidates") {
     val window = docs.filter(col("doc_id") < 200)
-    val truth = TextOps.jaccardPairs(window, "doc_id", "text", 0.9)
+    val truth = TextOps.jaccardVerify(TextOps.allPairs(window, "doc_id"),
+        window, "doc_id", "text", 0.9)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val cand = TextOps.minhashCandidates(window, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -23,11 +24,28 @@ class TrainingSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("jaccard verifier output is bounded by and consistent with candidates") {
+    val window = docs.filter(col("doc_id") < 200)
+    val cand = TextOps.minhashCandidates(window, "doc_id", "text")
+    val verified = TextOps.jaccardVerify(cand, window, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty)
+    assert(verified.forall { case (a, b, j) =>
+      candSet((a, b)) && j >= 0.5 && j <= 1.0 })
+    // chained pipeline values agree with the all-pairs verifier
+    val exact = TextOps.jaccardVerify(TextOps.allPairs(window, "doc_id"),
+        window, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified.forall { case (a, b, j) => exact((a, b)) == j })
+  }
+
   test("simhash: near-identical docs have close signatures") {
     val window = docs.filter(col("doc_id") < 200)
     val sig = TextOps.simhash(window, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val dupPair = TextOps.jaccardPairs(window, "doc_id", "text", 1.0).head()
+    val dupPair = TextOps.jaccardVerify(TextOps.allPairs(window, "doc_id"),
+      window, "doc_id", "text", 1.0).head()
     val (a, b) = (dupPair.getLong(0), dupPair.getLong(1))
     assert(sig(a) == sig(b), "identical token sets must have identical simhash")
     assert(sig.values.forall(s => s.length == 16 && s.forall("01".contains(_))))
@@ -55,6 +73,21 @@ class TrainingSpec extends AnyFunSuite {
     val ann = VectorOps.annLsh(embs, "id", "vec", k = 3).collect()
     assert(ann.nonEmpty)
     assert(ann.forall(_.getLong(2) <= 3))
+    // each (q_id, rank) appears once; scored pairs are genuine candidates
+    val keys = ann.map(r => (r.getLong(0), r.getLong(2)))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("OR-amplified ANN recall beats any single table on true top-1") {
+    val window = embs.filter(col("id") < 150)
+    val truth = VectorOps.topK(window, window, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = VectorOps.annLsh(window, "id", "vec", k = 5, bits = 8, tables = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hit = truth.count { case (q, n) => ann.get(q).exists(_.contains(n)) }
+    val recall = hit.toDouble / truth.size
+    assert(recall >= 0.5, s"OR-amplified recall $recall")
   }
 
   test("quality scores bounded and langid in range") {
