@@ -58,6 +58,30 @@ object ExtQueries {
         s"$fx/gavia_taxonomy.tsv", treeId = "opentree4.1")
     })
 
+  private val multiCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TreeIngest.MultiIngested]()
+
+  /** Two synth-tree versions ingested into one store (the reference's
+    * multi-tree data model): one forest labeling pass, per-tree views.
+    */
+  private def multiFixture(s: SparkSession): TreeIngest.MultiIngested =
+    multiCache.computeIfAbsent("gavia_multi", _ => {
+      val fx = fixtureDir
+      TreeIngest.ingestAll(s, Seq(
+        TreeIngest.TreeSource(s"$fx/gavia.tre", s"$fx/gavia_annotations.json",
+          s"$fx/gavia_taxonomy.tsv", "opentree4.1"),
+        TreeIngest.TreeSource(s"$fx/gavia2.tre", s"$fx/gavia2_annotations.json",
+          s"$fx/gavia_taxonomy.tsv", "opentree5.0")))
+    })
+
+  /** Multi-tree store: per-node labels for BOTH coexisting synth trees —
+    * the DuckDB oracle recomputes depth/tips per tree with a recursive CTE
+    * over the dumped parent relation.
+    */
+  val treeMulti: Q = (s, _) =>
+    multiFixture(s).nodes.select(col("tree_id"), col("ot_node_id"),
+      col("depth"), col("tip_descendants"), col("is_leaf"))
+
   /** The ingested fixture tables, flattened for a parquet dump that DuckDB
     * can read back (map columns → JSON strings): Verify writes these under
     * `outDir/_fixture/` so every api_* gate gets a real SQL oracle.
@@ -74,7 +98,16 @@ object ExtQueries {
         to_json(col("supported_by")).as("supported_by_json")),
       "edges" -> t.edges,
       "tree_meta" -> t.treeMeta,
-      "source_map" -> t.sourceMap)
+      "source_map" -> t.sourceMap,
+      "nodes_multi" -> {
+        val m = multiFixture(s)
+        m.nodes.alias("c")
+          .join(m.nodes.select(col("node_id").as("pid"),
+            col("ot_node_id").as("parent_ot")).alias("p"),
+            col("c.parent_id") === col("p.pid"), "left_outer")
+          .select(col("c.tree_id"), col("c.ot_node_id"), col("parent_ot"),
+            col("c.depth"), col("c.tip_descendants"), col("c.is_leaf"))
+      })
   }
 
   /** `about` endpoint over the fixture tree; array columns flattened to
@@ -205,6 +238,7 @@ object ExtQueries {
   val apiDraftTrees: Q = (s, _) => TreeApi.draftTrees(fixture(s))
 
   val registry: Map[String, Q] = Map(
+    "tree_multi" -> treeMulti,
     "api_v2_about" -> apiV2About,
     "api_v2_subtree" -> apiV2Subtree,
     "api_draft_trees" -> apiDraftTrees,
@@ -379,6 +413,31 @@ object ExtQueries {
         |  (SELECT tree_id FROM read_parquet('__FIXTURE__/tree_meta/*.parquet'))
         |    AS tree_id
         |FROM m, ntx JOIN n tn ON tn.node_id = ntx.nid""".stripMargin,
+    "tree_multi" ->
+      """WITH RECURSIVE
+        |nm AS (SELECT * FROM read_parquet('__FIXTURE__/nodes_multi/*.parquet')),
+        |e AS (SELECT tree_id, ot_node_id AS child, parent_ot AS parent
+        |      FROM nm WHERE parent_ot IS NOT NULL),
+        |roots AS (SELECT tree_id, ot_node_id FROM nm WHERE parent_ot IS NULL),
+        |d(tree_id, ot, depth) AS (
+        |  SELECT tree_id, ot_node_id, CAST(0 AS BIGINT) FROM roots
+        |  UNION ALL
+        |  SELECT e.tree_id, e.child, d.depth + 1
+        |  FROM e JOIN d ON e.tree_id = d.tree_id AND e.parent = d.ot),
+        |leaves AS (SELECT nm.tree_id, nm.ot_node_id FROM nm
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.tree_id = nm.tree_id AND e.parent = nm.ot_node_id)),
+        |anc(tree_id, leaf, a) AS (
+        |  SELECT tree_id, ot_node_id, ot_node_id FROM leaves
+        |  UNION ALL
+        |  SELECT anc.tree_id, anc.leaf, e.parent
+        |  FROM anc JOIN e ON e.tree_id = anc.tree_id AND e.child = anc.a),
+        |tips AS (SELECT tree_id, a AS ot, count(*) AS tip_descendants
+        |  FROM anc GROUP BY 1, 2)
+        |SELECT d.tree_id, d.ot AS ot_node_id, d.depth, t.tip_descendants,
+        |  EXISTS (SELECT 1 FROM leaves l
+        |    WHERE l.tree_id = d.tree_id AND l.ot_node_id = d.ot) AS is_leaf
+        |FROM d JOIN tips t ON t.tree_id = d.tree_id AND t.ot = d.ot""".stripMargin,
     "api_v2_about" ->
       """WITH m AS (SELECT * FROM read_parquet('__FIXTURE__/tree_meta/*.parquet')),
         |n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')

@@ -61,35 +61,99 @@ object TreeIngest {
   val sourceMapSchema: DataType =
     MapType(StringType, MapType(StringType, StringType))
 
+  /** One source synth tree for [[ingestAll]]. */
+  final case class TreeSource(newickPath: String, annotationsPath: String,
+      taxonomyPath: String, treeId: String)
+
+  /** Multiple synth trees in one store (the reference's actual data model,
+    * GraphExplorer.java:95-114: several synthesis versions coexist and
+    * every traversal filters by tree name, DraftTreePathExpander.java:36-45).
+    * Node id spaces are disjoint; the combined forest is labeled in ONE
+    * pass, so pre/post intervals are globally unique with contiguous
+    * per-tree blocks. `tree(id)` is the per-traversal discriminator: a
+    * filtered view on which every single-tree endpoint works unchanged.
+    */
+  final case class MultiIngested(
+      nodes: DataFrame, edges: DataFrame, treeMeta: DataFrame,
+      sourceMap: DataFrame) {
+    def treeIds: Seq[String] =
+      treeMeta.select(col("tree_id")).collect().map(_.getString(0)).toSeq
+    def tree(treeId: String): Ingested = Ingested(
+      nodes.filter(col("tree_id") === treeId),
+      edges.filter(col("tree_id") === treeId),
+      treeMeta.filter(col("tree_id") === treeId),
+      sourceMap.filter(col("tree_id") === treeId))
+  }
+
   /** Parse the newick (driver-side: it is one string, as in the reference,
     * TreeReader.java:20-143) and label it with the distributed
     * [[TreeLabeler]] — one code path from 5-tip fixtures to 2.4M-tip trees.
     */
   def ingest(spark: SparkSession, newickPath: String, annotationsPath: String,
       taxonomyPath: String, treeId: String): Ingested = {
-    import spark.implicits._
-
-    // ---- S1: newick scan + parse → edge rows
-    val newickStr = spark.read.option("wholetext", "true").text(newickPath)
-      .head().getString(0).trim
-    val parsed = Newick.parse(newickStr)
+    val parsed = Newick.parse(readWhole(spark, newickPath))
     ingestParsed(spark, parsed, annotationsPath, taxonomyPath, treeId)
   }
 
-  def ingestParsed(spark: SparkSession, parsed: IndexedSeq[ParsedNode],
-      annotationsPath: String, taxonomyPath: String, treeId: String): Ingested = {
-    import spark.implicits._
+  private def readWhole(spark: SparkSession, path: String): String =
+    spark.read.option("wholetext", "true").text(path)
+      .head().getString(0).trim
 
-    val parsedDf = spark.createDataFrame(parsed)
-      .withColumnRenamed("label", "ot_node_id")
+  /** Ingest several synth trees into one store: disjoint node ids, one
+    * forest labeling pass, per-tree attribute joins, unioned tables.
+    */
+  def ingestAll(spark: SparkSession, sources: Seq[TreeSource]): MultiIngested = {
+    var offset = 0L
+    val perTree = sources.map { src =>
+      val parsed = Newick.parse(readWhole(spark, src.newickPath))
+      val shifted = parsed.map(p => p.copy(
+        nodeId = p.nodeId + offset,
+        parentId = if (p.parentId < 0) -1L else p.parentId + offset))
+      val lo = offset
+      offset += parsed.length
+      (src, shifted, lo, offset)
+    }
+    val edgesAll = perTree.map { case (src, shifted, _, _) =>
+      edgesOf(spark, parsedDf(spark, shifted), src.treeId)
+    }.reduce(_ unionByName _)
+    val labeled = TreeLabeler.label(spark, edgesAll)
+    val parts = perTree.map { case (src, shifted, lo, hi) =>
+      val sub = labeled.filter(col("node_id") >= lo && col("node_id") < hi)
+      attach(spark, sub, parsedDf(spark, shifted),
+        edgesAll.filter(col("tree_id") === src.treeId),
+        src.annotationsPath, src.taxonomyPath, src.treeId)
+    }
+    MultiIngested(
+      parts.map(_.nodes).reduce(_ unionByName _),
+      parts.map(_.edges).reduce(_ unionByName _),
+      parts.map(_.treeMeta).reduce(_ unionByName _),
+      parts.map(_.sourceMap).reduce(_ unionByName _))
+  }
 
-    val edges = parsedDf.filter(col("parentId") >= 0)
+  private def parsedDf(spark: SparkSession, parsed: IndexedSeq[ParsedNode]): DataFrame =
+    spark.createDataFrame(parsed).withColumnRenamed("label", "ot_node_id")
+
+  private def edgesOf(spark: SparkSession, parsedDf: DataFrame, treeId: String): DataFrame =
+    parsedDf.filter(col("parentId") >= 0)
       .select(col("nodeId").as("child_id"), col("parentId").as("parent_id"),
         col("childOrd").as("child_ord"), col("branchLength").as("branch_length"))
       .withColumn("tree_id", lit(treeId))
 
+  def ingestParsed(spark: SparkSession, parsed: IndexedSeq[ParsedNode],
+      annotationsPath: String, taxonomyPath: String, treeId: String): Ingested = {
+    val pdf = parsedDf(spark, parsed)
+    val edges = edgesOf(spark, pdf, treeId)
     // ---- labeling pass (depth/pre/post/ancestors/tip_descendants)
     val labeled = TreeLabeler.label(spark, edges)
+    attach(spark, labeled, pdf, edges, annotationsPath, taxonomyPath, treeId)
+  }
+
+  /** Join ot attributes + taxonomy + annotations onto a labeled (sub)tree
+    * and assemble the per-tree store tables.
+    */
+  private def attach(spark: SparkSession, labeled: DataFrame, parsedDf: DataFrame,
+      edges: DataFrame, annotationsPath: String, taxonomyPath: String,
+      treeId: String): Ingested = {
 
     // ---- S2: taxonomy TSV (fields separated by "\t|\t",
     //          IngestSynthesisData.java:208-240), semi-joined to tree ids (J1)
@@ -122,6 +186,7 @@ object TreeIngest {
         col("m")("tree_id").as("source_tree_id"),
         col("m")("study_id").as("study_id"),
         col("m")("taxonomy").as("taxonomy"))
+      .withColumn("tree_id", lit(treeId))
 
     val taxonomyVersion = treeMetaRaw.select(col("taxonomy_version")).head().getString(0)
 
@@ -149,6 +214,7 @@ object TreeIngest {
               map().cast(MapType(StringType, StringType))),
             map(concat(lit("ott"), lit(taxonomyVersion)), col("ot_node_id"))))
           .otherwise(col("supported_by")))
+      .withColumn("tree_id", lit(treeId))
 
     // Persist the serving table: every endpoint action re-reads it, and the
     // taxonomy/annotation join pipeline must run once at ingest, not per

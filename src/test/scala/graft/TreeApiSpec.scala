@@ -233,6 +233,44 @@ class TreeApiSpec extends AnyFunSuite {
     assert(d.getAs[Long]("root_ott_id") == 803675L)
   }
 
+  test("multi-tree store: two synth versions coexist; every query filters by tree") {
+    val m = TreeIngest.ingestAll(spark, Seq(
+      TreeIngest.TreeSource(s"$fx/gavia.tre", s"$fx/gavia_annotations.json",
+        s"$fx/gavia_taxonomy.tsv", "opentree4.1"),
+      TreeIngest.TreeSource(s"$fx/gavia2.tre", s"$fx/gavia2_annotations.json",
+        s"$fx/gavia_taxonomy.tsv", "opentree5.0")))
+    assert(m.treeIds.sorted == Seq("opentree4.1", "opentree5.0"))
+    assert(m.nodes.count() == 14) // 9 + 5 nodes, disjoint id spaces
+    val t1 = m.tree("opentree4.1")
+    val t2 = m.tree("opentree5.0")
+    // per-tree about: same root taxon, different tree size + metadata
+    val a1 = TreeApi.about(t1).head()
+    val a2 = TreeApi.about(t2).head()
+    assert(a1.getAs[Long]("root_num_tips") == 5L)
+    assert(a2.getAs[Long]("root_num_tips") == 3L)
+    assert(a1.getAs[String]("tree_id") == "opentree4.1")
+    assert(a2.getAs[String]("tree_id") == "opentree5.0")
+    // same ot ids resolve inside each tree independently
+    val m1 = TreeApi.mrca(t1, nodeIds = Seq("ott1085739", "ott1057518"))
+    assert(m1.mrcaOtId == "mrcaott90560ott651474") // unnamed mrca in the full tree
+    val m2 = TreeApi.mrca(t2, nodeIds = Seq("ott1085739", "ott1057518"))
+    assert(m2.mrcaOtId == "ott1085739") // immer absent in v5.0 → mrca of the rest
+    assert(m2.nodeIdsNotInTree == Seq("ott1057518") && !m2.ok)
+    // interval queries stay inside the owning tree (forest labeling blocks)
+    val r2 = t2.nodes.filter(col("parent_id") === -1L)
+      .select("node_id").head().getLong(0)
+    val sub2 = TreeOps.subtree(m.nodes, r2) // over the UNION, no tree filter
+    assert(sub2.count() == 5)
+    assert(sub2.select("tree_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("opentree5.0"))
+    // per-tree newick via the v2 surface
+    val s2 = V2Adapter.subtree(t2, ottId = Some(803675L))
+    assert(s2("newick") ==
+      "(Gavia_stellata_ott1057044,(Gavia_arctica_ott1085739," +
+      "Gavia_pacifica_ott651474))Gavia_ott803675;")
+    assert(s2("tree_id") == "opentree5.0")
+  }
+
   test("taxonomy → newick round-trips through the parser") {
     val tax = TreeIngest.readTaxonomy(spark, s"$fx/gavia_taxonomy.tsv")
     val nwk = TreeExports.taxonomyToNewick(spark, tax)
