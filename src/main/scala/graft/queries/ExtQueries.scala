@@ -237,11 +237,47 @@ object ExtQueries {
   /** `draft_trees` metadata projection. */
   val apiDraftTrees: Q = (s, _) => TreeApi.draftTrees(fixture(s))
 
+  private def fixtureRootId(s: SparkSession): Long =
+    fixture(s).nodes.filter(col("parent_id") === -1L)
+      .select(col("node_id")).head().getLong(0)
+
+  /** A2: depth-limited tip counts (leaves of the truncated tree = nodes at
+    * the depth cut plus true leaves above it).
+    */
+  val a2DepthTips: Q = (s, _) => {
+    import s.implicits._
+    val t = fixture(s)
+    val rid = fixtureRootId(s)
+    Seq(1, 2).map(d =>
+      (d.toLong, graft.tree.TreeOps.subtreeTipCount(t.nodes, rid, d)))
+      .toDF("max_depth", "n_tips")
+  }
+
+  /** O3: degree-pruned subtree (nothing below a node with ≥ maxChildren
+    * children; the high-degree node stays as a frontier tip).
+    */
+  val o3SubtreePruned: Q = (s, _) => {
+    val t = fixture(s)
+    graft.tree.TreeOps.subtreePruned(t.nodes, fixtureRootId(s), maxChildren = 2)
+      .select(col("ot_node_id"), col("rel_depth"), col("is_leaf"))
+  }
+
+  /** A6: distinct annotation sources over a subtree resolved through the
+    * source map.
+    */
+  val a6SupportingStudies: Q = (s, _) => {
+    val t = fixture(s)
+    TreeApi.supportingStudies(t, fixtureRootId(s))
+  }
+
   val registry: Map[String, Q] = Map(
     "tree_multi" -> treeMulti,
     "api_v2_about" -> apiV2About,
     "api_v2_subtree" -> apiV2Subtree,
     "api_draft_trees" -> apiDraftTrees,
+    "a2_depth_tips" -> a2DepthTips,
+    "o3_subtree_pruned" -> o3SubtreePruned,
+    "a6_supporting_studies" -> a6SupportingStudies,
     "ev_sessions" -> evSessions,
     "f10_mrca_codec" -> mrcaCodec,
     "mm_media_meta" -> mmMediaMeta,
@@ -413,6 +449,41 @@ object ExtQueries {
         |  (SELECT tree_id FROM read_parquet('__FIXTURE__/tree_meta/*.parquet'))
         |    AS tree_id
         |FROM m, ntx JOIN n tn ON tn.node_id = ntx.nid""".stripMargin,
+    "a2_depth_tips" ->
+      """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |r AS (SELECT pre, post, depth FROM n WHERE parent_id = -1),
+        |d(v) AS (VALUES (1), (2))
+        |SELECT CAST(d.v AS BIGINT) AS max_depth,
+        |  (SELECT count(*) FROM n, r
+        |   WHERE n.pre >= r.pre AND n.pre <= r.post
+        |     AND n.depth - r.depth <= d.v
+        |     AND (n.is_leaf OR n.depth - r.depth = d.v)) AS n_tips
+        |FROM d""".stripMargin,
+    "o3_subtree_pruned" ->
+      """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |r AS (SELECT node_id, pre, post, depth FROM n WHERE parent_id = -1),
+        |sub AS MATERIALIZED (SELECT n.*, n.depth - r.depth AS rel_depth
+        |  FROM n, r WHERE n.pre >= r.pre AND n.pre <= r.post),
+        |deg AS (SELECT parent_id AS hi FROM n WHERE parent_id <> -1
+        |  GROUP BY parent_id HAVING count(*) >= 2),
+        |pairs AS MATERIALIZED (SELECT node_id, unnest(ancestors) AS anc FROM sub),
+        |blocked AS (SELECT DISTINCT p.node_id
+        |  FROM pairs p
+        |  JOIN deg ON deg.hi = p.anc
+        |  JOIN sub s2 ON s2.node_id = p.anc
+        |  CROSS JOIN r
+        |  WHERE p.anc <> p.node_id AND p.anc <> r.node_id)
+        |SELECT s.ot_node_id, s.rel_depth, s.is_leaf FROM sub s
+        |WHERE s.node_id NOT IN (SELECT node_id FROM blocked)""".stripMargin,
+    "a6_supporting_studies" ->
+      """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |r AS (SELECT pre, post FROM n WHERE parent_id = -1),
+        |sub AS (SELECT n.* FROM n, r WHERE n.pre >= r.pre AND n.pre <= r.post),
+        |k AS (SELECT DISTINCT unnest(json_keys(supported_by_json)) AS source_id
+        |  FROM sub WHERE supported_by_json IS NOT NULL)
+        |SELECT k.source_id, sm.study_id, sm.git_sha
+        |FROM k LEFT JOIN read_parquet('__FIXTURE__/source_map/*.parquet') sm
+        |  ON sm.source_id = k.source_id""".stripMargin,
     "tree_multi" ->
       """WITH RECURSIVE
         |nm AS (SELECT * FROM read_parquet('__FIXTURE__/nodes_multi/*.parquet')),
