@@ -237,6 +237,24 @@ object ExtQueries {
   /** `draft_trees` metadata projection. */
   val apiDraftTrees: Q = (s, _) => TreeApi.draftTrees(fixture(s))
 
+  /** v2 `graph/node_info` on an unnamed node with lineage, flattened to
+    * one row per draft_tree_lineage entry.
+    */
+  val apiV2NodeInfo: Q = (s, _) => {
+    import s.implicits._
+    val info = V2Adapter.nodeInfo(fixture(s),
+      nodeId = Some(90560L + 10000000L * 1057518L), includeLineage = true)
+    val lin = info("draft_tree_lineage").asInstanceOf[List[Map[String, Any]]]
+    lin.zipWithIndex.map { case (b, i) =>
+      (info("node_id").asInstanceOf[Long], info("num_tips").asInstanceOf[Long],
+        info("tree_id").toString, i.toLong,
+        b("node_id").asInstanceOf[Long], b("name").toString,
+        b("rank").toString, b("unique_name").toString,
+        b("ott_id") match { case l: Long => Some(l); case _ => None })
+    }.toDF("node_id", "num_tips", "tree_id", "lin_pos", "lin_node_id",
+      "lin_name", "lin_rank", "lin_unique_name", "lin_ott_id")
+  }
+
   private def fixtureRootId(s: SparkSession): Long =
     fixture(s).nodes.filter(col("parent_id") === -1L)
       .select(col("node_id")).head().getLong(0)
@@ -275,6 +293,7 @@ object ExtQueries {
     "api_v2_about" -> apiV2About,
     "api_v2_subtree" -> apiV2Subtree,
     "api_draft_trees" -> apiDraftTrees,
+    "api_v2_node_info" -> apiV2NodeInfo,
     "a2_depth_tips" -> a2DepthTips,
     "o3_subtree_pruned" -> o3SubtreePruned,
     "a6_supporting_studies" -> a6SupportingStudies,
@@ -449,6 +468,34 @@ object ExtQueries {
         |  (SELECT tree_id FROM read_parquet('__FIXTURE__/tree_meta/*.parquet'))
         |    AS tree_id
         |FROM m, ntx JOIN n tn ON tn.node_id = ntx.nid""".stripMargin,
+    "api_v2_node_info" ->
+      """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |t AS (SELECT * FROM n WHERE ot_node_id = 'mrcaott90560ott1057518'),
+        |l AS (SELECT t.ot_node_id AS self_ot, t.tip_descendants AS num_tips,
+        |        unnest(t.ancestors) AS anc,
+        |        generate_subscripts(t.ancestors, 1) AS pos,
+        |        len(t.ancestors) AS la, t.node_id AS self
+        |      FROM t)
+        |SELECT
+        |  CAST(regexp_extract(l.self_ot, 'mrcaott(\d+)ott(\d+)', 1) AS BIGINT)
+        |    + 10000000 * CAST(regexp_extract(l.self_ot, 'mrcaott(\d+)ott(\d+)', 2) AS BIGINT)
+        |    AS node_id,
+        |  l.num_tips,
+        |  (SELECT tree_id FROM read_parquet('__FIXTURE__/tree_meta/*.parquet'))
+        |    AS tree_id,
+        |  CAST(l.la - 1 - l.pos AS BIGINT) AS lin_pos,
+        |  CASE WHEN a.ot_node_id LIKE 'mrcaott%' THEN
+        |    CAST(regexp_extract(a.ot_node_id, 'mrcaott(\d+)ott(\d+)', 1) AS BIGINT)
+        |    + 10000000 * CAST(regexp_extract(a.ot_node_id, 'mrcaott(\d+)ott(\d+)', 2) AS BIGINT)
+        |  ELSE CAST(substr(a.ot_node_id, 4) AS BIGINT) END AS lin_node_id,
+        |  coalesce(a.name, '') AS lin_name,
+        |  CASE WHEN a.name IS NOT NULL THEN coalesce(a.tax_rank, '')
+        |    ELSE '' END AS lin_rank,
+        |  CASE WHEN a.name IS NOT NULL THEN coalesce(a.unique_name, '')
+        |    ELSE '' END AS lin_unique_name,
+        |  a.tax_uid AS lin_ott_id
+        |FROM l JOIN n a ON a.node_id = l.anc
+        |WHERE l.anc <> l.self""".stripMargin,
     "a2_depth_tips" ->
       """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
         |r AS (SELECT pre, post, depth FROM n WHERE parent_id = -1),

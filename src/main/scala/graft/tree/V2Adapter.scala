@@ -114,6 +114,72 @@ object V2Adapter {
     }
   }
 
+  /** v2 `graph/node_info` (plugins/graph.java:45-195): numeric ids, flat
+    * taxon fields with `tax_source` as the re-joined "src:id,…" string,
+    * `synth_sources`/`tree_sources` blobs from the supported_by +
+    * partial_path_of keys, and `draft_tree_lineage` taxonlike blobs with
+    * ""-defaults for unnamed nodes. Two jobs: the node row (with its root
+    * path), then one fetch for the lineage attributes.
+    */
+  def nodeInfo(t: Ingested, nodeId: Option[Long] = None,
+      ottId: Option[Long] = None, includeLineage: Boolean = false)
+      : Map[String, Any] = {
+    require(nodeId.isDefined ^ ottId.isDefined,
+      "must provide exactly one of node_id or ott_id")
+    val pred = nodeId.map(id => col("ot_node_id") === longToOtId(id))
+      .getOrElse(col("tax_uid") === ottId.get)
+    val hit = t.nodes.filter(pred)
+      .select(col("ot_node_id"), col("tip_descendants"), col("name"),
+        col("tax_rank"), col("tax_uid"), col("tax_sources"),
+        col("supported_by"), col("partial_path_of"), col("ancestors"),
+        col("node_id"))
+      .collect()
+    require(hit.nonEmpty, "node not found in the synthetic tree")
+    val r = hit(0)
+    def mapKeys(i: Int): Seq[String] =
+      if (r.isNullAt(i)) Nil else r.getMap[String, Any](i).keys.toSeq
+
+    val sources = (mapKeys(6) ++ mapKeys(7))
+      .map(sid => t.sourceBlobs.getOrElse(sid, Map.empty[String, String]))
+    val base = Map[String, Any](
+      "node_id" -> otIdToLong(r.getString(0)),
+      "num_tips" -> r.getLong(1),
+      "num_synth_tips" -> r.getLong(1),
+      "in_synth_tree" -> true,
+      "tree_id" -> t.treeIdStr,
+      "synth_sources" -> sources,
+      "tree_sources" -> sources)
+    val taxonFields =
+      if (r.isNullAt(2)) Map.empty[String, Any]
+      else Map[String, Any]("name" -> r.getString(2),
+        "rank" -> Option(r.getString(3)).getOrElse(""),
+        "ott_id" -> (if (r.isNullAt(4)) "null" else r.getLong(4)),
+        "tax_source" -> (if (r.isNullAt(5)) ""
+          else r.getMap[String, String](5)
+            .map { case (k, v) => s"$k:$v" }.mkString(",")))
+
+    val lineageFields =
+      if (!includeLineage) Map.empty[String, Any]
+      else {
+        val ancIds = r.getSeq[Long](8).dropRight(1)
+        val rows = t.nodes.filter(col("node_id").isin(ancIds: _*))
+          .select(col("node_id"), col("ot_node_id"), col("name"),
+            col("tax_rank"), col("unique_name"), col("tax_uid"), col("depth"))
+          .collect().sortBy(-_.getLong(6)) // nearest first
+        val blobs = rows.map { a =>
+          val named = !a.isNullAt(2)
+          Map[String, Any](
+            "node_id" -> otIdToLong(a.getString(1)),
+            "name" -> (if (named) a.getString(2) else ""),
+            "rank" -> (if (named) Option(a.getString(3)).getOrElse("") else ""),
+            "unique_name" -> (if (named) a.getString(4) else ""),
+            "ott_id" -> (if (a.isNullAt(5)) "null" else a.getLong(5)))
+        }.toList
+        Map[String, Any]("draft_tree_lineage" -> blobs)
+      }
+    base ++ taxonFields ++ lineageFields
+  }
+
   /** v2 `subtree` (tree_of_life.java:336-383): exactly one of node_id /
     * ott_id; v3 doSubtree with name_and_id labels, unnamed nodes
     * unlabeled, no depth limit; out = newick + tree_id.

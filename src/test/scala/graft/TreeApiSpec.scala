@@ -205,6 +205,31 @@ class TreeApiSpec extends AnyFunSuite {
     assert(!V2Adapter.about(t, studyList = false).contains("study_list"))
   }
 
+  test("v2 graph/node_info: numeric ids, tax_source string, lineage blobs") {
+    // named node by ott_id
+    val ni = V2Adapter.nodeInfo(t, ottId = Some(803675L))
+    assert(ni("node_id") == 803675L)
+    assert(ni("num_tips") == 5L && ni("num_synth_tips") == 5L)
+    assert(ni("in_synth_tree") == true)
+    assert(ni("name") == "Gavia" && ni("ott_id") == 803675L)
+    assert(ni("tax_source") == "ncbi:37040,gbif:2481962")
+    assert(ni("tree_id") == "opentree4.1")
+    val srcs = ni("synth_sources").asInstanceOf[Seq[Map[String, String]]]
+    assert(srcs.contains(Map("taxonomy" -> "ott2.9draft12"))) // injected support
+    assert(!ni.contains("draft_tree_lineage"))
+    // unnamed node by numeric node_id, with lineage
+    val un = V2Adapter.nodeInfo(t,
+      nodeId = Some(90560L + 10000000L * 1057518L), includeLineage = true)
+    assert(un("node_id") == 90560L + 10000000L * 1057518L)
+    assert(!un.contains("name")) // no taxon fields on unnamed nodes
+    val lin = un("draft_tree_lineage").asInstanceOf[List[Map[String, Any]]]
+    assert(lin.map(_("node_id")) ==
+      List(90560L + 10000000L * 651474L, 803675L)) // nearest first
+    assert(lin.head("name") == "" && lin.head("ott_id") == "null")
+    assert(lin(1)("name") == "Gavia" && lin(1)("ott_id") == 803675L)
+    intercept[IllegalArgumentException] { V2Adapter.nodeInfo(t) }
+  }
+
   test("v2 subtree: one of node_id/ott_id, newick + tree_id") {
     val byOtt = V2Adapter.subtree(t, ottId = Some(803675L))
     assert(byOtt("newick") == "(Gavia_stellata_ott1057044,((Gavia_arctica_ott1085739," +
