@@ -128,6 +128,42 @@ object TextOps {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** BPE-ish token-count estimate: each whitespace token contributes
+    * ceil(len/4) pieces (subword tokenizers split long words roughly every
+    * 3-5 chars) — a deterministic, codegen'd estimator for budget/packing
+    * decisions where running a real tokenizer per row would be a UDF on
+    * the hot path.
+    */
+  def bpeTokenEstimateCol(text: Column): Column =
+    aggregate(
+      transform(tokensCol(text),
+        t => greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long"))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Winnowing document fingerprints (the MOSS scheme, deterministic
+    * variant): md5 over char k-grams of the lowercased text, minimum hash
+    * per sliding window of w grams, distinct selected hashes per doc. Two
+    * docs sharing any fingerprint are near-dup candidates via a plain
+    * hash groupBy — O(len) work per doc, fingerprint density ~1/w.
+    */
+  def winnowCol(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val tx = lower(text)
+    val g = when(length(tx) >= k,
+      transform(sequence(lit(0), length(tx) - k),
+        i => md5(tx.substr(i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    when(size(g) >= w,
+      array_distinct(transform(sequence(lit(0), size(g) - w),
+        j => array_min(slice(g, j + 1, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One (id, fp) row per selected winnowing fingerprint. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(winnowCol(col(textCol), k, w)).as("fp"))
+
   /** Stopword-marker language-ID heuristic. Fixed CASE precedence
     * (en, es, de, fr, else und when no markers hit) keeps the argmax
     * deterministic in any engine.

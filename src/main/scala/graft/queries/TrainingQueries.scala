@@ -84,6 +84,19 @@ object TrainingQueries {
   val txtQuality: Q = (s, d) =>
     TextOps.quality(Tables.documents(s, d), "doc_id", "text")
 
+  /** Token counting: whitespace tokens + the BPE-ish subword estimate. */
+  val txtTokens: Q = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      size(TextOps.tokensCol(col("text"))).cast("long").as("n_ws_tokens"),
+      TextOps.bpeTokenEstimateCol(col("text")).as("n_bpe_est"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Winnowing fingerprints (k=8 char grams, window 4) on an id window. */
+  val ddWinnow: Q = (s, d) =>
+    TextOps.winnowFingerprints(
+      Tables.documents(s, d).filter(col("doc_id") < 50), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+
   /** Stopword-marker language ID with per-language scores. */
   val txtLangid: Q = (s, d) => {
     val scores = TextOps.langScores(col("text"))
@@ -103,6 +116,8 @@ object TrainingQueries {
     "emb_neardup" -> embNearDup,
     "ann_topk" -> annTopk,
     "txt_quality" -> txtQuality,
+    "txt_tokens" -> txtTokens,
+    "dd_winnow" -> ddWinnow,
     "txt_langid" -> txtLangid
   )
 
@@ -232,6 +247,30 @@ object TrainingQueries {
          |    + (1.0 - punct::DOUBLE / length(text)) * 0.3
          |    + (stops::DOUBLE / len(toks)) * 0.2) * 10000.0) / 10000.0 AS quality_score
          |FROM base""".stripMargin,
+    "txt_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+         |  CAST(list_sum(list_transform($toksSql,
+         |    t -> greatest(1, CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS BIGINT)
+         |    AS n_bpe_est,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin,
+    "dd_winnow" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS tx
+        |  FROM documents WHERE doc_id < 50),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN length(tx) >= 8 THEN
+        |      list_transform(range(0, length(tx) - 8 + 1),
+        |        i -> md5(substr(tx, CAST(i + 1 AS INT), 8)))
+        |    ELSE [] END AS grams
+        |  FROM t),
+        |sel AS (SELECT doc_id,
+        |    CASE WHEN len(grams) >= 4 THEN
+        |      list_distinct(list_transform(range(0, len(grams) - 4 + 1),
+        |        j -> list_min(grams[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))
+        |    ELSE [] END AS fps
+        |  FROM g)
+        |SELECT doc_id, unnest(fps) AS fp FROM sel WHERE len(fps) > 0""".stripMargin,
     "txt_langid" ->
       s"""WITH b AS (SELECT doc_id,
          |  len(list_filter($toksSql, t -> t IN ('the','and','of','to','a'))) AS s_en,

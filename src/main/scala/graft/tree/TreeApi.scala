@@ -365,6 +365,27 @@ object TreeApi {
         ",\"source_id_map\":{" + srcSb.result() + "}}", 1) + "}"
   }
 
+  /** `source_tree` (tree_of_life_v3.java:829-907, S7): serve the processed
+    * input source tree for a study_id + tree_id. The reference proxies
+    * `files.opentreeoflife.org/preprocessed/v<version>/trees/<source>.tre`
+    * over HTTP; the cluster-native equivalent is any Spark-readable base
+    * path (local / HDFS / object store) with the same layout.
+    */
+  def sourceTree(t: Ingested, baseDir: String, studyId: String,
+      treeId: String, format: String = "newick"): Map[String, Any] = {
+    require(format == "newick",
+      "The only currently supported format is newick.")
+    val synthId = t.treeIdStr
+    val version = synthId.replace("opentree", "")
+    val path = s"$baseDir/v$version/trees/${studyId}_$treeId.tre"
+    val spark = t.nodes.sparkSession
+    val line =
+      try spark.read.textFile(path).head()
+      catch { case _: Throwable => throw new IllegalArgumentException(
+        s"Invalid source id '${studyId}_$treeId' provided.") }
+    Map("newick" -> line, "synth_id" -> synthId)
+  }
+
   /** `draft_trees` (tree_of_life_v3.java:778-826): per-synth-tree metadata
     * projection — synth id, dates, taxonomy version, root taxon info, size.
     */

@@ -99,6 +99,34 @@ class TrainingSpec extends AnyFunSuite {
     assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
   }
 
+  test("winnowing fingerprints: shared text shares fingerprints") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // identical
+      (3L, "completely different content with no overlap at all zz")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(df, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // short text below the gram size yields no fingerprints
+    val short = TextOps.winnowFingerprints(
+      Seq((9L, "tiny")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() == 0)
+  }
+
+  test("BPE-ish token estimate grows with word length, floors at word count") {
+    import spark.implicits._
+    val df = Seq((1L, "a bb ccc dddd"), (2L, "internationalization"))
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TextOps.bpeTokenEstimateCol(col("text")))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 4L) // four short words, one piece each
+    assert(r(2L) == 5L) // ceil(20/4)
+  }
+
   test("shingles: n-gram construction") {
     import spark.implicits._
     val df = Seq(Tuple1("a b c d")).toDF("text")

@@ -296,6 +296,23 @@ class TreeApiSpec extends AnyFunSuite {
     assert(s2("tree_id") == "opentree5.0")
   }
 
+  test("source_tree serves the preprocessed artifact for study_id + tree_id") {
+    val base = java.nio.file.Files.createTempDirectory("srctrees")
+    val d = base.resolve("v4.1/trees")
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve("pg_01_tree1.tre"),
+      "(a,(b,c));\n")
+    val r = TreeApi.sourceTree(t, base.toString, "pg_01", "tree1")
+    assert(r("newick") == "(a,(b,c));")
+    assert(r("synth_id") == "opentree4.1")
+    intercept[IllegalArgumentException] {
+      TreeApi.sourceTree(t, base.toString, "pg_99", "tree9")
+    }
+    intercept[IllegalArgumentException] {
+      TreeApi.sourceTree(t, base.toString, "pg_01", "tree1", format = "arguson")
+    }
+  }
+
   test("taxonomy → newick round-trips through the parser") {
     val tax = TreeIngest.readTaxonomy(spark, s"$fx/gavia_taxonomy.tsv")
     val nwk = TreeExports.taxonomyToNewick(spark, tax)
