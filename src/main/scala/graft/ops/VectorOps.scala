@@ -90,6 +90,48 @@ object VectorOps {
     * buckets and degenerated to n²/buckets at scale. Pairs are deduped
     * before scoring, so each candidate is scored exactly once.
     */
+  /** IVF-style ANN: assign every vector to its nearest centroid cell, and
+    * answer queries from the union of their `nprobe` nearest cells only.
+    * Centroids are caller-provided — typically a k-means output; any
+    * deterministic seed set works, the cell-partitioned search mechanics
+    * are what must hold at scale: centroid scoring is a broadcast
+    * map-side pass (n·k dot products, no shuffle), and the candidate join
+    * shuffles once on the cell key with Σ cell² pairwise work.
+    *
+    * @param queries bounded (id, vec) query side
+    * @param corpus  full (id, vec) corpus
+    * @param centroids (cid, cvec)
+    */
+  def annIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(centroids.select(col("cid"),
+      toDouble(col("cvec")).as("cv")))
+    def cellsOf(df: DataFrame, n: Int): DataFrame = {
+      val scored = df.select(col("id"), toDouble(col("vec")).as("v"))
+        .crossJoin(cents)
+        .withColumn("c_cos", cosine(col("v"), col("cv")))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("c_cos").desc, col("cid"))
+      scored.withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= n)
+        .select(col("id"), col("v"), col("cid").as("cell"))
+    }
+    val corpusCells = cellsOf(corpus, 1)
+    val queryCells = cellsOf(queries, nprobe)
+    val scored = queryCells
+      .select(col("id").as("q_id"), col("v").as("q_vec"), col("cell"))
+      .join(corpusCells.select(col("id").as("n_id"),
+        col("v").as("n_vec"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+      .distinct() // a neighbor reachable via several probed cells scores once
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+  }
+
   def annLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
       bits: Int = 16, tables: Int = 4): DataFrame = {
     require(bits % tables == 0,

@@ -60,6 +60,15 @@ object TrainingQueries {
         .select(col("vec_id").as("id"), col("embedding").as("vec")),
       "id", "vec", k = 5, bits = 8, tables = 2)
 
+  /** IVF ANN: 8 seed centroids, nprobe=2, bounded query side. */
+  val annIvf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    VectorOps.annIvf(e.filter(col("id") < 20), e, cents, k = 5, nprobe = 2)
+  }
+
   /** 16-bit SimHash signatures on an id window. */
   val ddSimhash: Q = (s, d) =>
     TextOps.simhash(
@@ -112,6 +121,7 @@ object TrainingQueries {
     "dd_jaccard" -> ddJaccard,
     "dd_lsh_verified" -> ddLshVerified,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "dd_simhash" -> ddSimhash,
     "emb_neardup" -> embNearDup,
     "ann_topk" -> annTopk,
@@ -195,6 +205,34 @@ object TrainingQueries {
         |    round(list_dot_product(va.v, vb.v) /
         |      (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos
         |  FROM sym s JOIN e va ON va.id = s.a JOIN e vb ON vb.id = s.b),
+        |ranked AS (SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |corpus_cells AS (SELECT id, v, cid AS cell FROM (
+        |  SELECT e.id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.id ORDER BY
+        |      list_dot_product(e.v, c.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, c.cid) AS r
+        |  FROM e, c) WHERE r = 1),
+        |query_cells AS (SELECT id, v, cid AS cell FROM (
+        |  SELECT e.id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.id ORDER BY
+        |      list_dot_product(e.v, c.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, c.cid) AS r
+        |  FROM e, c WHERE e.id < 20) WHERE r <= 2),
+        |scored AS (SELECT DISTINCT qc.id AS q_id, cc.id AS n_id,
+        |    round(list_dot_product(qc.v, cc.v) /
+        |      (sqrt(list_dot_product(qc.v, qc.v)) * sqrt(list_dot_product(cc.v, cc.v))), 6) AS cos
+        |  FROM query_cells qc JOIN corpus_cells cc
+        |    ON cc.cell = qc.cell AND cc.id <> qc.id),
         |ranked AS (SELECT q_id, n_id, cos,
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM scored)

@@ -78,6 +78,26 @@ class TrainingSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("IVF ANN: cell-partitioned search returns ranked candidates from probed cells") {
+    val window = embs.filter(col("id") < 150)
+    val cents = embs.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val queries = window.filter(col("id") < 10)
+    val res = VectorOps.annIvf(queries, window, cents, k = 3, nprobe = 2)
+      .collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getLong(2) <= 3))
+    val keys = res.map(r => (r.getLong(0), r.getLong(2)))
+    assert(keys.distinct.length == keys.length)
+    // more probes never lose recall on the true top-1
+    val truth = VectorOps.topK(queries, window, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allProbe = VectorOps.annIvf(queries, window, cents, k = 3, nprobe = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(truth.forall { case (q, n) => allProbe.get(q).exists(_.contains(n)) })
+  }
+
   test("OR-amplified ANN recall beats any single table on true top-1") {
     val window = embs.filter(col("id") < 150)
     val truth = VectorOps.topK(window, window, k = 1)

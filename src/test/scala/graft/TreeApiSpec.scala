@@ -296,6 +296,30 @@ class TreeApiSpec extends AnyFunSuite {
     assert(s2("tree_id") == "opentree5.0")
   }
 
+  test("wire contract: 400-with-payload carries the computed result and exact message") {
+    val r = TreeApi.mrca(t, nodeIds = Seq("ott1085739", "ott90560", "ottNOPE"),
+      ottIds = Seq(424242L))
+    val resp = WireContract.mrcaResponse(r)
+    assert(resp.status == 400)
+    assert(resp.message.contains(
+      "The following OTT ids were not found: [424242]. " +
+      "The following node ids were not found: [ottNOPE]. "))
+    // the computed result still rides along (thrown-after-computing)
+    assert(resp.body("mrca").asInstanceOf[Map[String, Any]]("node_id") ==
+      "mrcaott90560ott651474")
+    assert(resp.body("node_ids_not_in_tree") == Seq("ottNOPE"))
+    val nt = resp.body("nearest_taxon").asInstanceOf[Map[String, Any]]
+    assert(nt("name") == "Gavia" && nt("ott_id") == 803675L)
+    // clean request → 200, no message
+    val ok = WireContract.mrcaResponse(
+      TreeApi.mrca(t, nodeIds = Seq("ott1085739", "ott90560")))
+    assert(ok.status == 200 && ok.message.isEmpty)
+    // induced variant
+    val ir = WireContract.inducedResponse(TreeApi.inducedSubtree(t,
+      nodeIds = Seq("ott1085739", "ott1057518", "ottNOPE")))
+    assert(ir.status == 400 && ir.body("newick").toString.nonEmpty)
+  }
+
   test("source_tree serves the preprocessed artifact for study_id + tree_id") {
     val base = java.nio.file.Files.createTempDirectory("srctrees")
     val d = base.resolve("v4.1/trees")
