@@ -140,29 +140,41 @@ object TextOps {
         t => greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long"))),
       lit(0L), (acc, x) => acc + x)
 
+  /** md5 char k-gram array of the lowercased text (winnowing stage 1). */
+  def charGramsCol(text: Column, k: Int): Column = {
+    val tx = lower(text)
+    when(length(tx) >= k,
+      transform(sequence(lit(0), length(tx) - k),
+        i => md5(tx.substr(i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Sliding-window minima over an ALREADY-MATERIALIZED gram column
+    * (winnowing stage 2). `grams` must be a bound column, not the gram
+    * expression itself: a lambda body re-evaluates every inlined
+    * expression subtree per element, so passing the md5-gram subtree here
+    * turns O(len·w) into O(len²) md5 calls per document (measured: 17 s
+    * of a 40 s bench run before the split).
+    */
+  def winnowSelectCol(grams: Column, w: Int): Column =
+    when(size(grams) >= w,
+      array_distinct(transform(sequence(lit(0), size(grams) - w),
+        j => array_min(slice(grams, j + 1, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+
   /** Winnowing document fingerprints (the MOSS scheme, deterministic
     * variant): md5 over char k-grams of the lowercased text, minimum hash
     * per sliding window of w grams, distinct selected hashes per doc. Two
     * docs sharing any fingerprint are near-dup candidates via a plain
     * hash groupBy — O(len) work per doc, fingerprint density ~1/w.
+    * Two projections on purpose: the gram array materializes once per row
+    * (CollapseProject keeps them apart — `grams` is non-cheap and
+    * multiply-referenced), then the window minima read it by reference.
     */
-  def winnowCol(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val tx = lower(text)
-    val g = when(length(tx) >= k,
-      transform(sequence(lit(0), length(tx) - k),
-        i => md5(tx.substr(i + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-    when(size(g) >= w,
-      array_distinct(transform(sequence(lit(0), size(g) - w),
-        j => array_min(slice(g, j + 1, lit(w))))))
-      .otherwise(array().cast("array<string>"))
-  }
-
-  /** One (id, fp) row per selected winnowing fingerprint. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame =
-    docs.select(col(idCol).as("id"),
-      explode(winnowCol(col(textCol), k, w)).as("fp"))
+    docs.select(col(idCol).as("id"), charGramsCol(col(textCol), k).as("grams"))
+      .select(col("id"), explode(winnowSelectCol(col("grams"), w)).as("fp"))
 
   /** Stopword-marker language-ID heuristic. Fixed CASE precedence
     * (en, es, de, fr, else und when no markers hit) keeps the argmax

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{ClusterOps, TextOps, VectorOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the documents/embeddings tables, each with a DuckDB
@@ -69,6 +69,29 @@ object TrainingQueries {
     VectorOps.annIvf(e.filter(col("id") < 20), e, cents, k = 5, nprobe = 2)
   }
 
+  /** Dedup clusters: connected components over the LSH candidate graph —
+    * near-dup is transitive in practice, so the dedup unit is the
+    * component. Singleton docs label themselves.
+    */
+  val ddCluster: Q = (s, d) => {
+    val w = Tables.documents(s, d).filter(col("doc_id") < 100)
+    ClusterOps.connectedComponents(
+      TextOps.minhashCandidates(w, "doc_id", "text"),
+      w.select(col("doc_id").as("id")))
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** Canonical doc per dedup cluster: max quality score, ties to min id. */
+  val ddCanonical: Q = (s, d) => {
+    val w = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val cc = ClusterOps.connectedComponents(
+      TextOps.minhashCandidates(w, "doc_id", "text"),
+      w.select(col("doc_id").as("id")))
+    ClusterOps.canonicalPerCluster(cc,
+      TextOps.quality(w, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("quality_score").as("score")))
+  }
+
   /** 16-bit SimHash signatures on an id window. */
   val ddSimhash: Q = (s, d) =>
     TextOps.simhash(
@@ -120,6 +143,8 @@ object TrainingQueries {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_jaccard" -> ddJaccard,
     "dd_lsh_verified" -> ddLshVerified,
+    "dd_cluster" -> ddCluster,
+    "dd_canonical" -> ddCanonical,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "dd_simhash" -> ddSimhash,
@@ -132,6 +157,28 @@ object TrainingQueries {
   )
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
+
+  /** Shared oracle fragment: LSH candidate graph on doc_id < 100 →
+    * min-reachable-id connected components via a recursive CTE (the
+    * oracle for what the engine computes by min-label pointer doubling).
+    */
+  private val ccSql =
+    s"""t AS (SELECT doc_id, list_distinct($toksSql) AS toks
+       |  FROM documents WHERE doc_id < 100),
+       |mh AS (SELECT doc_id, list_transform(range(0, 8),
+       |    s -> list_min(list_transform(toks, w -> md5(s::VARCHAR || ':' || w)))) AS sig
+       |  FROM t),
+       |bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bk
+       |  FROM mh, unnest(range(0, 4)) u(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.bk = y.bk AND x.b = y.b AND x.doc_id < y.doc_id),
+       |sym AS (SELECT a AS u, b AS v FROM cand UNION ALL SELECT b, a FROM cand),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM t
+       |  UNION
+       |  SELECT sy.u, reach.r FROM sym sy JOIN reach ON reach.id = sy.v),
+       |cl AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd_source_stats" ->
@@ -185,6 +232,31 @@ object TrainingQueries {
          |  floor(inter::DOUBLE / (na + nb - inter) * 10000.0) / 10000.0 AS jaccard
          |FROM j
          |WHERE floor(inter::DOUBLE / (na + nb - inter) * 10000.0) / 10000.0 >= 0.5""".stripMargin,
+    "dd_cluster" ->
+      s"""WITH RECURSIVE
+         |$ccSql
+         |SELECT doc_id, component FROM cl""".stripMargin,
+    "dd_canonical" ->
+      s"""WITH RECURSIVE
+         |$ccSql,
+         |qb AS (SELECT doc_id, text, $toksSql AS toks,
+         |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+         |  len(list_filter($toksSql, t -> t IN
+         |    ('the','and','of','to','a','el','la','de','los','que',
+         |     'der','die','und','das','ist','le','les','des','et','une'))) AS stops
+         |  FROM documents WHERE doc_id < 100),
+         |q AS (SELECT doc_id,
+         |  floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
+         |    + (1.0 - punct::DOUBLE / length(text)) * 0.3
+         |    + (stops::DOUBLE / len(toks)) * 0.2) * 10000.0) / 10000.0 AS score
+         |  FROM qb),
+         |rk AS (SELECT cl.component, cl.doc_id, q.score,
+         |    row_number() OVER (PARTITION BY cl.component
+         |      ORDER BY q.score DESC, cl.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cl.component) AS n_docs
+         |  FROM cl JOIN q USING (doc_id))
+         |SELECT component, n_docs, doc_id AS keep_id, score AS keep_score
+         |FROM rk WHERE rk = 1""".stripMargin,
     "ann_lsh" ->
       """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings WHERE vec_id < 300),

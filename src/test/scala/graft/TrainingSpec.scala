@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{ClusterOps, TextOps, VectorOps}
 import graft.queries.TrainingQueries
 
 class TrainingSpec extends AnyFunSuite {
@@ -38,6 +38,42 @@ class TrainingSpec extends AnyFunSuite {
         window, "doc_id", "text", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(verified.forall { case (a, b, j) => exact((a, b)) == j })
+  }
+
+  test("connected components: a long chain, a triangle, and singletons") {
+    import spark.implicits._
+    // chain 0-1-2-...-19 (forces several doubling rounds), triangle 100-101-102,
+    // nodes 200, 201 isolated
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((100L, 101L), (101L, 102L), (102L, 100L)))
+      .toDF("a", "b")
+    val nodes = ((0L to 19L) ++ Seq(100L, 101L, 102L, 200L, 201L)).toDF("id")
+    val got = ClusterOps.connectedComponents(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 19L).forall(got(_) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(got(_) == 100L))
+    assert(got(200L) == 200L && got(201L) == 201L)
+    assert(got.size == 25)
+  }
+
+  test("dedup clustering over LSH pairs groups transitive near-dups") {
+    val window = docs.filter(col("doc_id") < 100)
+    val cand = TextOps.minhashCandidates(window, "doc_id", "text")
+    val cc = ClusterOps.connectedComponents(cand, window.select(col("doc_id").as("id")))
+    val lbl = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every candidate pair ends in one component; component = min member
+    assert(pairs.forall { case (a, b) => lbl(a) == lbl(b) })
+    val members = lbl.groupBy(_._2).view.mapValues(_.keys.min)
+    assert(members.forall { case (comp, minId) => comp == minId })
+    // canonical pick: one row per component, keep_id inside the component
+    val canon = ClusterOps.canonicalPerCluster(cc,
+        TextOps.quality(window, "doc_id", "text")
+          .select(col("doc_id").as("id"), col("quality_score").as("score")))
+      .collect()
+    assert(canon.map(_.getLong(0)).distinct.length == canon.length)
+    assert(canon.forall(r => lbl(r.getLong(2)) == r.getLong(0)))
+    assert(canon.map(_.getLong(1)).sum == lbl.size)
   }
 
   test("simhash: near-identical docs have close signatures") {
