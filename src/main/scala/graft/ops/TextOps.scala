@@ -176,6 +176,31 @@ object TextOps {
     docs.select(col(idCol).as("id"), charGramsCol(col(textCol), k).as("grams"))
       .select(col("id"), explode(winnowSelectCol(col("grams"), w)).as("fp"))
 
+  /** PII-scrub regexes. Deliberately simple: the character-class subset
+    * of regex that Java (Spark) and RE2 (DuckDB, and most scan-side
+    * engines) interpret identically — no backrefs, no lookaround.
+    */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+  val longNumRe = "[0-9]{6,}"
+
+  /** Replace emails, then URLs, then long digit runs with typed tags.
+    * Order matters: emails contain dots/hostnames a URL pattern could
+    * clip, and both can contain digit runs. Row-local, codegen'd.
+    */
+  def scrubPiiCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      longNumRe, "<NUM>")
+
+  /** Canonical text form: lowercase, collapsed whitespace, trimmed —
+    * the normalization pass before fingerprinting/dedup.
+    */
+  def normalizeCol(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Stopword-marker language-ID heuristic. Fixed CASE precedence
     * (en, es, de, fr, else und when no markers hit) keeps the argmax
     * deterministic in any engine.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{ClusterOps, TextOps, VectorOps}
+import graft.ops.{ClusterOps, SampleOps, TextOps, VectorOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the documents/embeddings tables, each with a DuckDB
@@ -129,6 +129,49 @@ object TrainingQueries {
       Tables.documents(s, d).filter(col("doc_id") < 50), "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
 
+  /** Deterministic 20% Bernoulli sample of documents, keyed by doc_id. */
+  val smpHash: Q = (s, d) =>
+    SampleOps.hashSample(Tables.documents(s, d), "doc_id", 0.2, "split1")
+      .select(col("doc_id"), col("source"))
+
+  /** Per-source mixing rates for [[smpStratified]] — the "training
+    * mixture recipe" shape: named strata up-/down-weighted, everything
+    * else at a default floor.
+    */
+  val mixRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+  val mixDefault = 0.05
+
+  /** Stratified deterministic sampling: per-source kept counts under the
+    * mixture recipe (the audit view a pipeline materializes).
+    */
+  val smpStratified: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sampled = SampleOps.stratifiedSample(docs, "doc_id", "source",
+      mixRates, mixDefault, "mix1")
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .join(sampled.groupBy(col("source")).agg(count(lit(1)).as("n_sampled")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+  }
+
+  /** PII scrub + normalization over text enriched with deterministic
+    * synthetic PII (the fixture corpus carries none): per-doc replacement
+    * counts and the md5 of the scrubbed normalized text.
+    */
+  val txtScrub: Q = (s, d) => {
+    val enriched = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or "),
+      lit("https://ex.org/d/"), col("doc_id"), lit("?ref=1 case 1234567"),
+      col("doc_id"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_count(enriched, lit(TextOps.emailRe)).cast("long").as("n_emails"),
+      regexp_count(enriched, lit(TextOps.urlRe)).cast("long").as("n_urls"),
+      regexp_count(enriched, lit(TextOps.longNumRe)).cast("long").as("n_nums"),
+      md5(TextOps.normalizeCol(TextOps.scrubPiiCol(enriched))).as("scrub_md5"))
+  }
+
   /** Stopword-marker language ID with per-language scores. */
   val txtLangid: Q = (s, d) => {
     val scores = TextOps.langScores(col("text"))
@@ -153,7 +196,10 @@ object TrainingQueries {
     "txt_quality" -> txtQuality,
     "txt_tokens" -> txtTokens,
     "dd_winnow" -> ddWinnow,
-    "txt_langid" -> txtLangid
+    "txt_langid" -> txtLangid,
+    "smp_hash" -> smpHash,
+    "smp_stratified" -> smpStratified,
+    "txt_scrub" -> txtScrub
   )
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -381,6 +427,40 @@ object TrainingQueries {
         |    ELSE [] END AS fps
         |  FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM sel WHERE len(fps) > 0""".stripMargin,
+    "smp_hash" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE substr(md5('split1:' || doc_id::VARCHAR), 1, 4)
+         |  < '${SampleOps.threshold(0.2)}'""".stripMargin,
+    "smp_stratified" ->
+      s"""WITH f AS (SELECT source,
+         |    substr(md5('mix1:' || doc_id::VARCHAR), 1, 4) AS b,
+         |    CASE source
+         |      WHEN 'src0' THEN '${SampleOps.threshold(mixRates("src0"))}'
+         |      WHEN 'src1' THEN '${SampleOps.threshold(mixRates("src1"))}'
+         |      WHEN 'src2' THEN '${SampleOps.threshold(mixRates("src2"))}'
+         |      WHEN 'src3' THEN '${SampleOps.threshold(mixRates("src3"))}'
+         |      ELSE '${SampleOps.threshold(mixDefault)}' END AS th
+         |  FROM documents)
+         |SELECT source, count(*) AS n_total,
+         |  count(*) FILTER (WHERE b < th) AS n_sampled
+         |FROM f GROUP BY source""".stripMargin,
+    "txt_scrub" ->
+      s"""WITH e AS (SELECT doc_id,
+         |    text || ' contact user' || doc_id::VARCHAR || '@example.com or ' ||
+         |    'https://ex.org/d/' || doc_id::VARCHAR || '?ref=1 case 1234567' ||
+         |    doc_id::VARCHAR AS tx
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(tx, '${TextOps.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(tx, '${TextOps.urlRe}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(tx, '${TextOps.longNumRe}')) AS BIGINT) AS n_nums,
+         |  md5(trim(regexp_replace(lower(
+         |    regexp_replace(regexp_replace(regexp_replace(tx,
+         |      '${TextOps.emailRe}', '<EMAIL>', 'g'),
+         |      '${TextOps.urlRe}', '<URL>', 'g'),
+         |      '${TextOps.longNumRe}', '<NUM>', 'g')),
+         |    '\\s+', ' ', 'g'))) AS scrub_md5
+         |FROM e""".stripMargin,
     "txt_langid" ->
       s"""WITH b AS (SELECT doc_id,
          |  len(list_filter($toksSql, t -> t IN ('the','and','of','to','a'))) AS s_en,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{ClusterOps, TextOps, VectorOps}
+import graft.ops.{ClusterOps, SampleOps, TextOps, VectorOps}
 import graft.queries.TrainingQueries
 
 class TrainingSpec extends AnyFunSuite {
@@ -181,6 +181,60 @@ class TrainingSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r(1L) == 4L) // four short words, one piece each
     assert(r(2L) == 5L) // ceil(20/4)
+  }
+
+  test("hash sampling: deterministic, rate-accurate, salt-independent") {
+    val n = docs.count().toDouble
+    val s1 = SampleOps.hashSample(docs, "doc_id", 0.2, "split1")
+    val s1b = SampleOps.hashSample(docs, "doc_id", 0.2, "split1")
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == s1b.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "same salt must reproduce the same rows")
+    assert(math.abs(ids1.size / n - 0.2) < 0.1, s"rate off: ${ids1.size / n}")
+    val ids2 = SampleOps.hashSample(docs, "doc_id", 0.2, "split2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 != ids1, "different salts must give different samples")
+    // edge rates
+    assert(SampleOps.hashSample(docs, "doc_id", 0.0, "x").count() == 0)
+    assert(SampleOps.hashSample(docs, "doc_id", 1.0, "x").count() == n)
+    // subset property within one salt: a higher rate contains a lower one
+    val lo = SampleOps.hashSample(docs, "doc_id", 0.1, "split1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(ids1))
+  }
+
+  test("stratified sampling follows per-stratum rates and default") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val got = SampleOps.stratifiedSample(docs, "doc_id", "source",
+        rates, 0.5, "mix")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("src0") == tot("src0"), "rate 1.0 keeps everything")
+    assert(!got.contains("src1"), "rate 0.0 keeps nothing")
+    val others = tot.keySet -- rates.keySet
+    val keptFrac = others.toSeq.map(s => got.getOrElse(s, 0L)).sum.toDouble /
+      others.toSeq.map(tot).sum
+    assert(math.abs(keptFrac - 0.5) < 0.15, s"default-rate fraction $keptFrac")
+  }
+
+  test("PII scrub replaces emails/urls/digit-runs; normalize collapses whitespace") {
+    import spark.implicits._
+    val df = Seq(
+      ("reach me at Bob.Smith+x@corp.example.org today", 1L),
+      ("see https://a.b/c?d=e#f and http://plain.io next", 2L),
+      ("ticket 123456789 and short 12345 stay", 3L),
+      ("  Mixed   CASE \t text  ", 4L)).toDF("text", "id")
+    val out = df.select(col("id"),
+        TextOps.scrubPiiCol(col("text")).as("scrubbed"),
+        TextOps.normalizeCol(col("text")).as("norm"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 == "reach me at <EMAIL> today")
+    assert(out(2L)._1 == "see <URL> and <URL> next")
+    assert(out(3L)._1 == "ticket <NUM> and short 12345 stay",
+      "only runs of 6+ digits are scrubbed")
+    assert(out(4L)._2 == "mixed case text")
   }
 
   test("shingles: n-gram construction") {
