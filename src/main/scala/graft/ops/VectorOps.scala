@@ -80,16 +80,65 @@ object VectorOps {
           lit(0.0), (acc, x) => acc + x) >= 0, "1").otherwise("0")), ""))
   }
 
-  /** ANN via OR-amplified LSH: `tables` independent hash tables, each
-    * keyed by a disjoint band of the signature, so a pair is a candidate
-    * when ANY band matches (the same banding shape as the MinHash dedup
-    * path, TextOps.bandKeys). Candidate generation costs Σ bucket² per
-    * table with `tables · 2^(bits/tables)` effective buckets — tune
-    * `bits`/`tables` to the corpus so buckets stay bounded; the
-    * single-prefix variant this replaces capped out at 2^prefixBits
-    * buckets and degenerated to n²/buckets at scale. Pairs are deduped
-    * before scoring, so each candidate is scored exactly once.
+  /** Nearest-centroid cell assignment: each row of `df` (id, vec) scored
+    * against every centroid (a broadcast map-side pass — n·k dot
+    * products, no shuffle), keeping the `nprobe` best cells per row.
+    * Ties break on cid for determinism.
     */
+  def assignCells(df: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val cents = broadcast(centroids.select(col("cid"),
+      toDouble(col("cvec")).as("cv")))
+    val scored = df.select(col("id"), toDouble(col("vec")).as("v"))
+      .crossJoin(cents)
+      .withColumn("c_cos", cosine(col("v"), col("cv")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("c_cos").desc, col("cid"))
+    scored.withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+  }
+
+  /** One Lloyd (k-means) step: assign every vector to its nearest
+    * centroid, recompute each cell's centroid as the elementwise mean.
+    * Returns long form (cid, pos, val, n) — `n` is the cell population.
+    * An empty cell simply disappears (standard Lloyd's on real data;
+    * reseed at the caller if k must stay fixed).
+    *
+    * Determinism: components are floor-quantized to 1e-6 longs BEFORE
+    * summing — integer addition is associative, so the mean is
+    * independent of partition/summation order (a double sum over rows is
+    * not, and fails a cross-engine hash gate nondeterministically). The
+    * division sq/(n·1e6) is a single IEEE op on exact operands —
+    * bit-identical in any engine.
+    */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(corpus, centroids, 1)
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("q", floor(col("x") * 1e6))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("cell").as("cid"), col("pos").cast("long").as("pos"),
+        (col("sq").cast("double") / (col("n").cast("double") * lit(1e6)))
+          .as("val"),
+        col("n"))
+
+  /** Iterated Lloyd steps, reassembling (cid, cvec) arrays each round so
+    * the output can seed [[assignCells]]/[[annIvf]]. Each round is two
+    * shuffles (cell-pos aggregate, array reassembly); rounds localCheckpoint
+    * to keep plan lineage flat.
+    */
+  def kmeansCentroids(corpus: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      cents = kmeansStep(corpus, cents)
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("val")))),
+          x => x("val")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** IVF-style ANN: assign every vector to its nearest centroid cell, and
     * answer queries from the union of their `nprobe` nearest cells only.
     * Centroids are caller-provided — typically a k-means output; any
@@ -104,20 +153,8 @@ object VectorOps {
     */
   def annIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int = 2): DataFrame = {
-    val cents = broadcast(centroids.select(col("cid"),
-      toDouble(col("cvec")).as("cv")))
-    def cellsOf(df: DataFrame, n: Int): DataFrame = {
-      val scored = df.select(col("id"), toDouble(col("vec")).as("v"))
-        .crossJoin(cents)
-        .withColumn("c_cos", cosine(col("v"), col("cv")))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("c_cos").desc, col("cid"))
-      scored.withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= n)
-        .select(col("id"), col("v"), col("cid").as("cell"))
-    }
-    val corpusCells = cellsOf(corpus, 1)
-    val queryCells = cellsOf(queries, nprobe)
+    val corpusCells = assignCells(corpus, centroids, 1)
+    val queryCells = assignCells(queries, centroids, nprobe)
     val scored = queryCells
       .select(col("id").as("q_id"), col("v").as("q_vec"), col("cell"))
       .join(corpusCells.select(col("id").as("n_id"),
@@ -132,6 +169,16 @@ object VectorOps {
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
 
+  /** ANN via OR-amplified LSH: `tables` independent hash tables, each
+    * keyed by a disjoint band of the signature, so a pair is a candidate
+    * when ANY band matches (the same banding shape as the MinHash dedup
+    * path, TextOps.bandKeys). Candidate generation costs Σ bucket² per
+    * table with `tables · 2^(bits/tables)` effective buckets — tune
+    * `bits`/`tables` to the corpus so buckets stay bounded; the
+    * single-prefix variant this replaces capped out at 2^prefixBits
+    * buckets and degenerated to n²/buckets at scale. Pairs are deduped
+    * before scoring, so each candidate is scored exactly once.
+    */
   def annLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
       bits: Int = 16, tables: Int = 4): DataFrame = {
     require(bits % tables == 0,

@@ -92,6 +92,17 @@ object TrainingQueries {
         .select(col("doc_id").as("id"), col("quality_score").as("score")))
   }
 
+  /** One Lloyd step from 8 seed centroids: long-form refined centroids
+    * (cid, pos, val, n) with order-independent quantized means.
+    */
+  val kmStep: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val seeds = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    VectorOps.kmeansStep(e, seeds)
+  }
+
   /** 16-bit SimHash signatures on an id window. */
   val ddSimhash: Q = (s, d) =>
     TextOps.simhash(
@@ -190,6 +201,7 @@ object TrainingQueries {
     "dd_canonical" -> ddCanonical,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "km_step" -> kmStep,
     "dd_simhash" -> ddSimhash,
     "emb_neardup" -> embNearDup,
     "ann_topk" -> annTopk,
@@ -355,6 +367,25 @@ object TrainingQueries {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "km_step" ->
+      """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |assign AS (SELECT id, v, cid AS cell FROM (
+        |  SELECT e.id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.id ORDER BY
+        |      list_dot_product(e.v, c.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, c.cid) AS r
+        |  FROM e, c) WHERE r = 1),
+        |px AS (SELECT cell, p - 1 AS pos,
+        |    CAST(floor(v[CAST(p AS INT)] * 1000000.0) AS BIGINT) AS q
+        |  FROM assign, unnest(range(1, len(v) + 1)) u(p))
+        |SELECT cell AS cid, CAST(pos AS BIGINT) AS pos,
+        |  CAST(sum(q) AS BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0) AS val,
+        |  count(*) AS n
+        |FROM px GROUP BY 1, 2""".stripMargin,
     "dd_simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
          |  FROM documents WHERE doc_id < 50),

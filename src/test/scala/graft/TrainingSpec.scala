@@ -134,6 +134,32 @@ class TrainingSpec extends AnyFunSuite {
     assert(truth.forall { case (q, n) => allProbe.get(q).exists(_.contains(n)) })
   }
 
+  test("kmeans step: full partition of the corpus, deterministic, chains into IVF") {
+    val corpus = embs.filter(col("id") < 150)
+    val seeds = embs.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val step = VectorOps.kmeansStep(corpus, seeds).collect()
+    val dims = corpus.select(size(col("vec"))).head().getInt(0)
+    val byCell = step.groupBy(_.getLong(0))
+    // every surviving cell carries all dims, with one consistent population
+    assert(byCell.forall { case (_, rs) =>
+      rs.map(_.getLong(1)).sorted.toSeq == (0L until dims) &&
+        rs.map(_.getLong(3)).distinct.length == 1 })
+    // populations partition the corpus (checked at pos 0)
+    assert(step.filter(_.getLong(1) == 0L).map(_.getLong(3)).sum == 150L)
+    // two iterated runs agree exactly (quantized integer sums)
+    val c1 = VectorOps.kmeansCentroids(corpus, seeds, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val c2 = VectorOps.kmeansCentroids(corpus, seeds, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 == c2)
+    // refined centroids feed the IVF search
+    val refined = VectorOps.kmeansCentroids(corpus, seeds, 1)
+    val res = VectorOps.annIvf(corpus.filter(col("id") < 5), corpus, refined,
+      k = 3, nprobe = 2).collect()
+    assert(res.nonEmpty && res.forall(_.getLong(2) <= 3))
+  }
+
   test("OR-amplified ANN recall beats any single table on true top-1") {
     val window = embs.filter(col("id") < 150)
     val truth = VectorOps.topK(window, window, k = 1)
