@@ -226,6 +226,39 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Top-k characteristic terms per document by tf·idf-style weighting.
+    * The weight is the rational tf·(N+1)/(df+1) rather than the usual
+    * tf·ln(N/df): products and one division over exact integers are
+    * bit-identical in every IEEE engine, while ln() differs across libm
+    * implementations in the last ulp — and rank order is identical
+    * (x ↦ ln is monotone). df counts each document once per term.
+    *
+    * Scale shape: two hash aggregates (tf per (doc, term), df per term)
+    * + a term-keyed join; the corpus size rides along as a broadcast
+    * single-row aggregate, never a driver-side count.
+    */
+  def termScores(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokensCol(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_corpus") + 1) / (col("df") + 1))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** Floor-quantize to 4 decimals. Ratios of small integers (k/80 …)
     * regularly land exactly on round()'s half boundary, where Spark
     * (HALF_UP on the binary value) and DuckDB disagree; floor of the

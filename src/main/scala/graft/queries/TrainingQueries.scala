@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{ClusterOps, SampleOps, TextOps, VectorOps}
+import graft.ops.{ClusterOps, PackOps, SampleOps, TextOps, VectorOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the documents/embeddings tables, each with a DuckDB
@@ -183,6 +183,30 @@ object TrainingQueries {
       md5(TextOps.normalizeCol(TextOps.scrubPiiCol(enriched))).as("scrub_md5"))
   }
 
+  /** Sequence packing: concat-and-chunk layout of the whole corpus into
+    * 512-token sequences within 16 md5 shards, epoch salt "ep0".
+    */
+  val packSeqs: Q = (s, d) =>
+    PackOps.packSequences(Tables.documents(s, d), "doc_id",
+      size(TextOps.tokensCol(col("text"))), ctxLen = 512, salt = "ep0")
+
+  /** Packing-efficiency audit: docs and tokens per packed sequence. */
+  val packStatsQ: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nTok = docs.select(col("doc_id"),
+      size(TextOps.tokensCol(col("text"))).cast("long").as("n_tok"))
+    PackOps.packStats(
+      PackOps.packSequences(docs, "doc_id",
+        size(TextOps.tokensCol(col("text"))), ctxLen = 512, salt = "ep0"),
+      nTok)
+  }
+
+  /** Top-5 characteristic terms per doc (rational tf·idf) on an id window. */
+  val txtTfidf: Q = (s, d) =>
+    TextOps.termScores(
+      Tables.documents(s, d).filter(col("doc_id") < 200),
+      "doc_id", "text", topK = 5)
+
   /** Stopword-marker language ID with per-language scores. */
   val txtLangid: Q = (s, d) => {
     val scores = TextOps.langScores(col("text"))
@@ -211,7 +235,10 @@ object TrainingQueries {
     "txt_langid" -> txtLangid,
     "smp_hash" -> smpHash,
     "smp_stratified" -> smpStratified,
-    "txt_scrub" -> txtScrub
+    "txt_scrub" -> txtScrub,
+    "pack_seqs" -> packSeqs,
+    "pack_stats" -> packStatsQ,
+    "txt_tfidf" -> txtTfidf
   )
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -492,6 +519,42 @@ object TrainingQueries {
          |      '${TextOps.longNumRe}', '<NUM>', 'g')),
          |    '\\s+', ' ', 'g'))) AS scrub_md5
          |FROM e""".stripMargin,
+    "pack_seqs" ->
+      s"""WITH k AS (SELECT doc_id, len($toksSql) AS n_tok,
+         |    md5('ep0:' || doc_id::VARCHAR) AS key FROM documents),
+         |s AS (SELECT doc_id, n_tok, key, substr(key, 1, 1) AS shard FROM k),
+         |o AS (SELECT doc_id, shard,
+         |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY key, doc_id)
+         |      - n_tok AS BIGINT) AS start_off
+         |  FROM s)
+         |SELECT doc_id, shard, start_off,
+         |  CAST(floor(start_off::DOUBLE / 512.0) AS BIGINT) AS seq_idx
+         |FROM o""".stripMargin,
+    "pack_stats" ->
+      s"""WITH k AS (SELECT doc_id, len($toksSql) AS n_tok,
+         |    md5('ep0:' || doc_id::VARCHAR) AS key FROM documents),
+         |s AS (SELECT doc_id, n_tok, key, substr(key, 1, 1) AS shard FROM k),
+         |o AS (SELECT doc_id, shard, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY key, doc_id)
+         |      - n_tok AS BIGINT) AS start_off
+         |  FROM s),
+         |p AS (SELECT shard, CAST(floor(start_off::DOUBLE / 512.0) AS BIGINT) AS seq_idx,
+         |    n_tok FROM o)
+         |SELECT shard, seq_idx, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM p GROUP BY 1, 2""".stripMargin,
+    "txt_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok
+         |  FROM documents WHERE doc_id < 200),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+         |n AS (SELECT count(*) AS n_corpus FROM documents WHERE doc_id < 200),
+         |sc AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+         |    tf.tf::DOUBLE * (n.n_corpus + 1) / (dfq.df + 1) AS score
+         |  FROM tf JOIN dfq USING (tok), n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, tok) AS BIGINT) AS rank FROM sc)
+         |SELECT doc_id, rank, tok, tf, df, score FROM r WHERE rank <= 5""".stripMargin,
     "txt_langid" ->
       s"""WITH b AS (SELECT doc_id,
          |  len(list_filter($toksSql, t -> t IN ('the','and','of','to','a'))) AS s_en,

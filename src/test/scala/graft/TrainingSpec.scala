@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{ClusterOps, SampleOps, TextOps, VectorOps}
+import graft.ops.{ClusterOps, PackOps, SampleOps, TextOps, VectorOps}
 import graft.queries.TrainingQueries
 
 class TrainingSpec extends AnyFunSuite {
@@ -261,6 +261,49 @@ class TrainingSpec extends AnyFunSuite {
     assert(out(3L)._1 == "ticket <NUM> and short 12345 stay",
       "only runs of 6+ digits are scrubbed")
     assert(out(4L)._2 == "mixed case text")
+  }
+
+  test("sequence packing: contiguous offsets per shard, reproducible, epoch-varying") {
+    val nTok = size(TextOps.tokensCol(col("text")))
+    val packed = PackOps.packSequences(docs, "doc_id", nTok, 512, "ep0").collect()
+    val withTok = docs.select(col("doc_id"),
+        nTok.cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // within a shard, sorted start offsets tile the stream without gaps
+    packed.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(2) == expect, "offsets must be contiguous")
+        expect += withTok(r.getLong(0))
+      }
+    }
+    // seq_idx consistent with ctxLen
+    assert(packed.forall(r => r.getLong(3) == r.getLong(2) / 512))
+    // reproducible; different epoch salt reorders
+    val again = PackOps.packSequences(docs, "doc_id", nTok, 512, "ep0").collect()
+    assert(packed.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(2))).toSet)
+    val ep1 = PackOps.packSequences(docs, "doc_id", nTok, 512, "ep1").collect()
+    assert(ep1.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet !=
+      packed.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
+  }
+
+  test("tf-idf: common terms rank below distinctive ones, topK bounded") {
+    val window = docs.filter(col("doc_id") < 100)
+    val scored = TextOps.termScores(window, "doc_id", "text", topK = 5).collect()
+    val byDoc = scored.groupBy(_.getLong(0))
+    assert(byDoc.forall(_._2.length <= 5))
+    assert(byDoc.forall(_._2.map(_.getLong(1)).sorted.toSeq ==
+      (1L to byDoc.head._2.length)))
+    // within a doc, scores are non-increasing with rank
+    byDoc.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+    // a term in every doc scores below a same-tf rarer term for any doc
+    val n = window.count()
+    assert(scored.forall(r => r.getLong(4) <= n))
   }
 
   test("shingles: n-gram construction") {
