@@ -21,6 +21,17 @@ object ExtQueries {
   val evSessions: Q = (s, d) =>
     EventStreams.sessionizeBatch(Tables.events(s, d))
 
+  /** Exactly-once dedup (batch form of EventStreams.dedupEvents): the
+    * input is deliberately doubled — an at-least-once upstream — and the
+    * per-type aggregate must match single-delivery numbers.
+    */
+  val evDedup: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    EventStreams.dedupBatch(e.unionAll(e))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** v2 id codec round-trip through the native Catalyst expressions. */
   val mrcaCodec: Q = (s, d) =>
     Tables.customer(s, d).filter(col("c_custkey") < 100)
@@ -298,6 +309,7 @@ object ExtQueries {
     "o3_subtree_pruned" -> o3SubtreePruned,
     "a6_supporting_studies" -> a6SupportingStudies,
     "ev_sessions" -> evSessions,
+    "ev_dedup" -> evDedup,
     "f10_mrca_codec" -> mrcaCodec,
     "mm_media_meta" -> mmMediaMeta,
     "api_about" -> apiAbout,
@@ -320,6 +332,11 @@ object ExtQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_dedup" ->
+      """WITH d AS (SELECT * FROM events UNION ALL SELECT * FROM events),
+        |u AS (SELECT DISTINCT ON (event_id) event_type, value FROM d ORDER BY event_id)
+        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM u GROUP BY event_type""".stripMargin,
     "ev_sessions" ->
       """WITH e AS (SELECT event_id, user_id, value, ts::TIMESTAMP AS t FROM events),
         |x AS (SELECT *, lag(epoch_us(t)) OVER

@@ -58,6 +58,23 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exactly-once dedup: drop events whose `event_id` was
+    * already seen, for duplicates arriving within the watermark horizon
+    * (at-least-once upstream → exactly-once downstream). State is one
+    * entry per key, expired by the watermark, so memory is bounded by
+    * rate × horizon — the property that lets this run forever.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Batch twin of [[dedupEvents]]: one row per event_id (rows with the
+    * same id are byte-identical upstream duplicates, so "any row" is
+    * deterministic).
+    */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
   /** Streaming sessionization: per-user sessions split on `gapMinutes` of
     * event-time silence, via flatMapGroupsWithState with event-time timeout.
     * Sessions are emitted when the watermark passes their gap horizon.

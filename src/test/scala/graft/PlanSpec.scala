@@ -84,6 +84,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("hash sampling is a scan-local predicate: zero exchanges in the plan") {
+    val p = finalPlan(graft.ops.SampleOps.hashSample(
+      Tables.documents(spark, sf), "doc_id", 0.2, "split1"))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("*("), p) // the md5 gate runs inside codegen
+  }
+
+  test("stratified sampling broadcasts the rate table") {
+    val p = finalPlan(graft.ops.SampleOps.stratifiedSample(
+      Tables.documents(spark, sf), "doc_id", "source",
+      Map("src0" -> 0.5), 0.1, "mix"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("kmeans step centroids broadcast; means are partial/final hash aggregates") {
+    val e = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"))
+    val seeds = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("cid"),
+        org.apache.spark.sql.functions.col("embedding").as("cvec"))
+    val p = finalPlan(graft.ops.VectorOps.kmeansStep(e, seeds))
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // bounded centroid side
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // map-side combine
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sequence packing shuffles once: shard-partitioned window, no global sort") {
+    val p = finalPlan(graft.queries.TrainingQueries.packSeqs(spark, sf))
+    assert("hashpartitioning".r.findAllIn(p).length >= 1, p)
+    assert(!p.contains("rangepartitioning"), p) // no single-stream global order
+  }
+
   test("custom codec expression leaves pushdown and codegen intact") {
     val p = finalPlan(ExtQueries.mrcaCodec(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,100)]"), p)

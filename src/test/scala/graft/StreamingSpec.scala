@@ -78,6 +78,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(Seq("00:00", 1L, 1.0), Seq("00:20", 2L, 6.0)))
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    import spark.implicits._
+    def writeBatch(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val sub = Files.createTempDirectory("graft_dd_tmp").toString + "/w"
+      rows.toDF("event_id", "t", "value")
+        .select(col("event_id"),
+          unix_micros(to_timestamp(col("t"))) * 1000,
+          lit(1L).as("user_id"), lit("x").as("event_type"),
+          col("value"), lit("{}").as("props"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(sub)
+      val f = new java.io.File(sub).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, Paths.get(s"$dir/$name"))
+    }
+    // batch 1 delivers events 1,2; batch 2 redelivers 2 (a retry) plus 3
+    writeBatch("part-000.parquet", Seq(
+      (1L, "2020-01-01 00:00:00", 1.0), (2L, "2020-01-01 00:05:00", 2.0)))
+    writeBatch("part-001.parquet", Seq(
+      (2L, "2020-01-01 00:05:00", 2.0), (3L, "2020-01-01 00:10:00", 3.0)))
+
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part-*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.dedupEvents(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("dedup_out")
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
   test("streaming sessionization equals batch gaps-and-islands") {
     // three-file feed: real data, then two future sentinels that advance the
     // watermark so event-time timeouts fire and sessions flush
