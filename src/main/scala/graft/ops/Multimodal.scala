@@ -51,4 +51,46 @@ object Multimodal {
         rows.map(decodeStub)
       }
   }
+
+  /** Every-k-th frame sample from each media row: one output row per kept
+    * frame, frame count from the (stub) decode, signature a deterministic
+    * md5 standing in for the frame's perceptual hash. The explode is the
+    * real plumbing: a video becomes rows, so downstream per-frame work
+    * (embedding, OCR, dedup) distributes instead of hiding inside one
+    * giant cell.
+    */
+  def sampleFrames(docsWithMedia: DataFrame, everyK: Int): DataFrame =
+    docsWithMedia
+      .withColumn("n_frames",
+        when(col("kind") === "image", lit(1L))
+          .otherwise(octet_length(col("media")).cast("long") % 1000L))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("kind"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(everyK.toLong)))
+          .as("frame_idx"))
+      .withColumn("frame_sig",
+        md5(concat_ws(":", col("doc_id"), col("frame_idx"))))
+
+  /** Fixed-size chunking of the media payload — the transport shape for
+    * blobs that must not live in one row (row-size ceilings in shuffles
+    * and columnar pages): (doc_id, chunk_idx) becomes the addressable
+    * unit, with a per-chunk digest for integrity checks. Chunks reassemble
+    * to the payload by ordered concat.
+    */
+  def chunkMedia(docsWithMedia: DataFrame, chunkChars: Int): DataFrame = {
+    val n = chunkChars
+    docsWithMedia
+      .select(col("doc_id"), decode(col("media"), "utf-8").as("payload"))
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L),
+          floor((length(col("payload")) - 1) / lit(n.toDouble)).cast("long")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("payload").substr((col("chunk_idx") * n + 1).cast("int"), lit(n))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+  }
 }

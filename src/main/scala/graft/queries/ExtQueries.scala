@@ -45,6 +45,16 @@ object ExtQueries {
   val mmMediaMeta: Q = (s, d) =>
     Multimodal.extractMeta(s, Multimodal.withMedia(Tables.documents(s, d))).toDF()
 
+  /** Every-4th-frame sample over an id window (videos explode to rows). */
+  val mmFrames: Q = (s, d) =>
+    Multimodal.sampleFrames(
+      Multimodal.withMedia(Tables.documents(s, d).filter(col("doc_id") < 200)),
+      everyK = 4)
+
+  /** 256-char chunk transport of every media payload with digests. */
+  val mmChunks: Q = (s, d) =>
+    Multimodal.chunkMedia(Multimodal.withMedia(Tables.documents(s, d)), 256)
+
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, TreeIngest.Ingested]()
 
@@ -312,6 +322,8 @@ object ExtQueries {
     "ev_dedup" -> evDedup,
     "f10_mrca_codec" -> mrcaCodec,
     "mm_media_meta" -> mmMediaMeta,
+    "mm_frames" -> mmFrames,
+    "mm_chunks" -> mmChunks,
     "api_about" -> apiAbout,
     "api_node_info" -> apiNodeInfo,
     "api_mrca" -> apiMrca,
@@ -354,6 +366,27 @@ object ExtQueries {
         |  (c_custkey + 10000000 * (c_custkey + 1)) % 10000000 AS back_a,
         |  (c_custkey + 10000000 * (c_custkey + 1)) // 10000000 AS back_b
         |FROM customer WHERE c_custkey < 100""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS blen
+        |  FROM documents WHERE doc_id < 200),
+        |f AS (SELECT doc_id, kind,
+        |    CASE WHEN kind = 'image' THEN 1 ELSE blen % 1000 END AS n_frames
+        |  FROM m)
+        |SELECT doc_id, kind, fi AS frame_idx,
+        |  md5(doc_id::VARCHAR || ':' || fi::VARCHAR) AS frame_sig
+        |FROM f, unnest(range(0, n_frames, 4)) u(fi)
+        |WHERE n_frames > 0""".stripMargin,
+    "mm_chunks" ->
+      """WITH p AS (SELECT doc_id, text AS payload FROM documents
+        |  WHERE length(text) > 0)
+        |SELECT doc_id, ci AS chunk_idx,
+        |  CAST(length(substr(payload, CAST(ci * 256 + 1 AS INT), 256)) AS BIGINT)
+        |    AS chunk_len,
+        |  md5(substr(payload, CAST(ci * 256 + 1 AS INT), 256)) AS chunk_md5
+        |FROM p, unnest(range(0, (length(payload) - 1) // 256 + 1)) u(ci)""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

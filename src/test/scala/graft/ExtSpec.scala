@@ -72,4 +72,47 @@ class ExtSpec extends AnyFunSuite {
       .select("kind").distinct().collect().map(_.getString(0)).toSet
     assert(kinds == Set("image", "audio", "video"))
   }
+
+  test("multimodal: frame sampling keeps every k-th frame, images one frame") {
+    import org.apache.spark.sql.functions._
+    val docs = Multimodal.withMedia(
+      Tables.documents(spark, sf).filter(col("doc_id") < 60))
+    val frames = Multimodal.sampleFrames(docs, everyK = 4).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getLong(2) % 4 == 0), "kept frames are k-aligned")
+    val byDoc = frames.groupBy(_.getLong(0))
+    val metas = Multimodal.extractMeta(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    byDoc.foreach { case (id, rs) =>
+      val m = metas(id)
+      assert(rs.length == (m.n_frames + 3) / 4, s"doc $id frame count")
+      if (m.kind == "image") assert(rs.map(_.getLong(2)).toSeq == Seq(0L))
+    }
+  }
+
+  test("multimodal: chunks are budget-sized and reassemble to the payload") {
+    import org.apache.spark.sql.functions._
+    val docs = Multimodal.withMedia(
+      Tables.documents(spark, sf).filter(col("doc_id") < 30))
+    val chunks = Multimodal.chunkMedia(docs, 256)
+    val full = docs.select(col("doc_id"),
+        decode(col("media"), "utf-8").as("payload")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reassembly check via per-chunk digests of the true payload slices
+    val got = chunks.collect().groupBy(_.getLong(0))
+    assert(got.keySet == full.keySet.filter(full(_).nonEmpty))
+    got.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val p = full(id)
+      assert(sorted.map(_.getLong(2)).sum == p.length, s"doc $id lengths")
+      assert(sorted.init.forall(_.getLong(2) == 256L), "all but last chunk full")
+      sorted.foreach { r =>
+        val off = r.getLong(1).toInt * 256
+        val slice = p.substring(off, math.min(off + 256, p.length))
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getString(3) == md, s"chunk digest doc $id idx ${r.getLong(1)}")
+      }
+    }
+  }
 }
