@@ -103,6 +103,26 @@ object TrainingQueries {
     VectorOps.kmeansStep(e, seeds)
   }
 
+  /** The complete dedup pipeline, end to end: LSH candidates → exact
+    * Jaccard verification (≥ 0.5) → connected components over the
+    * VERIFIED pair graph → one kept doc per component (best quality).
+    * Output is the keep/drop decision per document — what a training run
+    * actually consumes.
+    */
+  val ddPipeline: Q = (s, d) => {
+    val w = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val verified = TextOps.jaccardVerify(
+      TextOps.minhashCandidates(w, "doc_id", "text"), w, "doc_id", "text", 0.5)
+    val cc = ClusterOps.connectedComponents(
+      verified.select(col("a"), col("b")), w.select(col("doc_id").as("id")))
+    val canon = ClusterOps.canonicalPerCluster(cc,
+      TextOps.quality(w, "doc_id", "text")
+        .select(col("doc_id").as("id"), col("quality_score").as("score")))
+    cc.join(canon.select(col("component"), col("keep_id")), "component")
+      .select(col("id").as("doc_id"), col("component"),
+        (col("id") === col("keep_id")).as("keep"))
+  }
+
   /** 16-bit SimHash signatures on an id window. */
   val ddSimhash: Q = (s, d) =>
     TextOps.simhash(
@@ -223,6 +243,7 @@ object TrainingQueries {
     "dd_lsh_verified" -> ddLshVerified,
     "dd_cluster" -> ddCluster,
     "dd_canonical" -> ddCanonical,
+    "dd_pipeline" -> ddPipeline,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "km_step" -> kmStep,
@@ -243,11 +264,12 @@ object TrainingQueries {
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
 
-  /** Shared oracle fragment: LSH candidate graph on doc_id < 100 →
-    * min-reachable-id connected components via a recursive CTE (the
-    * oracle for what the engine computes by min-label pointer doubling).
+  /** Shared oracle fragments for the dedup-clustering family:
+    * LSH candidate graph on doc_id < 100, min-reachable-id connected
+    * components over a pair CTE (the oracle for what the engine computes
+    * by min-label pointer doubling), quality scores.
     */
-  private val ccSql =
+  private val candSql =
     s"""t AS (SELECT doc_id, list_distinct($toksSql) AS toks
        |  FROM documents WHERE doc_id < 100),
        |mh AS (SELECT doc_id, list_transform(range(0, 8),
@@ -257,13 +279,31 @@ object TrainingQueries {
        |  FROM mh, unnest(range(0, 4)) u(b)),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y
-       |    ON x.bk = y.bk AND x.b = y.b AND x.doc_id < y.doc_id),
-       |sym AS (SELECT a AS u, b AS v FROM cand UNION ALL SELECT b, a FROM cand),
+       |    ON x.bk = y.bk AND x.b = y.b AND x.doc_id < y.doc_id)""".stripMargin
+
+  private def ccFrom(pairs: String): String =
+    s"""sym AS (SELECT a AS u, b AS v FROM $pairs
+       |  UNION ALL SELECT b, a FROM $pairs),
        |reach(id, r) AS (
        |  SELECT doc_id, doc_id FROM t
        |  UNION
        |  SELECT sy.u, reach.r FROM sym sy JOIN reach ON reach.id = sy.v),
        |cl AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private val qualitySql =
+    s"""qb AS (SELECT doc_id, text, $toksSql AS toks,
+       |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+       |  len(list_filter($toksSql, t -> t IN
+       |    ('the','and','of','to','a','el','la','de','los','que',
+       |     'der','die','und','das','ist','le','les','des','et','une'))) AS stops
+       |  FROM documents WHERE doc_id < 100),
+       |q AS (SELECT doc_id,
+       |  floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
+       |    + (1.0 - punct::DOUBLE / length(text)) * 0.3
+       |    + (stops::DOUBLE / len(toks)) * 0.2) * 10000.0) / 10000.0 AS score
+       |  FROM qb)""".stripMargin
+
+  private val ccSql = s"$candSql,\n${ccFrom("cand")}"
 
   val oracle: Map[String, String] = Map(
     "dd_source_stats" ->
@@ -324,17 +364,7 @@ object TrainingQueries {
     "dd_canonical" ->
       s"""WITH RECURSIVE
          |$ccSql,
-         |qb AS (SELECT doc_id, text, $toksSql AS toks,
-         |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
-         |  len(list_filter($toksSql, t -> t IN
-         |    ('the','and','of','to','a','el','la','de','los','que',
-         |     'der','die','und','das','ist','le','les','des','et','une'))) AS stops
-         |  FROM documents WHERE doc_id < 100),
-         |q AS (SELECT doc_id,
-         |  floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.5
-         |    + (1.0 - punct::DOUBLE / length(text)) * 0.3
-         |    + (stops::DOUBLE / len(toks)) * 0.2) * 10000.0) / 10000.0 AS score
-         |  FROM qb),
+         |$qualitySql,
          |rk AS (SELECT cl.component, cl.doc_id, q.score,
          |    row_number() OVER (PARTITION BY cl.component
          |      ORDER BY q.score DESC, cl.doc_id) AS rk,
@@ -342,6 +372,24 @@ object TrainingQueries {
          |  FROM cl JOIN q USING (doc_id))
          |SELECT component, n_docs, doc_id AS keep_id, score AS keep_score
          |FROM rk WHERE rk = 1""".stripMargin,
+    "dd_pipeline" ->
+      s"""WITH RECURSIVE
+         |$candSql,
+         |jv AS (SELECT c.a, c.b,
+         |    len(list_intersect(ta.toks, tb.toks)) AS inter,
+         |    len(ta.toks) AS na, len(tb.toks) AS nb
+         |  FROM cand c JOIN t ta ON ta.doc_id = c.a JOIN t tb ON tb.doc_id = c.b),
+         |ver AS (SELECT a, b FROM jv
+         |  WHERE floor(inter::DOUBLE / (na + nb - inter) * 10000.0) / 10000.0 >= 0.5),
+         |${ccFrom("ver")},
+         |$qualitySql,
+         |canon AS (SELECT component, doc_id AS keep_id FROM (
+         |    SELECT cl.component, cl.doc_id,
+         |      row_number() OVER (PARTITION BY cl.component
+         |        ORDER BY q.score DESC, cl.doc_id) AS rk
+         |    FROM cl JOIN q USING (doc_id)) WHERE rk = 1)
+         |SELECT cl.doc_id, cl.component, cl.doc_id = canon.keep_id AS keep
+         |FROM cl JOIN canon USING (component)""".stripMargin,
     "ann_lsh" ->
       """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings WHERE vec_id < 300),

@@ -76,6 +76,18 @@ class TrainingSpec extends AnyFunSuite {
     assert(canon.map(_.getLong(1)).sum == lbl.size)
   }
 
+  test("dedup pipeline: exactly one kept doc per component, drops are verified dups") {
+    val out = TrainingQueries.ddPipeline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byComp = out.groupBy(_._2)
+    assert(byComp.forall(_._2.count(_._3) == 1), "one keeper per component")
+    // docs dropped must be in a multi-doc component (never drop a singleton)
+    assert(out.filter(!_._3).forall(r => byComp(r._2).length > 1))
+    // every window doc got a decision
+    assert(out.length ==
+      docs.filter(col("doc_id") < 100).count())
+  }
+
   test("simhash: near-identical docs have close signatures") {
     val window = docs.filter(col("doc_id") < 200)
     val sig = TextOps.simhash(window, "doc_id", "text")
