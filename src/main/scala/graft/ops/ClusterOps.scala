@@ -12,16 +12,21 @@ import org.apache.spark.sql.functions._
   * of the three), so the unit of deduplication is the component, not the
   * pair.
   *
-  * Scale design: min-label propagation with a pointer-doubling shortcut —
-  * the same primitive as the tree labeler. Per round:
-  *   1. relax:    lbl(v) ← min(lbl(v), min over neighbors' lbl)   [1 shuffle]
-  *   2. shortcut: lbl(v) ← lbl(lbl(v))                            [1 shuffle]
+  * Scale design: min-label propagation with star collapse and a
+  * pointer-doubling shortcut. Per round:
+  *   1. relax:    r(v) ← min(lbl(v), min over neighbors' lbl)
+  *   2. collapse: r(v) ← min over the group sharing v's OLD label of r
+  *                (everyone pointing at one representative inherits the
+  *                group's best discovery at once — without this the
+  *                plain relax+shortcut loop measured ~50 rounds on a
+  *                2k-node random functional graph, the O(log²) regime)
+  *   3. shortcut: lbl(v) ← r(r(v))  (pointer doubling)
   * Labels are monotone non-increasing, so Σ lbl is an exact-integer
-  * convergence witness; the shortcut makes rounds O(log component
-  * diameter), not O(diameter). Every round localCheckpoints (plan-lineage
-  * truncation — analysis would otherwise blow up, measured on the tree
-  * labeler). The min aggregations combine map-side, so a hub node receives
-  * #partitions rows, never its degree.
+  * convergence witness. Every round checkpoints AND severs the
+  * checkpoint's stats chain (see `flatten` below — without that, round
+  * cost explodes exponentially in the driver from ~round 17). The min
+  * aggregations combine map-side, so a hub node receives #partitions
+  * rows, never its degree.
   */
 object ClusterOps {
 
@@ -33,33 +38,51 @@ object ClusterOps {
     * @return (id, component) where component = min node id reachable
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 60): DataFrame = {
+    val spark = edges.sparkSession
+    // localCheckpoint truncates the PLAN but chains `originStats`: a
+    // checkpointed round's sizeInBytes is the product of the previous
+    // round's through its joins, so the stat doubles its digit count
+    // every round and by round ~20 the driver spends minutes multiplying
+    // million-digit BigInts inside the stats visitor (measured: 0.5 s
+    // rounds growing 3× per round from round 17). Rebuilding from the
+    // checkpointed RDD severs the chain — stats reset to the default.
+    def flatten(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
     val e = edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .localCheckpoint()
-    var lbl = nodes.select(col("id").cast("long").as("id"))
-      .distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    val sym = flatten(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct())
+    var lbl = flatten(
+      nodes.select(col("id").cast("long").as("id"))
+        .distinct()
+        .withColumn("lbl", col("id")))
     var prevSum = -1L
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime()
       // relax: pull the min label across each node's neighborhood
       val nbrMin = sym.join(lbl.select(col("id").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("nlbl")).as("nmin"))
-      val relaxed = lbl.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      val relaxed = flatten(lbl.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("r")))
+      // collapse: the group sharing an old representative takes its best r
+      val grpMin = relaxed.groupBy(col("old")).agg(min(col("r")).as("gm"))
+      val collapsed = relaxed.join(grpMin, "old")
+        .select(col("id"), least(col("r"), col("gm")).as("lbl"))
       // shortcut: jump to the label's own label (pointer doubling)
-      val next = relaxed.alias("x")
-        .join(relaxed.select(col("id").as("lbl"), col("lbl").as("ll")).alias("y"),
+      val next = flatten(collapsed.alias("x")
+        .join(collapsed.select(col("id").as("lbl"), col("lbl").as("ll")).alias("y"),
           Seq("lbl"), "left")
-        .select(col("x.id").as("id"), coalesce(col("ll"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .select(col("x.id").as("id"), coalesce(col("ll"), col("lbl")).as("lbl")))
       val s = next.agg(sum(col("lbl"))).head.getLong(0)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        // scalastyle:off println
+        println(f"cc round=$round sum=$s sec=${(System.nanoTime() - t0) / 1e9}%.2f " +
+          s"planLines=${next.queryExecution.optimizedPlan.treeString.linesIterator.size}")
       converged = s == prevSum
       prevSum = s
       lbl = next

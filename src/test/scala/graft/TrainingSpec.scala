@@ -56,6 +56,30 @@ class TrainingSpec extends AnyFunSuite {
     assert(got.size == 25)
   }
 
+  test("connected components match union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val nodes = (0L until n.toLong)
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // merging roots min-ward makes every final root its component's min,
+      // which is exactly the engine's label convention
+      val want = nodes.map(i => i -> find(i.toInt).toLong).toMap
+      val got = ClusterOps.connectedComponents(
+          edges.toDF("a", "b"), nodes.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("dedup clustering over LSH pairs groups transitive near-dups") {
     val window = docs.filter(col("doc_id") < 100)
     val cand = TextOps.minhashCandidates(window, "doc_id", "text")
