@@ -309,8 +309,31 @@ object ExtQueries {
     TreeApi.supportingStudies(t, fixtureRootId(s))
   }
 
+  /** S10: edge dump resolved to ot ids/names over the fixture tree. */
+  val s10EdgeDump: Q = (s, _) => {
+    val t = fixture(s)
+    graft.tree.TreeExports.edgeDump(t.nodes, t.edges)
+  }
+
+  /** S11: MRP membership matrix, long form (tip × containing clade). */
+  val s11Mrp: Q = (s, _) =>
+    graft.tree.TreeExports.mrpMatrix(fixture(s).nodes)
+
+  /** A9: children grouped per parent (csv-joined — arrays would defeat
+    * the driver's pandas hasher, the round-1 api_* lesson).
+    */
+  val a9Children: Q = (s, _) =>
+    fixture(s).nodes.filter(col("parent_id") =!= -1L)
+      .groupBy(col("parent_id"))
+      .agg(count(lit(1)).as("n_children"),
+        array_join(array_sort(collect_list(col("ot_node_id"))), ",")
+          .as("children_csv"))
+
   val registry: Map[String, Q] = Map(
     "tree_multi" -> treeMulti,
+    "s10_edge_dump" -> s10EdgeDump,
+    "s11_mrp" -> s11Mrp,
+    "a9_children" -> a9Children,
     "api_v2_about" -> apiV2About,
     "api_v2_subtree" -> apiV2Subtree,
     "api_draft_trees" -> apiDraftTrees,
@@ -344,6 +367,24 @@ object ExtQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "s10_edge_dump" ->
+      """WITH n AS (SELECT node_id, ot_node_id, name
+        |  FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |e AS (SELECT * FROM read_parquet('__FIXTURE__/edges/*.parquet'))
+        |SELECT c.ot_node_id AS src_id, p.ot_node_id AS dst_id,
+        |  c.name AS src_name, p.name AS dst_name, e.tree_id, e.branch_length
+        |FROM e JOIN n c ON c.node_id = e.child_id
+        |  JOIN n p ON p.node_id = e.parent_id""".stripMargin,
+    "s11_mrp" ->
+      """SELECT node_id AS tip_id, a AS clade_id
+        |FROM read_parquet('__FIXTURE__/nodes/*.parquet'), unnest(ancestors) u(a)
+        |WHERE is_leaf AND a <> node_id""".stripMargin,
+    "a9_children" ->
+      """SELECT parent_id, count(*) AS n_children,
+        |  string_agg(ot_node_id, ',' ORDER BY ot_node_id) AS children_csv
+        |FROM read_parquet('__FIXTURE__/nodes/*.parquet')
+        |WHERE parent_id <> -1
+        |GROUP BY parent_id""".stripMargin,
     "ev_dedup" ->
       """WITH d AS (SELECT * FROM events UNION ALL SELECT * FROM events),
         |u AS (SELECT DISTINCT ON (event_id) event_type, value FROM d ORDER BY event_id)
