@@ -226,6 +226,25 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Benchmark-contamination scan: corpus documents sharing at least
+    * `minShared` distinct word n-grams with any eval-set document. The
+    * eval side is small by nature (a benchmark), so its exploded shingle
+    * set broadcasts and the scan is one map-side join over the corpus —
+    * no shuffle of the 100 TB side. Run before training; anything this
+    * flags either leaks the benchmark or inflates its score.
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minShared: Int = 2): DataFrame = {
+    def sh(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(shinglesCol(col(textCol), n)).as("sh"))
+    sh(corpus, "doc_id")
+      .join(broadcast(sh(evalSet, "eval_id")), "sh")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Top-k characteristic terms per document by tf·idf-style weighting.
     * The weight is the rational tf·(N+1)/(df+1) rather than the usual
     * tf·ln(N/df): products and one division over exact integers are

@@ -329,8 +329,13 @@ object ExtQueries {
         array_join(array_sort(collect_list(col("ot_node_id"))), ",")
           .as("children_csv"))
 
+  /** Stream-stream attribution join, batch form (same code path). */
+  val evAttribution: Q = (s, d) =>
+    EventStreams.attributionJoin(Tables.events(s, d))
+
   val registry: Map[String, Q] = Map(
     "tree_multi" -> treeMulti,
+    "ev_attribution" -> evAttribution,
     "s10_edge_dump" -> s10EdgeDump,
     "s11_mrp" -> s11Mrp,
     "a9_children" -> a9Children,
@@ -367,6 +372,15 @@ object ExtQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_attribution" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts::TIMESTAMP AS vt
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts::TIMESTAMP AS ct
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id,
+        |  (epoch_us(ct) - epoch_us(vt)) // 1000000 AS lag_sec
+        |FROM v JOIN c ON c.user_id = v.user_id
+        |  AND ct >= vt AND ct <= vt + INTERVAL 30 MINUTE""".stripMargin,
     "s10_edge_dump" ->
       """WITH n AS (SELECT node_id, ot_node_id, name
         |  FROM read_parquet('__FIXTURE__/nodes/*.parquet')),

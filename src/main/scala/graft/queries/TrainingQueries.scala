@@ -221,6 +221,15 @@ object TrainingQueries {
       nTok)
   }
 
+  /** Contamination scan: docs ≥ 10 sharing ≥ 2 distinct trigrams with the
+    * "benchmark" (docs 0-9).
+    */
+  val ddContaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    TextOps.contamination(docs.filter(col("doc_id") >= 10),
+      docs.filter(col("doc_id") < 10), "doc_id", "text")
+  }
+
   /** Top-5 characteristic terms per doc (rational tf·idf) on an id window. */
   val txtTfidf: Q = (s, d) =>
     TextOps.termScores(
@@ -259,7 +268,8 @@ object TrainingQueries {
     "txt_scrub" -> txtScrub,
     "pack_seqs" -> packSeqs,
     "pack_stats" -> packStatsQ,
-    "txt_tfidf" -> txtTfidf
+    "txt_tfidf" -> txtTfidf,
+    "dd_contaminate" -> ddContaminate
   )
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
@@ -591,6 +601,19 @@ object TrainingQueries {
          |SELECT shard, seq_idx, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM p GROUP BY 1, 2""".stripMargin,
+    "dd_contaminate" ->
+      s"""WITH sh AS (SELECT doc_id,
+         |    unnest(list_distinct(list_transform(
+         |      range(0, len($toksSql) - 3 + 1),
+         |      i -> array_to_string(($toksSql)[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))))
+         |      AS sh
+         |  FROM documents WHERE len($toksSql) >= 3)
+         |SELECT c.doc_id, e.doc_id AS eval_id,
+         |  count(DISTINCT c.sh) AS n_shared
+         |FROM (SELECT * FROM sh WHERE doc_id >= 10) c
+         |JOIN (SELECT * FROM sh WHERE doc_id < 10) e ON e.sh = c.sh
+         |GROUP BY 1, 2
+         |HAVING count(DISTINCT c.sh) >= 2""".stripMargin,
     "txt_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok
          |  FROM documents WHERE doc_id < 200),

@@ -75,6 +75,33 @@ object EventStreams {
   def dedupBatch(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** Stream-stream view→click attribution: each view joined to the same
+    * user's clicks landing within `windowMinutes` after it. The time-range
+    * condition plus both watermarks is what BOUNDS the join state — either
+    * side's buffered rows expire once the other stream's watermark passes
+    * the range, so state is rate × window, not the stream's history. The
+    * same code runs batch (watermark is a no-op there), which is the
+    * oracle-checked form.
+    */
+  def attributionJoin(events: DataFrame, windowMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000")
+          .as("lag_sec"))
+  }
+
   /** Streaming sessionization: per-user sessions split on `gapMinutes` of
     * event-time silence, via flatMapGroupsWithState with event-time timeout.
     * Sessions are emitted when the watermark passes their gap horizon.

@@ -115,6 +115,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("stream-stream attribution join equals its batch form") {
+    val dir = Files.createTempDirectory("graft_attr").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/part-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.readEvents(spark, dir)
+    val q = EventStreams.attributionJoin(stream)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("attr_out").collect().map(_.toSeq).toSet
+    val want = EventStreams.attributionJoin(batchEvents).collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionization equals batch gaps-and-islands") {
     // three-file feed: real data, then two future sentinels that advance the
     // watermark so event-time timeouts fire and sessions flush

@@ -342,6 +342,23 @@ class TrainingSpec extends AnyFunSuite {
     assert(scored.forall(r => r.getLong(4) <= n))
   }
 
+  test("contamination scan flags n-gram overlap with the eval set only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"),  // shares 3 trigrams with eval 0
+      (11L, "unrelated words entirely here now"),
+      (12L, "one shared alpha beta gamma nothing else")) // shares 1 trigram... plus overlap
+      .toDF("doc_id", "text")
+    val eval_ = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val got = TextOps.contamination(corpus, eval_, "doc_id", "text",
+        n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 0L, 3L)),
+      s"doc 10 shares exactly its 3 trigrams; 11 none; 12 only one: $got")
+    // the real-gate form returns rows on the fixture corpus (near-dups exist)
+    assert(TrainingQueries.ddContaminate(spark, sf).count() > 0)
+  }
+
   test("shingles: n-gram construction") {
     import spark.implicits._
     val df = Seq(Tuple1("a b c d")).toDF("text")
