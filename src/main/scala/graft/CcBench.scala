@@ -23,12 +23,15 @@ object CcBench {
 
     // deterministic pseudo-random edges: node i links to a hash-derived
     // partner within a window of 1000 ids — cluster sizes follow the
-    // random-graph regime below the giant-component threshold
+    // random-graph regime below the giant-component threshold. The last
+    // (possibly short) window wraps within itself so every partner stays
+    // inside the node universe for any n.
     val edges = spark.range(0L, n).toDF("a")
-      .withColumn("b",
-        (col("a") / 1000L).cast("long") * 1000L +
-          pmod(xxhash64(col("a")), lit(1000L)))
+      .withColumn("w0", (col("a") / 1000L).cast("long") * 1000L)
+      .withColumn("wlen", least(lit(1000L), lit(n) - col("w0")))
+      .withColumn("b", col("w0") + pmod(xxhash64(col("a")), col("wlen")))
       .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
     val nodes = spark.range(0L, n).toDF("id")
 
     val t0 = System.nanoTime()

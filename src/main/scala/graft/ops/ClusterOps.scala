@@ -78,7 +78,9 @@ object ClusterOps {
         .join(collapsed.select(col("id").as("lbl"), col("lbl").as("ll")).alias("y"),
           Seq("lbl"), "left")
         .select(col("x.id").as("id"), coalesce(col("ll"), col("lbl")).as("lbl")))
-      val s = next.agg(sum(col("lbl"))).head.getLong(0)
+      // sum is NULL (not 0) over an empty node universe — converge at once
+      val sumRow = next.agg(sum(col("lbl"))).head
+      val s = if (sumRow.isNullAt(0)) prevSum else sumRow.getLong(0)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         // scalastyle:off println
         println(f"cc round=$round sum=$s sec=${(System.nanoTime() - t0) / 1e9}%.2f " +

@@ -29,8 +29,8 @@ object PackOps {
     * @param docs     input rows
     * @param idCol    document id column name
     * @param nTokCol  per-document token count expression
-    * @return (doc_id, shard, start_off, seq_idx): the document's byte
-    *         position in its shard's token stream and the sequence
+    * @return (doc_id, shard, start_off, seq_idx): the document's TOKEN
+    *         offset in its shard's concatenated stream and the sequence
     *         (chunk) its first token lands in
     */
   def packSequences(docs: DataFrame, idCol: String, nTokCol: Column,

@@ -245,12 +245,18 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
-  /** Top-k characteristic terms per document by tf·idf-style weighting.
-    * The weight is the rational tf·(N+1)/(df+1) rather than the usual
+  /** Top-k characteristic terms per document by a df-penalized weight.
+    * The weight is the rational tf·(N+1)/(df+1) rather than the classic
     * tf·ln(N/df): products and one division over exact integers are
     * bit-identical in every IEEE engine, while ln() differs across libm
-    * implementations in the last ulp — and rank order is identical
-    * (x ↦ ln is monotone). df counts each document once per term.
+    * implementations in the last ulp. NOTE this is a tf-idf-FAMILY
+    * weighting, not rank-equivalent to the ln form: the rational idf
+    * penalizes common terms much harder (linear vs logarithmic in N/df),
+    * so rare singleton terms rank above moderately-rare frequent ones
+    * that ln-idf would favor. Same intent — surface distinctive terms —
+    * different tail behavior; pick the ln form if you need literature
+    * tf-idf and can tolerate engine-dependent last-ulp ties.
+    * df counts each document once per term.
     *
     * Scale shape: two hash aggregates (tf per (doc, term), df per term)
     * + a term-keyed join; the corpus size rides along as a broadcast

@@ -81,9 +81,16 @@ object VectorOps {
   }
 
   /** Nearest-centroid cell assignment: each row of `df` (id, vec) scored
-    * against every centroid (a broadcast map-side pass — n·k dot
-    * products, no shuffle), keeping the `nprobe` best cells per row.
-    * Ties break on cid for determinism.
+    * against every centroid (broadcast, so the n·k dot products are
+    * map-side), keeping the `nprobe` best cells per row. Ties break on
+    * cid for determinism.
+    *
+    * Shuffle budget: the nprobe=1 path (the k-means hot loop over the
+    * FULL corpus) reduces with `max_by` — partial aggregation combines
+    * map-side, so the exchange carries ~n rows, not the n·k scored
+    * rows. nprobe>1 needs a per-id window (n·k through one exchange);
+    * its callers probe the bounded QUERY side only, where that cost is
+    * request-sized by construction.
     */
   def assignCells(df: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val cents = broadcast(centroids.select(col("cid"),
@@ -91,11 +98,20 @@ object VectorOps {
     val scored = df.select(col("id"), toDouble(col("vec")).as("v"))
       .crossJoin(cents)
       .withColumn("c_cos", cosine(col("v"), col("cv")))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("c_cos").desc, col("cid"))
-    scored.withColumn("c_rank", row_number().over(w))
-      .filter(col("c_rank") <= nprobe)
-      .select(col("id"), col("v"), col("cid").as("cell"))
+    if (nprobe == 1) {
+      // argmax by (cos, then lower cid): cid is unique, so the ordering
+      // struct is tie-free and max_by is deterministic
+      scored.groupBy(col("id"))
+        .agg(max_by(struct(col("v"), col("cid")),
+          struct(col("c_cos"), -col("cid"))).as("m"))
+        .select(col("id"), col("m.v").as("v"), col("m.cid").as("cell"))
+    } else {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("c_cos").desc, col("cid"))
+      scored.withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= nprobe)
+        .select(col("id"), col("v"), col("cid").as("cell"))
+    }
   }
 
   /** One Lloyd (k-means) step: assign every vector to its nearest

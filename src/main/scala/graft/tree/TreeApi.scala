@@ -379,11 +379,16 @@ object TreeApi {
     val version = synthId.replace("opentree", "")
     val path = s"$baseDir/v$version/trees/${studyId}_$treeId.tre"
     val spark = t.nodes.sparkSession
-    val line =
-      try spark.read.textFile(path).head()
-      catch { case _: Throwable => throw new IllegalArgumentException(
-        s"Invalid source id '${studyId}_$treeId' provided.") }
-    Map("newick" -> line, "synth_id" -> synthId)
+    // wholetext: a preprocessed newick may wrap across lines; only a
+    // genuinely missing artifact means a bad id — infra faults propagate
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      throw new IllegalArgumentException(
+        s"Invalid source id '${studyId}_$treeId' provided.")
+    val text = spark.read.option("wholetext", "true").textFile(path)
+      .head().stripLineEnd
+    Map("newick" -> text, "synth_id" -> synthId)
   }
 
   /** `draft_trees` (tree_of_life_v3.java:778-826): per-synth-tree metadata

@@ -56,6 +56,13 @@ class TrainingSpec extends AnyFunSuite {
     assert(got.size == 25)
   }
 
+  test("connected components of an empty universe is an empty result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val none = Seq.empty[Long].toDF("id")
+    assert(ClusterOps.connectedComponents(empty, none).count() == 0)
+  }
+
   test("connected components match union-find on seeded random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812L)
