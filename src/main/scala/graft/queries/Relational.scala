@@ -276,7 +276,22 @@ object Relational {
 
   // ---------------------------------------------------------------- registry
 
+  /** J7-skew: salted fact⋈dim equi-join — result identical to the plain
+    * join (the oracle IS the plain join); the salt only spreads hot keys
+    * across reducers. See [[graft.ops.SkewOps.saltedJoin]].
+    */
+  val j7SaltedJoin: Q = (s, d) => {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
+    val o = orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.ops.SkewOps.saltedJoin(li, o, "l_orderkey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "j7_salted_join" -> j7SaltedJoin,
     "q1_agg" -> q1Agg,
     "q3_topk_join" -> q3TopkJoin,
     "p1_point_lookup" -> p1PointLookup,
@@ -309,6 +324,11 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "j7_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -119,6 +119,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p) // no single-stream global order
   }
 
+  test("salted join hash-partitions on (key, salt) and matches the plain join") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val salted = graft.ops.SkewOps.saltedJoin(li, o, "l_orderkey", salts = 8)
+    val p = finalPlan(salted)
+    assert(p.contains("__salt"), p) // the exchange key includes the salt
+    val plain = li.join(o, "l_orderkey")
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSet == plain.columns.toSet)
+  }
+
   test("custom codec expression leaves pushdown and codegen intact") {
     val p = finalPlan(ExtQueries.mrcaCodec(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,100)]"), p)
