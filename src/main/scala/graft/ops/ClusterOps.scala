@@ -57,7 +57,8 @@ object ClusterOps {
       nodes.select(col("id").cast("long").as("id"))
         .distinct()
         .withColumn("lbl", col("id")))
-    var prevSum = -1L
+    var prevSum: Option[Long] = None // None = no round yet (ids may be negative,
+    // so no Long sentinel is collision-free)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -80,12 +81,13 @@ object ClusterOps {
         .select(col("x.id").as("id"), coalesce(col("ll"), col("lbl")).as("lbl")))
       // sum is NULL (not 0) over an empty node universe — converge at once
       val sumRow = next.agg(sum(col("lbl"))).head
-      val s = if (sumRow.isNullAt(0)) prevSum else sumRow.getLong(0)
+      val s: Option[Long] =
+        if (sumRow.isNullAt(0)) prevSum.orElse(Some(0L)) else Some(sumRow.getLong(0))
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         // scalastyle:off println
         println(f"cc round=$round sum=$s sec=${(System.nanoTime() - t0) / 1e9}%.2f " +
           s"planLines=${next.queryExecution.optimizedPlan.treeString.linesIterator.size}")
-      converged = s == prevSum
+      converged = prevSum.isDefined && s == prevSum
       prevSum = s
       lbl = next
       round += 1

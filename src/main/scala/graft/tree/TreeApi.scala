@@ -388,6 +388,8 @@ object TreeApi {
         s"Invalid source id '${studyId}_$treeId' provided.")
     val text = spark.read.option("wholetext", "true").textFile(path)
       .head().stripLineEnd
+    require(text.nonEmpty,
+      s"source tree artifact '$path' exists but is empty (corrupt upload?)")
     Map("newick" -> text, "synth_id" -> synthId)
   }
 

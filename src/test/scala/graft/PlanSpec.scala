@@ -125,12 +125,20 @@ class PlanSpec extends AnyFunSuite {
       .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
     val o = Tables.orders(spark, sf)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    val salted = graft.ops.SkewOps.saltedJoin(li, o, "l_orderkey", salts = 8)
-    val p = finalPlan(salted)
-    assert(p.contains("__salt"), p) // the exchange key includes the salt
-    val plain = li.join(o, "l_orderkey")
-    assert(salted.count() == plain.count())
-    assert(salted.columns.toSet == plain.columns.toSet)
+    // force the shuffle join: at 100 TB neither side broadcasts, and a
+    // broadcast plan would never key an exchange on the salt at all
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = graft.ops.SkewOps.saltedJoin(li, o, "l_orderkey", salts = 8)
+      val p = finalPlan(salted)
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(p).isDefined, p)
+      val plain = li.join(o, "l_orderkey")
+      assert(salted.count() == plain.count())
+      assert(salted.columns.toSet == plain.columns.toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    }
   }
 
   test("custom codec expression leaves pushdown and codegen intact") {
