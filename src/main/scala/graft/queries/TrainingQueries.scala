@@ -221,6 +221,21 @@ object TrainingQueries {
       nTok)
   }
 
+  /** Winnowing near-dup pairs: docs sharing ≥ 2 selected fingerprints —
+    * the pair-generation step of the MOSS path (fingerprints already
+    * gated by dd_winnow; this closes the loop to candidate pairs).
+    */
+  val ddWinnowPairs: Q = (s, d) => {
+    val fps = TextOps.winnowFingerprints(
+      Tables.documents(s, d).filter(col("doc_id") < 50), "doc_id", "text")
+    fps.select(col("id").as("a"), col("fp"))
+      .join(fps.select(col("id").as("b"), col("fp")), "fp")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("fp")).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
   /** Contamination scan: docs ≥ 10 sharing ≥ 2 distinct trigrams with the
     * "benchmark" (docs 0-9).
     */
@@ -262,6 +277,7 @@ object TrainingQueries {
     "txt_quality" -> txtQuality,
     "txt_tokens" -> txtTokens,
     "dd_winnow" -> ddWinnow,
+    "dd_winnow_pairs" -> ddWinnowPairs,
     "txt_langid" -> txtLangid,
     "smp_hash" -> smpHash,
     "smp_stratified" -> smpStratified,
@@ -626,6 +642,25 @@ object TrainingQueries {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, tok) AS BIGINT) AS rank FROM sc)
          |SELECT doc_id, rank, tok, tf, df, score FROM r WHERE rank <= 5""".stripMargin,
+    "dd_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS tx
+        |  FROM documents WHERE doc_id < 50),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN length(tx) >= 8 THEN
+        |      list_transform(range(0, length(tx) - 8 + 1),
+        |        i -> md5(substr(tx, CAST(i + 1 AS INT), 8)))
+        |    ELSE [] END AS grams
+        |  FROM t),
+        |sel AS (SELECT doc_id,
+        |    CASE WHEN len(grams) >= 4 THEN
+        |      list_distinct(list_transform(range(0, len(grams) - 4 + 1),
+        |        j -> list_min(grams[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))
+        |    ELSE [] END AS fps
+        |  FROM g),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM sel WHERE len(fps) > 0)
+        |SELECT x.doc_id AS a, y.doc_id AS b, count(DISTINCT x.fp) AS n_shared
+        |FROM f x JOIN f y ON y.fp = x.fp AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2""".stripMargin,
     "txt_langid" ->
       s"""WITH b AS (SELECT doc_id,
          |  len(list_filter($toksSql, t -> t IN ('the','and','of','to','a'))) AS s_en,

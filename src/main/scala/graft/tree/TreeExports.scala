@@ -41,6 +41,37 @@ object TreeExports {
     sb.result()
   }
 
+  /** S9: GraphML XML of a bounded subtree (GraphExporter.java:96-200 —
+    * the reference's exportGraphML; node labels carry the ot id and name,
+    * edges the synth-child relation). Same bounded-collect shape as [[dot]].
+    */
+  def graphml(nodes: DataFrame, rootId: Long, maxDepth: Int = -1,
+      cap: Long = 10000): String = {
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val sub = TreeOps.subtree(nodes, rootId, maxDepth)
+      .select(col("node_id"), col("parent_id"), col("ot_node_id"), col("name"))
+      .collect()
+    require(sub.length <= cap, s"subtree has ${sub.length} nodes > cap $cap")
+    val sb = new StringBuilder(
+      """<?xml version="1.0" encoding="UTF-8"?>""" + "\n" +
+        """<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""" + "\n" +
+        """  <key id="d0" for="node" attr.name="name" attr.type="string"/>""" + "\n" +
+        """  <graph id="synth" edgedefault="directed">""" + "\n")
+    sub.foreach { r =>
+      val name = Option(r.getString(3)).getOrElse("")
+      sb ++= s"""    <node id="${esc(r.getString(2))}">""" +
+        s"""<data key="d0">${esc(name)}</data></node>\n"""
+    }
+    val ots = sub.map(r => r.getLong(0) -> r.getString(2)).toMap
+    sub.filter(_.getLong(0) != rootId).foreach { r =>
+      sb ++= s"""    <edge source="${esc(ots(r.getLong(0)))}"""" +
+        s""" target="${esc(ots(r.getLong(1)))}"/>\n"""
+    }
+    sb ++= "  </graph>\n</graphml>\n"
+    sb.result()
+  }
+
   /** S9/A8: effective number of parents per child node — inverse Simpson
     * index 1/Σ pᵢ² over the child's parent-edge distribution
     * (GraphExporter.java:302-307). Degenerates to 1.0 on trees; meaningful

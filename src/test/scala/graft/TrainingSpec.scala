@@ -242,6 +242,20 @@ class TrainingSpec extends AnyFunSuite {
     assert(short.count() == 0)
   }
 
+  test("winnow pairs: near-identical docs pair via shared fingerprints") {
+    val pairs = TrainingQueries.ddWinnowPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty, "fixture near-dups must share winnow fingerprints")
+    assert(pairs.forall { case (a, b, n) => a < b && n >= 2 })
+    // shared-count never exceeds either doc's own fingerprint count
+    val fpCounts = TextOps.winnowFingerprints(
+        docs.filter(col("doc_id") < 50), "doc_id", "text")
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.forall { case (a, b, n) =>
+      n <= fpCounts(a) && n <= fpCounts(b) })
+  }
+
   test("BPE-ish token estimate grows with word length, floors at word count") {
     import spark.implicits._
     val df = Seq((1L, "a bb ccc dddd"), (2L, "internationalization"))

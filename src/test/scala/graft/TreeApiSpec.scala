@@ -75,6 +75,16 @@ class TreeApiSpec extends AnyFunSuite {
     assert(d.linesIterator.count(_.contains("->")) == 8)
   }
 
+  test("graphml export: one node element per subtree node, one edge per child") {
+    val x = TreeExports.graphml(t.nodes, idOf("ott803675"))
+    assert(x.startsWith("""<?xml version="1.0""""))
+    assert(x.linesIterator.count(_.trim.startsWith("<node ")) == 9)
+    assert(x.linesIterator.count(_.trim.startsWith("<edge ")) == 8)
+    assert(x.contains("""<node id="ott1057044"><data key="d0">Gavia stellata</data></node>"""))
+    assert(x.contains("""target="ott803675""""))
+    assert(x.endsWith("</graphml>\n"))
+  }
+
   test("effective parents is 1.0 on a tree") {
     val ep = TreeExports.effectiveParents(t.edges).collect()
     assert(ep.nonEmpty)
