@@ -31,7 +31,27 @@ object IngestBench {
     val secs = (System.nanoTime() - t0) / 1e9
     val tips = labeled.filter(col("node_id") === 1L)
       .select(col("tip_descendants")).head().getLong(0)
-    println(s"""{"metric":"ingest_label","value":$secs,"unit":"sec","nodes":$rows,"tips":$tips}""")
+
+    // serving-store economics: pay the bucketed write once, then every new
+    // session loads in seconds instead of re-paying the labeling pass
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_store_bench").toString
+    val ing = graft.tree.TreeIngest.Ingested(
+      labeled.withColumn("tree_id", lit("bench")),
+      edges.withColumn("branch_length", lit(null).cast("double"))
+        .withColumn("tree_id", lit("bench")),
+      spark.range(1).select(lit("bench").as("tree_id")),
+      spark.range(0).select(lit("").as("source_id"), lit("").as("git_sha"),
+        lit("").as("source_tree_id"), lit("").as("study_id"),
+        lit("").as("taxonomy"), lit("bench").as("tree_id")))
+    val tS = System.nanoTime()
+    graft.tree.TreeStore.save(ing, storeDir)
+    val saveSecs = (System.nanoTime() - tS) / 1e9
+    val tL = System.nanoTime()
+    val loadedRows = graft.tree.TreeStore.load(spark, storeDir).nodes.count()
+    val loadSecs = (System.nanoTime() - tL) / 1e9
+    require(loadedRows == rows)
+
+    println(s"""{"metric":"ingest_label","value":$secs,"unit":"sec","nodes":$rows,"tips":$tips,"store_save_sec":$saveSecs,"store_load_sec":$loadSecs}""")
     spark.stop()
   }
 }

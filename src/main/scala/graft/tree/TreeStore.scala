@@ -1,0 +1,114 @@
+package graft.tree
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Persisted, bucketed serving layout — the deployment artifact.
+  *
+  * The reference serves from a prebuilt graph DB plus index files built once
+  * at ingest (GraphBase.java:431-448): build once, serve forever. The Spark
+  * analog is a directory of parquet tables where the two big tables are
+  * written `bucketBy(node_id)`/`sortBy(node_id)` (edges on `child_id`), so
+  * every serving-path join — node self-joins for lineage/subtree/MRCA,
+  * node⋈edge for branch lengths — runs with ZERO exchanges: the shuffle is
+  * paid once at [[save]] time, never per query. A fresh session [[load]]s
+  * the store in seconds instead of re-paying the labeling pass (75 s at
+  * 2.4M tips, see IngestBench).
+  *
+  * Bucketed parquet needs catalog metadata to be *read* as bucketed, so
+  * [[load]] registers an external table (`CREATE TABLE … CLUSTERED BY …
+  * LOCATION …`) over the saved files; the bucket count travels in a
+  * `_graft_store.json` manifest next to the data. Table names are derived
+  * from the store path, so several stores can coexist in one session (the
+  * reference's multiple-synth-versions model, GraphExplorer.java:95-114).
+  */
+object TreeStore {
+
+  val ManifestFile = "_graft_store.json"
+
+  /** Write the serving tables. `buckets` must match the expected executor
+    * parallelism order-of-magnitude at the deployment scale (32 here for
+    * local[32]; a 1000-executor cluster would use ~2-4k).
+    */
+  def save(t: TreeIngest.Ingested, path: String, buckets: Int = 32): Unit = {
+    val spark = t.nodes.sparkSession
+    writeBucketed(spark, t.nodes, s"$path/nodes", "node_id", buckets)
+    writeBucketed(spark, t.edges, s"$path/edges", "child_id", buckets)
+    t.treeMeta.write.mode("overwrite").parquet(s"$path/tree_meta")
+    t.sourceMap.write.mode("overwrite").parquet(s"$path/source_map")
+    writeManifest(spark, path, buckets)
+  }
+
+  /** Restore an [[TreeIngest.Ingested]] from a saved store. The nodes table
+    * is persisted by default (every endpoint action re-reads it); both big
+    * tables come back with their bucket spec, so serving joins plan
+    * exchange-free. Pass `persistNodes = false` to keep the raw bucketed
+    * scan visible (plan inspection, one-shot batch reads).
+    */
+  def load(spark: SparkSession, path: String,
+      persistNodes: Boolean = true): TreeIngest.Ingested = {
+    val buckets = readManifest(spark, path)
+    val nodes = loadBucketed(spark, s"$path/nodes", "node_id", buckets)
+    val edges = loadBucketed(spark, s"$path/edges", "child_id", buckets)
+    TreeIngest.Ingested(
+      if (persistNodes) nodes.persist(StorageLevel.MEMORY_AND_DISK) else nodes,
+      edges,
+      spark.read.parquet(s"$path/tree_meta"),
+      spark.read.parquet(s"$path/source_map"))
+  }
+
+  /** `bucketBy` requires a catalog write, so route through a throwaway
+    * external-table name and drop it after — the files (with Spark's bucket
+    * ids in their names) are what persists.
+    */
+  private def writeBucketed(spark: SparkSession, df: DataFrame, dir: String,
+      key: String, buckets: Int): Unit = {
+    val tmp = s"graft_store_w_${tableSuffix(dir)}"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", dir).format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $tmp")
+  }
+
+  private def loadBucketed(spark: SparkSession, dir: String, key: String,
+      buckets: Int): DataFrame = {
+    val tbl = s"graft_store_${tableSuffix(dir)}"
+    val schemaDdl = spark.read.parquet(dir).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl ($schemaDdl) USING PARQUET
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+         |LOCATION '$dir'""".stripMargin)
+    spark.table(tbl)
+  }
+
+  /** Deterministic per-path table suffix (md5 of the absolute location), so
+    * re-loading the same store reuses its catalog entry and distinct stores
+    * never collide.
+    */
+  private def tableSuffix(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
+  private def writeManifest(spark: SparkSession, path: String, buckets: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, ManifestFile), true)
+    try out.write(s"""{"version":1,"buckets":$buckets}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifest(spark: SparkSession, path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, ManifestFile))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"no bucket count in $path/$ManifestFile"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tree._
+
+/** Serving-store round trip: ingest → save → load must preserve every
+  * endpoint answer, and the loaded tables must join exchange-free (the
+  * whole point of paying the bucketed write once at build time —
+  * GraphBase.java:431-448 is the reference's build-once analog).
+  */
+class StoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  val fx = "src/test/resources/fixture"
+  val GoldenGavia =
+    "(Gavia_stellata_ott1057044,((Gavia_arctica_ott1085739,Gavia_pacifica_ott651474)" +
+    "mrcaott651474ott1085739,(Gavia_immer_ott1057518,Gavia_adamsii_ott90560)" +
+    "mrcaott90560ott1057518)mrcaott90560ott651474)Gavia_ott803675;"
+
+  lazy val ingested = TreeIngest.ingest(spark,
+    s"$fx/gavia.tre", s"$fx/gavia_annotations.json", s"$fx/gavia_taxonomy.tsv",
+    treeId = "opentree4.1")
+
+  lazy val storeDir = {
+    val dir = Files.createTempDirectory("graft_store").toString
+    TreeStore.save(ingested, dir, buckets = 4)
+    dir
+  }
+  lazy val loaded = TreeStore.load(spark, storeDir)
+
+  def idOf(t: TreeIngest.Ingested, ot: String): Long =
+    t.nodes.filter(col("ot_node_id") === ot).select("node_id").head().getLong(0)
+
+  test("round trip preserves table contents exactly") {
+    assert(loaded.nodes.count() == ingested.nodes.count())
+    assert(loaded.edges.count() == ingested.edges.count())
+    val a = ingested.nodes.select("node_id", "ot_node_id", "pre", "post",
+      "depth", "tip_descendants").collect().map(_.toSeq).toSet
+    val b = loaded.nodes.select("node_id", "ot_node_id", "pre", "post",
+      "depth", "tip_descendants").collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(loaded.treeIdStr == ingested.treeIdStr)
+    assert(loaded.sourceBlobs == ingested.sourceBlobs)
+  }
+
+  test("endpoint goldens hold on the loaded store") {
+    val got = TreeOps.newick(loaded.nodes, idOf(loaded, "ott803675"),
+      labelFormat = "name_and_id", idsForUnnamed = true)
+    assert(got == GoldenGavia)
+
+    val mrca = TreeApi.mrca(loaded, ottIds = Seq(1057044L, 90560L))
+    val mrcaOrig = TreeApi.mrca(ingested, ottIds = Seq(1057044L, 90560L))
+    assert(mrca.mrcaOtId == mrcaOrig.mrcaOtId)
+
+    val ni = TreeApi.nodeInfo(loaded, "ott803675").collect().map(_.toSeq)
+    val niOrig = TreeApi.nodeInfo(ingested, "ott803675").collect().map(_.toSeq)
+    assert(ni.toSeq == niOrig.toSeq)
+
+    assert(TreeApi.about(loaded).count() == 1)
+  }
+
+  test("loaded tables join with zero exchanges (bucketed serving path)") {
+    // separate store dir + unpersisted load: the cached-nodes variant would
+    // hide the FileSourceScan (and its "Bucketed: true") behind the cache
+    val dir = Files.createTempDirectory("graft_store_plan").toString
+    TreeStore.save(ingested, dir, buckets = 4)
+    val st = TreeStore.load(spark, dir, persistNodes = false)
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // node self-join on node_id — the shape of lineage/subtree/MRCA serving
+      val self = st.nodes.alias("l")
+        .join(st.nodes.alias("r"), col("l.node_id") === col("r.node_id"))
+        .select(col("l.node_id"), col("r.depth"))
+      self.collect()
+      val selfPlan = self.queryExecution.executedPlan.toString
+      assert(!selfPlan.contains("Exchange"), selfPlan)
+      assert(selfPlan.contains("Bucketed: true"), selfPlan)
+
+      // node ⋈ edge on node_id = child_id — branch-length attach shape
+      val ne = st.nodes.alias("n").join(st.edges.alias("e"),
+        col("n.node_id") === col("e.child_id"))
+        .select(col("n.node_id"), col("e.branch_length"))
+      ne.collect()
+      val nePlan = ne.queryExecution.executedPlan.toString
+      assert(!nePlan.contains("Exchange"), nePlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    }
+  }
+}
