@@ -37,18 +37,23 @@ object ClusterOps {
     *              appear in the output labeled by themselves
     * @return (id, component) where component = min node id reachable
     */
+  /** Checkpoint an iterative round AND sever its stats chain.
+    * localCheckpoint truncates the PLAN but chains `originStats`: a
+    * checkpointed round's sizeInBytes is the product of the previous
+    * round's through its joins, so the stat doubles its digit count
+    * every round and by round ~20 the driver spends minutes multiplying
+    * million-digit BigInts inside the stats visitor (measured: 0.5 s
+    * rounds growing 3× per round from round 17). Rebuilding from the
+    * checkpointed RDD severs the chain — stats reset to the default.
+    * Any DataFrame loop that checkpoints per round must route through
+    * this (CC below, VectorOps.kmeansCentroids).
+    */
+  private[graft] def flatten(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.localCheckpoint().rdd, df.schema)
+
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxRounds: Int = 60): DataFrame = {
     val spark = edges.sparkSession
-    // localCheckpoint truncates the PLAN but chains `originStats`: a
-    // checkpointed round's sizeInBytes is the product of the previous
-    // round's through its joins, so the stat doubles its digit count
-    // every round and by round ~20 the driver spends minutes multiplying
-    // million-digit BigInts inside the stats visitor (measured: 0.5 s
-    // rounds growing 3× per round from round 17). Rebuilding from the
-    // checkpointed RDD severs the chain — stats reset to the default.
-    def flatten(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
     val e = edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
     val sym = flatten(

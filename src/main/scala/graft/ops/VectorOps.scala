@@ -61,10 +61,15 @@ object VectorOps {
     * deterministic ±1 hyperplane derived from md5(seed:i:dim). Hamming-
     * close signatures ⇒ cosine-close vectors; bucketing on the signature
     * turns ANN into a group-by join.
+    *
+    * `dims` is a caller-supplied constant (embedding width is fixed by the
+    * model that produced the vectors): the hyperplanes are driver-built
+    * literal arrays, and deriving the width from the data would issue a
+    * Spark job inside what must stay a lazy plan builder.
     */
-  def rhpSignature(df: DataFrame, idCol: String, vecCol: String,
+  def rhpSignature(df: DataFrame, idCol: String, vecCol: String, dims: Int,
       bits: Int = 16, seed: String = "graft"): DataFrame = {
-    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    require(dims > 0, s"dims=$dims must be positive")
     // hyperplanes as literal arrays: hp(i)(d) ∈ {+1,-1} from md5 parity
     val planes: Seq[Seq[Double]] = (0 until bits).map { i =>
       (0 until dims).map { d =>
@@ -140,17 +145,18 @@ object VectorOps {
 
   /** Iterated Lloyd steps, reassembling (cid, cvec) arrays each round so
     * the output can seed [[assignCells]]/[[annIvf]]. Each round is two
-    * shuffles (cell-pos aggregate, array reassembly); rounds localCheckpoint
-    * to keep plan lineage flat.
+    * shuffles (cell-pos aggregate, array reassembly); rounds checkpoint
+    * through [[ClusterOps.flatten]] — bare localCheckpoint keeps the plan
+    * flat but chains `originStats` through the per-round joins, growing
+    * driver-side BigInt stat arithmetic with the iteration count.
     */
   def kmeansCentroids(corpus: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     var cents = seeds
     for (_ <- 0 until iters) {
-      cents = kmeansStep(corpus, cents)
+      cents = ClusterOps.flatten(kmeansStep(corpus, cents)
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("val")))),
-          x => x("val")).as("cvec"))
-        .localCheckpoint()
+          x => x("val")).as("cvec")))
     }
     cents
   }
@@ -195,12 +201,12 @@ object VectorOps {
     * buckets and degenerated to n²/buckets at scale. Pairs are deduped
     * before scoring, so each candidate is scored exactly once.
     */
-  def annLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+  def annLsh(df: DataFrame, idCol: String, vecCol: String, k: Int, dims: Int,
       bits: Int = 16, tables: Int = 4): DataFrame = {
     require(bits % tables == 0,
       s"bits=$bits must be divisible by tables=$tables")
     val rpt = bits / tables
-    val sigs = rhpSignature(df, idCol, vecCol, bits)
+    val sigs = rhpSignature(df, idCol, vecCol, dims, bits)
     val banded = sigs.select(col("id"),
         explode(sequence(lit(0), lit(tables - 1))).as("tbl"),
         col("sig"))

@@ -58,7 +58,7 @@ object TrainingQueries {
     VectorOps.annLsh(
       Tables.embeddings(s, d).filter(col("vec_id") < 300)
         .select(col("vec_id").as("id"), col("embedding").as("vec")),
-      "id", "vec", k = 5, bits = 8, tables = 2)
+      "id", "vec", k = 5, dims = 64, bits = 8, tables = 2)
 
   /** IVF ANN: 8 seed centroids, nprobe=2, bounded query side. */
   val annIvf: Q = (s, d) => {

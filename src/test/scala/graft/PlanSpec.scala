@@ -69,9 +69,38 @@ class PlanSpec extends AnyFunSuite {
       .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
         org.apache.spark.sql.functions.col("embedding").as("vec"))
     val p = finalPlan(graft.ops.VectorOps.annLsh(e, "id", "vec",
-      k = 3, bits = 8, tables = 2))
+      k = 3, dims = 64, bits = 8, tables = 2))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("annLsh construction is lazy: no Spark job until an action") {
+    // resolve the source first: parquet schema inference issues its own
+    // jobs at read time, which are not the operator's doing
+    val e = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"))
+    e.schema
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.ops.VectorOps.annLsh(e, "id", "vec", k = 3, dims = 64,
+        bits = 8, tables = 2)
+      graft.ops.VectorOps.rhpSignature(e, "id", "vec", dims = 64)
+      // flush marker: one dummy RDD action (exactly one job — a Dataset
+      // count is 2+ under AQE); poll until its event lands, then the
+      // construction above must account for zero of the recorded jobs
+      spark.sparkContext.range(0, 1).count()
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"expected only the marker job, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("minhash→jaccard verifier joins only on candidate keys (no token self-join)") {

@@ -143,13 +143,13 @@ class TrainingSpec extends AnyFunSuite {
   }
 
   test("RHP LSH: deterministic signatures; bucketed ANN returns ranked subsets") {
-    val s1 = VectorOps.rhpSignature(embs, "id", "vec").select("id", "sig")
+    val s1 = VectorOps.rhpSignature(embs, "id", "vec", dims = 64).select("id", "sig")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val s2 = VectorOps.rhpSignature(embs, "id", "vec").select("id", "sig")
+    val s2 = VectorOps.rhpSignature(embs, "id", "vec", dims = 64).select("id", "sig")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(s1 == s2)
     assert(s1.values.forall(_.length == 16))
-    val ann = VectorOps.annLsh(embs, "id", "vec", k = 3).collect()
+    val ann = VectorOps.annLsh(embs, "id", "vec", k = 3, dims = 64).collect()
     assert(ann.nonEmpty)
     assert(ann.forall(_.getLong(2) <= 3))
     // each (q_id, rank) appears once; scored pairs are genuine candidates
@@ -207,7 +207,8 @@ class TrainingSpec extends AnyFunSuite {
     val window = embs.filter(col("id") < 150)
     val truth = VectorOps.topK(window, window, k = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ann = VectorOps.annLsh(window, "id", "vec", k = 5, bits = 8, tables = 4)
+    val ann = VectorOps.annLsh(window, "id", "vec", k = 5, dims = 64,
+        bits = 8, tables = 4)
       .collect().groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val hit = truth.count { case (q, n) => ann.get(q).exists(_.contains(n)) }
