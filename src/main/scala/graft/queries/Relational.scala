@@ -278,15 +278,17 @@ object Relational {
 
   /** J7-skew: salted fact⋈dim equi-join — result identical to the plain
     * join (the oracle IS the plain join); the salt only spreads hot keys
-    * across reducers. See [[graft.ops.SkewOps.saltedJoin]].
+    * across reducers. The right side is `part` (dimension-sized), per
+    * [[graft.ops.SkewOps.saltedJoin]]'s contract: the dim replicates
+    * `salts`-fold, which is cheap; replicating a fact table is not.
     */
   val j7SaltedJoin: Q = (s, d) => {
     val li = lineitem(s, d)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
-    val o = orders(s, d)
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.ops.SkewOps.saltedJoin(li, o, "l_orderkey", salts = 8)
-      .groupBy(col("o_orderpriority"))
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val p = part(s, d)
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    graft.ops.SkewOps.saltedJoin(li, p, "partkey", salts = 8)
+      .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
 
@@ -325,10 +327,10 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "j7_salted_join" ->
-      """SELECT o_orderpriority, count(*) AS n,
+      """SELECT p_brand, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority""".stripMargin,
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY p_brand""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

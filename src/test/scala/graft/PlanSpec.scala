@@ -151,18 +151,18 @@ class PlanSpec extends AnyFunSuite {
   test("salted join hash-partitions on (key, salt) and matches the plain join") {
     import org.apache.spark.sql.functions.col
     val li = Tables.lineitem(spark, sf)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
-    val o = Tables.orders(spark, sf)
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val p2 = Tables.part(spark, sf)
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
     // force the shuffle join: at 100 TB neither side broadcasts, and a
     // broadcast plan would never key an exchange on the salt at all
     val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val salted = graft.ops.SkewOps.saltedJoin(li, o, "l_orderkey", salts = 8)
+      val salted = graft.ops.SkewOps.saltedJoin(li, p2, "partkey", salts = 8)
       val p = finalPlan(salted)
       assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(p).isDefined, p)
-      val plain = li.join(o, "l_orderkey")
+      val plain = li.join(p2, "partkey")
       assert(salted.count() == plain.count())
       assert(salted.columns.toSet == plain.columns.toSet)
     } finally {
