@@ -46,6 +46,21 @@ object WireContract {
       Some(badIdsMessage(r.ottIdsNotInTree, r.nodeIdsNotInTree)), body)
   }
 
+  /** v2 endpoints do NOT 400 on partially-bad ids: the reference's v2
+    * layer predates BadIdsException and simply returns 200 with the
+    * unmatched ids listed in `*_not_in_tree` (ws-tests/
+    * test_v2_mrca_no_400.py — bogus ott ids 2/3/5 alongside valid ones
+    * still expect a 200 blob). A v2 request only fails when NO id
+    * resolves at all (the engine has nothing to compute), which the
+    * adapter surfaces as the thrown require — mapped here to a bare 400.
+    */
+  def v2Response(body: => Map[String, Any]): Response =
+    try Response(200, None, body)
+    catch {
+      case e: IllegalArgumentException =>
+        Response(400, Some(e.getMessage), Map.empty)
+    }
+
   def inducedResponse(r: InducedResult): Response = {
     val body = Map[String, Any]("newick" -> r.newick) ++
       (if (r.ottIdsNotInTree.nonEmpty)

@@ -330,6 +330,25 @@ class TreeApiSpec extends AnyFunSuite {
     assert(ir.status == 400 && ir.body("newick").toString.nonEmpty)
   }
 
+  test("wire contract: v2 mrca returns 200 with partial bad ids, where v3 400s") {
+    // the reference's v2 layer has no BadIdsException — bogus ids alongside
+    // valid ones still produce a 200 blob with the unmatched ids listed
+    // (ws-tests/test_v2_mrca_no_400.py: ott_ids [1084532, 3826, 2, 3, 5])
+    val ottIds = Seq(1085739L, 90560L, 424242L)
+    val v2 = WireContract.v2Response(V2Adapter.mrca(t, ottIds = ottIds))
+    assert(v2.status == 200 && v2.message.isEmpty)
+    assert(v2.body("ott_ids_not_in_tree") == Seq(424242L))
+    assert(v2.body("mrca_node_id") ==
+      V2Adapter.otIdToLong("mrcaott90560ott651474"))
+    assert(v2.body("invalid_ott_ids") == Nil)
+    // the SAME request through the v3 contract is a 400
+    val v3 = WireContract.mrcaResponse(TreeApi.mrca(t, ottIds = ottIds))
+    assert(v3.status == 400)
+    // v2 only 400s when nothing resolves at all
+    val none = WireContract.v2Response(V2Adapter.mrca(t, ottIds = Seq(424242L)))
+    assert(none.status == 400 && none.body.isEmpty)
+  }
+
   test("source_tree serves the preprocessed artifact for study_id + tree_id") {
     val base = java.nio.file.Files.createTempDirectory("srctrees")
     val d = base.resolve("v4.1/trees")
