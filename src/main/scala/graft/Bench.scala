@@ -17,7 +17,10 @@ object Bench {
     // one-time ingest-style builds (tree labeling, fixture ingest) outside
     // the timed region — the reference likewise builds its DB before
     // serving, so steady-state query latency is the comparable number.
+    // optional args: query names to run in isolation (suite contention
+    // distorts single-query timings ±40% — regressions are chased here)
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
     qs0.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
