@@ -1,6 +1,7 @@
 package graft.tree
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Query operators over a labeled tree (output of [[TreeLabeler.label]] or
@@ -275,6 +276,81 @@ object TreeOps {
       id => byParent.getOrElse(id, Array.empty).sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
     val labels = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
     Newick.serialize(rootId, children, labels, bls)
+  }
+
+  /** Distributed newick assembly — the scale path past the reference's
+    * 100k-tip cap (tree_of_life_v3.java:591-592), which exists only
+    * because its serializer is a driver-side recursive walk
+    * (JadeNode.java:167-195), as is [[newick]]'s collect.
+    *
+    * The newick string is the Euler tour of the subtree read off the
+    * interval labels, so serialization needs no tree walk at all: each
+    * node contributes an ENTRY token at sort position (pre, 0, 0) — a
+    * sibling comma, then "(" for internal nodes or the payload
+    * (label[:branch]) for leaves — and each internal node an EXIT token
+    * at (post, 1, -depth) — ")" + payload. Exits at the same `post`
+    * (a node and the ancestor chain closing on its last leaf) nest
+    * innermost-first via the -depth key. One window (first-child flag),
+    * one range-partitioned sort: every stage is distributed, memory per
+    * task is bounded by the partition, and the result size is the only
+    * scale bound — no driver walk, no cap.
+    */
+  def newickTokens(nodes: DataFrame, rootId: Long, maxDepth: Int = -1,
+      labelFormat: String = "name_and_id", idsForUnnamed: Boolean = false,
+      withBranchLengths: Boolean = false): DataFrame = {
+    val sub = subtree(nodes, rootId, maxDepth)
+    val lbl = coalesce(scrubCol(labelCol(labelFormat, idsForUnnamed)), lit(""))
+    val bl =
+      if (withBranchLengths && nodes.columns.contains("branch_length"))
+        when(col("node_id") =!= rootId && col("branch_length").isNotNull &&
+            !isnan(col("branch_length")),
+          concat(lit(":"),
+            when(col("branch_length") === 0.0, lit(Newick.MinBranchLength))
+              .otherwise(col("branch_length")).cast("string")))
+          .otherwise(lit(""))
+      else lit("")
+    val w = Window.partitionBy(col("parent_id")).orderBy(col("pre"))
+    val eff = sub
+      .withColumn("payload", concat(lbl, bl))
+      .withColumn("is_first", row_number().over(w) === 1)
+      .withColumn("eff_leaf", col("is_leaf") ||
+        (if (maxDepth >= 0) col("rel_depth") === maxDepth else lit(false)))
+    val comma = when(col("node_id") =!= rootId && !col("is_first"), lit(","))
+      .otherwise(lit(""))
+    val entry = eff.select(col("pre").as("k1"), lit(0).as("k2"),
+      lit(0L).as("k3"),
+      concat(comma,
+        when(col("eff_leaf"), col("payload")).otherwise(lit("("))).as("token"))
+    val exits = eff.filter(!col("eff_leaf")).select(col("post").as("k1"),
+      lit(1).as("k2"), (-col("depth")).as("k3"),
+      concat(lit(")"), col("payload")).as("token"))
+    val term = eff.filter(col("node_id") === rootId).select(
+      col("post").as("k1"), lit(2).as("k2"), lit(0L).as("k3"),
+      lit(";").as("token"))
+    entry.unionByName(exits).unionByName(term)
+  }
+
+  /** Materialize a token stream as one string: ordered collect + concat.
+    * The driver holds the RESULT (unavoidable for a string return), but
+    * never a tree structure — use [[newickWrite]] when even the result
+    * exceeds driver memory.
+    */
+  def newickFromTokens(tokens: DataFrame): String =
+    tokens.orderBy(col("k1"), col("k2"), col("k3"))
+      .select(col("token")).collect().map(_.getString(0)).mkString
+
+  /** Fully distributed sink: range-partitioned sort, per-partition token
+    * concatenation, text parts written in partition order — part files
+    * concatenated in name order (dropping the one line terminator each)
+    * ARE the newick string. Nothing passes through the driver.
+    */
+  def newickWrite(tokens: DataFrame, path: String): Unit = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.orderBy(col("k1"), col("k2"), col("k3"))
+      .select(col("token")).as[String]
+      .mapPartitions(it => Iterator.single(it.mkString))
+      .write.mode("overwrite").text(path)
   }
 
   /** Newick of an induced subtree result joined back to node attributes. */

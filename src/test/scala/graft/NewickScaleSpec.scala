@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tree._
+
+/** Distributed newick assembly: golden-equal to the driver builder on the
+  * fixture (every label/branch/depth variant), and past the reference's
+  * 100k-tip cap on a synthetic tree where the driver builder is the
+  * uncapped comparison oracle.
+  */
+class NewickScaleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  val fx = "src/test/resources/fixture"
+  lazy val ingested = TreeIngest.ingest(spark,
+    s"$fx/gavia.tre", s"$fx/gavia_annotations.json", s"$fx/gavia_taxonomy.tsv",
+    treeId = "opentree4.1")
+  lazy val nodes = ingested.nodes
+
+  def idOf(ot: String): Long =
+    nodes.filter(col("ot_node_id") === ot).select("node_id").head().getLong(0)
+
+  test("token stream equals the driver builder on every variant") {
+    val root = idOf("ott803675")
+    val variants = Seq(
+      ("name_and_id", true, false, -1),
+      ("name_and_id", false, false, -1),
+      ("name", false, false, -1),
+      ("id", true, false, -1),
+      ("name_and_id", true, true, -1),  // with branch lengths
+      ("name_and_id", true, false, 1))  // depth-limited
+    variants.foreach { case (fmt, unnamed, bls, d) =>
+      val driver = TreeOps.newick(nodes, root, maxDepth = d,
+        labelFormat = fmt, idsForUnnamed = unnamed, withBranchLengths = bls)
+      val dist = TreeOps.newickFromTokens(TreeOps.newickTokens(nodes, root,
+        maxDepth = d, labelFormat = fmt, idsForUnnamed = unnamed,
+        withBranchLengths = bls))
+      assert(dist == driver, s"variant ($fmt, $unnamed, $bls, $d)")
+    }
+  }
+
+  test("distributed sink writes ordered parts that concatenate to the string") {
+    val root = idOf("ott803675")
+    val toks = TreeOps.newickTokens(nodes, root, idsForUnnamed = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nwk").toString
+    TreeOps.newickWrite(toks, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val joined = parts.map { f =>
+      scala.io.Source.fromFile(f).getLines().mkString
+    }.mkString
+    assert(joined == TreeOps.newick(nodes, root, idsForUnnamed = true))
+  }
+
+  test("assembles past the 100k-tip cap, equal to the uncapped driver builder") {
+    // heap tree: 260k nodes, 130k tips — over the reference's cap
+    val n = 260000L
+    val edges = spark.range(2L, n + 1).toDF("child_id")
+      .withColumn("parent_id", expr("child_id div 2"))
+      .withColumn("child_ord", (col("child_id") % 2L).cast("int"))
+    val labeled = TreeLabeler.label(spark, edges)
+      .withColumn("name", concat(lit("n"), col("node_id")))
+      .withColumn("ot_node_id", concat(lit("ott"), col("node_id")))
+      .withColumn("tax_uid", col("node_id"))
+    val rootId = 1L
+
+    // the capped driver path refuses...
+    val ex = intercept[IllegalArgumentException] {
+      TreeOps.newick(labeled, rootId, labelFormat = "name")
+    }
+    assert(ex.getMessage.contains("larger than currently allowed"))
+
+    // ...the token path has no cap, and the uncapped driver builder agrees
+    val dist = TreeOps.newickFromTokens(
+      TreeOps.newickTokens(labeled, rootId, labelFormat = "name"))
+    val driver = TreeOps.newick(labeled, rootId, labelFormat = "name",
+      cap = Long.MaxValue)
+    assert(dist.length == driver.length)
+    assert(dist == driver)
+    // one "(" per internal node: ids 1..130000 have a child 2i <= 260000
+    assert(dist.count(_ == '(') == 130000)
+  }
+}
