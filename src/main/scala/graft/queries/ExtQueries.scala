@@ -333,7 +333,67 @@ object ExtQueries {
   val evAttribution: Q = (s, d) =>
     EventStreams.attributionJoin(Tables.events(s, d))
 
+  /** S2: taxonomy TSV scan (multichar "\t|\t" separator, header skip,
+    * try_cast ids) — the oracle re-parses the RAW fixture file in DuckDB,
+    * fully independent of the Spark ingest path.
+    */
+  val s2Taxonomy: Q = (s, _) =>
+    TreeIngest.readTaxonomy(s, s"$fixtureDir/gavia_taxonomy.tsv")
+      .select(col("tax_uid"), col("parent_uid"), col("name"),
+        col("tax_rank"), col("unique_name"), col("flags"))
+
+  /** F6: packed "src:id,src:id" sourceinfo → native map, exploded to rows;
+    * oracle splits the raw string in DuckDB.
+    */
+  val f6TaxSources: Q = (s, _) =>
+    TreeIngest.readTaxonomy(s, s"$fixtureDir/gavia_taxonomy.tsv")
+      .select(col("tax_uid"), explode(col("tax_sources")).as(Seq("src", "src_id")))
+      .filter(col("src") =!= "")
+
+  /** S3/F2: annotations JSON → typed per-node columns (maps and
+    * map-of-array as native types, re-serialized to JSON for the compare);
+    * oracle walks the RAW JSON with DuckDB's json functions.
+    */
+  val s3Annotations: Q = (s, _) =>
+    TreeIngest.readAnnotations(s, s"$fixtureDir/gavia_annotations.json")
+      .select(col("ot_node_id"),
+        to_json(col("supported_by")).as("supported_by_json"),
+        to_json(col("terminal")).as("terminal_json"),
+        to_json(col("partial_path_of")).as("partial_json"),
+        to_json(col("resolves")).as("resolves_json"),
+        to_json(col("conflicts_with")).as("conflicts_json"),
+        to_json(col("resolved_by")).as("resolved_by_json"),
+        col("was_constrained"), col("was_uncontested"))
+
+  /** J3: the ingest-time tree⟕taxonomy attribute join incl. the
+    * unique_name-falls-back-to-name rule; the oracle recomputes the join
+    * from the raw TSV against the node id universe.
+    */
+  val j3AttrJoin: Q = (s, _) =>
+    fixture(s).nodes.select(col("ot_node_id"), col("name"),
+      col("tax_rank"), col("unique_name"), col("tax_uid"))
+
+  /** SET4: ancestor-array overlap per tip pair (the bitset-intersection
+    * analog); oracle via DuckDB list_intersect.
+    */
+  val set4AncestorOverlap: Q = (s, _) => {
+    val t = fixture(s)
+    val a = t.nodes.filter(col("is_leaf"))
+      .select(col("ot_node_id").as("a_id"), col("ancestors").as("a_anc"))
+    val b = t.nodes.filter(col("is_leaf"))
+      .select(col("ot_node_id").as("b_id"), col("ancestors").as("b_anc"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_anc"), col("b_anc"))).cast("long")
+          .as("n_common"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "s2_taxonomy" -> s2Taxonomy,
+    "f6_tax_sources" -> f6TaxSources,
+    "s3_annotations" -> s3Annotations,
+    "j3_attr_join" -> j3AttrJoin,
+    "set4_ancestor_overlap" -> set4AncestorOverlap,
     "tree_multi" -> treeMulti,
     "ev_attribution" -> evAttribution,
     "s10_edge_dump" -> s10EdgeDump,
@@ -371,7 +431,68 @@ object ExtQueries {
     })
   )
 
+  /** Shared CTE: the raw taxonomy TSV re-parsed entirely in DuckDB (the
+    * 1-byte-delim limit forces whole-line read + string_split on the
+    * "\t|\t" separator).
+    */
+  private val rawTaxonomyCte =
+    """raw AS (SELECT column0 AS line
+      |  FROM read_csv('__FIXSRC__/gavia_taxonomy.tsv', delim=chr(1),
+      |    header=false, quote='', columns={'column0':'VARCHAR'})),
+      |f AS (SELECT string_split(line, chr(9)||'|'||chr(9)) AS p FROM raw
+      |  WHERE NOT starts_with(line, 'uid') AND length(trim(line)) > 0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s2_taxonomy" ->
+      s"""WITH $rawTaxonomyCte
+        |SELECT try_cast(p[1] AS BIGINT) AS tax_uid,
+        |  try_cast(p[2] AS BIGINT) AS parent_uid,
+        |  p[3] AS name, p[4] AS tax_rank, p[6] AS unique_name, p[7] AS flags
+        |FROM f""".stripMargin,
+    "f6_tax_sources" ->
+      s"""WITH $rawTaxonomyCte,
+        |t AS (SELECT try_cast(p[1] AS BIGINT) AS tax_uid, p[5] AS si
+        |  FROM f WHERE length(p[5]) > 0),
+        |u AS (SELECT tax_uid, unnest(string_split(si, ',')) AS kv FROM t)
+        |SELECT tax_uid, string_split(kv, ':')[1] AS src,
+        |  string_split(kv, ':')[2] AS src_id
+        |FROM u""".stripMargin,
+    "s3_annotations" ->
+      """WITH j AS (SELECT json
+        |  FROM read_json_objects('__FIXSRC__/gavia_annotations.json',
+        |    format='unstructured') t(json)),
+        |k AS (SELECT unnest(json_keys(json, '$.nodes')) AS ot_node_id, json
+        |  FROM j),
+        |e AS (SELECT ot_node_id,
+        |  json_extract(json, '$.nodes."' || ot_node_id || '"') AS v FROM k)
+        |SELECT ot_node_id,
+        |  json_extract_string(v, '$.supported_by') AS supported_by_json,
+        |  json_extract_string(v, '$.terminal') AS terminal_json,
+        |  json_extract_string(v, '$.partial_path_of') AS partial_json,
+        |  json_extract_string(v, '$.resolves') AS resolves_json,
+        |  json_extract_string(v, '$.conflicts_with') AS conflicts_json,
+        |  json_extract_string(v, '$.resolved_by') AS resolved_by_json,
+        |  CAST(v->>'was_constrained' AS BOOLEAN) AS was_constrained,
+        |  CAST(v->>'was_uncontested' AS BOOLEAN) AS was_uncontested
+        |FROM e""".stripMargin,
+    "j3_attr_join" ->
+      s"""WITH $rawTaxonomyCte,
+        |t AS (SELECT try_cast(p[1] AS BIGINT) AS uid, p[3] AS tname,
+        |  p[4] AS trank, p[6] AS tuniq FROM f),
+        |n AS (SELECT ot_node_id, tax_uid
+        |  FROM read_parquet('__FIXTURE__/nodes/*.parquet'))
+        |SELECT n.ot_node_id, t.tname AS name, t.trank AS tax_rank,
+        |  CASE WHEN t.tuniq IS NULL OR t.tuniq = '' THEN t.tname
+        |       ELSE t.tuniq END AS unique_name,
+        |  n.tax_uid
+        |FROM n LEFT JOIN t ON n.tax_uid = t.uid""".stripMargin,
+    "set4_ancestor_overlap" ->
+      """WITH n AS (SELECT ot_node_id, ancestors
+        |  FROM read_parquet('__FIXTURE__/nodes/*.parquet') WHERE is_leaf)
+        |SELECT a.ot_node_id AS a_id, b.ot_node_id AS b_id,
+        |  CAST(len(list_intersect(a.ancestors, b.ancestors)) AS BIGINT)
+        |    AS n_common
+        |FROM n a JOIN n b ON a.ot_node_id < b.ot_node_id""".stripMargin,
     "ev_attribution" ->
       """WITH v AS (SELECT user_id, event_id AS view_id, ts::TIMESTAMP AS vt
         |  FROM events WHERE event_type = 'view'),

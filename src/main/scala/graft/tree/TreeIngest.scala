@@ -162,10 +162,7 @@ object TreeIngest {
     // ---- S3: annotations JSON → per-node annotations, tree meta, source map
     val annText = spark.read.option("wholetext", "true").text(annotationsPath)
       .select(col("value").as("j"))
-    val annotations = annText
-      .select(explode(from_json(get_json_object(col("j"), "$.nodes"),
-        annotationSchema)).as(Seq("ot_node_id", "ann")))
-      .select(col("ot_node_id"), col("ann.*"))
+    val annotations = readAnnotations(spark, annotationsPath)
 
     val treeMetaRaw = annText.select(
       get_json_object(col("j"), "$.tree_id").as("tree_id"),
@@ -228,6 +225,17 @@ object TreeIngest {
 
     Ingested(nodesP, edges, treeMeta, sourceMap)
   }
+
+  /** Per-node annotations from the synthesis annotations JSON
+    * (`nodes.{ot_node_id}` object, IngestSynthesisData.java:462-498) as
+    * native typed columns — one row per annotated node.
+    */
+  def readAnnotations(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(col("value").as("j"))
+      .select(explode(from_json(get_json_object(col("j"), "$.nodes"),
+        annotationSchema)).as(Seq("ot_node_id", "ann")))
+      .select(col("ot_node_id"), col("ann.*"))
 
   /** Taxonomy TSV: header starts with "uid", fields separated by "\t|\t",
     * 7 columns: uid, parent_uid, name, rank, sourceinfo, uniqname, flags.
