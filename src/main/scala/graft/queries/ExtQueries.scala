@@ -373,6 +373,23 @@ object ExtQueries {
     fixture(s).nodes.select(col("ot_node_id"), col("name"),
       col("tax_rank"), col("unique_name"), col("tax_uid"))
 
+  /** S8: DOT statements via the distributed [[graft.tree.TreeExports
+    * .dotLines]] twin; oracle rebuilds each statement string in DuckDB.
+    */
+  val s8DotLines: Q = (s, _) => {
+    val t = fixture(s)
+    graft.tree.TreeExports.dotLines(t.nodes, fixtureRootId(s))
+  }
+
+  /** F7: taxonomy-support injection — every ott* node's supported_by map
+    * carries an appended "ott<taxonomy_version>" → own-id entry
+    * (IngestSynthesisData.java:484-496); the oracle re-derives the merged
+    * JSON from the RAW annotations + raw taxonomy_version.
+    */
+  val f7TaxSupport: Q = (s, _) =>
+    fixture(s).nodes.select(col("ot_node_id"),
+      to_json(col("supported_by")).as("supported_by_json"))
+
   /** SET4: ancestor-array overlap per tip pair (the bitset-intersection
     * analog); oracle via DuckDB list_intersect.
     */
@@ -391,6 +408,8 @@ object ExtQueries {
   val registry: Map[String, Q] = Map(
     "s2_taxonomy" -> s2Taxonomy,
     "f6_tax_sources" -> f6TaxSources,
+    "s8_dot_lines" -> s8DotLines,
+    "f7_tax_support" -> f7TaxSupport,
     "s3_annotations" -> s3Annotations,
     "j3_attr_join" -> j3AttrJoin,
     "set4_ancestor_overlap" -> set4AncestorOverlap,
@@ -486,6 +505,34 @@ object ExtQueries {
         |       ELSE t.tuniq END AS unique_name,
         |  n.tax_uid
         |FROM n LEFT JOIN t ON n.tax_uid = t.uid""".stripMargin,
+    "s8_dot_lines" ->
+      """WITH n AS (SELECT node_id, parent_id, ot_node_id
+        |  FROM read_parquet('__FIXTURE__/nodes/*.parquet'))
+        |SELECT '  n' || node_id || ' [label="' || ot_node_id || '"];' AS line
+        |FROM n
+        |UNION ALL
+        |SELECT '  n' || node_id || ' -> n' || parent_id ||
+        |  ' [label="SYNTHCHILDOF"];' AS line
+        |FROM n WHERE parent_id <> -1""".stripMargin,
+    "f7_tax_support" ->
+      """WITH n AS (SELECT ot_node_id, tax_uid
+        |  FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |j AS (SELECT json
+        |  FROM read_json_objects('__FIXSRC__/gavia_annotations.json',
+        |    format='unstructured') t(json)),
+        |v AS (SELECT json->>'$.taxonomy_version' AS tv FROM j),
+        |k AS (SELECT unnest(json_keys(json, '$.nodes')) AS ot_node_id, json
+        |  FROM j),
+        |a AS (SELECT ot_node_id, json_extract_string(json,
+        |  '$.nodes."' || ot_node_id || '".supported_by') AS sb FROM k)
+        |SELECT n.ot_node_id,
+        |  CASE WHEN n.tax_uid IS NULL THEN a.sb
+        |       WHEN a.sb IS NULL
+        |         THEN '{"ott' || v.tv || '":"' || n.ot_node_id || '"}'
+        |       ELSE substr(a.sb, 1, length(a.sb) - 1) ||
+        |         ',"ott' || v.tv || '":"' || n.ot_node_id || '"}'
+        |  END AS supported_by_json
+        |FROM n LEFT JOIN a USING (ot_node_id) CROSS JOIN v""".stripMargin,
     "set4_ancestor_overlap" ->
       """WITH n AS (SELECT ot_node_id, ancestors
         |  FROM read_parquet('__FIXTURE__/nodes/*.parquet') WHERE is_leaf)

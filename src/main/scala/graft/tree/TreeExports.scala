@@ -41,6 +41,21 @@ object TreeExports {
     sb.result()
   }
 
+  /** Distributed twin of [[dot]]: the DOT body as a row per statement
+    * (node declarations + SYNTHCHILDOF edges), built entirely
+    * executor-side — wrap with the `digraph synth {`/`}` header/footer at
+    * the sink to recover the exact [[dot]] output with no cap.
+    */
+  def dotLines(nodes: DataFrame, rootId: Long, maxDepth: Int = -1): DataFrame = {
+    val sub = TreeOps.subtree(nodes, rootId, maxDepth)
+    val nodeLines = sub.select(concat(lit("  n"), col("node_id"),
+      lit(" [label=\""), col("ot_node_id"), lit("\"];")).as("line"))
+    val edgeLines = sub.filter(col("node_id") =!= lit(rootId))
+      .select(concat(lit("  n"), col("node_id"), lit(" -> n"),
+        col("parent_id"), lit(" [label=\"SYNTHCHILDOF\"];")).as("line"))
+    nodeLines.unionByName(edgeLines)
+  }
+
   /** S9: GraphML XML of a bounded subtree (GraphExporter.java:96-200 —
     * the reference's exportGraphML; node labels carry the ot id and name,
     * edges the synth-child relation). Same bounded-collect shape as [[dot]].
