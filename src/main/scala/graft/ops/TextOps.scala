@@ -291,6 +291,32 @@ object TextOps {
     */
   private def q4(c: Column): Column = floor(c * 10000.0) / 10000.0
 
+  /** Intra-document repetition score: fraction of word n-grams that
+    * repeat an earlier occurrence (1 − distinct/total) — the cheap screen
+    * for boilerplate- and loop-heavy documents a training pipeline drops
+    * or downweights. Entirely row-local and codegen'd. The token array is
+    * bound as a real column BEFORE the n-gram lambda (a lambda body
+    * re-evaluates inlined subtrees per element — the winnowing O(len²)
+    * lesson); the ratio is one division of exact integer counts,
+    * floor-quantized, so the score is bit-identical in any engine.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokensCol(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("rep_score",
+        when(col("n_grams") > 0,
+          floor((lit(1.0) - col("n_distinct").cast("double") /
+            col("n_grams").cast("double")) * 10000.0) / 10000.0)
+          .otherwise(lit(0.0)))
+
   /** Quality features + a composite score (length, punctuation, stopword
     * density) — ratios floor-quantized for cross-engine stability.
     */

@@ -85,6 +85,19 @@ object VectorOps {
           lit(0.0), (acc, x) => acc + x) >= 0, "1").otherwise("0")), ""))
   }
 
+  /** Symmetric int8 quantization of an embedding column:
+    * q = clamp(floor(x·127), −127, 127), dequantize with q/127 — 4× the
+    * storage density for ANN candidate generation, with exact rescoring
+    * on the float column for the final ranks. `floor`, not `round`:
+    * round's half-boundary rule differs across engines, floor of a
+    * bit-identical double does not. Row-local, codegen'd.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(toDouble(col(vecCol)),
+        x => greatest(lit(-127L), least(lit(127L), floor(x * 127.0)))
+          .cast("tinyint")).as("qvec"))
+
   /** Nearest-centroid cell assignment: each row of `df` (id, vec) scored
     * against every centroid (broadcast, so the n·k dot products are
     * map-side), keeping the `nprobe` best cells per row. Ties break on

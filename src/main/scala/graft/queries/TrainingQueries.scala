@@ -143,6 +143,19 @@ object TrainingQueries {
     VectorOps.topK(e.filter(col("id") < 5), e, k = 5)
   }
 
+  /** Intra-document repetition (boilerplate/loop screen). */
+  val txtRepetition: Q = (s, d) =>
+    TextOps.repetition(Tables.documents(s, d), "doc_id", "text")
+
+  /** Int8 embedding quantization, long form for the oracle compare. */
+  val embQuantize: Q = (s, d) =>
+    VectorOps.quantizeInt8(
+      Tables.embeddings(s, d).filter(col("vec_id") < 50)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "id", "vec")
+      .select(col("id"), posexplode(col("qvec")).as(Seq("pos", "q")))
+      .withColumn("pos", col("pos").cast("long"))
+
   /** Quality features + composite score per document. */
   val txtQuality: Q = (s, d) =>
     TextOps.quality(Tables.documents(s, d), "doc_id", "text")
@@ -275,6 +288,8 @@ object TrainingQueries {
     "emb_neardup" -> embNearDup,
     "ann_topk" -> annTopk,
     "txt_quality" -> txtQuality,
+    "txt_repetition" -> txtRepetition,
+    "emb_quantize" -> embQuantize,
     "txt_tokens" -> txtTokens,
     "dd_winnow" -> ddWinnow,
     "dd_winnow_pairs" -> ddWinnowPairs,
@@ -518,6 +533,31 @@ object TrainingQueries {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "txt_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(0, len(toks) - 2),
+         |      i -> toks[CAST(i + 1 AS INT)] || ' ' ||
+         |           toks[CAST(i + 2 AS INT)] || ' ' ||
+         |           toks[CAST(i + 3 AS INT)])
+         |    ELSE CAST([] AS VARCHAR[]) END AS grams
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(grams) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+         |  CASE WHEN len(grams) > 0
+         |    THEN floor((1.0 - len(list_distinct(grams))::DOUBLE /
+         |      len(grams)::DOUBLE) * 10000.0) / 10000.0
+         |    ELSE 0.0 END AS rep_score
+         |FROM g""".stripMargin,
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id AS id, embedding
+        |  FROM embeddings WHERE vec_id < 50)
+        |SELECT id, CAST(p - 1 AS BIGINT) AS pos,
+        |  CAST(greatest(-127, least(127,
+        |    floor(embedding[CAST(p AS INT)]::DOUBLE * 127.0))) AS TINYINT) AS q
+        |FROM e, unnest(range(1, len(embedding) + 1)) u(p)""".stripMargin,
     "txt_quality" ->
       s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks,
          |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,

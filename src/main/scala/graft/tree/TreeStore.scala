@@ -57,6 +57,23 @@ object TreeStore {
       spark.read.parquet(s"$path/source_map"))
   }
 
+  /** Multi-tree store (several synthesis versions in one serving layout,
+    * the reference's actual deployment model): same four tables — node id
+    * spaces are disjoint by construction and every row carries `tree_id`,
+    * so the single-tree writers apply unchanged and per-tree views filter
+    * after load.
+    */
+  def saveMulti(m: TreeIngest.MultiIngested, path: String,
+      buckets: Int = 32): Unit =
+    save(TreeIngest.Ingested(m.nodes, m.edges, m.treeMeta, m.sourceMap),
+      path, buckets)
+
+  def loadMulti(spark: SparkSession, path: String,
+      persistNodes: Boolean = true): TreeIngest.MultiIngested = {
+    val t = load(spark, path, persistNodes)
+    TreeIngest.MultiIngested(t.nodes, t.edges, t.treeMeta, t.sourceMap)
+  }
+
   /** `bucketBy` requires a catalog write, so route through a throwaway
     * external-table name and drop it after — the files (with Spark's bucket
     * ids in their names) are what persists.

@@ -61,6 +61,31 @@ class StoreSpec extends AnyFunSuite {
     assert(TreeApi.about(loaded).count() == 1)
   }
 
+  test("multi-tree store round-trips per-tree views") {
+    val multi = TreeIngest.ingestAll(spark, Seq(
+      TreeIngest.TreeSource(s"$fx/gavia.tre", s"$fx/gavia_annotations.json",
+        s"$fx/gavia_taxonomy.tsv", "opentree4.1"),
+      TreeIngest.TreeSource(s"$fx/gavia2.tre", s"$fx/gavia2_annotations.json",
+        s"$fx/gavia_taxonomy.tsv", "opentree5.0")))
+    val dir = Files.createTempDirectory("graft_store_multi").toString
+    TreeStore.saveMulti(multi, dir, buckets = 4)
+    val loaded = TreeStore.loadMulti(spark, dir)
+    assert(loaded.treeIds.toSet == Set("opentree4.1", "opentree5.0"))
+    loaded.treeIds.foreach { id =>
+      val orig = multi.tree(id)
+      val got = loaded.tree(id)
+      assert(got.nodes.count() == orig.nodes.count())
+      assert(got.treeIdStr == id)
+      // per-tree golden: the newick of the loaded view matches the original
+      val rootL = got.nodes.filter(col("parent_id") === -1L)
+        .select("node_id").head().getLong(0)
+      val rootO = orig.nodes.filter(col("parent_id") === -1L)
+        .select("node_id").head().getLong(0)
+      assert(TreeOps.newick(got.nodes, rootL, idsForUnnamed = true) ==
+        TreeOps.newick(orig.nodes, rootO, idsForUnnamed = true))
+    }
+  }
+
   test("loaded tables join with zero exchanges (bucketed serving path)") {
     // separate store dir + unpersisted load: the cached-nodes variant would
     // hide the FileSourceScan (and its "Bucketed: true") behind the cache

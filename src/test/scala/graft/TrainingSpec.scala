@@ -216,6 +216,34 @@ class TrainingSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"OR-amplified recall $recall")
   }
 
+  test("repetition: looped text scores high, unique text zero, bounds hold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c a b c a b c a b c"),
+      (3L, "x y")) // shorter than one 3-gram
+      .toDF("doc_id", "text")
+    val r = TextOps.repetition(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) == 0.0)
+    assert(r(2L) > 0.5 && r(2L) < 1.0)
+    assert(r(3L) == 0.0)
+  }
+
+  test("int8 quantization bounds and dequantization error") {
+    val q = VectorOps.quantizeInt8(embs, "id", "vec")
+      .select(col("id"), posexplode(col("qvec")).as(Seq("pos", "q")))
+      .collect()
+    assert(q.nonEmpty)
+    assert(q.forall(r => r.getByte(2) >= -127 && r.getByte(2) <= 127))
+    // dequantized value within one quantization step of the original
+    val orig = embs.select(col("id"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getFloat(2)).toMap
+    assert(q.forall { r =>
+      math.abs(r.getByte(2) / 127.0 - orig((r.getLong(0), r.getInt(1)))) <= 1.0 / 127.0 + 1e-9
+    })
+  }
+
   test("quality scores bounded and langid in range") {
     val q = TrainingQueries.txtQuality(spark, sf).collect()
     assert(q.forall { r =>
