@@ -103,6 +103,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("repetition and quantization are scan-local: zero exchanges") {
+    val rep = finalPlan(graft.queries.TrainingQueries.txtRepetition(spark, sf))
+    assert(!rep.contains("Exchange"), rep)
+    val qz = finalPlan(graft.queries.TrainingQueries.embQuantize(spark, sf))
+    assert(!qz.contains("Exchange"), qz)
+    // and the token-split n-gram build pushes column pruning to the scan
+    assert(rep.contains("ReadSchema: struct<doc_id:bigint,text:string>"), rep)
+  }
+
   test("minhash→jaccard verifier joins only on candidate keys (no token self-join)") {
     val w = Tables.documents(spark, sf)
       .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
