@@ -365,6 +365,138 @@ object TreeApi {
         ",\"source_id_map\":{" + srcSb.result() + "}}", 1) + "}"
   }
 
+  /** JSON-escape a string column: quote and backslash, matching the
+    * driver `esc()` for all OTT label data (which is control-char-free;
+    * the driver's \\uXXXX control-char path has no vectorized twin and is
+    * unreachable for taxonomy names).
+    */
+  private def escCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+
+  /** The arguson node blob as a single column expression — the vectorized
+    * twin of the driver `blob()` builder, enabling [[argusonUncapped]].
+    * Input rows need the node attribute columns plus `first_named`/
+    * `last_named` (representative descendants, see [[arguson]]).
+    */
+  private def argusonBlobCol: org.apache.spark.sql.Column = {
+    val taxon = concat(
+      lit(",\"taxon\":{\"name\":\""), escCol(col("name")), lit("\""),
+      lit(",\"unique_name\":\""),
+      escCol(coalesce(col("unique_name"), col("name"))), lit("\""),
+      when(col("tax_rank").isNotNull,
+        concat(lit(",\"rank\":\""), escCol(col("tax_rank")), lit("\"")))
+        .otherwise(lit("")),
+      when(col("tax_uid").isNotNull,
+        concat(lit(",\"ott_id\":"), col("tax_uid").cast("string")))
+        .otherwise(lit("")),
+      lit("}"))
+    val fn = concat(lit("\""), escCol(col("first_named")), lit("\""))
+    val ln = concat(lit("\""), escCol(col("last_named")), lit("\""))
+    val descList = concat(lit(",\"descendant_name_list\":["),
+      when(col("first_named").isNull, lit(""))
+        .when(col("first_named") === col("last_named"), fn)
+        .otherwise(concat_ws(",", fn, ln)),
+      lit("]"))
+    val ann = concat(ArgusonAnnFields.map { f =>
+      when(col(f).isNotNull,
+        concat(lit(s""","$f":"""), to_json(col(f)))).otherwise(lit(""))
+    }: _*)
+    concat(
+      lit("{\"node_id\":\""), escCol(col("ot_node_id")), lit("\""),
+      lit(",\"num_tips\":"), col("tip_descendants").cast("string"),
+      when(col("name").isNotNull, taxon).otherwise(descList),
+      ann)
+  }
+
+  /** Distributed arguson past the reference's 25k cap — the same
+    * Euler-tour tokenization as `TreeOps.newickTokens`: each node's entry
+    * token at (pre,0) carries the sibling comma + blob (+ `,"children":[`
+    * when it has children within the height limit), each internal exit at
+    * (post,1,-depth) closes `]}`; leaves close `}` in the entry. The body
+    * is then one range-partitioned sort over executor-built strings —
+    * nothing walks a tree anywhere.
+    */
+  /** First/last representative named descendant per target node — one
+    * shuffle for the whole target set (GraphExplorer.java:450-494).
+    */
+  private def argusonReps(t: Ingested, targets: DataFrame): DataFrame =
+    t.nodes.filter(col("name").isNotNull)
+      .select(col("node_id").as("d_id"), col("name").as("d_name"),
+        col("pre").as("d_pre"), explode(col("ancestors")).as("node_id"))
+      .filter(col("d_id") =!= col("node_id"))
+      .join(broadcast(targets), Seq("node_id"), "left_semi")
+      .groupBy(col("node_id"))
+      .agg(min_by(col("d_name"), col("d_pre")).as("first_named"),
+        max_by(col("d_name"), col("d_pre")).as("last_named"))
+
+  def argusonTokens(t: Ingested, rootId: Long, heightLimit: Int = 5): DataFrame = {
+    val sub = TreeOps.subtree(t.nodes, rootId, heightLimit)
+    val reps = argusonReps(t, sub.select(col("node_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("parent_id")).orderBy(col("pre"))
+    val eff = sub.join(reps, Seq("node_id"), "left_outer")
+      .withColumn("blob", argusonBlobCol)
+      .withColumn("is_first", row_number().over(w) === 1)
+      .withColumn("eff_leaf", col("is_leaf") ||
+        (if (heightLimit >= 0) col("rel_depth") === heightLimit else lit(false)))
+    val comma = when(col("node_id") =!= rootId && !col("is_first"), lit(","))
+      .otherwise(lit(""))
+    val entry = eff.select(col("pre").as("k1"), lit(0).as("k2"),
+      lit(0L).as("k3"),
+      concat(comma, col("blob"),
+        when(col("eff_leaf"), lit("}"))
+          .otherwise(lit(",\"children\":["))).as("token"))
+    val exits = eff.filter(!col("eff_leaf")).select(col("post").as("k1"),
+      lit(1).as("k2"), (-col("depth")).as("k3"), lit("]}").as("token"))
+    entry.unionByName(exits)
+  }
+
+  /** Full arguson document via [[argusonTokens]] — no tip cap. The root
+    * lineage (≤ depth rows) and the source map ride the same blob column;
+    * only result-sized strings reach the driver.
+    */
+  def argusonUncapped(t: Ingested, rootId: Long, heightLimit: Int = 5): String = {
+    val body = TreeOps.newickFromTokens(argusonTokens(t, rootId, heightLimit))
+
+    val linIds = t.nodes.filter(col("node_id") === rootId)
+      .select(col("ancestors")).head().getSeq[Long](0).dropRight(1).reverse
+    val linBlobs =
+      if (linIds.isEmpty) Map.empty[Long, String]
+      else {
+        val lin = t.nodes.filter(col("node_id").isin(linIds: _*))
+        lin.join(argusonReps(t, lin.select(col("node_id"))),
+            Seq("node_id"), "left_outer")
+          .withColumn("blob", argusonBlobCol)
+          .select(col("node_id"), col("blob")).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+    val linStr = linIds.map(id => linBlobs(id) + "}").mkString(",")
+
+    // every annotation source seen in any blob (subtree + lineage)
+    val annKeys = array_distinct(concat(ArgusonAnnFields.map(f =>
+      when(col(f).isNotNull, map_keys(col(f)))
+        .otherwise(array().cast("array<string>"))): _*))
+    val scope = TreeOps.subtree(t.nodes, rootId, heightLimit)
+      .select(col("node_id"))
+      .union(t.nodes.filter(col("node_id").isin(linIds: _*)).select(col("node_id")))
+    val srcs = t.nodes.join(scope, Seq("node_id"), "left_semi")
+      .select(explode(annKeys).as("s")).distinct()
+      .collect().map(_.getString(0)).sorted
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    val srcStr = srcs.map { s =>
+      val b = t.sourceBlobs.getOrElse(s, Map.empty)
+      "\"" + esc(s) + "\":{" + b.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+        .mkString(",") + "}"
+    }.mkString(",")
+
+    "{\"arguson\":" + body.patch(body.length - 1,
+      ",\"lineage\":[" + linStr + "]" +
+        ",\"source_id_map\":{" + srcStr + "}}", 1) + "}"
+  }
+
   /** `source_tree` (tree_of_life_v3.java:829-907, S7): serve the processed
     * input source tree for a study_id + tree_id. The reference proxies
     * `files.opentreeoflife.org/preprocessed/v<version>/trees/<source>.tre`

@@ -53,6 +53,19 @@ class NewickScaleSpec extends AnyFunSuite {
     assert(joined == TreeOps.newick(nodes, root, idsForUnnamed = true))
   }
 
+  test("distributed arguson equals the driver builder at several heights") {
+    val root = idOf("ott803675")
+    Seq(1, 2, 5, -1).foreach { h =>
+      val driver = TreeApi.arguson(ingested, root, heightLimit = h)
+      val dist = TreeApi.argusonUncapped(ingested, root, heightLimit = h)
+      assert(dist == driver, s"heightLimit=$h")
+    }
+    // also from an interior root, where the lineage array is non-empty
+    val mid = idOf("mrcaott90560ott651474")
+    assert(TreeApi.argusonUncapped(ingested, mid, 5) ==
+      TreeApi.arguson(ingested, mid, 5))
+  }
+
   test("assembles past the 100k-tip cap, equal to the uncapped driver builder") {
     // heap tree: 260k nodes, 130k tips — over the reference's cap
     val n = 260000L
