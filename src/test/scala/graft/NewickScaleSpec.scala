@@ -93,5 +93,27 @@ class NewickScaleSpec extends AnyFunSuite {
     assert(dist == driver)
     // one "(" per internal node: ids 1..130000 have a child 2i <= 260000
     assert(dist.count(_ == '(') == 130000)
+
+    // arguson past ITS cap (25k) too: driver refuses, token path serves
+    val nodes2 = labeled
+      .withColumn("unique_name", lit(null).cast("string"))
+      .withColumn("tax_rank", lit(null).cast("string"))
+      .withColumn("supported_by", lit(null).cast("map<string,string>"))
+      .withColumn("terminal", lit(null).cast("map<string,string>"))
+      .withColumn("partial_path_of", lit(null).cast("map<string,string>"))
+      .withColumn("resolves", lit(null).cast("map<string,string>"))
+      .withColumn("conflicts_with", lit(null).cast("map<string,array<string>>"))
+      .withColumn("resolved_by", lit(null).cast("map<string,array<string>>"))
+    val empty = spark.range(0).toDF("x")
+    val t2 = TreeIngest.Ingested(nodes2, empty, empty, empty)
+    val exA = intercept[IllegalArgumentException] {
+      TreeApi.arguson(t2, rootId, heightLimit = -1)
+    }
+    assert(exA.getMessage.contains("larger than currently allowed"))
+    val arg = TreeApi.argusonUncapped(t2, rootId, heightLimit = -1)
+    assert(arg.startsWith("{\"arguson\":{\"node_id\":"))
+    assert(arg.endsWith("}"))
+    assert("\"node_id\":\"".r.findAllIn(arg).length == 260000)
+    assert(arg.count(_ == '{') == arg.count(_ == '}'))
   }
 }
