@@ -497,6 +497,16 @@ object TreeApi {
         ",\"source_id_map\":{" + srcStr + "}}", 1) + "}"
   }
 
+  /** Executor-only arguson sink: the token stream written as ordered text
+    * parts (see `TreeOps.newickWrite` — the writer is format-agnostic).
+    * NOTE: parts carry only the subtree body; the root lineage/source-map
+    * splice of [[argusonUncapped]] applies to bounded requests, which fit
+    * the string path anyway.
+    */
+  def argusonWrite(t: Ingested, rootId: Long, path: String,
+      heightLimit: Int = 5): Unit =
+    TreeOps.newickWrite(argusonTokens(t, rootId, heightLimit), path)
+
   /** `source_tree` (tree_of_life_v3.java:829-907, S7): serve the processed
     * input source tree for a study_id + tree_id. The reference proxies
     * `files.opentreeoflife.org/preprocessed/v<version>/trees/<source>.tre`
