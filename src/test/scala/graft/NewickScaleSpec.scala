@@ -66,6 +66,20 @@ class NewickScaleSpec extends AnyFunSuite {
       TreeApi.arguson(ingested, mid, 5))
   }
 
+  test("arguson sink writes ordered parts that concatenate to the body") {
+    val root = idOf("ott803675")
+    val dir = java.nio.file.Files.createTempDirectory("graft_arg").toString
+    TreeApi.argusonWrite(ingested, root, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val joined = parts.map { f =>
+      scala.io.Source.fromFile(f).getLines().mkString
+    }.mkString
+    assert(joined == TreeOps.newickFromTokens(
+      TreeApi.argusonTokens(ingested, root)))
+    assert(joined.startsWith("{\"node_id\":"))
+  }
+
   test("assembles past the 100k-tip cap, equal to the uncapped driver builder") {
     // heap tree: 260k nodes, 130k tips — over the reference's cap
     val n = 260000L
