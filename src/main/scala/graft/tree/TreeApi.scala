@@ -408,14 +408,6 @@ object TreeApi {
       ann)
   }
 
-  /** Distributed arguson past the reference's 25k cap — the same
-    * Euler-tour tokenization as `TreeOps.newickTokens`: each node's entry
-    * token at (pre,0) carries the sibling comma + blob (+ `,"children":[`
-    * when it has children within the height limit), each internal exit at
-    * (post,1,-depth) closes `]}`; leaves close `}` in the entry. The body
-    * is then one range-partitioned sort over executor-built strings —
-    * nothing walks a tree anywhere.
-    */
   /** First/last representative named descendant per target node — one
     * shuffle for the whole target set (GraphExplorer.java:450-494).
     */
@@ -429,6 +421,14 @@ object TreeApi {
       .agg(min_by(col("d_name"), col("d_pre")).as("first_named"),
         max_by(col("d_name"), col("d_pre")).as("last_named"))
 
+  /** Distributed arguson past the reference's 25k cap — the same
+    * Euler-tour tokenization as `TreeOps.newickTokens`: each node's entry
+    * token at (pre,0) carries the sibling comma + blob (+ `,"children":[`
+    * when it has children within the height limit), each internal exit at
+    * (post,1,-depth) closes `]}`; leaves close `}` in the entry. The body
+    * is then one range-partitioned sort over executor-built strings —
+    * nothing walks a tree anywhere.
+    */
   def argusonTokens(t: Ingested, rootId: Long, heightLimit: Int = 5): DataFrame = {
     val sub = TreeOps.subtree(t.nodes, rootId, heightLimit)
     val reps = argusonReps(t, sub.select(col("node_id")))
