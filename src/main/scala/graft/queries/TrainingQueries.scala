@@ -156,6 +156,30 @@ object TrainingQueries {
       .select(col("id"), posexplode(col("qvec")).as(Seq("pos", "q")))
       .withColumn("pos", col("pos").cast("long"))
 
+  /** The corpus-preparation pipeline end to end: quality gate →
+    * repetition gate → exact dedup by token-set fingerprint (smallest id
+    * survives). This is the composition a real training run executes
+    * before the near-dup pass (dd_pipeline); output is the surviving
+    * corpus with its audit columns. Every stage is a hash agg or
+    * row-local projection — two shuffles total (fingerprint group,
+    * semi-join back).
+    */
+  val prepPipeline: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val q = TextOps.quality(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val rep = TextOps.repetition(docs, "doc_id", "text")
+      .select(col("doc_id"), col("rep_score"))
+    val kept = docs.select(col("doc_id"), col("text"))
+      .join(q, "doc_id").join(rep, "doc_id")
+      .filter(col("quality_score") > 0.3 && col("rep_score") < 0.5)
+    val fp = kept.select(col("doc_id"),
+      TextOps.fingerprintCol(col("text")).as("fp"))
+    val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    kept.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("quality_score"), col("rep_score"))
+  }
+
   /** Quality features + composite score per document. */
   val txtQuality: Q = (s, d) =>
     TextOps.quality(Tables.documents(s, d), "doc_id", "text")
@@ -289,6 +313,7 @@ object TrainingQueries {
     "ann_topk" -> annTopk,
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
+    "prep_pipeline" -> prepPipeline,
     "emb_quantize" -> embQuantize,
     "txt_tokens" -> txtTokens,
     "dd_winnow" -> ddWinnow,
@@ -533,6 +558,34 @@ object TrainingQueries {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "prep_pipeline" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  floor((least(len($toksSql)::DOUBLE / 100.0, 1.0) * 0.5
+         |    + (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+         |        / length(text)) * 0.3
+         |    + (len(list_filter($toksSql, t -> t IN
+         |        ('the','and','of','to','a','el','la','de','los','que',
+         |         'der','die','und','das','ist','le','les','des','et','une')))::DOUBLE
+         |        / len($toksSql)) * 0.2) * 10000.0) / 10000.0 AS quality_score
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3 THEN
+         |    floor((1.0 - len(list_distinct(list_transform(range(0, len(toks) - 2),
+         |      i -> toks[CAST(i + 1 AS INT)] || ' ' ||
+         |           toks[CAST(i + 2 AS INT)] || ' ' ||
+         |           toks[CAST(i + 3 AS INT)])))::DOUBLE
+         |      / (len(toks) - 2)) * 10000.0) / 10000.0
+         |  ELSE 0.0 END AS rep_score
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |kept AS (SELECT d.doc_id, d.text, q.quality_score, r.rep_score
+         |  FROM documents d JOIN q USING (doc_id) JOIN r USING (doc_id)
+         |  WHERE q.quality_score > 0.3 AND r.rep_score < 0.5),
+         |fp AS (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS f
+         |  FROM kept),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+         |SELECT k.doc_id, k.quality_score, k.rep_score
+         |FROM kept k JOIN keepers USING (doc_id)""".stripMargin,
     "txt_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id,
