@@ -166,13 +166,20 @@ object TrainingQueries {
     */
   val prepPipeline: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val q = TextOps.quality(docs, "doc_id", "text")
-      .select(col("doc_id"), col("quality_score"))
-    val rep = TextOps.repetition(docs, "doc_id", "text")
-      .select(col("doc_id"), col("rep_score"))
+    // materialize the per-doc scores BEFORE filtering on them: predicate
+    // pushdown otherwise collapses `rep_score < 0.5` into a Filter whose
+    // n-gram lambda re-inlines the tokenizer per element — the winnowing
+    // O(len²) failure resurrected by the optimizer (measured: 11 s vs
+    // 0.6 s at sf0.1). The score table is doc_id-sized; at 100 TB a real
+    // pipeline persists it the same way.
+    val scores = graft.ops.ClusterOps.flatten(
+      TextOps.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+        .join(TextOps.repetition(docs, "doc_id", "text")
+          .select(col("doc_id"), col("rep_score")), "doc_id"))
     val kept = docs.select(col("doc_id"), col("text"))
-      .join(q, "doc_id").join(rep, "doc_id")
-      .filter(col("quality_score") > 0.3 && col("rep_score") < 0.5)
+      .join(scores.filter(col("quality_score") > 0.3 &&
+        col("rep_score") < 0.5), "doc_id")
     val fp = kept.select(col("doc_id"),
       TextOps.fingerprintCol(col("text")).as("fp"))
     val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
