@@ -14,7 +14,8 @@ object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "mrca_pack" -> (es => MrcaPack(es.head, es(1))),
     "mrca_unpack_a" -> (es => MrcaUnpackA(es.head)),
-    "mrca_unpack_b" -> (es => MrcaUnpackB(es.head)))
+    "mrca_unpack_b" -> (es => MrcaUnpackB(es.head)),
+    "dot_product" -> (es => DotProduct(es.head, es(1))))
 
   /** Register on an existing session: `SELECT mrca_pack(a, b)` works in
     * `spark.sql` afterwards.

@@ -23,8 +23,13 @@ object VectorOps {
     */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Codegen'd primitive loop (graft.functions.DotProduct) — the
+    * `aggregate(zip_with(...))` form it replaces evaluated interpreted,
+    * outside whole-stage codegen; the fold order (and thus every oracle
+    * hash) is identical.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
