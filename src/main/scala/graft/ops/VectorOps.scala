@@ -86,8 +86,8 @@ object VectorOps {
     val planeLits = array(planes.map(p => array(p.map(lit(_)): _*)): _*)
     df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("sig", array_join(transform(planeLits,
-        p => when(aggregate(zip_with(col("v"), p, (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) >= 0, "1").otherwise("0")), ""))
+        p => when(graft.functions.VectorExprs.dot_product(col("v"), p) >= 0,
+          "1").otherwise("0")), ""))
   }
 
   /** Symmetric int8 quantization of an embedding column:
