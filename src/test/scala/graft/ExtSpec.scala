@@ -36,6 +36,23 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getLong(1) == 90560L && r.getLong(2) == 651474L)
   }
 
+  test("dot_product: codegen expression, SQL-callable, in the ANN plan") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+    // the ANN scoring path keeps using the native expression (parquet-backed
+    // plan so nothing constant-folds)
+    val e = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"))
+    val topk = graft.ops.VectorOps.topK(e.filter(
+      org.apache.spark.sql.functions.col("id") < 2), e, 3)
+    topk.collect()
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dotproduct"), plan)
+  }
+
   test("degree-pruned subtree stops below high-degree nodes") {
     import org.apache.spark.sql.functions._
     val labeled = graft.queries.TreeQueries.labeled(spark, sf)
