@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deterministic distinct-count sketching: KMV (k minimum values,
+  * Bar-Yossef et al. 2002). Keep the k smallest md5-derived hash values
+  * seen per group; with the k-th minimum at fraction f of the hash
+  * space, the group saw ≈ (k−1)/f distinct values.
+  *
+  * Why not `approx_count_distinct` (HLL++): its registers are
+  * engine-specific, so the estimate cannot be verified against another
+  * engine. KMV over md5 is BIT-REPRODUCIBLE — DuckDB computes the same
+  * k-th minimum from the same hashes and the same closed-form estimate,
+  * so even the *approximation* gets a hash-equal oracle row.
+  *
+  * Scale shape: the aggregation state is ≤ k sorted longs (k·8 bytes);
+  * as a typed `Aggregator` it partial-aggregates map-side, so a group of
+  * any cardinality ships k values per partition into the exchange — the
+  * whole point of sketching a 100 TB column. Groups with fewer than k
+  * distinct values return their exact count.
+  */
+object SketchOps {
+
+  /** 15 hex chars = 60 bits: positive in a signed long in both engines
+    * (DuckDB twin: `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`).
+    */
+  val HashBits = 60
+  val HashSpace: Double = math.pow(2.0, HashBits)
+
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Typed KMV aggregator; buffer = sorted array of ≤ k distinct hashes. */
+  class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Double] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    override def zero: Array[Long] = Array.empty
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      b.foldLeft(a)(insert)
+    private def insert(buf: Array[Long], h: Long): Array[Long] = {
+      if (buf.length >= k && h >= buf(buf.length - 1)) buf
+      else if (java.util.Arrays.binarySearch(buf, h) >= 0) buf // distinct only
+      else {
+        val merged = (buf :+ h).sorted
+        if (merged.length > k) merged.take(k) else merged
+      }
+    }
+    override def finish(buf: Array[Long]): Double =
+      if (buf.length < k) buf.length.toDouble
+      else (k - 1).toDouble * HashSpace / buf(k - 1).toDouble
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Distinct-count estimate of `c` per group, as an aggregation column:
+    * `df.groupBy(key).agg(kmvDistinct(col("x"), 64))`.
+    */
+  def kmvDistinct(c: Column, k: Int = 64): Column =
+    udaf(new KmvAgg(k), Encoders.scalaLong)(hash60(c))
+}

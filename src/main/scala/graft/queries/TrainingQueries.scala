@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{ClusterOps, PackOps, SampleOps, TextOps, VectorOps}
+import graft.ops.{ClusterOps, PackOps, SampleOps, SketchOps, TextOps, VectorOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the documents/embeddings tables, each with a DuckDB
@@ -187,6 +187,16 @@ object TrainingQueries {
       .select(col("doc_id"), col("quality_score"), col("rep_score"))
   }
 
+  /** KMV distinct-count sketch per group — the deterministic
+    * approximate-COUNT-DISTINCT whose estimate itself is oracle-checkable
+    * (HLL registers are engine-private; k minimum md5 values are not).
+    */
+  val skDistinctKmv: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_orderkey")).as("n_exact"),
+        SketchOps.kmvDistinct(col("l_orderkey"), 64).as("est_distinct"))
+
   /** Quality features + composite score per document. */
   val txtQuality: Q = (s, d) =>
     TextOps.quality(Tables.documents(s, d), "doc_id", "text")
@@ -321,6 +331,7 @@ object TrainingQueries {
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
     "prep_pipeline" -> prepPipeline,
+    "sk_distinct_kmv" -> skDistinctKmv,
     "emb_quantize" -> embQuantize,
     "txt_tokens" -> txtTokens,
     "dd_winnow" -> ddWinnow,
@@ -565,6 +576,21 @@ object TrainingQueries {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "sk_distinct_kmv" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag AS key,
+        |  CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (SELECT key, h,
+        |  row_number() OVER (PARTITION BY key ORDER BY h) AS rn,
+        |  count(*) OVER (PARTITION BY key) AS nd FROM h)
+        |SELECT key AS l_returnflag,
+        |  CAST(max(nd) AS BIGINT) AS n_exact,
+        |  CASE WHEN max(nd) < 64 THEN max(nd)::DOUBLE
+        |    ELSE 63.0 * 1152921504606846976.0 /
+        |      max(CASE WHEN rn = 64 THEN h END)::DOUBLE
+        |  END AS est_distinct
+        |FROM r GROUP BY key""".stripMargin,
     "prep_pipeline" ->
       s"""WITH q AS (SELECT doc_id,
          |  floor((least(len($toksSql)::DOUBLE / 100.0, 1.0) * 0.5
