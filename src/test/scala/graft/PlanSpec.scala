@@ -112,6 +112,15 @@ class PlanSpec extends AnyFunSuite {
     assert(rep.contains("ReadSchema: struct<doc_id:bigint,text:string>"), rep)
   }
 
+  test("KMV sketch aggregates partially before the exchange") {
+    val p = finalPlan(graft.queries.TrainingQueries.skDistinctKmv(spark, sf))
+    // typed Aggregator → ObjectHashAggregate with a partial pass: a group
+    // of any cardinality ships k longs per partition, not its rows
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_kmvagg") || p.contains("partial_KmvAgg") ||
+      "partial_kmvagg".r.findFirstIn(p.toLowerCase).isDefined, p)
+  }
+
   test("minhash→jaccard verifier joins only on candidate keys (no token self-join)") {
     val w = Tables.documents(spark, sf)
       .filter(org.apache.spark.sql.functions.col("doc_id") < 100)

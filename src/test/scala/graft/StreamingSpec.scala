@@ -35,6 +35,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming KMV distinct sketch exactly equals its batch twin") {
+    // the sketch is a deterministic function of the distinct-value SET, so
+    // streaming and batch don't just converge — they are equal, unlike HLL
+    val dir = Files.createTempDirectory("graft_kmv").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/part-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.readEvents(spark, dir)
+    val q = stream.groupBy(col("event_type"))
+      .agg(graft.ops.SketchOps.kmvDistinct(col("user_id"), 64).as("est_users"))
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("kmv_out").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = batchEvents.groupBy(col("event_type"))
+      .agg(graft.ops.SketchOps.kmvDistinct(col("user_id"), 64).as("est_users"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("sessionization with multiple open sessions across micro-batches") {
     // user 1 holds TWO open sessions after batch 1 (00:00 and 00:20, gap
     // 10 min); batch 2 delivers 00:25, which must extend the NEWER session
