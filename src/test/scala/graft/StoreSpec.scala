@@ -61,6 +61,11 @@ class StoreSpec extends AnyFunSuite {
     assert(TreeApi.about(loaded).count() == 1)
   }
 
+  test("load of a non-store directory fails fast on the missing manifest") {
+    val dir = Files.createTempDirectory("graft_not_a_store").toString
+    intercept[Exception] { TreeStore.load(spark, dir) }
+  }
+
   test("multi-tree store round-trips per-tree views") {
     val multi = TreeIngest.ingestAll(spark, Seq(
       TreeIngest.TreeSource(s"$fx/gavia.tre", s"$fx/gavia_annotations.json",
