@@ -60,4 +60,32 @@ object SketchOps {
     */
   def kmvDistinct(c: Column, k: Int = 64): Column =
     udaf(new KmvAgg(k), Encoders.scalaLong)(hash60(c))
+
+  /** Deterministic sampled quantiles: exact discrete order statistics
+    * (rank ⌈q·n⌉, 1-based) over the hash-gated row sample
+    * ([[SampleOps.hashSample]] semantics). At 100 TB the per-group state
+    * is rate-bounded instead of group-sized, and — because both the
+    * sample membership (md5 predicate) and the rank definition are
+    * engine-independent — the estimate is oracle-checkable, where
+    * `percentile_approx`'s sketch is engine-private.
+    *
+    * @param idCol  unique row key the sample gates on
+    * @param keyCol group column
+    * @param valCol numeric column to summarize
+    */
+  def sampledQuantiles(df: org.apache.spark.sql.DataFrame, idCol: String,
+      keyCol: String, valCol: String, qs: Seq[Double], rate: Double,
+      salt: String): org.apache.spark.sql.DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
+    SampleOps.hashSample(df, idCol, rate, salt)
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(col(valCol).cast("double"))).as("vs"),
+        count(lit(1)).as("n_sample"))
+      .select(col(keyCol), col("n_sample"),
+        explode(array(qs.map(lit(_)): _*)).as("q"), col("vs"))
+      .select(col(keyCol), col("n_sample"), col("q"),
+        element_at(col("vs"),
+          greatest(lit(1L), ceil(col("q") * col("n_sample"))).cast("int"))
+          .as("quantile"))
+  }
 }

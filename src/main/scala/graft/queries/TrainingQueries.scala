@@ -197,6 +197,11 @@ object TrainingQueries {
       .agg(count_distinct(col("l_orderkey")).as("n_exact"),
         SketchOps.kmvDistinct(col("l_orderkey"), 64).as("est_distinct"))
 
+  /** Deterministic sampled quantiles of document length per source. */
+  val skQuantile: Q = (s, d) =>
+    SketchOps.sampledQuantiles(Tables.documents(s, d), "doc_id", "source",
+      "n_chars", qs = Seq(0.5, 0.9, 0.99), rate = 0.5, salt = "q")
+
   /** Quality features + composite score per document. */
   val txtQuality: Q = (s, d) =>
     TextOps.quality(Tables.documents(s, d), "doc_id", "text")
@@ -332,6 +337,7 @@ object TrainingQueries {
     "txt_repetition" -> txtRepetition,
     "prep_pipeline" -> prepPipeline,
     "sk_distinct_kmv" -> skDistinctKmv,
+    "sk_quantile" -> skQuantile,
     "emb_quantize" -> embQuantize,
     "txt_tokens" -> txtTokens,
     "dd_winnow" -> ddWinnow,
@@ -591,6 +597,16 @@ object TrainingQueries {
         |      max(CASE WHEN rn = 64 THEN h END)::DOUBLE
         |  END AS est_distinct
         |FROM r GROUP BY key""".stripMargin,
+    "sk_quantile" ->
+      """WITH s AS (SELECT source, n_chars FROM documents
+        |  WHERE substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),
+        |g AS (SELECT source,
+        |  list_sort(list(n_chars::DOUBLE)) AS vs,
+        |  CAST(count(*) AS BIGINT) AS n_sample
+        |  FROM s GROUP BY source)
+        |SELECT source, n_sample, q,
+        |  vs[CAST(greatest(1, ceil(q * n_sample)) AS INT)] AS quantile
+        |FROM g, unnest([0.5, 0.9, 0.99]) u(q)""".stripMargin,
     "prep_pipeline" ->
       s"""WITH q AS (SELECT doc_id,
          |  floor((least(len($toksSql)::DOUBLE / 100.0, 1.0) * 0.5
