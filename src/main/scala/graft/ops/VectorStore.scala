@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF layout for embedding corpora — the ANN serving artifact.
+  *
+  * [[VectorOps.annIvf]] proves the cell-partitioned search *plan*; this
+  * store makes the cells physical: at build time every vector is assigned
+  * to its nearest centroid cell (broadcast centroids, map-side n·k dot
+  * products — the only full-corpus pass) and the corpus is written
+  * `partitionBy(cell)`, one parquet directory per cell. A query then
+  * touches only the `nprobe` cells its vectors hash to: the cell predicate
+  * is a *partition filter*, so file listing and IO skip every other cell's
+  * data entirely — at 100 TB a 1024-cell store answers a query from
+  * ~nprobe/1024 of the bytes, and the scan's `PartitionFilters` entry is
+  * the auditable proof (locked in `VectorStoreSpec`).
+  *
+  * The cell key is serialized as `"c" + cid` (a string partition value —
+  * immune to Hive partition-type inference, which would otherwise re-type
+  * small numeric cells as int and break the long equi-join on reload).
+  *
+  * Layout: `path/cells/cell=c<cid>/…parquet` (id, vec), `path/centroids`
+  * (cid, cvec), `path/_graft_vstore.json` manifest. Like
+  * [[graft.tree.TreeStore]], build once — serve from any later session.
+  */
+object VectorStore {
+
+  val ManifestFile = "_graft_vstore.json"
+
+  /** A loaded store: `cells` is the partition-pruned corpus scan
+    * (id, vec, cell), `centroids` the broadcast-sized routing table.
+    */
+  case class Loaded(cells: DataFrame, centroids: DataFrame)
+
+  /** Build the store: one nearest-cell assignment pass over the corpus
+    * (nprobe=1 `max_by` — the exchange carries n rows, see
+    * [[VectorOps.assignCells]]), then a partitioned write. The shuffle to
+    * cell layout is paid once here, never at query time.
+    *
+    * @param corpus    (id, vec) — full corpus, any width
+    * @param centroids (cid, cvec) — typically [[VectorOps.kmeansCentroids]]
+    */
+  def save(corpus: DataFrame, centroids: DataFrame, path: String): Unit = {
+    val assigned = VectorOps.assignCells(corpus, centroids, 1)
+    assigned
+      .select(col("id"), col("v").as("vec"),
+        concat(lit("c"), col("cell")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroids.select(col("cid"), VectorOps.toDouble(col("cvec")).as("cvec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path),
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, ManifestFile), true)
+    try out.write("""{"version":1,"layout":"ivf-cell"}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Open a saved store. Fails fast on a directory that is not a vector
+    * store (missing manifest) instead of misreading arbitrary parquet.
+    */
+  def load(spark: SparkSession, path: String): Loaded = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, ManifestFile)))
+      throw new IllegalStateException(s"$path is not a vector store " +
+        s"(no $ManifestFile)")
+    Loaded(spark.read.parquet(s"$path/cells"),
+      spark.read.parquet(s"$path/centroids"))
+  }
+
+  /** ANN top-k against the stored layout. The bounded query side is routed
+    * to its `nprobe` best cells (broadcast centroids); the distinct probed
+    * cell keys — at most |queries|·nprobe of them, request-bounded — are
+    * collected and applied as a literal IN predicate on the partition
+    * column, so the corpus scan reads ONLY those cells' files. Scoring and
+    * ranking then match [[VectorOps.annIvf]] bit for bit: a corpus vector
+    * lives in exactly one cell, so each (query, neighbor) pair is scored
+    * once; rounding, tie order, and the q≠n filter are identical.
+    */
+  def query(st: Loaded, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val qc = VectorOps.assignCells(queries, st.centroids, nprobe)
+      .select(col("id").as("q_id"), col("v").as("q_vec"),
+        concat(lit("c"), col("cell")).as("cell"))
+    val probed = qc.select(col("cell")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val corpus = st.cells
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("id").as("n_id"), VectorOps.toDouble(col("vec")).as("n_vec"),
+        col("cell"))
+    val scored = qc.join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VectorOps.cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+  }
+}

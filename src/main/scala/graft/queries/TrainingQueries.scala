@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{ClusterOps, PackOps, SampleOps, SketchOps, TextOps, VectorOps}
+import graft.ops.{ClusterOps, PackOps, SampleOps, SketchOps, TextOps,
+  VectorOps, VectorStore}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the documents/embeddings tables, each with a DuckDB
@@ -67,6 +68,26 @@ object TrainingQueries {
     val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     VectorOps.annIvf(e.filter(col("id") < 20), e, cents, k = 5, nprobe = 2)
+  }
+
+  /** IVF store round trip: build the cell-partitioned layout, reload it,
+    * and answer the same bounded query from the pruned cells only — the
+    * result is bit-identical to [[annIvf]] (same centroids, same nprobe,
+    * same tie order), so it shares that oracle, while `VectorStoreSpec`
+    * locks the partition-pruning property the store exists for. The store
+    * dir is derived from the data dir, so warm passes rebuild in place.
+    */
+  val annStore: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val dir = sys.props("java.io.tmpdir") + "/graft_vstore_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    VectorStore.save(e, cents, dir)
+    VectorStore.query(VectorStore.load(s, dir), e.filter(col("id") < 20),
+      k = 5, nprobe = 2)
   }
 
   /** Dedup clusters: connected components over the LSH candidate graph —
@@ -329,6 +350,7 @@ object TrainingQueries {
     "dd_pipeline" -> ddPipeline,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_store" -> annStore,
     "km_step" -> kmStep,
     "dd_simhash" -> ddSimhash,
     "emb_neardup" -> embNearDup,
@@ -353,6 +375,39 @@ object TrainingQueries {
   )
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
+
+  /** IVF ANN oracle (corpus to nearest cell, queries to their 2 best
+    * cells, cell-join, cosine rank ≤ 5) — shared by `ann_ivf` and its
+    * store-served twin `ann_store`, which differ only in physical layout.
+    */
+  private val annIvfSql =
+    """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings WHERE vec_id < 300),
+      |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |corpus_cells AS (SELECT id, v, cid AS cell FROM (
+      |  SELECT e.id, e.v, c.cid,
+      |    row_number() OVER (PARTITION BY e.id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |      DESC, c.cid) AS r
+      |  FROM e, c) WHERE r = 1),
+      |query_cells AS (SELECT id, v, cid AS cell FROM (
+      |  SELECT e.id, e.v, c.cid,
+      |    row_number() OVER (PARTITION BY e.id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |      DESC, c.cid) AS r
+      |  FROM e, c WHERE e.id < 20) WHERE r <= 2),
+      |scored AS (SELECT DISTINCT qc.id AS q_id, cc.id AS n_id,
+      |    round(list_dot_product(qc.v, cc.v) /
+      |      (sqrt(list_dot_product(qc.v, qc.v)) * sqrt(list_dot_product(cc.v, cc.v))), 6) AS cos
+      |  FROM query_cells qc JOIN corpus_cells cc
+      |    ON cc.cell = qc.cell AND cc.id <> qc.id),
+      |ranked AS (SELECT q_id, n_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin
 
   /** Shared oracle fragments for the dedup-clustering family:
     * LSH candidate graph on doc_id < 100, min-reachable-id connected
@@ -504,34 +559,11 @@ object TrainingQueries {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
-    "ann_ivf" ->
-      """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings WHERE vec_id < 300),
-        |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
-        |  FROM embeddings WHERE vec_id < 8),
-        |corpus_cells AS (SELECT id, v, cid AS cell FROM (
-        |  SELECT e.id, e.v, c.cid,
-        |    row_number() OVER (PARTITION BY e.id ORDER BY
-        |      list_dot_product(e.v, c.cv) /
-        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-        |      DESC, c.cid) AS r
-        |  FROM e, c) WHERE r = 1),
-        |query_cells AS (SELECT id, v, cid AS cell FROM (
-        |  SELECT e.id, e.v, c.cid,
-        |    row_number() OVER (PARTITION BY e.id ORDER BY
-        |      list_dot_product(e.v, c.cv) /
-        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-        |      DESC, c.cid) AS r
-        |  FROM e, c WHERE e.id < 20) WHERE r <= 2),
-        |scored AS (SELECT DISTINCT qc.id AS q_id, cc.id AS n_id,
-        |    round(list_dot_product(qc.v, cc.v) /
-        |      (sqrt(list_dot_product(qc.v, qc.v)) * sqrt(list_dot_product(cc.v, cc.v))), 6) AS cos
-        |  FROM query_cells qc JOIN corpus_cells cc
-        |    ON cc.cell = qc.cell AND cc.id <> qc.id),
-        |ranked AS (SELECT q_id, n_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
-        |  FROM scored)
-        |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "ann_ivf" -> annIvfSql,
+    // the store-served variant is defined to be bit-identical to ann_ivf
+    // (same centroids/nprobe/tie order); what differs is the physical
+    // layout, which SQL cannot see — so the oracle is shared
+    "ann_store" -> annIvfSql,
     "km_step" ->
       """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings WHERE vec_id < 300),

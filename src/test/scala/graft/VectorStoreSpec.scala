@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{VectorOps, VectorStore}
+
+/** The IVF store exists for ONE property: a query must read only the
+  * `nprobe` cells it routes to, as file-level partition pruning — plus the
+  * obvious one that the pruned answer equals the in-memory [[VectorOps
+  * .annIvf]] bit for bit. Both are asserted here on the executed plan and
+  * the collected rows, not on documentation.
+  */
+class VectorStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val corpus = Tables.embeddings(spark, sf)
+    .filter(col("vec_id") < 300)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  lazy val cents = Tables.embeddings(spark, sf)
+    .filter(col("vec_id") < 8)
+    .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  lazy val storeDir = {
+    val dir = Files.createTempDirectory("graft_vstore").toString
+    VectorStore.save(corpus, cents, dir)
+    dir
+  }
+  lazy val store = VectorStore.load(spark, storeDir)
+
+  test("store round trip preserves every vector exactly") {
+    val orig = corpus.select(col("id"),
+        VectorOps.toDouble(col("vec")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val back = store.cells.select(col("id"), col("vec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(back.keySet == orig.keySet)
+    assert(back.forall { case (id, v) => orig(id) == v })
+    // every corpus vector lives in exactly one cell
+    assert(store.cells.groupBy("id").count().filter(col("count") > 1)
+      .count() == 0)
+  }
+
+  test("store query equals in-memory annIvf bit for bit") {
+    val queries = corpus.filter(col("id") < 20)
+    val fromStore = VectorStore.query(store, queries, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val inMemory = VectorOps.annIvf(queries, corpus, cents, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(fromStore == inMemory)
+    assert(fromStore.nonEmpty)
+  }
+
+  test("query scan prunes to the probed cells' partitions only") {
+    // a single query vector with nprobe=1 routes to exactly one cell
+    val one = corpus.filter(col("id") === 42)
+    val res = VectorStore.query(store, one, k = 3, nprobe = 1)
+    res.collect()
+    // AQE nests the final plan inside the adaptive node and each stage
+    // inside a leaf QueryStageExec wrapper — recurse through both
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val scans = fileScans(res.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "cell"))
+    assert(scans.nonEmpty, res.queryExecution.executedPlan.toString)
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "cell predicate must be a " +
+      s"partition filter, not a data filter:\n$scan")
+    val cellsOnDisk = new java.io.File(s"$storeDir/cells")
+      .listFiles().count(_.getName.startsWith("cell="))
+    val cellsRead = scan.selectedPartitions.partitionCount
+    assert(cellsOnDisk > 1, s"fixture degenerated to $cellsOnDisk cell(s)")
+    assert(cellsRead == 1,
+      s"nprobe=1 single query must read 1 of $cellsOnDisk cells, read $cellsRead")
+  }
+
+  test("load of a non-store directory fails fast on the missing manifest") {
+    val dir = Files.createTempDirectory("graft_not_a_vstore").toString
+    intercept[IllegalStateException] { VectorStore.load(spark, dir) }
+  }
+}
