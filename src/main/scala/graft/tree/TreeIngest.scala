@@ -130,6 +130,22 @@ object TreeIngest {
       parts.map(_.sourceMap).reduce(_ unionByName _))
   }
 
+  /** Ingest ONE tree with its node-id space shifted above `idOffset` —
+    * the incremental-append path ([[TreeStore.appendTree]]): only the new
+    * tree pays a labeling pass, existing trees are untouched (the
+    * reference can only rebuild its whole DB to add a synthesis version,
+    * MainRunner.java:49-57).
+    */
+  def ingestOffset(spark: SparkSession, src: TreeSource,
+      idOffset: Long): Ingested = {
+    val parsed = Newick.parse(readWhole(spark, src.newickPath))
+    val shifted = parsed.map(p => p.copy(
+      nodeId = p.nodeId + idOffset,
+      parentId = if (p.parentId < 0) -1L else p.parentId + idOffset))
+    ingestParsed(spark, shifted, src.annotationsPath, src.taxonomyPath,
+      src.treeId)
+  }
+
   private def parsedDf(spark: SparkSession, parsed: IndexedSeq[ParsedNode]): DataFrame =
     spark.createDataFrame(parsed).withColumnRenamed("label", "ot_node_id")
 

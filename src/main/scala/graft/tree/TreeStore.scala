@@ -1,6 +1,7 @@
 package graft.tree
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 /** Persisted, bucketed serving layout — the deployment artifact.
@@ -74,6 +75,34 @@ object TreeStore {
     TreeIngest.MultiIngested(t.nodes, t.edges, t.treeMeta, t.sourceMap)
   }
 
+  /** Incrementally add ONE synth tree to an existing store: only the new
+    * tree is parsed and labeled (O(new tree), not O(store)), its node-id
+    * space is shifted above the store's current max, its pre/post interval
+    * block is shifted past the store's max `post` (so cross-tree interval
+    * isolation — the [[TreeIngest.ingestAll]] invariant — still holds),
+    * and its rows are appended to the bucketed files under the SAME bucket
+    * spec, so serving joins stay exchange-free. The reference's only way
+    * to add a synthesis version is a full DB rebuild
+    * (MainRunner.java:49-57); here existing trees are never re-labeled,
+    * re-read, or rewritten.
+    */
+  def appendTree(spark: SparkSession, path: String,
+      src: TreeIngest.TreeSource): Unit = {
+    val buckets = readManifest(spark, path)
+    val bounds = spark.read.parquet(s"$path/nodes")
+      .agg(org.apache.spark.sql.functions.max("node_id"),
+        org.apache.spark.sql.functions.max("post")).head()
+    val t = TreeIngest.ingestOffset(spark, src, bounds.getLong(0) + 1L)
+    val labelShift = bounds.getLong(1) + 1L
+    val nodes = t.nodes
+      .withColumn("pre", org.apache.spark.sql.functions.col("pre") + labelShift)
+      .withColumn("post", org.apache.spark.sql.functions.col("post") + labelShift)
+    appendBucketed(spark, nodes, s"$path/nodes", "node_id", buckets)
+    appendBucketed(spark, t.edges, s"$path/edges", "child_id", buckets)
+    t.treeMeta.write.mode("append").parquet(s"$path/tree_meta")
+    t.sourceMap.write.mode("append").parquet(s"$path/source_map")
+  }
+
   /** `bucketBy` requires a catalog write, so route through a throwaway
     * external-table name and drop it after — the files (with Spark's bucket
     * ids in their names) are what persists.
@@ -86,6 +115,23 @@ object TreeStore {
       .bucketBy(buckets, key).sortBy(key)
       .option("path", dir).format("parquet").saveAsTable(tmp)
     spark.sql(s"DROP TABLE $tmp")
+  }
+
+  /** Append rows into an existing bucketed layout: same bucket count and
+    * key, `mode(append)` — new files land beside the old ones with their
+    * bucket ids in the names, and a bucketed read unions the per-bucket
+    * file sets, so the exchange-free join property survives appends.
+    */
+  private def appendBucketed(spark: SparkSession, df: DataFrame, dir: String,
+      key: String, buckets: Int): Unit = {
+    // register the location as a bucketed table FIRST: saveAsTable(Append)
+    // on a nonexistent table is CTAS and would REPLACE the directory
+    val existing = loadBucketed(spark, dir, key, buckets)
+    val tbl = s"graft_store_${tableSuffix(dir)}"
+    df.select(existing.columns.map(c => col(s"`$c`")): _*)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(tbl)
   }
 
   private def loadBucketed(spark: SparkSession, dir: String, key: String,

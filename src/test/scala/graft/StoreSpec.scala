@@ -91,6 +91,58 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("appendTree adds a tree incrementally without touching the first") {
+    val dir = Files.createTempDirectory("graft_store_append").toString
+    TreeStore.save(ingested, dir, buckets = 4)
+    val before = TreeStore.load(spark, dir, persistNodes = false).nodes
+      .select("node_id", "pre", "post", "depth", "ancestors")
+      .collect().map(_.toSeq).toSet
+
+    TreeStore.appendTree(spark, dir, TreeIngest.TreeSource(
+      s"$fx/gavia2.tre", s"$fx/gavia2_annotations.json",
+      s"$fx/gavia_taxonomy.tsv", "opentree5.0"))
+    val m = TreeStore.loadMulti(spark, dir, persistNodes = false)
+    assert(m.treeIds.toSet == Set("opentree4.1", "opentree5.0"))
+
+    // the first tree's rows are bit-unchanged — append never relabels
+    val after = m.tree("opentree4.1").nodes
+      .select("node_id", "pre", "post", "depth", "ancestors")
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+
+    // disjoint id spaces and interval blocks (the ingestAll invariant)
+    val t1 = m.tree("opentree4.1").nodes
+    val t2 = m.tree("opentree5.0").nodes
+    assert(t1.agg(max("node_id")).head().getLong(0) <
+      t2.agg(min("node_id")).head().getLong(0))
+    assert(t1.agg(max("post")).head().getLong(0) <
+      t2.agg(min("pre")).head().getLong(0))
+
+    // the appended tree serves the same newick as a standalone ingest
+    val standalone = TreeIngest.ingest(spark, s"$fx/gavia2.tre",
+      s"$fx/gavia2_annotations.json", s"$fx/gavia_taxonomy.tsv", "opentree5.0")
+    val rootA = t2.filter(col("parent_id") === -1L)
+      .select("node_id").head().getLong(0)
+    val rootS = standalone.nodes.filter(col("parent_id") === -1L)
+      .select("node_id").head().getLong(0)
+    assert(TreeOps.newick(t2, rootA, idsForUnnamed = true) ==
+      TreeOps.newick(standalone.nodes, rootS, idsForUnnamed = true))
+
+    // bucketed layout survives the append: serving join still exchange-free
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val self = m.nodes.alias("l")
+        .join(m.nodes.alias("r"), col("l.node_id") === col("r.node_id"))
+        .select(col("l.node_id"), col("r.depth"))
+      self.collect()
+      val plan = self.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    }
+  }
+
   test("loaded tables join with zero exchanges (bucketed serving path)") {
     // separate store dir + unpersisted load: the cached-nodes variant would
     // hide the FileSourceScan (and its "Bucketed: true") behind the cache
