@@ -61,6 +61,47 @@ object SketchOps {
   def kmvDistinct(c: Column, k: Int = 64): Column =
     udaf(new KmvAgg(k), Encoders.scalaLong)(hash60(c))
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): `depth` hash rows ×
+    * `width` counters per row. Every counter is a SUM of increments —
+    * order-independent — and the row hashes are md5-derived, so the whole
+    * sketch (and any estimate read from it) is bit-identical in any
+    * engine: even the approximation error is oracle-checkable. The
+    * counter table is depth·width rows REGARDLESS of corpus size, and the
+    * hash aggregate combines map-side, so the exchange carries at most
+    * depth·width rows per partition — sketch-sized state from a
+    * 100 TB column.
+    */
+  def cmBucket(item: Column, row: Column, width: Int): Column =
+    pmod(hash60(concat(row.cast("string"), lit(":"), item)), lit(width.toLong))
+
+  /** Build the counter table (row, bucket, cnt) from an item column. */
+  def cmCounters(items: org.apache.spark.sql.DataFrame, itemCol: String,
+      depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    items
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row"),
+        col(itemCol).as("item"))
+      .withColumn("bucket", cmBucket(col("item"), col("row"), width))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate counts for a probe set: est(x) = min over rows of
+    * counter[row][h_row(x)]. CM never undercounts; the estimate is exact
+    * unless x collides with other items in EVERY row. The counter table
+    * broadcasts (≤ depth·width rows), so probing shuffles nothing but the
+    * final per-item min aggregate.
+    */
+  def cmEstimate(counters: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame, itemCol: String,
+      depth: Int, width: Int): org.apache.spark.sql.DataFrame =
+    probes.select(col(itemCol).as("item"))
+      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", cmBucket(col("item"), col("row"), width))
+      .join(broadcast(counters), Seq("row", "bucket"), "left_outer")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
   /** Deterministic sampled quantiles: exact discrete order statistics
     * (rank ⌈q·n⌉, 1-based) over the hash-gated row sample
     * ([[SampleOps.hashSample]] semantics). At 100 TB the per-group state

@@ -223,6 +223,21 @@ object TrainingQueries {
     SketchOps.sampledQuantiles(Tables.documents(s, d), "doc_id", "source",
       "n_chars", qs = Seq(0.5, 0.9, 0.99), rate = 0.5, salt = "q")
 
+  /** Count-min heavy hitters: token counts sketched into 3×32 counters
+    * (order-independent sums — bit-identical cross-engine), every distinct
+    * token probed, estimate ≥ 60 kept. CM never undercounts, so the kept
+    * set is a superset of the true heavy set; the deliberately small width
+    * forces real collisions, so the gate verifies the SKETCH (including
+    * its overestimates), not a disguised exact count.
+    */
+  val skHeavyCm: Q = (s, d) => {
+    val toks = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(explode(TextOps.tokensCol(col("text"))).as("item"))
+    val counters = SketchOps.cmCounters(toks, "item", depth = 3, width = 32)
+    SketchOps.cmEstimate(counters, toks.distinct(), "item", depth = 3,
+      width = 32).filter(col("est") >= 60)
+  }
+
   /** Quality features + composite score per document. */
   val txtQuality: Q = (s, d) =>
     TextOps.quality(Tables.documents(s, d), "doc_id", "text")
@@ -360,6 +375,7 @@ object TrainingQueries {
     "prep_pipeline" -> prepPipeline,
     "sk_distinct_kmv" -> skDistinctKmv,
     "sk_quantile" -> skQuantile,
+    "sk_heavy_cm" -> skHeavyCm,
     "emb_quantize" -> embQuantize,
     "txt_tokens" -> txtTokens,
     "dd_winnow" -> ddWinnow,
@@ -629,6 +645,25 @@ object TrainingQueries {
         |      max(CASE WHEN rn = 64 THEN h END)::DOUBLE
         |  END AS est_distinct
         |FROM r GROUP BY key""".stripMargin,
+    "sk_heavy_cm" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS item
+         |  FROM documents WHERE doc_id < 200),
+         |rs AS (SELECT r FROM unnest(range(0, 3)) u(r)),
+         |cx AS (SELECT item, r,
+         |    CAST(concat('0x', substr(md5(r::VARCHAR || ':' || item), 1, 15))
+         |      AS BIGINT) % 32 AS bucket
+         |  FROM t, rs),
+         |counters AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM cx GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT item FROM t),
+         |pe AS (SELECT p.item, rs.r,
+         |    CAST(concat('0x', substr(md5(rs.r::VARCHAR || ':' || p.item), 1, 15))
+         |      AS BIGINT) % 32 AS bucket
+         |  FROM probes p, rs)
+         |SELECT pe.item, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+         |FROM pe LEFT JOIN counters c ON c.r = pe.r AND c.bucket = pe.bucket
+         |GROUP BY pe.item
+         |HAVING min(coalesce(c.cnt, 0)) >= 60""".stripMargin,
     "sk_quantile" ->
       """WITH s AS (SELECT source, n_chars FROM documents
         |  WHERE substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),

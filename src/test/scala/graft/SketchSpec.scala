@@ -22,6 +22,32 @@ class SketchSpec extends AnyFunSuite {
     assert(r.values.forall(_ == 250.0), r)
   }
 
+  test("count-min never undercounts, is exact at ample width, and is " +
+      "partition-order independent") {
+    val toks = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select(explode(graft.ops.TextOps.tokensCol(col("text"))).as("item"))
+    val exact = toks.groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def estimates(width: Int, parts: Int): Map[String, Long] = {
+      val c = SketchOps.cmCounters(toks.repartition(parts), "item", 3, width)
+      SketchOps.cmEstimate(c, toks.distinct(), "item", 3, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // narrow sketch: overestimates allowed, undercounts never
+    val narrow = estimates(16, 4)
+    assert(narrow.keySet == exact.keySet)
+    assert(narrow.forall { case (t, e) => e >= exact(t) },
+      narrow.filter { case (t, e) => e < exact(t) })
+    assert(narrow.exists { case (t, e) => e > exact(t) },
+      "width 16 should actually collide on this fixture")
+    // counters are sums: the sketch is identical under any partitioning
+    assert(estimates(16, 1) == narrow && estimates(16, 16) == narrow)
+    // ample width: every estimate collapses to the exact count
+    val wide = estimates(1 << 14, 4)
+    assert(wide.forall { case (t, e) => e == exact(t) },
+      wide.filter { case (t, e) => e != exact(t) }.take(5))
+  }
+
   test("estimation branch: within KMV error bounds, reproducible across partitionings") {
     val n = 20000L
     val df = spark.range(0L, n).toDF("v").withColumn("key", lit(1L))

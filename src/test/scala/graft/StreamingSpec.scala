@@ -56,6 +56,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming count-min counters exactly equal their batch twin") {
+    // every CM counter is a SUM of increments — streaming partial
+    // aggregation is just more summands, so the sketch (not merely the
+    // estimates) is equal, and per-group streaming state is sketch-sized
+    val dir = Files.createTempDirectory("graft_cm").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/part-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.readEvents(spark, dir)
+      .select(col("event_type").as("item"))
+    val q = graft.ops.SketchOps.cmCounters(stream, "item", 3, 16)
+      .writeStream.format("memory").queryName("cm_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cm_out").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = graft.ops.SketchOps.cmCounters(
+        batchEvents.select(col("event_type").as("item")), "item", 3, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("sessionization with multiple open sessions across micro-batches") {
     // user 1 holds TWO open sessions after batch 1 (00:00 and 00:20, gap
     // 10 min); batch 2 delivers 00:25, which must extend the NEWER session
