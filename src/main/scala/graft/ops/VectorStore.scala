@@ -46,6 +46,13 @@ object VectorStore {
     assigned
       .select(col("id"), col("v").as("vec"),
         concat(lit("c"), col("cell")).as("cell"))
+      // co-locate each cell before the partitioned write: without this,
+      // every write task emits a file into every cell directory
+      // (cells × tasks small files — measured 2k files at 1M×64 cells,
+      // file-open cost swamping the pruning win). One task per cell is
+      // right up to cells ≈ cluster parallelism; beyond-huge cells would
+      // add a secondary split key to the repartition.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     centroids.select(col("cid"), VectorOps.toDouble(col("cvec")).as("cvec"))
       .write.mode("overwrite").parquet(s"$path/centroids")
