@@ -51,7 +51,31 @@ object IngestBench {
     val loadSecs = (System.nanoTime() - tL) / 1e9
     require(loadedRows == rows)
 
-    println(s"""{"metric":"ingest_label","value":$secs,"unit":"sec","nodes":$rows,"tips":$tips,"store_save_sec":$saveSecs,"store_load_sec":$loadSecs}""")
+    // incremental append: a 1%-sized new synthesis version into the big
+    // store — the cost must track the NEW tree, not the store
+    val m = (n / 100L).max(1000L)
+    val base = n + 1L
+    val edges2 = spark.range(2L, m + 1).toDF("k")
+      .select((col("k") + base).as("child_id"),
+        (expr("k div 2") + base).as("parent_id"),
+        (col("k") % 2L).cast("int").as("child_ord"))
+    val tA = System.nanoTime()
+    val labeled2 = TreeLabeler.label(spark, edges2)
+    val ing2 = graft.tree.TreeIngest.Ingested(
+      labeled2.withColumn("tree_id", lit("bench2")),
+      edges2.withColumn("branch_length", lit(null).cast("double"))
+        .withColumn("tree_id", lit("bench2")),
+      spark.range(1).select(lit("bench2").as("tree_id")),
+      spark.range(0).select(lit("").as("source_id"), lit("").as("git_sha"),
+        lit("").as("source_tree_id"), lit("").as("study_id"),
+        lit("").as("taxonomy"), lit("bench2").as("tree_id")))
+    graft.tree.TreeStore.appendIngested(spark, storeDir, ing2)
+    val appendSecs = (System.nanoTime() - tA) / 1e9
+    val total2 = graft.tree.TreeStore.load(spark, storeDir, persistNodes = false)
+      .nodes.count()
+    require(total2 == rows + m, s"$total2 != $rows + $m")
+
+    println(s"""{"metric":"ingest_label","value":$secs,"unit":"sec","nodes":$rows,"tips":$tips,"store_save_sec":$saveSecs,"store_load_sec":$loadSecs,"append_nodes":$m,"append_sec":$appendSecs}""")
     spark.stop()
   }
 }

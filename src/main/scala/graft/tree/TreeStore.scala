@@ -88,15 +88,33 @@ object TreeStore {
     */
   def appendTree(spark: SparkSession, path: String,
       src: TreeIngest.TreeSource): Unit = {
+    val maxId = spark.read.parquet(s"$path/nodes")
+      .agg(org.apache.spark.sql.functions.max("node_id")).head().getLong(0)
+    appendIngested(spark, path,
+      TreeIngest.ingestOffset(spark, src, maxId + 1L))
+  }
+
+  /** Programmatic append path ([[appendTree]] is the file-based wrapper):
+    * the caller provides an already-labeled tree whose node-id space must
+    * sit entirely above the store's current max (checked). Only the
+    * interval block is shifted here — ancestors arrays carry node ids, so
+    * they are already consistent with the disjoint id space.
+    */
+  def appendIngested(spark: SparkSession, path: String,
+      t: TreeIngest.Ingested): Unit = {
     val buckets = readManifest(spark, path)
     val bounds = spark.read.parquet(s"$path/nodes")
       .agg(org.apache.spark.sql.functions.max("node_id"),
         org.apache.spark.sql.functions.max("post")).head()
-    val t = TreeIngest.ingestOffset(spark, src, bounds.getLong(0) + 1L)
+    val newMin = t.nodes
+      .agg(org.apache.spark.sql.functions.min("node_id")).head().getLong(0)
+    require(newMin > bounds.getLong(0),
+      s"appended tree's min node_id $newMin collides with the store's " +
+        s"id space (max ${bounds.getLong(0)})")
     val labelShift = bounds.getLong(1) + 1L
     val nodes = t.nodes
-      .withColumn("pre", org.apache.spark.sql.functions.col("pre") + labelShift)
-      .withColumn("post", org.apache.spark.sql.functions.col("post") + labelShift)
+      .withColumn("pre", col("pre") + labelShift)
+      .withColumn("post", col("post") + labelShift)
     appendBucketed(spark, nodes, s"$path/nodes", "node_id", buckets)
     appendBucketed(spark, t.edges, s"$path/edges", "child_id", buckets)
     t.treeMeta.write.mode("append").parquet(s"$path/tree_meta")
