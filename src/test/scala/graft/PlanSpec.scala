@@ -44,6 +44,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p) // whole-stage codegen spans
   }
 
+  test("runtime bloom filter prunes the big side of a selective fact join") {
+    // at 100 TB the shuffle of the probe side dominates a selective
+    // fact⋈fact join; Spark's runtime bloom filter (built from the
+    // filtered build side, applied at the probe scan) cuts that shuffle
+    // volume — this locks that our join shape stays eligible for it. The
+    // size thresholds are deployment tuning, so they are relaxed here to
+    // make the local fixture eligible; the join SHAPE is what must not
+    // regress.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 500000.0) // selective build side
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val p = finalPlan(joined)
+      assert(p.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("deterministic top-k fuses into TakeOrderedAndProject (no full sort)") {
     val p = finalPlan(Relational.o2Topk(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
