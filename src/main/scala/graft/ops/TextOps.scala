@@ -317,6 +317,57 @@ object TextOps {
             col("n_grams").cast("double")) * 10000.0) / 10000.0)
           .otherwise(lit(0.0)))
 
+  /** Passage-granular exact dedup: each text is cut into consecutive
+    * `span`-token passages, and a passage whose token sequence already
+    * occurred at a smaller (doc, position) ANYWHERE in the corpus —
+    * boilerplate, licenses, chrome — is dropped; documents are then
+    * reassembled from their surviving passages. This is the granularity
+    * between document-level near-dup and suffix-array substring dedup
+    * that training pipelines run on web text; for natural text the
+    * passage boundary would be the paragraph split, with identical
+    * keep/drop mechanics.
+    *
+    * Scale shape: two hash aggregates over the passage table (min-doc per
+    * hash, then min-position within that doc) + one join back — nothing
+    * pairwise, no windows over unbounded groups, and the passage table is
+    * ~n_tokens/span rows. First GLOBAL occurrence survives, so the output
+    * is deterministic under any partitioning.
+    *
+    * @return (idCol, clean_text, n_kept, n_dropped) — one row per input doc
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      span: Int): DataFrame = {
+    require(span >= 1, s"span=$span must be positive")
+    val spans = docs
+      .select(col(idCol).as("id"), tokensCol(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(sequence(lit(0),
+          ((size(col("toks")) - 1) / lit(span)).cast("int"))).as("k"),
+        col("toks"))
+      .select(col("id"), col("k").cast("long").as("k"),
+        array_join(slice(col("toks"), col("k") * span + 1, lit(span)), " ")
+          .as("s"))
+      .withColumn("h", md5(col("s")))
+    val firstDoc = spans.groupBy(col("h")).agg(min(col("id")).as("md"))
+    val firstPos = spans.join(firstDoc, "h")
+      .filter(col("id") === col("md"))
+      .groupBy(col("h"), col("md")).agg(min(col("k")).as("mk"))
+    val kept = spans.join(firstPos, Seq("h"))
+      .filter(col("id") === col("md") && col("k") === col("mk"))
+    val perDoc = spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"))
+      .join(kept.groupBy(col("id")).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("k"), col("s")))),
+          x => x("s")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept")), Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Quality features + a composite score (length, punctuation, stopword
     * density) — ratios floor-quantized for cross-engine stability.
     */

@@ -64,6 +64,24 @@ object VectorStore {
     finally out.close()
   }
 
+  /** Incrementally add vectors to an existing store: the new corpus is
+    * assigned against the SAME stored centroids (so cell routing never
+    * drifts) and its files append into the matching cell directories — a
+    * plain partitioned-parquet append, no rewrite of existing data. Cost
+    * tracks the new batch; queries see old and new vectors identically.
+    * Centroid drift (enough appends that the cells stop fitting the data)
+    * is handled the same way as any IVF system: re-train and [[save]] a
+    * fresh store.
+    */
+  def append(spark: SparkSession, path: String, corpus: DataFrame): Unit = {
+    val st = load(spark, path)
+    VectorOps.assignCells(corpus, st.centroids, 1)
+      .select(col("id"), col("v").as("vec"),
+        concat(lit("c"), col("cell")).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Open a saved store. Fails fast on a directory that is not a vector
     * store (missing manifest) instead of misreading arbitrary parquet.
     */

@@ -223,6 +223,14 @@ object TrainingQueries {
     SketchOps.sampledQuantiles(Tables.documents(s, d), "doc_id", "source",
       "n_chars", qs = Seq(0.5, 0.9, 0.99), rate = 0.5, salt = "q")
 
+  /** Passage-granular dedup: 3-token spans, first global occurrence
+    * survives, documents reassembled from surviving passages.
+    */
+  val ddSpans: Q = (s, d) =>
+    TextOps.dedupSpans(
+      Tables.documents(s, d).filter(col("doc_id") < 200),
+      "doc_id", "text", span = 3)
+
   /** Count-min heavy hitters: token counts sketched into 3×32 counters
     * (order-independent sums — bit-identical cross-engine), every distinct
     * token probed, estimate ≥ 60 kept. CM never undercounts, so the kept
@@ -376,6 +384,7 @@ object TrainingQueries {
     "sk_distinct_kmv" -> skDistinctKmv,
     "sk_quantile" -> skQuantile,
     "sk_heavy_cm" -> skHeavyCm,
+    "dd_spans" -> ddSpans,
     "emb_quantize" -> embQuantize,
     "txt_tokens" -> txtTokens,
     "dd_winnow" -> ddWinnow,
@@ -645,6 +654,29 @@ object TrainingQueries {
         |      max(CASE WHEN rn = 64 THEN h END)::DOUBLE
         |  END AS est_distinct
         |FROM r GROUP BY key""".stripMargin,
+    "dd_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks
+         |  FROM documents WHERE doc_id < 200),
+         |sp AS (SELECT doc_id, CAST((p - 1) / 3 AS BIGINT) AS k,
+         |    array_to_string(toks[p:p+2], ' ') AS s
+         |  FROM t, unnest(range(1, len(toks) + 1)) u(p)
+         |  WHERE (p - 1) % 3 = 0),
+         |hx AS (SELECT doc_id, k, s, md5(s) AS h FROM sp),
+         |a1 AS (SELECT h, min(doc_id) AS md FROM hx GROUP BY 1),
+         |a2 AS (SELECT hx.h, min(hx.k) AS mk FROM hx
+         |  JOIN a1 ON hx.h = a1.h AND hx.doc_id = a1.md GROUP BY 1),
+         |kept AS (SELECT hx.doc_id, hx.k, hx.s FROM hx
+         |  JOIN a1 ON hx.h = a1.h JOIN a2 ON hx.h = a2.h
+         |  WHERE hx.doc_id = a1.md AND hx.k = a2.mk),
+         |nsp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+         |  FROM sp GROUP BY 1)
+         |SELECT t.doc_id,
+         |  coalesce(string_agg(kept.s, ' ' ORDER BY kept.k), '') AS clean_text,
+         |  CAST(count(kept.s) AS BIGINT) AS n_kept,
+         |  max(nsp.n_spans) - CAST(count(kept.s) AS BIGINT) AS n_dropped
+         |FROM t JOIN nsp ON t.doc_id = nsp.doc_id
+         |LEFT JOIN kept ON t.doc_id = kept.doc_id
+         |GROUP BY t.doc_id""".stripMargin,
     "sk_heavy_cm" ->
       s"""WITH t AS (SELECT unnest($toksSql) AS item
          |  FROM documents WHERE doc_id < 200),

@@ -24,6 +24,30 @@ class TrainingSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("span dedup keeps each distinct passage exactly once") {
+    val window = docs.filter(col("doc_id") < 200)
+    val out = TextOps.dedupSpans(window, "doc_id", "text", span = 3)
+    val spans = window
+      .select(col("doc_id"), graft.ops.TextOps.tokensCol(col("text")).as("toks"))
+      .select(explode(sequence(lit(0),
+        ((size(col("toks")) - 1) / lit(3)).cast("int"))).as("k"), col("toks"))
+      .select(array_join(slice(col("toks"), col("k") * 3 + 1, lit(3)), " ").as("s"))
+    val distinctSpans = spans.distinct().count()
+    val totalSpans = spans.count()
+    val r = out.agg(sum("n_kept"), sum("n_dropped")).head()
+    // every distinct passage survives exactly once; every extra copy drops
+    assert(r.getLong(0) == distinctSpans, s"${r.getLong(0)} != $distinctSpans")
+    assert(r.getLong(0) + r.getLong(1) == totalSpans)
+    assert(r.getLong(1) > 0, "fixture should contain cross-doc repeated spans")
+    // an untouched document reassembles to its exact token sequence
+    val untouched = out.filter(col("n_dropped") === 0)
+      .join(window, "doc_id")
+      .withColumn("orig", array_join(
+        graft.ops.TextOps.tokensCol(col("text")), " "))
+    assert(untouched.count() > 0)
+    assert(untouched.filter(col("clean_text") =!= col("orig")).count() == 0)
+  }
+
   test("jaccard verifier output is bounded by and consistent with candidates") {
     val window = docs.filter(col("doc_id") < 200)
     val cand = TextOps.minhashCandidates(window, "doc_id", "text")

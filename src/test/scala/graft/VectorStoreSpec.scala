@@ -81,6 +81,29 @@ class VectorStoreSpec extends AnyFunSuite {
       s"nprobe=1 single query must read 1 of $cellsOnDisk cells, read $cellsRead")
   }
 
+  test("append routes new vectors into existing cells; queries see the union") {
+    val dir = Files.createTempDirectory("graft_vstore_app").toString
+    val first = corpus.filter(col("id") < 150)
+    val second = corpus.filter(col("id") >= 150)
+    VectorStore.save(first, cents, dir)
+    VectorStore.append(spark, dir, second)
+    val st2 = VectorStore.load(spark, dir)
+    // every vector present exactly once, in the same cell the full build
+    // would have chosen (same centroids ⇒ same routing)
+    val full = store.cells.select("id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val app = st2.cells.select("id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(app == full)
+    // an ANN query over the appended store equals the full-build answer
+    val queries = corpus.filter(col("id") < 20)
+    val a = VectorStore.query(st2, queries, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val b = VectorStore.query(store, queries, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("load of a non-store directory fails fast on the missing manifest") {
     val dir = Files.createTempDirectory("graft_not_a_vstore").toString
     intercept[IllegalStateException] { VectorStore.load(spark, dir) }
