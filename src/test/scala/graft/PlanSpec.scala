@@ -44,6 +44,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p) // whole-stage codegen spans
   }
 
+  test("span dedup is aggregates + equi-joins: no windows, nothing pairwise") {
+    val p = finalPlan(TrainingQueries.ddSpans(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p) // unbounded-group windows don't scale
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("runtime bloom filter prunes the big side of a selective fact join") {
     // at 100 TB the shuffle of the probe side dominates a selective
     // fact⋈fact join; Spark's runtime bloom filter (built from the
