@@ -4,14 +4,21 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.tree.TreeLabeler
 
-/** One-off ingest-scale benchmark: label a synthetic heap tree of N nodes
-  * (depth log₂ N) and report wall time — calibrates the labeling pass
-  * against the reference's "2.4M-tip tree ingest in minutes" target
-  * (BASELINE.md). Usage: runMain graft.IngestBench [nNodes]
+/** One-off ingest-scale benchmark: label a synthetic tree of N nodes and
+  * report wall time — calibrates the labeling pass against the
+  * reference's "2.4M-tip tree ingest in minutes" target (BASELINE.md).
+  *
+  * Shapes: `heap` (default — balanced, depth log₂ N, the realistic
+  * phylogeny proxy) and `combD` (a depth-D spine with the remaining
+  * nodes as leaves spread evenly along it, e.g. `comb1024`) — the
+  * pathological-depth case that would cost D sequential rounds in a
+  * frontier-at-a-time design; pointer doubling must label it in
+  * ⌈log₂ D⌉ rounds. Usage: runMain graft.IngestBench [nNodes] [shape]
   */
 object IngestBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2400000L)
+    val shape = args.lift(1).getOrElse("heap")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,9 +28,22 @@ object IngestBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val edges = spark.range(2L, n + 1).toDF("child_id")
-      .withColumn("parent_id", expr("child_id div 2"))
-      .withColumn("child_ord", (col("child_id") % 2L).cast("int"))
+    val edges = if (shape.startsWith("comb")) {
+      // spine 1..d (node i's parent is i-1); leaves n/d per spine node
+      val d = shape.drop(4).toLong
+      require(d >= 2 && d < n, s"comb depth $d out of range for n=$n")
+      val spine = spark.range(2L, d + 1).toDF("child_id")
+        .withColumn("parent_id", col("child_id") - 1L)
+        .withColumn("child_ord", lit(0))
+      val leaves = spark.range(d + 1, n + 1).toDF("child_id")
+        .withColumn("parent_id", (col("child_id") - d - 1L) % d + 1L)
+        .withColumn("child_ord",
+          (((col("child_id") - d - 1L) / d) + 1L).cast("int"))
+      spine.unionByName(leaves)
+    } else
+      spark.range(2L, n + 1).toDF("child_id")
+        .withColumn("parent_id", expr("child_id div 2"))
+        .withColumn("child_ord", (col("child_id") % 2L).cast("int"))
 
     val t0 = System.nanoTime()
     val labeled = TreeLabeler.label(spark, edges)

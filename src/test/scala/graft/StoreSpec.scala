@@ -143,6 +143,19 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("appendIngested refuses an overlapping node-id space") {
+    val dir = Files.createTempDirectory("graft_store_collide").toString
+    TreeStore.save(ingested, dir, buckets = 4)
+    // same tree again, unshifted: ids collide with the store's own
+    val ex = intercept[IllegalArgumentException] {
+      TreeStore.appendIngested(spark, dir, ingested)
+    }
+    assert(ex.getMessage.contains("collides"))
+    // the failed append must not have corrupted the store
+    val after = TreeStore.load(spark, dir, persistNodes = false)
+    assert(after.nodes.count() == ingested.nodes.count())
+  }
+
   test("loaded tables join with zero exchanges (bucketed serving path)") {
     // separate store dir + unpersisted load: the cached-nodes variant would
     // hide the FileSourceScan (and its "Bucketed: true") behind the cache
