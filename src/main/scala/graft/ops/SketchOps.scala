@@ -74,7 +74,22 @@ object SketchOps {
   def cmBucket(item: Column, row: Column, width: Int): Column =
     pmod(hash60(concat(row.cast("string"), lit(":"), item)), lit(width.toLong))
 
-  /** Build the counter table (row, bucket, cnt) from an item column. */
+  /** A built sketch: the (depth, width) shape travels WITH the counter
+    * table — probing with mismatched free parameters would hash probes
+    * into buckets the counters never populated and silently break the
+    * never-undercount guarantee.
+    */
+  final case class CmSketch(counters: org.apache.spark.sql.DataFrame,
+      depth: Int, width: Int)
+
+  def cmSketch(items: org.apache.spark.sql.DataFrame, itemCol: String,
+      depth: Int, width: Int): CmSketch =
+    CmSketch(cmCounters(items, itemCol, depth, width), depth, width)
+
+  /** The raw counter table (row, bucket, cnt) — for callers that stream
+    * or persist the counters themselves; prefer [[cmSketch]] +
+    * [[cmEstimate]], which cannot mismatch the shape.
+    */
   def cmCounters(items: org.apache.spark.sql.DataFrame, itemCol: String,
       depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
     require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
@@ -92,13 +107,12 @@ object SketchOps {
     * broadcasts (≤ depth·width rows), so probing shuffles nothing but the
     * final per-item min aggregate.
     */
-  def cmEstimate(counters: org.apache.spark.sql.DataFrame,
-      probes: org.apache.spark.sql.DataFrame, itemCol: String,
-      depth: Int, width: Int): org.apache.spark.sql.DataFrame =
+  def cmEstimate(sk: CmSketch, probes: org.apache.spark.sql.DataFrame,
+      itemCol: String): org.apache.spark.sql.DataFrame =
     probes.select(col(itemCol).as("item"))
-      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
-      .withColumn("bucket", cmBucket(col("item"), col("row"), width))
-      .join(broadcast(counters), Seq("row", "bucket"), "left_outer")
+      .withColumn("row", explode(sequence(lit(0), lit(sk.depth - 1))))
+      .withColumn("bucket", cmBucket(col("item"), col("row"), sk.width))
+      .join(broadcast(sk.counters), Seq("row", "bucket"), "left_outer")
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 

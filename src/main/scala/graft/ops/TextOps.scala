@@ -338,7 +338,12 @@ object TextOps {
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
       span: Int): DataFrame = {
     require(span >= 1, s"span=$span must be positive")
-    val spans = docs
+    // null-text docs are dropped, matching the SQL-side semantics (a
+    // null token list produces zero span rows and the doc falls out of
+    // the inner join) — without this, size(null)=-1 still sequences one
+    // synthetic null span here and the two engines disagree
+    val nonNull = docs.filter(col(textCol).isNotNull)
+    val spans = nonNull
       .select(col(idCol).as("id"), tokensCol(col(textCol)).as("toks"))
       .select(col("id"),
         explode(sequence(lit(0),
@@ -355,7 +360,7 @@ object TextOps {
     val kept = spans.join(firstPos, Seq("h"))
       .filter(col("id") === col("md") && col("k") === col("mk"))
     val perDoc = spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
-    docs.select(col(idCol).as("id"))
+    nonNull.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"))
       .join(kept.groupBy(col("id")).agg(
         array_join(transform(

@@ -56,12 +56,8 @@ object VectorStore {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     centroids.select(col("cid"), VectorOps.toDouble(col("cvec")).as("cvec"))
       .write.mode("overwrite").parquet(s"$path/centroids")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path),
-      corpus.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(path, ManifestFile), true)
-    try out.write("""{"version":1,"layout":"ivf-cell"}""".getBytes("UTF-8"))
-    finally out.close()
+    graft.StoreUtil.writeMarker(corpus.sparkSession, path, ManifestFile,
+      """{"version":1,"layout":"ivf-cell"}""")
   }
 
   /** Incrementally add vectors to an existing store: the new corpus is
@@ -74,8 +70,11 @@ object VectorStore {
     * fresh store.
     */
   def append(spark: SparkSession, path: String, corpus: DataFrame): Unit = {
-    val st = load(spark, path)
-    VectorOps.assignCells(corpus, st.centroids, 1)
+    requireStore(spark, path)
+    // read ONLY the centroids: going through load() would pay partition
+    // discovery over every cell directory for a table append never scans
+    val centroids = spark.read.parquet(s"$path/centroids")
+    VectorOps.assignCells(corpus, centroids, 1)
       .select(col("id"), col("v").as("vec"),
         concat(lit("c"), col("cell")).as("cell"))
       .repartition(col("cell"))
@@ -86,14 +85,15 @@ object VectorStore {
     * store (missing manifest) instead of misreading arbitrary parquet.
     */
   def load(spark: SparkSession, path: String): Loaded = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, ManifestFile)))
-      throw new IllegalStateException(s"$path is not a vector store " +
-        s"(no $ManifestFile)")
+    requireStore(spark, path)
     Loaded(spark.read.parquet(s"$path/cells"),
       spark.read.parquet(s"$path/centroids"))
   }
+
+  private def requireStore(spark: SparkSession, path: String): Unit =
+    if (graft.StoreUtil.readMarker(spark, path, ManifestFile).isEmpty)
+      throw new IllegalStateException(
+        s"$path is not a vector store (no $ManifestFile)")
 
   /** ANN top-k against the stored layout. The bounded query side is routed
     * to its `nprobe` best cells (broadcast centroids); the distinct probed

@@ -83,8 +83,7 @@ object TrainingQueries {
     val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val dir = sys.props("java.io.tmpdir") + "/graft_vstore_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      graft.StoreUtil.pathHash(d)
     VectorStore.save(e, cents, dir)
     VectorStore.query(VectorStore.load(s, dir), e.filter(col("id") < 20),
       k = 5, nprobe = 2)
@@ -241,9 +240,9 @@ object TrainingQueries {
   val skHeavyCm: Q = (s, d) => {
     val toks = Tables.documents(s, d).filter(col("doc_id") < 200)
       .select(explode(TextOps.tokensCol(col("text"))).as("item"))
-    val counters = SketchOps.cmCounters(toks, "item", depth = 3, width = 32)
-    SketchOps.cmEstimate(counters, toks.distinct(), "item", depth = 3,
-      width = 32).filter(col("est") >= 60)
+    val sk = SketchOps.cmSketch(toks, "item", depth = 3, width = 32)
+    SketchOps.cmEstimate(sk, toks.distinct(), "item")
+      .filter(col("est") >= 60)
   }
 
   /** Quality features + composite score per document. */

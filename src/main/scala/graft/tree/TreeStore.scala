@@ -88,10 +88,9 @@ object TreeStore {
     */
   def appendTree(spark: SparkSession, path: String,
       src: TreeIngest.TreeSource): Unit = {
-    val maxId = spark.read.parquet(s"$path/nodes")
-      .agg(org.apache.spark.sql.functions.max("node_id")).head().getLong(0)
-    appendIngested(spark, path,
-      TreeIngest.ingestOffset(spark, src, maxId + 1L))
+    val (maxId, maxPost) = storeBounds(spark, path)
+    appendCore(spark, path,
+      TreeIngest.ingestOffset(spark, src, maxId + 1L), maxId, maxPost)
   }
 
   /** Programmatic append path ([[appendTree]] is the file-based wrapper):
@@ -102,16 +101,33 @@ object TreeStore {
     */
   def appendIngested(spark: SparkSession, path: String,
       t: TreeIngest.Ingested): Unit = {
-    val buckets = readManifest(spark, path)
-    val bounds = spark.read.parquet(s"$path/nodes")
+    val (maxId, maxPost) = storeBounds(spark, path)
+    appendCore(spark, path, t, maxId, maxPost)
+  }
+
+  /** One aggregate over the store's nodes: (max node_id, max post). */
+  private def storeBounds(spark: SparkSession, path: String): (Long, Long) = {
+    val b = spark.read.parquet(s"$path/nodes")
       .agg(org.apache.spark.sql.functions.max("node_id"),
         org.apache.spark.sql.functions.max("post")).head()
+    (b.getLong(0), b.getLong(1))
+  }
+
+  private def appendCore(spark: SparkSession, path: String,
+      t: TreeIngest.Ingested, maxId: Long, maxPost: Long): Unit = {
+    val buckets = readManifest(spark, path)
     val newMin = t.nodes
       .agg(org.apache.spark.sql.functions.min("node_id")).head().getLong(0)
-    require(newMin > bounds.getLong(0),
+    require(newMin > maxId,
       s"appended tree's min node_id $newMin collides with the store's " +
-        s"id space (max ${bounds.getLong(0)})")
-    val labelShift = bounds.getLong(1) + 1L
+        s"id space (max $maxId)")
+    // a duplicate tree_id would make every per-tree view a two-root
+    // forest (arbitrary root picks, double-counted metadata) — refuse
+    val existingIds = spark.read.parquet(s"$path/tree_meta")
+      .select(col("tree_id")).collect().map(_.getString(0)).toSet
+    require(!existingIds.contains(t.treeIdStr),
+      s"tree_id '${t.treeIdStr}' already exists in the store at $path")
+    val labelShift = maxPost + 1L
     val nodes = t.nodes
       .withColumn("pre", col("pre") + labelShift)
       .withColumn("post", col("post") + labelShift)
@@ -164,32 +180,19 @@ object TreeStore {
     spark.table(tbl)
   }
 
-  /** Deterministic per-path table suffix (md5 of the absolute location), so
-    * re-loading the same store reuses its catalog entry and distinct stores
-    * never collide.
+  /** Deterministic per-path table suffix, so re-loading the same store
+    * reuses its catalog entry and distinct stores never collide.
     */
-  private def tableSuffix(dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
+  private def tableSuffix(dir: String): String = graft.StoreUtil.pathHash(dir)
 
-  private def writeManifest(spark: SparkSession, path: String, buckets: Int): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(path, ManifestFile), true)
-    try out.write(s"""{"version":1,"buckets":$buckets}""".getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeManifest(spark: SparkSession, path: String, buckets: Int): Unit =
+    graft.StoreUtil.writeMarker(spark, path, ManifestFile,
+      s"""{"version":1,"buckets":$buckets}""")
 
-  private def readManifest(spark: SparkSession, path: String): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(path, ManifestFile))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+  private def readManifest(spark: SparkSession, path: String): Int =
+    graft.StoreUtil.readMarker(spark, path, ManifestFile)
+      .flatMap("\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(_))
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(
-        s"no bucket count in $path/$ManifestFile"))
-  }
+        s"$path is not a tree store (no bucket count in $ManifestFile)"))
 }

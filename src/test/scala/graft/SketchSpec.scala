@@ -29,8 +29,8 @@ class SketchSpec extends AnyFunSuite {
     val exact = toks.groupBy("item").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def estimates(width: Int, parts: Int): Map[String, Long] = {
-      val c = SketchOps.cmCounters(toks.repartition(parts), "item", 3, width)
-      SketchOps.cmEstimate(c, toks.distinct(), "item", 3, width)
+      val sk = SketchOps.cmSketch(toks.repartition(parts), "item", 3, width)
+      SketchOps.cmEstimate(sk, toks.distinct(), "item")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
     // narrow sketch: overestimates allowed, undercounts never

@@ -154,6 +154,16 @@ class StoreSpec extends AnyFunSuite {
     // the failed append must not have corrupted the store
     val after = TreeStore.load(spark, dir, persistNodes = false)
     assert(after.nodes.count() == ingested.nodes.count())
+
+    // a duplicate tree_id is refused even when the id space is disjoint
+    // (it would turn the per-tree view into a two-root forest)
+    val src2 = TreeIngest.TreeSource(s"$fx/gavia2.tre",
+      s"$fx/gavia2_annotations.json", s"$fx/gavia_taxonomy.tsv", "opentree5.0")
+    TreeStore.appendTree(spark, dir, src2)
+    val ex2 = intercept[IllegalArgumentException] {
+      TreeStore.appendTree(spark, dir, src2)
+    }
+    assert(ex2.getMessage.contains("already exists"))
   }
 
   test("loaded tables join with zero exchanges (bucketed serving path)") {

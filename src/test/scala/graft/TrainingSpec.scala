@@ -48,6 +48,14 @@ class TrainingSpec extends AnyFunSuite {
     assert(untouched.filter(col("clean_text") =!= col("orig")).count() == 0)
   }
 
+  test("span dedup drops null-text docs, matching the SQL-side semantics") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.dedupSpans(df, "doc_id", "text", span = 3).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("jaccard verifier output is bounded by and consistent with candidates") {
     val window = docs.filter(col("doc_id") < 200)
     val cand = TextOps.minhashCandidates(window, "doc_id", "text")
