@@ -1,7 +1,7 @@
 package graft.tree
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 import org.apache.spark.storage.StorageLevel
 
 /** Persisted, bucketed serving layout — the deployment artifact.
@@ -105,6 +105,20 @@ object TreeStore {
     appendCore(spark, path, t, maxId, maxPost)
   }
 
+  /** Rewrite an append-grown store into a fresh single-file-per-bucket
+    * layout at `dest` — the periodic maintenance step of the
+    * append-many-times lifecycle (each [[appendTree]] adds one file per
+    * bucket; reads stay correct but open more files until compaction).
+    * `dest` must differ from `path`: the source is re-read while writing.
+    */
+  def compact(spark: SparkSession, path: String, dest: String,
+      buckets: Int = 32): Unit = {
+    require(new java.io.File(dest).getAbsolutePath !=
+      new java.io.File(path).getAbsolutePath,
+      "compact requires a destination distinct from the source store")
+    save(load(spark, path, persistNodes = false), dest, buckets)
+  }
+
   /** One aggregate over the store's nodes: (max node_id, max post). */
   private def storeBounds(spark: SparkSession, path: String): (Long, Long) = {
     val b = spark.read.parquet(s"$path/nodes")
@@ -145,7 +159,14 @@ object TreeStore {
       key: String, buckets: Int): Unit = {
     val tmp = s"graft_store_w_${tableSuffix(dir)}"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    df.write.mode("overwrite")
+    // co-locate each bucket before writing: repartitioning on the bucket-id
+    // expression itself (pmod(murmur3, n) — what the bucketed writer
+    // computes) puts all of a bucket's rows in one task, so the layout is
+    // ONE file per bucket instead of (write tasks × buckets) files.
+    // repartition(n, col(key)) would NOT do this: its task assignment
+    // re-hashes the key and does not coincide with bucket ids.
+    val bucketId = pmod(hash(col(key)), lit(buckets))
+    df.repartition(buckets, bucketId).write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .option("path", dir).format("parquet").saveAsTable(tmp)
     spark.sql(s"DROP TABLE $tmp")

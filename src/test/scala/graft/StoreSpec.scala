@@ -166,6 +166,31 @@ class StoreSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("already exists"))
   }
 
+  test("compact rewrites an append-grown store to one file per bucket") {
+    val dir = Files.createTempDirectory("graft_store_cpt").toString
+    TreeStore.save(ingested, dir, buckets = 4)
+    TreeStore.appendTree(spark, dir, TreeIngest.TreeSource(
+      s"$fx/gavia2.tre", s"$fx/gavia2_annotations.json",
+      s"$fx/gavia_taxonomy.tsv", "opentree5.0"))
+    def nodeFiles(d: String) = new java.io.File(s"$d/nodes")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val grown = nodeFiles(dir)
+    val dest = Files.createTempDirectory("graft_store_cpt2").toString
+    TreeStore.compact(spark, dir, dest, buckets = 4)
+    assert(nodeFiles(dest) < grown, s"${nodeFiles(dest)} !< $grown")
+    // contents and per-tree views survive the rewrite
+    val a = TreeStore.loadMulti(spark, dir, persistNodes = false)
+    val b = TreeStore.loadMulti(spark, dest, persistNodes = false)
+    assert(b.treeIds.toSet == a.treeIds.toSet)
+    assert(b.nodes.count() == a.nodes.count())
+    val cols = Seq("node_id", "pre", "post", "depth").map(col)
+    assert(b.nodes.select(cols: _*).collect().map(_.toSeq).toSet ==
+      a.nodes.select(cols: _*).collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException] {
+      TreeStore.compact(spark, dir, dir)
+    }
+  }
+
   test("loaded tables join with zero exchanges (bucketed serving path)") {
     // separate store dir + unpersisted load: the cached-nodes variant would
     // hide the FileSourceScan (and its "Bucketed: true") behind the cache
