@@ -333,7 +333,9 @@ object TextOps {
     * ~n_tokens/span rows. First GLOBAL occurrence survives, so the output
     * is deterministic under any partitioning.
     *
-    * @return (idCol, clean_text, n_kept, n_dropped) — one row per input doc
+    * @return (idCol, clean_text, n_kept, n_dropped) — one row per input
+    *         doc with non-null text; null-text docs are excluded, the
+    *         same rows a SQL engine's unnest-over-null would drop
     */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
       span: Int): DataFrame = {

@@ -88,6 +88,10 @@ object TreeStore {
     */
   def appendTree(spark: SparkSession, path: String,
       src: TreeIngest.TreeSource): Unit = {
+    // the tree_id is known before any work: refuse a duplicate in
+    // milliseconds rather than after the full parse + labeling pass
+    require(!storeTreeIds(spark, path).contains(src.treeId),
+      s"tree_id '${src.treeId}' already exists in the store at $path")
     val (maxId, maxPost) = storeBounds(spark, path)
     appendCore(spark, path,
       TreeIngest.ingestOffset(spark, src, maxId + 1L), maxId, maxPost)
@@ -109,15 +113,32 @@ object TreeStore {
     * layout at `dest` — the periodic maintenance step of the
     * append-many-times lifecycle (each [[appendTree]] adds one file per
     * bucket; reads stay correct but open more files until compaction).
-    * `dest` must differ from `path`: the source is re-read while writing.
+    * `dest` must be a location disjoint from `path` (the source is read
+    * lazily while the destination is written — an overlapping dest would
+    * overwrite files mid-scan); both are compared as fully-qualified
+    * Hadoop URIs, so `file:` forms and bare paths cannot alias. The
+    * bucket count defaults to the SOURCE's manifest — compaction is a
+    * layout rewrite, not a silent re-bucketing; pass `buckets` explicitly
+    * to re-bucket.
     */
   def compact(spark: SparkSession, path: String, dest: String,
-      buckets: Int = 32): Unit = {
-    require(new java.io.File(dest).getAbsolutePath !=
-      new java.io.File(path).getAbsolutePath,
-      "compact requires a destination distinct from the source store")
-    save(load(spark, path, persistNodes = false), dest, buckets)
+      buckets: Int = 0): Unit = {
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.makeQualified(hp).toUri.toString.stripSuffix("/")
+    }
+    val (s, d) = (qualified(path), qualified(dest))
+    require(d != s && !d.startsWith(s + "/") && !s.startsWith(d + "/"),
+      s"compact requires a destination disjoint from the source store " +
+        s"($s vs $d)")
+    val b = if (buckets > 0) buckets else readManifest(spark, path)
+    save(load(spark, path, persistNodes = false), dest, b)
   }
+
+  private def storeTreeIds(spark: SparkSession, path: String): Set[String] =
+    spark.read.parquet(s"$path/tree_meta")
+      .select(col("tree_id")).collect().map(_.getString(0)).toSet
 
   /** One aggregate over the store's nodes: (max node_id, max post). */
   private def storeBounds(spark: SparkSession, path: String): (Long, Long) = {
@@ -136,11 +157,16 @@ object TreeStore {
       s"appended tree's min node_id $newMin collides with the store's " +
         s"id space (max $maxId)")
     // a duplicate tree_id would make every per-tree view a two-root
-    // forest (arbitrary root picks, double-counted metadata) — refuse
-    val existingIds = spark.read.parquet(s"$path/tree_meta")
-      .select(col("tree_id")).collect().map(_.getString(0)).toSet
-    require(!existingIds.contains(t.treeIdStr),
-      s"tree_id '${t.treeIdStr}' already exists in the store at $path")
+    // forest (arbitrary root picks, double-counted metadata) — refuse.
+    // ALL of t's meta rows are checked, not just the first: a multi-tree
+    // Ingested could otherwise smuggle a duplicate in a later row
+    val existingIds = storeTreeIds(spark, path)
+    val newIds = t.treeMeta.select(col("tree_id"))
+      .collect().map(_.getString(0)).toSet
+    val dup = existingIds.intersect(newIds)
+    require(dup.isEmpty,
+      s"tree_id(s) ${dup.mkString("'", "', '", "'")} already exist in " +
+        s"the store at $path")
     val labelShift = maxPost + 1L
     val nodes = t.nodes
       .withColumn("pre", col("pre") + labelShift)
@@ -165,8 +191,12 @@ object TreeStore {
     // ONE file per bucket instead of (write tasks × buckets) files.
     // repartition(n, col(key)) would NOT do this: its task assignment
     // re-hashes the key and does not coincide with bucket ids.
+    // 4× tasks: hashing bucket ids into exactly `buckets` partitions
+    // would leave ~1/e of tasks empty by birthday collision and pile 2-3
+    // buckets serially onto others; more partitions spreads them while
+    // each bucket still lands wholly in one task (one file per bucket)
     val bucketId = pmod(hash(col(key)), lit(buckets))
-    df.repartition(buckets, bucketId).write.mode("overwrite")
+    df.repartition(buckets * 4, bucketId).write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .option("path", dir).format("parquet").saveAsTable(tmp)
     spark.sql(s"DROP TABLE $tmp")

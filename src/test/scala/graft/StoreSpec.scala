@@ -176,8 +176,15 @@ class StoreSpec extends AnyFunSuite {
       .listFiles().count(_.getName.endsWith(".parquet"))
     val grown = nodeFiles(dir)
     val dest = Files.createTempDirectory("graft_store_cpt2").toString
-    TreeStore.compact(spark, dir, dest, buckets = 4)
+    // no explicit bucket count: compact must inherit the source's (4),
+    // not silently re-bucket to a default
+    TreeStore.compact(spark, dir, dest)
     assert(nodeFiles(dest) < grown, s"${nodeFiles(dest)} !< $grown")
+    // the headline invariant: at most one file per (4) buckets
+    assert(nodeFiles(dest) <= 4, s"${nodeFiles(dest)} files for 4 buckets")
+    // the inherited bucket spec is readable (manifest says 4)
+    val reloaded = TreeStore.load(spark, dest, persistNodes = false)
+    assert(reloaded.nodes.count() > 0)
     // contents and per-tree views survive the rewrite
     val a = TreeStore.loadMulti(spark, dir, persistNodes = false)
     val b = TreeStore.loadMulti(spark, dest, persistNodes = false)
