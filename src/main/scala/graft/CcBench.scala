@@ -56,7 +56,7 @@ object CcBench {
     val cc = ClusterOps.connectedComponents(edges, nodes)
     val (nComp, biggest) = {
       val sizes = cc.groupBy(col("component")).count()
-        .agg(count(lit(1)), max(col("count"))).head
+        .agg(count(lit(1)), max(col("count"))).head()
       (sizes.getLong(0), sizes.getLong(1))
     }
     val secs = (System.nanoTime() - t0) / 1e9

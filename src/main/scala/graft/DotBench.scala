@@ -24,9 +24,9 @@ object DotBench {
       .localCheckpoint()
 
     def time(name: String, c: org.apache.spark.sql.Column): Unit = {
-      vecs.select(sum(c)).head // warm
+      vecs.select(sum(c)).head() // warm
       val t0 = System.nanoTime()
-      val v = vecs.select(sum(c)).head.getDouble(0)
+      val v = vecs.select(sum(c)).head().getDouble(0)
       println(f"""{"which":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"sum":$v%.3f}""")
     }
     val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),

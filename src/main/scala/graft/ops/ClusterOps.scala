@@ -85,7 +85,7 @@ object ClusterOps {
           Seq("lbl"), "left")
         .select(col("x.id").as("id"), coalesce(col("ll"), col("lbl")).as("lbl")))
       // sum is NULL (not 0) over an empty node universe — converge at once
-      val sumRow = next.agg(sum(col("lbl"))).head
+      val sumRow = next.agg(sum(col("lbl"))).head()
       val s: Option[Long] =
         if (sumRow.isNullAt(0)) prevSum.orElse(Some(0L)) else Some(sumRow.getLong(0))
       if (sys.env.contains("GRAFT_CC_DEBUG"))

@@ -213,7 +213,7 @@ object TreeStore {
     // on a nonexistent table is CTAS and would REPLACE the directory
     val existing = loadBucketed(spark, dir, key, buckets)
     val tbl = s"graft_store_${tableSuffix(dir)}"
-    df.select(existing.columns.map(c => col(s"`$c`")): _*)
+    df.select(existing.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
       .write.mode("append").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(tbl)
