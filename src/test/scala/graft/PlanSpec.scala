@@ -44,6 +44,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p) // whole-stage codegen spans
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // PERF's skew story is two-layered: explicit salting (SkewOps) for
+    // known-extreme keys, AQE's runtime skew split for everything else.
+    // This locks the second layer: a hot key must come out of AQE as a
+    // split sort-merge join, not one straggler partition. Thresholds are
+    // shrunk so the local fixture qualifies; the join shape is the lock.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      // one hot key carrying 50k rows beside 100 singleton keys
+      val hot = spark.range(50000).select(lit(0L).as("k"),
+        col("id").as("payload"))
+      val rest = spark.range(1, 101).select(col("id").as("k"),
+        col("id").as("payload"))
+      val left = hot.union(rest)
+      val right = spark.range(0, 101).select(col("id").as("k"),
+        col("id").as("rv"))
+      val joined = left.join(right, "k").select(sum(col("payload")).as("s"))
+      val p = finalPlan(joined)
+      assert(p.contains("skew=true"), s"AQE did not split the skew:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("span dedup is aggregates + equi-joins: no windows, nothing pairwise") {
     val p = finalPlan(TrainingQueries.ddSpans(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
