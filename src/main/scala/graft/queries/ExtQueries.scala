@@ -280,6 +280,17 @@ object ExtQueries {
     fixture(s).nodes.filter(col("parent_id") === -1L)
       .select(col("node_id")).head().getLong(0)
 
+  /** S5 (newick sink) as a SQL-checkable token stream: the Euler-tour
+    * tokenization the distributed sink sorts and writes — entry / exit /
+    * terminator tokens with their (k1,k2,k3) sort keys. Id label format
+    * with idsForUnnamed, so the payload is unconditionally `ot_node_id`
+    * and the oracle re-derives every token from the interval labels (the
+    * string-assembly twin stays golden-tested in NewickScaleSpec).
+    */
+  val s5NewickTokens: Q = (s, _) =>
+    graft.tree.TreeOps.newickTokens(fixture(s).nodes, fixtureRootId(s),
+      labelFormat = "id", idsForUnnamed = true)
+
   /** A2: depth-limited tip counts (leaves of the truncated tree = nodes at
     * the depth cut plus true leaves above it).
     */
@@ -416,6 +427,7 @@ object ExtQueries {
     "tree_multi" -> treeMulti,
     "ev_attribution" -> evAttribution,
     "s10_edge_dump" -> s10EdgeDump,
+    "s5_newick_tokens" -> s5NewickTokens,
     "s11_mrp" -> s11Mrp,
     "a9_children" -> a9Children,
     "api_v2_about" -> apiV2About,
@@ -561,6 +573,25 @@ object ExtQueries {
       """SELECT node_id AS tip_id, a AS clade_id
         |FROM read_parquet('__FIXTURE__/nodes/*.parquet'), unnest(ancestors) u(a)
         |WHERE is_leaf AND a <> node_id""".stripMargin,
+    "s5_newick_tokens" ->
+      """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |root AS (SELECT node_id AS rid, pre AS rpre, post AS rpost
+        |  FROM n WHERE parent_id = -1),
+        |sub AS (SELECT n.*, root.rid FROM n, root
+        |  WHERE n.pre BETWEEN root.rpre AND root.rpost),
+        |fst AS (SELECT parent_id, min(pre) AS minpre FROM sub GROUP BY 1),
+        |eff AS (SELECT sub.*,
+        |    (sub.node_id <> sub.rid AND sub.pre <> f.minpre) AS needs_comma
+        |  FROM sub JOIN fst f ON sub.parent_id = f.parent_id)
+        |SELECT pre AS k1, 0 AS k2, CAST(0 AS BIGINT) AS k3,
+        |  concat(CASE WHEN needs_comma THEN ',' ELSE '' END,
+        |    CASE WHEN is_leaf THEN ot_node_id ELSE '(' END) AS token
+        |FROM eff
+        |UNION ALL
+        |SELECT post, 1, -depth, concat(')', ot_node_id)
+        |FROM eff WHERE NOT is_leaf
+        |UNION ALL
+        |SELECT rpost, 2, CAST(0 AS BIGINT), ';' FROM root""".stripMargin,
     "a9_children" ->
       """SELECT parent_id, count(*) AS n_children,
         |  string_agg(ot_node_id, ',' ORDER BY ot_node_id) AS children_csv
