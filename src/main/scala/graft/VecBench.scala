@@ -63,6 +63,17 @@ object VecBench {
       .map(d => d.listFiles().map(_.length()).sum).sum
     println(s"store bytes on disk: $totalBytes across $cells cells " +
       s"(a query touches ~2/$cells of them)")
+
+    // incremental growth: append a 25%-sized batch — cost must track the
+    // batch (one assignment pass + partitioned append), not the store
+    val batch = vecs(spark.range(n, n + n / 4).toDF("id"))
+    timed(s"append ${n / 4} vectors") {
+      VectorStore.append(spark, dir, batch)
+    }
+    val st2 = VectorStore.load(spark, dir)
+    timed("store ANN query after append (reads old + new cells' files)") {
+      VectorStore.query(st2, queries, k = 10, nprobe = 2).count()
+    }
     spark.stop()
   }
 }

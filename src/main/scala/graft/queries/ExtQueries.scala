@@ -287,6 +287,28 @@ object ExtQueries {
     * and the oracle re-derives every token from the interval labels (the
     * string-assembly twin stays golden-tested in NewickScaleSpec).
     */
+  /** S13 (taxonomy→newick) decomposed into its SQL-checkable parts: per
+    * taxon, the serialized label (Newick scrub + "_ott" + uid), the
+    * parent when it is inside the taxon set (root = parent absent), and
+    * the sibling position in the serializer's child order (uid
+    * ascending) — together these determine the newick string the driver
+    * builder emits (whose round-trip stays golden-tested in TreeApiSpec).
+    */
+  val s13TaxNewick: Q = (s, _) => {
+    val tax = graft.tree.TreeIngest.readTaxonomy(
+      s, s"$fixtureDir/gavia_taxonomy.tsv")
+    val parents = tax.select(col("tax_uid").as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("parent_uid")).orderBy(col("tax_uid"))
+    tax.join(parents, col("parent_uid") === col("p"), "left_outer")
+      .select(col("tax_uid"), col("p").as("parent_in_set"),
+        concat(regexp_replace(coalesce(col("name"), lit("")),
+            "[\"_~`:;/\\[\\]{}|<>,.!@#$%^&*()?+=\\\\\\s]+", "_"),
+          lit("_ott"), col("tax_uid")).as("label"),
+        when(col("p").isNotNull, row_number().over(w))
+          .otherwise(lit(null)).cast("int").as("child_pos"))
+  }
+
   val s5NewickTokens: Q = (s, _) =>
     graft.tree.TreeOps.newickTokens(fixture(s).nodes, fixtureRootId(s),
       labelFormat = "id", idsForUnnamed = true)
@@ -428,6 +450,7 @@ object ExtQueries {
     "ev_attribution" -> evAttribution,
     "s10_edge_dump" -> s10EdgeDump,
     "s5_newick_tokens" -> s5NewickTokens,
+    "s13_tax_newick" -> s13TaxNewick,
     "s11_mrp" -> s11Mrp,
     "a9_children" -> a9Children,
     "api_v2_about" -> apiV2About,
@@ -573,6 +596,20 @@ object ExtQueries {
       """SELECT node_id AS tip_id, a AS clade_id
         |FROM read_parquet('__FIXTURE__/nodes/*.parquet'), unnest(ancestors) u(a)
         |WHERE is_leaf AND a <> node_id""".stripMargin,
+    "s13_tax_newick" ->
+      s"""WITH $rawTaxonomyCte,
+        |tax AS (SELECT try_cast(p[1] AS BIGINT) AS uid,
+        |  try_cast(p[2] AS BIGINT) AS puid, p[3] AS name FROM f),
+        |j AS (SELECT t.uid, t.puid, t.name, u.uid AS pin
+        |  FROM tax t LEFT JOIN tax u ON t.puid = u.uid)
+        |SELECT j.uid AS tax_uid, j.pin AS parent_in_set,
+        |  concat(regexp_replace(coalesce(j.name, ''),
+        |    '["_~`:;/\\[\\]{}|<>,.!@#$$%^&*()?+=\\\\\\s]+', '_', 'g'),
+        |    '_ott', j.uid) AS label,
+        |  CASE WHEN j.pin IS NOT NULL THEN
+        |    CAST(row_number() OVER (PARTITION BY j.puid ORDER BY j.uid)
+        |      AS INT) END AS child_pos
+        |FROM j""".stripMargin,
     "s5_newick_tokens" ->
       """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
         |root AS (SELECT node_id AS rid, pre AS rpre, post AS rpost
