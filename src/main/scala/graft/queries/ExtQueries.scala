@@ -280,6 +280,28 @@ object ExtQueries {
     fixture(s).nodes.filter(col("parent_id") === -1L)
       .select(col("node_id")).head().getLong(0)
 
+  /** S13 (taxonomy→newick) gated through the REAL product path: run
+    * `TreeExports.taxonomyToNewick` (root detection, uid-ascending child
+    * order, `Newick.scrub` + "_ott" labels, `Newick.serialize`), parse
+    * the produced string back with `Newick.parse`, and emit one row per
+    * node (label, parent_label, child_pos). The DuckDB oracle re-derives
+    * the same triple from the RAW taxonomy TSV — so a regression in any
+    * of scrub, child ordering, serialization, or parsing breaks the
+    * hash.
+    */
+  val s13TaxNewick: Q = (s, _) => {
+    val nwk = graft.tree.TreeExports.taxonomyToNewick(s,
+      graft.tree.TreeIngest.readTaxonomy(s, s"$fixtureDir/gavia_taxonomy.tsv"))
+    val parsed = graft.tree.Newick.parse(nwk)
+    val labelOf = parsed.map(p => p.nodeId -> p.label).toMap
+    import s.implicits._
+    parsed.map { p =>
+      (p.label,
+        if (p.parentId < 0) None else Some(labelOf(p.parentId)),
+        if (p.parentId < 0) None else Some(p.childOrd + 1))
+    }.toDF("label", "parent_label", "child_pos")
+  }
+
   /** S5 (newick sink) as a SQL-checkable token stream: the Euler-tour
     * tokenization the distributed sink sorts and writes — entry / exit /
     * terminator tokens with their (k1,k2,k3) sort keys. Id label format
@@ -287,28 +309,6 @@ object ExtQueries {
     * and the oracle re-derives every token from the interval labels (the
     * string-assembly twin stays golden-tested in NewickScaleSpec).
     */
-  /** S13 (taxonomy→newick) decomposed into its SQL-checkable parts: per
-    * taxon, the serialized label (Newick scrub + "_ott" + uid), the
-    * parent when it is inside the taxon set (root = parent absent), and
-    * the sibling position in the serializer's child order (uid
-    * ascending) — together these determine the newick string the driver
-    * builder emits (whose round-trip stays golden-tested in TreeApiSpec).
-    */
-  val s13TaxNewick: Q = (s, _) => {
-    val tax = graft.tree.TreeIngest.readTaxonomy(
-      s, s"$fixtureDir/gavia_taxonomy.tsv")
-    val parents = tax.select(col("tax_uid").as("p"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("parent_uid")).orderBy(col("tax_uid"))
-    tax.join(parents, col("parent_uid") === col("p"), "left_outer")
-      .select(col("tax_uid"), col("p").as("parent_in_set"),
-        concat(regexp_replace(coalesce(col("name"), lit("")),
-            "[\"_~`:;/\\[\\]{}|<>,.!@#$%^&*()?+=\\\\\\s]+", "_"),
-          lit("_ott"), col("tax_uid")).as("label"),
-        when(col("p").isNotNull, row_number().over(w))
-          .otherwise(lit(null)).cast("int").as("child_pos"))
-  }
-
   val s5NewickTokens: Q = (s, _) =>
     graft.tree.TreeOps.newickTokens(fixture(s).nodes, fixtureRootId(s),
       labelFormat = "id", idsForUnnamed = true)
@@ -600,13 +600,14 @@ object ExtQueries {
       s"""WITH $rawTaxonomyCte,
         |tax AS (SELECT try_cast(p[1] AS BIGINT) AS uid,
         |  try_cast(p[2] AS BIGINT) AS puid, p[3] AS name FROM f),
-        |j AS (SELECT t.uid, t.puid, t.name, u.uid AS pin
-        |  FROM tax t LEFT JOIN tax u ON t.puid = u.uid)
-        |SELECT j.uid AS tax_uid, j.pin AS parent_in_set,
-        |  concat(regexp_replace(coalesce(j.name, ''),
+        |lbl AS (SELECT uid, puid,
+        |  concat(regexp_replace(coalesce(name, ''),
         |    '["_~`:;/\\[\\]{}|<>,.!@#$$%^&*()?+=\\\\\\s]+', '_', 'g'),
-        |    '_ott', j.uid) AS label,
-        |  CASE WHEN j.pin IS NOT NULL THEN
+        |    '_ott', uid) AS label FROM tax),
+        |j AS (SELECT c.uid, c.puid, c.label, par.label AS parent_label
+        |  FROM lbl c LEFT JOIN lbl par ON c.puid = par.uid)
+        |SELECT j.label, j.parent_label,
+        |  CASE WHEN j.parent_label IS NOT NULL THEN
         |    CAST(row_number() OVER (PARTITION BY j.puid ORDER BY j.uid)
         |      AS INT) END AS child_pos
         |FROM j""".stripMargin,
