@@ -113,6 +113,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("count-min never undercounts on random multisets") {
+    import spark.implicits._
+    (51L to 54L).foreach { seed =>
+      val rnd = new Random(seed)
+      // small vocab + skewed repetition so narrow widths really collide
+      val items = Seq.fill(500 + rnd.nextInt(500))(
+        s"w${rnd.nextInt(1 + rnd.nextInt(60))}")
+      val df = items.toDF("item")
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sk = graft.ops.SketchOps.cmSketch(df, "item", depth = 3, width = 8)
+      val est = graft.ops.SketchOps.cmEstimate(sk, df.distinct(), "item")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.keySet == exact.keySet, s"seed=$seed")
+      est.foreach { case (k, e) =>
+        assert(e >= exact(k), s"seed=$seed item=$k est=$e < ${exact(k)}")
+      }
+    }
+  }
+
+  test("span dedup keeps each distinct passage exactly once on random docs") {
+    import spark.implicits._
+    (61L to 64L).foreach { seed =>
+      val rnd = new Random(seed)
+      val docs = (0L until 40L).map { id =>
+        (id, Seq.fill(3 + rnd.nextInt(30))(s"t${rnd.nextInt(6)}")
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val span = 1 + rnd.nextInt(3)
+      val out = graft.ops.TextOps.dedupSpans(docs, "doc_id", "text", span)
+        .collect()
+      // distinct spans of the input, computed independently
+      val spans = docs.collect().flatMap { r =>
+        r.getString(1).split("\\s+").grouped(span).map(_.mkString(" "))
+      }
+      val agg = out.map(r => (r.getLong(2), r.getLong(3)))
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      assert(agg._1 == spans.distinct.length, s"seed=$seed span=$span")
+      assert(agg._1 + agg._2 == spans.length, s"seed=$seed span=$span")
+      // reassembled docs contain only surviving passages, in order
+      out.foreach { r =>
+        if (r.getLong(3) == 0L) {
+          val orig = docs.filter(col("doc_id") === r.getLong(0))
+            .head().getString(1).toLowerCase.split("\\s+").mkString(" ")
+          assert(r.getString(1) == orig, s"seed=$seed doc=${r.getLong(0)}")
+        }
+      }
+    }
+  }
+
   test("newick branch lengths serialize with the zero→epsilon rule") {
     val s = Newick.serialize(0L,
       Map(0L -> Seq(1L, 2L)).withDefaultValue(Seq.empty),
