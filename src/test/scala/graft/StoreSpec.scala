@@ -166,6 +166,49 @@ class StoreSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("already exists"))
   }
 
+  test("append preserves random synthetic trees exactly (up to interval shift)") {
+    import spark.implicits._
+    def synth(parents: Array[Int], base: Long, treeId: String) = {
+      val edges = parents.zipWithIndex
+        .map { case (p, i) => (base + i + 1L, base + p.toLong, i) }
+        .toSeq.toDF("child_id", "parent_id", "child_ord")
+        .withColumn("branch_length", lit(null).cast("double"))
+        .withColumn("tree_id", lit(treeId))
+      val labeled = TreeLabeler.label(spark, edges)
+        .withColumn("tree_id", lit(treeId))
+      TreeIngest.Ingested(labeled, edges, Seq(treeId).toDF("tree_id"),
+        Seq.empty[(String, String, String, String, String, String)]
+          .toDF("source_id", "git_sha", "source_tree_id", "study_id",
+            "taxonomy", "tree_id"))
+    }
+    val rnd = new scala.util.Random(7L)
+    def parents(n: Int): Array[Int] =
+      Array.tabulate(n - 1)(i => if (i == 0) 0 else rnd.nextInt(i + 1))
+    val a = synth(parents(30), 0L, "tA")
+    val dir = Files.createTempDirectory("graft_store_rand").toString
+    TreeStore.save(a, dir, buckets = 4)
+    val maxId = a.nodes.agg(max("node_id")).head().getLong(0)
+    val bParents = parents(25)
+    val b = synth(bParents, maxId + 1L, "tB")
+    TreeStore.appendIngested(spark, dir, b)
+
+    // the appended view must equal the standalone labeling bit-for-bit on
+    // every column except pre/post, which shift by one constant
+    def sig(df: org.apache.spark.sql.DataFrame) = {
+      val minPre = df.agg(min("pre")).head().getLong(0)
+      df.select(col("node_id"), col("parent_id"), col("depth"),
+          col("ancestors"), col("tip_descendants"), col("n_desc"),
+          col("is_leaf"), col("child_ord"),
+          (col("pre") - minPre).as("rpre"), (col("post") - minPre).as("rpost"))
+        .collect().map(_.toSeq).toSet
+    }
+    val served = TreeStore.loadMulti(spark, dir, persistNodes = false).tree("tB")
+    assert(sig(served.nodes) == sig(b.nodes))
+    // and the first tree is still bit-identical to its own ingest
+    val servedA = TreeStore.loadMulti(spark, dir, persistNodes = false).tree("tA")
+    assert(sig(servedA.nodes) == sig(a.nodes))
+  }
+
   test("compact rewrites an append-grown store to one file per bucket") {
     val dir = Files.createTempDirectory("graft_store_cpt").toString
     TreeStore.save(ingested, dir, buckets = 4)
