@@ -26,6 +26,14 @@ object StoreUtil {
     finally out.close()
   }
 
+  /** Remove a marker file (no-op when absent). */
+  def deleteMarker(spark: SparkSession, dir: String, name: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, name), false)
+    ()
+  }
+
   /** Marker content, or None when absent — callers fail fast with their
     * own store-specific message.
     */

@@ -79,15 +79,24 @@ object ClusterOps {
       val grpMin = relaxed.groupBy(col("old")).agg(min(col("r")).as("gm"))
       val collapsed = relaxed.join(grpMin, "old")
         .select(col("id"), least(col("r"), col("gm")).as("lbl"))
-      // shortcut: jump to the label's own label (pointer doubling)
+      // shortcut: jump to the label's own label (pointer doubling).
+      // The convergence witness (Σ lbl) rides the SAME job: flatten's
+      // eager localCheckpoint executes this plan, and the CollectMetrics
+      // node emits the sum as an observed metric — no separate .head()
+      // action per round.
+      val obs = org.apache.spark.sql.Observation(s"cc_sum_r$round")
       val next = flatten(collapsed.alias("x")
         .join(collapsed.select(col("id").as("lbl"), col("lbl").as("ll")).alias("y"),
           Seq("lbl"), "left")
-        .select(col("x.id").as("id"), coalesce(col("ll"), col("lbl")).as("lbl")))
+        .select(col("x.id").as("id"), coalesce(col("ll"), col("lbl")).as("lbl"))
+        .observe(obs, sum(col("lbl")).as("lbl_sum")))
+      // obs.get blocks only until the (already-executed) query's metrics
+      // drain off the listener bus — milliseconds, never a job.
       // sum is NULL (not 0) over an empty node universe — converge at once
-      val sumRow = next.agg(sum(col("lbl"))).head()
       val s: Option[Long] =
-        if (sumRow.isNullAt(0)) prevSum.orElse(Some(0L)) else Some(sumRow.getLong(0))
+        Option(obs.get("lbl_sum"))
+          .map(v => Long2long(v.asInstanceOf[java.lang.Long]))
+          .orElse(prevSum.orElse(Some(0L)))
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         // scalastyle:off println
         println(f"cc round=$round sum=$s sec=${(System.nanoTime() - t0) / 1e9}%.2f " +

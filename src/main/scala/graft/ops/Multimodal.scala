@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * metadata, decoded/feature-extracted per partition.
   *
   * The Spark-side shape is real — binary column, typed row batches through
-  * `mapPartitions`, deterministic output schema; the actual media decode is
-  * STUBBED (`decodeStub`): this container ships no image/audio codecs, so
-  * the stub derives deterministic pseudo-metadata from the bytes. Swapping
-  * in a real decoder changes only that one function.
+  * `mapPartitions`, deterministic output schema. IMAGE decode is REAL:
+  * `image`-kind rows whose bytes are a decodable image stream go through
+  * the JDK's `javax.imageio.ImageIO` and report genuine pixel dimensions
+  * ([[decodeImage]]); rows whose bytes no registered reader accepts — and
+  * audio/video, for which this container ships no codec — fall back to
+  * the deterministic arithmetic stub (`decodeStub`) so results stay
+  * oracle-checkable. Swapping in an ffmpeg-style codec changes only the
+  * per-kind dispatch in [[decode]].
   */
 object Multimodal {
 
@@ -40,6 +44,47 @@ object Multimodal {
       n_frames = if (r.kind == "image") 1L else len % 1000L)
   }
 
+  /** REAL image decode via the JDK's ImageIO: None when no registered
+    * reader accepts the byte stream (not an image / unsupported format),
+    * Some(width, height) — the genuine pixel grid — when one does. PNG,
+    * JPEG, GIF and BMP readers ship with every JDK, so no external codec
+    * dependency is needed for the image leg.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      Option(img).map(i => (i.getWidth, i.getHeight))
+    } catch { case _: java.io.IOException => None }
+
+  /** Deterministic tiny-PNG encoder (ImageIO's PNG writer over a fixed
+    * pixel fill) — the fixture-media generator for the real-decode path:
+    * tests and the `mm_png_meta` gate encode known dimensions, ship the
+    * bytes through the binary column, and assert [[decodeImage]] returns
+    * exactly those dimensions from the real byte stream.
+    */
+  def encodePng(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until width; y <- 0 until height)
+      img.setRGB(x, y, (x * 3163 + y * 757 + seed * 31) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-row decode dispatch: real ImageIO for decodable image bytes,
+    * documented stub otherwise (audio/video, undecodable payloads).
+    */
+  def decodeMedia(r: MediaRow): MediaMeta =
+    if (r.kind == "image")
+      decodeImage(r.media) match {
+        case Some((w, h)) =>
+          MediaMeta(r.doc_id, r.kind, r.media.length.toLong, w.toLong,
+            h.toLong, n_frames = 1L)
+        case None => decodeStub(r)
+      }
+    else decodeStub(r)
+
   /** Partition-wise decode/feature-extract: the batch shape a real decoder
     * needs (amortize codec init per partition, stream rows through it).
     */
@@ -47,8 +92,11 @@ object Multimodal {
     import spark.implicits._
     docsWithMedia.select(col("doc_id"), col("media"), col("kind")).as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition init of a (stub) codec would go here
-        rows.map(decodeStub)
+        // per-partition codec init: keep ImageIO's stream wrapping fully
+        // in-memory — the default disk-cache would add a temp-file write
+        // per decode on the executor
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map(decodeMedia)
       }
   }
 

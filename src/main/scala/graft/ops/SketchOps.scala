@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -116,31 +116,109 @@ object SketchOps {
       .groupBy(col("item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Persist a built CM sketch: the counter table (depth·width rows —
+    * kilobytes regardless of the corpus it summarized) plus a manifest
+    * carrying the (depth, width) shape, so a probe can never run against
+    * mismatched free parameters. Build once over the 100 TB column;
+    * serve heavy-hitter estimates forever from the artifact.
+    */
+  val CmManifestFile = "_graft_cmstore.json"
+
+  def saveCm(sk: CmSketch, path: String): Unit = {
+    sk.counters.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/counters")
+    graft.StoreUtil.writeMarker(sk.counters.sparkSession, path,
+      CmManifestFile,
+      s"""{"version":1,"depth":${sk.depth},"width":${sk.width}}""")
+  }
+
+  /** Open a persisted CM sketch; fails fast on a directory that is not a
+    * sketch store. The counters broadcast at probe time exactly as a
+    * freshly-built sketch's would.
+    */
+  def loadCm(spark: SparkSession, path: String): CmSketch = {
+    val m = graft.StoreUtil.readMarker(spark, path, CmManifestFile)
+      .getOrElse(throw new IllegalStateException(
+        s"$path is not a count-min store (no $CmManifestFile)"))
+    def field(k: String): Int =
+      ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(m)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"count-min manifest at $path lacks '$k'"))
+    CmSketch(spark.read.parquet(s"$path/counters"),
+      field("depth"), field("width"))
+  }
+
+  /** Typed bounded reservoir: keep the `cap` pairs with the smallest rank
+    * hashes (deterministic — same KMV insert discipline, [[KmvAgg]]),
+    * values ride along. The aggregation buffer is ≤ cap (rank, value)
+    * pairs NO MATTER the group size — the absolute per-group state bound
+    * [[sampledQuantiles]] needs at 100 TB — and it partial-aggregates
+    * map-side. When the group has ≤ cap rows the reservoir holds ALL of
+    * them (ranks are unique per row id), so estimates are exactly the
+    * unbounded order statistics.
+    */
+  class ReservoirAgg(cap: Int)
+      extends Aggregator[(Long, Double), Array[(Long, Double)], Array[Double]] {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    override def zero: Array[(Long, Double)] = Array.empty
+    override def reduce(buf: Array[(Long, Double)],
+        x: (Long, Double)): Array[(Long, Double)] = insert(buf, x)
+    override def merge(a: Array[(Long, Double)],
+        b: Array[(Long, Double)]): Array[(Long, Double)] = b.foldLeft(a)(insert)
+    private def insert(buf: Array[(Long, Double)],
+        x: (Long, Double)): Array[(Long, Double)] = {
+      // buf stays sorted by rank; row ids are unique so ranks are, too —
+      // a duplicate rank means the same row partial-merged twice
+      if (buf.length >= cap && x._1 >= buf(buf.length - 1)._1) buf
+      else if (buf.exists(_._1 == x._1)) buf
+      else {
+        val merged = (buf :+ x).sortBy(_._1)
+        if (merged.length > cap) merged.take(cap) else merged
+      }
+    }
+    override def finish(buf: Array[(Long, Double)]): Array[Double] =
+      buf.map(_._2).sorted
+    override def bufferEncoder: Encoder[Array[(Long, Double)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+
   /** Deterministic sampled quantiles: exact discrete order statistics
     * (rank ⌈q·n⌉, 1-based) over the hash-gated row sample
-    * ([[SampleOps.hashSample]] semantics). At 100 TB the per-group state
-    * is rate-bounded instead of group-sized, and — because both the
-    * sample membership (md5 predicate) and the rank definition are
-    * engine-independent — the estimate is oracle-checkable, where
-    * `percentile_approx`'s sketch is engine-private.
+    * ([[SampleOps.hashSample]] semantics), retained through a BOUNDED
+    * deterministic reservoir: per group the aggregation state is at most
+    * `cap` values — an absolute bound, not the rate-bounded
+    * `collect_list` a hot key could still blow up at 100 TB (rate 0.01
+    * of a 10¹¹-row group is 10⁹ doubles in one buffer). When the group's
+    * sample fits the cap — every tested SF; asserted by a SketchSpec
+    * property — the reservoir degenerates to the full sample and the
+    * quantiles are bit-identical to the unbounded form, which is what
+    * the DuckDB oracle computes. Because both the sample membership
+    * (md5 predicate) and the rank definition are engine-independent,
+    * the estimate is oracle-checkable, where `percentile_approx`'s
+    * sketch is engine-private.
     *
     * @param idCol  unique row key the sample gates on
     * @param keyCol group column
     * @param valCol numeric column to summarize
+    * @param cap    absolute per-group reservoir bound
     */
   def sampledQuantiles(df: org.apache.spark.sql.DataFrame, idCol: String,
       keyCol: String, valCol: String, qs: Seq[Double], rate: Double,
-      salt: String): org.apache.spark.sql.DataFrame = {
+      salt: String, cap: Int = 1 << 20): org.apache.spark.sql.DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
+    val res = udaf(new ReservoirAgg(cap),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     SampleOps.hashSample(df, idCol, rate, salt)
       .groupBy(col(keyCol))
-      .agg(array_sort(collect_list(col(valCol).cast("double"))).as("vs"),
+      .agg(res(hash60(concat(lit(salt), lit("#rsv:"), col(idCol).cast("string"))),
+          col(valCol).cast("double")).as("vs"),
         count(lit(1)).as("n_sample"))
       .select(col(keyCol), col("n_sample"),
         explode(array(qs.map(lit(_)): _*)).as("q"), col("vs"))
       .select(col(keyCol), col("n_sample"), col("q"),
         element_at(col("vs"),
-          greatest(lit(1L), ceil(col("q") * col("n_sample"))).cast("int"))
+          greatest(lit(1L), ceil(col("q") * size(col("vs")))).cast("int"))
           .as("quantile"))
   }
 }

@@ -105,9 +105,15 @@ object VectorStore {
     * once; rounding, tie order, and the q≠n filter are identical.
     */
   def query(st: Loaded, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    val qc = VectorOps.assignCells(queries, st.centroids, nprobe)
-      .select(col("id").as("q_id"), col("v").as("q_vec"),
-        concat(lit("c"), col("cell")).as("cell"))
+    // materialize the request-bounded cell assignment ONCE: the probed-cell
+    // IN list and the join's query side must see the same rows — evaluated
+    // twice, a non-deterministic queries plan (sample, unordered limit)
+    // could route to cells absent from the collected predicate and
+    // silently drop neighbors
+    val qc = ClusterOps.flatten(
+      VectorOps.assignCells(queries, st.centroids, nprobe)
+        .select(col("id").as("q_id"), col("v").as("q_vec"),
+          concat(lit("c"), col("cell")).as("cell")))
     val probed = qc.select(col("cell")).distinct()
       .collect().map(_.getString(0)).sorted
     val corpus = st.cells

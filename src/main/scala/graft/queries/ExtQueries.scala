@@ -423,6 +423,108 @@ object ExtQueries {
     fixture(s).nodes.select(col("ot_node_id"),
       to_json(col("supported_by")).as("supported_by_json"))
 
+  /** S6 (arguson sink) as a SQL-checkable token stream: the Euler-tour
+    * tokenization the distributed arguson assembly sorts into the nested
+    * document ([[TreeApi.argusonTokens]]) — per-node JSON blobs (taxon /
+    * descendant_name_list / released annotation fields), sibling commas,
+    * `children` brackets, and the `]}` exits with their (k1,k2,k3) sort
+    * keys. The oracle re-derives EVERY byte in DuckDB: blobs from the
+    * fixture node attributes + the RAW annotations JSON (with the F7
+    * taxonomy-support injection re-applied), representative descendant
+    * names via arg_min/arg_max over the ancestors arrays, commas from the
+    * min-pre-per-parent rule. Reference shape:
+    * GraphExplorer.java:342-354,434-447.
+    */
+  val s6Arguson: Q = (s, _) =>
+    TreeApi.argusonTokens(fixture(s), fixtureRootId(s), heightLimit = -1)
+
+  /** P8: the released-field whitelist projection of `node_info`
+    * (tree_of_life_v3.java:130-227) — the endpoint's exact column set over
+    * three representative nodes (a taxon node with injected taxonomy
+    * support, and the two unnamed mrca nodes carrying map and
+    * map-of-array annotations), maps flattened to JSON for the compare.
+    */
+  val p8Whitelist: Q = (s, _) => {
+    val t = fixture(s)
+    Seq("ott803675", "mrcaott651474ott1085739", "mrcaott90560ott1057518")
+      .map(id => TreeApi.nodeInfo(t, id))
+      .reduce(_ unionByName _)
+      .select(col("ot_node_id"), col("name"), col("unique_name"),
+        col("tax_uid"), col("tax_rank"),
+        to_json(col("tax_sources")).as("tax_sources_json"),
+        col("num_tips"),
+        to_json(col("supported_by")).as("supported_by_json"),
+        to_json(col("terminal")).as("terminal_json"),
+        to_json(col("partial_path_of")).as("partial_json"),
+        to_json(col("resolves")).as("resolves_json"),
+        to_json(col("conflicts_with")).as("conflicts_json"),
+        to_json(col("resolved_by")).as("resolved_by_json"))
+  }
+
+  /** O4: the node-budget caps before materializing
+    * (tree_of_life_v3.java:591-592) — each row runs the REAL guarded
+    * call; `allowed` records whether it succeeded, so a broken guard
+    * (call succeeding past its cap, or refusing under it) flips the
+    * value and breaks the hash against the oracle's `n_tips <= cap`.
+    */
+  val o4Cap: Q = (s, _) => {
+    import s.implicits._
+    val t = fixture(s)
+    val rid = fixtureRootId(s)
+    val n = graft.tree.TreeOps.subtreeTipCount(t.nodes, rid)
+    def ok(f: => Any): Boolean = scala.util.Try(f).isSuccess
+    Seq(
+      ("newick", graft.tree.TreeOps.MaxTipsNewick, n,
+        ok(graft.tree.TreeOps.newick(t.nodes, rid))),
+      ("arguson", graft.tree.TreeOps.MaxTipsArguson, n,
+        ok(TreeApi.arguson(t, rid))),
+      ("newick_cap2", 2L, n,
+        ok(graft.tree.TreeOps.newick(t.nodes, rid, cap = 2L))))
+      .toDF("op", "cap", "n_tips", "allowed")
+  }
+
+  private val treeStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** S4 (graph sink): the persisted serving store, round-tripped — save
+    * the ingested fixture into the bucketed [[graft.tree.TreeStore]]
+    * layout once per JVM, load it back through the catalog-registered
+    * bucketed tables, and emit the node rows; the oracle reads the SAME
+    * rows from the independently-dumped fixture tables, so any
+    * write/read infidelity (lost rows, re-typed columns, mangled maps)
+    * breaks the hash.
+    */
+  val s4StoreRoundtrip: Q = (s, _) => {
+    val dir = treeStoreCache.computeIfAbsent("gavia", _ => {
+      val p = sys.props("java.io.tmpdir") + "/graft_tstore_fixture"
+      graft.tree.TreeStore.save(fixture(s), p, buckets = 8)
+      p
+    })
+    val t = graft.tree.TreeStore.load(s, dir, persistNodes = false)
+    t.nodes.select(col("node_id"), col("parent_id"), col("depth"),
+      col("pre"), col("post"), col("is_leaf"), col("tip_descendants"),
+      col("ot_node_id"), col("tax_uid"), col("name"), col("unique_name"),
+      to_json(col("supported_by")).as("supported_by_json"))
+  }
+
+  /** Real image decode through the multimodal partition batch: genuine
+    * PNG byte streams (encoded deterministically via the JDK's ImageIO)
+    * flow through [[Multimodal.extractMeta]], which decodes REAL
+    * width/height with the same ImageIO — the oracle states the known
+    * dimensions, so a decode that returns anything but the true pixel
+    * grid fails. Audio/video stay on the documented stub.
+    */
+  val mmPngMeta: Q = (s, _) => {
+    import s.implicits._
+    val rows = (0 until 8).map { i =>
+      Multimodal.MediaRow(i.toLong,
+        Multimodal.encodePng(i % 4 + 1, i % 3 + 1, seed = i), "image")
+    }
+    Multimodal.extractMeta(s, rows.toDF()).toDF()
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"))
+  }
+
   /** SET4: ancestor-array overlap per tip pair (the bitset-intersection
     * analog); oracle via DuckDB list_intersect.
     */
@@ -446,6 +548,11 @@ object ExtQueries {
     "s3_annotations" -> s3Annotations,
     "j3_attr_join" -> j3AttrJoin,
     "set4_ancestor_overlap" -> set4AncestorOverlap,
+    "s6_arguson" -> s6Arguson,
+    "p8_whitelist" -> p8Whitelist,
+    "o4_cap" -> o4Cap,
+    "s4_store_roundtrip" -> s4StoreRoundtrip,
+    "mm_png_meta" -> mmPngMeta,
     "tree_multi" -> treeMulti,
     "ev_attribution" -> evAttribution,
     "s10_edge_dump" -> s10EdgeDump,
@@ -495,6 +602,26 @@ object ExtQueries {
       |    header=false, quote='', columns={'column0':'VARCHAR'})),
       |f AS (SELECT string_split(line, chr(9)||'|'||chr(9)) AS p FROM raw
       |  WHERE NOT starts_with(line, 'uid') AND length(trim(line)) > 0)""".stripMargin
+
+  /** Shared CTE (plain string — the `$` JSON paths must not hit the
+    * s-interpolator): every per-node annotation field extracted from the
+    * RAW annotations JSON, plus the taxonomy version.
+    */
+  private val rawAnnCte =
+    """j AS (SELECT json
+      |  FROM read_json_objects('__FIXSRC__/gavia_annotations.json',
+      |    format='unstructured') t(json)),
+      |tv AS (SELECT json->>'$.taxonomy_version' AS tv FROM j),
+      |k AS (SELECT unnest(json_keys(json, '$.nodes')) AS ot_node_id, json
+      |  FROM j),
+      |annx AS (SELECT ot_node_id,
+      |  json_extract_string(json, '$.nodes."' || ot_node_id || '".supported_by') AS f_sb,
+      |  json_extract_string(json, '$.nodes."' || ot_node_id || '".terminal') AS f_term,
+      |  json_extract_string(json, '$.nodes."' || ot_node_id || '".partial_path_of') AS f_ppo,
+      |  json_extract_string(json, '$.nodes."' || ot_node_id || '".resolves') AS f_res,
+      |  json_extract_string(json, '$.nodes."' || ot_node_id || '".conflicts_with') AS f_cw,
+      |  json_extract_string(json, '$.nodes."' || ot_node_id || '".resolved_by') AS f_rb
+      |  FROM k)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "s2_taxonomy" ->
@@ -568,6 +695,102 @@ object ExtQueries {
         |         ',"ott' || v.tv || '":"' || n.ot_node_id || '"}'
         |  END AS supported_by_json
         |FROM n LEFT JOIN a USING (ot_node_id) CROSS JOIN v""".stripMargin,
+    "s6_arguson" ->
+      s"""WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |$rawAnnCte,
+        |ann AS (SELECT n.node_id,
+        |    CASE WHEN n.tax_uid IS NULL THEN x.f_sb
+        |         WHEN x.f_sb IS NULL
+        |           THEN '{"ott' || tv.tv || '":"' || n.ot_node_id || '"}'
+        |         ELSE substr(x.f_sb, 1, length(x.f_sb) - 1) ||
+        |           ',"ott' || tv.tv || '":"' || n.ot_node_id || '"}'
+        |    END AS f_sb,
+        |    x.f_term, x.f_ppo, x.f_res, x.f_cw, x.f_rb
+        |  FROM n LEFT JOIN annx x USING (ot_node_id) CROSS JOIN tv),
+        |named AS (SELECT node_id AS d_id, name AS d_name, pre AS d_pre,
+        |    unnest(ancestors) AS anc FROM n WHERE name IS NOT NULL),
+        |reps AS (SELECT anc AS node_id,
+        |    arg_min(d_name, d_pre) AS first_named,
+        |    arg_max(d_name, d_pre) AS last_named
+        |  FROM named WHERE d_id <> anc GROUP BY anc),
+        |b AS (SELECT n.node_id, n.parent_id, n.pre, n.post, n.depth, n.is_leaf,
+        |  '{"node_id":"' || replace(replace(n.ot_node_id, '\', '\\'), '"', '\"') ||
+        |  '","num_tips":' || n.tip_descendants ||
+        |  CASE WHEN n.name IS NOT NULL THEN
+        |    ',"taxon":{"name":"' || replace(replace(n.name, '\', '\\'), '"', '\"') ||
+        |    '","unique_name":"' ||
+        |    replace(replace(coalesce(n.unique_name, n.name), '\', '\\'), '"', '\"') || '"' ||
+        |    CASE WHEN n.tax_rank IS NOT NULL THEN
+        |      ',"rank":"' || replace(replace(n.tax_rank, '\', '\\'), '"', '\"') || '"'
+        |      ELSE '' END ||
+        |    CASE WHEN n.tax_uid IS NOT NULL THEN ',"ott_id":' || n.tax_uid ELSE '' END ||
+        |    '}'
+        |  ELSE ',"descendant_name_list":[' ||
+        |    CASE WHEN r.first_named IS NULL THEN ''
+        |         WHEN r.first_named = r.last_named
+        |           THEN '"' || replace(replace(r.first_named, '\', '\\'), '"', '\"') || '"'
+        |         ELSE '"' || replace(replace(r.first_named, '\', '\\'), '"', '\"') ||
+        |           '","' || replace(replace(r.last_named, '\', '\\'), '"', '\"') || '"'
+        |    END || ']'
+        |  END ||
+        |  coalesce(',"supported_by":' || a.f_sb, '') ||
+        |  coalesce(',"terminal":' || a.f_term, '') ||
+        |  coalesce(',"partial_path_of":' || a.f_ppo, '') ||
+        |  coalesce(',"resolves":' || a.f_res, '') ||
+        |  coalesce(',"conflicts_with":' || a.f_cw, '') ||
+        |  coalesce(',"resolved_by":' || a.f_rb, '') AS blob
+        |  FROM n LEFT JOIN reps r USING (node_id) LEFT JOIN ann a USING (node_id)),
+        |root AS (SELECT node_id AS rid FROM n WHERE parent_id = -1),
+        |fst AS (SELECT parent_id, min(pre) AS minpre FROM n GROUP BY 1),
+        |eff AS (SELECT b.*, (b.node_id <> root.rid AND b.pre <> f2.minpre) AS needs_comma
+        |  FROM b JOIN fst f2 ON b.parent_id = f2.parent_id CROSS JOIN root)
+        |SELECT pre AS k1, 0 AS k2, CAST(0 AS BIGINT) AS k3,
+        |  concat(CASE WHEN needs_comma THEN ',' ELSE '' END, blob,
+        |    CASE WHEN is_leaf THEN '}' ELSE ',"children":[' END) AS token
+        |FROM eff
+        |UNION ALL
+        |SELECT post, 1, -depth, ']}' FROM eff WHERE NOT is_leaf""".stripMargin,
+    "p8_whitelist" ->
+      s"""WITH $rawTaxonomyCte,
+        |$rawAnnCte,
+        |n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |req(id) AS (VALUES ('ott803675'), ('mrcaott651474ott1085739'),
+        |  ('mrcaott90560ott1057518')),
+        |ts AS (SELECT try_cast(p[1] AS BIGINT) AS uid,
+        |  CASE WHEN p[5] IS NULL OR p[5] = '' THEN NULL ELSE
+        |    '{' || array_to_string(list_transform(string_split(p[5], ','), kv ->
+        |      '"' || string_split(kv, ':')[1] || '":"' ||
+        |      string_split(kv, ':')[2] || '"'), ',') || '}'
+        |  END AS tsj FROM f)
+        |SELECT n.ot_node_id, n.name, n.unique_name, n.tax_uid, n.tax_rank,
+        |  ts.tsj AS tax_sources_json, n.tip_descendants AS num_tips,
+        |  n.supported_by_json,
+        |  x.f_term AS terminal_json, x.f_ppo AS partial_json,
+        |  x.f_res AS resolves_json, x.f_cw AS conflicts_json,
+        |  x.f_rb AS resolved_by_json
+        |FROM req JOIN n ON n.ot_node_id = req.id
+        |LEFT JOIN annx x ON x.ot_node_id = n.ot_node_id
+        |LEFT JOIN ts ON ts.uid = n.tax_uid""".stripMargin,
+    "o4_cap" ->
+      """WITH r AS (SELECT tip_descendants AS n
+        |  FROM read_parquet('__FIXTURE__/nodes/*.parquet') WHERE parent_id = -1)
+        |SELECT 'newick' AS op, CAST(100000 AS BIGINT) AS cap, n AS n_tips,
+        |  n <= 100000 AS allowed FROM r
+        |UNION ALL
+        |SELECT 'arguson', CAST(25000 AS BIGINT), n, n <= 25000 FROM r
+        |UNION ALL
+        |SELECT 'newick_cap2', CAST(2 AS BIGINT), n, n <= 2 FROM r""".stripMargin,
+    "s4_store_roundtrip" ->
+      """SELECT node_id, parent_id, depth, pre, post, is_leaf,
+        |  tip_descendants, ot_node_id, tax_uid, name, unique_name,
+        |  supported_by_json
+        |FROM read_parquet('__FIXTURE__/nodes/*.parquet')""".stripMargin,
+    "mm_png_meta" ->
+      """SELECT CAST(i AS BIGINT) AS doc_id, 'image' AS kind,
+        |  CAST(i % 4 + 1 AS BIGINT) AS width,
+        |  CAST(i % 3 + 1 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames
+        |FROM unnest(range(0, 8)) u(i)""".stripMargin,
     "set4_ancestor_overlap" ->
       """WITH n AS (SELECT ot_node_id, ancestors
         |  FROM read_parquet('__FIXTURE__/nodes/*.parquet') WHERE is_leaf)

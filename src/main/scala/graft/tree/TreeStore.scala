@@ -27,6 +27,14 @@ object TreeStore {
 
   val ManifestFile = "_graft_store.json"
 
+  /** Present only while a multi-table append is in flight: written (with
+    * the appending tree_ids) before the first table write, removed after
+    * the last. A crash mid-append leaves it behind, so the partial state
+    * is DETECTED ([[load]] refuses) instead of silently served, and
+    * [[recoverAppend]] can roll the partial tree back out.
+    */
+  val PendingFile = "_graft_append_pending"
+
   /** Write the serving tables. `buckets` must match the expected executor
     * parallelism order-of-magnitude at the deployment scale (32 here for
     * local[32]; a 1000-executor cluster would use ~2-4k).
@@ -48,6 +56,12 @@ object TreeStore {
     */
   def load(spark: SparkSession, path: String,
       persistNodes: Boolean = true): TreeIngest.Ingested = {
+    graft.StoreUtil.readMarker(spark, path, PendingFile).foreach { ids =>
+      throw new IllegalStateException(
+        s"store at $path has an interrupted append (tree_ids: $ids) — " +
+          "its tables are mutually inconsistent; run TreeStore" +
+          ".recoverAppend(spark, path, dest) to rebuild a clean store")
+    }
     val buckets = readManifest(spark, path)
     val nodes = loadBucketed(spark, s"$path/nodes", "node_id", buckets)
     val edges = loadBucketed(spark, s"$path/edges", "child_id", buckets)
@@ -89,12 +103,16 @@ object TreeStore {
   def appendTree(spark: SparkSession, path: String,
       src: TreeIngest.TreeSource): Unit = {
     // the tree_id is known before any work: refuse a duplicate in
-    // milliseconds rather than after the full parse + labeling pass
-    require(!storeTreeIds(spark, path).contains(src.treeId),
+    // milliseconds rather than after the full parse + labeling pass.
+    // The id set is read ONCE and threaded into appendCore — tree_meta
+    // is a full-store listing at deployment scale, not a free re-read.
+    val existingIds = storeTreeIds(spark, path)
+    require(!existingIds.contains(src.treeId),
       s"tree_id '${src.treeId}' already exists in the store at $path")
     val (maxId, maxPost) = storeBounds(spark, path)
     appendCore(spark, path,
-      TreeIngest.ingestOffset(spark, src, maxId + 1L), maxId, maxPost)
+      TreeIngest.ingestOffset(spark, src, maxId + 1L), maxId, maxPost,
+      existingIds)
   }
 
   /** Programmatic append path ([[appendTree]] is the file-based wrapper):
@@ -106,7 +124,28 @@ object TreeStore {
   def appendIngested(spark: SparkSession, path: String,
       t: TreeIngest.Ingested): Unit = {
     val (maxId, maxPost) = storeBounds(spark, path)
-    appendCore(spark, path, t, maxId, maxPost)
+    appendCore(spark, path, t, maxId, maxPost, storeTreeIds(spark, path))
+  }
+
+  /** Roll back an append that died between table writes ([[PendingFile]]
+    * left behind): every row of the pending tree_ids is filtered out of
+    * all four tables — each carries `tree_id` — and the surviving store
+    * is rewritten clean at `dest` (same disjointness rule as [[compact]];
+    * the damaged source is read-only throughout, so recovery itself is
+    * crash-safe).
+    */
+  def recoverAppend(spark: SparkSession, path: String, dest: String): Unit = {
+    val bad = graft.StoreUtil.readMarker(spark, path, PendingFile)
+      .getOrElse(throw new IllegalStateException(
+        s"no interrupted append recorded at $path"))
+      .split(",").toSeq.filter(_.nonEmpty)
+    requireDisjoint(spark, path, dest)
+    val buckets = readManifest(spark, path)
+    def clean(table: String): DataFrame =
+      spark.read.parquet(s"$path/$table")
+        .filter(!col("tree_id").isin(bad: _*))
+    save(TreeIngest.Ingested(clean("nodes"), clean("edges"),
+      clean("tree_meta"), clean("source_map")), dest, buckets)
   }
 
   /** Rewrite an append-grown store into a fresh single-file-per-bucket
@@ -123,6 +162,18 @@ object TreeStore {
     */
   def compact(spark: SparkSession, path: String, dest: String,
       buckets: Int = 0): Unit = {
+    requireDisjoint(spark, path, dest)
+    val b = if (buckets > 0) buckets else readManifest(spark, path)
+    save(load(spark, path, persistNodes = false), dest, b)
+  }
+
+  /** Source and destination compared as fully-qualified Hadoop URIs, so
+    * `file:` forms and bare paths cannot alias (the source is read lazily
+    * while the destination is written — an overlap would overwrite files
+    * mid-scan).
+    */
+  private def requireDisjoint(spark: SparkSession, path: String,
+      dest: String): Unit = {
     def qualified(p: String): String = {
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -130,10 +181,8 @@ object TreeStore {
     }
     val (s, d) = (qualified(path), qualified(dest))
     require(d != s && !d.startsWith(s + "/") && !s.startsWith(d + "/"),
-      s"compact requires a destination disjoint from the source store " +
+      s"rewrite requires a destination disjoint from the source store " +
         s"($s vs $d)")
-    val b = if (buckets > 0) buckets else readManifest(spark, path)
-    save(load(spark, path, persistNodes = false), dest, b)
   }
 
   private def storeTreeIds(spark: SparkSession, path: String): Set[String] =
@@ -149,7 +198,8 @@ object TreeStore {
   }
 
   private def appendCore(spark: SparkSession, path: String,
-      t: TreeIngest.Ingested, maxId: Long, maxPost: Long): Unit = {
+      t: TreeIngest.Ingested, maxId: Long, maxPost: Long,
+      existingIds: Set[String]): Unit = {
     val buckets = readManifest(spark, path)
     val newMin = t.nodes
       .agg(org.apache.spark.sql.functions.min("node_id")).head().getLong(0)
@@ -160,7 +210,6 @@ object TreeStore {
     // forest (arbitrary root picks, double-counted metadata) — refuse.
     // ALL of t's meta rows are checked, not just the first: a multi-tree
     // Ingested could otherwise smuggle a duplicate in a later row
-    val existingIds = storeTreeIds(spark, path)
     val newIds = t.treeMeta.select(col("tree_id"))
       .collect().map(_.getString(0)).toSet
     val dup = existingIds.intersect(newIds)
@@ -171,10 +220,17 @@ object TreeStore {
     val nodes = t.nodes
       .withColumn("pre", col("pre") + labelShift)
       .withColumn("post", col("post") + labelShift)
+    // four sequential table writes are not atomic: the pending marker
+    // brackets them, so a crash in between is detected at load (and
+    // rolled back by recoverAppend) instead of serving a store whose
+    // nodes/edges/tree_meta disagree about which trees exist
+    graft.StoreUtil.writeMarker(spark, path, PendingFile,
+      newIds.toSeq.sorted.mkString(","))
     appendBucketed(spark, nodes, s"$path/nodes", "node_id", buckets)
     appendBucketed(spark, t.edges, s"$path/edges", "child_id", buckets)
     t.treeMeta.write.mode("append").parquet(s"$path/tree_meta")
     t.sourceMap.write.mode("append").parquet(s"$path/source_map")
+    graft.StoreUtil.deleteMarker(spark, path, PendingFile)
   }
 
   /** `bucketBy` requires a catalog write, so route through a throwaway
@@ -213,7 +269,11 @@ object TreeStore {
     // on a nonexistent table is CTAS and would REPLACE the directory
     val existing = loadBucketed(spark, dir, key, buckets)
     val tbl = s"graft_store_${tableSuffix(dir)}"
+    // same bucket-id co-location as writeBucketed: without it each append
+    // lands (write tasks × buckets) small files instead of one per bucket
+    val bucketId = pmod(hash(col(key)), lit(buckets))
     df.select(existing.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+      .repartition(buckets * 4, bucketId)
       .write.mode("append").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(tbl)

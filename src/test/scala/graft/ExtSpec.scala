@@ -26,6 +26,24 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project") && plan.contains("mrcapack"), plan)
   }
 
+  test("real PNG bytes decode to genuine dimensions through extractMeta") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodePng(3, 2, seed = 1), "image"),
+      Multimodal.MediaRow(2L, Multimodal.encodePng(7, 5, seed = 2), "image"),
+      Multimodal.MediaRow(3L, "not an image".getBytes("UTF-8"), "image"),
+      Multimodal.MediaRow(4L, Multimodal.encodePng(4, 4, seed = 3), "video"))
+    val got = Multimodal.extractMeta(spark, rows.toDF()).collect()
+      .map(m => m.doc_id -> m).toMap
+    // REAL decode: the exact pixel grid the bytes encode, not arithmetic
+    assert(got(1L).width == 3L && got(1L).height == 2L && got(1L).n_frames == 1L)
+    assert(got(2L).width == 7L && got(2L).height == 5L)
+    // undecodable image bytes fall back to the deterministic stub
+    assert(got(3L) == Multimodal.decodeStub(rows(2)))
+    // non-image kinds stay on the documented stub even for real PNG bytes
+    assert(got(4L) == Multimodal.decodeStub(rows(3)))
+  }
+
   test("SQL registration: mrca codec callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

@@ -61,4 +61,59 @@ class SketchSpec extends AnyFunSuite {
     // merge order must not matter: different partitionings, same estimate
     assert(est(1) == e8 && est(32) == e8)
   }
+
+  test("reservoir: state bounded at cap, deterministic across partitionings, " +
+      "and quantiles unchanged when the cap exceeds the sample") {
+    import org.apache.spark.sql.Encoders
+    val r5 = org.apache.spark.sql.functions.udaf(new SketchOps.ReservoirAgg(5),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val df = spark.range(0L, 1000L)
+      .select((col("id") % 7L).as("k"),
+        SketchOps.hash60(col("id")).as("r"), col("id").cast("double").as("v"))
+    def run(parts: Int): Map[Long, Seq[Double]] =
+      df.repartition(parts).groupBy(col("k")).agg(r5(col("r"), col("v")).as("vs"))
+        .collect().map(x => x.getLong(0) -> x.getSeq[Double](1).toSeq).toMap
+    val a = run(4)
+    // absolute per-group bound: 1000/7 ≈ 143 rows per key, 5 retained
+    assert(a.values.forall(_.size == 5), a)
+    // KMV-style insert discipline ⇒ merge-order independent
+    assert(run(1) == a && run(19) == a)
+
+    // cap above the sample size ⇒ bit-identical to the unbounded form
+    val docs = Tables.documents(spark, sf)
+    val sampled = graft.ops.SampleOps.hashSample(docs, "doc_id", 0.5, "q")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val unbounded = sampled.groupBy(col("source"))
+      .agg(array_sort(collect_list(col("n_chars").cast("double"))).as("vs"),
+        count(lit(1)).as("n_sample"))
+      .select(col("source"), col("n_sample"),
+        explode(array(qs.map(lit(_)): _*)).as("q"), col("vs"))
+      .select(col("source"), col("n_sample"), col("q"),
+        element_at(col("vs"),
+          greatest(lit(1L), ceil(col("q") * col("n_sample"))).cast("int"))
+          .as("quantile"))
+      .collect().map(_.toSeq).toSet
+    val got = SketchOps.sampledQuantiles(docs, "doc_id", "source", "n_chars",
+      qs, rate = 0.5, salt = "q").collect().map(_.toSeq).toSet
+    assert(got == unbounded)
+  }
+
+  test("persisted CM sketch serves identical estimates after reload") {
+    val toks = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select(explode(graft.ops.TextOps.tokensCol(col("text"))).as("item"))
+    val sk = SketchOps.cmSketch(toks, "item", depth = 3, width = 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm").toString
+    SketchOps.saveCm(sk, dir)
+    val lk = SketchOps.loadCm(spark, dir)
+    assert(lk.depth == 3 && lk.width == 32)
+    val fresh = SketchOps.cmEstimate(sk, toks.distinct(), "item")
+      .collect().map(_.toSeq).toSet
+    val served = SketchOps.cmEstimate(lk, toks.distinct(), "item")
+      .collect().map(_.toSeq).toSet
+    assert(served == fresh)
+    intercept[IllegalStateException] {
+      SketchOps.loadCm(spark,
+        java.nio.file.Files.createTempDirectory("graft_not_cm").toString)
+    }
+  }
 }

@@ -241,6 +241,64 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("point lookup on the loaded store scans exactly one bucket") {
+    // the Lucene point-hit analog (GraphBase.java:431-448): node_id = x on
+    // the bucketed nodes table must read 1 of N buckets' files, not scan
+    // the store — asserted on the executed plan's bucket pruning
+    val dir = Files.createTempDirectory("graft_store_prune").toString
+    TreeStore.save(ingested, dir, buckets = 4)
+    val st = TreeStore.load(spark, dir, persistNodes = false)
+    val id = idOf(ingested, "ott1085739")
+    // the auto-disable rule drops bucketed scans that feed no join/agg —
+    // a point-lookup serving path pins it off so the bucket FILTER (the
+    // reason the layout exists) stays in force
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(auto)
+    spark.conf.set(auto, "false")
+    try {
+      val q = st.nodes.filter(col("node_id") === id).select("node_id", "depth")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(id))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"), plan)
+    } finally spark.conf.set(auto, old)
+  }
+
+  test("interrupted append is detected at load and recoverable") {
+    val dir = Files.createTempDirectory("graft_store_pend").toString
+    TreeStore.save(ingested, dir, buckets = 4)
+    val cleanRows = TreeStore.load(spark, dir, persistNodes = false)
+      .nodes.count()
+    // a completed append clears its pending marker...
+    TreeStore.appendTree(spark, dir, TreeIngest.TreeSource(
+      s"$fx/gavia2.tre", s"$fx/gavia2_annotations.json",
+      s"$fx/gavia_taxonomy.tsv", "opentree5.0"))
+    assert(StoreUtil.readMarker(spark, dir, TreeStore.PendingFile).isEmpty)
+    // ...and lands at most one file per bucket per table append
+    // (2 bucketed writes x <= 4 buckets), not (write tasks x buckets)
+    val nodeFiles = new java.io.File(s"$dir/nodes")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nodeFiles <= 8, s"$nodeFiles files after save+append at 4 buckets")
+    // simulate a crash that died between the four table writes: the
+    // marker for the second tree is left behind
+    StoreUtil.writeMarker(spark, dir, TreeStore.PendingFile, "opentree5.0")
+    val ex = intercept[IllegalStateException] {
+      TreeStore.load(spark, dir, persistNodes = false)
+    }
+    assert(ex.getMessage.contains("interrupted append"))
+    // recovery rolls the possibly-partial tree's rows out of every table
+    // into a clean store at dest (the damaged source is never mutated)
+    val dest = Files.createTempDirectory("graft_store_pend2").toString
+    TreeStore.recoverAppend(spark, dir, dest)
+    val rec = TreeStore.loadMulti(spark, dest, persistNodes = false)
+    assert(rec.treeIds == Seq("opentree4.1"))
+    assert(rec.nodes.count() == cleanRows)
+    assert(rec.nodes.filter(col("tree_id") === "opentree5.0").count() == 0L)
+    intercept[IllegalStateException] {
+      TreeStore.recoverAppend(spark, dest,
+        Files.createTempDirectory("graft_store_pend3").toString)
+    }
+  }
+
   test("loaded tables join with zero exchanges (bucketed serving path)") {
     // separate store dir + unpersisted load: the cached-nodes variant would
     // hide the FileSourceScan (and its "Bucketed: true") behind the cache
