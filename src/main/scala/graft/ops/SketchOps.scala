@@ -33,21 +33,26 @@ object SketchOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** The KMV insert step, shared by the estimate- and state-valued
+    * aggregators: keep the ≤ k smallest DISTINCT hashes, sorted.
+    */
+  private[graft] def kmvInsert(k: Int)(buf: Array[Long], h: Long): Array[Long] = {
+    if (buf.length >= k && h >= buf(buf.length - 1)) buf
+    else if (java.util.Arrays.binarySearch(buf, h) >= 0) buf // distinct only
+    else {
+      val merged = (buf :+ h).sorted
+      if (merged.length > k) merged.take(k) else merged
+    }
+  }
+
   /** Typed KMV aggregator; buffer = sorted array of ≤ k distinct hashes. */
   class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Double] {
     require(k >= 2, s"k must be >= 2, got $k")
     override def zero: Array[Long] = Array.empty
-    override def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h)
+    override def reduce(buf: Array[Long], h: Long): Array[Long] =
+      kmvInsert(k)(buf, h)
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-      b.foldLeft(a)(insert)
-    private def insert(buf: Array[Long], h: Long): Array[Long] = {
-      if (buf.length >= k && h >= buf(buf.length - 1)) buf
-      else if (java.util.Arrays.binarySearch(buf, h) >= 0) buf // distinct only
-      else {
-        val merged = (buf :+ h).sorted
-        if (merged.length > k) merged.take(k) else merged
-      }
-    }
+      b.foldLeft(a)(kmvInsert(k))
     override def finish(buf: Array[Long]): Double =
       if (buf.length < k) buf.length.toDouble
       else (k - 1).toDouble * HashSpace / buf(k - 1).toDouble
@@ -60,6 +65,44 @@ object SketchOps {
     */
   def kmvDistinct(c: Column, k: Int = 64): Column =
     udaf(new KmvAgg(k), Encoders.scalaLong)(hash60(c))
+
+  /** State-valued KMV twin: the sorted ≤ k minimum hashes themselves —
+    * the persistable/mergeable form ([[KmvAgg]]'s finish collapses to the
+    * estimate). Two states over disjoint or overlapping data merge by
+    * re-inserting one into the other (hashes are distinct-deduped), so a
+    * stored sketch table can absorb new corpus batches without rescanning
+    * history.
+    */
+  class KmvStateAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    override def zero: Array[Long] = Array.empty
+    override def reduce(buf: Array[Long], h: Long): Array[Long] =
+      kmvInsert(k)(buf, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      b.foldLeft(a)(kmvInsert(k))
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** Per-group KMV state as an aggregation column (≤ k sorted longs). */
+  def kmvState(c: Column, k: Int = 64): Column =
+    udaf(new KmvStateAgg(k), Encoders.scalaLong)(hash60(c))
+
+  /** Re-fold already-hashed KMV values (the merge path: explode stored
+    * states, union a new batch's states, re-aggregate — history is never
+    * rescanned because the state IS a mergeable summary).
+    */
+  def kmvStateOfHashes(h: Column, k: Int = 64): Column =
+    udaf(new KmvStateAgg(k), Encoders.scalaLong)(h)
+
+  /** The KMV estimate read from a stored state column — bit-identical to
+    * [[KmvAgg]]'s finish: exact count below k, else (k−1)·2^60 / k-th min.
+    */
+  def kmvEstimateFromState(state: Column, k: Int): Column =
+    when(size(state) < k, size(state).cast("double"))
+      .otherwise(lit((k - 1).toDouble * HashSpace) /
+        element_at(state, k).cast("double"))
 
   /** Count-min sketch (Cormode & Muthukrishnan 2005): `depth` hash rows ×
     * `width` counters per row. Every counter is a SUM of increments —
@@ -147,6 +190,33 @@ object SketchOps {
           s"count-min manifest at $path lacks '$k'"))
     CmSketch(spark.read.parquet(s"$path/counters"),
       field("depth"), field("width"))
+  }
+
+  /** Persist a per-group KMV sketch table (group key columns + `state`,
+    * the ≤ k sorted minimum hashes): kilobytes per group regardless of
+    * corpus size. The manifest carries k, so estimates can never be read
+    * with the wrong closed form.
+    */
+  val KmvManifestFile = "_graft_kmvstore.json"
+
+  def saveKmv(states: org.apache.spark.sql.DataFrame, k: Int,
+      path: String): Unit = {
+    states.coalesce(1).write.mode("overwrite").parquet(s"$path/state")
+    graft.StoreUtil.writeMarker(states.sparkSession, path, KmvManifestFile,
+      s"""{"version":1,"k":$k}""")
+  }
+
+  /** Open a persisted KMV sketch table: (state table, k). */
+  def loadKmv(spark: SparkSession,
+      path: String): (org.apache.spark.sql.DataFrame, Int) = {
+    val m = graft.StoreUtil.readMarker(spark, path, KmvManifestFile)
+      .getOrElse(throw new IllegalStateException(
+        s"$path is not a KMV store (no $KmvManifestFile)"))
+    val k = "\"k\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(m)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"KMV manifest at $path lacks 'k'"))
+    (spark.read.parquet(s"$path/state"), k)
   }
 
   /** Typed bounded reservoir: keep the `cap` pairs with the smallest rank

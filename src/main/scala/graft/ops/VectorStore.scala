@@ -105,17 +105,22 @@ object VectorStore {
     * once; rounding, tie order, and the q≠n filter are identical.
     */
   def query(st: Loaded, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    // materialize the request-bounded cell assignment ONCE: the probed-cell
-    // IN list and the join's query side must see the same rows — evaluated
-    // twice, a non-deterministic queries plan (sample, unordered limit)
-    // could route to cells absent from the collected predicate and
-    // silently drop neighbors
-    val qc = ClusterOps.flatten(
-      VectorOps.assignCells(queries, st.centroids, nprobe)
-        .select(col("id").as("q_id"), col("v").as("q_vec"),
-          concat(lit("c"), col("cell")).as("cell")))
-    val probed = qc.select(col("cell")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val spark = st.cells.sparkSession
+    // The query side is request-bounded by contract, so ONE job collects
+    // the cell assignment, and the collected rows feed BOTH the probed-cell
+    // partition predicate and the join's query side. Single evaluation: a
+    // non-deterministic queries plan (sample, unordered limit) cannot
+    // route to cells absent from the predicate and silently drop
+    // neighbors — and the serving path pays one scheduling round trip,
+    // not three. (Unbounded query sets belong on VectorOps.annIvf, where
+    // nothing passes through the driver.)
+    val qcPlan = VectorOps.assignCells(queries, st.centroids, nprobe)
+      .select(col("id").as("q_id"), col("v").as("q_vec"),
+        concat(lit("c"), col("cell")).as("cell"))
+    val qcRows = qcPlan.collect()
+    val probed = qcRows.map(_.getString(2)).distinct.sorted
+    val qc = spark.createDataFrame(
+      java.util.Arrays.asList(qcRows: _*), qcPlan.schema)
     val corpus = st.cells
       .filter(col("cell").isin(probed.toSeq: _*))
       .select(col("id").as("n_id"), VectorOps.toDouble(col("vec")).as("n_vec"),

@@ -72,6 +72,8 @@ object TrainingQueries {
 
   private val vstoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val vstoreLoaded =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorStore.Loaded]()
 
   /** IVF store, built once per data dir and SERVED thereafter: the first
     * call pays the build (cell assignment + partitioned write — the
@@ -95,7 +97,10 @@ object TrainingQueries {
     val queries = Tables.embeddings(s, d)
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    VectorStore.query(VectorStore.load(s, dir), queries, k = 5, nprobe = 2)
+    // a serving session opens the store once at startup and answers from
+    // the handle — cache the Loaded view the same way
+    val st = vstoreLoaded.computeIfAbsent(dir, VectorStore.load(s, _))
+    VectorStore.query(st, queries, k = 5, nprobe = 2)
   }
 
   /** Dedup clusters: connected components over the LSH candidate graph —
@@ -256,6 +261,33 @@ object TrainingQueries {
 
   private val cmStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val kmvStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persisted KMV sketch table, built once per data dir and served
+    * thereafter ([[graft.ops.SketchOps.saveKmv]]): the build pass folds
+    * the corpus into ≤ k sorted minimum hashes per group; serving reads
+    * the kilobyte state table and applies the closed-form estimate —
+    * bit-identical to [[skDistinctKmv]]'s in-query aggregation (same
+    * insert discipline, same finish arithmetic), so it shares that
+    * oracle. New corpus batches merge into the stored state without
+    * rescanning history (`SketchSpec`).
+    */
+  val skKmvStore: Q = (s, d) => {
+    val dir = kmvStoreCache.computeIfAbsent(d, _ => {
+      val states = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_orderkey")).as("n_exact"),
+          SketchOps.kmvState(col("l_orderkey"), 64).as("state"))
+      val p = sys.props("java.io.tmpdir") + "/graft_kmvstore_" +
+        graft.StoreUtil.pathHash(d)
+      SketchOps.saveKmv(states, 64, p)
+      p
+    })
+    val (st, k) = SketchOps.loadKmv(s, dir)
+    st.select(col("l_returnflag"), col("n_exact"),
+      SketchOps.kmvEstimateFromState(col("state"), k).as("est_distinct"))
+  }
 
   /** Persisted CM sketch, built once per data dir and probed thereafter —
     * the build-once/serve-forever lifecycle for the sketch family
@@ -418,6 +450,7 @@ object TrainingQueries {
     "sk_quantile" -> skQuantile,
     "sk_heavy_cm" -> skHeavyCm,
     "sk_cm_store" -> skCmStore,
+    "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
     "emb_quantize" -> embQuantize,
     "txt_tokens" -> txtTokens,
@@ -508,6 +541,25 @@ object TrainingQueries {
        |  FROM qb)""".stripMargin
 
   private val ccSql = s"$candSql,\n${ccFrom("cand")}"
+
+  /** KMV distinct-count oracle — shared by `sk_distinct_kmv` (in-query
+    * aggregation) and `sk_kmv_store` (estimate read from persisted state).
+    */
+  private val kmvDistinctSql =
+    """WITH h AS (SELECT DISTINCT l_returnflag AS key,
+      |  CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+      |    AS BIGINT) AS h
+      |  FROM lineitem),
+      |r AS (SELECT key, h,
+      |  row_number() OVER (PARTITION BY key ORDER BY h) AS rn,
+      |  count(*) OVER (PARTITION BY key) AS nd FROM h)
+      |SELECT key AS l_returnflag,
+      |  CAST(max(nd) AS BIGINT) AS n_exact,
+      |  CASE WHEN max(nd) < 64 THEN max(nd)::DOUBLE
+      |    ELSE 63.0 * 1152921504606846976.0 /
+      |      max(CASE WHEN rn = 64 THEN h END)::DOUBLE
+      |  END AS est_distinct
+      |FROM r GROUP BY key""".stripMargin
 
   /** Count-min heavy-hitter oracle — shared by `sk_heavy_cm` (fresh
     * sketch) and `sk_cm_store` (persisted counters probed after reload).
@@ -696,21 +748,10 @@ object TrainingQueries {
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin,
-    "sk_distinct_kmv" ->
-      """WITH h AS (SELECT DISTINCT l_returnflag AS key,
-        |  CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
-        |    AS BIGINT) AS h
-        |  FROM lineitem),
-        |r AS (SELECT key, h,
-        |  row_number() OVER (PARTITION BY key ORDER BY h) AS rn,
-        |  count(*) OVER (PARTITION BY key) AS nd FROM h)
-        |SELECT key AS l_returnflag,
-        |  CAST(max(nd) AS BIGINT) AS n_exact,
-        |  CASE WHEN max(nd) < 64 THEN max(nd)::DOUBLE
-        |    ELSE 63.0 * 1152921504606846976.0 /
-        |      max(CASE WHEN rn = 64 THEN h END)::DOUBLE
-        |  END AS est_distinct
-        |FROM r GROUP BY key""".stripMargin,
+    "sk_distinct_kmv" -> kmvDistinctSql,
+    // the store-served KMV estimate is defined bit-identical to the
+    // in-query aggregation (same inserts, same closed form) — shared oracle
+    "sk_kmv_store" -> kmvDistinctSql,
     "dd_spans" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks
          |  FROM documents WHERE doc_id < 200),

@@ -98,6 +98,43 @@ class SketchSpec extends AnyFunSuite {
     assert(got == unbounded)
   }
 
+  test("persisted KMV state serves identical estimates and merges batches " +
+      "without rescanning history") {
+    val li = Tables.lineitem(spark, sf)
+    val k = 64
+    val full = li.groupBy(col("l_returnflag"))
+      .agg(SketchOps.kmvDistinct(col("l_orderkey"), k).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val states = li.groupBy(col("l_returnflag"))
+      .agg(SketchOps.kmvState(col("l_orderkey"), k).as("state"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    SketchOps.saveKmv(states, k, dir)
+    val (st, k2) = SketchOps.loadKmv(spark, dir)
+    assert(k2 == k)
+    val served = st.select(col("l_returnflag"),
+      SketchOps.kmvEstimateFromState(col("state"), k2).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(served == full)
+    // two disjoint batches sketched separately, states merged by re-fold:
+    // identical to sketching everything at once
+    def stOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("l_returnflag"))
+        .agg(SketchOps.kmvState(col("l_orderkey"), k).as("state"))
+    val merged = stOf(li.filter(col("l_orderkey") % 2 === 0))
+      .unionByName(stOf(li.filter(col("l_orderkey") % 2 =!= 0)))
+      .select(col("l_returnflag"), explode(col("state")).as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(SketchOps.kmvStateOfHashes(col("h"), k).as("state"))
+      .select(col("l_returnflag"),
+        SketchOps.kmvEstimateFromState(col("state"), k).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged == full)
+    intercept[IllegalStateException] {
+      SketchOps.loadKmv(spark,
+        java.nio.file.Files.createTempDirectory("graft_not_kmv").toString)
+    }
+  }
+
   test("persisted CM sketch serves identical estimates after reload") {
     val toks = Tables.documents(spark, sf).filter(col("doc_id") < 100)
       .select(explode(graft.ops.TextOps.tokensCol(col("text"))).as("item"))
