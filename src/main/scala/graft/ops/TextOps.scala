@@ -27,26 +27,50 @@ object TextOps {
   def fingerprintCol(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokensCol(text))), " "))
 
-  /** Word n-gram shingles (n consecutive tokens joined by spaces). */
-  def shinglesCol(text: Column, n: Int): Column = {
-    val toks = tokensCol(text)
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token array.
+    * `toks` must be a bound column, not the tokenizer expression itself:
+    * the lambda body re-evaluates every inlined subtree per element, so
+    * passing `tokensCol(text)` here re-runs the regex tokenizer once per
+    * shingle — O(len²) (the winnowSelectCol lesson; measured 2.8× on the
+    * sf0.1 contamination scan). `toks` is referenced three times (two
+    * sizes + the lambda), so CollapseProject keeps the binding projection.
+    */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(0), size(toks) - n), // inclusive: size-n+1 shingles
         i => array_join(slice(toks, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-gram shingles (n consecutive tokens joined by spaces).
+    * Single-expression convenience form — fine for oracles and bounded
+    * inputs; hot paths bind the token array first and use
+    * [[shinglesOfTokens]] (see the O(len²) note there).
+    */
+  def shinglesCol(text: Column, n: Int): Column =
+    shinglesOfTokens(tokensCol(text), n)
+
+  /** MinHash signature over an ALREADY-MATERIALIZED distinct-token array
+    * (see [[shinglesOfTokens]] for the lambda-inlining rule): the outer
+    * lambda body references `toks` once per seed, so an inlined tokenizer
+    * subtree would re-run k times per row. The never-false size guard
+    * keeps `toks` multiply-referenced so CollapseProject cannot fold the
+    * binding projection back into the lambda.
+    */
+  def minhashOfTokens(toks: Column, k: Int = 8): Column =
+    when(size(toks) >= 0,
+      transform(sequence(lit(0), lit(k - 1)),
+        s => array_min(transform(toks,
+          w => md5(concat(s.cast("string"), lit(":"), w))))))
 
   /** MinHash signature of the distinct token set: `k` permutations
     * simulated as lexicographic minima of seeded md5s (min-wise independent
     * enough for LSH banding, and bit-identical in any engine with md5).
+    * Convenience single-expression form; hot paths bind the token array
+    * first ([[minhashCandidates]] does).
     */
-  def minhashCol(text: Column, k: Int = 8): Column = {
-    val toks = array_distinct(tokensCol(text))
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(toks,
-        w => md5(concat(s.cast("string"), lit(":"), w)))))
-  }
+  def minhashCol(text: Column, k: Int = 8): Column =
+    minhashOfTokens(array_distinct(tokensCol(text)), k)
 
   /** LSH band keys from a minhash signature: hash of each band's
     * concatenated minima. Docs sharing any band key are candidates.
@@ -66,7 +90,12 @@ object TextOps {
     require(k % bands == 0,
       s"signature length k=$k must be divisible by bands=$bands " +
         "(a remainder would silently drop trailing signature rows)")
-    val sig = docs.select(col(idCol).as("id"), minhashCol(col(textCol), k).as("sig"))
+    // tokenize+distinct once per row, then sign the bound array — the
+    // inline form would re-tokenize once per signature seed
+    val sig = docs
+      .select(col(idCol).as("id"),
+        array_distinct(tokensCol(col(textCol))).as("toks"))
+      .select(col("id"), minhashOfTokens(col("toks"), k).as("sig"))
     val banded = bandKeys(sig, "sig", bands, k / bands)
       .select(col("id"), col("band"), col("band_key"))
     banded.alias("x").join(banded.alias("y"),
@@ -140,14 +169,23 @@ object TextOps {
         t => greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long"))),
       lit(0L), (acc, x) => acc + x)
 
-  /** md5 char k-gram array of the lowercased text (winnowing stage 1). */
-  def charGramsCol(text: Column, k: Int): Column = {
-    val tx = lower(text)
+  /** md5 char k-gram array over an ALREADY-LOWERCASED bound text column
+    * (winnowing stage 1); `tx` is referenced three times (two lengths +
+    * the lambda), so the binding projection survives CollapseProject.
+    * Passing `lower(text)` inline would re-lowercase the document once
+    * per gram — O(len²) character copies per row.
+    */
+  def charGramsOfLower(tx: Column, k: Int): Column =
     when(length(tx) >= k,
       transform(sequence(lit(0), length(tx) - k),
         i => md5(tx.substr(i + 1, lit(k)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** md5 char k-gram array of the lowercased text — convenience form;
+    * hot paths bind the lowered text first ([[winnowFingerprints]] does).
+    */
+  def charGramsCol(text: Column, k: Int): Column =
+    charGramsOfLower(lower(text), k)
 
   /** Sliding-window minima over an ALREADY-MATERIALIZED gram column
     * (winnowing stage 2). `grams` must be a bound column, not the gram
@@ -173,7 +211,8 @@ object TextOps {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame =
-    docs.select(col(idCol).as("id"), charGramsCol(col(textCol), k).as("grams"))
+    docs.select(col(idCol).as("id"), lower(col(textCol)).as("tx"))
+      .select(col("id"), charGramsOfLower(col("tx"), k).as("grams"))
       .select(col("id"), explode(winnowSelectCol(col("grams"), w)).as("fp"))
 
   /** PII-scrub regexes. Deliberately simple: the character-class subset
@@ -235,9 +274,11 @@ object TextOps {
     */
   def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int = 3, minShared: Int = 2): DataFrame = {
+    // two projections: tokenize once per row, THEN shingle the bound
+    // array — shinglesCol inline would re-tokenize per shingle (O(len²))
     def sh(df: DataFrame, as: String): DataFrame =
-      df.select(col(idCol).as(as),
-        explode(shinglesCol(col(textCol), n)).as("sh"))
+      df.select(col(idCol).as(as), tokensCol(col(textCol)).as("toks"))
+        .select(col(as), explode(shinglesOfTokens(col("toks"), n)).as("sh"))
     sh(corpus, "doc_id")
       .join(broadcast(sh(evalSet, "eval_id")), "sh")
       .groupBy(col("doc_id"), col("eval_id"))
