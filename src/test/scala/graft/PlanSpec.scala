@@ -196,6 +196,40 @@ class PlanSpec extends AnyFunSuite {
       "partial_kmvagg".r.findFirstIn(p.toLowerCase).isDefined, p)
   }
 
+  test("contamination broadcasts the eval side; the corpus side reaches " +
+      "the join without a shuffle") {
+    val docs = Tables.documents(spark, sf)
+    val df = graft.ops.TextOps.contamination(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 10),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 10),
+      "doc_id", "text")
+    // AQE's toString appends the pre-optimization "Initial Plan" — keep
+    // only the final section
+    val p0 = finalPlan(df)
+    val p = p0.indexOf("== Initial Plan ==") match {
+      case -1 => p0
+      case i => p0.substring(0, i)
+    }
+    // the corpus (streamed) side flows scan → join with NO shuffle: in
+    // the top-down plan text everything below the join line is its two
+    // children (corpus subtree + broadcast side), and the only hash
+    // exchanges sit ABOVE it in the post-join candidate-bounded aggregates
+    val idx = p.indexOf("BroadcastHashJoin")
+    assert(idx >= 0, p)
+    val below = p.substring(idx)
+    assert(!below.contains("Exchange hashpartitioning") &&
+      !below.contains("ShuffleQueryStage"), below)
+  }
+
+  test("bounded-reservoir quantiles aggregate partially before the exchange") {
+    val p = finalPlan(graft.queries.TrainingQueries.skQuantile(spark, sf))
+    // typed Aggregator → ObjectHashAggregate with a partial pass: a hot
+    // group ships ≤ cap (rank, value) pairs per partition into the
+    // exchange, never its sampled rows
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.toLowerCase.contains("partial_reservoiragg"), p)
+  }
+
   test("minhash→jaccard verifier joins only on candidate keys (no token self-join)") {
     val w = Tables.documents(spark, sf)
       .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
