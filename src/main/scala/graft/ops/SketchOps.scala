@@ -144,6 +144,24 @@ object SketchOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge two CM sketches built with the SAME shape: every counter is a
+    * sum, so the sketch of A ∪ B is the per-(row,bucket) counter sum —
+    * exactly what sketching the union directly would produce. Pairs with
+    * [[saveCm]]/[[loadCm]] for incremental corpus growth: sketch only the
+    * new batch, merge into the stored counters, re-save; history is never
+    * rescanned.
+    */
+  def mergeCm(a: CmSketch, b: CmSketch): CmSketch = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"cannot merge CM sketches of different shapes " +
+        s"(${a.depth}x${a.width} vs ${b.depth}x${b.width})")
+    CmSketch(
+      a.counters.unionByName(b.counters)
+        .groupBy(col("row"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt")),
+      a.depth, a.width)
+  }
+
   /** Point-estimate counts for a probe set: est(x) = min over rows of
     * counter[row][h_row(x)]. CM never undercounts; the estimate is exact
     * unless x collides with other items in EVERY row. The counter table

@@ -148,6 +148,20 @@ class SketchSpec extends AnyFunSuite {
     val served = SketchOps.cmEstimate(lk, toks.distinct(), "item")
       .collect().map(_.toSeq).toSet
     assert(served == fresh)
+    // counters are sums: sketching two disjoint batches and merging is
+    // identical to sketching everything at once (the incremental-growth
+    // path for a persisted sketch)
+    def skOf(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.cmSketch(df, "item", depth = 3, width = 32)
+    val merged = SketchOps.mergeCm(
+      skOf(toks.filter(length(col("item")) % 2 === 0)),
+      skOf(toks.filter(length(col("item")) % 2 =!= 0)))
+    val mergedEst = SketchOps.cmEstimate(merged, toks.distinct(), "item")
+      .collect().map(_.toSeq).toSet
+    assert(mergedEst == fresh)
+    intercept[IllegalArgumentException] {
+      SketchOps.mergeCm(sk, SketchOps.cmSketch(toks, "item", 3, 16))
+    }
     intercept[IllegalStateException] {
       SketchOps.loadCm(spark,
         java.nio.file.Files.createTempDirectory("graft_not_cm").toString)
