@@ -72,9 +72,15 @@ object ClusterOps {
       val nbrMin = sym.join(lbl.select(col("id").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("nlbl")).as("nmin"))
-      val relaxed = flatten(lbl.join(nbrMin, Seq("id"), "left")
+      // no flatten here: `relaxed` chains onto the checkpointed `lbl`, so
+      // its plan depth is bounded within the round (the cross-ROUND chain
+      // is what explodes stats, and `next`'s flatten severs that); its two
+      // consumers (grpMin + the collapse join) dedup via AQE exchange
+      // reuse exactly as `collapsed`'s two references below do — one
+      // fewer eager-checkpoint job per round
+      val relaxed = lbl.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("r")))
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("r"))
       // collapse: the group sharing an old representative takes its best r
       val grpMin = relaxed.groupBy(col("old")).agg(min(col("r")).as("gm"))
       val collapsed = relaxed.join(grpMin, "old")
