@@ -162,6 +162,21 @@ object SketchOps {
       a.depth, a.width)
   }
 
+  /** Fold a new batch's sketch into the persisted store at `path`, in
+    * place. The merged counters are MATERIALIZED (localCheckpoint, off
+    * the source files) before the overwrite — the merge plan lazily
+    * reads the very parquet files the write replaces, so writing the
+    * un-materialized plan would scan half-deleted inputs. This is the
+    * streaming-maintenance hook: `foreachBatch` sketches each micro-batch
+    * alone and appends it here; history is never rescanned
+    * (`StreamingSpec` proves stream-maintained == batch-of-everything).
+    */
+  def appendCm(spark: SparkSession, path: String, batch: CmSketch): Unit = {
+    val merged = mergeCm(loadCm(spark, path), batch)
+    saveCm(CmSketch(ClusterOps.flatten(merged.counters),
+      merged.depth, merged.width), path)
+  }
+
   /** Point-estimate counts for a probe set: est(x) = min over rows of
     * counter[row][h_row(x)]. CM never undercounts; the estimate is exact
     * unless x collides with other items in EVERY row. The counter table

@@ -78,6 +78,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch maintains the persisted CM store across micro-batches") {
+    // the store-maintenance loop a streaming pipeline runs: each
+    // micro-batch is sketched ALONE and folded into the persisted
+    // counters (appendCm) — history never rescanned — and the final
+    // artifact equals sketching the whole corpus at once
+    val inDir = Files.createTempDirectory("graft_cm_fb_in").toString
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_cm_fb_tmp").toString + "/w"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$inDir/$name"))
+    }
+    dump(batchEvents.filter(col("event_id") % 2 === 0), "a.parquet")
+    dump(batchEvents.filter(col("event_id") % 2 =!= 0), "b.parquet")
+    val store = Files.createTempDirectory("graft_cm_fb_store").toString + "/cm"
+    var batches = 0
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .select(col("event_type").as("item"))
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += 1
+        val b = graft.ops.SketchOps.cmSketch(df, "item", 3, 16)
+        try graft.ops.SketchOps.appendCm(spark, store, b)
+        catch { case _: IllegalStateException => // first batch: no store yet
+          graft.ops.SketchOps.saveCm(b, store) }
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val served = graft.ops.SketchOps.loadCm(spark, store)
+    val got = served.counters.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = graft.ops.SketchOps.cmCounters(
+        batchEvents.select(col("event_type").as("item")), "item", 3, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("sessionization with multiple open sessions across micro-batches") {
     // user 1 holds TWO open sessions after batch 1 (00:00 and 00:20, gap
     // 10 min); batch 2 delivers 00:25, which must extend the NEWER session
