@@ -49,12 +49,32 @@ object Multimodal {
     * Some(width, height) — the genuine pixel grid — when one does. PNG,
     * JPEG, GIF and BMP readers ship with every JDK, so no external codec
     * dependency is needed for the image leg.
+    *
+    * Dimensions are read from the HEADER (`ImageReader.getWidth/getHeight`
+    * without `read()`): `ImageIO.read` would allocate the full pixel
+    * raster first, so a kilobyte payload declaring 40000×40000 (a
+    * decompression bomb) would OOM the executor before the size was ever
+    * inspectable. Corrupt streams make plugin readers throw unchecked
+    * exceptions, not just IOException — any non-fatal failure means "not
+    * a decodable image" and falls back to the stub.
     */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int)] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      Option(img).map(i => (i.getWidth, i.getHeight))
-    } catch { case _: java.io.IOException => None }
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) None
+      else try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic tiny-PNG encoder (ImageIO's PNG writer over a fixed
     * pixel fill) — the fixture-media generator for the real-decode path:

@@ -170,6 +170,14 @@ object SketchOps {
     * streaming-maintenance hook: `foreachBatch` sketches each micro-batch
     * alone and appends it here; history is never rescanned
     * (`StreamingSpec` proves stream-maintained == batch-of-everything).
+    *
+    * Crash semantics: the rewrite is detectable, not atomic — a crash
+    * mid-save leaves the store manifest-less, so the next load/append
+    * FAILS FAST instead of serving partial counters; recovery is
+    * restoring a copy or re-sketching the corpus. Exactly-once streaming
+    * maintenance additionally requires batchId-idempotent guards in the
+    * foreachBatch (standard Structured Streaming practice for any
+    * non-transactional sink).
     */
   def appendCm(spark: SparkSession, path: String, batch: CmSketch): Unit = {
     val merged = mergeCm(loadCm(spark, path), batch)
@@ -201,10 +209,14 @@ object SketchOps {
   val CmManifestFile = "_graft_cmstore.json"
 
   def saveCm(sk: CmSketch, path: String): Unit = {
+    val spark = sk.counters.sparkSession
+    // manifest is deleted FIRST and rewritten LAST: a crash mid-write
+    // leaves a store with no manifest, which loadCm refuses — partial
+    // counters silently served would violate never-undercount
+    graft.StoreUtil.deleteMarker(spark, path, CmManifestFile)
     sk.counters.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/counters")
-    graft.StoreUtil.writeMarker(sk.counters.sparkSession, path,
-      CmManifestFile,
+    graft.StoreUtil.writeMarker(spark, path, CmManifestFile,
       s"""{"version":1,"depth":${sk.depth},"width":${sk.width}}""")
   }
 
@@ -252,14 +264,21 @@ object SketchOps {
     (spark.read.parquet(s"$path/state"), k)
   }
 
-  /** Typed bounded reservoir: keep the `cap` pairs with the smallest rank
-    * hashes (deterministic — same KMV insert discipline, [[KmvAgg]]),
-    * values ride along. The aggregation buffer is ≤ cap (rank, value)
-    * pairs NO MATTER the group size — the absolute per-group state bound
-    * [[sampledQuantiles]] needs at 100 TB — and it partial-aggregates
-    * map-side. When the group has ≤ cap rows the reservoir holds ALL of
-    * them (ranks are unique per row id), so estimates are exactly the
-    * unbounded order statistics.
+  /** Typed bounded reservoir: keep the `cap` (rank, value) pairs with the
+    * smallest rank hashes, totally ordered by (rank, value) so the
+    * truncation at `cap` is deterministic under ANY partitioning/merge
+    * order. The aggregation buffer is ≤ cap pairs NO MATTER the group
+    * size — the absolute per-group state bound [[sampledQuantiles]] needs
+    * at 100 TB — and it partial-aggregates map-side. Rank-hash collisions
+    * between distinct rows are KEPT, not dropped (each input row reaches
+    * reduce exactly once, so equal ranks are different rows — dropping
+    * one would silently lose a sampled value); when the group has ≤ cap
+    * rows the reservoir therefore holds ALL of them and estimates are
+    * exactly the unbounded order statistics. Inserts are a binary search
+    * + one arraycopy (no re-sort): accepted-insert probability decays as
+    * cap/i, so total work per task is O(n log cap + cap² ln(n/cap))
+    * element moves — seconds for cap 8192 over 10¹¹-row groups, where a
+    * per-insert re-sort at a large cap would effectively hang.
     */
   class ReservoirAgg(cap: Int)
       extends Aggregator[(Long, Double), Array[(Long, Double)], Array[Double]] {
@@ -269,15 +288,28 @@ object SketchOps {
         x: (Long, Double)): Array[(Long, Double)] = insert(buf, x)
     override def merge(a: Array[(Long, Double)],
         b: Array[(Long, Double)]): Array[(Long, Double)] = b.foldLeft(a)(insert)
+    private def cmp(a: (Long, Double), b: (Long, Double)): Int = {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Double.compare(a._2, b._2)
+    }
     private def insert(buf: Array[(Long, Double)],
         x: (Long, Double)): Array[(Long, Double)] = {
-      // buf stays sorted by rank; row ids are unique so ranks are, too —
-      // a duplicate rank means the same row partial-merged twice
-      if (buf.length >= cap && x._1 >= buf(buf.length - 1)._1) buf
-      else if (buf.exists(_._1 == x._1)) buf
+      if (buf.length >= cap && cmp(x, buf(buf.length - 1)) >= 0) buf
       else {
-        val merged = (buf :+ x).sortBy(_._1)
-        if (merged.length > cap) merged.take(cap) else merged
+        // binary search for the insertion point in the (rank, value)-sorted
+        // buffer; duplicates insert adjacently, never replace
+        var lo = 0
+        var hi = buf.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cmp(buf(mid), x) <= 0) lo = mid + 1 else hi = mid
+        }
+        val outLen = math.min(buf.length + 1, cap)
+        val out = new Array[(Long, Double)](outLen)
+        System.arraycopy(buf, 0, out, 0, lo)
+        out(lo) = x
+        if (lo + 1 < outLen) System.arraycopy(buf, lo, out, lo + 1, outLen - lo - 1)
+        out
       }
     }
     override def finish(buf: Array[(Long, Double)]): Array[Double] =
@@ -308,7 +340,7 @@ object SketchOps {
     */
   def sampledQuantiles(df: org.apache.spark.sql.DataFrame, idCol: String,
       keyCol: String, valCol: String, qs: Seq[Double], rate: Double,
-      salt: String, cap: Int = 1 << 20): org.apache.spark.sql.DataFrame = {
+      salt: String, cap: Int = 8192): org.apache.spark.sql.DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
     val res = udaf(new ReservoirAgg(cap),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))

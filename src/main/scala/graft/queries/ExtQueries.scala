@@ -603,6 +603,14 @@ object ExtQueries {
       |f AS (SELECT string_split(line, chr(9)||'|'||chr(9)) AS p FROM raw
       |  WHERE NOT starts_with(line, 'uid') AND length(trim(line)) > 0)""".stripMargin
 
+  /** The arguson blob's JSON escaping (backslash first, then quote) as
+    * DuckDB SQL over an input expression — chr() codes only, because
+    * backslash literals in an s-interpolated Scala string are
+    * escape-processed into different SQL than the source shows.
+    */
+  private def jescSql(x: String): String =
+    s"replace(replace($x, chr(92), chr(92)||chr(92)), chr(34), chr(92)||chr(34))"
+
   /** Shared CTE (plain string — the `$` JSON paths must not hit the
     * s-interpolator): every per-node annotation field extracted from the
     * RAW annotations JSON, plus the taxonomy version.
@@ -695,6 +703,11 @@ object ExtQueries {
         |         ',"ott' || v.tv || '":"' || n.ot_node_id || '"}'
         |  END AS supported_by_json
         |FROM n LEFT JOIN a USING (ot_node_id) CROSS JOIN v""".stripMargin,
+    // jesc(x): the blob's JSON escaping (backslash first, then quote) in
+    // chr() form — backslash LITERALS inside an s-interpolated string are
+    // escape-processed by Scala and compiled '\', '\\' down to no-op
+    // needles, silently disabling the escaping (caught by review; chr(92)
+    // / chr(34) cannot be touched by any host-language escaping)
     "s6_arguson" ->
       s"""WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
         |$rawAnnCte,
@@ -714,23 +727,23 @@ object ExtQueries {
         |    arg_max(d_name, d_pre) AS last_named
         |  FROM named WHERE d_id <> anc GROUP BY anc),
         |b AS (SELECT n.node_id, n.parent_id, n.pre, n.post, n.depth, n.is_leaf,
-        |  '{"node_id":"' || replace(replace(n.ot_node_id, '\', '\\'), '"', '\"') ||
+        |  '{"node_id":"' || ${jescSql("n.ot_node_id")} ||
         |  '","num_tips":' || n.tip_descendants ||
         |  CASE WHEN n.name IS NOT NULL THEN
-        |    ',"taxon":{"name":"' || replace(replace(n.name, '\', '\\'), '"', '\"') ||
+        |    ',"taxon":{"name":"' || ${jescSql("n.name")} ||
         |    '","unique_name":"' ||
-        |    replace(replace(coalesce(n.unique_name, n.name), '\', '\\'), '"', '\"') || '"' ||
+        |    ${jescSql("coalesce(n.unique_name, n.name)")} || '"' ||
         |    CASE WHEN n.tax_rank IS NOT NULL THEN
-        |      ',"rank":"' || replace(replace(n.tax_rank, '\', '\\'), '"', '\"') || '"'
+        |      ',"rank":"' || ${jescSql("n.tax_rank")} || '"'
         |      ELSE '' END ||
         |    CASE WHEN n.tax_uid IS NOT NULL THEN ',"ott_id":' || n.tax_uid ELSE '' END ||
         |    '}'
         |  ELSE ',"descendant_name_list":[' ||
         |    CASE WHEN r.first_named IS NULL THEN ''
         |         WHEN r.first_named = r.last_named
-        |           THEN '"' || replace(replace(r.first_named, '\', '\\'), '"', '\"') || '"'
-        |         ELSE '"' || replace(replace(r.first_named, '\', '\\'), '"', '\"') ||
-        |           '","' || replace(replace(r.last_named, '\', '\\'), '"', '\"') || '"'
+        |           THEN '"' || ${jescSql("r.first_named")} || '"'
+        |         ELSE '"' || ${jescSql("r.first_named")} ||
+        |           '","' || ${jescSql("r.last_named")} || '"'
         |    END || ']'
         |  END ||
         |  coalesce(',"supported_by":' || a.f_sb, '') ||

@@ -138,7 +138,7 @@ object TreeStore {
     val bad = graft.StoreUtil.readMarker(spark, path, PendingFile)
       .getOrElse(throw new IllegalStateException(
         s"no interrupted append recorded at $path"))
-      .split(",").toSeq.filter(_.nonEmpty)
+      .split(PendingSep).toSeq.filter(_.nonEmpty)
     requireDisjoint(spark, path, dest)
     val buckets = readManifest(spark, path)
     def clean(table: String): DataFrame =
@@ -197,9 +197,24 @@ object TreeStore {
     (b.getLong(0), b.getLong(1))
   }
 
+  /** Marker-entry delimiter: a control char no real tree id contains
+    * (checked) — a printable delimiter like "," could appear IN an id and
+    * corrupt [[recoverAppend]]'s rollback filter.
+    */
+  private val PendingSep = '\u001f'
+
   private def appendCore(spark: SparkSession, path: String,
       t: TreeIngest.Ingested, maxId: Long, maxPost: Long,
       existingIds: Set[String]): Unit = {
+    // a leftover marker means a PREVIOUS append died between table
+    // writes: appending more (and eventually deleting the marker) would
+    // bury that corruption as a silently-served store — refuse until
+    // recoverAppend has rolled it back
+    graft.StoreUtil.readMarker(spark, path, PendingFile).foreach { ids =>
+      throw new IllegalStateException(
+        s"store at $path has an interrupted append (tree_ids: $ids) — " +
+          "run TreeStore.recoverAppend before appending more")
+    }
     val buckets = readManifest(spark, path)
     val newMin = t.nodes
       .agg(org.apache.spark.sql.functions.min("node_id")).head().getLong(0)
@@ -224,8 +239,10 @@ object TreeStore {
     // brackets them, so a crash in between is detected at load (and
     // rolled back by recoverAppend) instead of serving a store whose
     // nodes/edges/tree_meta disagree about which trees exist
+    require(newIds.forall(!_.contains(PendingSep)),
+      s"tree_id may not contain U+001F (reserved as the marker delimiter)")
     graft.StoreUtil.writeMarker(spark, path, PendingFile,
-      newIds.toSeq.sorted.mkString(","))
+      newIds.toSeq.sorted.mkString(PendingSep.toString))
     appendBucketed(spark, nodes, s"$path/nodes", "node_id", buckets)
     appendBucketed(spark, t.edges, s"$path/edges", "child_id", buckets)
     t.treeMeta.write.mode("append").parquet(s"$path/tree_meta")

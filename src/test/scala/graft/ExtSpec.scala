@@ -42,6 +42,12 @@ class ExtSpec extends AnyFunSuite {
     assert(got(3L) == Multimodal.decodeStub(rows(2)))
     // non-image kinds stay on the documented stub even for real PNG bytes
     assert(got(4L) == Multimodal.decodeStub(rows(3)))
+    // a TRUNCATED image stream (header recognized, body gone) must yield
+    // None, not an escaped plugin exception — and the header-only read
+    // never allocates the raster, so declared-huge dims can't OOM
+    val truncated = Multimodal.encodePng(7, 5, seed = 9).take(12)
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
   }
 
   test("SQL registration: mrca codec callable from spark.sql") {

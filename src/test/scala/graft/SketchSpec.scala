@@ -76,8 +76,22 @@ class SketchSpec extends AnyFunSuite {
     val a = run(4)
     // absolute per-group bound: 1000/7 ≈ 143 rows per key, 5 retained
     assert(a.values.forall(_.size == 5), a)
-    // KMV-style insert discipline ⇒ merge-order independent
+    // (rank, value) total order ⇒ merge-order independent
     assert(run(1) == a && run(19) == a)
+
+    // colliding rank hashes between DISTINCT rows are retained, never
+    // dropped: 100 rows sharing 10 ranks must all survive under a cap
+    // that fits them (dropping one would shift every quantile)
+    val rBig = org.apache.spark.sql.functions.udaf(
+      new SketchOps.ReservoirAgg(1000),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val collide = spark.range(0L, 100L)
+      .select(lit(1L).as("k"), (col("id") % 10L).as("r"),
+        col("id").cast("double").as("v"))
+    val kept = collide.repartition(7).groupBy(col("k"))
+      .agg(rBig(col("r"), col("v")).as("vs"))
+      .head().getSeq[Double](1)
+    assert(kept.size == 100, s"${kept.size} of 100 rows survived collisions")
 
     // cap above the sample size ⇒ bit-identical to the unbounded form
     val docs = Tables.documents(spark, sf)

@@ -285,6 +285,14 @@ class StoreSpec extends AnyFunSuite {
       TreeStore.load(spark, dir, persistNodes = false)
     }
     assert(ex.getMessage.contains("interrupted append"))
+    // a further append must ALSO refuse: completing it would delete the
+    // marker and bury the earlier corruption as a silently-served store
+    val ex2 = intercept[IllegalStateException] {
+      TreeStore.appendTree(spark, dir, TreeIngest.TreeSource(
+        s"$fx/gavia2.tre", s"$fx/gavia2_annotations.json",
+        s"$fx/gavia_taxonomy.tsv", "opentree6.0"))
+    }
+    assert(ex2.getMessage.contains("interrupted append"))
     // recovery rolls the possibly-partial tree's rows out of every table
     // into a clean store at dest (the damaged source is never mutated)
     val dest = Files.createTempDirectory("graft_store_pend2").toString
