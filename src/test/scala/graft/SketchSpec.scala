@@ -112,6 +112,27 @@ class SketchSpec extends AnyFunSuite {
     assert(got == unbounded)
   }
 
+  test("reservoir hot-group probe: 2M rows into one cap-8192 buffer " +
+      "completes in seconds") {
+    // the case the cap exists for: one pathological group holding the
+    // whole input. Accepted-insert probability decays as cap/i, so the
+    // fill path must be ~O(n log cap) — the pre-fix per-insert re-sort
+    // was minutes here; the binary-search insert is seconds
+    val t0 = System.nanoTime()
+    import org.apache.spark.sql.Encoders
+    val r = org.apache.spark.sql.functions.udaf(
+      new SketchOps.ReservoirAgg(8192),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val vs = spark.range(0L, 2000000L)
+      .select(lit(1L).as("k"), SketchOps.hash60(col("id")).as("r"),
+        col("id").cast("double").as("v"))
+      .groupBy(col("k")).agg(r(col("r"), col("v")).as("vs"))
+      .head().getSeq[Double](1)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(vs.size == 8192)
+    assert(secs < 60.0, f"hot-group reservoir took $secs%.1f s")
+  }
+
   test("persisted KMV state serves identical estimates and merges batches " +
       "without rescanning history") {
     val li = Tables.lineitem(spark, sf)
