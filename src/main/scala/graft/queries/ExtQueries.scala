@@ -1192,9 +1192,11 @@ object ExtQueries {
         |SELECT e.tree_id, e.ed."@target" AS child, e.ed."@source" AS parent,
         |       CAST(e.ord - 1 AS BIGINT) AS child_ord,
         |       CAST(e.ed."@length" AS DOUBLE) AS branch_length,
-        |       omap.label, omap.ott_id
+        |       omap.label, omap.ott_id, pmap.label AS parent_label
         |FROM e
         |LEFT JOIN nm ON nm.nd."@id" = e.ed."@target"
-        |LEFT JOIN omap ON omap.otu_id = nm.nd."@otu"""".stripMargin
+        |LEFT JOIN omap ON omap.otu_id = nm.nd."@otu"
+        |LEFT JOIN nm pm ON pm.nd."@id" = e.ed."@source"
+        |LEFT JOIN omap pmap ON pmap.otu_id = pm.nd."@otu"""".stripMargin
   )
 }

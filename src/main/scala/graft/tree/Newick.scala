@@ -120,6 +120,9 @@ object Newick {
           // length, e.g. "(:0.5,a);" — open it with an empty label
           if (current < 0) current = openNode()
           i += 1
+          // whitespace is ignorable everywhere else in the grammar, so
+          // "a: 0.5" must parse like "a:0.5" (not throw on "".toDouble)
+          while (i < n && s(i).isWhitespace) i += 1
           val start = i
           while (i < n && !"(),;:[".contains(s(i)) && !s(i).isWhitespace) i += 1
           setBL(current, s.substring(start, i).toDouble)

@@ -16,7 +16,9 @@ object Nexson {
 
   /** Read a study file → edge rows:
     * (tree_id, child, parent, child_ord, branch_length, label, ott_id,
-    * is_tree_root_child). Node ids are the nexml string ids.
+    * parent_label). Node ids are the nexml string ids; `label`/`ott_id`
+    * resolve the CHILD's otu, `parent_label` the parent's (so the root —
+    * which appears only as a source — keeps its otu label too).
     */
   def readStudy(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("multiLine", "true").json(path)
@@ -46,8 +48,13 @@ object Nexson {
       .join(nodes.select(col("tree_id"), col("node_id").as("child"),
         col("otu_id")), Seq("tree_id", "child"), "left_outer")
       .join(broadcast(otus), Seq("otu_id"), "left_outer")
+      .join(nodes.select(col("tree_id"), col("node_id").as("parent"),
+        col("otu_id").as("p_otu")), Seq("tree_id", "parent"), "left_outer")
+      .join(broadcast(otus.select(col("otu_id").as("p_otu"),
+        col("label").as("parent_label"))), Seq("p_otu"), "left_outer")
       .select(col("tree_id"), col("child"), col("parent"), col("child_ord"),
-        col("branch_length"), col("label"), col("ott_id"))
+        col("branch_length"), col("label"), col("ott_id"),
+        col("parent_label"))
   }
 
   /** nexson2newick (MainRunner.java:374-429): serialize one study tree.
@@ -67,10 +74,15 @@ object Nexson {
         case other => throw new IllegalStateException(
           s"expected one root, got ${other.mkString(",")}")
       }
+    // the root appears only on the parent side of edges, so its otu label
+    // rides the parent_label column (NexsonReader labels every node)
+    val rootLabel = rows.find(_.getAs[String]("parent") == root)
+      .flatMap(r => Option(r.getAs[String]("parent_label")))
+      .map(Newick.scrub).getOrElse("")
     val labels = rows.map { r =>
       r.getAs[String]("child") -> (Option(r.getAs[String]("label"))
         .map(Newick.scrub).getOrElse(""))
-    }.toMap + (root -> "")
+    }.toMap + (root -> rootLabel)
     val bls: Map[String, Option[Double]] = rows.map { r =>
       r.getAs[String]("child") ->
         (if (withBranchLengths && !r.isNullAt(r.fieldIndex("branch_length")))

@@ -201,7 +201,18 @@ object TreeIngest {
         col("m")("taxonomy").as("taxonomy"))
       .withColumn("tree_id", lit(treeId))
 
-    val taxonomyVersion = treeMetaRaw.select(col("taxonomy_version")).head().getString(0)
+    // one head() fetches both meta scalars. The annotations' declared
+    // tree_id must AGREE with the caller's: nodes/edges/source_map are
+    // stamped with the param, so a silent mismatch would leave tree_meta
+    // keyed differently from every other table (per-tree views empty,
+    // recoverAppend filtering the wrong rows)
+    val metaHead = treeMetaRaw
+      .select(col("taxonomy_version"), col("tree_id")).head()
+    val taxonomyVersion = metaHead.getString(0)
+    val declaredId = metaHead.getString(1)
+    require(declaredId == null || declaredId == treeId,
+      s"annotations declare tree_id '$declaredId' but ingest was called " +
+        s"with treeId '$treeId' — the store tables would disagree")
 
     // ---- J2/J3: tree ⟕ taxonomy ⟕ annotations; taxonomy-support injection
     //      for ott* nodes (IngestSynthesisData.java:484-496); unique_name
@@ -237,7 +248,11 @@ object TreeIngest {
     // root ot id onto tree meta (IngestSynthesisData.java:346-349)
     val rootOt = nodesP.filter(col("parent_id") === -1L)
       .select(col("ot_node_id")).head().getString(0)
+    // tree_id pinned to the caller's (validated equal above when the JSON
+    // declares one) — all four tables key identically even when the
+    // annotations omit the field
     val treeMeta = treeMetaRaw.withColumn("root_ot_node_id", lit(rootOt))
+      .withColumn("tree_id", lit(treeId))
 
     Ingested(nodesP, edges, treeMeta, sourceMap)
   }

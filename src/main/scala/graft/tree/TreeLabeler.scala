@@ -88,6 +88,7 @@ object TreeLabeler {
     // doneParts (they still serve as jump targets). Without this, every
     // round checkpoints all n rows — O(n·rounds) storage writes.
     var doneParts: List[DataFrame] = List(init.filter(col("done")))
+    var roundCheckpoints: List[DataFrame] = List(init)
     var undone = init.filter(!col("done"))
     var round = 0
     var remaining = undone.count()
@@ -103,6 +104,7 @@ object TreeLabeler {
           concat(col("r.chain"), col("l.chain")).as("chain"),
           col("r.done").as("done"))
         .localCheckpoint()
+      roundCheckpoints = next :: roundCheckpoints
       doneParts = next.filter(col("done")) :: doneParts
       undone = next.filter(!col("done"))
       remaining = undone.count()
@@ -167,6 +169,22 @@ object TreeLabeler {
     all.unpersist()
     roots.unpersist()
     e.unpersist()
+    // `out` is fully materialized above, so the per-round checkpoint
+    // blocks (O(n · rounds) storage) feed nothing anymore — release them,
+    // or every ingest in a session (ingestAll, append workflows) leaks
+    // its rounds into the block manager until eviction thrash
+    roundCheckpoints.foreach(releaseCheckpoint)
     out
   }
+
+  /** Drop a localCheckpoint'd dataset's cached blocks. Safe ONLY once
+    * nothing will ever read the dataset again — a local checkpoint cannot
+    * be recomputed (`Dataset.unpersist` does not touch these blocks; the
+    * RDD inside the checkpoint's LogicalRDD must be unpersisted).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
 }

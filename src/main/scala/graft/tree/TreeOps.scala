@@ -48,15 +48,21 @@ object TreeOps {
 
   /** MRCA of a whole id set: deepest node whose subtree covers every id.
     * Relational form of the rootward-walk kernel: explode ancestors,
-    * keep ancestors common to all ids, take the deepest.
+    * keep ancestors common to all FOUND ids, take the deepest. Coverage
+    * is compared against the maximal observed coverage (the root covers
+    * every found id), not `ids.length` — duplicate request ids or ids
+    * absent from the tree must narrow the set to the valid distinct ids
+    * (the reference's BadIds semantics, tree_of_life_v3.java:359-361),
+    * not silently yield an empty result.
     */
   def mrcaOfSet(nodes: DataFrame, ids: Seq[Long]): DataFrame = {
-    val n = ids.length.toLong
     val hits = nodes.filter(col("node_id").isin(ids: _*))
       .select(col("node_id"), explode(col("ancestors")).as("anc"))
       .groupBy(col("anc")).agg(countDistinct(col("node_id")).as("n_cover"))
-      .filter(col("n_cover") === n)
-    hits.join(nodes.select(col("node_id").as("anc"), col("depth")), "anc")
+    val allFound = hits.agg(max(col("n_cover")).as("n_all"))
+    hits.crossJoin(broadcast(allFound))
+      .filter(col("n_cover") === col("n_all"))
+      .join(nodes.select(col("node_id").as("anc"), col("depth")), "anc")
       .orderBy(col("depth").desc).limit(1)
       .select(col("anc").as("mrca_id"), col("depth"))
   }
@@ -271,9 +277,14 @@ object TreeOps {
     val bls: Map[Long, Option[Double]] = rows.map(r => r.getLong(0) ->
       (if (withBranchLengths && !r.isNullAt(4) && !r.getDouble(4).isNaN &&
            r.getLong(0) != rootId) Some(r.getDouble(4)) else None)).toMap
-    val byParent = rows.filter(_.getLong(0) != rootId).groupBy(_.getLong(1))
-    val children: Long => Seq[Long] =
-      id => byParent.getOrElse(id, Array.empty).sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    // pre-sort each sibling list ONCE: the serializer calls children(p)
+    // ~2·deg+1 times per node, so sorting inside the closure would cost
+    // O(deg²·log deg) on a polytomy (a 50k-child taxonomy node would pin
+    // the driver for minutes)
+    val byParent: Map[Long, Seq[Long]] = rows.filter(_.getLong(0) != rootId)
+      .groupBy(_.getLong(1))
+      .map { case (p, v) => p -> v.sortBy(_.getLong(2)).map(_.getLong(0)).toSeq }
+    val children: Long => Seq[Long] = id => byParent.getOrElse(id, Nil)
     val labels = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
     Newick.serialize(rootId, children, labels, bls)
   }
@@ -383,9 +394,12 @@ object TreeOps {
 
   /** Driver-side assembly of collected (node, parent, pre, label) rows. */
   private def assemble(rows: Array[(Long, Long, Long, String)], rootId: Long): String = {
-    val byParent = rows.filter(_._1 != rootId).groupBy(_._2)
-    val children: Long => Seq[Long] =
-      id => byParent.getOrElse(id, Array.empty).sortBy(_._3).map(_._1).toSeq
+    // sibling lists sorted once (see newick() — the closure is invoked
+    // ~2·deg+1 times per node)
+    val byParent: Map[Long, Seq[Long]] = rows.filter(_._1 != rootId)
+      .groupBy(_._2)
+      .map { case (p, v) => p -> v.sortBy(_._3).map(_._1).toSeq }
+    val children: Long => Seq[Long] = id => byParent.getOrElse(id, Nil)
     val labels = rows.map(r => r._1 -> r._4).toMap
     Newick.serialize(rootId, children, labels)
   }

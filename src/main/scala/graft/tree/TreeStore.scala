@@ -41,6 +41,11 @@ object TreeStore {
     */
   def save(t: TreeIngest.Ingested, path: String, buckets: Int = 32): Unit = {
     val spark = t.nodes.sparkSession
+    // a full rewrite supersedes any crashed append at this path: clear the
+    // pending marker so the rebuilt (internally consistent) store loads —
+    // otherwise the stale marker keeps refusing it, and following the
+    // error's recoverAppend advice would delete valid trees
+    graft.StoreUtil.deleteMarker(spark, path, PendingFile)
     writeBucketed(spark, t.nodes, s"$path/nodes", "node_id", buckets)
     writeBucketed(spark, t.edges, s"$path/edges", "child_id", buckets)
     t.treeMeta.write.mode("overwrite").parquet(s"$path/tree_meta")
@@ -102,8 +107,10 @@ object TreeStore {
     */
   def appendTree(spark: SparkSession, path: String,
       src: TreeIngest.TreeSource): Unit = {
-    // the tree_id is known before any work: refuse a duplicate in
-    // milliseconds rather than after the full parse + labeling pass.
+    // fail BEFORE any work: a leftover pending marker (and a duplicate
+    // tree_id) must refuse in milliseconds, not after the full parse +
+    // labeling pass that ingestOffset below would run
+    requireNoPending(spark, path)
     // The id set is read ONCE and threaded into appendCore — tree_meta
     // is a full-store listing at deployment scale, not a free re-read.
     val existingIds = storeTreeIds(spark, path)
@@ -123,9 +130,22 @@ object TreeStore {
     */
   def appendIngested(spark: SparkSession, path: String,
       t: TreeIngest.Ingested): Unit = {
+    requireNoPending(spark, path)
     val (maxId, maxPost) = storeBounds(spark, path)
     appendCore(spark, path, t, maxId, maxPost, storeTreeIds(spark, path))
   }
+
+  /** A leftover marker means a PREVIOUS append died between table writes:
+    * appending more (and eventually deleting the marker) would bury that
+    * corruption as a silently-served store — refuse until recoverAppend
+    * has rolled it back (or a full save() has superseded the store).
+    */
+  private def requireNoPending(spark: SparkSession, path: String): Unit =
+    graft.StoreUtil.readMarker(spark, path, PendingFile).foreach { ids =>
+      throw new IllegalStateException(
+        s"store at $path has an interrupted append (tree_ids: $ids) — " +
+          "run TreeStore.recoverAppend before appending more")
+    }
 
   /** Roll back an append that died between table writes ([[PendingFile]]
     * left behind): every row of the pending tree_ids is filtered out of
@@ -206,15 +226,7 @@ object TreeStore {
   private def appendCore(spark: SparkSession, path: String,
       t: TreeIngest.Ingested, maxId: Long, maxPost: Long,
       existingIds: Set[String]): Unit = {
-    // a leftover marker means a PREVIOUS append died between table
-    // writes: appending more (and eventually deleting the marker) would
-    // bury that corruption as a silently-served store — refuse until
-    // recoverAppend has rolled it back
-    graft.StoreUtil.readMarker(spark, path, PendingFile).foreach { ids =>
-      throw new IllegalStateException(
-        s"store at $path has an interrupted append (tree_ids: $ids) — " +
-          "run TreeStore.recoverAppend before appending more")
-    }
+    requireNoPending(spark, path) // defense in depth (public paths check early)
     val buckets = readManifest(spark, path)
     val newMin = t.nodes
       .agg(org.apache.spark.sql.functions.min("node_id")).head().getLong(0)

@@ -107,7 +107,10 @@ object V2Adapter {
       })
     if (!studyList) base
     else {
-      val order = m.getAs[scala.collection.Seq[String]]("sources")
+      // annotations without a $.sources field ingest as a null column —
+      // treat like the other optional meta fields, not an NPE
+      val order = Option(m.getAs[scala.collection.Seq[String]]("sources"))
+        .getOrElse(scala.collection.Seq.empty[String])
       base + ("study_list" ->
         order.map(s => t.sourceBlobs.getOrElse(s, Map.empty[String, String]))
           .toList)
@@ -139,7 +142,10 @@ object V2Adapter {
     def mapKeys(i: Int): Seq[String] =
       if (r.isNullAt(i)) Nil else r.getMap[String, Any](i).keys.toSeq
 
-    val sources = (mapKeys(6) ++ mapKeys(7))
+    // a source may legally appear in BOTH supported_by and
+    // partial_path_of — emit each blob once (the reference's
+    // unique-sources aggregation, plugins/graph.java)
+    val sources = (mapKeys(6) ++ mapKeys(7)).distinct
       .map(sid => t.sourceBlobs.getOrElse(sid, Map.empty[String, String]))
     val base = Map[String, Any](
       "node_id" -> otIdToLong(r.getString(0)),

@@ -305,6 +305,11 @@ class StoreSpec extends AnyFunSuite {
       TreeStore.recoverAppend(spark, dest,
         Files.createTempDirectory("graft_store_pend3").toString)
     }
+    // a full rebuild over the damaged path supersedes the crashed append:
+    // save() clears the stale marker, so the fresh store loads
+    TreeStore.save(ingested, dir, buckets = 4)
+    assert(TreeStore.load(spark, dir, persistNodes = false).nodes.count()
+      == cleanRows)
   }
 
   test("loaded tables join with zero exchanges (bucketed serving path)") {

@@ -181,6 +181,26 @@ class TreeApiSpec extends AnyFunSuite {
     }
   }
 
+  test("nexson root otu label survives toNewick") {
+    // the root appears only as an edge SOURCE, so its label must ride the
+    // parent side of the otu resolution (NexsonReader labels every node)
+    val json =
+      """{"nexml": {"otus": {"otu": [
+        |  {"@id":"o1","@label":"tipA","meta":[{"@property":"ot:ottId","$":1}]},
+        |  {"@id":"o2","@label":"tipB","meta":[{"@property":"ot:ottId","$":2}]},
+        |  {"@id":"oR","@label":"Root taxon","meta":[{"@property":"ot:ottId","$":9}]}]},
+        |"trees":{"tree":[{"@id":"t1","node":[
+        |  {"@id":"n0","@otu":"oR","@root":"true"},
+        |  {"@id":"n1","@otu":"o1"},{"@id":"n2","@otu":"o2"}],
+        |"edge":[{"@id":"e1","@source":"n0","@target":"n1","@length":1.0},
+        |  {"@id":"e2","@source":"n0","@target":"n2","@length":2.0}]}]}}}"""
+        .stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_nexson_root", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val study = Nexson.readStudy(spark, f.toString)
+    assert(Nexson.toNewick(spark, study, "t1") == "(tipA,tipB)Root_taxon;")
+  }
+
   test("arguson carries annotations, descendant names, and source_id_map") {
     val j = TreeApi.arguson(t, idOf("mrcaott90560ott651474"), heightLimit = 2)
     // unnamed nodes carry descendant_name_list instead of a taxon blob

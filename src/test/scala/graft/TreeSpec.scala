@@ -87,6 +87,19 @@ class TreeSpec extends AnyFunSuite {
     // single node: MRCA is the node itself (GraphExplorer.java:643-645)
     val m2 = TreeOps.mrcaOfSet(nodes, Seq(arctica)).head()
     assert(m2.getLong(0) == arctica)
+    // duplicate ids and ids absent from the tree narrow to the valid
+    // distinct set (the reference's BadIds semantics) — NOT an empty
+    // result from an ids.length coverage mismatch
+    val m3 = TreeOps.mrcaOfSet(nodes, Seq(arctica, arctica, adamsii)).head()
+    assert(m3.getLong(0) == idOf("mrcaott90560ott651474"))
+    val m4 = TreeOps.mrcaOfSet(nodes, Seq(arctica, adamsii, -12345L)).head()
+    assert(m4.getLong(0) == idOf("mrcaott90560ott651474"))
+  }
+
+  test("branch length parses with ignorable whitespace after the colon") {
+    val p = Newick.parse("(a: 0.5,b:\t1.25)r;")
+    val byLabel = p.map(n => n.label -> n.branchLength).toMap
+    assert(byLabel("a") == 0.5 && byLabel("b") == 1.25)
   }
 
   test("mrta: nearest taxon above an unnamed mrca node") {
