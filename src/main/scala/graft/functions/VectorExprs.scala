@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -32,6 +33,21 @@ object VectorExprs {
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // declared checking makes SQL misuse an ANALYSIS error: without it,
+  // getDouble(i) over an array<float> input would read 8-byte slots from
+  // 4-byte float data and return garbage silently (the Scala API always
+  // routes through toDouble; SQL callers get told to cast)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires (array<double>, array<double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

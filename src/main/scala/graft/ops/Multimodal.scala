@@ -29,8 +29,10 @@ object Multimodal {
     docs.select(
       col("doc_id"),
       encode(col("text"), "utf-8").as("media"),
+      // pmod, not %: Spark's % follows the dividend's sign, so a negative
+      // doc_id would index 0 (runtime error) or -1 (wrong kind)
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"))
+        (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("kind"))
 
   /** STUB decode: replace with a real codec (e.g. javax.imageio / ffmpeg
     * bindings) in production. Deterministic arithmetic over byte length so

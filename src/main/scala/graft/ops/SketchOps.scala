@@ -45,12 +45,21 @@ object SketchOps {
     }
   }
 
+  /** Out-of-band input marking a NULL sketched value: [[hash60]] outputs
+    * are non-negative (60 bits), so -1 can never be a real hash. A typed
+    * Aggregator with a primitive encoder cannot receive SQL NULL (the
+    * deserializer throws and fails the whole job), so the wrappers
+    * coalesce null hashes to this sentinel and reduce ignores it —
+    * null-ignoring aggregate semantics, like `count_distinct`.
+    */
+  private val NullIn = -1L
+
   /** Typed KMV aggregator; buffer = sorted array of ≤ k distinct hashes. */
   class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Double] {
     require(k >= 2, s"k must be >= 2, got $k")
     override def zero: Array[Long] = Array.empty
     override def reduce(buf: Array[Long], h: Long): Array[Long] =
-      kmvInsert(k)(buf, h)
+      if (h == NullIn) buf else kmvInsert(k)(buf, h)
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       b.foldLeft(a)(kmvInsert(k))
     override def finish(buf: Array[Long]): Double =
@@ -64,7 +73,7 @@ object SketchOps {
     * `df.groupBy(key).agg(kmvDistinct(col("x"), 64))`.
     */
   def kmvDistinct(c: Column, k: Int = 64): Column =
-    udaf(new KmvAgg(k), Encoders.scalaLong)(hash60(c))
+    udaf(new KmvAgg(k), Encoders.scalaLong)(coalesce(hash60(c), lit(NullIn)))
 
   /** State-valued KMV twin: the sorted ≤ k minimum hashes themselves —
     * the persistable/mergeable form ([[KmvAgg]]'s finish collapses to the
@@ -77,7 +86,7 @@ object SketchOps {
     require(k >= 2, s"k must be >= 2, got $k")
     override def zero: Array[Long] = Array.empty
     override def reduce(buf: Array[Long], h: Long): Array[Long] =
-      kmvInsert(k)(buf, h)
+      if (h == NullIn) buf else kmvInsert(k)(buf, h)
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       b.foldLeft(a)(kmvInsert(k))
     override def finish(buf: Array[Long]): Array[Long] = buf
@@ -87,7 +96,7 @@ object SketchOps {
 
   /** Per-group KMV state as an aggregation column (≤ k sorted longs). */
   def kmvState(c: Column, k: Int = 64): Column =
-    udaf(new KmvStateAgg(k), Encoders.scalaLong)(hash60(c))
+    udaf(new KmvStateAgg(k), Encoders.scalaLong)(coalesce(hash60(c), lit(NullIn)))
 
   /** Re-fold already-hashed KMV values (the merge path: explode stored
     * states, union a new batch's states, re-aggregate — history is never
@@ -246,8 +255,13 @@ object SketchOps {
 
   def saveKmv(states: org.apache.spark.sql.DataFrame, k: Int,
       path: String): Unit = {
+    val spark = states.sparkSession
+    // same crash protocol as saveCm: manifest deleted first, rewritten
+    // last — a crash mid-save leaves a manifest-less store that fails
+    // fast at load, never a stale k read against re-shaped states
+    graft.StoreUtil.deleteMarker(spark, path, KmvManifestFile)
     states.coalesce(1).write.mode("overwrite").parquet(s"$path/state")
-    graft.StoreUtil.writeMarker(states.sparkSession, path, KmvManifestFile,
+    graft.StoreUtil.writeMarker(spark, path, KmvManifestFile,
       s"""{"version":1,"k":$k}""")
   }
 
@@ -345,6 +359,10 @@ object SketchOps {
     val res = udaf(new ReservoirAgg(cap),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     SampleOps.hashSample(df, idCol, rate, salt)
+      // null measurements are ignored (SQL aggregate semantics) — the
+      // typed aggregator's primitive tuple encoder would otherwise fail
+      // the job on the first null
+      .filter(col(valCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(res(hash60(concat(lit(salt), lit("#rsv:"), col(idCol).cast("string"))),
           col(valCol).cast("double")).as("vs"),

@@ -90,9 +90,15 @@ object TextOps {
     require(k % bands == 0,
       s"signature length k=$k must be divisible by bands=$bands " +
         "(a remainder would silently drop trailing signature rows)")
-    // tokenize+distinct once per row, then sign the bound array — the
-    // inline form would re-tokenize once per signature seed
+    // null-text docs carry no signal: size(null) = -1 voids the signature
+    // and concat_ws would funnel EVERY null-text doc into one md5('')
+    // band bucket — m²/2 candidate pairs of unrelated rows, the exact
+    // quadratic blowup the banding exists to avoid. They simply don't
+    // participate.
+    // Then tokenize+distinct once per row and sign the bound array — the
+    // inline form would re-tokenize once per signature seed.
     val sig = docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         array_distinct(tokensCol(col(textCol))).as("toks"))
       .select(col("id"), minhashOfTokens(col("toks"), k).as("sig"))
@@ -145,8 +151,13 @@ object TextOps {
     */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, minJaccard: Double): DataFrame = {
-    val t = docs.select(col(idCol).as("id"),
-      array_distinct(tokensCol(col(textCol))).as("toks"))
+    // a null-text doc has no token set to verify: size(null) = -1 would
+    // make a null-null pair score -1/-1 = 1.0 and certify two unrelated
+    // rows as exact duplicates. Dropping it from the attach join means
+    // such pairs are never emitted.
+    val t = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        array_distinct(tokensCol(col(textCol))).as("toks"))
     candidates.select(col("a"), col("b"))
       .join(t.select(col("id").as("a"), col("toks").as("ta")), "a")
       .join(t.select(col("id").as("b"), col("toks").as("tb")), "b")
@@ -386,7 +397,11 @@ object TextOps {
     // the inner join) — without this, size(null)=-1 still sequences one
     // synthetic null span here and the two engines disagree
     val nonNull = docs.filter(col(textCol).isNotNull)
-    val spans = nonNull
+    // materialize the span table ONCE: four plan branches below (first
+    // doc, first position, kept spans, per-doc counts) reference it, and
+    // without the checkpoint each branch re-runs the full
+    // tokenize+explode+md5 pass over the corpus — 4× the dominant cost
+    val spans = ClusterOps.flatten(nonNull
       .select(col(idCol).as("id"), tokensCol(col(textCol)).as("toks"))
       .select(col("id"),
         explode(sequence(lit(0),
@@ -395,7 +410,7 @@ object TextOps {
       .select(col("id"), col("k").cast("long").as("k"),
         array_join(slice(col("toks"), col("k") * span + 1, lit(span)), " ")
           .as("s"))
-      .withColumn("h", md5(col("s")))
+      .withColumn("h", md5(col("s"))))
     val firstDoc = spans.groupBy(col("h")).agg(min(col("id")).as("md"))
     val firstPos = spans.join(firstDoc, "h")
       .filter(col("id") === col("md"))

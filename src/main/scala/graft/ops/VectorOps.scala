@@ -235,13 +235,22 @@ object VectorOps {
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    // score each pair once, then rank from both endpoints' perspectives
+    // score each UNORDERED pair once — the n·d cosine kernel is the
+    // dominant cost — then view the scored pair from both endpoints; the
+    // swap reuses the computed cos (symmetric), halving kernel work and
+    // vector-join shuffle volume vs symmetrizing before scoring
     val vecs = sigs.select(col("id"), col("v"))
-    val sym = cand.union(cand.select(col("b").as("a"), col("a").as("b")))
-    val scored = sym
+    val scored = cand
       .join(vecs.select(col("id").as("a"), col("v").as("q_vec")), "a")
       .join(vecs.select(col("id").as("b"), col("v").as("n_vec")), "b")
       .withColumn("cos", round(cosine(col("q_vec"), col("n_vec")), 6))
+      // both endpoint views ride ONE explode (a union of the swap would
+      // re-execute the join+kernel subplan per branch)
+      .select(explode(array(
+          struct(col("a").as("q"), col("b").as("n")),
+          struct(col("b").as("q"), col("a").as("n")))).as("e"),
+        col("cos"))
+      .select(col("e.q").as("a"), col("e.n").as("b"), col("cos"))
     val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

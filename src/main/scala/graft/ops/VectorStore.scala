@@ -42,6 +42,12 @@ object VectorStore {
     * @param centroids (cid, cvec) — typically [[VectorOps.kmeansCentroids]]
     */
   def save(corpus: DataFrame, centroids: DataFrame, path: String): Unit = {
+    // manifest deleted first, rewritten last: the save is a multi-step
+    // overwrite (cells, then centroids), and a crash in between must
+    // leave a store that FAILS FAST at load — an old manifest surviving
+    // over a half-rewritten layout would route queries with mismatched
+    // centroids and silently return wrong neighbors
+    graft.StoreUtil.deleteMarker(corpus.sparkSession, path, ManifestFile)
     val assigned = VectorOps.assignCells(corpus, centroids, 1)
     assigned
       .select(col("id"), col("v").as("vec"),
@@ -74,11 +80,18 @@ object VectorStore {
     // read ONLY the centroids: going through load() would pay partition
     // discovery over every cell directory for a table append never scans
     val centroids = spark.read.parquet(s"$path/centroids")
+    // bracket the append with the manifest (same crash protocol as save):
+    // a crash mid-append leaves committed task files beside the old data
+    // with no job-level rollback, so the store must refuse to load until
+    // rebuilt rather than silently serve a partial batch
+    graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
     VectorOps.assignCells(corpus, centroids, 1)
       .select(col("id"), col("v").as("vec"),
         concat(lit("c"), col("cell")).as("cell"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    graft.StoreUtil.writeMarker(spark, path, ManifestFile,
+      """{"version":1,"layout":"ivf-cell"}""")
   }
 
   /** Open a saved store. Fails fast on a directory that is not a vector
