@@ -1,18 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(cpus)
+    // a misspelled query name must fail loudly, not print a success-shaped
+    // zero-query JSON that a regression script would record as a pass
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")}; " +
+        s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    // The noop sink forces full evaluation of every output column; a bare
+    // count() would let Catalyst prune projections and eliminate sorts, so
+    // scrub/codec/sort queries would time an empty-schema row count.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // Warmup pass: pays SparkSession/codegen/parquet-footer startup AND the
     // one-time ingest-style builds (tree labeling, fixture ingest) outside
     // the timed region — the reference likewise builds its DB before
@@ -22,11 +25,11 @@ object Bench {
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     qs0.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn) catch { case _: Throwable => () }
     }
     val results = qs0.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { run(fn); true }
                catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }

@@ -22,13 +22,7 @@ object CcBench {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val mode = args.lift(1).getOrElse("windows")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(cpus)
 
     // deterministic pseudo-random edges: node i links to a hash-derived
     // partner within a window of 1000 ids — cluster sizes follow the

@@ -10,11 +10,7 @@ import org.apache.spark.sql.functions._
 object DotBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(cpus)
     val dims = 256
     val vecs = spark.range(0L, 100000L).toDF("id")
       .withColumn("a", transform(sequence(lit(0), lit(dims - 1)),

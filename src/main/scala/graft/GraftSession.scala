@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-sourced SparkSession factory. Every graft entrypoint (Verify,
+  * Bench, the scale probes, the test suites) builds through here so the
+  * determinism-critical invariants — UTC session timezone and the
+  * nanosAsLong parquet read mode, both load-bearing for the cross-engine
+  * DuckDB hash compare — live in exactly one place and cannot silently
+  * drift between hand-rolled copies.
+  */
+object GraftSession {
+  def build(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

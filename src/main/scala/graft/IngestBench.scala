@@ -20,13 +20,7 @@ object IngestBench {
     val n = args.headOption.map(_.toLong).getOrElse(2400000L)
     val shape = args.lift(1).getOrElse("heap")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(cpus)
 
     val edges = if (shape.startsWith("comb")) {
       // spine 1..d (node i's parent is i-1); leaves n/d per spine node

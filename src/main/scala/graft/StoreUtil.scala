@@ -17,10 +17,36 @@ object StoreUtil {
       .digest(path.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
 
+  private val tmpDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once temp directory for an on-disk store artifact, shared by
+    * every store-backed gate (vector/KMV/CM/tree stores): the artifact is
+    * built at most once per (prefix, key) per JVM, and the path carries
+    * both a key hash and the JVM pid — two processes running the suite
+    * concurrently on one host must never save() into the same directory
+    * (a half-written store read by the other process is a flaky gate).
+    */
+  def cachedStoreDir(prefix: String, key: String)(
+      build: String => Unit): String =
+    tmpDirs.computeIfAbsent(prefix + "|" + key, _ => {
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft_${prefix}_p${ProcessHandle.current().pid()}_" + pathHash(key)
+      build(p)
+      p
+    })
+
+  // FileSystem resolution goes through hadoop Path, not java.net.URI:
+  // URI(dir) throws on spaces and percent-decodes '%41'→'A', silently
+  // splitting the marker location from the data location.
+  private def fsOf(spark: SparkSession,
+      dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def writeMarker(spark: SparkSession, dir: String, name: String,
       content: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, dir)
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
     try out.write(content.getBytes("UTF-8"))
     finally out.close()
@@ -28,8 +54,7 @@ object StoreUtil {
 
   /** Remove a marker file (no-op when absent). */
   def deleteMarker(spark: SparkSession, dir: String, name: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(dir, name), false)
     ()
   }
@@ -39,8 +64,7 @@ object StoreUtil {
     */
   def readMarker(spark: SparkSession, dir: String,
       name: String): Option[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir, name)
     if (!fs.exists(p)) None
     else {
@@ -49,4 +73,18 @@ object StoreUtil {
       finally in.close()
     }
   }
+}
+
+/** Per-session memo for session-bound objects (persisted DataFrames,
+  * ingested fixtures, loaded store handles). Keyed by (session identity,
+  * key): a second SparkSession in the same JVM — a harness that calls
+  * spark.stop() and restarts — rebuilds instead of receiving objects
+  * bound to a stopped SparkContext. Entries for dead sessions are
+  * retained (bounded by sessions-per-JVM, in practice one or two).
+  */
+final class SessionCache[V] {
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]()
+  def get(s: SparkSession, key: String)(build: => V): V =
+    m.computeIfAbsent((s, key), _ => build)
 }

@@ -19,13 +19,7 @@ object VecBench {
     val dims = args.lift(1).map(_.toInt).getOrElse(64)
     val cells = args.lift(2).map(_.toInt).getOrElse(64)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(cpus)
 
     // deterministic synthetic embeddings: md5-derived components in [-1,1)
     def vecs(ids: org.apache.spark.sql.DataFrame) = ids.select(col("id"),

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -7,17 +6,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(cpus)
     new java.io.File(outDir).mkdirs()
+    // repartition(1), not coalesce(1): coalesce propagates up to the last
+    // shuffle boundary, so a shuffle-free scan query would run its whole
+    // parquet scan in ONE task. The extra exchange moves only the (small)
+    // final result, and the driver's hash compare is row-order-insensitive.
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -26,7 +22,7 @@ object Verify {
     // the ingested Gavia fixture tables, so the api_* oracles can query the
     // same relational state the endpoints see (maps flattened to JSON)
     try graft.queries.ExtQueries.fixtureTables(spark).foreach { case (n, df) =>
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_fixture/$n")
+      df.repartition(1).write.mode("overwrite").parquet(s"$outDir/_fixture/$n")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] fixture dump failed: ${e.getMessage}")
     }

@@ -55,8 +55,7 @@ object ExtQueries {
   val mmChunks: Q = (s, d) =>
     Multimodal.chunkMedia(Multimodal.withMedia(Tables.documents(s, d)), 256)
 
-  private val fixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[String, TreeIngest.Ingested]()
+  private val fixtureCache = new graft.SessionCache[TreeIngest.Ingested]()
 
   /** The Gavia fixture tree (same files the golden tests use), ingested
     * once per JVM — lets the driver's harness exercise the serving-API
@@ -73,27 +72,26 @@ object ExtQueries {
   }
 
   private def fixture(s: SparkSession): TreeIngest.Ingested =
-    fixtureCache.computeIfAbsent("gavia", _ => {
+    fixtureCache.get(s, "gavia") {
       val fx = fixtureDir
       TreeIngest.ingest(s, s"$fx/gavia.tre", s"$fx/gavia_annotations.json",
         s"$fx/gavia_taxonomy.tsv", treeId = "opentree4.1")
-    })
+    }
 
-  private val multiCache =
-    new java.util.concurrent.ConcurrentHashMap[String, TreeIngest.MultiIngested]()
+  private val multiCache = new graft.SessionCache[TreeIngest.MultiIngested]()
 
   /** Two synth-tree versions ingested into one store (the reference's
     * multi-tree data model): one forest labeling pass, per-tree views.
     */
   private def multiFixture(s: SparkSession): TreeIngest.MultiIngested =
-    multiCache.computeIfAbsent("gavia_multi", _ => {
+    multiCache.get(s, "gavia_multi") {
       val fx = fixtureDir
       TreeIngest.ingestAll(s, Seq(
         TreeIngest.TreeSource(s"$fx/gavia.tre", s"$fx/gavia_annotations.json",
           s"$fx/gavia_taxonomy.tsv", "opentree4.1"),
         TreeIngest.TreeSource(s"$fx/gavia2.tre", s"$fx/gavia2_annotations.json",
           s"$fx/gavia_taxonomy.tsv", "opentree5.0")))
-    })
+    }
 
   /** Multi-tree store: per-node labels for BOTH coexisting synth trees —
     * the DuckDB oracle recomputes depth/tips per tree with a recursive CTE
@@ -483,9 +481,6 @@ object ExtQueries {
       .toDF("op", "cap", "n_tips", "allowed")
   }
 
-  private val treeStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** S4 (graph sink): the persisted serving store, round-tripped — save
     * the ingested fixture into the bucketed [[graft.tree.TreeStore]]
     * layout once per JVM, load it back through the catalog-registered
@@ -495,11 +490,9 @@ object ExtQueries {
     * breaks the hash.
     */
   val s4StoreRoundtrip: Q = (s, _) => {
-    val dir = treeStoreCache.computeIfAbsent("gavia", _ => {
-      val p = sys.props("java.io.tmpdir") + "/graft_tstore_fixture"
+    val dir = graft.StoreUtil.cachedStoreDir("tstore", "gavia") { p =>
       graft.tree.TreeStore.save(fixture(s), p, buckets = 8)
-      p
-    })
+    }
     val t = graft.tree.TreeStore.load(s, dir, persistNodes = false)
     t.nodes.select(col("node_id"), col("parent_id"), col("depth"),
       col("pre"), col("post"), col("is_leaf"), col("tip_descendants"),

@@ -238,11 +238,16 @@ object Relational {
 
   // ---------------------------------------------------------- scalar functions
 
-  /** F1: packed-string → map round-trip (stringToMap, GraphExplorer.java:601-612). */
+  /** F1: packed-string → map round-trip (stringToMap, GraphExplorer.java:601-612).
+    * Delimiters are the ASCII record/unit separators, not ','/':' — a lang
+    * or source value containing the delimiter would otherwise mis-split and
+    * silently diverge from the oracle (which reads the columns directly).
+    */
   val f1StrToMap: Q = (s, d) =>
     documents(s, d)
-      .withColumn("packed", concat(lit("lang:"), col("lang"), lit(",src:"), col("source")))
-      .withColumn("m", str_to_map(col("packed"), lit(","), lit(":")))
+      .withColumn("packed",
+        concat(lit("lang"), col("lang"), lit("src"), col("source")))
+      .withColumn("m", str_to_map(col("packed"), lit(""), lit("")))
       .select(col("doc_id"), col("m")("lang").as("lang2"), col("m")("src").as("src2"))
 
   /** F5: id codec `ott<uid>` format + parse (IngestSynthesisData.java:124,241). */
@@ -386,9 +391,11 @@ object Relational {
       """SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "j6_anti_join" ->
+      // NOT EXISTS, not NOT IN: a single NULL o_custkey would make NOT IN
+      // return 0 rows while left_anti keeps every non-matching customer.
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN
-        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
     "a3_distinct_sort" ->
       "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
     "a5_distinct_pairs" ->
@@ -430,8 +437,11 @@ object Relational {
       """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
         |FROM supplier ORDER BY s_acctbal DESC, s_suppkey""".stripMargin,
     "o2_topk" ->
+      // ORDER BY must be table-qualified: a bare c_acctbal binds to the
+      // rounded SELECT alias in DuckDB, while Spark sorts the raw column —
+      // at a round boundary the two could keep different top-10 sets.
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
-        |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
+        |FROM customer ORDER BY customer.c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
     "set1_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT

@@ -70,10 +70,7 @@ object TrainingQueries {
     VectorOps.annIvf(e.filter(col("id") < 20), e, cents, k = 5, nprobe = 2)
   }
 
-  private val vstoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val vstoreLoaded =
-    new java.util.concurrent.ConcurrentHashMap[String, VectorStore.Loaded]()
+  private val vstoreLoaded = new graft.SessionCache[VectorStore.Loaded]()
 
   /** IVF store, built once per data dir and SERVED thereafter: the first
     * call pays the build (cell assignment + partitioned write — the
@@ -84,22 +81,19 @@ object TrainingQueries {
     * partition-pruning property.
     */
   val annStore: Q = (s, d) => {
-    val dir = vstoreCache.computeIfAbsent(d, _ => {
+    val dir = graft.StoreUtil.cachedStoreDir("vstore", d) { p =>
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val p = sys.props("java.io.tmpdir") + "/graft_vstore_" +
-        graft.StoreUtil.pathHash(d)
       VectorStore.save(e, cents, p)
-      p
-    })
+    }
     val queries = Tables.embeddings(s, d)
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     // a serving session opens the store once at startup and answers from
     // the handle — cache the Loaded view the same way
-    val st = vstoreLoaded.computeIfAbsent(dir, VectorStore.load(s, _))
+    val st = vstoreLoaded.get(s, dir)(VectorStore.load(s, dir))
     VectorStore.query(st, queries, k = 5, nprobe = 2)
   }
 
@@ -259,11 +253,6 @@ object TrainingQueries {
       .filter(col("est") >= 60)
   }
 
-  private val cmStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val kmvStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Persisted KMV sketch table, built once per data dir and served
     * thereafter ([[graft.ops.SketchOps.saveKmv]]): the build pass folds
     * the corpus into ≤ k sorted minimum hashes per group; serving reads
@@ -274,16 +263,13 @@ object TrainingQueries {
     * rescanning history (`SketchSpec`).
     */
   val skKmvStore: Q = (s, d) => {
-    val dir = kmvStoreCache.computeIfAbsent(d, _ => {
+    val dir = graft.StoreUtil.cachedStoreDir("kmvstore", d) { p =>
       val states = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count_distinct(col("l_orderkey")).as("n_exact"),
           SketchOps.kmvState(col("l_orderkey"), 64).as("state"))
-      val p = sys.props("java.io.tmpdir") + "/graft_kmvstore_" +
-        graft.StoreUtil.pathHash(d)
       SketchOps.saveKmv(states, 64, p)
-      p
-    })
+    }
     val (st, k) = SketchOps.loadKmv(s, dir)
     st.select(col("l_returnflag"), col("n_exact"),
       SketchOps.kmvEstimateFromState(col("state"), k).as("est_distinct"))
@@ -301,12 +287,9 @@ object TrainingQueries {
   val skCmStore: Q = (s, d) => {
     def toks = Tables.documents(s, d).filter(col("doc_id") < 200)
       .select(explode(TextOps.tokensCol(col("text"))).as("item"))
-    val dir = cmStoreCache.computeIfAbsent(d, _ => {
-      val p = sys.props("java.io.tmpdir") + "/graft_cmstore_" +
-        graft.StoreUtil.pathHash(d)
+    val dir = graft.StoreUtil.cachedStoreDir("cmstore", d) { p =>
       SketchOps.saveCm(SketchOps.cmSketch(toks, "item", depth = 3, width = 32), p)
-      p
-    })
+    }
     SketchOps.cmEstimate(SketchOps.loadCm(s, dir), toks.distinct(), "item")
       .filter(col("est") >= 60)
   }

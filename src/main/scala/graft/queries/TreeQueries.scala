@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -21,20 +20,20 @@ object TreeQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  private val cache = new graft.SessionCache[DataFrame]()
 
-  /** Labeled heap tree for a testdata dir, built once per JVM and cached
-    * (the labeling pass is ingest-time work, not query-time work).
+  /** Labeled heap tree for a testdata dir, built once per session and
+    * cached (the labeling pass is ingest-time work, not query-time work).
     */
   def labeled(s: SparkSession, d: String): DataFrame =
-    cache.computeIfAbsent(d, _ => {
+    cache.get(s, d) {
       val edges = Tables.customer(s, d)
         .select((col("c_custkey") + 1L).as("child_id"))
         .filter(col("child_id") > 1L)
         .withColumn("parent_id", expr("child_id div 2"))
         .withColumn("child_ord", (col("child_id") % 2L).cast("int"))
       TreeLabeler.label(s, edges).persist()
-    })
+    }
 
   val treeLabels: Q = (s, d) =>
     labeled(s, d).select(col("node_id"), col("parent_id"), col("depth"),
