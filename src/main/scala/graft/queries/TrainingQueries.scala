@@ -219,11 +219,18 @@ object TrainingQueries {
     * approximate-COUNT-DISTINCT whose estimate itself is oracle-checkable
     * (HLL registers are engine-private; k minimum md5 values are not).
     */
-  val skDistinctKmv: Q = (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(count_distinct(col("l_orderkey")).as("n_exact"),
+  val skDistinctKmv: Q = (s, d) => {
+    // distinct (group, value) FIRST: both aggregates already have
+    // distinct semantics (the KMV insert dedupes hashes), so the pre-agg
+    // dedup is equivalence-preserving — and it removes the Expand that a
+    // mixed distinct/non-distinct aggregate plans, so md5 and the KMV
+    // insert run once per distinct value instead of twice per corpus row.
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+    pairs.groupBy(col("l_returnflag"))
+      .agg(count(col("l_orderkey")).as("n_exact"),
         SketchOps.kmvDistinct(col("l_orderkey"), 64).as("est_distinct"))
+  }
 
   /** Deterministic sampled quantiles of document length per source. */
   val skQuantile: Q = (s, d) =>
@@ -264,9 +271,12 @@ object TrainingQueries {
     */
   val skKmvStore: Q = (s, d) => {
     val dir = graft.StoreUtil.cachedStoreDir("kmvstore", d) { p =>
-      val states = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(count_distinct(col("l_orderkey")).as("n_exact"),
+      // distinct-first, as in skDistinctKmv: removes the Expand a mixed
+      // distinct/non-distinct aggregate would plan in the build pass
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey")).distinct()
+      val states = pairs.groupBy(col("l_returnflag"))
+        .agg(count(col("l_orderkey")).as("n_exact"),
           SketchOps.kmvState(col("l_orderkey"), 64).as("state"))
       SketchOps.saveKmv(states, 64, p)
     }
