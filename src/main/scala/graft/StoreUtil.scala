@@ -62,6 +62,40 @@ object StoreUtil {
   /** Marker content, or None when absent — callers fail fast with their
     * own store-specific message.
     */
+  /** The small-store crash protocol, shared by the CM and KMV sketch
+    * stores: manifest deleted FIRST, data overwritten, manifest rewritten
+    * LAST — a crash mid-save leaves a manifest-less store that load fails
+    * fast on, never a stale manifest read against re-shaped data. One
+    * definition so a future strengthening (e.g. temp-dir + atomic rename)
+    * cannot land in one store and silently miss the other.
+    */
+  def saveManifested(df: org.apache.spark.sql.DataFrame, path: String,
+      subdir: String, marker: String, manifest: String): Unit = {
+    val spark = df.sparkSession
+    deleteMarker(spark, path, marker)
+    df.coalesce(1).write.mode("overwrite").parquet(s"$path/$subdir")
+    writeMarker(spark, path, marker, manifest)
+  }
+
+  /** Whether anything exists at `dir`/`name` (a data subdirectory probe —
+    * distinguishes "store never created" from "store broken": manifest
+    * gone but data present).
+    */
+  def pathExists(spark: SparkSession, dir: String, name: String): Boolean =
+    fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, name))
+
+  /** Manifest content, or fail fast with a store-kind-specific message. */
+  def requireManifest(spark: SparkSession, path: String, marker: String,
+      kind: String): String =
+    readMarker(spark, path, marker).getOrElse(
+      throw new IllegalStateException(s"$path is not a $kind (no $marker)"))
+
+  /** One integer field from a JSON-ish manifest string. */
+  def manifestInt(manifest: String, key: String, where: String): Int =
+    ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(manifest)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"$where lacks '$key'"))
+
   def readMarker(spark: SparkSession, dir: String,
       name: String): Option[String] = {
     val fs = fsOf(spark, dir)

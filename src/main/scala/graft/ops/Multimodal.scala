@@ -46,6 +46,17 @@ object Multimodal {
       n_frames = if (r.kind == "image") 1L else len % 1000L)
   }
 
+  /** The stub's frame-count rule as a column expression — the SINGLE
+    * definition [[sampleFrames]] derives frame indices from, so a codec
+    * swap in [[decodeStub]]/[[decodeMedia]] cannot leave the sampler
+    * computing indices from a stale formula that no longer matches
+    * [[extractMeta]]'s n_frames.
+    */
+  private def frameCountCol(kind: org.apache.spark.sql.Column,
+      media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(kind === "image", lit(1L))
+      .otherwise(octet_length(media).cast("long") % 1000L)
+
   /** REAL image decode via the JDK's ImageIO: None when no registered
     * reader accepts the byte stream (not an image / unsupported format),
     * Some(width, height) — the genuine pixel grid — when one does. PNG,
@@ -129,17 +140,19 @@ object Multimodal {
     * (embedding, OCR, dedup) distributes instead of hiding inside one
     * giant cell.
     */
-  def sampleFrames(docsWithMedia: DataFrame, everyK: Int): DataFrame =
+  def sampleFrames(docsWithMedia: DataFrame, everyK: Int): DataFrame = {
+    // fail at the call site: everyK = 0 would otherwise surface as a
+    // "sequence step must not be zero" task failure deep in execution
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
     docsWithMedia
-      .withColumn("n_frames",
-        when(col("kind") === "image", lit(1L))
-          .otherwise(octet_length(col("media")).cast("long") % 1000L))
+      .withColumn("n_frames", frameCountCol(col("kind"), col("media")))
       .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("kind"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(everyK.toLong)))
           .as("frame_idx"))
       .withColumn("frame_sig",
         md5(concat_ws(":", col("doc_id"), col("frame_idx"))))
+  }
 
   /** Fixed-size chunking of the media payload — the transport shape for
     * blobs that must not live in one row (row-size ceilings in shuffles
@@ -148,6 +161,10 @@ object Multimodal {
     * to the payload by ordered concat.
     */
   def chunkMedia(docsWithMedia: DataFrame, chunkChars: Int): DataFrame = {
+    // chunkChars = 0 would turn the chunk count into floor(x/0.0) =
+    // Long.MaxValue and abort inside sequence(); negative values produce
+    // garbage substr positions — refuse at the call site
+    require(chunkChars >= 1, s"chunkChars must be >= 1, got $chunkChars")
     val n = chunkChars
     docsWithMedia
       .select(col("doc_id"), decode(col("media"), "utf-8").as("payload"))

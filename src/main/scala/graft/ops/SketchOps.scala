@@ -146,6 +146,10 @@ object SketchOps {
       depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
     require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
     items
+      // null items are ignored (count_distinct/KMV-style semantics): the
+      // bucket hash null-propagates, so nulls would otherwise count into
+      // an unprobeable NULL bucket — an invisible undercount at probe time
+      .filter(col(itemCol).isNotNull)
       .select(explode(sequence(lit(0), lit(depth - 1))).as("row"),
         col(itemCol).as("item"))
       .withColumn("bucket", cmBucket(col("item"), col("row"), width))
@@ -177,8 +181,10 @@ object SketchOps {
     * reads the very parquet files the write replaces, so writing the
     * un-materialized plan would scan half-deleted inputs. This is the
     * streaming-maintenance hook: `foreachBatch` sketches each micro-batch
-    * alone and appends it here; history is never rescanned
-    * (`StreamingSpec` proves stream-maintained == batch-of-everything).
+    * alone, probes [[cmStoreExists]] (create-on-absent, never
+    * catch-and-create — see that method's doc), and appends here; history
+    * is never rescanned (`StreamingSpec` proves stream-maintained ==
+    * batch-of-everything).
     *
     * Crash semantics: the rewrite is detectable, not atomic — a crash
     * mid-save leaves the store manifest-less, so the next load/append
@@ -203,6 +209,9 @@ object SketchOps {
   def cmEstimate(sk: CmSketch, probes: org.apache.spark.sql.DataFrame,
       itemCol: String): org.apache.spark.sql.DataFrame =
     probes.select(col(itemCol).as("item"))
+      // null probes mirror cmCounters' null-ignoring build semantics:
+      // nulls were never counted, so they have no estimate row
+      .filter(col("item").isNotNull)
       .withColumn("row", explode(sequence(lit(0), lit(sk.depth - 1))))
       .withColumn("bucket", cmBucket(col("item"), col("row"), sk.width))
       .join(broadcast(sk.counters), Seq("row", "bucket"), "left_outer")
@@ -217,31 +226,43 @@ object SketchOps {
     */
   val CmManifestFile = "_graft_cmstore.json"
 
-  def saveCm(sk: CmSketch, path: String): Unit = {
-    val spark = sk.counters.sparkSession
-    // manifest is deleted FIRST and rewritten LAST: a crash mid-write
-    // leaves a store with no manifest, which loadCm refuses — partial
-    // counters silently served would violate never-undercount
-    graft.StoreUtil.deleteMarker(spark, path, CmManifestFile)
-    sk.counters.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/counters")
-    graft.StoreUtil.writeMarker(spark, path, CmManifestFile,
-      s"""{"version":1,"depth":${sk.depth},"width":${sk.width}}""")
+  /** Whether a healthy CM store exists at `path` — the first-batch probe
+    * for maintenance loops. A loop must NOT express "create on first
+    * batch" by catching load's IllegalStateException around [[appendCm]]:
+    * that catch also swallows "store broken" (crash mid-save, corrupt
+    * manifest) and would silently reset the store to the current batch's
+    * counters, discarding all history — exactly the failure the fail-fast
+    * manifest protocol exists to surface. This probe therefore refuses
+    * the ambiguous state itself: manifest absent but counters present is
+    * a BROKEN store (crash mid-save), not an absent one.
+    */
+  def cmStoreExists(spark: SparkSession, path: String): Boolean = {
+    val healthy =
+      graft.StoreUtil.readMarker(spark, path, CmManifestFile).isDefined
+    if (!healthy && graft.StoreUtil.pathExists(spark, path, "counters"))
+      throw new IllegalStateException(
+        s"$path holds counters but no $CmManifestFile — a previous save " +
+          "crashed mid-write; restore a copy or re-sketch the corpus")
+    healthy
   }
+
+  def saveCm(sk: CmSketch, path: String): Unit =
+    // crash protocol lives in StoreUtil.saveManifested: manifest deleted
+    // first, rewritten last — partial counters silently served would
+    // violate never-undercount
+    graft.StoreUtil.saveManifested(sk.counters, path, "counters",
+      CmManifestFile,
+      s"""{"version":1,"depth":${sk.depth},"width":${sk.width}}""")
 
   /** Open a persisted CM sketch; fails fast on a directory that is not a
     * sketch store. The counters broadcast at probe time exactly as a
     * freshly-built sketch's would.
     */
   def loadCm(spark: SparkSession, path: String): CmSketch = {
-    val m = graft.StoreUtil.readMarker(spark, path, CmManifestFile)
-      .getOrElse(throw new IllegalStateException(
-        s"$path is not a count-min store (no $CmManifestFile)"))
+    val m = graft.StoreUtil.requireManifest(spark, path, CmManifestFile,
+      "count-min store")
     def field(k: String): Int =
-      ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(m)
-        .map(_.group(1).toInt)
-        .getOrElse(throw new IllegalStateException(
-          s"count-min manifest at $path lacks '$k'"))
+      graft.StoreUtil.manifestInt(m, k, s"count-min manifest at $path")
     CmSketch(spark.read.parquet(s"$path/counters"),
       field("depth"), field("width"))
   }
@@ -254,28 +275,17 @@ object SketchOps {
   val KmvManifestFile = "_graft_kmvstore.json"
 
   def saveKmv(states: org.apache.spark.sql.DataFrame, k: Int,
-      path: String): Unit = {
-    val spark = states.sparkSession
-    // same crash protocol as saveCm: manifest deleted first, rewritten
-    // last — a crash mid-save leaves a manifest-less store that fails
-    // fast at load, never a stale k read against re-shaped states
-    graft.StoreUtil.deleteMarker(spark, path, KmvManifestFile)
-    states.coalesce(1).write.mode("overwrite").parquet(s"$path/state")
-    graft.StoreUtil.writeMarker(spark, path, KmvManifestFile,
+      path: String): Unit =
+    graft.StoreUtil.saveManifested(states, path, "state", KmvManifestFile,
       s"""{"version":1,"k":$k}""")
-  }
 
   /** Open a persisted KMV sketch table: (state table, k). */
   def loadKmv(spark: SparkSession,
       path: String): (org.apache.spark.sql.DataFrame, Int) = {
-    val m = graft.StoreUtil.readMarker(spark, path, KmvManifestFile)
-      .getOrElse(throw new IllegalStateException(
-        s"$path is not a KMV store (no $KmvManifestFile)"))
-    val k = "\"k\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(m)
-      .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalStateException(
-        s"KMV manifest at $path lacks 'k'"))
-    (spark.read.parquet(s"$path/state"), k)
+    val m = graft.StoreUtil.requireManifest(spark, path, KmvManifestFile,
+      "KMV store")
+    (spark.read.parquet(s"$path/state"),
+      graft.StoreUtil.manifestInt(m, "k", s"KMV manifest at $path"))
   }
 
   /** Typed bounded reservoir: keep the `cap` (rank, value) pairs with the
@@ -359,10 +369,12 @@ object SketchOps {
     val res = udaf(new ReservoirAgg(cap),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     SampleOps.hashSample(df, idCol, rate, salt)
-      // null measurements are ignored (SQL aggregate semantics) — the
-      // typed aggregator's primitive tuple encoder would otherwise fail
-      // the job on the first null
-      .filter(col(valCol).isNotNull)
+      // null measurements AND null row ids are ignored (SQL aggregate
+      // semantics) — the typed aggregator's primitive tuple encoder would
+      // otherwise fail the job on the first null: a null id slips through
+      // the sample gate (concat_ws skips nulls) but null-propagates
+      // through the rank hash
+      .filter(col(valCol).isNotNull && col(idCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(res(hash60(concat(lit(salt), lit("#rsv:"), col(idCol).cast("string"))),
           col(valCol).cast("double")).as("vs"),

@@ -106,12 +106,16 @@ object EventStreams {
     * event-time silence, via flatMapGroupsWithState with event-time timeout.
     * Sessions are emitted when the watermark passes their gap horizon.
     */
-  /** Timestamp ↔ microseconds (Timestamp.getTime alone truncates to ms). */
-  private def tsToMicros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000
-  private def microsToTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
-    t.setNanos((us % 1000000L).toInt * 1000)
+  /** Timestamp ↔ microseconds (Timestamp.getTime alone truncates to ms).
+    * floorDiv/floorMod, not `/`/`%`: truncation toward zero flips the
+    * sub-second sign for pre-epoch instants (−0.5 s would round-trip to
+    * +0.5 s), and `setNanos` throws outright on a negative remainder.
+    */
+  private[graft] def tsToMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private[graft] def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
     t
   }
 
@@ -124,6 +128,12 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
+      // poison-row guard: the source schema is nullable but Event's
+      // id/ts/value fields are primitives — one malformed row would
+      // otherwise kill the deserializer, and a streaming query replays
+      // it from the checkpoint on every restart, wedging the pipeline
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionBuf], Session](

@@ -14,6 +14,34 @@ class StreamingSpec extends AnyFunSuite {
 
   private def batchEvents = Tables.events(spark, sf)
 
+  /** Write `df` as ONE parquet file named `dir`/`name` — the micro-batch
+    * feed for maxFilesPerTrigger=1 streams (write to a temp dir, move the
+    * single part file into place so the file arrives atomically).
+    */
+  private def writeEventFile(dir: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val sub = Files.createTempDirectory("graft_evt_tmp").toString + "/w"
+    df.coalesce(1).write.parquet(sub)
+    val f = new java.io.File(sub).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(f.toPath, Paths.get(s"$dir/$name"))
+  }
+
+  /** (event_id, "yyyy-MM-dd HH:mm:ss", value) rows → the events schema
+    * (ns-long ts, fixed user/type unless overridden).
+    */
+  private def eventsOf(rows: Seq[(Long, String, Double)],
+      userId: Long = 1L,
+      eventType: String = "x"): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "t", "value")
+      .select(col("event_id"),
+        unix_micros(to_timestamp(col("t"))) * 1000,
+        lit(userId).as("user_id"), lit(eventType).as("event_type"),
+        col("value"), lit("{}").as("props"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   test("streaming windowed agg (complete mode) equals batch windowed agg") {
     val dir = Files.createTempDirectory("graft_win").toString
     Files.copy(Paths.get(s"$sf/events.parquet"),
@@ -84,15 +112,10 @@ class StreamingSpec extends AnyFunSuite {
     // counters (appendCm) — history never rescanned — and the final
     // artifact equals sketching the whole corpus at once
     val inDir = Files.createTempDirectory("graft_cm_fb_in").toString
-    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("graft_cm_fb_tmp").toString + "/w"
-      df.coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, Paths.get(s"$inDir/$name"))
-    }
-    dump(batchEvents.filter(col("event_id") % 2 === 0), "a.parquet")
-    dump(batchEvents.filter(col("event_id") % 2 =!= 0), "b.parquet")
+    writeEventFile(inDir, "a.parquet",
+      batchEvents.filter(col("event_id") % 2 === 0))
+    writeEventFile(inDir, "b.parquet",
+      batchEvents.filter(col("event_id") % 2 =!= 0))
     val store = Files.createTempDirectory("graft_cm_fb_store").toString + "/cm"
     var batches = 0
     val stream = spark.readStream.schema(batchEvents.schema)
@@ -102,9 +125,12 @@ class StreamingSpec extends AnyFunSuite {
       (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         batches += 1
         val b = graft.ops.SketchOps.cmSketch(df, "item", 3, 16)
-        try graft.ops.SketchOps.appendCm(spark, store, b)
-        catch { case _: IllegalStateException => // first batch: no store yet
-          graft.ops.SketchOps.saveCm(b, store) }
+        // PROBE for the store, never catch-and-create around appendCm:
+        // the catch would also swallow "store broken" (crash mid-save)
+        // and silently reset history to this batch's counters
+        if (graft.ops.SketchOps.cmStoreExists(spark, store))
+          graft.ops.SketchOps.appendCm(spark, store, b)
+        else graft.ops.SketchOps.saveCm(b, store)
         ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -125,25 +151,14 @@ class StreamingSpec extends AnyFunSuite {
     // — the regression was matching only against the oldest buffer and
     // spuriously opening a third session
     val dir = Files.createTempDirectory("graft_multisess").toString
-    import spark.implicits._
-    def writeBatch(name: String, rows: Seq[(Long, String, Double)]): Unit = {
-      val sub = Files.createTempDirectory("graft_ms_tmp").toString + "/w"
-      rows.toDF("event_id", "t", "value")
-        .select(col("event_id"),
-          unix_micros(to_timestamp(col("t"))) * 1000,
-          lit(1L).as("user_id"), lit("x").as("event_type"),
-          col("value"), lit("{}").as("props"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.parquet(sub)
-      val f = new java.io.File(sub).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(f.toPath, Paths.get(s"$dir/$name"))
-    }
-    writeBatch("part-000.parquet", Seq(
-      (1L, "2020-01-01 00:00:00", 1.0), (2L, "2020-01-01 00:20:00", 2.0)))
-    writeBatch("part-001.parquet", Seq((3L, "2020-01-01 00:25:00", 4.0)))
-    writeBatch("part-002.parquet", Seq((99L, "2030-01-01 00:00:00", 0.0)))
-    writeBatch("part-003.parquet", Seq((98L, "2030-06-01 00:00:00", 0.0)))
+    writeEventFile(dir, "part-000.parquet", eventsOf(Seq(
+      (1L, "2020-01-01 00:00:00", 1.0), (2L, "2020-01-01 00:20:00", 2.0))))
+    writeEventFile(dir, "part-001.parquet",
+      eventsOf(Seq((3L, "2020-01-01 00:25:00", 4.0))))
+    writeEventFile(dir, "part-002.parquet",
+      eventsOf(Seq((99L, "2030-01-01 00:00:00", 0.0))))
+    writeEventFile(dir, "part-003.parquet",
+      eventsOf(Seq((98L, "2030-06-01 00:00:00", 0.0))))
 
     val stream = spark.readStream.schema(EventStreams.eventSchema)
       .option("maxFilesPerTrigger", "1")
@@ -164,25 +179,11 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     val dir = Files.createTempDirectory("graft_dedup").toString
-    import spark.implicits._
-    def writeBatch(name: String, rows: Seq[(Long, String, Double)]): Unit = {
-      val sub = Files.createTempDirectory("graft_dd_tmp").toString + "/w"
-      rows.toDF("event_id", "t", "value")
-        .select(col("event_id"),
-          unix_micros(to_timestamp(col("t"))) * 1000,
-          lit(1L).as("user_id"), lit("x").as("event_type"),
-          col("value"), lit("{}").as("props"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.parquet(sub)
-      val f = new java.io.File(sub).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(f.toPath, Paths.get(s"$dir/$name"))
-    }
     // batch 1 delivers events 1,2; batch 2 redelivers 2 (a retry) plus 3
-    writeBatch("part-000.parquet", Seq(
-      (1L, "2020-01-01 00:00:00", 1.0), (2L, "2020-01-01 00:05:00", 2.0)))
-    writeBatch("part-001.parquet", Seq(
-      (2L, "2020-01-01 00:05:00", 2.0), (3L, "2020-01-01 00:10:00", 3.0)))
+    writeEventFile(dir, "part-000.parquet", eventsOf(Seq(
+      (1L, "2020-01-01 00:00:00", 1.0), (2L, "2020-01-01 00:05:00", 2.0))))
+    writeEventFile(dir, "part-001.parquet", eventsOf(Seq(
+      (2L, "2020-01-01 00:05:00", 2.0), (3L, "2020-01-01 00:10:00", 3.0))))
 
     val stream = spark.readStream.schema(EventStreams.eventSchema)
       .option("maxFilesPerTrigger", "1")
@@ -197,6 +198,35 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("event_id"), col("value")).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
     assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("timestamp/micros helpers round-trip pre-epoch instants") {
+    // truncating division would flip -0.5 s to +0.5 s, and setNanos
+    // throws on a negative remainder — both must hold across the epoch
+    for (us <- Seq(-500000L, -1L, 0L, 1L, 500000L, -1234567890123L)) {
+      val t = EventStreams.microsToTs(us)
+      assert(EventStreams.tsToMicros(t) == us, s"round trip broke at $us")
+    }
+    val preEpoch = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")
+    assert(EventStreams.microsToTs(
+      EventStreams.tsToMicros(preEpoch)) == preEpoch)
+  }
+
+  test("cmStoreExists distinguishes absent, healthy, and broken stores") {
+    val base = Files.createTempDirectory("graft_cm_probe").toString
+    val store = s"$base/cm"
+    assert(!graft.ops.SketchOps.cmStoreExists(spark, store)) // absent
+    val sk = graft.ops.SketchOps.cmSketch(
+      batchEvents.select(col("event_type").as("item")), "item", 3, 16)
+    graft.ops.SketchOps.saveCm(sk, store)
+    assert(graft.ops.SketchOps.cmStoreExists(spark, store)) // healthy
+    // simulate a crash between manifest delete and rewrite: counters
+    // remain, manifest gone — the probe must REFUSE, not report absent
+    // (reporting absent would let a maintenance loop reset history)
+    StoreUtil.deleteMarker(spark, store, graft.ops.SketchOps.CmManifestFile)
+    intercept[IllegalStateException] {
+      graft.ops.SketchOps.cmStoreExists(spark, store)
+    }
   }
 
   test("stream-stream attribution join equals its batch form") {
@@ -221,29 +251,12 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(
       Paths.get(s"$sf/events.parquet"),
       Paths.get(s"$dir/part-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    import spark.implicits._
-    val farFuture = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
-    val farFuture2 = java.sql.Timestamp.valueOf("2030-06-01 00:00:00")
-    Seq((-1L, farFuture)).toDF("user_id", "ts")
-      .select(lit(-1L).as("event_id"), unix_micros(col("ts")) * 1000,
-        col("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.parquet(s"$dir/s1")
-    Seq((-1L, farFuture2)).toDF("user_id", "ts")
-      .select(lit(-2L).as("event_id"), unix_micros(col("ts")) * 1000,
-        col("user_id"), lit("sentinel").as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.parquet(s"$dir/s2")
-    // flatten sentinel files into the stream dir in order
-    def promote(sub: String, name: String): Unit = {
-      val f = new java.io.File(s"$dir/$sub").listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      Files.move(f.toPath, Paths.get(s"$dir/$name"))
-    }
-    promote("s1", "part-001.parquet")
-    promote("s2", "part-002.parquet")
+    writeEventFile(dir, "part-001.parquet",
+      eventsOf(Seq((-1L, "2030-01-01 00:00:00", 0.0)),
+        userId = -1L, eventType = "sentinel"))
+    writeEventFile(dir, "part-002.parquet",
+      eventsOf(Seq((-2L, "2030-06-01 00:00:00", 0.0)),
+        userId = -1L, eventType = "sentinel"))
 
     val stream = spark.readStream.schema(EventStreams.eventSchema)
       .option("maxFilesPerTrigger", "1")
