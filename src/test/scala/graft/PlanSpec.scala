@@ -230,6 +230,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("partial_reservoiragg"), p)
   }
 
+  test("KMV distinct-count plans without an Expand (distinct-first shape)") {
+    // mixing count_distinct with the KMV udaf in one agg makes the
+    // planner Expand-duplicate every input row; the gate pre-dedupes
+    // (group, value) pairs instead — md5 and the sketch insert must run
+    // once per distinct value, never per corpus row
+    val p = finalPlan(TrainingQueries.skDistinctKmv(spark, sf))
+    assert(!p.contains("Expand"), p)
+  }
+
   test("minhash→jaccard verifier joins only on candidate keys (no token self-join)") {
     val w = Tables.documents(spark, sf)
       .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
