@@ -62,8 +62,12 @@ object ClusterOps {
       nodes.select(col("id").cast("long").as("id"))
         .distinct()
         .withColumn("lbl", col("id")))
-    var prevSum: Option[Long] = None // None = no round yet (ids may be negative,
-    // so no Long sentinel is collision-free)
+    // None = no round yet (ids may be negative, so no sentinel value is
+    // collision-free). BigDecimal, not Long: with 64-bit-hash node ids
+    // (the natural key at dedup scale) a Long Σ lbl overflows after a few
+    // same-sign additions — ANSI mode would fail the job, non-ANSI would
+    // wrap and quietly break the exact-integer convergence witness.
+    var prevSum: Option[BigDecimal] = None
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -95,14 +99,15 @@ object ClusterOps {
         .join(collapsed.select(col("id").as("lbl"), col("lbl").as("ll")).alias("y"),
           Seq("lbl"), "left")
         .select(col("x.id").as("id"), coalesce(col("ll"), col("lbl")).as("lbl"))
-        .observe(obs, sum(col("lbl")).as("lbl_sum")))
+        .observe(obs,
+          sum(col("lbl").cast("decimal(38,0)")).as("lbl_sum")))
       // obs.get blocks only until the (already-executed) query's metrics
       // drain off the listener bus — milliseconds, never a job.
       // sum is NULL (not 0) over an empty node universe — converge at once
-      val s: Option[Long] =
+      val s: Option[BigDecimal] =
         Option(obs.get("lbl_sum"))
-          .map(v => Long2long(v.asInstanceOf[java.lang.Long]))
-          .orElse(prevSum.orElse(Some(0L)))
+          .map(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
+          .orElse(prevSum.orElse(Some(BigDecimal(0))))
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         // scalastyle:off println
         println(f"cc round=$round sum=$s sec=${(System.nanoTime() - t0) / 1e9}%.2f " +

@@ -30,11 +30,20 @@ object SampleOps {
     if (k >= 65536L) "g" else f"$k%04x"
   }
 
-  /** The 4-hex-digit bucket of a key under a salt. */
+  /** The 4-hex-digit bucket of a key under a salt — NULL for a null key.
+    * concat, not concat_ws: concat_ws SKIPS null args, so every null-key
+    * row would share the single constant bucket md5(salt) and the whole
+    * null population would be kept or dropped as a block (a silent rate
+    * bias). With null propagation the sample filters below drop null-key
+    * rows deliberately — null-ignoring semantics, documented per caller.
+    * Byte-identical to the old form for non-null keys ("salt:key").
+    */
   def bucketCol(key: Column, salt: String): Column =
-    substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 4)
+    substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 4)
 
-  /** Deterministic Bernoulli sample at `rate`, keyed by `keyCol`. */
+  /** Deterministic Bernoulli sample at `rate`, keyed by `keyCol`. Rows
+    * with a null key are excluded (they have no well-defined bucket).
+    */
   def hashSample(df: DataFrame, keyCol: String, rate: Double,
       salt: String): DataFrame =
     df.filter(bucketCol(col(keyCol), salt) < lit(threshold(rate)))
@@ -47,6 +56,9 @@ object SampleOps {
   def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double,
       salt: String): DataFrame = {
+    // same reserved-column discipline as SkewOps.saltedJoin's __salt
+    require(!df.columns.contains("__thresh"),
+      "input already has a __thresh column (reserved by stratifiedSample)")
     val spark = df.sparkSession
     import spark.implicits._
     val rateDf = rates.toSeq.map { case (s, r) => (s, threshold(r)) }

@@ -207,7 +207,14 @@ object TreeApi {
           struct(col("ancestor_depth"), col("anc_ot_id"))))).as("lin_structs"))
         .select(col("node_id"),
           transform(col("lin_structs"), x => x("anc_ot_id")).as("lineage"))
-      base.join(lin, Seq("node_id"), "left_outer").drop("node_id")
+      base.join(lin, Seq("node_id"), "left_outer")
+        // the root has no proper ancestors: the reference returns an
+        // EMPTY lineage list there (GraphExplorer.java getPathToRoot),
+        // not null — the left join alone would emit null and downstream
+        // JSON would render null/NPE instead of []
+        .withColumn("lineage",
+          coalesce(col("lineage"), array().cast("array<string>")))
+        .drop("node_id")
     }
   }
 
@@ -517,6 +524,13 @@ object TreeApi {
       treeId: String, format: String = "newick"): Map[String, Any] = {
     require(format == "newick",
       "The only currently supported format is newick.")
+    // ids are caller-supplied request input interpolated into a path:
+    // without this whitelist, '/' or '..' escapes the trees/ directory
+    // and '*'/'{' glob-expand inside spark.read — a serving endpoint must
+    // refuse both, not serve arbitrary .tre-suffixed files
+    val idRe = "^[A-Za-z0-9_-]+$".r
+    require(idRe.matches(studyId) && idRe.matches(treeId),
+      s"Invalid source id '${studyId}_$treeId' provided.")
     val synthId = t.treeIdStr
     val version = synthId.replace("opentree", "")
     val path = s"$baseDir/v$version/trees/${studyId}_$treeId.tre"

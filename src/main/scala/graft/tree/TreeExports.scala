@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions._
   */
 object TreeExports {
 
+  /** Cap-guarded driver materialization shared by the string exporters:
+    * the limit bounds what ever reaches the driver (collect-then-require
+    * would OOM on exactly the oversized input the cap exists to refuse);
+    * one extra row past the cap is enough to prove the violation, and
+    * when the input fits the cap the limit is a row-preserving no-op.
+    */
+  private def boundedCollect(df: DataFrame, cap: Long,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    require(cap >= 1 && cap < Int.MaxValue, s"cap $cap out of range")
+    val rows = df.limit(cap.toInt + 1).collect()
+    require(rows.length <= cap, s"$what exceeds cap $cap rows/nodes")
+    rows
+  }
+
   /** S10: CSV-ready edge dump — edges resolved to node names
     * (GraphExporter.java:543-575). Caller appends `.write.csv(...)`.
     */
@@ -26,13 +40,16 @@ object TreeExports {
   /** S8: Graphviz DOT of a bounded subtree (GraphExporter.java:202-295). */
   def dot(nodes: DataFrame, rootId: Long, maxDepth: Int = -1,
       cap: Long = 10000): String = {
-    val sub = TreeOps.subtree(nodes, rootId, maxDepth)
-      .select(col("node_id"), col("parent_id"), col("ot_node_id")).collect()
-    require(sub.length <= cap, s"subtree has ${sub.length} nodes > cap $cap")
-    val ids = sub.map(r => r.getLong(0) -> r.getString(2)).toMap
+    // cap enforced BEFORE materialization: collect-then-require would OOM
+    // the driver on the very input the cap exists to refuse. limit(cap+1)
+    // bounds what ever reaches the driver; when the subtree fits the cap
+    // the limit is a no-op, so output is unchanged and deterministic.
+    val sub = boundedCollect(TreeOps.subtree(nodes, rootId, maxDepth)
+      .select(col("node_id"), col("parent_id"), col("ot_node_id")),
+      cap, "subtree")
     val sb = new StringBuilder("digraph synth {\n")
     sub.foreach { r =>
-      sb ++= s"""  n${r.getLong(0)} [label="${ids(r.getLong(0))}"];\n"""
+      sb ++= s"""  n${r.getLong(0)} [label="${r.getString(2)}"];\n"""
     }
     sub.filter(_.getLong(0) != rootId).foreach { r =>
       sb ++= s"  n${r.getLong(0)} -> n${r.getLong(1)} [label=\"SYNTHCHILDOF\"];\n"
@@ -64,10 +81,10 @@ object TreeExports {
       cap: Long = 10000): String = {
     def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
-    val sub = TreeOps.subtree(nodes, rootId, maxDepth)
-      .select(col("node_id"), col("parent_id"), col("ot_node_id"), col("name"))
-      .collect()
-    require(sub.length <= cap, s"subtree has ${sub.length} nodes > cap $cap")
+    val sub = boundedCollect(TreeOps.subtree(nodes, rootId, maxDepth)
+      .select(col("node_id"), col("parent_id"), col("ot_node_id"),
+        col("name")),
+      cap, "subtree")
     val sb = new StringBuilder(
       """<?xml version="1.0" encoding="UTF-8"?>""" + "\n" +
         """<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""" + "\n" +
@@ -118,9 +135,9 @@ object TreeExports {
     */
   def taxonomyToNewick(spark: SparkSession, taxonomy: DataFrame,
       cap: Long = 1000000): String = {
-    val rows = taxonomy.select(col("tax_uid"), col("parent_uid"), col("name"))
-      .collect()
-    require(rows.length <= cap, s"taxonomy has ${rows.length} rows > cap $cap")
+    val rows = boundedCollect(
+      taxonomy.select(col("tax_uid"), col("parent_uid"), col("name")),
+      cap, "taxonomy")
     val uids = rows.map(_.getLong(0)).toSet
     val roots = rows.filter(r => r.isNullAt(1) || !uids.contains(r.getLong(1)))
     require(roots.length == 1,

@@ -58,6 +58,14 @@ class ExtSpec extends AnyFunSuite {
       "mrca_unpack_b(mrca_pack(90560L, 651474L)) AS b").head()
     assert(r.getLong(0) == 90560L + 10000000L * 651474L)
     assert(r.getLong(1) == 90560L && r.getLong(2) == 651474L)
+    // wrong arity fails with the function's name and expected count, not
+    // a raw IndexOutOfBounds; extra args are refused, never ignored
+    val e1 = intercept[Exception] { spark.sql("SELECT mrca_pack(1L)").head() }
+    assert(e1.getMessage.contains("mrca_pack expects 2"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT mrca_unpack_a(1L, 2L)").head()
+    }
+    assert(e2.getMessage.contains("mrca_unpack_a expects 1"), e2.getMessage)
   }
 
   test("dot_product: codegen expression, SQL-callable, in the ANN plan") {

@@ -33,6 +33,10 @@ class TreeApiSpec extends AnyFunSuite {
     val mrca = TreeApi.nodeInfo(t, "mrcaott90560ott1057518").head()
     assert(mrca.getAs[Long]("num_tips") == 2L)
     assert(mrca.isNullAt(mrca.fieldIndex("name")))
+    // the root has no proper ancestors: lineage is the reference's empty
+    // list, never a null the JSON layer would render as null/NPE
+    val root = TreeApi.nodeInfo(t, "ott803675", includeLineage = true).head()
+    assert(root.getAs[scala.collection.Seq[String]]("lineage").isEmpty)
   }
 
   test("supporting studies resolve through the source map") {
@@ -384,6 +388,13 @@ class TreeApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TreeApi.sourceTree(t, base.toString, "pg_01", "tree1", format = "arguson")
     }
+    // ids are request input interpolated into a path: traversal and glob
+    // characters must be refused before any filesystem access
+    for ((s, tr) <- Seq(("..", ".._.."), ("pg_01/..", "tree1"),
+        ("pg_01", "*"), ("pg{1", "tree1")))
+      intercept[IllegalArgumentException] {
+        TreeApi.sourceTree(t, base.toString, s, tr)
+      }
   }
 
   test("taxonomy → newick round-trips through the parser") {
