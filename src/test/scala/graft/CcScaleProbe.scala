@@ -25,7 +25,7 @@ class CcScaleProbe extends AnyFunSuite {
       .filter(col("a") =!= col("b"))
     val nodes = spark.range(0L, n).toDF("id")
     val cc = ClusterOps.connectedComponents(edges, nodes, maxRounds = 15)
-    val nComp = cc.select(countDistinct(col("component"))).head.getLong(0)
+    val nComp = cc.select(countDistinct(col("component"))).head().getLong(0)
     assert(nComp > 0 && nComp < n)
   }
 }

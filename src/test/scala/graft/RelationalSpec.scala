@@ -30,7 +30,7 @@ class RelationalSpec extends AnyFunSuite {
   test("q1_agg aggregates the full lineitem table") {
     val df = Relational.q1Agg(spark, sf)
     val total = df.agg(org.apache.spark.sql.functions.sum("count_order"))
-      .head.getLong(0)
+      .head().getLong(0)
     assert(total == Tables.lineitem(spark, sf).count())
   }
 

@@ -55,7 +55,7 @@ class TreeApiSpec extends AnyFunSuite {
     assert(j.contains("\"taxon\":{\"name\":\"Gavia immer\""))
     // parses as JSON (use Spark's parser as a neutral check)
     import spark.implicits._
-    val parsed = spark.read.json(Seq(j).toDS)
+    val parsed = spark.read.json(Seq(j).toDS())
     assert(parsed.columns.contains("arguson"))
   }
 
@@ -218,7 +218,7 @@ class TreeApiSpec extends AnyFunSuite {
     // taxonomy-injected support source on the lineage root
     assert(j.contains("\"ott2.9draft12\""))
     import spark.implicits._
-    val parsed = spark.read.json(Seq(j).toDS)
+    val parsed = spark.read.json(Seq(j).toDS())
     assert(parsed.columns.contains("arguson"))
   }
 
