@@ -106,10 +106,16 @@ class PropertySpec extends AnyFunSuite {
         id => s"n$id")
       val parsed = Newick.parse(ser)
       assert(parsed.length == n, s"seed=$seed")
-      val cc1 = children.values.map(_.length).filter(_ > 0).toSeq.sorted
-      val cc2 = parsed.groupBy(_.parentId).filter(_._1 >= 0)
-        .values.map(_.length).toSeq.sorted
-      assert(cc1 == cc2, s"seed=$seed")
+      // EXACT structural identity via the n$id labels, not just the
+      // child-count multiset (which a wrong-parent reattachment that
+      // preserves per-parent counts would still satisfy): every parsed
+      // node's (label → parent label) edge must equal the generator's
+      val lbl = parsed.map(p => p.nodeId -> p.label).toMap
+      val gotEdges = parsed.filter(_.parentId >= 0)
+        .map(p => p.label -> lbl(p.parentId)).toSet
+      val wantEdges = parents.zipWithIndex
+        .map { case (p, i) => s"n${i + 1}" -> s"n$p" }.toSet
+      assert(gotEdges == wantEdges, s"seed=$seed")
     }
   }
 

@@ -13,11 +13,7 @@ import graft.tree._
 class StoreSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  val fx = "src/test/resources/fixture"
-  val GoldenGavia =
-    "(Gavia_stellata_ott1057044,((Gavia_arctica_ott1085739,Gavia_pacifica_ott651474)" +
-    "mrcaott651474ott1085739,(Gavia_immer_ott1057518,Gavia_adamsii_ott90560)" +
-    "mrcaott90560ott1057518)mrcaott90560ott651474)Gavia_ott803675;"
+  import GaviaFixture.{fx, GoldenGavia}
 
   lazy val ingested = TreeIngest.ingest(spark,
     s"$fx/gavia.tre", s"$fx/gavia_annotations.json", s"$fx/gavia_taxonomy.tsv",
@@ -30,8 +26,7 @@ class StoreSpec extends AnyFunSuite {
   }
   lazy val loaded = TreeStore.load(spark, storeDir)
 
-  def idOf(t: TreeIngest.Ingested, ot: String): Long =
-    t.nodes.filter(col("ot_node_id") === ot).select("node_id").head().getLong(0)
+  def idOf(t: TreeIngest.Ingested, ot: String): Long = GaviaFixture.idOf(t, ot)
 
   test("round trip preserves table contents exactly") {
     assert(loaded.nodes.count() == ingested.nodes.count())
@@ -63,7 +58,10 @@ class StoreSpec extends AnyFunSuite {
 
   test("load of a non-store directory fails fast on the missing manifest") {
     val dir = Files.createTempDirectory("graft_not_a_store").toString
-    intercept[Exception] { TreeStore.load(spark, dir) }
+    // pin the SPECIFIC fail-fast (an NPE or match error reaching this
+    // point would be a regression the bare intercept[Exception] hid)
+    val e = intercept[IllegalStateException] { TreeStore.load(spark, dir) }
+    assert(e.getMessage.contains("not a tree store"), e.getMessage)
   }
 
   test("multi-tree store round-trips per-tree views") {

@@ -27,13 +27,16 @@ class TrainingSpec extends AnyFunSuite {
   test("span dedup keeps each distinct passage exactly once") {
     val window = docs.filter(col("doc_id") < 200)
     val out = TextOps.dedupSpans(window, "doc_id", "text", span = 3)
-    val spans = window
+    // INDEPENDENT tiling oracle: driver-side .grouped, not the
+    // implementation's sequence+slice expressions — a shared off-by-one
+    // in the SQL tiling would otherwise inflate both sides identically
+    // (tokenization is shared deliberately; the tiling is what's under
+    // test here, and PropertySpec covers random inputs the same way)
+    val allSpans = window
       .select(col("doc_id"), graft.ops.TextOps.tokensCol(col("text")).as("toks"))
-      .select(explode(sequence(lit(0),
-        ((size(col("toks")) - 1) / lit(3)).cast("int"))).as("k"), col("toks"))
-      .select(array_join(slice(col("toks"), col("k") * 3 + 1, lit(3)), " ").as("s"))
-    val distinctSpans = spans.distinct().count()
-    val totalSpans = spans.count()
+      .collect().flatMap(_.getSeq[String](1).grouped(3).map(_.mkString(" ")))
+    val distinctSpans = allSpans.distinct.length.toLong
+    val totalSpans = allSpans.length.toLong
     val r = out.agg(sum("n_kept"), sum("n_dropped")).head()
     // every distinct passage survives exactly once; every extra copy drops
     assert(r.getLong(0) == distinctSpans, s"${r.getLong(0)} != $distinctSpans")
@@ -155,9 +158,11 @@ class TrainingSpec extends AnyFunSuite {
     val window = docs.filter(col("doc_id") < 200)
     val sig = TextOps.simhash(window, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val dupPair = TextOps.jaccardVerify(TextOps.allPairs(window, "doc_id"),
-      window, "doc_id", "text", 1.0).head()
-    val (a, b) = (dupPair.getLong(0), dupPair.getLong(1))
+    val dups = TextOps.jaccardVerify(TextOps.allPairs(window, "doc_id"),
+      window, "doc_id", "text", 1.0).collect()
+    assert(dups.nonEmpty,
+      "fixture should contain an exact-duplicate pair in doc_id<200")
+    val (a, b) = (dups.head.getLong(0), dups.head.getLong(1))
     assert(sig(a) == sig(b), "identical token sets must have identical simhash")
     assert(sig.values.forall(s => s.length == 16 && s.forall("01".contains(_))))
   }
@@ -171,6 +176,25 @@ class TrainingSpec extends AnyFunSuite {
       val coss = sorted.map(_.getDouble(3))
       assert(coss.zip(coss.tail).forall { case (x, y) => x >= y })
       assert(sorted.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+    // INDEPENDENT exactness oracle (topK is the truth reference for the
+    // IVF and LSH recall gates, so it cannot be its own witness): driver
+    // Scala recomputes every cosine and the (cos desc, id asc) top-5
+    val all = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((q, qv) <- all.filter(_._1 < 3)) {
+      val want = all.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(5)
+      val got = byQ(q).sortBy(_.getLong(2))
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      assert(got == want.toSeq, s"query $q: $got != ${want.toSeq}")
     }
   }
 
@@ -400,8 +424,10 @@ class TrainingSpec extends AnyFunSuite {
     assert(packed.forall(r => r.getLong(3) == r.getLong(2) / 512))
     // reproducible; different epoch salt reorders
     val again = PackOps.packSequences(docs, "doc_id", nTok, 512, "ep0").collect()
-    assert(packed.map(r => (r.getLong(0), r.getLong(2))).toSet ==
-      again.map(r => (r.getLong(0), r.getLong(2))).toSet)
+    // shard included: offsets alone could agree while shard assignment
+    // drifted nondeterministically between runs
+    assert(packed.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
     val ep1 = PackOps.packSequences(docs, "doc_id", nTok, 512, "ep1").collect()
     assert(ep1.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet !=
       packed.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
@@ -412,16 +438,31 @@ class TrainingSpec extends AnyFunSuite {
     val scored = TextOps.termScores(window, "doc_id", "text", topK = 5).collect()
     val byDoc = scored.groupBy(_.getLong(0))
     assert(byDoc.forall(_._2.length <= 5))
-    assert(byDoc.forall(_._2.map(_.getLong(1)).sorted.toSeq ==
-      (1L to byDoc.head._2.length)))
+    // ranks are dense 1..k per EACH doc's own row count (a doc with
+    // fewer than topK distinct terms has fewer ranks)
+    assert(byDoc.values.forall(rs =>
+      rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length)))
     // within a doc, scores are non-increasing with rank
     byDoc.values.foreach { rs =>
       val ordered = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
       assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
     }
-    // a term in every doc scores below a same-tf rarer term for any doc
     val n = window.count()
     assert(scored.forall(r => r.getLong(4) <= n))
+    // the actual IDF property, on a corpus built to exhibit it: a term in
+    // every doc must score strictly below a same-tf term unique to the doc
+    import spark.implicits._
+    val tiny = Seq((1L, "common rare1"), (2L, "common rare2"),
+      (3L, "common rare3")).toDF("doc_id", "text")
+    val ts = TextOps.termScores(tiny, "doc_id", "text", topK = 2).collect()
+      .groupBy(_.getLong(0))
+    ts.values.foreach { rs =>
+      val score = rs.map(r => r.getString(2) -> r.getDouble(5)).toMap
+      val (commonScore, rareScore) =
+        (score("common"), (score - "common").values.head)
+      assert(commonScore < rareScore,
+        s"idf must downweight the everywhere-term: $score")
+    }
   }
 
   test("contamination scan flags n-gram overlap with the eval set only") {

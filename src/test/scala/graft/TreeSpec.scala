@@ -11,11 +11,7 @@ import graft.tree._
 class TreeSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  val fx = "src/test/resources/fixture"
-  val GoldenGavia =
-    "(Gavia_stellata_ott1057044,((Gavia_arctica_ott1085739,Gavia_pacifica_ott651474)" +
-    "mrcaott651474ott1085739,(Gavia_immer_ott1057518,Gavia_adamsii_ott90560)" +
-    "mrcaott90560ott1057518)mrcaott90560ott651474)Gavia_ott803675;"
+  import GaviaFixture.{fx, GoldenGavia}
 
   lazy val ingested = TreeIngest.ingest(spark,
     s"$fx/gavia.tre", s"$fx/gavia_annotations.json", s"$fx/gavia_taxonomy.tsv",
