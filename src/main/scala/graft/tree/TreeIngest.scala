@@ -192,14 +192,33 @@ object TreeIngest {
       from_json(get_json_object(col("j"), "$.sources"),
         ArrayType(StringType)).as("sources"))
 
-    val sourceMap = annText
+    val srcExploded = annText
       .select(explode(from_json(get_json_object(col("j"), "$.source_id_map"),
-        sourceMapSchema)).as(Seq("source_id", "m")))
-      .select(col("source_id"), col("m")("git_sha").as("git_sha"),
+        sourceMapSchema)).as(Seq("raw_source_id", "m")))
+      .select(col("raw_source_id"), col("m")("git_sha").as("git_sha"),
         col("m")("tree_id").as("source_tree_id"),
         col("m")("study_id").as("study_id"),
         col("m")("taxonomy").as("taxonomy"))
+      // canonicalize to the WIRE form: the raw file keys study sources as
+      // "pg_01_tree1", but every node blob (supported_by etc.) and every
+      // served response uses "pg_01@tree1" (ws-tests/check.py:69-81
+      // REQUIRES '@' or '.') — left keyed raw, the blob→source join could
+      // never resolve a study and arguson would serve empty source blobs
+      .withColumn("source_id",
+        when(col("study_id").isNotNull && col("source_tree_id").isNotNull,
+          concat(col("study_id"), lit("@"), col("source_tree_id")))
+          .otherwise(col("raw_source_id")))
+
+    val sourceMap = srcExploded.drop("raw_source_id")
+      .select(col("source_id"), col("git_sha"), col("source_tree_id"),
+        col("study_id"), col("taxonomy"))
       .withColumn("tree_id", lit(treeId))
+
+    // raw→wire key map for the meta `sources` array (same rewrite; the
+    // source map is request-metadata-sized, so the collect is one tiny job)
+    val rawToWire: Map[String, String] = srcExploded
+      .select(col("raw_source_id"), col("source_id")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
 
     // one head() fetches both meta scalars. The annotations' declared
     // tree_id must AGREE with the caller's: nodes/edges/source_map are
@@ -253,6 +272,11 @@ object TreeIngest {
     // annotations omit the field
     val treeMeta = treeMetaRaw.withColumn("root_ot_node_id", lit(rootOt))
       .withColumn("tree_id", lit(treeId))
+      // the meta sources LIST gets the same raw→wire rewrite as the
+      // source map, so study_list order lookups resolve (unknown entries
+      // pass through unchanged; a null array stays null)
+      .withColumn("sources", transform(col("sources"),
+        x => coalesce(element_at(typedLit(rawToWire), x), x)))
 
     Ingested(nodesP, edges, treeMeta, sourceMap)
   }

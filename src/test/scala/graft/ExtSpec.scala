@@ -98,7 +98,7 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("representative children via interval min/max, no recursion") {
-    val fx = "src/test/resources/fixture"
+    val fx = GaviaFixture.fx
     val t = graft.tree.TreeIngest.ingest(spark, s"$fx/gavia.tre",
       s"$fx/gavia_annotations.json", s"$fx/gavia_taxonomy.tsv", "opentree4.1")
     val rootId = t.nodes.filter(org.apache.spark.sql.functions.col("ot_node_id") === "ott803675")
@@ -132,6 +132,11 @@ class ExtSpec extends AnyFunSuite {
     val byDoc = frames.groupBy(_.getLong(0))
     val metas = Multimodal.extractMeta(spark, docs).collect()
       .map(m => m.doc_id -> m).toMap
+    // COMPLETENESS first: every doc with frames must appear in the
+    // output (checking only docs that DID emit rows would let a
+    // whole-document drop pass unnoticed)
+    assert(byDoc.keySet ==
+      metas.filter(_._2.n_frames > 0).keySet, "docs lost by sampleFrames")
     byDoc.foreach { case (id, rs) =>
       val m = metas(id)
       assert(rs.length == (m.n_frames + 3) / 4, s"doc $id frame count")

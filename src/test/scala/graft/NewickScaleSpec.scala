@@ -12,14 +12,13 @@ import graft.tree._
 class NewickScaleSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  val fx = "src/test/resources/fixture"
+  import GaviaFixture.fx
   lazy val ingested = TreeIngest.ingest(spark,
     s"$fx/gavia.tre", s"$fx/gavia_annotations.json", s"$fx/gavia_taxonomy.tsv",
     treeId = "opentree4.1")
   lazy val nodes = ingested.nodes
 
-  def idOf(ot: String): Long =
-    nodes.filter(col("ot_node_id") === ot).select("node_id").head().getLong(0)
+  def idOf(ot: String): Long = GaviaFixture.idOf(ingested, ot)
 
   test("token stream equals the driver builder on every variant") {
     val root = idOf("ott803675")
@@ -47,9 +46,12 @@ class NewickScaleSpec extends AnyFunSuite {
     TreeOps.newickWrite(toks, dir)
     val parts = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val joined = parts.map { f =>
-      scala.io.Source.fromFile(f).getLines().mkString
-    }.mkString
+    // Files.readString: closes the handle and reads UTF-8 (Source.fromFile
+    // leaks until GC and uses the platform charset, which would corrupt
+    // non-ASCII labels against the UTF-8 parquet/driver string)
+    val joined = parts.map(f =>
+      java.nio.file.Files.readString(f.toPath)
+        .replace("\r", "").replace("\n", "")).mkString
     assert(joined == TreeOps.newick(nodes, root, idsForUnnamed = true))
   }
 
@@ -72,9 +74,12 @@ class NewickScaleSpec extends AnyFunSuite {
     TreeApi.argusonWrite(ingested, root, dir)
     val parts = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val joined = parts.map { f =>
-      scala.io.Source.fromFile(f).getLines().mkString
-    }.mkString
+    // Files.readString: closes the handle and reads UTF-8 (Source.fromFile
+    // leaks until GC and uses the platform charset, which would corrupt
+    // non-ASCII labels against the UTF-8 parquet/driver string)
+    val joined = parts.map(f =>
+      java.nio.file.Files.readString(f.toPath)
+        .replace("\r", "").replace("\n", "")).mkString
     assert(joined == TreeOps.newickFromTokens(
       TreeApi.argusonTokens(ingested, root)))
     assert(joined.startsWith("{\"node_id\":"))

@@ -130,7 +130,9 @@ class SketchSpec extends AnyFunSuite {
       .head().getSeq[Double](1)
     val secs = (System.nanoTime() - t0) / 1e9
     assert(vs.size == 8192)
-    assert(secs < 60.0, f"hot-group reservoir took $secs%.1f s")
+    // catastrophic-regression canary only (a per-insert re-sort measured
+    // minutes here); generous bound so a loaded CI host can't flake it
+    assert(secs < 120.0, f"hot-group reservoir took $secs%.1f s")
   }
 
   test("persisted KMV state serves identical estimates and merges batches " +

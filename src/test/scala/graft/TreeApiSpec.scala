@@ -7,13 +7,12 @@ import graft.tree._
 class TreeApiSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  val fx = "src/test/resources/fixture"
+  import GaviaFixture.fx
   lazy val t = TreeIngest.ingest(spark,
     s"$fx/gavia.tre", s"$fx/gavia_annotations.json", s"$fx/gavia_taxonomy.tsv",
     treeId = "opentree4.1")
 
-  def idOf(ot: String): Long =
-    t.nodes.filter(col("ot_node_id") === ot).select("node_id").head().getLong(0)
+  def idOf(ot: String): Long = GaviaFixture.idOf(t, ot)
 
   test("about: tree metadata + root blob") {
     val a = TreeApi.about(t).head()
@@ -42,8 +41,10 @@ class TreeApiSpec extends AnyFunSuite {
   test("supporting studies resolve through the source map") {
     val st = TreeApi.supportingStudies(t, idOf("ott803675")).collect()
     val bySrc = st.map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(bySrc.contains("pg_01@tree1"))
-    assert(bySrc.get("ott2.9draft12").contains(null) || bySrc.contains("ott2.9draft12"))
+    // the study RESOLVES (value checked, not just key presence)
+    assert(bySrc.get("pg_01@tree1").contains("pg_01"), bySrc.toString)
+    // the taxonomy source has no study: present with a null study_id
+    assert(bySrc.contains("ott2.9draft12") && bySrc("ott2.9draft12") == null)
   }
 
   test("arguson: nested doc with children in tree order and lineage") {
@@ -97,8 +98,10 @@ class TreeApiSpec extends AnyFunSuite {
 
   test("mrp matrix long form") {
     val m = TreeExports.mrpMatrix(t.nodes)
-    // 5 tips, each a member of its proper ancestors (root + 0..2 mrca nodes)
+    // ALL 5 tips present (sum==total and >=1 alone are tautologies a
+    // zero-row or tip-dropping matrix would satisfy)
     val cnt = m.groupBy("tip_id").count().collect().map(_.getLong(1))
+    assert(cnt.length == 5, s"expected 5 tips, got ${cnt.length}")
     assert(m.count() == cnt.sum && cnt.forall(c => c >= 1 && c <= 3))
   }
 
@@ -212,9 +215,11 @@ class TreeApiSpec extends AnyFunSuite {
     // released annotation fields spliced per node (ws-tests/check.py:213-232)
     assert(j.contains("\"supported_by\":{\"pg_01@tree1\":\"node2\"}"))
     assert(j.contains("\"conflicts_with\":{\"pg_02@tree9\":[\"node77\",\"node78\"]}"))
-    // document-level source map resolves every source seen in a blob
+    // document-level source map resolves EVERY source seen in a blob —
+    // both sources referenced by the node annotations above must appear
     assert(j.contains("\"source_id_map\":{"))
-    assert(j.contains("\"pg_01@tree1\":{}") || j.contains("\"pg_02@tree9\":{}"))
+    assert(j.contains("\"pg_01@tree1\":"), j.take(400))
+    assert(j.contains("\"pg_02@tree9\":"), j.take(400))
     // taxonomy-injected support source on the lineage root
     assert(j.contains("\"ott2.9draft12\""))
     import spark.implicits._

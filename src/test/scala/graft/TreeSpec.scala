@@ -143,11 +143,14 @@ class TreeSpec extends AnyFunSuite {
     assert(meta.getAs[String]("tree_id") == "opentree4.1")
     assert(meta.getAs[Long]("num_tips") == 5L)
     assert(meta.getAs[String]("root_ot_node_id") == "ott803675")
+    // ingest canonicalizes raw "pg_01_tree1" to the wire form
+    // "pg_01@tree1" everywhere (sources list AND source map), so blob
+    // sources resolve and responses match ws-tests' check_source_id
     assert(meta.getAs[scala.collection.Seq[String]]("sources").toList ==
-      List("pg_01_tree1", "ott2.9draft12"))
+      List("pg_01@tree1", "ott2.9draft12"))
     val srcs = ingested.sourceMap.collect()
     assert(srcs.length == 2)
-    val pg = srcs.find(_.getAs[String]("source_id") == "pg_01_tree1").get
+    val pg = srcs.find(_.getAs[String]("source_id") == "pg_01@tree1").get
     assert(pg.getAs[String]("git_sha") == "abc123")
     assert(pg.getAs[String]("study_id") == "pg_01")
   }
