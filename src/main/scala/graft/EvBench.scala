@@ -46,12 +46,22 @@ object EvBench {
       .repartition(8)
       .write.parquet(dir)
     // watermark sentinel: one far-future event flushes every open session
+    val d = new java.io.File(dir)
+    def parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+    val dataNames = parts.map(_.getName).toSet
+    val dataMaxM = parts.map(_.lastModified()).max
     spark.range(1)
       .select(lit(-1L).as("event_id"),
         lit(1893456000000000000L).as("ts"), // 2030-01-01 in ns
         lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
       .coalesce(1).write.mode("append").parquet(dir)
+    // FileStreamSource orders files by (mtime, path): on a coarse-mtime
+    // filesystem the sentinel could tie with the data files and land in
+    // an EARLY micro-batch, jumping the watermark past every 2020-era
+    // session before its events arrive — pin it strictly last
+    parts.filterNot(f => dataNames(f.getName))
+      .foreach(f => f.setLastModified(dataMaxM + 60000L))
 
     val t0 = System.nanoTime()
     val stream = spark.readStream

@@ -20,6 +20,18 @@ object StoreUtil {
   private val tmpDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // pid-tagged paths are unique per JVM, so without cleanup every test
+  // fork / Bench / Verify run would leak its store artifacts into tmpdir
+  private lazy val cleanupRegistered: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.values.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }))
+
   /** Build-once temp directory for an on-disk store artifact, shared by
     * every store-backed gate (vector/KMV/CM/tree stores): the artifact is
     * built at most once per (prefix, key) per JVM, and the path carries
@@ -28,13 +40,15 @@ object StoreUtil {
     * (a half-written store read by the other process is a flaky gate).
     */
   def cachedStoreDir(prefix: String, key: String)(
-      build: String => Unit): String =
+      build: String => Unit): String = {
+    cleanupRegistered
     tmpDirs.computeIfAbsent(prefix + "|" + key, _ => {
       val p = sys.props("java.io.tmpdir") +
         s"/graft_${prefix}_p${ProcessHandle.current().pid()}_" + pathHash(key)
       build(p)
       p
     })
+  }
 
   // FileSystem resolution goes through hadoop Path, not java.net.URI:
   // URI(dir) throws on spaces and percent-decodes '%41'→'A', silently

@@ -46,11 +46,13 @@ object Multimodal {
       n_frames = if (r.kind == "image") 1L else len % 1000L)
   }
 
-  /** The stub's frame-count rule as a column expression — the SINGLE
-    * definition [[sampleFrames]] derives frame indices from, so a codec
-    * swap in [[decodeStub]]/[[decodeMedia]] cannot leave the sampler
-    * computing indices from a stale formula that no longer matches
-    * [[extractMeta]]'s n_frames.
+  /** The stub's frame-count rule as a column expression — the COLUMN
+    * twin of [[decodeStub]]'s Scala formula. The two copies (row-Scala
+    * for the decode path, Column for the sampler) cannot share code; the
+    * sync is enforced by ExtSpec's frame test, which asserts
+    * [[sampleFrames]]'s per-doc row counts against [[extractMeta]]'s
+    * n_frames for EVERY document — a codec swap that updates one copy
+    * but not the other fails that test.
     */
   private def frameCountCol(kind: org.apache.spark.sql.Column,
       media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

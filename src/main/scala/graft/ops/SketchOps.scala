@@ -371,9 +371,10 @@ object SketchOps {
     SampleOps.hashSample(df, idCol, rate, salt)
       // null measurements AND null row ids are ignored (SQL aggregate
       // semantics) — the typed aggregator's primitive tuple encoder would
-      // otherwise fail the job on the first null: a null id slips through
-      // the sample gate (concat_ws skips nulls) but null-propagates
-      // through the rank hash
+      // otherwise fail the job on the first null. The idCol guard is
+      // defense in depth: hashSample's bucket hash now null-propagates
+      // (so null ids are already dropped there), but this aggregation
+      // must not depend on the sampler's internals for its own safety
       .filter(col(valCol).isNotNull && col(idCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(res(hash60(concat(lit(salt), lit("#rsv:"), col(idCol).cast("string"))),

@@ -871,7 +871,11 @@ object ExtQueries {
         |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM u GROUP BY event_type""".stripMargin,
     "ev_sessions" ->
-      """WITH e AS (SELECT event_id, user_id, value, ts::TIMESTAMP AS t FROM events),
+      // the null exclusion mirrors sessionize/sessionizeBatch's
+      // poison-row guard (no fixture nulls today; by-construction parity)
+      """WITH e AS (SELECT event_id, user_id, value, ts::TIMESTAMP AS t FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL),
         |x AS (SELECT *, lag(epoch_us(t)) OVER
         |  (PARTITION BY user_id ORDER BY t, event_id) AS prev_us FROM e),
         |y AS (SELECT *, CASE WHEN prev_us IS NULL

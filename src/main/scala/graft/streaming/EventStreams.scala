@@ -187,6 +187,12 @@ object EventStreams {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes * 60 * 1000000L
     events
+      // SAME null-row exclusion as the streaming path: without it a null
+      // value/id row would count toward batch sessions while streaming
+      // drops it, silently breaking the stream==batch equivalence the
+      // suite proves
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
