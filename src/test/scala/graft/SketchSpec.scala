@@ -172,6 +172,26 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("store paths with spaces and percent escapes round-trip") {
+    // the marker FileSystem resolves through hadoop Path, not
+    // java.net.URI: URI threw on spaces and percent-decoded '%41'→'A',
+    // writing the manifest to a DIFFERENT location than the data
+    val toks = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select(explode(graft.ops.TextOps.tokensCol(col("text"))).as("item"))
+    val sk = SketchOps.cmSketch(toks, "item", depth = 3, width = 16)
+    val base = java.nio.file.Files.createTempDirectory("graft_odd").toString
+    for (odd <- Seq("with space", "pct%41dir")) {
+      val dir = s"$base/$odd"
+      SketchOps.saveCm(sk, dir)
+      val lk = SketchOps.loadCm(spark, dir)
+      assert(lk.depth == 3 && lk.width == 16, dir)
+      assert(SketchOps.cmStoreExists(spark, dir), dir)
+      // force the DATA read too (lazy until now) — the counters must
+      // come back from the same odd path the manifest did
+      assert(lk.counters.count() == sk.counters.count(), dir)
+    }
+  }
+
   test("persisted CM sketch serves identical estimates after reload") {
     val toks = Tables.documents(spark, sf).filter(col("doc_id") < 100)
       .select(explode(graft.ops.TextOps.tokensCol(col("text"))).as("item"))
