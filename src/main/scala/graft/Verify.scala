@@ -4,7 +4,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, None)
+      // optional 3rd arg (builder-local fast loop, the driver passes 2):
+      // comma-separated gate names — dump only those (plus the fixture
+      // tables + full oracle json, so the DuckDB compare runs unchanged)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(cpus)
     new java.io.File(outDir).mkdirs()
@@ -12,7 +18,9 @@ object Verify {
     // shuffle boundary, so a shuffle-free scan query would run its whole
     // parquet scan in ONE task. The extra exchange moves only the (small)
     // final result, and the driver's hash compare is row-order-insensitive.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

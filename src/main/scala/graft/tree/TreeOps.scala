@@ -49,17 +49,22 @@ object TreeOps {
   /** MRCA of a whole id set: deepest node whose subtree covers every id.
     * Relational form of the rootward-walk kernel: explode ancestors,
     * keep ancestors common to all FOUND ids, take the deepest. Coverage
-    * is compared against the maximal observed coverage (the root covers
-    * every found id), not `ids.length` — duplicate request ids or ids
-    * absent from the tree must narrow the set to the valid distinct ids
-    * (the reference's BadIds semantics, tree_of_life_v3.java:359-361),
-    * not silently yield an empty result.
+    * is compared against the count of distinct FOUND ids, not
+    * `ids.length` — duplicate request ids or ids absent from the tree
+    * must narrow the set to the valid distinct ids (the reference's
+    * BadIds semantics, tree_of_life_v3.java:359-361), not silently
+    * yield an empty result — and not against the maximal observed
+    * coverage either: on a multi-root frame (forest store) with found
+    * ids in disconnected trees NO ancestor covers them all, and the
+    * correct answer is an empty frame, not the deepest node covering
+    * the largest subset.
     */
   def mrcaOfSet(nodes: DataFrame, ids: Seq[Long]): DataFrame = {
-    val hits = nodes.filter(col("node_id").isin(ids: _*))
+    val exploded = nodes.filter(col("node_id").isin(ids: _*))
       .select(col("node_id"), explode(col("ancestors")).as("anc"))
+    val hits = exploded
       .groupBy(col("anc")).agg(countDistinct(col("node_id")).as("n_cover"))
-    val allFound = hits.agg(max(col("n_cover")).as("n_all"))
+    val allFound = exploded.agg(countDistinct(col("node_id")).as("n_all"))
     hits.crossJoin(broadcast(allFound))
       .filter(col("n_cover") === col("n_all"))
       .join(nodes.select(col("node_id").as("anc"), col("depth")), "anc")
@@ -174,52 +179,61 @@ object TreeOps {
     * @return (node_id, parent_id (-1 at induced root), is_query)
     */
   def induced(nodes: DataFrame, tips: Seq[Long]): DataFrame = {
-    val spark = nodes.sparkSession
     val tipRows = nodes.filter(col("node_id").isin(tips: _*))
-    // (tip, ancestor, child-on-path-toward-tip)
+    // (tip, ancestor, depth-of-ancestor, child-on-path-toward-tip): the
+    // position in the root→self ancestors array IS the ancestor's depth
+    // (root at 0), so the whole kernel never joins back to `nodes` for
+    // depths — everything downstream derives from this one exploded frame
     val paths = tipRows.select(col("node_id").as("tip"),
         posexplode(col("ancestors")).as(Seq("pos", "anc")),
         col("ancestors"))
       .withColumn("child_on_path",
         when(col("pos") + 1 < size(col("ancestors")),
           element_at(col("ancestors"), col("pos") + 2)))
-      .drop("ancestors", "pos")
+      .drop("ancestors")
 
-    val depths = nodes.select(col("node_id").as("anc"), col("depth").as("anc_depth"))
+    // per-ancestor cover/branch counts as WINDOW columns over the same
+    // exploded frame (one exchange on `anc`; a partition holds one
+    // ancestor's occurrences, at most the request size) — the per-row
+    // form lets the kept flag and the parent derivation ride this one
+    // frame with no joins back to aggregated side tables
+    val wAnc = Window.partitionBy(col("anc"))
+    val flagged = paths
+      .withColumn("n_tips", size(collect_set(col("tip")).over(wAnc)))
+      .withColumn("n_branch", size(collect_set(col("child_on_path")).over(wAnc)))
 
-    val stats = paths.groupBy(col("anc"))
-      .agg(countDistinct(col("tip")).as("n_tips"),
-        countDistinct(col("child_on_path")).as("n_branch"))
-      .join(depths, "anc")
+    // the MRCA covers every found tip (maximal n_tips, the root covers
+    // all) and is the deepest such — ONE scalar aggregate via a
+    // (cover, depth) argmax, no count/sort/limit chain. The tiebreak is
+    // total: equal-depth ancestors have disjoint subtrees, so only one
+    // node can carry the maximal cover (duplicate occurrences across
+    // tip-paths agree on every field).
+    val mrca = flagged.agg(
+        max_by(struct(col("anc"), col("pos")),
+          struct(col("n_tips"), col("pos"))).as("m"))
+      .select(col("m.anc").as("mrca_id"), col("m.pos").as("mrca_depth"))
 
-    // the MRCA covers every found tip, i.e. has the maximal n_tips — no
-    // separate driver-side count needed, the whole kernel stays lazy
-    val allTips = stats.agg(max(col("n_tips")).as("all_tips"))
-    val mrca = stats.crossJoin(broadcast(allTips))
-      .filter(col("n_tips") === col("all_tips"))
-      .orderBy(col("anc_depth").desc).limit(1)
-      .select(col("anc").as("mrca_id"), col("anc_depth").as("mrca_depth"))
-
-    val kept = stats.crossJoin(broadcast(mrca))
-      .filter((col("n_branch") >= 2 && col("anc_depth") >= col("mrca_depth")) ||
+    // kept = query tips ∪ branching ancestors at/below the MRCA ∪ the
+    // MRCA; each kept node's induced parent is the nearest PRECEDING kept
+    // entry on its root-path (rows run root→node in `pos` order, so a
+    // last() over the preceding frame is the deepest kept proper
+    // ancestor) — every field is a per-anc constant, so duplicate
+    // occurrences across tip-paths resolve identically
+    val wPath = Window.partitionBy(col("tip")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val merged = flagged.crossJoin(broadcast(mrca))
+      .withColumn("kept", col("anc").isin(tips: _*) ||
+        (col("n_branch") >= 2 && col("pos") >= col("mrca_depth")) ||
         col("anc") === col("mrca_id"))
-      .select(col("anc").as("node_id"))
-      .union(tipRows.select(col("node_id")))
-      .distinct()
+      .withColumn("ind_parent",
+        last(when(col("kept") && col("pos") >= col("mrca_depth"), col("anc")),
+          ignoreNulls = true).over(wPath))
 
-    // nearest kept proper ancestor, truncated at the MRCA
-    val keptAnc = nodes.join(kept, "node_id")
-      .select(col("node_id"), explode(col("ancestors")).as("anc"))
-      .filter(col("anc") =!= col("node_id"))
-      .join(kept.withColumnRenamed("node_id", "anc"), "anc")
-      .join(depths, "anc")
-      .crossJoin(broadcast(mrca))
-      .filter(col("anc_depth") >= col("mrca_depth"))
-      .groupBy(col("node_id"))
-      .agg(max_by(col("anc"), col("anc_depth")).as("ind_parent"))
+    val kept = merged.filter(col("kept"))
+      .groupBy(col("anc").as("node_id"))
+      .agg(min(col("ind_parent")).as("ind_parent"))
 
-    nodes.join(kept, "node_id")
-      .join(keptAnc, Seq("node_id"), "left_outer")
+    nodes.join(broadcast(kept), "node_id")
       .select(col("node_id"),
         coalesce(col("ind_parent"), lit(-1L)).as("parent_id"),
         col("node_id").isin(tips: _*).as("is_query"),

@@ -92,6 +92,20 @@ class TreeSpec extends AnyFunSuite {
     assert(m4.getLong(0) == idOf("mrcaott90560ott651474"))
   }
 
+  test("mrcaOfSet on a forest: disconnected ids yield an empty frame") {
+    import spark.implicits._
+    val edges = Seq(
+      (11L, 10L, 0), (12L, 10L, 1),                 // tree rooted at 10
+      (21L, 20L, 0), (22L, 20L, 1)                  // tree rooted at 20
+    ).toDF("child_id", "parent_id", "child_ord")
+    val lab = TreeLabeler.label(spark, edges)
+    // ids from disconnected trees: NO common ancestor exists — the answer
+    // is empty, not the deepest node covering the larger subset
+    assert(TreeOps.mrcaOfSet(lab, Seq(11L, 21L)).isEmpty)
+    // within one tree of the same forest frame the kernel still resolves
+    assert(TreeOps.mrcaOfSet(lab, Seq(21L, 22L)).head().getLong(0) == 20L)
+  }
+
   test("branch length parses with ignorable whitespace after the colon") {
     val p = Newick.parse("(a: 0.5,b:\t1.25)r;")
     val byLabel = p.map(n => n.label -> n.branchLength).toMap
