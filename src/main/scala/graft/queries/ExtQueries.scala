@@ -518,6 +518,39 @@ object ExtQueries {
         col("n_frames"))
   }
 
+  private val servingCache = new graft.SessionCache[graft.tree.TreeServing.Index]()
+
+  /** The driver-side serving index over the fixture tree, built once per
+    * JVM (one collect) — the millisecond point-query path.
+    */
+  private def servingIndex(s: SparkSession): graft.tree.TreeServing.Index =
+    servingCache.get(s, "gavia") { graft.tree.TreeServing.build(fixture(s)) }
+
+  /** The zero-job point-query serving path ([[graft.tree.TreeServing]],
+    * the reference's Lucene-exact-hit analog): three `node_info` lookups
+    * and one two-id `mrca` resolution answered entirely from the
+    * driver-side hash index — the DuckDB oracle re-derives every emitted
+    * field relationally (the MRCA from the dumped ancestors arrays), so
+    * a stale or mis-keyed index breaks the hash.
+    */
+  val apiServing: Q = (s, _) => {
+    import s.implicits._
+    val idx = servingIndex(s)
+    def shape(req: String, m: Map[String, Any]) =
+      (req, m("ot_node_id").asInstanceOf[String],
+        m("name").asInstanceOf[String], m("unique_name").asInstanceOf[String],
+        Option(m("tax_uid")).map(_.asInstanceOf[Long]),
+        m("tax_rank").asInstanceOf[String], m("num_tips").asInstanceOf[Long])
+    val infos = Seq("ott1085739", "mrcaott90560ott1057518", "ott803675")
+      .map(id => shape(s"info:$id", idx.nodeInfo(id).get))
+    val r = idx.mrca(nodeIds = Seq("ott1085739", "ott90560"))
+    require(r.ok, "serving mrca flagged bad ids on a valid request")
+    val rows = infos :+ shape("mrca:ott1085739+ott90560",
+      idx.nodeInfo(r.mrcaOtId).get)
+    rows.toDF("req", "ot_node_id", "name", "unique_name", "tax_uid",
+      "tax_rank", "num_tips")
+  }
+
   /** SET4: ancestor-array overlap per tip pair (the bitset-intersection
     * analog); oracle via DuckDB list_intersect.
     */
@@ -545,6 +578,7 @@ object ExtQueries {
     "p8_whitelist" -> p8Whitelist,
     "o4_cap" -> o4Cap,
     "s4_store_roundtrip" -> s4StoreRoundtrip,
+    "api_serving" -> apiServing,
     "mm_png_meta" -> mmPngMeta,
     "tree_multi" -> treeMulti,
     "ev_attribution" -> evAttribution,
@@ -791,6 +825,24 @@ object ExtQueries {
         |  tip_descendants, ot_node_id, tax_uid, name, unique_name,
         |  supported_by_json
         |FROM read_parquet('__FIXTURE__/nodes/*.parquet')""".stripMargin,
+    "api_serving" ->
+      """WITH n AS (SELECT * FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
+        |info AS (SELECT 'info:' || ot_node_id AS req, ot_node_id, name,
+        |    unique_name, tax_uid, tax_rank, tip_descendants AS num_tips
+        |  FROM n WHERE ot_node_id IN
+        |    ('ott1085739', 'mrcaott90560ott1057518', 'ott803675')),
+        |q AS (SELECT node_id, ancestors FROM n
+        |  WHERE ot_node_id IN ('ott1085739', 'ott90560')),
+        |x AS (SELECT node_id, unnest(ancestors) AS anc FROM q),
+        |c AS (SELECT anc, count(DISTINCT node_id) AS nc FROM x GROUP BY anc),
+        |m AS (SELECT c.anc FROM c JOIN n ON c.anc = n.node_id
+        |  WHERE c.nc = (SELECT count(*) FROM q)
+        |  ORDER BY n.depth DESC LIMIT 1)
+        |SELECT 'mrca:ott1085739+ott90560' AS req, n.ot_node_id, n.name,
+        |  n.unique_name, n.tax_uid, n.tax_rank,
+        |  n.tip_descendants AS num_tips
+        |FROM n JOIN m ON n.node_id = m.anc
+        |UNION ALL SELECT * FROM info""".stripMargin,
     "mm_png_meta" ->
       """SELECT CAST(i AS BIGINT) AS doc_id, 'image' AS kind,
         |  CAST(i % 4 + 1 AS BIGINT) AS width,
