@@ -94,6 +94,48 @@ object VectorStore {
       """{"version":1,"layout":"ivf-cell"}""")
   }
 
+  /** Rewrite an append-grown store into a fresh one-file-per-cell layout
+    * at `dest` — the periodic maintenance step of the append-many-times
+    * lifecycle (each [[append]] adds one file per touched cell; reads
+    * stay correct but open more files until compaction). The stored
+    * centroids are inherited verbatim — compaction is a LAYOUT rewrite,
+    * vectors keep their cells; re-clustering is a retrain + [[save]].
+    * `dest` must be disjoint from `path` (the source is read lazily
+    * while the destination is written); both are compared as
+    * fully-qualified Hadoop URIs so `file:` forms and bare paths cannot
+    * alias. A mid-compact crash leaves `dest` manifest-less, so loads
+    * there fail fast (same protocol as [[save]]); the source is
+    * read-only throughout.
+    */
+  def compact(spark: SparkSession, path: String, dest: String): Unit = {
+    requireStore(spark, path)
+    requireDisjoint(spark, path, dest)
+    graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
+    // cells are already assigned — repartition on the partition value
+    // re-coalesces each cell's accumulated files into one task's output
+    spark.read.parquet(s"$path/cells")
+      .select(col("id"), col("vec"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/cells")
+    spark.read.parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(s"$dest/centroids")
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
+      """{"version":1,"layout":"ivf-cell"}""")
+  }
+
+  private def requireDisjoint(spark: SparkSession, path: String,
+      dest: String): Unit = {
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.makeQualified(hp).toUri.toString.stripSuffix("/")
+    }
+    val (s, d) = (qualified(path), qualified(dest))
+    require(d != s && !d.startsWith(s + "/") && !s.startsWith(d + "/"),
+      s"compaction requires a destination disjoint from the source store " +
+        s"($s vs $d)")
+  }
+
   /** Open a saved store. Fails fast on a directory that is not a vector
     * store (missing manifest) instead of misreading arbitrary parquet.
     */
@@ -117,7 +159,15 @@ object VectorStore {
     * lives in exactly one cell, so each (query, neighbor) pair is scored
     * once; rounding, tie order, and the q≠n filter are identical.
     */
-  def query(st: Loaded, queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+  /** Hard ceiling on collected (query × nprobe) rows — the request-bounded
+    * contract made ENFORCED: an oversized query set fails fast with a
+    * clear message instead of accumulating on the driver. Generous for
+    * interactive serving; unbounded sets belong on [[VectorOps.annIvf]].
+    */
+  val MaxQueryRows = 100000
+
+  def query(st: Loaded, queries: DataFrame, k: Int, nprobe: Int = 2,
+      maxQueryRows: Int = MaxQueryRows): DataFrame = {
     val spark = st.cells.sparkSession
     // The query side is request-bounded by contract, so ONE job collects
     // the cell assignment, and the collected rows feed BOTH the probed-cell
@@ -130,7 +180,12 @@ object VectorStore {
     val qcPlan = VectorOps.assignCells(queries, st.centroids, nprobe)
       .select(col("id").as("q_id"), col("v").as("q_vec"),
         concat(lit("c"), col("cell")).as("cell"))
-    val qcRows = qcPlan.collect()
+    // bounded collect (limit cap+1, then require): the contract fails
+    // fast instead of OOMing the driver on an unbounded query frame
+    val qcRows = qcPlan.limit(maxQueryRows + 1).collect()
+    require(qcRows.length <= maxQueryRows,
+      s"query set exceeds $maxQueryRows collected rows (queries × nprobe) " +
+        "— use VectorOps.annIvf for unbounded query sets")
     val probed = qcRows.map(_.getString(2)).distinct.sorted
     val qc = spark.createDataFrame(
       java.util.Arrays.asList(qcRows: _*), qcPlan.schema)

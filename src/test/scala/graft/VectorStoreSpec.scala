@@ -108,4 +108,46 @@ class VectorStoreSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_not_a_vstore").toString
     intercept[IllegalStateException] { VectorStore.load(spark, dir) }
   }
+
+  test("compact rewrites an append-grown store to one file per cell, " +
+      "query-identical") {
+    val dir = Files.createTempDirectory("graft_vstore_cpt").toString
+    // grow a store through three appends → several files per touched cell
+    VectorStore.save(corpus.filter(col("id") < 100), cents, dir)
+    VectorStore.append(spark, dir, corpus.filter(col("id") >= 100 && col("id") < 200))
+    VectorStore.append(spark, dir, corpus.filter(col("id") >= 200))
+    def filesPerCell(d: String): Map[String, Int] =
+      new java.io.File(s"$d/cells").listFiles()
+        .filter(_.getName.startsWith("cell=")).map { cd =>
+          cd.getName -> cd.listFiles().count(_.getName.endsWith(".parquet"))
+        }.toMap
+    val grown = filesPerCell(dir)
+    assert(grown.values.exists(_ > 1), s"appends did not fragment: $grown")
+    val dest = Files.createTempDirectory("graft_vstore_cpt2").toString
+    VectorStore.compact(spark, dir, dest)
+    val compacted = filesPerCell(dest)
+    assert(compacted.keySet == grown.keySet) // same cells survive
+    assert(compacted.values.forall(_ == 1), s"not one file per cell: $compacted")
+    // bit-identical ANN answers before/after the layout rewrite
+    val queries = corpus.filter(col("id") < 20)
+    val before = VectorStore.query(VectorStore.load(spark, dir), queries,
+      k = 5, nprobe = 2).collect().map(_.toSeq).toSet
+    val after = VectorStore.query(VectorStore.load(spark, dest), queries,
+      k = 5, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(before == after && before.nonEmpty)
+    // compaction refuses an overlapping destination
+    intercept[IllegalArgumentException] {
+      VectorStore.compact(spark, dir, s"$dir/cells")
+    }
+  }
+
+  test("query fails fast past the bounded-collect cap") {
+    val queries = corpus.filter(col("id") < 20) // 20 ids × nprobe 2 = 40 rows
+    intercept[IllegalArgumentException] {
+      VectorStore.query(store, queries, k = 5, nprobe = 2, maxQueryRows = 39)
+    }
+    // at the exact bound the query still serves
+    assert(VectorStore.query(store, queries, k = 5, nprobe = 2,
+      maxQueryRows = 40).collect().nonEmpty)
+  }
 }
