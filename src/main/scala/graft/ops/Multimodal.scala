@@ -46,19 +46,6 @@ object Multimodal {
       n_frames = if (r.kind == "image") 1L else len % 1000L)
   }
 
-  /** The stub's frame-count rule as a column expression — the COLUMN
-    * twin of [[decodeStub]]'s Scala formula. The two copies (row-Scala
-    * for the decode path, Column for the sampler) cannot share code; the
-    * sync is enforced by ExtSpec's frame test, which asserts
-    * [[sampleFrames]]'s per-doc row counts against [[extractMeta]]'s
-    * n_frames for EVERY document — a codec swap that updates one copy
-    * but not the other fails that test.
-    */
-  private def frameCountCol(kind: org.apache.spark.sql.Column,
-      media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(kind === "image", lit(1L))
-      .otherwise(octet_length(media).cast("long") % 1000L)
-
   /** REAL image decode via the JDK's ImageIO: None when no registered
     * reader accepts the byte stream (not an image / unsupported format),
     * Some(width, height) — the genuine pixel grid — when one does. PNG,
@@ -107,8 +94,54 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Per-row decode dispatch: real ImageIO for decodable image bytes,
-    * documented stub otherwise (audio/video, undecodable payloads).
+  /** REAL audio header decode via the JDK's `javax.sound.sampled`: None
+    * when no installed provider accepts the stream (not audio / unknown
+    * container), Some(sampleRate, channels, frameCount) read from the
+    * HEADER only — `getAudioFileFormat` parses the RIFF/AIFF/AU header
+    * without decoding samples, the same bomb-safe discipline as
+    * [[decodeImage]]. WAV/AIFF/AU providers ship with every JDK, so the
+    * audio leg, like the image leg, needs no external codec.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Float, Int, Long)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val frames = aff.getFrameLength.toLong
+      if (frames < 0) None
+      else Some((aff.getFormat.getSampleRate, aff.getFormat.getChannels,
+        frames))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic 16-bit PCM WAV encoder — the audio-fixture twin of
+    * [[encodePng]]: tests and the `mm_wav_meta` gate encode known header
+    * values, ship real RIFF byte streams through the binary column, and
+    * assert [[decodeWav]] reports exactly those values.
+    */
+  def encodeWav(sampleRate: Int, channels: Int, frames: Int,
+      seed: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16,
+      channels, true, false)
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < data.length) {
+      data(i) = ((i * 131 + seed * 17) & 0xff).toByte; i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Per-row decode dispatch — the ONE source of truth for media metadata
+    * ([[extractMeta]] and [[sampleFrames]] both route through it): real
+    * ImageIO for decodable image bytes, real audio-header parse for
+    * decodable audio bytes, documented stub otherwise (video — no codec
+    * in this container — and undecodable payloads). Audio has no pixel
+    * grid, so in the fixed [[MediaMeta]] schema `width` carries the
+    * sample rate and `height` the channel count; `n_frames` is the PCM
+    * frame count.
     */
   def decodeMedia(r: MediaRow): MediaMeta =
     if (r.kind == "image")
@@ -116,6 +149,13 @@ object Multimodal {
         case Some((w, h)) =>
           MediaMeta(r.doc_id, r.kind, r.media.length.toLong, w.toLong,
             h.toLong, n_frames = 1L)
+        case None => decodeStub(r)
+      }
+    else if (r.kind == "audio")
+      decodeWav(r.media) match {
+        case Some((sr, ch, fr)) =>
+          MediaMeta(r.doc_id, r.kind, r.media.length.toLong,
+            width = sr.toLong, height = ch.toLong, n_frames = fr)
         case None => decodeStub(r)
       }
     else decodeStub(r)
@@ -136,8 +176,10 @@ object Multimodal {
   }
 
   /** Every-k-th frame sample from each media row: one output row per kept
-    * frame, frame count from the (stub) decode, signature a deterministic
-    * md5 standing in for the frame's perceptual hash. The explode is the
+    * frame, frame count from the SAME [[decodeMedia]] dispatch as
+    * [[extractMeta]] (one source of truth — a codec swap cannot desync
+    * the sampler from the metadata path), signature a deterministic md5
+    * standing in for the frame's perceptual hash. The explode is the
     * real plumbing: a video becomes rows, so downstream per-frame work
     * (embedding, OCR, dedup) distributes instead of hiding inside one
     * giant cell.
@@ -146,8 +188,7 @@ object Multimodal {
     // fail at the call site: everyK = 0 would otherwise surface as a
     // "sequence step must not be zero" task failure deep in execution
     require(everyK >= 1, s"everyK must be >= 1, got $everyK")
-    docsWithMedia
-      .withColumn("n_frames", frameCountCol(col("kind"), col("media")))
+    extractMeta(docsWithMedia.sparkSession, docsWithMedia).toDF()
       .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("kind"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(everyK.toLong)))

@@ -551,6 +551,26 @@ object ExtQueries {
       "tax_rank", "num_tips")
   }
 
+  /** Real audio-header decode through the multimodal partition batch:
+    * genuine 16-bit PCM WAV byte streams (encoded deterministically via
+    * the JDK's javax.sound.sampled) flow through [[Multimodal
+    * .extractMeta]], which parses the REAL RIFF header — the oracle
+    * states the known sample rates / channel counts / frame counts, so
+    * a decode that reports anything but the true header values fails.
+    * Video stays on the documented stub.
+    */
+  val mmWavMeta: Q = (s, _) => {
+    import s.implicits._
+    val rows = (0 until 8).map { i =>
+      Multimodal.MediaRow(i.toLong,
+        Multimodal.encodeWav(8000 * (i % 3 + 1), i % 2 + 1, 50 + i,
+          seed = i), "audio")
+    }
+    Multimodal.extractMeta(s, rows.toDF()).toDF()
+      .select(col("doc_id"), col("kind"), col("width").as("sample_rate"),
+        col("height").as("channels"), col("n_frames"))
+  }
+
   /** SET4: ancestor-array overlap per tip pair (the bitset-intersection
     * analog); oracle via DuckDB list_intersect.
     */
@@ -580,6 +600,7 @@ object ExtQueries {
     "s4_store_roundtrip" -> s4StoreRoundtrip,
     "api_serving" -> apiServing,
     "mm_png_meta" -> mmPngMeta,
+    "mm_wav_meta" -> mmWavMeta,
     "tree_multi" -> treeMulti,
     "ev_attribution" -> evAttribution,
     "s10_edge_dump" -> s10EdgeDump,
@@ -848,6 +869,12 @@ object ExtQueries {
         |  CAST(i % 4 + 1 AS BIGINT) AS width,
         |  CAST(i % 3 + 1 AS BIGINT) AS height,
         |  CAST(1 AS BIGINT) AS n_frames
+        |FROM unnest(range(0, 8)) u(i)""".stripMargin,
+    "mm_wav_meta" ->
+      """SELECT CAST(i AS BIGINT) AS doc_id, 'audio' AS kind,
+        |  CAST(8000 * (i % 3 + 1) AS BIGINT) AS sample_rate,
+        |  CAST(i % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(50 + i AS BIGINT) AS n_frames
         |FROM unnest(range(0, 8)) u(i)""".stripMargin,
     "set4_ancestor_overlap" ->
       """WITH n AS (SELECT ot_node_id, ancestors

@@ -50,6 +50,36 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
   }
 
+  test("real WAV bytes decode to genuine header values through extractMeta") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeWav(16000, 2, 120, seed = 1), "audio"),
+      Multimodal.MediaRow(2L, Multimodal.encodeWav(8000, 1, 333, seed = 2), "audio"),
+      Multimodal.MediaRow(3L, "not audio at all".getBytes("UTF-8"), "audio"),
+      Multimodal.MediaRow(4L, Multimodal.encodeWav(8000, 1, 50, seed = 3), "video"))
+    val got = Multimodal.extractMeta(spark, rows.toDF()).collect()
+      .map(m => m.doc_id -> m).toMap
+    // REAL header parse: sample rate in width, channels in height,
+    // PCM frame count in n_frames (documented MediaMeta mapping)
+    assert(got(1L).width == 16000L && got(1L).height == 2L &&
+      got(1L).n_frames == 120L)
+    assert(got(2L).width == 8000L && got(2L).height == 1L &&
+      got(2L).n_frames == 333L)
+    // undecodable audio bytes fall back to the deterministic stub
+    assert(got(3L) == Multimodal.decodeStub(rows(2)))
+    // video kind stays on the documented stub even for real WAV bytes
+    assert(got(4L) == Multimodal.decodeStub(rows(3)))
+    // truncated stream: fail-closed to None, no escaped provider error
+    val truncated = Multimodal.encodeWav(8000, 1, 100, seed = 9).take(10)
+    assert(Multimodal.decodeWav(truncated).isEmpty)
+    assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
+    // the sampler rides the SAME dispatch: a real 120-frame stereo WAV
+    // emits ceil(120/4)=30 rows, not the stub's byte-length formula
+    val frames = Multimodal.sampleFrames(rows.take(1).toDF(), everyK = 4)
+      .collect()
+    assert(frames.length == 30 && frames.forall(_.getLong(2) % 4 == 0))
+  }
+
   test("SQL registration: mrca codec callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
