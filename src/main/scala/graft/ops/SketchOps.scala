@@ -100,10 +100,12 @@ object SketchOps {
 
   /** Re-fold already-hashed KMV values (the merge path: explode stored
     * states, union a new batch's states, re-aggregate — history is never
-    * rescanned because the state IS a mergeable summary).
+    * rescanned because the state IS a mergeable summary). Null hashes
+    * (explode_outer of an empty state) are ignored, so empty-state
+    * groups survive a merge round-trip.
     */
   def kmvStateOfHashes(h: Column, k: Int = 64): Column =
-    udaf(new KmvStateAgg(k), Encoders.scalaLong)(h)
+    udaf(new KmvStateAgg(k), Encoders.scalaLong)(coalesce(h, lit(NullIn)))
 
   /** The KMV estimate read from a stored state column — bit-identical to
     * [[KmvAgg]]'s finish: exact count below k, else (k−1)·2^60 / k-th min.
@@ -194,11 +196,30 @@ object SketchOps {
     * foreachBatch (standard Structured Streaming practice for any
     * non-transactional sink).
     */
-  def appendCm(spark: SparkSession, path: String, batch: CmSketch): Unit = {
+  def appendCm(spark: SparkSession, path: String, batch: CmSketch,
+      batchId: Option[Long] = None): Unit = {
+    // idempotence hook: a restarted streaming query re-delivers its last
+    // micro-batch; when the caller passes the foreachBatch batchId and it
+    // matches the one already recorded in the manifest, the append is a
+    // no-op instead of double-counting every counter
+    if (batchId.isDefined && batchId == lastBatchId(spark, path, CmManifestFile))
+      return
     val merged = mergeCm(loadCm(spark, path), batch)
     saveCm(CmSketch(ClusterOps.flatten(merged.counters),
-      merged.depth, merged.width), path)
+      merged.depth, merged.width), path, batchId)
   }
+
+  /** The batchId recorded by the last manifested append at `path`, if any
+    * — the [[appendCm]]/[[appendKmv]] idempotence marker.
+    */
+  def lastBatchId(spark: SparkSession, path: String,
+      manifestFile: String): Option[Long] =
+    graft.StoreUtil.readMarker(spark, path, manifestFile)
+      .flatMap("\"last_batch\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1).toLong)
+
+  private def batchField(batchId: Option[Long]): String =
+    batchId.map(id => s""","last_batch":$id""").getOrElse("")
 
   /** Point-estimate counts for a probe set: est(x) = min over rows of
     * counter[row][h_row(x)]. CM never undercounts; the estimate is exact
@@ -235,6 +256,13 @@ object SketchOps {
     * manifest protocol exists to surface. This probe therefore refuses
     * the ambiguous state itself: manifest absent but counters present is
     * a BROKEN store (crash mid-save), not an absent one.
+    *
+    * SINGLE WRITER assumed across the whole probe/save/append protocol
+    * (like every manifested store here): two concurrent maintainers can
+    * interleave the delete-marker/overwrite/write-marker window and
+    * silently lose or double-count counters. Run one maintenance loop
+    * per store; a restarted-query overlap with its own zombie batch is
+    * what the [[appendCm]] batchId guard covers, not concurrency.
     */
   def cmStoreExists(spark: SparkSession, path: String): Boolean = {
     val healthy =
@@ -246,13 +274,14 @@ object SketchOps {
     healthy
   }
 
-  def saveCm(sk: CmSketch, path: String): Unit =
+  def saveCm(sk: CmSketch, path: String, batchId: Option[Long] = None): Unit =
     // crash protocol lives in StoreUtil.saveManifested: manifest deleted
     // first, rewritten last — partial counters silently served would
     // violate never-undercount
     graft.StoreUtil.saveManifested(sk.counters, path, "counters",
       CmManifestFile,
-      s"""{"version":1,"depth":${sk.depth},"width":${sk.width}}""")
+      s"""{"version":1,"depth":${sk.depth},"width":${sk.width}""" +
+        batchField(batchId) + "}")
 
   /** Open a persisted CM sketch; fails fast on a directory that is not a
     * sketch store. The counters broadcast at probe time exactly as a
@@ -275,9 +304,9 @@ object SketchOps {
   val KmvManifestFile = "_graft_kmvstore.json"
 
   def saveKmv(states: org.apache.spark.sql.DataFrame, k: Int,
-      path: String): Unit =
+      path: String, batchId: Option[Long] = None): Unit =
     graft.StoreUtil.saveManifested(states, path, "state", KmvManifestFile,
-      s"""{"version":1,"k":$k}""")
+      s"""{"version":1,"k":$k""" + batchField(batchId) + "}")
 
   /** Open a persisted KMV sketch table: (state table, k). */
   def loadKmv(spark: SparkSession,
@@ -286,6 +315,54 @@ object SketchOps {
       "KMV store")
     (spark.read.parquet(s"$path/state"),
       graft.StoreUtil.manifestInt(m, "k", s"KMV manifest at $path"))
+  }
+
+  /** Whether a healthy KMV store exists at `path` — same probe discipline
+    * (and the same SINGLE-WRITER assumption) as [[cmStoreExists]]: state
+    * files without a manifest mean a crashed save, which must refuse, not
+    * read as absent.
+    */
+  def kmvStoreExists(spark: SparkSession, path: String): Boolean = {
+    val healthy =
+      graft.StoreUtil.readMarker(spark, path, KmvManifestFile).isDefined
+    if (!healthy && graft.StoreUtil.pathExists(spark, path, "state"))
+      throw new IllegalStateException(
+        s"$path holds state but no $KmvManifestFile — a previous save " +
+          "crashed mid-write; restore a copy or re-sketch the corpus")
+    healthy
+  }
+
+  /** Fold a new batch's per-group KMV states into the persisted store at
+    * `path`, in place — the KMV leg of the build-once/append/serve
+    * lifecycle ([[appendCm]] is the CM leg): stored and batch states
+    * explode to their hashes and re-fold under the store's own k, so
+    * history is never rescanned (the state IS the mergeable summary) and
+    * the result is bit-identical to sketching old ∪ new in one pass.
+    * Every non-`state` column is part of the group key — mergeable
+    * payload columns don't exist in general, so callers maintain any
+    * side statistics themselves. Same materialize-then-overwrite crash
+    * protocol, single-writer assumption, and optional batchId
+    * idempotence guard as the CM leg.
+    */
+  def appendKmv(spark: SparkSession, path: String,
+      batchStates: org.apache.spark.sql.DataFrame,
+      batchId: Option[Long] = None): Unit = {
+    if (batchId.isDefined && batchId == lastBatchId(spark, path, KmvManifestFile))
+      return
+    val (stored, k) = loadKmv(spark, path)
+    require(batchStates.columns.sorted.toSeq == stored.columns.sorted.toSeq,
+      s"batch states (${batchStates.columns.mkString(",")}) do not match " +
+        s"the stored schema (${stored.columns.mkString(",")})")
+    val keys = stored.columns.filterNot(_ == "state").toSeq
+    val merged = stored.unionByName(batchStates)
+      // explode_outer + the null-ignoring re-fold keeps groups whose
+      // stored state is empty (all-null inputs) alive through the merge
+      .select(keys.map(col) :+ explode_outer(col("state")).as("h"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(kmvStateOfHashes(col("h"), k).as("state"))
+    // materialize off the source files before overwriting them (the
+    // merge plan lazily reads the very parquet the write replaces)
+    saveKmv(ClusterOps.flatten(merged), k, path, batchId)
   }
 
   /** Typed bounded reservoir: keep the `cap` (rank, value) pairs with the

@@ -145,6 +145,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch maintains the persisted KMV store across micro-batches") {
+    // the KMV leg of the store-maintenance lifecycle: each micro-batch's
+    // per-group states fold into the persisted store (appendKmv) — the
+    // stored state is the mergeable summary, history never rescanned —
+    // and the final artifact is BIT-IDENTICAL to sketching the whole
+    // corpus in one pass (KMV state is a deterministic function of the
+    // distinct-value set, however it is partitioned into batches)
+    val inDir = Files.createTempDirectory("graft_kmv_fb_in").toString
+    writeEventFile(inDir, "a.parquet",
+      batchEvents.filter(col("event_id") % 2 === 0))
+    writeEventFile(inDir, "b.parquet",
+      batchEvents.filter(col("event_id") % 2 =!= 0))
+    val store = Files.createTempDirectory("graft_kmv_fb_store").toString + "/kmv"
+    var batches = 0
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .select(col("event_type"), col("event_id"))
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        val states = df.groupBy(col("event_type"))
+          .agg(graft.ops.SketchOps.kmvState(col("event_id"), 16).as("state"))
+        // PROBE for the store (same discipline as the CM leg); thread the
+        // micro-batch id through for restart idempotence
+        if (graft.ops.SketchOps.kmvStoreExists(spark, store))
+          graft.ops.SketchOps.appendKmv(spark, store, states, Some(id))
+        else graft.ops.SketchOps.saveKmv(states, 16, store, Some(id))
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val (st, k) = graft.ops.SketchOps.loadKmv(spark, store)
+    assert(k == 16)
+    val got = st.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val want = batchEvents.groupBy(col("event_type"))
+      .agg(graft.ops.SketchOps.kmvState(col("event_id"), 16).as("state"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // zombie re-delivery of the LAST batch id is a no-op, not a
+    // double-fold (KMV folding is idempotent anyway; the guard is the
+    // protocol the CM leg — where double-counting is real — relies on)
+    val lastId = graft.ops.SketchOps.lastBatchId(spark, store,
+      graft.ops.SketchOps.KmvManifestFile)
+    assert(lastId.isDefined)
+    graft.ops.SketchOps.appendKmv(spark, store,
+      st.sparkSession.createDataFrame(st.rdd, st.schema), lastId)
+    val again = graft.ops.SketchOps.loadKmv(spark, store)._1.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(again == want)
+  }
+
+  test("appendCm skips an already-applied batchId instead of double-counting") {
+    val store = Files.createTempDirectory("graft_cm_idem").toString + "/cm"
+    val items = batchEvents.select(col("event_type").as("item"))
+    val sk = graft.ops.SketchOps.cmSketch(items, "item", 3, 16)
+    graft.ops.SketchOps.saveCm(sk, store)
+    graft.ops.SketchOps.appendCm(spark, store, sk, Some(7L))
+    val after = graft.ops.SketchOps.loadCm(spark, store).counters.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the re-delivered batch 7 must be a no-op...
+    graft.ops.SketchOps.appendCm(spark, store, sk, Some(7L))
+    val redelivered = graft.ops.SketchOps.loadCm(spark, store).counters
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(redelivered == after)
+    // ...while the NEXT batch id folds in normally (every counter grows
+    // by the batch's own counter value)
+    val one = sk.counters.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.ops.SketchOps.appendCm(spark, store, sk, Some(8L))
+    val next = graft.ops.SketchOps.loadCm(spark, store).counters.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(next == after.map { case (kk, v) => kk -> (v + one(kk)) })
+  }
+
   test("sessionization with multiple open sessions across micro-batches") {
     // user 1 holds TWO open sessions after batch 1 (00:00 and 00:20, gap
     // 10 min); batch 2 delivers 00:25, which must extend the NEWER session
