@@ -35,6 +35,14 @@ object Newick {
   /** Parse a single newick string into preorder nodes. Quoted labels
     * ('...', with '' escaping) and [comments] are handled; whitespace
     * outside labels is ignored.
+    *
+    * Malformed input FAILS FAST with a positioned diagnostic
+    * (IllegalArgumentException) instead of returning a silently-partial
+    * tree or escaping a raw NumberFormat/NoSuchElement error: unbalanced
+    * parentheses either way, a separator outside any parenthesis (a
+    * stray semicolon truncating the tree shows up as unclosed '('s), a
+    * truncated stream (no terminating ';'), an unparseable branch
+    * length, and non-whitespace trailing content after the terminator.
     */
   def parse(newick: String): IndexedSeq[ParsedNode] = {
     val s = newick
@@ -107,10 +115,14 @@ object Newick {
           i += 1
           current = -1L
         case ',' =>
+          require(stackIds.nonEmpty,
+            s"malformed newick: ',' outside any '(' at position $i")
           if (current < 0) openNode() // empty child slot, e.g. "(,b);"
           i += 1
           current = -1L
         case ')' =>
+          require(stackIds.nonEmpty,
+            s"malformed newick: unbalanced ')' at position $i")
           if (current < 0) openNode() // trailing empty child slot, "(a,);"
           current = stackIds.head
           stackIds = stackIds.tail
@@ -125,13 +137,25 @@ object Newick {
           while (i < n && s(i).isWhitespace) i += 1
           val start = i
           while (i < n && !"(),;:[".contains(s(i)) && !s(i).isWhitespace) i += 1
-          setBL(current, s.substring(start, i).toDouble)
-        case ';' => done = true
+          val tok = s.substring(start, i)
+          setBL(current,
+            try tok.toDouble
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"malformed newick: invalid branch length '$tok' at position $start")
+            })
+        case ';' => done = true; i += 1
         case _ =>
           if (current < 0) current = openNode() // leaf
           setLabel(current, readLabel())
       }
     }
+    require(done,
+      s"malformed newick: truncated stream — no terminating ';' in $n chars")
+    require(stackIds.isEmpty,
+      s"malformed newick: ${stackIds.length} unclosed '(' at the terminator")
+    require(s.substring(i).forall(_.isWhitespace),
+      s"malformed newick: trailing content after ';' at position $i")
     out.toIndexedSeq
   }
 

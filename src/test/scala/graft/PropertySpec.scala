@@ -168,6 +168,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("malformed newick fails fast with positioned diagnostics") {
+    val bad = Seq(
+      "(a,(b,c);",   // stray ';' truncates the tree → unclosed '('
+      "(a,b))c;",    // unbalanced ')'
+      "a,b;",        // ',' outside any '('
+      "(a,b)",       // truncated stream: no terminating ';'
+      "(a,b",        // truncated mid-tree
+      "(a:oops,b);", // unparseable branch length
+      "(a:,b);",     // empty branch length token
+      "(a,b);junk",  // trailing content after the terminator
+      "")            // empty input
+    bad.foreach { s =>
+      val e = intercept[IllegalArgumentException](Newick.parse(s))
+      assert(e.getMessage.contains("malformed newick"), s"input: '$s'")
+    }
+    // trailing whitespace/newline after ';' stays legal (file reads)
+    assert(Newick.parse("(a,b);\n").length == 3)
+  }
+
+  test("random structural mutations of valid newick are rejected, never mis-parsed") {
+    (71L to 78L).foreach { seed =>
+      val rnd = new Random(seed)
+      val parents = randomTree(seed)
+      val n = parents.length + 1
+      val children = (0 until n).map { p =>
+        p.toLong -> parents.zipWithIndex.collect {
+          case (pp, i) if pp == p => i + 1L }.toSeq
+      }.toMap
+      val ser = Newick.serialize(0L, children.getOrElse(_, Seq.empty),
+        id => s"n$id")
+      // dropping any single paren unbalances the tree
+      val parens = ser.zipWithIndex.filter(c => "()".contains(c._1)).map(_._2)
+      val drop = parens(rnd.nextInt(parens.length))
+      intercept[IllegalArgumentException](
+        Newick.parse(ser.patch(drop, "", 1)))
+      // every proper prefix lacks the terminator
+      val cut = 1 + rnd.nextInt(ser.length - 1)
+      intercept[IllegalArgumentException](Newick.parse(ser.take(cut)))
+      // a stray ';' inserted anywhere before the end truncates or trails
+      val at = rnd.nextInt(ser.length - 1)
+      intercept[IllegalArgumentException](
+        Newick.parse(ser.patch(at, ";", 0)))
+    }
+  }
+
+  test("hostile labels round-trip through the scrub rule") {
+    val hostile = Seq("sp. one", "a:b;c", "x[y]z", "w(1)", "a,b c",
+      "\"quoted\"", "back\\slash", "per%cent_&_more", "tab\there")
+    val lbl: Long => String =
+      id => if (id == 0L) "r" else Newick.scrub(hostile(id.toInt - 1))
+    val children = Map(0L -> (1 to hostile.length).map(_.toLong))
+    val ser = Newick.serialize(0L, children.getOrElse(_, Seq.empty), lbl)
+    val parsed = Newick.parse(ser)
+    assert(parsed.length == hostile.length + 1)
+    // scrubbed labels survive byte-for-byte: no structural char leaks
+    // into the stream, so the parse sees exactly the serialized labels
+    val got = parsed.filter(_.parentId == 0L).sortBy(_.childOrd)
+      .map(_.label)
+    assert(got == hostile.map(Newick.scrub))
+    assert(got.forall(l => !l.exists("(),;:[]'\" \t".contains(_))))
+  }
+
   test("newick branch lengths serialize with the zero→epsilon rule") {
     val s = Newick.serialize(0L,
       Map(0L -> Seq(1L, 2L)).withDefaultValue(Seq.empty),
