@@ -68,4 +68,77 @@ object SampleOps {
         coalesce(col("__thresh"), lit(threshold(defaultRate))))
       .drop("__thresh")
   }
+
+  /** The numeric form of [[bucketCol]]: the first 4 hex digits of
+    * md5(salt:key) parsed as a long in [0, 65536). Same bits, numeric
+    * comparisons — for thresholds computed IN-PLAN (data-dependent rates)
+    * where a driver-side [[threshold]] string can't be prebuilt.
+    */
+  def bucketNumCol(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), key.cast("string"))),
+      1, 4), 16, 10).cast("long")
+
+  /** Per-stratum sampling thresholds for temperature-flattened source
+    * mixing (the multilingual/training-mix recipe of Lample & Conneau
+    * 2019 §3.1 and the Pile/LLaMA data recipes): sample stratum i with
+    * probability p_i ∝ share_i^α / share_i, i.e. small sources are
+    * up-weighted toward a flat mix as α→0.
+    *
+    * α is FIXED at 1/2 and every step is integer arithmetic — weights
+    * w_i = floor(sqrt(n_i)), thresholds
+    * k_i = min(65536, (65536·num·N·w_i) DIV (den·W·n_i)) where
+    * W = Σw_j and num/den is the target overall sampling fraction —
+    * because the whole point of deterministic sampling is auditability:
+    * a pow(x, 0.37) threshold differs in the last ulp across libm
+    * implementations and flips rows at the boundary; floor(sqrt(n)) of a
+    * count and integer DIV are bit-identical on every engine. Expected
+    * kept total ≈ (num/den)·N, allocated ∝ sqrt(n_i).
+    *
+    * Returns (stratumCol, n_total, k_threshold) — #strata rows, the
+    * broadcastable "recipe" table. The BIGINT product 65536·num·N·w_i
+    * overflows past N·w ≈ 1.4e14·den⁻¹ (N ≈ 10¹¹ docs at 100 TB with
+    * w ≈ 3·10⁵ crosses it): promote the product chain to decimal(38,0)
+    * on both engines at that scale — the formula is unchanged.
+    */
+  def temperatureThresholds(df: DataFrame, stratumCol: String,
+      targetNum: Long, targetDen: Long): DataFrame = {
+    require(targetNum > 0 && targetDen > 0 && targetNum <= targetDen,
+      s"target fraction $targetNum/$targetDen outside (0,1]")
+    // corpus totals via an unpartitioned window, not a crossJoin with an
+    // agg-of-self (whose deduplicated attribute ids break by-name
+    // resolution): the window runs on the STATS frame — #strata rows in
+    // one partition, not a data-volume concern
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("__w", floor(sqrt(col("n_total"))).cast("long"))
+      .withColumn("__num",
+        lit(65536L * targetNum) * sum(col("n_total")).over(wAll) * col("__w"))
+      .withColumn("__den",
+        lit(targetDen) * sum(col("__w")).over(wAll) * col("n_total"))
+      // DIV, not /: Column./ promotes to double, and a correctly-rounded
+      // double quotient within half an ulp of an integer would flip the
+      // floor — integer division is the reproducibility contract here
+      .withColumn("k_threshold", least(lit(65536L), expr("__num DIV __den")))
+      .select(col(stratumCol), col("n_total"), col("k_threshold"))
+  }
+
+  /** Temperature-flattened deterministic sample: keep a row iff its
+    * numeric bucket falls under its stratum's [[temperatureThresholds]]
+    * threshold. The threshold table is #strata rows — a broadcast join
+    * against the corpus scan; the bucket predicate is row-local codegen.
+    * Rows with a null key are excluded (no well-defined bucket), matching
+    * [[hashSample]].
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
+      targetNum: Long, targetDen: Long, salt: String): DataFrame = {
+    require(!df.columns.contains("k_threshold") &&
+      !df.columns.contains("n_total"),
+      "input already has a k_threshold/n_total column (reserved)")
+    val th = temperatureThresholds(df, stratumCol, targetNum, targetDen)
+    df.join(broadcast(th), Seq(stratumCol))
+      .filter(bucketNumCol(col(keyCol), salt) < col("k_threshold"))
+      .drop("n_total", "k_threshold")
+  }
 }

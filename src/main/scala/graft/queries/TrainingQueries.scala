@@ -347,6 +347,23 @@ object TrainingQueries {
       .na.fill(0L, Seq("n_sampled"))
   }
 
+  /** Temperature-flattened (α = 1/2) source mixing: per-source totals,
+    * the integer threshold the recipe derives, and the kept count under
+    * it — the audit view of a mix rebalanced toward small sources
+    * ([[SampleOps.temperatureThresholds]] for the exact-arithmetic
+    * contract). Target overall fraction 1/5.
+    */
+  val smpTemperature: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sampled = SampleOps.temperatureSample(docs, "doc_id", "source",
+      1L, 5L, "temp1")
+    SampleOps.temperatureThresholds(docs, "source", 1L, 5L)
+      .join(sampled.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+  }
+
   /** PII scrub + normalization over text enriched with deterministic
     * synthetic PII (the fixture corpus carries none): per-doc replacement
     * counts and the md5 of the scrubbed normalized text.
@@ -452,6 +469,7 @@ object TrainingQueries {
     "txt_langid" -> txtLangid,
     "smp_hash" -> smpHash,
     "smp_stratified" -> smpStratified,
+    "smp_temperature" -> smpTemperature,
     "txt_scrub" -> txtScrub,
     "pack_seqs" -> packSeqs,
     "pack_stats" -> packStatsQ,
@@ -894,6 +912,30 @@ object TrainingQueries {
          |SELECT source, count(*) AS n_total,
          |  count(*) FILTER (WHERE b < th) AS n_sampled
          |FROM f GROUP BY source""".stripMargin,
+    // exact-integer replica of SampleOps.temperatureThresholds: the
+    // α = 1/2 weights are floor(sqrt(count)) and the threshold an
+    // integer DIV, so both engines derive the SAME k from the data
+    "smp_temperature" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+        |  FROM documents GROUP BY 1),
+        |wt AS (SELECT source, n_total,
+        |    CAST(floor(sqrt(n_total)) AS BIGINT) AS wgt FROM s),
+        |t AS (SELECT CAST(sum(n_total) AS BIGINT) AS n_corpus,
+        |    CAST(sum(wgt) AS BIGINT) AS w_corpus FROM wt),
+        |th AS (SELECT source, n_total,
+        |    CAST(least(65536,
+        |        (65536 * n_corpus * wgt) // (5 * w_corpus * n_total))
+        |      AS BIGINT) AS k_threshold
+        |  FROM wt, t),
+        |b AS (SELECT source,
+        |    CAST(concat('0x', substr(md5('temp1:' || doc_id::VARCHAR), 1, 4))
+        |      AS BIGINT) AS bk
+        |  FROM documents)
+        |SELECT th.source, th.n_total, th.k_threshold,
+        |  CAST(count(*) FILTER (WHERE b.bk < th.k_threshold) AS BIGINT)
+        |    AS n_sampled
+        |FROM th JOIN b ON th.source = b.source
+        |GROUP BY 1, 2, 3""".stripMargin,
     "txt_scrub" ->
       s"""WITH e AS (SELECT doc_id,
          |    text || ' contact user' || doc_id::VARCHAR || '@example.com or ' ||

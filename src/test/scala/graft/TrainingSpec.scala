@@ -387,6 +387,41 @@ class TrainingSpec extends AnyFunSuite {
     assert(math.abs(keptFrac - 0.5) < 0.15, s"default-rate fraction $keptFrac")
   }
 
+  test("temperature mixing flattens toward small sources, integer-exact") {
+    import spark.implicits._
+    // skewed corpus: one giant source, one small
+    val df = ((1L to 900L).map(i => (i, "big")) ++
+        (901L to 1000L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val th = SampleOps.temperatureThresholds(df, "source", 1L, 2L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact replica of the integer contract
+    val (nb, ns) = (900L, 100L)
+    val (wb, ws) = (math.floor(math.sqrt(nb.toDouble)).toLong,
+      math.floor(math.sqrt(ns.toDouble)).toLong)
+    val (nTot, wTot) = (nb + ns, wb + ws)
+    def k(w: Long, n: Long) =
+      math.min(65536L, (65536L * 1L * nTot * w) / (2L * wTot * n))
+    assert(th("big") == ((nb, k(wb, nb))), th)
+    assert(th("small") == ((ns, k(ws, ns))), th)
+    // flattening: the small source is kept at a HIGHER rate than the big
+    assert(k(ws, ns).toDouble / 65536 > k(wb, nb).toDouble / 65536)
+    // α=1/2 allocation: expected kept counts are ∝ sqrt(n) — the small
+    // source's kept/expected ratio lands near the big one's
+    val kept = SampleOps.temperatureSample(df, "doc_id", "source", 1L, 2L, "t")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("big") > 0 && kept("small") > 0)
+    // deterministic: rerun is identical
+    val again = SampleOps.temperatureSample(df, "doc_id", "source", 1L, 2L, "t")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == again)
+    // target fraction: overall kept ≈ 1/2 of N (binomial noise at n=1000)
+    val frac = kept.values.sum.toDouble / 1000.0
+    assert(math.abs(frac - 0.5) < 0.1, s"overall kept fraction $frac")
+  }
+
   test("PII scrub replaces emails/urls/digit-runs; normalize collapses whitespace") {
     import spark.implicits._
     val df = Seq(
