@@ -64,11 +64,8 @@ object EvBench {
       .foreach(f => f.setLastModified(dataMaxM + 60000L))
 
     val t0 = System.nanoTime()
-    val stream = spark.readStream
-      .schema(graft.streaming.EventStreams.eventSchema)
-      .option("maxFilesPerTrigger", "4")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.streaming.EventStreams.readEvents(spark, dir,
+      Map("maxFilesPerTrigger" -> "4"))
     val q = graft.streaming.EventStreams.sessionize(stream)
       .writeStream.format("memory").queryName("evb_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

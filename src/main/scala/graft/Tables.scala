@@ -18,19 +18,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 cannot
-    * read natively; sessions set spark.sql.legacy.parquet.nanosAsLong, and
-    * this reader converts nanos → microsecond timestamp (integer division —
-    * a double division would lose precision above 2^53 ns).
+  /** The events table's `ts` column has shipped in three encodings:
+    * legacy TIMESTAMP(NANOS) (read as int64 under
+    * spark.sql.legacy.parquet.nanosAsLong), standard TIMESTAMP(micros)
+    * without UTC adjustment (Spark 4 reads it as TIMESTAMP_NTZ), and
+    * UTC-adjusted TIMESTAMP(micros) (plain TimestampType). All event
+    * operators downstream (watermarks, unix_micros, range joins) require
+    * TimestampType, so normalize here — the ONE ingestion seam — rather
+    * than in each operator.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // ns → µs by integer division (a double division would lose
+        // precision above 2^53 ns)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session TZ is UTC, so the cast re-tags the same instant
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
-  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(t(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -19,8 +19,9 @@ final case class SessionBuf(start: Long, end: Long, n: Long, sum: Double)
   */
 object EventStreams {
 
-  /** events schema as written by the driver (ts arrives as ns-long when
-    * read with nanosAsLong; the streaming reader uses an explicit schema).
+  /** events schema with `ts` as legacy ns-long (TIMESTAMP(NANOS) parquet
+    * read under nanosAsLong). Kept for fixtures that exercise the legacy
+    * encoding; [[readEvents]] no longer assumes it.
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -36,10 +37,25 @@ object EventStreams {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
-  /** File-source stream of events from a directory of parquet files. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** File-source stream of events from a directory of parquet files.
+    *
+    * A file stream needs an explicit schema, but the events table has
+    * shipped `ts` under three physical encodings (int64-nanos,
+    * TIMESTAMP(micros) NTZ, UTC-adjusted micros). Hardwiring one of them
+    * silently corrupts the others — a ns-long divide applied to micros
+    * lands every event in 1970 — so probe the directory's ACTUAL type
+    * with a one-shot batch read of the already-present files, stream with
+    * that schema, and normalize to TimestampType via the same seam the
+    * batch reader uses ([[graft.Tables.normalizeEventTs]]). Files arriving
+    * later must match the probed encoding — the standard file-source
+    * contract (one fixed schema per stream).
+    */
+  def readEvents(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val probed = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(probed).options(options).parquet(dir))
+  }
 
   /** Tumbling-window counts/sums with a watermark for late data. */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",

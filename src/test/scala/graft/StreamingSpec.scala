@@ -28,7 +28,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   /** (event_id, "yyyy-MM-dd HH:mm:ss", value) rows → the events schema
-    * (ns-long ts, fixed user/type unless overridden).
+    * (legacy ns-long ts, fixed user/type unless overridden).
     */
   private def eventsOf(rows: Seq[(Long, String, Double)],
       userId: Long = 1L,
@@ -40,6 +40,21 @@ class StreamingSpec extends AnyFunSuite {
         lit(userId).as("user_id"), lit(eventType).as("event_type"),
         col("value"), lit("{}").as("props"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Same rows in the driver's CURRENT encoding — TIMESTAMP(micros)
+    * without UTC adjustment (TIMESTAMP_NTZ) — for fixtures that must
+    * coexist with a copied driver file in one stream directory.
+    */
+  private def eventsOfNtz(rows: Seq[(Long, String, Double)],
+      userId: Long = 1L,
+      eventType: String = "x"): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "t", "value")
+      .select(col("event_id"),
+        to_timestamp(col("t")).cast("timestamp_ntz").as("ts"),
+        lit(userId).as("user_id"), lit(eventType).as("event_type"),
+        col("value"), lit("{}").as("props"))
   }
 
   test("streaming windowed agg (complete mode) equals batch windowed agg") {
@@ -236,10 +251,9 @@ class StreamingSpec extends AnyFunSuite {
     writeEventFile(dir, "part-003.parquet",
       eventsOf(Seq((98L, "2030-06-01 00:00:00", 0.0))))
 
-    val stream = spark.readStream.schema(EventStreams.eventSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/part-*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // all-legacy directory: readEvents' probe must take the ns-long arm
+    val stream = EventStreams.readEvents(spark, s"$dir/part-*.parquet",
+      Map("maxFilesPerTrigger" -> "1"))
     val q = EventStreams.sessionize(stream)
       .writeStream.format("memory").queryName("multisess_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -261,10 +275,8 @@ class StreamingSpec extends AnyFunSuite {
     writeEventFile(dir, "part-001.parquet", eventsOf(Seq(
       (2L, "2020-01-01 00:05:00", 2.0), (3L, "2020-01-01 00:10:00", 3.0))))
 
-    val stream = spark.readStream.schema(EventStreams.eventSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/part-*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStreams.readEvents(spark, s"$dir/part-*.parquet",
+      Map("maxFilesPerTrigger" -> "1"))
     val q = EventStreams.dedupEvents(stream)
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -327,17 +339,17 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(
       Paths.get(s"$sf/events.parquet"),
       Paths.get(s"$dir/part-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // sentinels share the directory with the copied driver file, so they
+    // must match ITS encoding (NTZ-micros) — a file stream has one schema
     writeEventFile(dir, "part-001.parquet",
-      eventsOf(Seq((-1L, "2030-01-01 00:00:00", 0.0)),
+      eventsOfNtz(Seq((-1L, "2030-01-01 00:00:00", 0.0)),
         userId = -1L, eventType = "sentinel"))
     writeEventFile(dir, "part-002.parquet",
-      eventsOf(Seq((-2L, "2030-06-01 00:00:00", 0.0)),
+      eventsOfNtz(Seq((-2L, "2030-06-01 00:00:00", 0.0)),
         userId = -1L, eventType = "sentinel"))
 
-    val stream = spark.readStream.schema(EventStreams.eventSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/part-*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStreams.readEvents(spark, s"$dir/part-*.parquet",
+      Map("maxFilesPerTrigger" -> "1"))
     val q = EventStreams.sessionize(stream)
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
