@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real — binary column, typed row batches through
   * `mapPartitions`, deterministic output schema. IMAGE decode is REAL:
-  * `image`-kind rows whose bytes are a decodable image stream go through
-  * the JDK's `javax.imageio.ImageIO` and report genuine pixel dimensions
-  * ([[decodeImage]]); rows whose bytes no registered reader accepts — and
-  * audio/video, for which this container ships no codec — fall back to
-  * the deterministic arithmetic stub (`decodeStub`) so results stay
-  * oracle-checkable. Swapping in an ffmpeg-style codec changes only the
-  * per-kind dispatch in [[decode]].
+  * all three kinds decode REAL byte streams header-only: images via the
+  * JDK's `javax.imageio.ImageIO` ([[decodeImage]]), audio via
+  * `javax.sound.sampled`'s RIFF/AIFF parse ([[decodeWav]]), video via a
+  * hand-rolled RIFF/AVI chunk walk ([[decodeAvi]] — the container header
+  * needs no codec). Rows whose bytes no decoder accepts fall back to the
+  * deterministic arithmetic stub (`decodeStub`) so results stay
+  * oracle-checkable. Swapping in an ffmpeg-style frame decoder changes
+  * only the per-kind dispatch in [[decodeMedia]].
   */
 object Multimodal {
 
@@ -134,14 +135,114 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL video container decode: a header-only RIFF/AVI parse (the video
+    * twin of [[decodeWav]]'s RIFF discipline). Walks the chunk tree —
+    * `RIFF('AVI ')` → `LIST('hdrl')` → `avih` — and reads dwWidth,
+    * dwHeight and dwTotalFrames straight from the 56-byte MainAVIHeader,
+    * never touching frame data: a kilobyte header claiming a terabyte
+    * `movi` payload costs nothing, the same bomb-safety as the image and
+    * audio legs. Every offset is bounds-checked; any malformation (or a
+    * non-AVI payload) returns None and the caller falls back to the stub.
+    * The AVI container layout is public Microsoft documentation
+    * (AVIMAINHEADER / RIFF spec); no codec is needed because frame
+    * contents are never decoded.
+    */
+  def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (bytes.length < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        None
+      else {
+        // scan the RIFF body for LIST('hdrl'), then its body for 'avih'
+        def findAvih(off: Int, end: Int, depth: Int): Option[Int] = {
+          var p = off
+          while (p + 8 <= end) {
+            val id = fourcc(p)
+            val sz = bb.getInt(p + 4).toLong & 0xffffffffL
+            val dataStart = p + 8
+            if (dataStart + sz > end) return None // truncated chunk
+            if (id == "avih" && sz >= 56) return Some(dataStart)
+            if (id == "LIST" && sz >= 4 && depth < 4 &&
+                fourcc(dataStart) == "hdrl") {
+              val hit = findAvih(dataStart + 4, dataStart + sz.toInt, depth + 1)
+              if (hit.isDefined) return hit
+            }
+            p = dataStart + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          }
+          None
+        }
+        val riffEnd = math.min(bytes.length.toLong,
+          12L + (bb.getInt(4).toLong & 0xffffffffL) - 4L).toInt
+        findAvih(12, riffEnd, 0).map { a =>
+          // MainAVIHeader: +16 dwTotalFrames, +32 dwWidth, +36 dwHeight
+          (bb.getInt(a + 32), bb.getInt(a + 36),
+            bb.getInt(a + 16).toLong & 0xffffffffL)
+        }.filter { case (w, h, _) => w > 0 && h > 0 }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic minimal-AVI encoder — the video-fixture twin of
+    * [[encodePng]]/[[encodeWav]]: writes a spec-shaped RIFF tree
+    * (`avih` main header, one `vids` stream, empty `movi` list) with the
+    * requested dimensions and frame count, so tests and the
+    * `mm_video_meta` gate ship REAL container bytes through the binary
+    * column and assert [[decodeAvi]] reads back exactly what was declared.
+    */
+  def encodeAvi(width: Int, height: Int, frames: Int,
+      usPerFrame: Int = 33333): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(body.length)
+      bb.put(body) // odd-length bodies get a zero pad byte (word alignment)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII) ++ body)
+    def u32s(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    // MainAVIHeader (56 bytes): usPerFrame, maxBytesPerSec, padding,
+    // flags, totalFrames, initialFrames, streams, suggestedBufSize,
+    // width, height, reserved[4]
+    val avih = chunk("avih", u32s(usPerFrame, 0, 0, 0, frames, 0, 1, 0,
+      width, height, 0, 0, 0, 0))
+    // AVIStreamHeader: fccType 'vids', handler 'MJPG', then rate/scale
+    // and length = frame count (the per-stream echo of dwTotalFrames)
+    val strh = chunk("strh",
+      "vidsMJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        u32s(0, 0, 0, 1, 1000000 / math.max(usPerFrame, 1), 0, frames, 0,
+          -1, 0, 0, 0))
+    // BITMAPINFOHEADER for the stream format chunk
+    val strf = chunk("strf", u32s(40, width, height, (24 << 16) | 1,
+      0x47504A4D /* 'MJPG' */, width * height * 3, 0, 0, 0, 0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", Array.emptyByteArray)
+    val body = "AVI ".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(body.length)
+    bb.put(body)
+    bb.array()
+  }
+
   /** Per-row decode dispatch — the ONE source of truth for media metadata
     * ([[extractMeta]] and [[sampleFrames]] both route through it): real
     * ImageIO for decodable image bytes, real audio-header parse for
-    * decodable audio bytes, documented stub otherwise (video — no codec
-    * in this container — and undecodable payloads). Audio has no pixel
+    * decodable audio bytes, real AVI-header parse for decodable video
+    * bytes, documented stub for undecodable payloads. Audio has no pixel
     * grid, so in the fixed [[MediaMeta]] schema `width` carries the
     * sample rate and `height` the channel count; `n_frames` is the PCM
-    * frame count.
+    * frame count (video: the container's declared frame count).
     */
   def decodeMedia(r: MediaRow): MediaMeta =
     if (r.kind == "image")
@@ -156,6 +257,13 @@ object Multimodal {
         case Some((sr, ch, fr)) =>
           MediaMeta(r.doc_id, r.kind, r.media.length.toLong,
             width = sr.toLong, height = ch.toLong, n_frames = fr)
+        case None => decodeStub(r)
+      }
+    else if (r.kind == "video")
+      decodeAvi(r.media) match {
+        case Some((w, h, fr)) =>
+          MediaMeta(r.doc_id, r.kind, r.media.length.toLong, w.toLong,
+            h.toLong, n_frames = fr)
         case None => decodeStub(r)
       }
     else decodeStub(r)

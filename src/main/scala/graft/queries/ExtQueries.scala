@@ -505,7 +505,7 @@ object ExtQueries {
     * flow through [[Multimodal.extractMeta]], which decodes REAL
     * width/height with the same ImageIO — the oracle states the known
     * dimensions, so a decode that returns anything but the true pixel
-    * grid fails. Audio/video stay on the documented stub.
+    * grid fails.
     */
   val mmPngMeta: Q = (s, _) => {
     import s.implicits._
@@ -557,7 +557,6 @@ object ExtQueries {
     * .extractMeta]], which parses the REAL RIFF header — the oracle
     * states the known sample rates / channel counts / frame counts, so
     * a decode that reports anything but the true header values fails.
-    * Video stays on the documented stub.
     */
   val mmWavMeta: Q = (s, _) => {
     import s.implicits._
@@ -569,6 +568,25 @@ object ExtQueries {
     Multimodal.extractMeta(s, rows.toDF()).toDF()
       .select(col("doc_id"), col("kind"), col("width").as("sample_rate"),
         col("height").as("channels"), col("n_frames"))
+  }
+
+  /** Real-video-decode gate: known-dimension AVI containers are encoded
+    * ([[Multimodal.encodeAvi]]) and flow through [[Multimodal
+    * .extractMeta]], which walks the REAL RIFF chunk tree to the
+    * MainAVIHeader — the oracle states the known width/height/frame
+    * counts, so a parse that reports anything but the true header values
+    * fails. With this, all three media kinds decode real byte streams.
+    */
+  val mmVideoMeta: Q = (s, _) => {
+    import s.implicits._
+    val rows = (0 until 8).map { i =>
+      Multimodal.MediaRow(i.toLong,
+        Multimodal.encodeAvi(160 * (i % 4 + 1), 90 * (i % 4 + 1), 24 + i,
+          usPerFrame = 33333 + i), "video")
+    }
+    Multimodal.extractMeta(s, rows.toDF()).toDF()
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"))
   }
 
   /** SET4: ancestor-array overlap per tip pair (the bitset-intersection
@@ -601,6 +619,7 @@ object ExtQueries {
     "api_serving" -> apiServing,
     "mm_png_meta" -> mmPngMeta,
     "mm_wav_meta" -> mmWavMeta,
+    "mm_video_meta" -> mmVideoMeta,
     "tree_multi" -> treeMulti,
     "ev_attribution" -> evAttribution,
     "s10_edge_dump" -> s10EdgeDump,
@@ -875,6 +894,12 @@ object ExtQueries {
         |  CAST(8000 * (i % 3 + 1) AS BIGINT) AS sample_rate,
         |  CAST(i % 2 + 1 AS BIGINT) AS channels,
         |  CAST(50 + i AS BIGINT) AS n_frames
+        |FROM unnest(range(0, 8)) u(i)""".stripMargin,
+    "mm_video_meta" ->
+      """SELECT CAST(i AS BIGINT) AS doc_id, 'video' AS kind,
+        |  CAST(160 * (i % 4 + 1) AS BIGINT) AS width,
+        |  CAST(90 * (i % 4 + 1) AS BIGINT) AS height,
+        |  CAST(24 + i AS BIGINT) AS n_frames
         |FROM unnest(range(0, 8)) u(i)""".stripMargin,
     "set4_ancestor_overlap" ->
       """WITH n AS (SELECT ot_node_id, ancestors

@@ -40,7 +40,7 @@ class ExtSpec extends AnyFunSuite {
     assert(got(2L).width == 7L && got(2L).height == 5L)
     // undecodable image bytes fall back to the deterministic stub
     assert(got(3L) == Multimodal.decodeStub(rows(2)))
-    // non-image kinds stay on the documented stub even for real PNG bytes
+    // PNG bytes under a video kind are not a RIFF/AVI container → stub
     assert(got(4L) == Multimodal.decodeStub(rows(3)))
     // a TRUNCATED image stream (header recognized, body gone) must yield
     // None, not an escaped plugin exception — and the header-only read
@@ -67,7 +67,8 @@ class ExtSpec extends AnyFunSuite {
       got(2L).n_frames == 333L)
     // undecodable audio bytes fall back to the deterministic stub
     assert(got(3L) == Multimodal.decodeStub(rows(2)))
-    // video kind stays on the documented stub even for real WAV bytes
+    // WAV bytes under a video kind ARE RIFF but form 'WAVE', not
+    // 'AVI ' — decodeAvi must refuse its sibling container → stub
     assert(got(4L) == Multimodal.decodeStub(rows(3)))
     // truncated stream: fail-closed to None, no escaped provider error
     val truncated = Multimodal.encodeWav(8000, 1, 100, seed = 9).take(10)
@@ -78,6 +79,49 @@ class ExtSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(rows.take(1).toDF(), everyK = 4)
       .collect()
     assert(frames.length == 30 && frames.forall(_.getLong(2) % 4 == 0))
+  }
+
+  test("real AVI bytes decode to genuine header values through extractMeta") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeAvi(640, 360, 240), "video"),
+      Multimodal.MediaRow(2L, Multimodal.encodeAvi(1920, 1080, 1), "video"),
+      Multimodal.MediaRow(3L, "definitely not a video".getBytes("UTF-8"), "video"),
+      Multimodal.MediaRow(4L, Multimodal.encodeAvi(320, 240, 9), "image"))
+    val got = Multimodal.extractMeta(spark, rows.toDF()).collect()
+      .map(m => m.doc_id -> m).toMap
+    // REAL header parse: dwWidth/dwHeight/dwTotalFrames from the avih
+    // chunk, not arithmetic over byte length
+    assert(got(1L).width == 640L && got(1L).height == 360L &&
+      got(1L).n_frames == 240L)
+    assert(got(2L).width == 1920L && got(2L).height == 1080L &&
+      got(2L).n_frames == 1L)
+    // undecodable video bytes fall back to the deterministic stub
+    assert(got(3L) == Multimodal.decodeStub(rows(2)))
+    // AVI bytes under an image kind: ImageIO has no AVI reader → stub
+    assert(got(4L) == Multimodal.decodeStub(rows(3)))
+    // truncation anywhere inside the header tree fails closed to None —
+    // walk every prefix so no cut LIST/avih offset escapes as an
+    // exception or a bogus parse...
+    val full = Multimodal.encodeAvi(640, 360, 240)
+    val headerEnd = full.length - 12 // the trailing empty movi LIST
+    for (n <- 0 until headerEnd)
+      assert(Multimodal.decodeAvi(full.take(n)).isEmpty, s"prefix $n")
+    // ...while a complete header WITHOUT the frame payload parses — the
+    // header-only property stated positively
+    assert(Multimodal.decodeAvi(full.take(headerEnd))
+      .contains((640, 360, 240L)))
+    // a WAV is RIFF too — the sibling container must be refused
+    assert(Multimodal.decodeAvi(
+      Multimodal.encodeWav(8000, 1, 10, seed = 1)).isEmpty)
+    // declared-zero dimensions are malformed, not a 0×0 video
+    assert(Multimodal.decodeAvi(Multimodal.encodeAvi(0, 0, 5)).isEmpty)
+    // the sampler rides the SAME dispatch: 240 declared frames every 25
+    // → 10 rows, even though the container carries no frame payload at
+    // all (header-only discipline)
+    val frames = Multimodal.sampleFrames(rows.take(1).toDF(), everyK = 25)
+      .collect()
+    assert(frames.length == 10 && frames.forall(_.getLong(2) % 25 == 0))
   }
 
   test("SQL registration: mrca codec callable from spark.sql") {
