@@ -101,6 +101,27 @@ object SampleOps {
     * on both engines at that scale — the formula is unchanged.
     */
   def temperatureThresholds(df: DataFrame, stratumCol: String,
+      targetNum: Long, targetDen: Long): DataFrame =
+    temperatureThresholdsFromStats(mixStats(df, stratumCol), stratumCol,
+      targetNum, targetDen)
+
+  /** The per-stratum counts the temperature recipe is a pure function of
+    * — (stratumCol, n_total), #strata rows. Counts are the trivially
+    * mergeable summary (sums), which is what lets a streaming pipeline
+    * maintain them incrementally ([[appendMixStats]]) instead of
+    * rescanning the corpus per recipe refresh.
+    */
+  def mixStats(df: DataFrame, stratumCol: String): DataFrame =
+    df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_total"))
+
+  /** [[temperatureThresholds]] from an ALREADY-AGGREGATED stats table
+    * (the [[mixStats]] shape) — the entry point for recipes re-derived
+    * from a maintained store rather than a corpus scan: thresholds are a
+    * deterministic integer-arithmetic function of the counts, so however
+    * the counts were accumulated (one batch pass or micro-batch folds),
+    * identical counts give bit-identical thresholds.
+    */
+  def temperatureThresholdsFromStats(stats: DataFrame, stratumCol: String,
       targetNum: Long, targetDen: Long): DataFrame = {
     require(targetNum > 0 && targetDen > 0 && targetNum <= targetDen,
       s"target fraction $targetNum/$targetDen outside (0,1]")
@@ -110,8 +131,7 @@ object SampleOps {
     // one partition, not a data-volume concern
     val wAll = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)
-    df.groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("n_total"))
+    stats
       .withColumn("__w", floor(sqrt(col("n_total"))).cast("long"))
       .withColumn("__num",
         lit(65536L * targetNum) * sum(col("n_total")).over(wAll) * col("__w"))
@@ -132,13 +152,89 @@ object SampleOps {
     * [[hashSample]].
     */
   def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
-      targetNum: Long, targetDen: Long, salt: String): DataFrame = {
+      targetNum: Long, targetDen: Long, salt: String): DataFrame =
+    temperatureSampleWith(df,
+      temperatureThresholds(df, stratumCol, targetNum, targetDen),
+      keyCol, stratumCol, salt)
+
+  /** Apply a PREBUILT recipe table (the [[temperatureThresholds]] shape)
+    * to a corpus — the serving half of the maintain/re-derive/apply loop:
+    * a streaming pipeline keeps [[mixStats]] fresh in a store, re-derives
+    * the recipe, and gates rows here, so the sampled set on any engine is
+    * the deterministic product of (corpus, recipe, salt) alone.
+    */
+  def temperatureSampleWith(df: DataFrame, thresholds: DataFrame,
+      keyCol: String, stratumCol: String, salt: String): DataFrame = {
     require(!df.columns.contains("k_threshold") &&
       !df.columns.contains("n_total"),
       "input already has a k_threshold/n_total column (reserved)")
-    val th = temperatureThresholds(df, stratumCol, targetNum, targetDen)
-    df.join(broadcast(th), Seq(stratumCol))
+    df.join(broadcast(thresholds
+        .select(col(stratumCol), col("k_threshold"))), Seq(stratumCol))
       .filter(bucketNumCol(col(keyCol), salt) < col("k_threshold"))
-      .drop("n_total", "k_threshold")
+      .drop("k_threshold")
+  }
+
+  /** Persisted mixture-stats store — the sampling recipe's counterpart of
+    * the CM/KMV sketch stores ([[SketchOps.saveCm]] lineage): the
+    * [[mixStats]] table (#strata rows, bytes regardless of corpus size)
+    * under the same manifest crash protocol, single-writer assumption,
+    * and batchId idempotence guard. A streaming maintenance loop folds
+    * each micro-batch's counts in ([[appendMixStats]]) — history never
+    * rescanned, counts are exact (not estimates), and the re-derived
+    * thresholds are bit-identical to a whole-corpus batch derivation.
+    */
+  val MixManifestFile = "_graft_mixstore.json"
+
+  private def batchField(batchId: Option[Long]): String =
+    batchId.map(id => s""","last_batch":$id""").getOrElse("")
+
+  def saveMixStats(stats: DataFrame, path: String,
+      batchId: Option[Long] = None): Unit =
+    graft.StoreUtil.saveManifested(stats, path, "stats", MixManifestFile,
+      s"""{"version":1""" + batchField(batchId) + "}")
+
+  def loadMixStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    graft.StoreUtil.requireManifest(spark, path, MixManifestFile,
+      "mix-stats store")
+    spark.read.parquet(s"$path/stats")
+  }
+
+  /** Same probe discipline as [[SketchOps.cmStoreExists]]: stats present
+    * without a manifest is a crashed save and must REFUSE — reading it as
+    * absent would let a maintenance loop silently reset count history.
+    */
+  def mixStatsStoreExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val healthy =
+      graft.StoreUtil.readMarker(spark, path, MixManifestFile).isDefined
+    if (!healthy && graft.StoreUtil.pathExists(spark, path, "stats"))
+      throw new IllegalStateException(
+        s"$path holds stats but no $MixManifestFile — a previous save " +
+          "crashed mid-write; restore a copy or re-count the corpus")
+    healthy
+  }
+
+  /** Fold a micro-batch's [[mixStats]] into the store: counts sum by
+    * stratum (every non-`n_total` column is group key). Re-delivered
+    * batchIds are no-ops — double-folding counts, unlike KMV states,
+    * would genuinely corrupt the recipe.
+    */
+  def appendMixStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      batchStats: DataFrame, batchId: Option[Long] = None): Unit = {
+    if (batchId.isDefined &&
+        batchId == SketchOps.lastBatchId(spark, path, MixManifestFile))
+      return
+    val stored = loadMixStats(spark, path)
+    require(batchStats.columns.sorted.toSeq == stored.columns.sorted.toSeq,
+      s"batch stats (${batchStats.columns.mkString(",")}) do not match " +
+        s"the stored schema (${stored.columns.mkString(",")})")
+    val keys = stored.columns.filterNot(_ == "n_total").toSeq
+    val merged = stored.unionByName(batchStats)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_total")).as("n_total"))
+    // materialize off the source files before overwriting them (the
+    // merge plan lazily reads the very parquet the write replaces)
+    saveMixStats(ClusterOps.flatten(merged), path, batchId)
   }
 }

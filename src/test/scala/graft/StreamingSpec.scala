@@ -213,6 +213,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(again == want)
   }
 
+  test("streaming-maintained mix stats re-derive the exact batch temperature recipe") {
+    // the sampling-recipe leg of the store-maintenance lifecycle: each
+    // micro-batch's per-stratum counts fold into the persisted mix-stats
+    // store (history never rescanned), the temperature thresholds are
+    // re-derived from the MAINTAINED counts, and — because thresholds are
+    // integer arithmetic over exact counts — recipe AND sampled row set
+    // are bit-identical to the one-pass batch derivation
+    val inDir = Files.createTempDirectory("graft_mix_in").toString
+    writeEventFile(inDir, "a.parquet",
+      batchEvents.filter(col("event_id") % 2 === 0))
+    writeEventFile(inDir, "b.parquet",
+      batchEvents.filter(col("event_id") % 2 =!= 0))
+    val store = Files.createTempDirectory("graft_mix_store").toString + "/mix"
+    var batches = 0
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .select(col("event_type"), col("event_id"))
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        val stats = graft.ops.SampleOps.mixStats(df, "event_type")
+        // PROBE, never catch-and-create (same discipline as the CM leg)
+        if (graft.ops.SampleOps.mixStatsStoreExists(spark, store))
+          graft.ops.SampleOps.appendMixStats(spark, store, stats, Some(id))
+        else graft.ops.SampleOps.saveMixStats(stats, store, Some(id))
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+
+    val maintained = graft.ops.SampleOps.loadMixStats(spark, store)
+    val gotTh = graft.ops.SampleOps.temperatureThresholdsFromStats(
+        maintained, "event_type", 1L, 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val wantTh = graft.ops.SampleOps.temperatureThresholds(
+        batchEvents, "event_type", 1L, 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotTh == wantTh)
+    assert(gotTh.nonEmpty)
+
+    // the recipe applied via the serving path selects the SAME rows as
+    // the one-shot batch sampler
+    val th = graft.ops.SampleOps.temperatureThresholdsFromStats(
+      maintained, "event_type", 1L, 5L)
+    val gotSample = graft.ops.SampleOps.temperatureSampleWith(
+        batchEvents, th, "event_id", "event_type", salt = "mix7")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    val wantSample = graft.ops.SampleOps.temperatureSample(
+        batchEvents, "event_id", "event_type", 1L, 5L, salt = "mix7")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(gotSample == wantSample)
+    assert(gotSample.nonEmpty)
+
+    // zombie re-delivery of the last batch id must be a no-op — for
+    // counts a double-fold is real corruption, not merely redundant
+    val lastId = graft.ops.SketchOps.lastBatchId(spark, store,
+      graft.ops.SampleOps.MixManifestFile)
+    assert(lastId.isDefined)
+    graft.ops.SampleOps.appendMixStats(spark, store,
+      maintained.sparkSession.createDataFrame(maintained.rdd,
+        maintained.schema), lastId)
+    val again = graft.ops.SampleOps.loadMixStats(spark, store)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = maintained.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == want)
+  }
+
   test("appendCm skips an already-applied batchId instead of double-counting") {
     val store = Files.createTempDirectory("graft_cm_idem").toString + "/cm"
     val items = batchEvents.select(col("event_type").as("item"))
