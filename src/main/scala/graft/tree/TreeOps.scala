@@ -196,11 +196,23 @@ object TreeOps {
     // exploded frame (one exchange on `anc`; a partition holds one
     // ancestor's occurrences, at most the request size) — the per-row
     // form lets the kept flag and the parent derivation ride this one
-    // frame with no joins back to aggregated side tables
+    // frame with no joins back to aggregated side tables.
+    // count(distinct) over a window is unsupported, so each count is
+    // max(dense_rank) — O(p log p) per partition, where collect_set
+    // would materialize the full set PER ROW (O(p²) memory on a large
+    // request). null child_on_path rows (the tip's own occurrence) rank
+    // first under asc_nulls_first and must not count as a branch: when
+    // any exist, distinct non-nulls = max rank - 1.
     val wAnc = Window.partitionBy(col("anc"))
     val flagged = paths
-      .withColumn("n_tips", size(collect_set(col("tip")).over(wAnc)))
-      .withColumn("n_branch", size(collect_set(col("child_on_path")).over(wAnc)))
+      .withColumn("__rt", dense_rank().over(
+        Window.partitionBy(col("anc")).orderBy(col("tip"))))
+      .withColumn("__rb", dense_rank().over(
+        Window.partitionBy(col("anc")).orderBy(col("child_on_path"))))
+      .withColumn("n_tips", max(col("__rt")).over(wAnc))
+      .withColumn("n_branch", max(col("__rb")).over(wAnc) -
+        max(when(col("child_on_path").isNull, 1).otherwise(0)).over(wAnc))
+      .drop("__rt", "__rb")
 
     // the MRCA covers every found tip (maximal n_tips, the root covers
     // all) and is the deepest such — ONE scalar aggregate via a

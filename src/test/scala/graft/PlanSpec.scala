@@ -321,4 +321,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("mrcapack"), p)
     assert(p.contains("*("), p)
   }
+
+  test("induced kernel counts distincts by rank — no per-row set building") {
+    // count(distinct) over a window isn't expressible, and the
+    // collect_set fallback materializes the whole set PER ROW (O(p²)
+    // partition memory on a large request); the kernel must use the
+    // max(dense_rank) form instead
+    val p = finalPlan(TreeQueries.registry("tree_induced")(spark, sf))
+    assert(!p.contains("collect_set"), p)
+    assert(p.contains("dense_rank"), p)
+    // all window passes ride ONE clustering of the exploded path frame
+    assert("hashpartitioning\\(anc".r.findAllIn(p).length >= 1, p)
+  }
 }
