@@ -75,8 +75,17 @@ object VectorStore {
     * is handled the same way as any IVF system: re-train and [[save]] a
     * fresh store.
     */
-  def append(spark: SparkSession, path: String, corpus: DataFrame): Unit = {
+  def append(spark: SparkSession, path: String, corpus: DataFrame,
+      batchId: Option[Long] = None): Unit = {
     requireStore(spark, path)
+    // idempotence guard (same protocol as SketchOps.appendCm/appendKmv
+    // and SampleOps.appendMixStats): a restarted streaming maintainer
+    // re-delivers its last micro-batch, and re-appending vectors — unlike
+    // re-folding KMV states — genuinely duplicates corpus rows, skewing
+    // every top-k that touches the doubled cells
+    if (batchId.isDefined && batchId == graft.ops.SketchOps.lastBatchId(
+        spark, path, ManifestFile))
+      return
     // read ONLY the centroids: going through load() would pay partition
     // discovery over every cell directory for a table append never scans
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -91,7 +100,8 @@ object VectorStore {
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      """{"version":1,"layout":"ivf-cell"}""")
+      """{"version":1,"layout":"ivf-cell"""" +
+        batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}")
   }
 
   /** Rewrite an append-grown store into a fresh one-file-per-cell layout

@@ -589,6 +589,29 @@ object ExtQueries {
         col("n_frames"))
   }
 
+  /** Frame sampling over REAL mixed media: a corpus of genuine PNG, WAV
+    * and AVI byte streams flows through [[Multimodal.sampleFrames]] — the
+    * frame counts the explode rides come from the real header decoders
+    * (1 per image, PCM frames per WAV, dwTotalFrames per AVI), so the
+    * oracle's closed-form row set only matches if every kind's REAL
+    * decode fed the sampler through the one [[Multimodal.decodeMedia]]
+    * dispatch.
+    */
+  val mmRealFrames: Q = (s, _) => {
+    import s.implicits._
+    val rows = (0 until 12).map { i =>
+      (i % 3) match {
+        case 0 => Multimodal.MediaRow(i.toLong,
+          Multimodal.encodePng(i % 4 + 1, i % 3 + 1, seed = i), "image")
+        case 1 => Multimodal.MediaRow(i.toLong,
+          Multimodal.encodeWav(8000, 1, 20 + i, seed = i), "audio")
+        case _ => Multimodal.MediaRow(i.toLong,
+          Multimodal.encodeAvi(320, 180, 30 + i), "video")
+      }
+    }
+    Multimodal.sampleFrames(rows.toDF(), everyK = 7)
+  }
+
   /** SET4: ancestor-array overlap per tip pair (the bitset-intersection
     * analog); oracle via DuckDB list_intersect.
     */
@@ -620,6 +643,7 @@ object ExtQueries {
     "mm_png_meta" -> mmPngMeta,
     "mm_wav_meta" -> mmWavMeta,
     "mm_video_meta" -> mmVideoMeta,
+    "mm_real_frames" -> mmRealFrames,
     "tree_multi" -> treeMulti,
     "ev_attribution" -> evAttribution,
     "s10_edge_dump" -> s10EdgeDump,
@@ -901,6 +925,16 @@ object ExtQueries {
         |  CAST(90 * (i % 4 + 1) AS BIGINT) AS height,
         |  CAST(24 + i AS BIGINT) AS n_frames
         |FROM unnest(range(0, 8)) u(i)""".stripMargin,
+    "mm_real_frames" ->
+      """WITH m AS (SELECT i,
+        |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 20 + i
+        |      ELSE 30 + i END AS n
+        |  FROM unnest(range(0, 12)) u(i))
+        |SELECT CAST(i AS BIGINT) AS doc_id, kind, fi AS frame_idx,
+        |  md5(i::VARCHAR || ':' || fi::VARCHAR) AS frame_sig
+        |FROM m, unnest(range(0, n, 7)) v(fi)""".stripMargin,
     "set4_ancestor_overlap" ->
       """WITH n AS (SELECT ot_node_id, ancestors
         |  FROM read_parquet('__FIXTURE__/nodes/*.parquet') WHERE is_leaf)

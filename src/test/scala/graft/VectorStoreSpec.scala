@@ -109,6 +109,65 @@ class VectorStoreSpec extends AnyFunSuite {
     intercept[IllegalStateException] { VectorStore.load(spark, dir) }
   }
 
+  test("foreachBatch maintains the vector store across micro-batches") {
+    // the ANN leg of the store-maintenance lifecycle (CM/KMV/mix-stats
+    // siblings live in StreamingSpec): each embedding micro-batch is
+    // routed against the FIXED stored centroids and appended — history
+    // never reassigned — and the final store is row- and query-identical
+    // to the one-shot build. Save on batch 0 (overwrite ⇒ restart-safe),
+    // append with the batchId guard after.
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = Files.createTempDirectory("graft_vstore_fb_in").toString
+    def writeOneFile(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val sub = Files.createTempDirectory("graft_vstore_fb_tmp").toString + "/w"
+      df.coalesce(1).write.parquet(sub)
+      val f = new java.io.File(sub).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name"))
+    }
+    writeOneFile("a.parquet", corpus.filter(col("id") < 150))
+    writeOneFile("b.parquet", corpus.filter(col("id") >= 150))
+    val dir = Files.createTempDirectory("graft_vstore_fb").toString + "/v"
+    var batches = 0
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        if (graft.StoreUtil.readMarker(spark, dir,
+            VectorStore.ManifestFile).isDefined)
+          VectorStore.append(spark, dir, df, Some(id))
+        else VectorStore.save(df, cents, dir)
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+
+    val st2 = VectorStore.load(spark, dir)
+    // every vector exactly once, in the cell the one-shot build chose
+    val full = store.cells.select("id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val app = st2.cells.select("id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(app == full)
+    val queries = corpus.filter(col("id") < 20)
+    val a = VectorStore.query(st2, queries, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val b = VectorStore.query(store, queries, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+
+    // zombie re-delivery of the LAST batch id must be a no-op — vector
+    // re-append is real duplication, not an idempotent fold
+    val lastId = graft.ops.SketchOps.lastBatchId(spark, dir,
+      VectorStore.ManifestFile)
+    assert(lastId.isDefined)
+    VectorStore.append(spark, dir, corpus.filter(col("id") >= 150), lastId)
+    assert(VectorStore.load(spark, dir).cells.count() == full.size)
+  }
+
   test("compact rewrites an append-grown store to one file per cell, " +
       "query-identical") {
     val dir = Files.createTempDirectory("graft_vstore_cpt").toString
