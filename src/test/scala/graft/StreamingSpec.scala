@@ -355,6 +355,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
   }
 
+  test("readEvents is encoding-independent: legacy ns-long and NTZ-micros " +
+      "streams of the same rows produce identical windowed aggregates") {
+    val rows = Seq(
+      (1L, "2020-01-01 00:00:00", 1.0), (2L, "2020-01-01 00:05:00", 2.0),
+      (3L, "2020-01-01 01:30:00", 3.0), (4L, "2020-01-01 01:59:59", 4.0))
+    def runThrough(name: String,
+        df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val dir = Files.createTempDirectory(s"graft_enc_$name").toString
+      writeEventFile(dir, "part-000.parquet", df)
+      val q = EventStreams.windowedAgg(EventStreams.readEvents(spark, dir))
+        .writeStream.format("memory").queryName(s"enc_$name")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(s"enc_$name")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+          col("event_type"), col("n"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+    }
+    val legacy = runThrough("legacy", eventsOf(rows))
+    val ntz = runThrough("ntz", eventsOfNtz(rows))
+    assert(legacy == ntz)
+    // and both denote the INSTANTS the fixture declared, not a
+    // unit-shifted echo (the 1970-collapse failure mode)
+    assert(legacy.map(_.head).contains("2020-01-01 00:00:00"))
+    assert(legacy.map(r => (r(2), r(3))).contains((2L, 3.0)))
+  }
+
   test("timestamp/micros helpers round-trip pre-epoch instants") {
     // truncating division would flip -0.5 s to +0.5 s, and setNanos
     // throws on a negative remainder — both must hold across the epoch
