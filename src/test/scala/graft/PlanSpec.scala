@@ -322,6 +322,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p)
   }
 
+  test("temperature sampling broadcasts the recipe; corpus side never sort-merges") {
+    // the recipe table is #strata rows — if it ever degrades to a
+    // sort-merge join the whole corpus pays an exchange for a
+    // kilobyte-sized dimension
+    val p = finalPlan(TrainingQueries.registry("smp_temperature")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("induced kernel counts distincts by rank — no per-row set building") {
     // count(distinct) over a window isn't expressible, and the
     // collect_set fallback materializes the whole set PER ROW (O(p²)
