@@ -95,6 +95,99 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL image resize: decode via ImageIO, nearest-neighbor rescale to
+    * (dstW, dstH), re-encode as PNG. Nearest-neighbor by hand (srcX =
+    * x·srcW/dstW, integer floor) rather than Graphics2D interpolation:
+    * bilinear filtering differs across JDK rendering pipelines in the
+    * last bit, and a training pipeline needs the SAME resized bytes on
+    * every executor of every cluster — determinism is the contract, as
+    * everywhere else in this engine.
+    *
+    * Bomb-safe ordering: the HEADER dims are checked against
+    * `maxSrcPixels` BEFORE `ImageIO.read` allocates the raster, so a
+    * kilobyte payload declaring 40000×40000 is refused unread — the full
+    * decode here is the one deliberate exception to the header-only
+    * discipline (a resize must touch pixels), gated by that cap.
+    */
+  def resizeImage(bytes: Array[Byte], dstW: Int, dstH: Int,
+      maxSrcPixels: Long = 64L * 1024 * 1024): Option[Array[Byte]] = {
+    require(dstW >= 1 && dstH >= 1, s"target ${dstW}x$dstH must be >= 1x1")
+    decodeImage(bytes) match {
+      case Some((w, h)) if w.toLong * h <= maxSrcPixels =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            val out = new java.awt.image.BufferedImage(dstW, dstH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < dstH) {
+              var x = 0
+              while (x < dstW) {
+                out.setRGB(x, y, img.getRGB(x * w / dstW, y * h / dstH))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(bos.toByteArray)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+  }
+
+  /** Decode an image and sum its RGB pixel values (alpha masked off) —
+    * the verification probe for [[resizeImage]]: over the deterministic
+    * fixture fill the sum has a closed form the oracle can state, so a
+    * resize that produced anything but the exact nearest-neighbor pixels
+    * fails the gate. Returns (width, height, pixelSum).
+    */
+  def pixelSum(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            s += (img.getRGB(x, y) & 0xffffff).toLong
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight, s))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Partition-wise image resize over the media column: image-kind rows
+    * whose bytes decode are rescaled to (dstW, dstH) and re-encoded;
+    * every other row passes through untouched (same pass-through
+    * discipline as [[decodeMedia]]'s fall-back — a mixed-media corpus
+    * keeps its row set). `resized` flags which rows carry new bytes.
+    */
+  def resizeImages(docsWithMedia: DataFrame, dstW: Int,
+      dstH: Int): DataFrame = {
+    val spark = docsWithMedia.sparkSession
+    import spark.implicits._
+    docsWithMedia.select(col("doc_id"), col("media"), col("kind"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val out = if (r.kind == "image") resizeImage(r.media, dstW, dstH)
+            else None
+          (r.doc_id, out.getOrElse(r.media), r.kind, out.isDefined)
+        }
+      }
+      .toDF("doc_id", "media", "kind", "resized")
+  }
+
   /** REAL audio header decode via the JDK's `javax.sound.sampled`: None
     * when no installed provider accepts the stream (not audio / unknown
     * container), Some(sampleRate, channels, frameCount) read from the

@@ -589,6 +589,30 @@ object ExtQueries {
         col("n_frames"))
   }
 
+  /** Real-image-resize gate: known-fill PNGs ([[Multimodal.encodePng]]'s
+    * deterministic (x·3163 + y·757 + seed·31) & 0xffffff pixels) are
+    * rescaled by [[Multimodal.resizeImages]] (nearest-neighbor, srcX =
+    * x·srcW/dstW integer floor) and the OUTPUT bytes re-decoded to a
+    * pixel sum — which the oracle states in closed form over the same
+    * floor arithmetic, so any deviation from the exact nearest-neighbor
+    * pixel grid (wrong sampling, lossy re-encode, platform-dependent
+    * filtering) breaks the hash.
+    */
+  val mmResize: Q = (s, _) => {
+    import s.implicits._
+    val rows = (0 until 8).map { i =>
+      Multimodal.MediaRow(i.toLong,
+        Multimodal.encodePng(8 + i, 6 + i, seed = i), "image")
+    }
+    Multimodal.resizeImages(rows.toDF(), dstW = 4, dstH = 3)
+      .as[(Long, Array[Byte], String, Boolean)]
+      .mapPartitions(_.map { case (id, bytes, _, resized) =>
+        val (w, h, sum) = Multimodal.pixelSum(bytes).get
+        (id, w.toLong, h.toLong, sum, resized)
+      })
+      .toDF("doc_id", "out_w", "out_h", "px_sum", "resized")
+  }
+
   /** Frame sampling over REAL mixed media: a corpus of genuine PNG, WAV
     * and AVI byte streams flows through [[Multimodal.sampleFrames]] — the
     * frame counts the explode rides come from the real header decoders
@@ -644,6 +668,7 @@ object ExtQueries {
     "mm_wav_meta" -> mmWavMeta,
     "mm_video_meta" -> mmVideoMeta,
     "mm_real_frames" -> mmRealFrames,
+    "mm_resize" -> mmResize,
     "tree_multi" -> treeMulti,
     "ev_attribution" -> evAttribution,
     "s10_edge_dump" -> s10EdgeDump,
@@ -925,6 +950,15 @@ object ExtQueries {
         |  CAST(90 * (i % 4 + 1) AS BIGINT) AS height,
         |  CAST(24 + i AS BIGINT) AS n_frames
         |FROM unnest(range(0, 8)) u(i)""".stripMargin,
+    "mm_resize" ->
+      """SELECT CAST(i AS BIGINT) AS doc_id,
+        |  CAST(4 AS BIGINT) AS out_w, CAST(3 AS BIGINT) AS out_h,
+        |  CAST(sum(((x * (8 + i)) // 4 * 3163 + (y * (6 + i)) // 3 * 757
+        |    + i * 31) & 16777215) AS BIGINT) AS px_sum,
+        |  true AS resized
+        |FROM unnest(range(0, 8)) u(i),
+        |  unnest(range(0, 4)) v(x), unnest(range(0, 3)) w(y)
+        |GROUP BY i""".stripMargin,
     "mm_real_frames" ->
       """WITH m AS (SELECT i,
         |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

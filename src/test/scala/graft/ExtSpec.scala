@@ -81,6 +81,36 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.length == 30 && frames.forall(_.getLong(2) % 4 == 0))
   }
 
+  test("image resize produces exact nearest-neighbor pixels; non-images pass through") {
+    import spark.implicits._
+    val src = Multimodal.encodePng(8, 6, seed = 3)
+    // direct kernel check: every output pixel is the floor-mapped source
+    // pixel, bit for bit
+    val out = Multimodal.resizeImage(src, 4, 3).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth == 4 && img.getHeight == 3)
+    for (x <- 0 until 4; y <- 0 until 3)
+      assert((img.getRGB(x, y) & 0xffffff) ==
+        ((x * 8 / 4 * 3163 + y * 6 / 3 * 757 + 3 * 31) & 0xffffff),
+        s"pixel ($x,$y)")
+    // upscale works too (nearest-neighbor replicates)
+    val up = Multimodal.pixelSum(Multimodal.resizeImage(src, 16, 12).get).get
+    assert(up._1 == 16 && up._2 == 12)
+    // undecodable bytes refuse; a declared-huge header is refused UNREAD
+    // (the cap consults the header before any raster allocation)
+    assert(Multimodal.resizeImage("nope".getBytes("UTF-8"), 4, 3).isEmpty)
+    assert(Multimodal.resizeImage(src, 4, 3, maxSrcPixels = 10).isEmpty)
+    // the DataFrame op: images resize, other kinds pass through untouched
+    val rows = Seq(
+      Multimodal.MediaRow(1L, src, "image"),
+      Multimodal.MediaRow(2L, Multimodal.encodeWav(8000, 1, 10, seed = 1), "audio"))
+    val got = Multimodal.resizeImages(rows.toDF(), 4, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](1), r.getBoolean(3)))).toMap
+    assert(got(1L)._2 && Multimodal.pixelSum(got(1L)._1).get._1 == 4)
+    assert(!got(2L)._2 && java.util.Arrays.equals(got(2L)._1, rows(1).media))
+  }
+
   test("real AVI bytes decode to genuine header values through extractMeta") {
     import spark.implicits._
     val rows = Seq(
