@@ -78,6 +78,42 @@ class TablesSpec extends AnyFunSuite {
     assert(years.forall(_ >= 2000), s"suspect years: ${years.mkString(",")}")
   }
 
+  test("driver table schemas match the recorded contract snapshot") {
+    // the full-width twin of the events guard: the driver refreshed
+    // physical encodings once already (events ts), and the other tables
+    // can drift the same way. This snapshot is the engine's read-side
+    // contract — when the driver ships a new encoding, THIS test goes
+    // red in the same round, and the snapshot (plus any affected
+    // operator) is updated deliberately instead of gates erroring later.
+    val want = Map(
+      "region" -> "r_regionkey int, r_name string",
+      "nation" -> "n_nationkey int, n_name string, n_regionkey int",
+      "customer" -> ("c_custkey bigint, c_name string, c_nationkey int, " +
+        "c_acctbal double, c_mktsegment string"),
+      "supplier" -> "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+      "part" -> ("p_partkey bigint, p_name string, p_brand string, " +
+        "p_type string, p_size int, p_retailprice double"),
+      "orders" -> ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, " +
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"),
+      "lineitem" -> ("l_orderkey bigint, l_partkey bigint, l_suppkey bigint, " +
+        "l_linenumber int, l_quantity double, l_extendedprice double, " +
+        "l_discount double, l_tax double, l_returnflag string, " +
+        "l_linestatus string, l_shipdate timestamp_ntz"),
+      "documents" -> "doc_id bigint, text string, lang string, source string, n_chars bigint",
+      "embeddings" -> "vec_id bigint, embedding array<float>, label int")
+    for ((t, exp) <- want) {
+      val got = Tables.t(spark, sf, t).schema.fields
+        .map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", ")
+      assert(got == exp, s"$t schema drifted:\n  got  $got\n  want $exp")
+    }
+    // events asserted separately above (it passes through the normalize
+    // seam); raw read must be one of the encodings that seam understands
+    val rawTs = spark.read.parquet(s"$sf/events.parquet")
+      .schema("ts").dataType
+    assert(Set[org.apache.spark.sql.types.DataType](
+      LongType, TimestampNTZType, TimestampType)(rawTs), s"events ts: $rawTs")
+  }
+
   test("raw long ts columns stay untouched by non-events tables") {
     // normalizeEventTs is an events-only seam; generic reads must not
     // rewrite columns (guards against widening the special case)
