@@ -456,6 +456,14 @@ object TrainingQueries {
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
     "prep_pipeline" -> prepPipeline,
+    "prep_stream_twin" -> ((s, d) =>
+      // the streaming prep's batch twin (graft.streaming.DocStreams):
+      // same row-local gates the stream runs, min-doc_id dedup — gated
+      // here so the composition StreamingSpec diffs against is itself
+      // driver-verified every round, not just suite-verified once
+      graft.streaming.DocStreams.prepBatch(
+          Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("fp"))),
     "sk_distinct_kmv" -> skDistinctKmv,
     "sk_quantile" -> skQuantile,
     "sk_heavy_cm" -> skHeavyCm,
@@ -829,6 +837,31 @@ object TrainingQueries {
          |keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
          |SELECT k.doc_id, k.quality_score, k.rep_score
          |FROM kept k JOIN keepers USING (doc_id)""".stripMargin,
+    "prep_stream_twin" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  floor((least(len($toksSql)::DOUBLE / 100.0, 1.0) * 0.5
+         |    + (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+         |        / length(text)) * 0.3
+         |    + (len(list_filter($toksSql, t -> t IN
+         |        ('the','and','of','to','a','el','la','de','los','que',
+         |         'der','die','und','das','ist','le','les','des','et','une')))::DOUBLE
+         |        / len($toksSql)) * 0.2) * 10000.0) / 10000.0 AS quality_score
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 3 THEN
+         |    floor((1.0 - len(list_distinct(list_transform(range(0, len(toks) - 2),
+         |      i -> toks[CAST(i + 1 AS INT)] || ' ' ||
+         |           toks[CAST(i + 2 AS INT)] || ' ' ||
+         |           toks[CAST(i + 3 AS INT)])))::DOUBLE
+         |      / (len(toks) - 2)) * 10000.0) / 10000.0
+         |  ELSE 0.0 END AS rep_score
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |kept AS (SELECT d.doc_id,
+         |    md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |  FROM documents d JOIN q USING (doc_id) JOIN r USING (doc_id)
+         |  WHERE q.quality_score > 0.3 AND r.rep_score < 0.5),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp)
+         |SELECT k.doc_id, k.fp FROM kept k JOIN keepers USING (doc_id)""".stripMargin,
     "txt_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id,

@@ -213,6 +213,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(again == want)
   }
 
+  test("streaming corpus prep equals batch on the surviving fingerprint set") {
+    // the prep_pipeline composition under streaming: row-local gates
+    // stream unchanged; dedup becomes dropDuplicatesWithinWatermark on
+    // the fingerprint. Batch keeps min doc_id, streaming keeps first
+    // arrival — the invariant BOTH satisfy is one survivor per distinct
+    // token set, so the fingerprint sets must be equal
+    import graft.streaming.DocStreams
+    val docs = Tables.documents(spark, sf)
+      .withColumn("ts", timestamp_micros(
+        lit(1577836800000000L) + col("doc_id") * 1000000L))
+    val inDir = Files.createTempDirectory("graft_prep_in").toString
+    writeEventFile(inDir, "a.parquet", docs.filter(col("doc_id") % 2 === 0))
+    writeEventFile(inDir, "b.parquet", docs.filter(col("doc_id") % 2 =!= 0))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = DocStreams.prepStream(stream, "text", "ts")
+      .writeStream.format("memory").queryName("prep_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("prep_out")
+    // exactly one survivor per fingerprint, despite the cross-batch split
+    assert(out.groupBy(col("fp")).count().filter(col("count") > 1).count() == 0)
+    val got = out.select(col("fp")).collect().map(_.getString(0)).toSet
+    val want = DocStreams.prepBatch(docs, "doc_id", "text")
+      .select(col("fp")).collect().map(_.getString(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // anchor the twin itself: prepBatch's survivors must be the
+    // oracle-gated prep_pipeline's survivors (same thresholds, the
+    // independently-verified code path) — without this, stream==batch
+    // could hold on a commonly-wrong gate
+    val viaGate = graft.queries.TrainingQueries.prepPipeline(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val viaTwin = DocStreams.prepBatch(docs, "doc_id", "text")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(viaTwin == viaGate)
+  }
+
   test("streaming-maintained mix stats re-derive the exact batch temperature recipe") {
     // the sampling-recipe leg of the store-maintenance lifecycle: each
     // micro-batch's per-stratum counts fold into the persisted mix-stats
