@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
   * metadata, decoded/feature-extracted per partition.
   *
   * The Spark-side shape is real — binary column, typed row batches through
-  * `mapPartitions`, deterministic output schema. IMAGE decode is REAL:
-  * all three kinds decode REAL byte streams header-only: images via the
+  * `mapPartitions`, deterministic output schema. The decode path is real:
+  * all three kinds decode REAL byte streams header-only — images via the
   * JDK's `javax.imageio.ImageIO` ([[decodeImage]]), audio via
   * `javax.sound.sampled`'s RIFF/AIFF parse ([[decodeWav]]), video via a
   * hand-rolled RIFF/AVI chunk walk ([[decodeAvi]] — the container header

@@ -165,9 +165,11 @@ object SampleOps {
     */
   def temperatureSampleWith(df: DataFrame, thresholds: DataFrame,
       keyCol: String, stratumCol: String, salt: String): DataFrame = {
-    require(!df.columns.contains("k_threshold") &&
-      !df.columns.contains("n_total"),
-      "input already has a k_threshold/n_total column (reserved)")
+    // only k_threshold is joined in (the recipe is projected to
+    // (stratum, k_threshold) below); an input n_total column no longer
+    // collides and is legal
+    require(!df.columns.contains("k_threshold"),
+      "input already has a k_threshold column (reserved)")
     df.join(broadcast(thresholds
         .select(col(stratumCol), col("k_threshold"))), Seq(stratumCol))
       .filter(bucketNumCol(col(keyCol), salt) < col("k_threshold"))

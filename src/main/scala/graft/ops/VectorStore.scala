@@ -41,7 +41,8 @@ object VectorStore {
     * @param corpus    (id, vec) — full corpus, any width
     * @param centroids (cid, cvec) — typically [[VectorOps.kmeansCentroids]]
     */
-  def save(corpus: DataFrame, centroids: DataFrame, path: String): Unit = {
+  def save(corpus: DataFrame, centroids: DataFrame, path: String,
+      batchId: Option[Long] = None): Unit = {
     // manifest deleted first, rewritten last: the save is a multi-step
     // overwrite (cells, then centroids), and a crash in between must
     // leave a store that FAILS FAST at load — an old manifest surviving
@@ -62,8 +63,14 @@ object VectorStore {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     centroids.select(col("cid"), VectorOps.toDouble(col("cvec")).as("cvec"))
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // record the creating batchId (maintenance loops pass the foreachBatch
+    // id here too): without it, a crash after save-batch-0 but before the
+    // streaming checkpoint commits makes the redelivered batch 0 take the
+    // append branch — lastBatchId None ≠ Some(0) — and batch-0's vectors
+    // land TWICE; recording it makes the redelivery a guarded no-op
     graft.StoreUtil.writeMarker(corpus.sparkSession, path, ManifestFile,
-      """{"version":1,"layout":"ivf-cell"}""")
+      """{"version":1,"layout":"ivf-cell"""" +
+        batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}")
   }
 
   /** Incrementally add vectors to an existing store: the new corpus is

@@ -94,7 +94,14 @@ object DocStreams {
     */
   private def gated(docs: DataFrame, textCol: String, n: Int,
       minQuality: Double, maxRep: Double): DataFrame = {
+    // asNondeterministic (it IS deterministic — the marker is an
+    // optimizer fence): a deterministic UDF would have the
+    // fp-isNotNull filter's alias substituted and pushed below the
+    // projection, evaluating the whole gate twice per row (once in the
+    // filter, once for the fp output); the marker pins the filter above
+    // the projection, one evaluation per row
     val gate = udf((text: String) => gateFp(text, minQuality, maxRep, n))
+      .asNondeterministic()
     docs.withColumn("fp", gate(col(textCol))).filter(col("fp").isNotNull)
   }
 
@@ -103,6 +110,16 @@ object DocStreams {
     * dropped (at-least-once upstream → one doc per fingerprint
     * downstream), with per-key state expired by the watermark — the
     * bounded-state property that lets this run forever.
+    *
+    * Watermark caveat (standard streaming-dedup semantics, stated
+    * because it bounds the batch-equality contract): rows whose event
+    * time is already below the watermark are dropped ON INPUT, so a
+    * backfill arriving more than `watermark` behind the stream head
+    * loses its documents entirely — including fingerprints seen nowhere
+    * else. The fingerprint-set equality with [[prepBatch]] holds for
+    * data delivered within the horizon; size the watermark to the
+    * worst-case delivery lag, and run late backfills through the batch
+    * path.
     */
   def prepStream(docs: DataFrame, textCol: String, tsCol: String,
       minQuality: Double = 0.3, maxRep: Double = 0.5, n: Int = 3,

@@ -51,10 +51,28 @@ object EventStreams {
     * contract (one fixed schema per stream).
     */
   def readEvents(spark: SparkSession, dir: String,
-      options: Map[String, String] = Map.empty): DataFrame = {
-    val probed = spark.read.parquet(dir).schema
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None): DataFrame = {
+    val src = schema.getOrElse {
+      // the probe applies the same reader options (pathGlobFilter etc.
+      // change which files are visible) and turns the zero-files case
+      // into an actionable error instead of a bare AnalysisException:
+      // an empty landing directory cannot reveal its future encoding,
+      // so the caller must say which one arrives (guessing ns-long —
+      // the old hardwired behavior — silently 1970-collapses micros
+      // data, the worse failure)
+      try spark.read.options(options).parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"readEvents: cannot probe the events encoding at $dir " +
+              "(no parquet files yet?). Pass schema=Some(...) matching " +
+              "the encoding the producer will write (e.g. eventSchema " +
+              "for legacy int64-nanos).", e)
+      }
+    }
     graft.Tables.normalizeEventTs(
-      spark.readStream.schema(probed).options(options).parquet(dir))
+      spark.readStream.schema(src).options(options).parquet(dir))
   }
 
   /** Tumbling-window counts/sums with a watermark for late data. */

@@ -215,15 +215,18 @@ object TreeOps {
       .drop("__rt", "__rb")
 
     // the MRCA covers every found tip (maximal n_tips, the root covers
-    // all) and is the deepest such — ONE scalar aggregate via a
-    // (cover, depth) argmax, no count/sort/limit chain. The tiebreak is
-    // total: equal-depth ancestors have disjoint subtrees, so only one
-    // node can carry the maximal cover (duplicate occurrences across
-    // tip-paths agree on every field).
-    val mrca = flagged.agg(
-        max_by(struct(col("anc"), col("pos")),
-          struct(col("n_tips"), col("pos"))).as("m"))
-      .select(col("m.anc").as("mrca_id"), col("m.pos").as("mrca_depth"))
+    // all) and is the deepest such — a (cover, depth) argmax as a GLOBAL
+    // window max over the SAME frame, not a separate aggregate joined
+    // back: a second consumer of `flagged` would recompute the exploded
+    // frame and pay the anc exchange twice (PlanSpec pins the
+    // single-exchange shape). The unpartitioned window funnels through
+    // one partition, which is fine for a request-bounded frame
+    // (≤ |tips|·depth rows — the same rationale as the temperature
+    // recipe's stats window). The tiebreak is total: equal-depth
+    // ancestors have disjoint subtrees, so only one node can carry the
+    // maximal cover; `anc` in the struct tail is unreachable padding.
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
 
     // kept = query tips ∪ branching ancestors at/below the MRCA ∪ the
     // MRCA; each kept node's induced parent is the nearest PRECEDING kept
@@ -233,12 +236,14 @@ object TreeOps {
     // occurrences across tip-paths resolve identically
     val wPath = Window.partitionBy(col("tip")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val merged = flagged.crossJoin(broadcast(mrca))
+    val merged = flagged
+      .withColumn("__m",
+        max(struct(col("n_tips"), col("pos"), col("anc"))).over(wAll))
       .withColumn("kept", col("anc").isin(tips: _*) ||
-        (col("n_branch") >= 2 && col("pos") >= col("mrca_depth")) ||
-        col("anc") === col("mrca_id"))
+        (col("n_branch") >= 2 && col("pos") >= col("__m.pos")) ||
+        col("anc") === col("__m.anc"))
       .withColumn("ind_parent",
-        last(when(col("kept") && col("pos") >= col("mrca_depth"), col("anc")),
+        last(when(col("kept") && col("pos") >= col("__m.pos"), col("anc")),
           ignoreNulls = true).over(wPath))
 
     val kept = merged.filter(col("kept"))

@@ -339,7 +339,11 @@ class PlanSpec extends AnyFunSuite {
     val p = finalPlan(TreeQueries.registry("tree_induced")(spark, sf))
     assert(!p.contains("collect_set"), p)
     assert(p.contains("dense_rank"), p)
-    // all window passes ride ONE clustering of the exploded path frame
-    assert("hashpartitioning\\(anc".r.findAllIn(p).length >= 1, p)
+    // all window passes ride ONE clustering of the exploded path frame —
+    // exactly one anc Exchange NODE (the spec string also appears in
+    // window/sort arguments, so count Exchange nodes, not mentions);
+    // >= 1 would stay green on a regression that plans a second one,
+    // which is exactly what the pre-r7 two-consumer shape did
+    assert("Exchange hashpartitioning\\(anc".r.findAllIn(p).length == 1, p)
   }
 }

@@ -138,7 +138,7 @@ class VectorStoreSpec extends AnyFunSuite {
         if (graft.StoreUtil.readMarker(spark, dir,
             VectorStore.ManifestFile).isDefined)
           VectorStore.append(spark, dir, df, Some(id))
-        else VectorStore.save(df, cents, dir)
+        else VectorStore.save(df, cents, dir, Some(id))
         ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -166,6 +166,15 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(lastId.isDefined)
     VectorStore.append(spark, dir, corpus.filter(col("id") >= 150), lastId)
     assert(VectorStore.load(spark, dir).cells.count() == full.size)
+
+    // batch-0 crash-redelivery: save() records the creating batchId, so
+    // a restart that re-delivers batch 0 takes the append branch and
+    // no-ops instead of landing batch-0's vectors twice
+    val dir0 = Files.createTempDirectory("graft_vstore_b0").toString + "/v"
+    val firstHalf = corpus.filter(col("id") < 150)
+    VectorStore.save(firstHalf, cents, dir0, Some(0L))
+    VectorStore.append(spark, dir0, firstHalf, Some(0L))
+    assert(VectorStore.load(spark, dir0).cells.count() == firstHalf.count())
   }
 
   test("compact rewrites an append-grown store to one file per cell, " +
