@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{ClusterOps, PackOps, SampleOps, SketchOps, TextOps,
-  VectorOps, VectorStore}
+import graft.ops.{ClusterOps, LshStore, PackOps, SampleOps, SketchOps,
+  TextOps, VectorOps, VectorStore}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the documents/embeddings tables, each with a DuckDB
@@ -36,6 +36,25 @@ object TrainingQueries {
   val ddMinhashLsh: Q = (s, d) =>
     TextOps.minhashCandidates(
       Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
+
+  /** The incremental near-dup path ([[graft.ops.LshStore]]): the id
+    * window arrives as two snapshots folded through a persisted band
+    * index — each batch's pairs are found against the store, then its
+    * band rows join it — and the accumulated pair log must equal the
+    * one-shot banding bit-for-bit (shared `dd_minhash_lsh` oracle).
+    * This is the 100 TB dedup lifecycle: history is never re-shingled,
+    * only the kilobyte-per-doc band index is probed.
+    */
+  val ddLshStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("lshstore", d) { p =>
+      val w = Tables.documents(s, d).filter(col("doc_id") < 100)
+      LshStore.ingestBatch(s, p, w.filter(col("doc_id") < 50),
+        "doc_id", "text")
+      LshStore.ingestBatch(s, p, w.filter(col("doc_id") >= 50),
+        "doc_id", "text")
+    }
+    LshStore.pairLog(s, dir).select(col("a"), col("b"))
+  }
 
   /** Exact token-set Jaccard ≥ 0.5 on an explicit all-pairs candidate set
     * over the same window (the caller-owned-bound form of the verifier).
@@ -441,6 +460,7 @@ object TrainingQueries {
     "dd_source_stats" -> ddSourceStats,
     "dd_fingerprint" -> ddFingerprint,
     "dd_minhash_lsh" -> ddMinhashLsh,
+    "dd_lsh_store" -> ddLshStore,
     "dd_jaccard" -> ddJaccard,
     "dd_lsh_verified" -> ddLshVerified,
     "dd_cluster" -> ddCluster,
@@ -486,6 +506,22 @@ object TrainingQueries {
   )
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
+
+  /** MinHash(k=8) + LSH(4×2) candidate pairs over the doc_id<100 window —
+    * shared by `dd_minhash_lsh` (one-shot banding) and `dd_lsh_store`
+    * (the persisted-index two-batch fold), which must agree bit-for-bit.
+    */
+  private val minhashLshSql =
+    s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks
+       |  FROM documents WHERE doc_id < 100),
+       |mh AS (SELECT doc_id, list_transform(range(0, 8),
+       |    s -> list_min(list_transform(toks, w -> md5(s::VARCHAR || ':' || w)))) AS sig
+       |  FROM t),
+       |bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bk
+       |  FROM mh, unnest(range(0, 4)) u(b))
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |FROM bands x JOIN bands y
+       |  ON x.bk = y.bk AND x.b = y.b AND x.doc_id < y.doc_id""".stripMargin
 
   /** IVF ANN oracle (corpus to nearest cell, queries to their 2 best
     * cells, cell-join, cosine rank ≤ 5) — shared by `ann_ivf` and its
@@ -613,17 +649,10 @@ object TrainingQueries {
          |  FROM documents)
          |SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
          |FROM f GROUP BY fp HAVING count(*) > 1""".stripMargin,
-    "dd_minhash_lsh" ->
-      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks
-         |  FROM documents WHERE doc_id < 100),
-         |mh AS (SELECT doc_id, list_transform(range(0, 8),
-         |    s -> list_min(list_transform(toks, w -> md5(s::VARCHAR || ':' || w)))) AS sig
-         |  FROM t),
-         |bands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bk
-         |  FROM mh, unnest(range(0, 4)) u(b))
-         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |FROM bands x JOIN bands y
-         |  ON x.bk = y.bk AND x.b = y.b AND x.doc_id < y.doc_id""".stripMargin,
+    "dd_minhash_lsh" -> minhashLshSql,
+    // the store fold is bit-equal to the one-shot banding by protocol
+    // (every pair emitted once, by its later member's batch) — one oracle
+    "dd_lsh_store" -> minhashLshSql,
     "dd_jaccard" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks
          |  FROM documents WHERE doc_id < 100),

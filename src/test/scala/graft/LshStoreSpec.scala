@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{LshStore, TextOps}
+
+/** The LSH band store exists for ONE property: folding a corpus through
+  * the persisted index batch by batch must surface exactly the candidate
+  * pairs the one-shot banding finds — each exactly once — while the
+  * history side is only ever probed, never re-shingled or shuffled. Both
+  * halves are asserted here: pair-set equality on adversarial batch
+  * splits, and the broadcast build side on the executed plan. The
+  * durability protocol (zombie no-op, pending-marker refusal, rollback)
+  * follows the sibling stores' suites.
+  */
+class LshStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def window = Tables.documents(spark, sf)
+    .filter(col("doc_id") < 100)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val oneShot: Set[(Long, Long)] =
+    pairSet(TextOps.minhashCandidates(window, "doc_id", "text"))
+
+  test("three-batch interleaved fold reproduces the one-shot banding") {
+    // doc_id % 3 split: near-dup groups (consecutive ids in the synth
+    // data) straddle every batch boundary, so most pairs are CROSS-batch
+    // — the store path, not the within-batch fallback
+    val dir = Files.createTempDirectory("graft_lsh_fold").toString
+    (0 until 3).foreach { m =>
+      LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") % 3 === m),
+        "doc_id", "text")
+    }
+    assert(pairSet(LshStore.pairLog(spark, dir)) == oneShot)
+    assert(oneShot.nonEmpty, "fixture degenerated: no candidate pairs")
+    // exactly once: the log has no duplicate pairs across batches
+    val log = LshStore.pairLog(spark, dir)
+    assert(log.count() == log.select("a", "b").distinct().count())
+  }
+
+  test("pairsWithin over the stored index equals the one-shot banding") {
+    val dir = Files.createTempDirectory("graft_lsh_within").toString
+    LshStore.ingestBatch(spark, dir, window, "doc_id", "text")
+    assert(pairSet(LshStore.pairsWithin(LshStore.load(spark, dir))) == oneShot)
+  }
+
+  test("zombie re-delivery of the last batch is a complete no-op") {
+    val dir = Files.createTempDirectory("graft_lsh_zombie").toString
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") < 50),
+      "doc_id", "text", batchId = Some(0L))
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") >= 50),
+      "doc_id", "text", batchId = Some(1L))
+    val bandsBefore = LshStore.load(spark, dir).bands.count()
+    val pairsBefore = LshStore.pairLog(spark, dir).count()
+    // restart-replayed batch 1: same id, must change nothing
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") >= 50),
+      "doc_id", "text", batchId = Some(1L))
+    assert(LshStore.load(spark, dir).bands.count() == bandsBefore)
+    assert(LshStore.pairLog(spark, dir).count() == pairsBefore)
+    assert(pairSet(LshStore.pairLog(spark, dir)) == oneShot)
+  }
+
+  test("batch 0 arriving twice on a fresh store is also a no-op") {
+    // the window VectorStore's round-7 fix closed: a crash right after
+    // batch 0's save, replayed on restart, must not double the store
+    val dir = Files.createTempDirectory("graft_lsh_b0").toString
+    val b0 = window.filter(col("doc_id") < 50)
+    LshStore.ingestBatch(spark, dir, b0, "doc_id", "text", batchId = Some(0L))
+    val before = LshStore.load(spark, dir).bands.count()
+    LshStore.ingestBatch(spark, dir, b0, "doc_id", "text", batchId = Some(0L))
+    assert(LshStore.load(spark, dir).bands.count() == before)
+  }
+
+  test("signature-parameter mismatch is refused on append and probe") {
+    val dir = Files.createTempDirectory("graft_lsh_params").toString
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") < 50),
+      "doc_id", "text", k = 8, bands = 4)
+    val e = intercept[IllegalArgumentException] {
+      LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") >= 50),
+        "doc_id", "text", k = 16, bands = 4)
+    }
+    assert(e.getMessage.contains("k=8"))
+    // candidates() takes parameters from the manifest, so a probe cannot
+    // mismatch by construction — the Loaded handle carries them
+    val st = LshStore.load(spark, dir)
+    assert(st.k == 8 && st.nBands == 4)
+  }
+
+  test("candidates broadcasts the batch side — history is never shuffled") {
+    val dir = Files.createTempDirectory("graft_lsh_plan").toString
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") < 80),
+      "doc_id", "text")
+    val st = LshStore.load(spark, dir)
+    val cand = LshStore.candidates(st,
+      window.filter(col("doc_id") >= 80), "doc_id", "text")
+    cand.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def bhj(p: SparkPlan): Seq[BroadcastHashJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => bhj(a.executedPlan)
+      case q: QueryStageExec => bhj(q.plan)
+      case j: BroadcastHashJoinExec => j +: j.children.flatMap(bhj)
+      case other => other.children.flatMap(bhj)
+    }
+    val joins = bhj(cand.queryExecution.executedPlan)
+    // the history×batch join must be a broadcast hash join on the
+    // (band, band_key) keys with the BATCH side as the build side —
+    // the hint pins it, so a regression (hint dropped, history built)
+    // fails here rather than surfacing as a 100 TB history shuffle
+    assert(joins.exists(j =>
+        j.leftKeys.size == 2 &&
+          j.buildSide.toString == "BuildRight"),
+      cand.queryExecution.executedPlan.toString)
+  }
+
+  test("pending marker refuses every reader until recovery, which rolls " +
+      "the partial batch out") {
+    val dir = Files.createTempDirectory("graft_lsh_crash").toString
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") < 50),
+      "doc_id", "text", batchId = Some(0L))
+    val goodPairs = pairSet(LshStore.pairLog(spark, dir))
+    val goodBands = LshStore.load(spark, dir).bands.count()
+    // simulate a crash mid-ingest of batch 7: pending marker down, pair
+    // log partially appended, band append never ran, manifest pre-batch
+    StoreUtil.writeMarker(spark, dir, LshStore.PendingFile, "7")
+    spark.range(3).select(lit(9990L).as("a"), (col("id") + 9991L).as("b"),
+        lit(7L).as("ingest_batch"))
+      .write.mode("append").parquet(s"$dir/pairs")
+    intercept[IllegalStateException](LshStore.load(spark, dir))
+    intercept[IllegalStateException](LshStore.exists(spark, dir))
+    intercept[IllegalStateException](LshStore.pairLog(spark, dir))
+    intercept[IllegalStateException] {
+      LshStore.ingestBatch(spark, dir, window, "doc_id", "text")
+    }
+    val dest = Files.createTempDirectory("graft_lsh_recovered").toString
+    intercept[IllegalArgumentException](
+      LshStore.recoverIngest(spark, dir, dir))
+    LshStore.recoverIngest(spark, dir, dest)
+    assert(pairSet(LshStore.pairLog(spark, dest)) == goodPairs)
+    val st = LshStore.load(spark, dest)
+    assert(st.bands.count() == goodBands && st.k == 8)
+  }
+
+  test("crash after completion (marker delete lost) recovers losslessly") {
+    val dir = Files.createTempDirectory("graft_lsh_done").toString
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") < 50),
+      "doc_id", "text", batchId = Some(0L))
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") >= 50),
+      "doc_id", "text", batchId = Some(1L))
+    val full = pairSet(LshStore.pairLog(spark, dir))
+    // batch 1 finished (manifest records it) but the marker delete was
+    // lost: recovery must detect completion and keep batch 1's rows
+    StoreUtil.writeMarker(spark, dir, LshStore.PendingFile, "1")
+    val dest = Files.createTempDirectory("graft_lsh_done_rec").toString
+    LshStore.recoverIngest(spark, dir, dest)
+    assert(pairSet(LshStore.pairLog(spark, dest)) == full)
+    // and the restored manifest still no-ops a batch-1 zombie
+    LshStore.ingestBatch(spark, dest, window.filter(col("doc_id") >= 50),
+      "doc_id", "text", batchId = Some(1L))
+    assert(pairSet(LshStore.pairLog(spark, dest)) == full)
+  }
+
+  test("bands without a manifest (first ingest crashed) is refused as " +
+      "broken, not treated as absent") {
+    val dir = Files.createTempDirectory("graft_lsh_broken").toString
+    spark.range(2).select(col("id"), lit(0).as("band"),
+        lit("xx").as("band_key"), lit(0L).as("ingest_batch"))
+      .write.parquet(s"$dir/bands")
+    val e = intercept[IllegalStateException](LshStore.exists(spark, dir))
+    assert(e.getMessage.contains("no " + LshStore.ManifestFile))
+  }
+
+  test("gate dd_lsh_store equals gate dd_minhash_lsh bit for bit") {
+    val a = pairSet(graft.queries.TrainingQueries.ddLshStore(spark, sf))
+    val b = pairSet(graft.queries.TrainingQueries.ddMinhashLsh(spark, sf))
+    assert(a == b && a.nonEmpty)
+  }
+}

@@ -251,6 +251,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaTwin == viaGate)
   }
 
+  test("foreachBatch maintains the persisted LSH band index — streamed " +
+      "near-dup pairs equal the one-shot banding") {
+    // the near-dup leg of the store-maintenance lifecycle: each
+    // micro-batch's pairs are found against the PERSISTED band index
+    // (history probed, never re-shingled), then its band rows join the
+    // index — and the accumulated pair log equals banding the whole
+    // corpus at once. ingestBatch handles create-vs-append itself with
+    // the broken-store refusal built in, so the loop body is one call.
+    import graft.ops.{LshStore, TextOps}
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val inDir = Files.createTempDirectory("graft_lsh_fb_in").toString
+    (0 until 3).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet", docs.filter(col("doc_id") % 3 === m))
+    }
+    val store = Files.createTempDirectory("graft_lsh_fb_store").toString + "/lsh"
+    var batches = 0
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        LshStore.ingestBatch(spark, store, df, "doc_id", "text",
+          batchId = Some(id))
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+    val got = LshStore.pairLog(spark, store).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = TextOps.minhashCandidates(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // each pair surfaced exactly once across the whole run
+    val log = LshStore.pairLog(spark, store)
+    assert(log.count() == log.select("a", "b").distinct().count())
+  }
+
   test("streaming-maintained mix stats re-derive the exact batch temperature recipe") {
     // the sampling-recipe leg of the store-maintenance lifecycle: each
     // micro-batch's per-stratum counts fold into the persisted mix-stats
