@@ -464,4 +464,135 @@ object SketchOps {
           greatest(lit(1L), ceil(col("q") * size(col("vs")))).cast("int"))
           .as("quantile"))
   }
+
+  // ---------------------------------------------------------------- bloom
+
+  /** A built Bloom filter: `bits` is the set-bit table (row, bucket) —
+    * DISTINCT pairs, the sparse form of the bit array — with the
+    * (depth, width) shape traveling alongside, same rationale as
+    * [[CmSketch]]: probing with mismatched free parameters would hash
+    * into positions the build never set and silently break the
+    * never-false-negative guarantee.
+    *
+    * Bloom is the MEMBERSHIP sibling of count-min: same per-row bucket
+    * hash ([[cmBucket]]), but each cell is a bit, not a counter — "was
+    * this item ever inserted?" with no false negatives and a bounded
+    * false-positive rate. The crawl-frontier primitive: "definitely new"
+    * skips the history lookup entirely; "maybe seen" falls through to an
+    * exact check. Like KMV and CM — and unlike library blooms seeded
+    * with JVM-private hashes — every bit position is md5-derived, so the
+    * filter AND its false positives are bit-reproducible cross-engine
+    * and the DuckDB oracle checks the membership answers themselves,
+    * false positives included.
+    *
+    * State is ≤ depth·width rows no matter how many items were
+    * inserted; merging two filters over the same shape is the exact OR
+    * of their bits (union-distinct of rows) — associative, commutative,
+    * idempotent — which is what makes [[appendBloom]] maintenance safe
+    * under partial re-insertion (re-adding seen items is a no-op by
+    * construction).
+    */
+  final case class BloomSketch(bits: org.apache.spark.sql.DataFrame,
+      depth: Int, width: Int)
+
+  /** The set-bit table for an item column: depth positions per item,
+    * distinct. Null items are ignored (the bucket hash null-propagates;
+    * a null would otherwise set an unprobeable NULL position — an
+    * invisible false negative at probe time).
+    */
+  def bloomBits(items: org.apache.spark.sql.DataFrame, itemCol: String,
+      depth: Int, width: Int): org.apache.spark.sql.DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad bloom shape $depth x $width")
+    items.select(col(itemCol).as("item"))
+      .filter(col("item").isNotNull)
+      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
+      .select(col("row"), cmBucket(col("item"), col("row"), width).as("bucket"))
+      .distinct()
+  }
+
+  def bloomSketch(items: org.apache.spark.sql.DataFrame, itemCol: String,
+      depth: Int, width: Int): BloomSketch =
+    BloomSketch(bloomBits(items, itemCol, depth, width), depth, width)
+
+  /** Membership probe: one row per distinct non-null probe item,
+    * `might_contain` true iff ALL `depth` of its positions are set. The
+    * bit table broadcasts (≤ depth·width rows — kilobytes at any corpus
+    * size), so probing shuffles nothing but the per-item conjunction.
+    * No false negatives ever; false positives at the standard
+    * (1 − e^(−depth·n/width))^depth rate, deterministic given the data.
+    */
+  def bloomMightContain(sk: BloomSketch,
+      probes: org.apache.spark.sql.DataFrame,
+      itemCol: String): org.apache.spark.sql.DataFrame =
+    probes.select(col(itemCol).as("item"))
+      .filter(col("item").isNotNull).distinct()
+      .withColumn("row", explode(sequence(lit(0), lit(sk.depth - 1))))
+      .withColumn("bucket", cmBucket(col("item"), col("row"), sk.width))
+      .join(broadcast(sk.bits.withColumn("set", lit(1))),
+        Seq("row", "bucket"), "left_outer")
+      .groupBy(col("item"))
+      .agg((count(col("set")) === sk.depth).as("might_contain"))
+
+  /** Exact OR of two filters over the same shape. */
+  def mergeBloom(a: BloomSketch, b: BloomSketch): BloomSketch = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"cannot merge bloom filters of different shapes " +
+        s"(${a.depth}x${a.width} vs ${b.depth}x${b.width})")
+    BloomSketch(a.bits.unionByName(b.bits).distinct(), a.depth, a.width)
+  }
+
+  val BloomManifestFile = "_graft_bloomstore.json"
+
+  /** Probe-never-catch-and-create, exactly [[cmStoreExists]]'s contract
+    * and for the same reason: bits present without a manifest is a
+    * BROKEN store (crash mid-save), and silently rebuilding from the
+    * current batch would discard every previously-seen item — turning
+    * the no-false-negative filter into one that false-negatives all of
+    * history.
+    */
+  def bloomStoreExists(spark: SparkSession, path: String): Boolean = {
+    val healthy =
+      graft.StoreUtil.readMarker(spark, path, BloomManifestFile).isDefined
+    if (!healthy && graft.StoreUtil.pathExists(spark, path, "bits"))
+      throw new IllegalStateException(
+        s"$path holds bloom bits but no $BloomManifestFile — a previous " +
+          "save crashed mid-write; restore a copy or rebuild the filter")
+    healthy
+  }
+
+  /** Persist a built filter: the sparse bit table plus a shape-carrying
+    * manifest ([[StoreUtil.saveManifested]] crash protocol). Build once
+    * over the 100 TB seen-set; serve frontier checks forever from the
+    * kilobyte artifact.
+    */
+  def saveBloom(sk: BloomSketch, path: String,
+      batchId: Option[Long] = None): Unit =
+    graft.StoreUtil.saveManifested(sk.bits, path, "bits", BloomManifestFile,
+      s"""{"version":1,"depth":${sk.depth},"width":${sk.width}""" +
+        batchField(batchId) + "}")
+
+  def loadBloom(spark: SparkSession, path: String): BloomSketch = {
+    val m = graft.StoreUtil.requireManifest(spark, path, BloomManifestFile,
+      "bloom store")
+    def field(k: String): Int =
+      graft.StoreUtil.manifestInt(m, k, s"bloom manifest at $path")
+    BloomSketch(spark.read.parquet(s"$path/bits"),
+      field("depth"), field("width"))
+  }
+
+  /** OR a new batch's filter into the persisted store, in place — the
+    * streaming-maintenance hook, same shape as [[appendCm]]: the merged
+    * bits are materialized off the source files before the overwrite,
+    * the foreachBatch probes [[bloomStoreExists]], and a re-delivered
+    * batchId is a manifest-guarded no-op (the OR is idempotent anyway —
+    * the guard just skips the pointless rewrite).
+    */
+  def appendBloom(spark: SparkSession, path: String, batch: BloomSketch,
+      batchId: Option[Long] = None): Unit = {
+    if (batchId.isDefined &&
+        batchId == lastBatchId(spark, path, BloomManifestFile)) return
+    val merged = mergeBloom(loadBloom(spark, path), batch)
+    saveBloom(BloomSketch(ClusterOps.flatten(merged.bits),
+      merged.depth, merged.width), path, batchId)
+  }
 }

@@ -279,6 +279,29 @@ object TrainingQueries {
       .filter(col("est") >= 60)
   }
 
+  /** Crawl-frontier membership: a Bloom filter over the seen half's
+    * content hashes answers "maybe seen / definitely new" for every
+    * probe doc. No false negatives (every truly-seen doc probes true);
+    * false positives at the deliberate 3×256-shape rate — and because
+    * every bit position is md5-derived, the DuckDB oracle reproduces
+    * the membership answers bit-for-bit, FALSE POSITIVES INCLUDED, so
+    * the gate verifies the filter itself, not a disguised exact
+    * semi-join. The bit table broadcasts; probing shuffles only the
+    * per-item conjunction.
+    */
+  val skBloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val seen = docs.filter(col("doc_id") < 200)
+      .select(md5(col("text")).as("h"))
+    val sk = SketchOps.bloomSketch(seen, "h", depth = 3, width = 256)
+    val probes = docs.filter(col("doc_id") < 400)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    probes.join(
+        SketchOps.bloomMightContain(sk, probes, "h"),
+        probes("h") === col("item"))
+      .select(col("doc_id"), col("might_contain"))
+  }
+
   /** Persisted KMV sketch table, built once per data dir and served
     * thereafter ([[graft.ops.SketchOps.saveKmv]]): the build pass folds
     * the corpus into ≤ k sorted minimum hashes per group; serving reads
@@ -487,6 +510,7 @@ object TrainingQueries {
     "sk_distinct_kmv" -> skDistinctKmv,
     "sk_quantile" -> skQuantile,
     "sk_heavy_cm" -> skHeavyCm,
+    "sk_bloom" -> skBloom,
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
@@ -828,6 +852,23 @@ object TrainingQueries {
     // oracle, same as ann_store/ann_ivf
     "sk_cm_store" -> cmHeavySql,
     "sk_heavy_cm" -> cmHeavySql,
+    // the oracle rebuilds the FILTER (same md5 bit positions), so the
+    // deterministic false positives must match too — see skBloom's doc
+    "sk_bloom" ->
+      """WITH it AS (SELECT md5(text) AS item FROM documents WHERE doc_id < 200),
+        |rs AS (SELECT r FROM unnest(range(0, 3)) u(r)),
+        |bits AS (SELECT DISTINCT rs.r,
+        |    CAST(concat('0x', substr(md5(rs.r::VARCHAR || ':' || it.item), 1, 15))
+        |      AS BIGINT) % 256 AS bucket
+        |  FROM it, rs),
+        |pr AS (SELECT doc_id, md5(text) AS item FROM documents WHERE doc_id < 400),
+        |pe AS (SELECT pr.doc_id, rs.r,
+        |    CAST(concat('0x', substr(md5(rs.r::VARCHAR || ':' || pr.item), 1, 15))
+        |      AS BIGINT) % 256 AS bucket
+        |  FROM pr, rs)
+        |SELECT pe.doc_id, (count(b.bucket) = 3) AS might_contain
+        |FROM pe LEFT JOIN bits b ON b.r = pe.r AND b.bucket = pe.bucket
+        |GROUP BY pe.doc_id""".stripMargin,
     "sk_quantile" ->
       """WITH s AS (SELECT source, n_chars FROM documents
         |  WHERE substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),

@@ -224,4 +224,62 @@ class SketchSpec extends AnyFunSuite {
         java.nio.file.Files.createTempDirectory("graft_not_cm").toString)
     }
   }
+
+  test("bloom never false-negatives, merge equals full build, store " +
+      "round-trips, and mismatched shapes are refused") {
+    val docs = Tables.documents(spark, sf)
+    val seen = docs.filter(col("doc_id") < 200).select(md5(col("text")).as("h"))
+    val sk = SketchOps.bloomSketch(seen, "h", depth = 3, width = 256)
+
+    // no false negatives: every inserted item probes true — the ONE hard
+    // guarantee a frontier check rests on
+    val seenProbe = SketchOps.bloomMightContain(sk, seen, "h")
+    assert(seenProbe.filter(!col("might_contain")).count() == 0)
+    assert(seenProbe.count() > 0)
+
+    // the deliberately tight 3×1024 shape must produce real false
+    // positives on unseen probes at this corpus size — otherwise the
+    // suite (and the sk_bloom oracle) is verifying a disguised exact
+    // semi-join, not the filter
+    val unseen = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+      .select(md5(col("text")).as("h"))
+      .exceptAll(seen)
+    val fp = SketchOps.bloomMightContain(sk, unseen, "h")
+      .filter(col("might_contain")).count()
+    assert(fp > 0, "shape too wide: no false positives — widen the assert's " +
+      "premise or tighten the filter")
+
+    // OR-merge of a disjoint split is bit-identical to the full build
+    def of(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.bloomSketch(df, "h", 3, 256)
+    val merged = SketchOps.mergeBloom(
+      of(docs.filter(col("doc_id") < 100).select(md5(col("text")).as("h"))),
+      of(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select(md5(col("text")).as("h"))))
+    def bitSet(s: SketchOps.BloomSketch) =
+      s.bits.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(bitSet(merged) == bitSet(sk))
+
+    // store round-trip: served probe answers equal the fresh filter's
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    SketchOps.saveBloom(sk, dir)
+    val lk = SketchOps.loadBloom(spark, dir)
+    assert(lk.depth == 3 && lk.width == 256)
+    assert(bitSet(lk) == bitSet(sk))
+
+    intercept[IllegalArgumentException] {
+      SketchOps.mergeBloom(sk, SketchOps.bloomSketch(seen, "h", 3, 128))
+    }
+    intercept[IllegalStateException] {
+      SketchOps.loadBloom(spark,
+        java.nio.file.Files.createTempDirectory("graft_not_bloom").toString)
+    }
+    // bits without a manifest is broken, not absent
+    val crashed =
+      java.nio.file.Files.createTempDirectory("graft_bloom_crash").toString
+    sk.bits.write.parquet(s"$crashed/bits")
+    intercept[IllegalStateException] {
+      SketchOps.bloomStoreExists(spark, crashed)
+    }
+  }
 }

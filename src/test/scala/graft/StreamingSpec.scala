@@ -288,6 +288,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(log.count() == log.select("a", "b").distinct().count())
   }
 
+  test("foreachBatch maintains the persisted bloom filter across " +
+      "micro-batches") {
+    // the frontier-membership leg of the store-maintenance lifecycle:
+    // each micro-batch's content hashes OR into the persisted bit table
+    // (history never rescanned), and the maintained filter is
+    // bit-identical to building over the whole corpus at once — the OR
+    // is idempotent, so overlapping batches cannot corrupt it either
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val inDir = Files.createTempDirectory("graft_bloom_fb_in").toString
+    writeEventFile(inDir, "a.parquet", docs.filter(col("doc_id") % 2 === 0))
+    writeEventFile(inDir, "b.parquet", docs.filter(col("doc_id") % 2 =!= 0))
+    val store =
+      Files.createTempDirectory("graft_bloom_fb_store").toString + "/bloom"
+    var batches = 0
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .select(md5(col("text")).as("h"))
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        val b = graft.ops.SketchOps.bloomSketch(df, "h", 3, 256)
+        if (graft.ops.SketchOps.bloomStoreExists(spark, store))
+          graft.ops.SketchOps.appendBloom(spark, store, b, Some(id))
+        else graft.ops.SketchOps.saveBloom(b, store, Some(id))
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val served = graft.ops.SketchOps.loadBloom(spark, store)
+    val want = graft.ops.SketchOps.bloomSketch(
+      docs.select(md5(col("text")).as("h")), "h", 3, 256)
+    def bitSet(s: graft.ops.SketchOps.BloomSketch) =
+      s.bits.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(bitSet(served) == bitSet(want))
+    assert(bitSet(served).nonEmpty)
+    // zombie re-delivery of the last batch: manifest-guarded no-op
+    graft.ops.SketchOps.appendBloom(spark, store,
+      graft.ops.SketchOps.bloomSketch(
+        docs.filter(col("doc_id") % 2 =!= 0).select(md5(col("text")).as("h")),
+        "h", 3, 256),
+      Some(batches - 1L))
+    assert(bitSet(graft.ops.SketchOps.loadBloom(spark, store)) == bitSet(want))
+  }
+
   test("streaming-maintained mix stats re-derive the exact batch temperature recipe") {
     // the sampling-recipe leg of the store-maintenance lifecycle: each
     // micro-batch's per-stratum counts fold into the persisted mix-stats
