@@ -302,6 +302,38 @@ object TrainingQueries {
       .select(col("doc_id"), col("might_contain"))
   }
 
+  /** Frontier dedup composite: which probe docs are genuinely NEW
+    * against the seen corpus. The bloom filter clears "definitely new"
+    * rows without touching history; only the "maybe seen" minority
+    * reaches the exact semi-join. The prefilter is semantically
+    * TRANSPARENT — no false negatives means no seen doc slips through,
+    * and false positives are resolved by the exact check — so the
+    * oracle is the plain anti-join, while at scale the exact join's
+    * probe input is only the rows the filter couldn't clear (~FP-rate
+    * of the new ones plus the truly seen). At 100 TB the filter is the
+    * persisted [[SketchOps.loadBloom]] artifact rather than rebuilt;
+    * the gate rebuilds it for per-dir determinism. Transparency at
+    * MULTIPLE shapes is locked in `TrainingSpec`.
+    */
+  val ddFrontier: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val seen = docs.filter(col("doc_id") < 200)
+      .select(md5(col("text")).as("h"))
+    val sk = SketchOps.bloomSketch(seen, "h", depth = 3, width = 256)
+    val probes = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val verdicts = SketchOps.bloomMightContain(sk, probes, "h")
+    val definitelyNew = probes.join(
+      verdicts.filter(!col("might_contain")),
+      probes("h") === col("item"), "left_semi")
+    val maybeSeen = probes.join(
+      verdicts.filter(col("might_contain")),
+      probes("h") === col("item"), "left_semi")
+    val verifiedNew = maybeSeen.join(seen,
+      maybeSeen("h") === seen("h"), "left_anti")
+    definitelyNew.unionByName(verifiedNew).select(col("doc_id"))
+  }
+
   /** Persisted KMV sketch table, built once per data dir and served
     * thereafter ([[graft.ops.SketchOps.saveKmv]]): the build pass folds
     * the corpus into ≤ k sorted minimum hashes per group; serving reads
@@ -511,6 +543,7 @@ object TrainingQueries {
     "sk_quantile" -> skQuantile,
     "sk_heavy_cm" -> skHeavyCm,
     "sk_bloom" -> skBloom,
+    "dd_frontier" -> ddFrontier,
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
@@ -869,6 +902,13 @@ object TrainingQueries {
         |SELECT pe.doc_id, (count(b.bucket) = 3) AS might_contain
         |FROM pe LEFT JOIN bits b ON b.r = pe.r AND b.bucket = pe.bucket
         |GROUP BY pe.doc_id""".stripMargin,
+    // the bloom prefilter is transparent, so the oracle is the PLAIN
+    // exact anti-join — see ddFrontier's doc
+    "dd_frontier" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id >= 200 AND doc_id < 400
+        |  AND md5(text) NOT IN
+        |    (SELECT md5(text) FROM documents WHERE doc_id < 200)""".stripMargin,
     "sk_quantile" ->
       """WITH s AS (SELECT source, n_chars FROM documents
         |  WHERE substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),

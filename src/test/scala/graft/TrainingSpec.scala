@@ -524,4 +524,37 @@ class TrainingSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(sh == Seq("a b c", "b c d"))
   }
+
+  test("bloom-prefiltered frontier dedup is transparent at every shape") {
+    // the composite's correctness must not depend on the filter's FP
+    // rate: any shape — the gate's deliberately tight 3×256, something
+    // generous, and a degenerate 1×2 where EVERYTHING is "maybe seen" —
+    // must yield exactly the plain anti-join's new-doc set
+    import graft.ops.SketchOps
+    val docs = Tables.documents(spark, sf)
+    val seen = docs.filter(col("doc_id") < 200)
+      .select(md5(col("text")).as("h"))
+    val probes = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val want = probes.join(seen, probes("h") === seen("h"), "left_anti")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    def composite(depth: Int, width: Int): Set[Long] = {
+      val sk = SketchOps.bloomSketch(seen, "h", depth, width)
+      val verdicts = SketchOps.bloomMightContain(sk, probes, "h")
+      val defNew = probes.join(verdicts.filter(!col("might_contain")),
+        probes("h") === col("item"), "left_semi")
+      val maybe = probes.join(verdicts.filter(col("might_contain")),
+        probes("h") === col("item"), "left_semi")
+      defNew.unionByName(maybe.join(seen, maybe("h") === seen("h"), "left_anti"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    }
+    assert(composite(3, 256) == want)
+    assert(composite(3, 1 << 16) == want)
+    assert(composite(1, 2) == want)
+    assert(want.nonEmpty)
+    // and the gate itself is the 3×256 instance
+    val viaGate = TrainingQueries.ddFrontier(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaGate == want)
+  }
 }
