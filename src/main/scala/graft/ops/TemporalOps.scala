@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively.
+  *
+  * The as-of join — each right row matched to the LATEST left row at or
+  * before its timestamp, per key — is the standard point-in-time
+  * primitive (market data enrichment, last-touch attribution, slowly
+  * changing dimensions). Spark has no native form; the naive encodings
+  * are a non-equi range join (quadratic bucket blowup under dense keys)
+  * or a groupBy+collect (state = the whole history per key). The scale
+  * shape used here is union + ordered window: tag both sides, ONE hash
+  * exchange of |L|+|R| rows on the key, one sort, and a single forward
+  * pass carrying the last-seen left payload — the same cost class as a
+  * sort-merge equi-join, with per-row state of exactly one left struct
+  * regardless of history length. No candidate pairs ever materialize.
+  */
+object TemporalOps {
+
+  /** As-of join: every `right` row gains a `matched` struct holding ALL
+    * columns of the latest `left` row with `left.tsCol <= right.tsCol`
+    * and the same `keyCol` (null when no such row). A left row at
+    * exactly the right row's instant matches (<=, the standard as-of
+    * contract). Among left ties at one instant the row with the LARGEST
+    * `leftTieCol` wins, making the result deterministic on any data.
+    *
+    * SQL join-key semantics for degenerate rows: null-key rows match
+    * nothing and nothing matches them, and a null-timestamp row has no
+    * position in time — both are dropped from their side rather than
+    * sorting first and silently becoming "the earliest row ever".
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      leftTieCol: String): DataFrame = {
+    val l = left
+      .filter(col(keyCol).isNotNull && col(leftTsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(leftTsCol).as("__t"),
+        lit(0).as("__side"), col(leftTieCol).cast("long").as("__tie"),
+        struct(left.columns.map(col): _*).as("__l"))
+    val r = right
+      .filter(col(keyCol).isNotNull && col(rightTsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(rightTsCol).as("__t"),
+        lit(1).as("__side"), lit(0L).as("__tie"),
+        struct(right.columns.map(col): _*).as("__r"))
+    // left rows sort BEFORE right rows at the same instant (side 0 < 1),
+    // which is exactly the <= contract; ties among left rows resolve by
+    // __tie ascending, so last() carries the largest-tie row forward
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("matched", last(col("__l"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__r.*"), col("matched"))
+  }
+}

@@ -364,6 +364,29 @@ object ExtQueries {
   val evAttribution: Q = (s, d) =>
     EventStreams.attributionJoin(Tables.events(s, d))
 
+  /** As-of join ([[graft.ops.TemporalOps.asofJoin]]): every click gains
+    * the latest view AT OR BEFORE it per user — last-touch attribution,
+    * where [[evAttribution]]'s range join is every-touch-in-window.
+    * Clicks with no prior view surface with null view columns (the
+    * "unattributed" rows a real pipeline must not silently drop). One
+    * |views|+|clicks| exchange, no candidate pairs.
+    */
+  val evAsof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    graft.ops.TemporalOps.asofJoin(views, clicks,
+        "user_id", "view_ts", "click_ts", "view_id")
+      .select(col("click_id"), col("user_id"),
+        col("matched.view_id").as("view_id"),
+        expr("(unix_micros(click_ts) - unix_micros(matched.view_ts))" +
+          " div 1000000").as("lag_sec"))
+  }
+
   /** S2: taxonomy TSV scan (multichar "\t|\t" separator, header skip,
     * try_cast ids) — the oracle re-parses the RAW fixture file in DuckDB,
     * fully independent of the Spark ingest path.
@@ -671,6 +694,7 @@ object ExtQueries {
     "mm_resize" -> mmResize,
     "tree_multi" -> treeMulti,
     "ev_attribution" -> evAttribution,
+    "ev_asof" -> evAsof,
     "s10_edge_dump" -> s10EdgeDump,
     "s5_newick_tokens" -> s5NewickTokens,
     "s13_tax_newick" -> s13TaxNewick,
@@ -985,6 +1009,26 @@ object ExtQueries {
         |  (epoch_us(ct) - epoch_us(vt)) // 1000000 AS lag_sec
         |FROM v JOIN c ON c.user_id = v.user_id
         |  AND ct >= vt AND ct <= vt + INTERVAL 30 MINUTE""".stripMargin,
+    // the same union+window formulation as the Spark operator: a shared
+    // ORDER BY (t, side, tie) makes equal-instant and tie semantics
+    // explicit and identical on both engines
+    "ev_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts::TIMESTAMP AS t, 0 AS side, event_id AS tie,
+        |    event_id AS v_id, ts::TIMESTAMP AS v_ts, NULL::BIGINT AS c_id
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts::TIMESTAMP, 1, 0, NULL::BIGINT, NULL::TIMESTAMP,
+        |    event_id
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (SELECT user_id, t, side, c_id,
+        |    last_value(v_id IGNORE NULLS) OVER w AS view_id,
+        |    last_value(v_ts IGNORE NULLS) OVER w AS view_ts
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, side, tie
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT c_id AS click_id, user_id, view_id,
+        |  (epoch_us(t) - epoch_us(view_ts)) // 1000000 AS lag_sec
+        |FROM m WHERE side = 1""".stripMargin,
     "s10_edge_dump" ->
       """WITH n AS (SELECT node_id, ot_node_id, name
         |  FROM read_parquet('__FIXTURE__/nodes/*.parquet')),
