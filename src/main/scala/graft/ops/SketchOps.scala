@@ -419,6 +419,73 @@ object SketchOps {
     override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
   }
 
+  /** Bounded top-k-per-group aggregator: keeps the `cap` best
+    * (score, id) pairs — score DESCENDING, id ascending on ties, so the
+    * result is deterministic on any data and any partitioning. This is
+    * the scale path for "top N per group": a window `row_number <= N`
+    * sorts EVERY group's full contents under the exchange, where this
+    * aggregator's state is ≤ cap pairs per group per partition and
+    * partial aggregation shrinks the shuffle to cap rows per
+    * (group, input partition) — at 100 TB the exchange carries the
+    * candidates, not the corpus. Same binary-search insert discipline
+    * as [[ReservoirAgg]] (its O(n log cap) hot-group bound applies).
+    */
+  class TopKAgg(cap: Int)
+      extends Aggregator[(Long, Long), Array[(Long, Long)], Array[(Long, Long)]] {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    override def zero: Array[(Long, Long)] = Array.empty
+    override def reduce(buf: Array[(Long, Long)],
+        x: (Long, Long)): Array[(Long, Long)] = insert(buf, x)
+    override def merge(a: Array[(Long, Long)],
+        b: Array[(Long, Long)]): Array[(Long, Long)] = b.foldLeft(a)(insert)
+    // "better" sorts first: higher score, then lower id
+    private def cmp(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+    private def insert(buf: Array[(Long, Long)],
+        x: (Long, Long)): Array[(Long, Long)] = {
+      if (buf.length >= cap && cmp(x, buf(buf.length - 1)) >= 0) buf
+      else {
+        var lo = 0
+        var hi = buf.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cmp(buf(mid), x) <= 0) lo = mid + 1 else hi = mid
+        }
+        val outLen = math.min(buf.length + 1, cap)
+        val out = new Array[(Long, Long)](outLen)
+        System.arraycopy(buf, 0, out, 0, lo)
+        out(lo) = x
+        if (lo + 1 < outLen) System.arraycopy(buf, lo, out, lo + 1, outLen - lo - 1)
+        out
+      }
+    }
+    override def finish(buf: Array[(Long, Long)]): Array[(Long, Long)] = buf
+    override def bufferEncoder: Encoder[Array[(Long, Long)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[(Long, Long)]] = ExpressionEncoder()
+  }
+
+  /** Top `k` rows per group as (group, rnk, score, id) — the aggregator
+    * form of `row_number() OVER (... ORDER BY score DESC, id) <= k`,
+    * bit-equal to it (both orders are total), with the window's full
+    * per-group sort replaced by the bounded [[TopKAgg]] state.
+    */
+  def topKPerGroup(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      scoreCol: String, idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val agg = udaf(new TopKAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    df
+      // nulls can't rank: a null score/id tuple would kill the primitive
+      // tuple encoder, and SQL row_number over them is engine-dependent
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(agg(col(scoreCol).cast("long"), col(idCol).cast("long")).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._1").as(scoreCol), col("col._2").as(idCol))
+  }
+
   /** Deterministic sampled quantiles: exact discrete order statistics
     * (rank ⌈q·n⌉, 1-based) over the hash-gated row sample
     * ([[SampleOps.hashSample]] semantics), retained through a BOUNDED

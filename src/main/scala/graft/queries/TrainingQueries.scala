@@ -279,6 +279,18 @@ object TrainingQueries {
       .filter(col("est") >= 60)
   }
 
+  /** Top-3 docs by length per source via the BOUNDED [[SketchOps.TopKAgg]]
+    * aggregator — bit-equal to the `row_number() <= 3` window form (both
+    * orders total: score desc, id asc) but with ≤ k pairs of aggregation
+    * state per group per partition and map-side partial aggregation,
+    * where the window sorts every group's full contents under the
+    * exchange. `SketchSpec` locks the plan (no Window, no full sort) and
+    * the window-equality; the oracle is the window form in DuckDB.
+    */
+  val w4GroupedTopk: Q = (s, d) =>
+    SketchOps.topKPerGroup(Tables.documents(s, d),
+      "source", "n_chars", "doc_id", k = 3)
+
   /** Crawl-frontier membership: a Bloom filter over the seen half's
     * content hashes answers "maybe seen / definitely new" for every
     * probe doc. No false negatives (every truly-seen doc probes true);
@@ -544,6 +556,7 @@ object TrainingQueries {
     "sk_heavy_cm" -> skHeavyCm,
     "sk_bloom" -> skBloom,
     "dd_frontier" -> ddFrontier,
+    "w4_grouped_topk" -> w4GroupedTopk,
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
@@ -902,6 +915,14 @@ object TrainingQueries {
         |SELECT pe.doc_id, (count(b.bucket) = 3) AS might_contain
         |FROM pe LEFT JOIN bits b ON b.r = pe.r AND b.bucket = pe.bucket
         |GROUP BY pe.doc_id""".stripMargin,
+    // the aggregator is bit-equal to the window form; the oracle IS the
+    // window form (total order: n_chars desc, doc_id asc)
+    "w4_grouped_topk" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents)
+        |SELECT source, rnk, n_chars, doc_id FROM r WHERE rnk <= 3""".stripMargin,
     // the bloom prefilter is transparent, so the oracle is the PLAIN
     // exact anti-join — see ddFrontier's doc
     "dd_frontier" ->

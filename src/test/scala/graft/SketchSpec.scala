@@ -225,6 +225,55 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded top-k per group equals the window form, is partition-" +
+      "order independent, and plans no window or full sort") {
+    val docs = Tables.documents(spark, sf)
+    def viaAgg(parts: Int): Set[Seq[Any]] =
+      SketchOps.topKPerGroup(docs.repartition(parts),
+          "source", "n_chars", "doc_id", k = 3)
+        .collect().map(_.toSeq).toSet
+    // the window formulation over the same total order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val viaWindow = docs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("rnk").cast("long"),
+        col("n_chars"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    val a4 = viaAgg(4)
+    assert(a4 == viaWindow)
+    assert(a4.nonEmpty)
+    // merge order must not matter
+    assert(viaAgg(1) == a4 && viaAgg(17) == a4)
+    // tie semantics on a constructed collision: equal scores rank by id
+    import spark.implicits._
+    val tied = Seq((1L, 10L, 5L), (1L, 11L, 5L), (1L, 12L, 5L), (1L, 13L, 4L))
+      .toDF("g", "id", "sc")
+    val got = SketchOps.topKPerGroup(tied, "g", "sc", "id", 2)
+      .select(col("rnk"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 11L)))
+    // the plan must be aggregate-shaped: no WindowExec, no SortExec over
+    // the corpus (the sort a window would need under the exchange)
+    val df = SketchOps.topKPerGroup(docs, "source", "n_chars", "doc_id", 3)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val all = nodes(df.queryExecution.executedPlan)
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      df.queryExecution.executedPlan.toString)
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("bloom never false-negatives, merge equals full build, store " +
       "round-trips, and mismatched shapes are refused") {
     val docs = Tables.documents(spark, sf)
