@@ -269,6 +269,37 @@ object LshStore {
     graft.StoreUtil.writeMarker(spark, dest, ManifestFile, m)
   }
 
+  /** Rewrite an ingest-grown store into a fresh compact layout at
+    * `dest` — the periodic maintenance step of the ingest-many-times
+    * lifecycle (each [[ingestBatch]] adds a file set per table; reads
+    * stay correct but open more files until compaction). `dest` must be
+    * disjoint from `path` (the source is read lazily while the
+    * destination is written); the manifest is copied verbatim, so
+    * parameters, ingest counter, and the zombie guard's `last_batch`
+    * all survive. Row content — including every `ingest_batch` tag —
+    * is unchanged. `files` is the per-table output file count (the
+    * source's read partitioning would otherwise leak through — tiny
+    * appended files each become a partition and re-emerge unmerged);
+    * the default suits the kilobytes-per-million-docs scale of these
+    * tables, pass more for a corpus where one band file is unwieldy.
+    */
+  def compact(spark: SparkSession, path: String, dest: String,
+      files: Int = 1): Unit = {
+    refusePending(spark, path)
+    require(files >= 1, s"files must be >= 1, got $files")
+    val m = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "LSH band store")
+    require(qualified(spark, path) != qualified(spark, dest),
+      s"compact destination must be disjoint from the source ($path); " +
+        "the source is read lazily while dest is written")
+    graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
+    spark.read.parquet(s"$path/pairs").repartition(files)
+      .write.mode("overwrite").parquet(s"$dest/pairs")
+    spark.read.parquet(s"$path/bands").repartition(files)
+      .write.mode("overwrite").parquet(s"$dest/bands")
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile, m)
+  }
+
   private def qualified(spark: SparkSession, p: String): String = {
     val hp = new org.apache.hadoop.fs.Path(p)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -176,6 +176,33 @@ class LshStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no " + LshStore.ManifestFile))
   }
 
+  test("compact rewrites an ingest-grown store losslessly") {
+    val dir = Files.createTempDirectory("graft_lsh_cp").toString
+    (0 until 3).foreach { m =>
+      LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") % 3 === m),
+        "doc_id", "text", batchId = Some(m.toLong))
+    }
+    val dest = Files.createTempDirectory("graft_lsh_cp_out").toString
+    intercept[IllegalArgumentException](LshStore.compact(spark, dir, dir))
+    LshStore.compact(spark, dir, dest)
+    assert(pairSet(LshStore.pairLog(spark, dest)) ==
+      pairSet(LshStore.pairLog(spark, dir)))
+    def bandSet(p: String) = LshStore.load(spark, p).bands
+      .collect().map(_.toSeq).toSet
+    assert(bandSet(dest) == bandSet(dir))
+    // the zombie guard survives the manifest copy: re-delivering the
+    // last ingested batch to the COMPACTED store is still a no-op
+    val before = LshStore.load(spark, dest).bands.count()
+    LshStore.ingestBatch(spark, dest, window.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", batchId = Some(2L))
+    assert(LshStore.load(spark, dest).bands.count() == before)
+    // and the file count actually shrank
+    def files(p: String) = new java.io.File(s"$p/bands").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(dest) < files(dir),
+      s"compacted ${files(dest)} vs grown ${files(dir)}")
+  }
+
   test("gate dd_lsh_store equals gate dd_minhash_lsh bit for bit") {
     val a = pairSet(graft.queries.TrainingQueries.ddLshStore(spark, sf))
     val b = pairSet(graft.queries.TrainingQueries.ddMinhashLsh(spark, sf))
