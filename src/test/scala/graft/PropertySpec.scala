@@ -138,6 +138,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join equals the brute-force definition on random event sets") {
+    import spark.implicits._
+    (71L to 74L).foreach { seed =>
+      val rnd = new Random(seed)
+      // few keys + a coarse time grid so equal instants, shared keys, and
+      // unmatched rows all actually occur
+      // ids unique by construction (index-based): a duplicate id would
+      // make the got/want maps collide on whichever row a Map keeps
+      def side(n: Int, idBase: Long) = Seq.tabulate(n)(i =>
+        (rnd.nextInt(5).toLong, idBase + i,
+          rnd.nextInt(40).toLong * 60000L))
+      val lRows = side(40 + rnd.nextInt(40), 0L)
+      val rRows = side(40 + rnd.nextInt(40), 100000L)
+      val l = lRows.toDF("k", "lid", "ms")
+        .select(col("k"), col("lid"), timestamp_millis(col("ms")).as("lts"))
+      val r = rRows.toDF("k", "rid", "ms")
+        .select(col("k"), col("rid"), timestamp_millis(col("ms")).as("rts"))
+      val got = graft.ops.TemporalOps.asofJoin(l, r, "k", "lts", "rts", "lid")
+        .select(col("rid"), col("matched.lid"))
+        .collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+      // brute force straight from the definition: per right row, the
+      // largest (ts, lid) among left rows with same key and ts <= rts
+      val want = rRows.map { case (k, rid, rms) =>
+        val cands = lRows.filter(x => x._1 == k && x._3 <= rms)
+        rid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(x => (x._3, x._2))._2))
+      }.toMap
+      assert(got == want, s"seed=$seed")
+      assert(got.nonEmpty, s"seed=$seed produced no right rows")
+    }
+  }
+
   test("span dedup keeps each distinct passage exactly once on random docs") {
     import spark.implicits._
     (61L to 64L).foreach { seed =>
