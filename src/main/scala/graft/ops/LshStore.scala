@@ -127,6 +127,31 @@ object LshStore {
   private def orderPair(x: Column, y: Column): Seq[Column] =
     Seq(least(x, y).as("a"), greatest(x, y).as("b"))
 
+  /** Batch×batch candidate pairs from an already-computed band-row
+    * table — the same self-join [[TextOps.minhashCandidates]] builds
+    * after its own banding, so results are bit-equal.
+    */
+  private def selfPairs(b: DataFrame): DataFrame =
+    b.alias("x").join(b.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+
+  /** Cross + within pairs from an already-computed batch band table —
+    * lets [[ingestBatch]] shingle/sign the batch ONCE and reuse the
+    * rows for both pair derivations and the index append.
+    */
+  private def candidatesFromBands(historyBands: DataFrame,
+      b: DataFrame): DataFrame = {
+    val cross = historyBands.alias("h").join(broadcast(b.alias("n")),
+        col("h.band") === col("n.band") &&
+          col("h.band_key") === col("n.band_key") &&
+          col("h.id") =!= col("n.id"))
+      .select(orderPair(col("h.id"), col("n.id")): _*)
+    cross.union(selfPairs(b)).distinct()
+  }
+
   /** The NEW near-dup candidate pairs a batch introduces: batch×history
     * through the stored index, plus batch×batch through the in-memory
     * banding. The stored side is scanned exactly once and never
@@ -136,17 +161,9 @@ object LshStore {
     * Signature parameters come from the MANIFEST, never the caller.
     */
   def candidates(st: Loaded, batch: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val b = bandRows(batch, idCol, textCol, st.k, st.nBands)
-    val cross = st.bands.alias("h").join(broadcast(b.alias("n")),
-        col("h.band") === col("n.band") &&
-          col("h.band_key") === col("n.band_key") &&
-          col("h.id") =!= col("n.id"))
-      .select(orderPair(col("h.id"), col("n.id")): _*)
-    val within = TextOps.minhashCandidates(batch, idCol, textCol,
-      st.k, st.nBands)
-    cross.union(within).distinct()
-  }
+      textCol: String): DataFrame =
+    candidatesFromBands(st.bands,
+      bandRows(batch, idCol, textCol, st.k, st.nBands))
 
   /** All (a < b) candidate pairs WITHIN the stored corpus — the self-join
     * form, bit-equal to running [[TextOps.minhashCandidates]] over the
@@ -198,8 +215,9 @@ object LshStore {
       idCol: String, textCol: String, k: Int = 8, bands: Int = 4,
       batchId: Option[Long] = None): Unit = {
     val present = exists(spark, path)
-    if (present && batchId.isDefined &&
-        batchId == SketchOps.lastBatchId(spark, path, ManifestFile)) return
+    val prevLastBatch =
+      if (present) SketchOps.lastBatchId(spark, path, ManifestFile) else None
+    if (present && batchId.isDefined && batchId == prevLastBatch) return
     val ingests: Long =
       if (!present) 0L
       else graft.StoreUtil.manifestInt(
@@ -211,24 +229,36 @@ object LshStore {
     // monotonic, and the tag's only job is identifying ONE batch's rows
     // to recoverIngest
     val bid = batchId.getOrElse(ingests)
-    val (kk, bb, newPairs) =
+    val (kk, bb) =
       if (present) {
         val st = load(spark, path)
         require(k == st.k && bands == st.nBands,
           s"index at $path was built with k=${st.k}/bands=${st.nBands}; " +
             s"refusing ingest with k=$k/bands=$bands")
-        (st.k, st.nBands, candidates(st, batch, idCol, textCol))
-      } else
-        (k, bands, TextOps.minhashCandidates(batch, idCol, textCol, k, bands))
-    graft.StoreUtil.writeMarker(spark, path, PendingFile, bid.toString)
+        (st.k, st.nBands)
+      } else (k, bands)
+    // shingle + sign ONCE: the materialized band table feeds the cross
+    // join, the within-batch self-join, AND the index append — the
+    // inline form would run the regex tokenizer and k seeded md5 minima
+    // three times per micro-batch
+    val b = ClusterOps.flatten(bandRows(batch, idCol, textCol, kk, bb))
+    val newPairs =
+      if (present)
+        candidatesFromBands(spark.read.parquet(s"$path/bands"), b)
+      else selfPairs(b).distinct()
+    graft.StoreUtil.writeMarker(spark, path, PendingFile,
+      s"$bid:$ingests")
     val mode = if (present) "append" else "overwrite"
     newPairs.withColumn("ingest_batch", lit(bid))
       .write.mode(mode).parquet(s"$path/pairs")
-    bandRows(batch, idCol, textCol, kk, bb)
-      .withColumn("ingest_batch", lit(bid))
+    b.withColumn("ingest_batch", lit(bid))
       .write.mode(mode).parquet(s"$path/bands")
+    // an ingest WITHOUT a batchId must not erase a previous explicit
+    // last_batch: a manual catch-up ingest between a streaming crash and
+    // its restart would otherwise disarm the zombie guard and let the
+    // redelivered batch ingest twice
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      manifest(kk, bb, ingests + 1L, batchId))
+      manifest(kk, bb, ingests + 1L, batchId.orElse(prevLastBatch)))
     graft.StoreUtil.deleteMarker(spark, path, PendingFile)
   }
 
@@ -240,16 +270,27 @@ object LshStore {
     * VERBATIM, which is correct in both windows: a crash before the
     * manifest rewrite leaves the pre-batch manifest (matching the
     * cleaned tables), and a crash after it (only the marker delete was
-    * lost) means the ingest COMPLETED — detected by `last_batch` ==
-    * pending id — so nothing is filtered and the post-batch manifest
+    * lost) means the ingest COMPLETED — detected by the manifest's
+    * `ingests` counter having moved past the pending marker's start
+    * snapshot, a witness that works for default-tag ingests too — so
+    * nothing is filtered and the post-batch manifest
     * matches. A crash during the very first ingest (no manifest yet) is
     * unrecoverable-by-rollback: nothing pre-batch exists, so delete the
     * directory and re-ingest.
     */
   def recoverIngest(spark: SparkSession, path: String, dest: String): Unit = {
-    val bad = graft.StoreUtil.readMarker(spark, path, PendingFile)
+    val pending = graft.StoreUtil.readMarker(spark, path, PendingFile)
       .getOrElse(throw new IllegalStateException(
-        s"no interrupted ingest recorded at $path")).trim.toLong
+        s"no interrupted ingest recorded at $path")).trim
+    // marker format "bid:ingestsAtStart" — the counter snapshot is the
+    // completion witness that works for DEFAULT-tag ingests too, where
+    // last_batch never records the bid: the manifest rewrite always
+    // bumps `ingests`, so an unchanged counter means the crash happened
+    // before the rewrite (roll the batch out) and a bumped one means
+    // the ingest completed and only the marker delete was lost (keep
+    // everything)
+    val Array(badStr, startStr) = pending.split(":", 2)
+    val bad = badStr.toLong
     val m = graft.StoreUtil.readMarker(spark, path, ManifestFile)
       .getOrElse(throw new IllegalStateException(
         s"$path's first ingest crashed (no pre-batch manifest survives) — " +
@@ -257,8 +298,8 @@ object LshStore {
     require(qualified(spark, path) != qualified(spark, dest),
       s"recover destination must be disjoint from the broken store " +
         s"($path); the source is read lazily while dest is written")
-    val completed =
-      SketchOps.lastBatchId(spark, path, ManifestFile).contains(bad)
+    val completed = graft.StoreUtil.manifestInt(m, "ingests",
+      s"LSH manifest at $path").toLong != startStr.toLong
     def clean(table: String): DataFrame = {
       val t = spark.read.parquet(s"$path/$table")
       if (completed) t else t.filter(col("ingest_batch") =!= bad)

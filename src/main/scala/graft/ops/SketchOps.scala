@@ -470,9 +470,26 @@ object SketchOps {
     * form of `row_number() OVER (... ORDER BY score DESC, id) <= k`,
     * bit-equal to it (both orders are total), with the window's full
     * per-group sort replaced by the bounded [[TopKAgg]] state.
+    *
+    * Score and id must be integral columns: a silent cast("long") on a
+    * double score would truncate 3.9 and 3.1 into a tie and rank a
+    * DIFFERENT row than the window form (breaking the bit-equality this
+    * exists to guarantee), and on a string id it throws at runtime
+    * under ANSI mode anyway — so non-integral inputs are refused at
+    * plan time with a message instead.
     */
   def topKPerGroup(df: org.apache.spark.sql.DataFrame, groupCol: String,
       scoreCol: String, idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    Seq(scoreCol, idCol).foreach { c =>
+      val t = df.schema(c).dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.IntegerType ||
+          t == org.apache.spark.sql.types.ShortType ||
+          t == org.apache.spark.sql.types.ByteType,
+        s"topKPerGroup requires integral score/id columns; '$c' is $t " +
+          "(a lossy cast would silently rank differently than the " +
+          "window form)")
+    }
     val agg = udaf(new TopKAgg(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
     df

@@ -31,10 +31,31 @@ object TemporalOps {
     * nothing and nothing matches them, and a null-timestamp row has no
     * position in time — both are dropped from their side rather than
     * sorting first and silently becoming "the earliest row ever".
+    *
+    * `leftTieCol` must be an integral column (the determinism guarantee
+    * rests on its total order — a cast from a string id would throw
+    * under ANSI mode or, with ANSI off, null every tie and make
+    * equal-instant picks partition-order dependent). The name `matched`
+    * is reserved for the output and must not exist on `right`, and
+    * neither input may carry `__`-prefixed columns (internal tags).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String,
       leftTieCol: String): DataFrame = {
+    val tieType = left.schema(leftTieCol).dataType
+    require(tieType == org.apache.spark.sql.types.LongType ||
+        tieType == org.apache.spark.sql.types.IntegerType ||
+        tieType == org.apache.spark.sql.types.ShortType ||
+        tieType == org.apache.spark.sql.types.ByteType,
+      s"asofJoin requires an integral leftTieCol; '$leftTieCol' is " +
+        s"$tieType (a lossy/failing cast would break the deterministic " +
+        "tie order)")
+    require(!right.columns.contains("matched"),
+      "right side already has a 'matched' column — the as-of output " +
+        "name; rename it before joining (e.g. when chaining as-ofs)")
+    (left.columns ++ right.columns).filter(_.startsWith("__")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column '$c' collides with asofJoin's internal __-prefixed tags"))
     val l = left
       .filter(col(keyCol).isNotNull && col(leftTsCol).isNotNull)
       .select(col(keyCol).as("__k"), col(leftTsCol).as("__t"),

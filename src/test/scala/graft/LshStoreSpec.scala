@@ -99,23 +99,25 @@ class LshStoreSpec extends AnyFunSuite {
     val cand = LshStore.candidates(st,
       window.filter(col("doc_id") >= 80), "doc_id", "text")
     cand.collect()
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    def bhj(p: SparkPlan): Seq[BroadcastHashJoinExec] = p match {
-      case a: AdaptiveSparkPlanExec => bhj(a.executedPlan)
-      case q: QueryStageExec => bhj(q.plan)
-      case j: BroadcastHashJoinExec => j +: j.children.flatMap(bhj)
-      case other => other.children.flatMap(bhj)
+    val joins = PlanWalk.collect(cand.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec => j
     }
-    val joins = bhj(cand.queryExecution.executedPlan)
-    // the history×batch join must be a broadcast hash join on the
-    // (band, band_key) keys with the BATCH side as the build side —
-    // the hint pins it, so a regression (hint dropped, history built)
-    // fails here rather than surfacing as a 100 TB history shuffle
-    assert(joins.exists(j =>
-        j.leftKeys.size == 2 &&
-          j.buildSide.toString == "BuildRight"),
+    // the HISTORY×batch join specifically — identified by its streamed
+    // (left) side scanning the store's bands files — must broadcast the
+    // BATCH side. The within-batch self-join is also a broadcast join
+    // with the same key count, so matching on keys alone would pass
+    // vacuously with the history hint removed; anchoring on the store
+    // scan makes a history-shuffle regression actually fail here.
+    val historyJoin = joins.filter(j =>
+      PlanWalk.collect(j.left) { case f: FileSourceScanExec => f }
+        .exists(_.relation.location.rootPaths.exists(
+          _.toString.contains(dir))))
+    assert(historyJoin.nonEmpty,
+      "no broadcast join streams the stored band files:\n" +
+        cand.queryExecution.executedPlan.toString)
+    assert(historyJoin.forall(_.buildSide.toString == "BuildRight"),
       cand.queryExecution.executedPlan.toString)
   }
 
@@ -126,9 +128,10 @@ class LshStoreSpec extends AnyFunSuite {
       "doc_id", "text", batchId = Some(0L))
     val goodPairs = pairSet(LshStore.pairLog(spark, dir))
     val goodBands = LshStore.load(spark, dir).bands.count()
-    // simulate a crash mid-ingest of batch 7: pending marker down, pair
-    // log partially appended, band append never ran, manifest pre-batch
-    StoreUtil.writeMarker(spark, dir, LshStore.PendingFile, "7")
+    // simulate a crash mid-ingest of batch 7: pending marker down (bid 7,
+    // started when the counter was 1), pair log partially appended, band
+    // append never ran, manifest pre-batch
+    StoreUtil.writeMarker(spark, dir, LshStore.PendingFile, "7:1")
     spark.range(3).select(lit(9990L).as("a"), (col("id") + 9991L).as("b"),
         lit(7L).as("ingest_batch"))
       .write.mode("append").parquet(s"$dir/pairs")
@@ -154,9 +157,10 @@ class LshStoreSpec extends AnyFunSuite {
     LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") >= 50),
       "doc_id", "text", batchId = Some(1L))
     val full = pairSet(LshStore.pairLog(spark, dir))
-    // batch 1 finished (manifest records it) but the marker delete was
-    // lost: recovery must detect completion and keep batch 1's rows
-    StoreUtil.writeMarker(spark, dir, LshStore.PendingFile, "1")
+    // batch 1 finished (the manifest's counter moved past the marker's
+    // start snapshot) but the marker delete was lost: recovery must
+    // detect completion and keep batch 1's rows
+    StoreUtil.writeMarker(spark, dir, LshStore.PendingFile, "1:1")
     val dest = Files.createTempDirectory("graft_lsh_done_rec").toString
     LshStore.recoverIngest(spark, dir, dest)
     assert(pairSet(LshStore.pairLog(spark, dest)) == full)
@@ -174,6 +178,46 @@ class LshStoreSpec extends AnyFunSuite {
       .write.parquet(s"$dir/bands")
     val e = intercept[IllegalStateException](LshStore.exists(spark, dir))
     assert(e.getMessage.contains("no " + LshStore.ManifestFile))
+  }
+
+  test("a manual no-batchId ingest preserves the zombie guard") {
+    // the crash-window interleaving the guard must survive: a stream
+    // completes batch 5, crashes before its checkpoint commits, an
+    // operator runs a manual catch-up ingest while the stream is down,
+    // and the restarted stream re-delivers batch 5 — which must STILL
+    // no-op, i.e. the manual ingest must not have erased last_batch
+    val dir = Files.createTempDirectory("graft_lsh_manual").toString
+    val b5 = window.filter(col("doc_id") < 40)
+    LshStore.ingestBatch(spark, dir, b5, "doc_id", "text",
+      batchId = Some(5L))
+    LshStore.ingestBatch(spark, dir,
+      window.filter(col("doc_id") >= 40 && col("doc_id") < 70),
+      "doc_id", "text") // manual: no batchId
+    val bandsBefore = LshStore.load(spark, dir).bands.count()
+    val pairsBefore = LshStore.pairLog(spark, dir).count()
+    LshStore.ingestBatch(spark, dir, b5, "doc_id", "text",
+      batchId = Some(5L)) // the zombie
+    assert(LshStore.load(spark, dir).bands.count() == bandsBefore)
+    assert(LshStore.pairLog(spark, dir).count() == pairsBefore)
+  }
+
+  test("completed DEFAULT-tag ingest is recognized by recovery and kept") {
+    // default-tag ingests never write last_batch, so completion must be
+    // witnessed by the ingest counter moving past the marker's start
+    // snapshot — otherwise a crash after the manifest rewrite would
+    // roll a COMPLETED batch out
+    val dir = Files.createTempDirectory("graft_lsh_defdone").toString
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") < 50),
+      "doc_id", "text") // bid 0, ingests → 1
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") >= 50),
+      "doc_id", "text") // bid 1, ingests → 2, completed
+    val full = pairSet(LshStore.pairLog(spark, dir))
+    // lost marker delete: bid 1 started when the counter was 1
+    StoreUtil.writeMarker(spark, dir, LshStore.PendingFile, "1:1")
+    val dest = Files.createTempDirectory("graft_lsh_defdone_rec").toString
+    LshStore.recoverIngest(spark, dir, dest)
+    assert(pairSet(LshStore.pairLog(spark, dest)) == full)
+    assert(pairSet(LshStore.pairLog(spark, dest)) == oneShot)
   }
 
   test("compact rewrites an ingest-grown store losslessly") {

@@ -9,6 +9,27 @@ object SparkTestSession {
   val sf = "/root/testdata/sf0.001"
 }
 
+/** Shared executed-plan traversal for the plan-lock tests: ONE place
+  * that knows how AQE nests the final plan (adaptive root, QueryStage
+  * leaf wrappers), so a Spark upgrade that changes the wrapping is
+  * fixed once instead of silently weakening whichever spec's copy was
+  * missed.
+  */
+object PlanWalk {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  /** Every node of the executed plan, AQE wrappers unwrapped. */
+  def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+    case q: QueryStageExec => q +: nodes(q.plan)
+    case other => other +: other.children.flatMap(nodes)
+  }
+
+  def collect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    nodes(p).collect(pf)
+}
+
 class RelationalSpec extends AnyFunSuite {
   import SparkTestSession._
 

@@ -259,14 +259,7 @@ class SketchSpec extends AnyFunSuite {
     // the corpus (the sort a window would need under the exchange)
     val df = SketchOps.topKPerGroup(docs, "source", "n_chars", "doc_id", 3)
     df.collect()
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => q +: nodes(q.plan)
-      case other => other +: other.children.flatMap(nodes)
-    }
-    val all = nodes(df.queryExecution.executedPlan)
+    val all = PlanWalk.nodes(df.queryExecution.executedPlan)
     assert(!all.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.window.WindowExec]),
       df.queryExecution.executedPlan.toString)
@@ -286,7 +279,7 @@ class SketchSpec extends AnyFunSuite {
     assert(seenProbe.filter(!col("might_contain")).count() == 0)
     assert(seenProbe.count() > 0)
 
-    // the deliberately tight 3×1024 shape must produce real false
+    // the deliberately tight 3×256 shape must produce real false
     // positives on unseen probes at this corpus size — otherwise the
     // suite (and the sk_bloom oracle) is verifying a disguised exact
     // semi-join, not the filter

@@ -79,16 +79,9 @@ class TemporalSpec extends AnyFunSuite {
     val df = TemporalOps.asofJoin(views, clicks,
       "user_id", "view_ts", "click_ts", "view_id")
     df.collect()
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.execution.joins.{BaseJoinExec}
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => q +: nodes(q.plan)
-      case other => other +: other.children.flatMap(nodes)
-    }
-    val all = nodes(df.queryExecution.executedPlan)
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val all = PlanWalk.nodes(df.queryExecution.executedPlan)
     assert(all.count(_.isInstanceOf[ShuffleExchangeLike]) == 1,
       df.queryExecution.executedPlan.toString)
     assert(!all.exists(_.isInstanceOf[BaseJoinExec]),

@@ -58,16 +58,10 @@ class VectorStoreSpec extends AnyFunSuite {
     val res = VectorStore.query(store, one, k = 3, nprobe = 1)
     res.collect()
     // AQE nests the final plan inside the adaptive node and each stage
-    // inside a leaf QueryStageExec wrapper — recurse through both
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-      case q: QueryStageExec => fileScans(q.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(fileScans)
-    }
-    val scans = fileScans(res.queryExecution.executedPlan)
+    // inside a leaf QueryStageExec wrapper — PlanWalk recurses through both
+    val scans = PlanWalk.collect(res.queryExecution.executedPlan) {
+        case f: FileSourceScanExec => f
+      }
       .filter(_.output.exists(_.name == "cell"))
     assert(scans.nonEmpty, res.queryExecution.executedPlan.toString)
     val scan = scans.head
