@@ -24,6 +24,24 @@ object GraftFunctions {
       build(es)
     }
 
+  // Column-API composites exposed to SQL: the builder expands to the
+  // SAME built-in expression tree the DataFrame helper produces, so SQL
+  // callers get whole-stage codegen, not a black-box UDF. Conversion via
+  // the classic ExpressionUtils bridge.
+  private def toCol(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.toCol(e)
+  private def toExpr(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.GraftColumnBridge.toExpr(c)
+
+  /** A literal-int argument (e.g. minhash's k shapes the generated
+    * expression tree, so it cannot be a runtime column).
+    */
+  private def litInt(name: String, e: Expression): Int = {
+    require(e.foldable,
+      s"$name expects a literal integer here, got non-foldable $e")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("mrca_pack", classOf[MrcaPack].getName,
       checked("mrca_pack", 2)(es => MrcaPack(es.head, es(1)))),
@@ -32,7 +50,29 @@ object GraftFunctions {
     ("mrca_unpack_b", classOf[MrcaUnpackB].getName,
       checked("mrca_unpack_b", 1)(es => MrcaUnpackB(es.head))),
     ("dot_product", classOf[DotProduct].getName,
-      checked("dot_product", 2)(es => DotProduct(es.head, es(1)))))
+      checked("dot_product", 2)(es => DotProduct(es.head, es(1)))),
+    ("graft_tokens", graft.ops.TextOps.getClass.getName,
+      checked("graft_tokens", 1)(es =>
+        toExpr(graft.ops.TextOps.tokensCol(toCol(es.head))))),
+    ("graft_fingerprint", graft.ops.TextOps.getClass.getName,
+      checked("graft_fingerprint", 1)(es =>
+        toExpr(graft.ops.TextOps.fingerprintCol(toCol(es.head))))),
+    ("graft_minhash", graft.ops.TextOps.getClass.getName,
+      checked("graft_minhash", 2)(es =>
+        toExpr(graft.ops.TextOps.minhashCol(toCol(es.head),
+          litInt("graft_minhash", es(1)))))),
+    ("graft_langid", graft.ops.TextOps.getClass.getName,
+      checked("graft_langid", 1)(es =>
+        toExpr(graft.ops.TextOps.langIdCol(toCol(es.head))))),
+    ("graft_scrub_pii", graft.ops.TextOps.getClass.getName,
+      checked("graft_scrub_pii", 1)(es =>
+        toExpr(graft.ops.TextOps.scrubPiiCol(toCol(es.head))))),
+    ("graft_normalize", graft.ops.TextOps.getClass.getName,
+      checked("graft_normalize", 1)(es =>
+        toExpr(graft.ops.TextOps.normalizeCol(toCol(es.head))))),
+    ("graft_token_estimate", graft.ops.TextOps.getClass.getName,
+      checked("graft_token_estimate", 1)(es =>
+        toExpr(graft.ops.TextOps.bpeTokenEstimateCol(toCol(es.head))))))
 
   /** Register on an existing session: `SELECT mrca_pack(a, b)` works in
     * `spark.sql` afterwards.

@@ -172,6 +172,42 @@ class ExtSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("mrca_unpack_a expects 1"), e2.getMessage)
   }
 
+  test("SQL registration: text-pipeline composites expand to the same " +
+      "expression trees as the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf).limit(50)
+    docs.createOrReplaceTempView("sqldocs")
+    import graft.ops.TextOps
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_tokens(text) AS toks,
+        |  graft_fingerprint(text) AS fp, graft_minhash(text, 8) AS mh,
+        |  graft_langid(text) AS lang, graft_scrub_pii(text) AS scrubbed,
+        |  graft_normalize(text) AS norm,
+        |  graft_token_estimate(text) AS est
+        |FROM sqldocs""".stripMargin).collect().map(_.toSeq).toSet
+    val viaCols = docs.select(col("doc_id"),
+        TextOps.tokensCol(col("text")).as("toks"),
+        TextOps.fingerprintCol(col("text")).as("fp"),
+        TextOps.minhashCol(col("text"), 8).as("mh"),
+        TextOps.langIdCol(col("text")).as("lang"),
+        TextOps.scrubPiiCol(col("text")).as("scrubbed"),
+        TextOps.normalizeCol(col("text")).as("norm"),
+        TextOps.bpeTokenEstimateCol(col("text")).as("est"))
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaCols)
+    assert(viaSql.nonEmpty)
+    // the shape parameter must be a literal — it shapes the expression
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(text, doc_id) FROM sqldocs").head()
+    }
+    assert(e.getMessage.contains("literal integer"), e.getMessage)
+    // arity errors carry the function name
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_tokens(text, text) FROM sqldocs").head()
+    }
+    assert(e2.getMessage.contains("graft_tokens expects 1"), e2.getMessage)
+  }
+
   test("dot_product: codegen expression, SQL-callable, in the ANN plan") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
