@@ -256,4 +256,98 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("a").as("q_id"), col("b").as("n_id"), col("rank"), col("cos"))
   }
+
+  // ----------------------------------------------- product quantization
+
+  /** Integer-quantized subvector `j` of an embedding: dims
+    * [j·sub, (j+1)·sub) as floor(x·1000) longs. ALL PQ math runs on
+    * these integers — squared L2 in int64 is exact and
+    * summation-order-free, so codes, ADC distances, and therefore the
+    * whole search result are bit-reproducible cross-engine (the same
+    * discipline as emb_quantize / the temperature recipe), where
+    * float PQ implementations differ in the last ulp per library.
+    */
+  private def qsub(v: Column, j: Int, sub: Int): Column =
+    transform(slice(v, j * sub + 1, sub),
+      x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+
+  private def sqDistL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Sampled PQ codebook: the first `codes` corpus vectors (by id)
+    * sliced into `m` quantized subvectors — (j, code, cq). A sampled
+    * codebook is the standard training-free PQ baseline; swap in
+    * per-subspace k-means centroids ([[kmeansCentroids]]) when recall
+    * matters more than determinism of the training loop. Tiny
+    * (m·codes rows) — always broadcast.
+    */
+  def pqCodebook(corpus: DataFrame, m: Int, codes: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val base = corpus.orderBy(col("id")).limit(codes)
+    val w = Window.orderBy(col("id"))
+    base
+      .withColumn("code", (row_number().over(w) - 1).cast("long"))
+      .select(col("code"), posexplode(subsOf(col("vec"), m, sub)))
+      .select(col("pos").as("j"), col("code"), col("col").as("cq"))
+  }
+
+  /** All `m` quantized subvectors as one array — built BEFORE any
+    * explode, so the vector is quantized exactly once (each dim lands
+    * in exactly one slice), not once per exploded subspace row.
+    */
+  private def subsOf(v: Column, m: Int, sub: Int): Column =
+    array((0 until m).map(j => qsub(v, j, sub)): _*)
+
+  /** PQ-encode the corpus: every vector becomes `m` 4-bit-scale codes —
+    * the nearest codebook entry per subspace, ties to the smaller code.
+    * dim/m longs of storage per vector collapse to m small ints; at
+    * 100 TB this is the difference between an index that fits in memory
+    * and one that doesn't. One broadcast join, no shuffle of the corpus
+    * beyond the per-(id, j) argmin's partial aggregation.
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int,
+      dim: Int): DataFrame = {
+    val sub = dim / m
+    corpus
+      .select(col("id"), posexplode(subsOf(col("vec"), m, sub)))
+      .select(col("id"), col("pos").as("j"), col("col").as("sq"))
+      .join(broadcast(codebook), Seq("j"))
+      .withColumn("d2", sqDistL(col("sq"), col("cq")))
+      .groupBy(col("id"), col("j"))
+      .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        e => e.getField("code")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    * query precomputes a distance table to every codebook entry
+    * (m·codes int64s, broadcast), and a corpus vector's approximate
+    * distance is m table lookups summed — the full-dimension kernel
+    * never touches the corpus at query time. Exact integer arithmetic
+    * end to end; ties by (adc, n_id).
+    */
+  def pqSearch(queries: DataFrame, encoded: DataFrame, codebook: DataFrame,
+      m: Int, dim: Int, k: Int): DataFrame = {
+    val sub = dim / m
+    val lut = queries
+      .select(col("id").as("q_id"), posexplode(subsOf(col("vec"), m, sub)))
+      .select(col("q_id"), col("pos").as("j"), col("col").as("sq"))
+      .join(codebook, Seq("j"))
+      .select(col("q_id"), col("j"), col("code"),
+        sqDistL(col("sq"), col("cq")).as("d2"))
+    val adc = encoded
+      .select(col("id").as("n_id"), posexplode(col("codes")))
+      .select(col("n_id"), col("pos").as("j"), col("col").as("code"))
+      .join(broadcast(lut), Seq("j", "code"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("d2")).as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+  }
 }

@@ -279,6 +279,26 @@ object TrainingQueries {
       .filter(col("est") >= 60)
   }
 
+  /** PQ ANN: 64-dim vectors compressed to 4 codes (4 subspaces × 16
+    * sampled codebook entries), searched by asymmetric distance — each
+    * query precomputes an m×16 integer LUT and a corpus vector costs 4
+    * lookups, never a 64-dim kernel. All arithmetic is quantized int64
+    * ([[graft.ops.VectorOps.pqEncode]]), so codes, ADC distances, and
+    * the ranking are bit-reproducible and the DuckDB oracle re-derives
+    * the ENTIRE pipeline — codebook, encoding, LUT, ranking — not just
+    * row counts. The memory-bound leg of the ANN family (brute / LSH /
+    * IVF / IVF-store already gated): at 100 TB the 4-byte-per-vector
+    * code table fits where the raw vectors cannot.
+    */
+  val annPq: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = VectorOps.pqCodebook(e, m = 4, codes = 16, dim = 64)
+    val enc = VectorOps.pqEncode(e, cb, m = 4, dim = 64)
+    VectorOps.pqSearch(e.filter(col("id") < 10), enc, cb,
+      m = 4, dim = 64, k = 5)
+  }
+
   /** Top-3 docs by length per source via the BOUNDED [[SketchOps.TopKAgg]]
     * aggregator — bit-equal to the `row_number() <= 3` window form (both
     * orders total: score desc, id asc) but with ≤ k pairs of aggregation
@@ -557,6 +577,7 @@ object TrainingQueries {
     "sk_bloom" -> skBloom,
     "dd_frontier" -> ddFrontier,
     "w4_grouped_topk" -> w4GroupedTopk,
+    "ann_pq" -> annPq,
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
@@ -915,6 +936,39 @@ object TrainingQueries {
         |SELECT pe.doc_id, (count(b.bucket) = 3) AS might_contain
         |FROM pe LEFT JOIN bits b ON b.r = pe.r AND b.bucket = pe.bucket
         |GROUP BY pe.doc_id""".stripMargin,
+    // the full PQ pipeline re-derived: quantize, slice, codebook,
+    // nearest-code encoding (ties to smaller code), per-query LUT, ADC
+    // sum, rank — integer arithmetic end to end on both engines
+    "ann_pq" ->
+      """WITH e AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id < 500),
+        |js AS (SELECT j FROM unnest(range(0, 4)) u(j)),
+        |cb AS (SELECT e.id AS code, js.j,
+        |    e.q[js.j*16+1 : js.j*16+16] AS cq
+        |  FROM e, js WHERE e.id < 16),
+        |enc0 AS (SELECT e.id, cb.j, cb.code,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e, cb),
+        |codes AS (SELECT id, j, code FROM (
+        |  SELECT id, j, code,
+        |    row_number() OVER (PARTITION BY id, j ORDER BY d2, code) AS r
+        |  FROM enc0) WHERE r = 1),
+        |lut AS (SELECT e.id AS q_id, cb.j, cb.code,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e, cb WHERE e.id < 10),
+        |adc AS (SELECT l.q_id, c.id AS n_id, CAST(sum(l.d2) AS BIGINT) AS adc
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+        |  WHERE c.id <> l.q_id GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, n_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id)
+        |      AS BIGINT) AS rnk
+        |  FROM adc)
+        |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin,
     // the aggregator is bit-equal to the window form; the oracle IS the
     // window form (total order: n_chars desc, doc_id asc)
     "w4_grouped_topk" ->

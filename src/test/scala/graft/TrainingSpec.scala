@@ -525,6 +525,39 @@ class TrainingSpec extends AnyFunSuite {
     assert(sh == Seq("a b c", "b c d"))
   }
 
+  test("PQ: codes are partition-order independent, ADC ranking is " +
+      "deterministic, and recall against exact top-k is real") {
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 500)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = VectorOps.pqCodebook(e, m = 4, codes = 16, dim = 64)
+    def encSet(parts: Int) =
+      VectorOps.pqEncode(e.repartition(parts), cb, m = 4, dim = 64)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val enc4 = encSet(4)
+    assert(encSet(1) == enc4 && encSet(13) == enc4)
+    assert(enc4.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
+
+    val q = e.filter(col("id") < 10)
+    val enc = VectorOps.pqEncode(e, cb, m = 4, dim = 64)
+    def res(parts: Int) = VectorOps.pqSearch(q, enc.repartition(parts), cb,
+        m = 4, dim = 64, k = 5)
+      .collect().map(_.toSeq).toSet
+    val r4 = res(4)
+    assert(r4 == res(1) && r4.size == 50)
+
+    // approximate, but not garbage: on average the PQ top-5 must
+    // recover a nontrivial share of the exact cosine top-5 (sampled
+    // codebook + L2-vs-cosine mismatch caps this well below 1.0; a
+    // broken encoder scores ~5/50 by chance against 500 candidates)
+    val exact = VectorOps.topK(q, e, 5).select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.pqSearch(q, enc, cb, m = 4, dim = 64, k = 5)
+      .select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.2, f"PQ recall $recall%.2f vs exact top-5")
+  }
+
   test("bloom-prefiltered frontier dedup is transparent at every shape") {
     // the composite's correctness must not depend on the filter's FP
     // rate: any shape — the gate's deliberately tight 3×256, something
