@@ -350,4 +350,46 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
   }
+
+  /** IVF+PQ — the canonical big-corpus ANN composition: coarse cells
+    * prune the candidate set ([[assignCells]], the [[VectorStore]]
+    * partition-filter layout), then only the probed cells' vectors are
+    * scored, and scored by ADC over their PQ codes, never their raw
+    * components. At 100 TB that compounds the two savings this family
+    * demonstrates separately: IO touches ~nprobe/cells of the data, and
+    * what is touched costs m lookups per vector instead of a
+    * full-dimension kernel. Candidate pairs are cell-bounded (the
+    * broadcast query-cell table semi-joins the corpus cells before any
+    * scoring), ADC stays exact int64.
+    */
+  def annIvfPq(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, dim: Int, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val sub = dim / m
+    val cells = assignCells(corpus, centroids, 1)
+      .select(col("id").as("n_id"), col("cell"))
+    val qcells = assignCells(queries, centroids, nprobe)
+      .select(col("id").as("q_id"), col("cell"))
+    val cand = cells.join(broadcast(qcells), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val lut = queries
+      .select(col("id").as("q_id"), posexplode(subsOf(col("vec"), m, sub)))
+      .select(col("q_id"), col("pos").as("j"), col("col").as("sq"))
+      .join(codebook, Seq("j"))
+      .select(col("q_id"), col("j"), col("code"),
+        sqDistL(col("sq"), col("cq")).as("d2"))
+    val enc = pqEncode(corpus, codebook, m, dim)
+      .select(col("id").as("n_id"), posexplode(col("codes")))
+      .select(col("n_id"), col("pos").as("j"), col("col").as("code"))
+    val adc = cand
+      .join(enc, Seq("n_id"))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("d2")).as("adc"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+  }
 }

@@ -299,6 +299,22 @@ object TrainingQueries {
       m = 4, dim = 64, k = 5)
   }
 
+  /** IVF+PQ composite ([[graft.ops.VectorOps.annIvfPq]]): coarse-cell
+    * pruning (same centroids/nprobe as `ann_ivf`) over a PQ-coded
+    * candidate set (same codebook as `ann_pq`) — the canonical
+    * cells-then-codes big-corpus recipe, with the oracle re-deriving
+    * both halves end to end.
+    */
+  val annIvfPq: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = VectorOps.pqCodebook(e, m = 4, codes = 16, dim = 64)
+    VectorOps.annIvfPq(e.filter(col("id") < 10), e, cents, cb,
+      m = 4, dim = 64, k = 5, nprobe = 2)
+  }
+
   /** Top-3 docs by length per source via the BOUNDED [[SketchOps.TopKAgg]]
     * aggregator — bit-equal to the `row_number() <= 3` window form (both
     * orders total: score desc, id asc) but with ≤ k pairs of aggregation
@@ -578,6 +594,7 @@ object TrainingQueries {
     "dd_frontier" -> ddFrontier,
     "w4_grouped_topk" -> w4GroupedTopk,
     "ann_pq" -> annPq,
+    "ann_ivfpq" -> annIvfPq,
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
@@ -936,6 +953,61 @@ object TrainingQueries {
         |SELECT pe.doc_id, (count(b.bucket) = 3) AS might_contain
         |FROM pe LEFT JOIN bits b ON b.r = pe.r AND b.bucket = pe.bucket
         |GROUP BY pe.doc_id""".stripMargin,
+    // cells-then-codes: the cell halves reuse annIvfSql's exact cosine
+    // assignment formulation (row_number ties by cid), the scoring half
+    // reuses ann_pq's integer ADC — candidates are pairs sharing a
+    // probed cell, then ranked by ADC
+    "ann_ivfpq" ->
+      """WITH ed AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id < 500),
+        |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |corpus_cells AS (SELECT id, cid AS cell FROM (
+        |  SELECT ed.id, c.cid,
+        |    row_number() OVER (PARTITION BY ed.id ORDER BY
+        |      list_dot_product(ed.v, c.cv) /
+        |        (sqrt(list_dot_product(ed.v, ed.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, c.cid) AS r
+        |  FROM ed, c) WHERE r = 1),
+        |query_cells AS (SELECT id, cid AS cell FROM (
+        |  SELECT ed.id, c.cid,
+        |    row_number() OVER (PARTITION BY ed.id ORDER BY
+        |      list_dot_product(ed.v, c.cv) /
+        |        (sqrt(list_dot_product(ed.v, ed.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, c.cid) AS r
+        |  FROM ed, c WHERE ed.id < 10) WHERE r <= 2),
+        |cand AS (SELECT DISTINCT qc.id AS q_id, cc.id AS n_id
+        |  FROM query_cells qc JOIN corpus_cells cc
+        |    ON cc.cell = qc.cell AND cc.id <> qc.id),
+        |e AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id < 500),
+        |js AS (SELECT j FROM unnest(range(0, 4)) u(j)),
+        |cb AS (SELECT e.id AS code, js.j, e.q[js.j*16+1 : js.j*16+16] AS cq
+        |  FROM e, js WHERE e.id < 16),
+        |enc0 AS (SELECT e.id, cb.j, cb.code,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e, cb),
+        |codes AS (SELECT id, j, code FROM (
+        |  SELECT id, j, code,
+        |    row_number() OVER (PARTITION BY id, j ORDER BY d2, code) AS r
+        |  FROM enc0) WHERE r = 1),
+        |lut AS (SELECT e.id AS q_id, cb.j, cb.code,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e, cb WHERE e.id < 10),
+        |adc AS (SELECT l.q_id, cd.id AS n_id, CAST(sum(l.d2) AS BIGINT) AS adc
+        |  FROM cand JOIN codes cd ON cd.id = cand.n_id
+        |  JOIN lut l ON l.q_id = cand.q_id AND l.j = cd.j AND l.code = cd.code
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, n_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id)
+        |      AS BIGINT) AS rnk
+        |  FROM adc)
+        |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin,
     // the full PQ pipeline re-derived: quantize, slice, codebook,
     // nearest-code encoding (ties to smaller code), per-query LUT, ADC
     // sum, rank — integer arithmetic end to end on both engines

@@ -556,6 +556,31 @@ class TrainingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (pq intersect exact).size.toDouble / exact.size
     assert(recall >= 0.2, f"PQ recall $recall%.2f vs exact top-5")
+
+    // IVF+PQ consistency: the composite's ADC for every returned pair
+    // must equal plain PQ's ADC for that pair (cells prune candidates,
+    // they must never change a surviving pair's distance), and every
+    // returned pair must actually share a probed cell
+    val cents = Tables.embeddings(spark, sf).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val ivfpq = VectorOps.annIvfPq(q, e, cents, cb, m = 4, dim = 64,
+        k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val allPq = VectorOps.pqSearch(q, enc, cb, m = 4, dim = 64, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (pair, adc) =>
+      assert(allPq(pair) == adc, s"$pair adc $adc != plain ${allPq(pair)}")
+    }
+    val nCell = VectorOps.assignCells(e, cents, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val qCells = VectorOps.assignCells(q, cents, 2)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    ivfpq.keys.foreach { case (qid, nid) =>
+      assert(qCells(qid).contains(nCell(nid)),
+        s"pair ($qid,$nid) does not share a probed cell")
+    }
   }
 
   test("bloom-prefiltered frontier dedup is transparent at every shape") {
