@@ -329,15 +329,21 @@ object VectorOps {
     * never touches the corpus at query time. Exact integer arithmetic
     * end to end; ties by (adc, n_id).
     */
-  def pqSearch(queries: DataFrame, encoded: DataFrame, codebook: DataFrame,
-      m: Int, dim: Int, k: Int): DataFrame = {
-    val sub = dim / m
-    val lut = queries
-      .select(col("id").as("q_id"), posexplode(subsOf(col("vec"), m, sub)))
+  /** Per-query PQ distance table: (q_id, j, code, d2) for every
+    * codebook entry — m·codes int64 rows per query, always broadcast.
+    */
+  def pqLut(queries: DataFrame, codebook: DataFrame, m: Int,
+      dim: Int): DataFrame =
+    queries
+      .select(col("id").as("q_id"), posexplode(subsOf(col("vec"), m, dim / m)))
       .select(col("q_id"), col("pos").as("j"), col("col").as("sq"))
       .join(codebook, Seq("j"))
       .select(col("q_id"), col("j"), col("code"),
         sqDistL(col("sq"), col("cq")).as("d2"))
+
+  def pqSearch(queries: DataFrame, encoded: DataFrame, codebook: DataFrame,
+      m: Int, dim: Int, k: Int): DataFrame = {
+    val lut = pqLut(queries, codebook, m, dim)
     val adc = encoded
       .select(col("id").as("n_id"), posexplode(col("codes")))
       .select(col("n_id"), col("pos").as("j"), col("col").as("code"))
@@ -365,7 +371,6 @@ object VectorOps {
   def annIvfPq(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       codebook: DataFrame, m: Int, dim: Int, k: Int,
       nprobe: Int = 2): DataFrame = {
-    val sub = dim / m
     val cells = assignCells(corpus, centroids, 1)
       .select(col("id").as("n_id"), col("cell"))
     val qcells = assignCells(queries, centroids, nprobe)
@@ -373,12 +378,7 @@ object VectorOps {
     val cand = cells.join(broadcast(qcells), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id")).distinct()
-    val lut = queries
-      .select(col("id").as("q_id"), posexplode(subsOf(col("vec"), m, sub)))
-      .select(col("q_id"), col("pos").as("j"), col("col").as("sq"))
-      .join(codebook, Seq("j"))
-      .select(col("q_id"), col("j"), col("code"),
-        sqDistL(col("sq"), col("cq")).as("d2"))
+    val lut = pqLut(queries, codebook, m, dim)
     val enc = pqEncode(corpus, codebook, m, dim)
       .select(col("id").as("n_id"), posexplode(col("codes")))
       .select(col("n_id"), col("pos").as("j"), col("col").as("code"))

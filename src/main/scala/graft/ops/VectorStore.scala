@@ -221,4 +221,96 @@ object VectorStore {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
+
+  // -------------------------------------------------- IVF+PQ layout
+
+  /** A loaded PQ store: cells carry (id, vec, codes, cell), plus the
+    * codebook the codes were assigned with — queries MUST build their
+    * distance tables against that exact codebook, so it travels with
+    * the store like the centroids do (a drifted codebook would score
+    * garbage silently).
+    */
+  case class LoadedPq(cells: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, dim: Int)
+
+  /** Save the IVF+PQ layout: same cell-partitioned directories as
+    * [[save]], but every row also carries its `m` PQ codes, and the
+    * codebook persists alongside the centroids. The serving win
+    * compounds: a query lists only its probed cells' files (partition
+    * pruning) AND scores each candidate by `m` integer lookups over the
+    * stored codes — the raw `vec` column exists for exact re-ranking
+    * but the ADC path never reads it (columnar parquet: unread columns
+    * cost nothing).
+    */
+  def savePq(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      path: String, m: Int, dim: Int): Unit = {
+    val spark = corpus.sparkSession
+    graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
+    val codes = VectorOps.pqEncode(corpus, codebook, m, dim)
+    VectorOps.assignCells(corpus, centroids, 1)
+      .join(codes, Seq("id"))
+      .select(col("id"), col("v").as("vec"), col("codes"),
+        concat(lit("c"), col("cell")).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroids.select(col("cid"), VectorOps.toDouble(col("cvec")).as("cvec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    graft.StoreUtil.writeMarker(spark, path, ManifestFile,
+      s"""{"version":1,"layout":"ivf-pq","m":$m,"dim":$dim}""")
+  }
+
+  def loadPq(spark: SparkSession, path: String): LoadedPq = {
+    val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "vector store")
+    require(mf.contains(""""layout":"ivf-pq""""),
+      s"$path is not an IVF+PQ store (layout is not ivf-pq); " +
+        "use VectorStore.load for plain IVF layouts")
+    def field(k: String): Int =
+      graft.StoreUtil.manifestInt(mf, k, s"PQ manifest at $path")
+    LoadedPq(spark.read.parquet(s"$path/cells"),
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebook"), field("m"), field("dim"))
+  }
+
+  /** ADC top-k against the stored PQ layout: the same single-collect
+    * probed-cell routing as [[query]] (one job, the collected rows feed
+    * both the partition predicate and the join side), then each
+    * candidate is scored by summing `m` LUT entries addressed by its
+    * STORED codes — bit-equal to [[VectorOps.annIvfPq]] over the same
+    * centroids and codebook, which is what the shared oracle asserts.
+    */
+  def queryAdc(st: LoadedPq, queries: DataFrame, k: Int, nprobe: Int = 2,
+      maxQueryRows: Int = MaxQueryRows): DataFrame = {
+    val spark = st.cells.sparkSession
+    val qcPlan = VectorOps.assignCells(queries, st.centroids, nprobe)
+      .select(col("id").as("q_id"), col("v").as("q_vec"),
+        concat(lit("c"), col("cell")).as("cell"))
+    val qcRows = qcPlan.limit(maxQueryRows + 1).collect()
+    require(qcRows.length <= maxQueryRows,
+      s"query set exceeds $maxQueryRows collected rows (queries × nprobe) " +
+        "— use VectorOps.annIvfPq for unbounded query sets")
+    val probed = qcRows.map(_.getString(2)).distinct.sorted
+    val qc = spark.createDataFrame(
+      java.util.Arrays.asList(qcRows: _*), qcPlan.schema)
+    val lut = VectorOps.pqLut(
+      qc.select(col("q_id").as("id"), col("q_vec").as("vec")).distinct(),
+      st.codebook, st.m, st.dim)
+    val adc = st.cells
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("id").as("n_id"), col("codes"), col("cell"))
+      .join(broadcast(qc.select(col("q_id"), col("cell"))), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), posexplode(col("codes")))
+      .select(col("q_id"), col("n_id"), col("pos").as("j"),
+        col("col").as("code"))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("d2")).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+  }
 }

@@ -315,6 +315,30 @@ object TrainingQueries {
       m = 4, dim = 64, k = 5, nprobe = 2)
   }
 
+  /** The IVF+PQ layout SERVED from disk ([[VectorStore.savePq]]): built
+    * once per data dir, then every call pays load + partition-pruned
+    * scan + m-lookup ADC only. Bit-equal to [[annIvfPq]] over the same
+    * centroids/codebook by construction — shares its oracle — while
+    * exercising the deployment path: cells as partition directories,
+    * codes stored, raw vectors never read by the ADC scorer.
+    */
+  val annPqStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("pqstore", d) { p =>
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = VectorOps.pqCodebook(e, m = 4, codes = 16, dim = 64)
+      VectorStore.savePq(e, cents, cb, p, m = 4, dim = 64)
+    }
+    val st = pqstoreLoaded.get(s, dir)(VectorStore.loadPq(s, dir))
+    VectorStore.queryAdc(st,
+      Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      k = 5, nprobe = 2)
+  }
+  private val pqstoreLoaded = new graft.SessionCache[VectorStore.LoadedPq]()
+
   /** Top-3 docs by length per source via the BOUNDED [[SketchOps.TopKAgg]]
     * aggregator — bit-equal to the `row_number() <= 3` window form (both
     * orders total: score desc, id asc) but with ≤ k pairs of aggregation
@@ -595,6 +619,7 @@ object TrainingQueries {
     "w4_grouped_topk" -> w4GroupedTopk,
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq,
+    "ann_pq_store" -> annPqStore,
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
@@ -746,6 +771,58 @@ object TrainingQueries {
        |FROM pe LEFT JOIN counters c ON c.r = pe.r AND c.bucket = pe.bucket
        |GROUP BY pe.item
        |HAVING min(coalesce(c.cnt, 0)) >= 60""".stripMargin
+
+  private val annIvfPqSql =
+    """WITH ed AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings WHERE vec_id < 500),
+      |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |corpus_cells AS (SELECT id, cid AS cell FROM (
+      |  SELECT ed.id, c.cid,
+      |    row_number() OVER (PARTITION BY ed.id ORDER BY
+      |      list_dot_product(ed.v, c.cv) /
+      |        (sqrt(list_dot_product(ed.v, ed.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |      DESC, c.cid) AS r
+      |  FROM ed, c) WHERE r = 1),
+      |query_cells AS (SELECT id, cid AS cell FROM (
+      |  SELECT ed.id, c.cid,
+      |    row_number() OVER (PARTITION BY ed.id ORDER BY
+      |      list_dot_product(ed.v, c.cv) /
+      |        (sqrt(list_dot_product(ed.v, ed.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |      DESC, c.cid) AS r
+      |  FROM ed, c WHERE ed.id < 10) WHERE r <= 2),
+      |cand AS (SELECT DISTINCT qc.id AS q_id, cc.id AS n_id
+      |  FROM query_cells qc JOIN corpus_cells cc
+      |    ON cc.cell = qc.cell AND cc.id <> qc.id),
+      |e AS (SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS q
+      |  FROM embeddings WHERE vec_id < 500),
+      |js AS (SELECT j FROM unnest(range(0, 4)) u(j)),
+      |cb AS (SELECT e.id AS code, js.j, e.q[js.j*16+1 : js.j*16+16] AS cq
+      |  FROM e, js WHERE e.id < 16),
+      |enc0 AS (SELECT e.id, cb.j, cb.code,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
+      |      AS BIGINT) AS d2
+      |  FROM e, cb),
+      |codes AS (SELECT id, j, code FROM (
+      |  SELECT id, j, code,
+      |    row_number() OVER (PARTITION BY id, j ORDER BY d2, code) AS r
+      |  FROM enc0) WHERE r = 1),
+      |lut AS (SELECT e.id AS q_id, cb.j, cb.code,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
+      |      AS BIGINT) AS d2
+      |  FROM e, cb WHERE e.id < 10),
+      |adc AS (SELECT l.q_id, cd.id AS n_id, CAST(sum(l.d2) AS BIGINT) AS adc
+      |  FROM cand JOIN codes cd ON cd.id = cand.n_id
+      |  JOIN lut l ON l.q_id = cand.q_id AND l.j = cd.j AND l.code = cd.code
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT q_id, n_id, adc,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id)
+      |      AS BIGINT) AS rnk
+      |  FROM adc)
+      |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd_source_stats" ->
@@ -957,57 +1034,10 @@ object TrainingQueries {
     // assignment formulation (row_number ties by cid), the scoring half
     // reuses ann_pq's integer ADC — candidates are pairs sharing a
     // probed cell, then ranked by ADC
-    "ann_ivfpq" ->
-      """WITH ed AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings WHERE vec_id < 500),
-        |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
-        |  FROM embeddings WHERE vec_id < 8),
-        |corpus_cells AS (SELECT id, cid AS cell FROM (
-        |  SELECT ed.id, c.cid,
-        |    row_number() OVER (PARTITION BY ed.id ORDER BY
-        |      list_dot_product(ed.v, c.cv) /
-        |        (sqrt(list_dot_product(ed.v, ed.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-        |      DESC, c.cid) AS r
-        |  FROM ed, c) WHERE r = 1),
-        |query_cells AS (SELECT id, cid AS cell FROM (
-        |  SELECT ed.id, c.cid,
-        |    row_number() OVER (PARTITION BY ed.id ORDER BY
-        |      list_dot_product(ed.v, c.cv) /
-        |        (sqrt(list_dot_product(ed.v, ed.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-        |      DESC, c.cid) AS r
-        |  FROM ed, c WHERE ed.id < 10) WHERE r <= 2),
-        |cand AS (SELECT DISTINCT qc.id AS q_id, cc.id AS n_id
-        |  FROM query_cells qc JOIN corpus_cells cc
-        |    ON cc.cell = qc.cell AND cc.id <> qc.id),
-        |e AS (SELECT vec_id AS id,
-        |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS q
-        |  FROM embeddings WHERE vec_id < 500),
-        |js AS (SELECT j FROM unnest(range(0, 4)) u(j)),
-        |cb AS (SELECT e.id AS code, js.j, e.q[js.j*16+1 : js.j*16+16] AS cq
-        |  FROM e, js WHERE e.id < 16),
-        |enc0 AS (SELECT e.id, cb.j, cb.code,
-        |    CAST(list_sum(list_transform(range(1, 17),
-        |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
-        |      AS BIGINT) AS d2
-        |  FROM e, cb),
-        |codes AS (SELECT id, j, code FROM (
-        |  SELECT id, j, code,
-        |    row_number() OVER (PARTITION BY id, j ORDER BY d2, code) AS r
-        |  FROM enc0) WHERE r = 1),
-        |lut AS (SELECT e.id AS q_id, cb.j, cb.code,
-        |    CAST(list_sum(list_transform(range(1, 17),
-        |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
-        |      AS BIGINT) AS d2
-        |  FROM e, cb WHERE e.id < 10),
-        |adc AS (SELECT l.q_id, cd.id AS n_id, CAST(sum(l.d2) AS BIGINT) AS adc
-        |  FROM cand JOIN codes cd ON cd.id = cand.n_id
-        |  JOIN lut l ON l.q_id = cand.q_id AND l.j = cd.j AND l.code = cd.code
-        |  GROUP BY 1, 2),
-        |ranked AS (SELECT q_id, n_id, adc,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id)
-        |      AS BIGINT) AS rnk
-        |  FROM adc)
-        |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin,
+    "ann_ivfpq" -> annIvfPqSql,
+    // the served-from-disk twin: bit-equal to annIvfPq by construction
+    // (same centroids, same codebook, same candidate rule, same ADC)
+    "ann_pq_store" -> annIvfPqSql,
     // the full PQ pipeline re-derived: quantize, slice, codebook,
     // nearest-code encoding (ties to smaller code), per-query LUT, ADC
     // sum, rank — integer arithmetic end to end on both engines

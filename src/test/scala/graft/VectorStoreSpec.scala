@@ -203,6 +203,40 @@ class VectorStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ layout: ADC serving equals in-memory annIvfPq, prunes to " +
+      "probed cells, and refuses the wrong loader") {
+    import graft.ops.VectorOps
+    val cb = VectorOps.pqCodebook(corpus, m = 4, codes = 16, dim = 64)
+    val dir = Files.createTempDirectory("graft_pqstore").toString
+    VectorStore.savePq(corpus, cents, cb, dir, m = 4, dim = 64)
+    val st = VectorStore.loadPq(spark, dir)
+    assert(st.m == 4 && st.dim == 64)
+    val queries = corpus.filter(col("id") < 10)
+    val served = VectorStore.queryAdc(st, queries, k = 5, nprobe = 2)
+    val inMem = VectorOps.annIvfPq(queries, corpus, cents, cb,
+      m = 4, dim = 64, k = 5, nprobe = 2)
+    assert(served.collect().map(_.toSeq).toSet ==
+      inMem.collect().map(_.toSeq).toSet)
+    assert(served.count() == 50)
+    // the ADC scan reads only the probed cells' partitions
+    val one = corpus.filter(col("id") === 42)
+    val res = VectorStore.queryAdc(st, one, k = 3, nprobe = 1)
+    res.collect()
+    val scans = PlanWalk.collect(res.queryExecution.executedPlan) {
+        case f: FileSourceScanExec => f
+      }
+      .filter(_.output.exists(_.name == "codes"))
+    assert(scans.nonEmpty, res.queryExecution.executedPlan.toString)
+    assert(scans.head.partitionFilters.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"nprobe=1 must read 1 cell, read " +
+        s"${scans.head.selectedPartitions.partitionCount}")
+    // a plain-IVF store refuses the PQ loader (codebook would be absent)
+    intercept[IllegalArgumentException] {
+      VectorStore.loadPq(spark, storeDir)
+    }
+  }
+
   test("query fails fast past the bounded-collect cap") {
     val queries = corpus.filter(col("id") < 20) // 20 ids × nprobe 2 = 40 rows
     intercept[IllegalArgumentException] {
