@@ -243,7 +243,7 @@ object VectorStore {
     * cost nothing).
     */
   def savePq(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
-      path: String, m: Int, dim: Int): Unit = {
+      path: String, m: Int, dim: Int, batchId: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
     graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
     val codes = VectorOps.pqEncode(corpus, codebook, m, dim)
@@ -256,8 +256,39 @@ object VectorStore {
     centroids.select(col("cid"), VectorOps.toDouble(col("cvec")).as("cvec"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    // the creating batchId is recorded for the same batch-0
+    // crash-redelivery window the plain save closes: a replayed create
+    // must take the no-op path, not append onto its own output
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      s"""{"version":1,"layout":"ivf-pq","m":$m,"dim":$dim}""")
+      s"""{"version":1,"layout":"ivf-pq","m":$m,"dim":$dim""" +
+        batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}")
+  }
+
+  /** Incrementally add vectors to a PQ store: the batch routes through
+    * the STORED centroids and encodes against the STORED codebook (both
+    * invariants of the artifact — drifting either silently corrupts
+    * every later ADC), then appends into the matching cell directories.
+    * Same batchId idempotence and manifest crash bracket as [[append]]:
+    * re-appending a redelivered micro-batch would duplicate rows and
+    * skew every top-k in the doubled cells.
+    */
+  def appendPq(spark: SparkSession, path: String, corpus: DataFrame,
+      batchId: Option[Long] = None): Unit = {
+    val st = loadPq(spark, path)
+    if (batchId.isDefined && batchId == graft.ops.SketchOps.lastBatchId(
+        spark, path, ManifestFile))
+      return
+    val codes = VectorOps.pqEncode(corpus, st.codebook, st.m, st.dim)
+    graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
+    VectorOps.assignCells(corpus, st.centroids, 1)
+      .join(codes, Seq("id"))
+      .select(col("id"), col("v").as("vec"), col("codes"),
+        concat(lit("c"), col("cell")).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    graft.StoreUtil.writeMarker(spark, path, ManifestFile,
+      s"""{"version":1,"layout":"ivf-pq","m":${st.m},"dim":${st.dim}""" +
+        batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}")
   }
 
   def loadPq(spark: SparkSession, path: String): LoadedPq = {

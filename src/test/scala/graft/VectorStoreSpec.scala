@@ -235,6 +235,26 @@ class VectorStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VectorStore.loadPq(spark, storeDir)
     }
+
+    // incremental growth: batch appended through the STORED
+    // centroids+codebook equals the one-shot build, redelivery no-ops
+    val grow = Files.createTempDirectory("graft_pqstore_app").toString
+    VectorStore.savePq(corpus.filter(col("id") < 150), cents, cb, grow,
+      m = 4, dim = 64, batchId = Some(0L))
+    VectorStore.appendPq(spark, grow, corpus.filter(col("id") >= 150),
+      batchId = Some(1L))
+    val grown = VectorStore.loadPq(spark, grow)
+    val gotRows = grown.cells.select("id", "codes", "cell").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1).toSeq, r.getString(2))).toMap
+    val fullRows = st.cells.select("id", "codes", "cell").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1).toSeq, r.getString(2))).toMap
+    assert(gotRows == fullRows)
+    VectorStore.appendPq(spark, grow, corpus.filter(col("id") >= 150),
+      batchId = Some(1L)) // zombie
+    assert(VectorStore.loadPq(spark, grow).cells.count() == fullRows.size)
+    assert(VectorStore.queryAdc(grown, queries, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet ==
+      served.collect().map(_.toSeq).toSet)
   }
 
   test("query fails fast past the bounded-collect cap") {
