@@ -246,10 +246,13 @@ object VectorStore {
       path: String, m: Int, dim: Int, batchId: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
     graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
-    val codes = VectorOps.pqEncode(corpus, codebook, m, dim)
+    // codes ride the SAME projection as the cell assignment (quantizing
+    // v — the float vector widened to double — floors to the identical
+    // longs): a separate pqEncode joined back on id would shuffle the
+    // whole corpus once more for no reason
     VectorOps.assignCells(corpus, centroids, 1)
-      .join(codes, Seq("id"))
-      .select(col("id"), col("v").as("vec"), col("codes"),
+      .select(col("id"), col("v").as("vec"),
+        VectorOps.pqCodesCol(col("v"), codebook, m, dim).as("codes"),
         concat(lit("c"), col("cell")).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -278,11 +281,10 @@ object VectorStore {
     if (batchId.isDefined && batchId == graft.ops.SketchOps.lastBatchId(
         spark, path, ManifestFile))
       return
-    val codes = VectorOps.pqEncode(corpus, st.codebook, st.m, st.dim)
     graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
     VectorOps.assignCells(corpus, st.centroids, 1)
-      .join(codes, Seq("id"))
-      .select(col("id"), col("v").as("vec"), col("codes"),
+      .select(col("id"), col("v").as("vec"),
+        VectorOps.pqCodesCol(col("v"), st.codebook, st.m, st.dim).as("codes"),
         concat(lit("c"), col("cell")).as("cell"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
