@@ -16,6 +16,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the graft SQL functions + the descendant→interval optimizer rule
+      // ride the idiomatic cluster hook, not per-session registration
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

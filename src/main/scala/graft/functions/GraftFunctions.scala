@@ -51,6 +51,9 @@ object GraftFunctions {
       checked("mrca_unpack_b", 1)(es => MrcaUnpackB(es.head))),
     ("dot_product", classOf[DotProduct].getName,
       checked("dot_product", 2)(es => DotProduct(es.head, es(1)))),
+    ("descendant_of", classOf[graft.plans.DescendantOf].getName,
+      checked("descendant_of", 2)(es =>
+        graft.plans.DescendantOf(es.head, es(1)))),
     ("graft_tokens", graft.ops.TextOps.getClass.getName,
       checked("graft_tokens", 1)(es =>
         toExpr(graft.ops.TextOps.tokensCol(toCol(es.head))))),
@@ -90,11 +93,16 @@ object GraftFunctions {
   * graft SQL functions (the idiomatic cluster-wide hook).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, className, builder) =>
       // each entry carries ITS OWN implementing class: DESCRIBE FUNCTION
       // must point a debugger at the right source, not a sibling's
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(className, name), builder))
     }
+    // descendant_of(ancestors, x) → interval filter (SURVEY §7.4); runs
+    // in the operator-optimization batch, degrades to array_contains on
+    // catalog miss
+    e.injectOptimizerRule(_ => graft.plans.DescendantIntervalRewrite)
+  }
 }

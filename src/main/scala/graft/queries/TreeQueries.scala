@@ -54,6 +54,21 @@ object TreeQueries {
     TreeOps.subtree(labeled(s, d), rootId = 3L, maxDepth = 5)
       .select(col("node_id"), col("rel_depth"))
 
+  /** The semantic descendant predicate, answered through the optimizer
+    * rewrite ([[graft.plans.DescendantIntervalRewrite]]): the anchor's
+    * interval is registered (one bounded collect), then the query asks
+    * the natural `descendant_of(ancestors, x)` question and the rule
+    * turns it into a pushable `pre` range. The oracle walks the heap
+    * tree recursively — a fully independent derivation of the clade.
+    */
+  val treeDescendants: Q = (s, d) => {
+    val t = labeled(s, d)
+    graft.plans.IntervalCatalog.registerAnchors(t, Seq(5L))
+    t.filter(graft.plans.DescendantRewrite
+        .descendant_of(col("ancestors"), lit(5L)))
+      .select(col("node_id"), col("depth"))
+  }
+
   val treeInduced: Q = (s, d) =>
     TreeOps.induced(labeled(s, d), Seq(22L, 31L, 44L, 45L, 53L, 99L))
       .select(col("node_id"), col("parent_id"), col("is_query"))
@@ -63,6 +78,7 @@ object TreeQueries {
     "tree_lineage" -> treeLineage,
     "tree_mrca" -> treeMrca,
     "tree_subtree" -> treeSubtree,
+    "tree_descendants" -> treeDescendants,
     "tree_induced" -> treeInduced
   )
 
@@ -119,6 +135,15 @@ object TreeQueries {
         |  SELECT c.c_custkey + 1, d.rel_depth + 1 FROM customer c
         |  JOIN d ON (c.c_custkey + 1) // 2 = d.node_id WHERE d.rel_depth < 5)
         |SELECT node_id, rel_depth FROM d""".stripMargin,
+    "tree_descendants" ->
+      """WITH RECURSIVE d(node_id) AS (
+        |  SELECT CAST(5 AS BIGINT)
+        |  UNION ALL
+        |  SELECT c.c_custkey + 1 FROM customer c
+        |  JOIN d ON (c.c_custkey + 1) // 2 = d.node_id)
+        |SELECT node_id,
+        |  CAST(length(bin(node_id)) - 1 AS BIGINT) AS depth
+        |FROM d""".stripMargin,
     "tree_induced" ->
       """WITH RECURSIVE
         |q(tip) AS (SELECT CAST(x AS BIGINT)

@@ -61,6 +61,14 @@ object TreeServing {
       byOtId(ot).map(r => (r.getLong(IPre), r.getLong(IPost),
         r.getLong(IDepth), r.getLong(ITipDesc)))
 
+    /** (pre, post) by node id — the resolver
+      * [[graft.plans.IntervalCatalog.installFrom]] plugs into the
+      * descendant-predicate rewrite, so a loaded serving index doubles
+      * as the optimizer's anchor table at zero extra driver memory.
+      */
+    def interval(id: Long): Option[(Long, Long)] =
+      byNodeId(id).map(r => (r.getLong(IPre), r.getLong(IPost)))
+
     // field-for-field the blobOf of TreeApi.mrca (raw column values; the
     // ingest-time J3 rule already falls unique_name back to name)
     private def taxonOf(r: Row): Option[TreeApi.TaxonBlob] =
