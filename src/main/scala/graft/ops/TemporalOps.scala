@@ -77,4 +77,49 @@ object TemporalOps {
       .filter(col("__side") === 1)
       .select(col("__r.*"), col("matched"))
   }
+
+  /** Point-in-interval join: every `points` row paired with every
+    * `intervals` row of the same key whose `[startCol, endCol]` contains
+    * its `tsCol` (inclusive both ends — SQL BETWEEN). The direct
+    * encoding is a non-equi join, which Spark plans as a broadcast
+    * nested loop / per-key cross product — |points|·|intervals| work per
+    * key, a scale-killer under dense keys. Here time is cut into
+    * fixed-width chunks: each interval registers under every chunk it
+    * overlaps, each point under exactly one, and the join becomes a
+    * plain shuffled EQUI-join on (key, chunk) followed by the exact
+    * BETWEEN residual. Cost: one hash exchange of |points| +
+    * Σ⌈span/chunk⌉ rows; candidate pairs are bounded by per-chunk
+    * co-occupancy, never by per-key row counts.
+    *
+    * `chunkSeconds` is the sole tuning knob — pick it near the typical
+    * interval span (wider wastes candidate checks, narrower multiplies
+    * the interval side by span/chunk). Chunk ids are exact integer
+    * arithmetic on `unix_micros` (no double division — a boundary
+    * timestamp must never round into the wrong chunk). Null key or
+    * timestamp rows drop, matching BETWEEN's null semantics. Interval
+    * columns ride along in the output after the point columns; `__`
+    * prefixes are reserved, and key/chunk dedup via USING keeps one key
+    * column.
+    */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+      keyCol: String, tsCol: String, startCol: String, endCol: String,
+      chunkSeconds: Long): DataFrame = {
+    require(chunkSeconds > 0, "chunkSeconds must be positive")
+    (points.columns ++ intervals.columns).filter(_.startsWith("__")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column '$c' collides with pointInIntervalJoin's internal tags"))
+    require(points.columns.intersect(intervals.columns).sameElements(
+        Array(keyCol)),
+      "points and intervals may share ONLY the key column — a silently " +
+        "duplicated output name would make the result ambiguous")
+    val g = chunkSeconds * 1000000L
+    def chunkOf(c: org.apache.spark.sql.Column) =
+      unix_micros(c) - pmod(unix_micros(c), lit(g))
+    val iv = intervals.withColumn("__chunk", explode(sequence(
+      chunkOf(col(startCol)), chunkOf(col(endCol)), lit(g))))
+    val pt = points.withColumn("__chunk", chunkOf(col(tsCol)))
+    pt.join(iv, Seq(keyCol, "__chunk"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__chunk")
+  }
 }

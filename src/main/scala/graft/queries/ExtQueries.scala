@@ -387,6 +387,29 @@ object ExtQueries {
           " div 1000000").as("lag_sec"))
   }
 
+  /** Point-in-interval join ([[graft.ops.TemporalOps.pointInIntervalJoin]]):
+    * every event assigned to the gap-session interval containing it —
+    * the membership question `ev_asof` (latest-before) and
+    * `ev_attribution` (window range) don't answer. Chunked equi-join,
+    * never a per-key cross product; 1-hour chunks ≈ the session span.
+    * Same null guard on the point side as the session builder, so the
+    * two sides agree on which rows exist.
+    */
+  val evIntervalJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val points = ev
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val iv = EventStreams.sessionIntervals(Tables.events(s, d))
+    graft.ops.TemporalOps.pointInIntervalJoin(points, iv,
+        "user_id", "ts", "session_start", "session_end", chunkSeconds = 3600)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ev_ts"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"))
+  }
+
   /** S2: taxonomy TSV scan (multichar "\t|\t" separator, header skip,
     * try_cast ids) — the oracle re-parses the RAW fixture file in DuckDB,
     * fully independent of the Spark ingest path.
@@ -708,6 +731,7 @@ object ExtQueries {
     "o3_subtree_pruned" -> o3SubtreePruned,
     "a6_supporting_studies" -> a6SupportingStudies,
     "ev_sessions" -> evSessions,
+    "ev_interval_join" -> evIntervalJoin,
     "ev_dedup" -> evDedup,
     "f10_mrca_codec" -> mrcaCodec,
     "mm_media_meta" -> mmMediaMeta,
@@ -1101,6 +1125,26 @@ object ExtQueries {
         |SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM z GROUP BY user_id, session_idx""".stripMargin,
+    "ev_interval_join" ->
+      // same session CTE chain as ev_sessions, intervals kept as
+      // timestamps, then the BETWEEN containment join the chunked
+      // equi-join must reproduce exactly
+      """WITH e AS (SELECT event_id, user_id, value, ts::TIMESTAMP AS t FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL),
+        |x AS (SELECT *, lag(epoch_us(t)) OVER
+        |  (PARTITION BY user_id ORDER BY t, event_id) AS prev_us FROM e),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL
+        |  OR epoch_us(t) - prev_us > 600000000 THEN 1 ELSE 0 END AS is_new FROM x),
+        |z AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM y),
+        |iv AS (SELECT user_id, min(t) AS st, max(t) AS en
+        |  FROM z GROUP BY user_id, session_idx)
+        |SELECT e.user_id, e.event_id,
+        |  strftime(e.t, '%Y-%m-%d %H:%M:%S.%f') AS ev_ts,
+        |  strftime(iv.st, '%Y-%m-%d %H:%M:%S.%f') AS session_start
+        |FROM e JOIN iv ON e.user_id = iv.user_id
+        |  AND e.t BETWEEN iv.st AND iv.en""".stripMargin,
     "f10_mrca_codec" ->
       """SELECT c_custkey,
         |  c_custkey + 10000000 * (c_custkey + 1) AS packed,

@@ -217,7 +217,28 @@ object EventStreams {
     * to [[sessionize]], expressed with window functions — this is the
     * oracle-checkable registry form.
     */
-  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 10): DataFrame = {
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 10): DataFrame =
+    withSessionIdx(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+
+  /** Gap sessions as [start, end] TIMESTAMP intervals — the interval
+    * side of [[graft.ops.TemporalOps.pointInIntervalJoin]] (assign any
+    * point stream back to the session containing it). Same boundaries
+    * as [[sessionizeBatch]] by shared construction.
+    */
+  def sessionIntervals(events: DataFrame, gapMinutes: Int = 10): DataFrame =
+    withSessionIdx(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"))
+
+  /** The shared gaps-and-islands kernel: session_idx per (user, event). */
+  private def withSessionIdx(events: DataFrame, gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapUs = gapMinutes * 60 * 1000000L
     events
@@ -233,11 +254,5 @@ object EventStreams {
           unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_idx",
         sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(
-        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
-        count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
-      .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
   }
 }

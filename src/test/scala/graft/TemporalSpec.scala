@@ -89,6 +89,91 @@ class TemporalSpec extends AnyFunSuite {
         df.queryExecution.executedPlan.toString)
   }
 
+  // ---- point-in-interval join ----
+
+  private val ivFixture = Seq(
+    (1L, "2024-01-01 10:00:00", "2024-01-01 10:30:00"), // base
+    (1L, "2024-01-01 10:20:00", "2024-01-01 11:00:00"), // overlaps the base
+    (1L, "2024-01-02 00:00:00", "2024-01-02 09:00:00"), // spans 36 chunks
+    (2L, "2024-01-01 10:00:00", "2024-01-01 10:30:00"), // other key, same times
+    (5L, "1969-12-31 23:30:00", "1970-01-01 00:30:00")) // crosses the epoch
+    .toDF("user_id", "s", "e")
+    .select(col("user_id"), to_timestamp(col("s")).as("st"),
+      to_timestamp(col("e")).as("en"))
+
+  private val ptFixture = Seq(
+    (1L, 1000L, "2024-01-01 10:25:00"), // inside BOTH overlapping → 2 rows
+    (1L, 1001L, "2024-01-01 10:00:00"), // exact start — inclusive
+    (1L, 1002L, "2024-01-01 11:00:00"), // exact end — inclusive
+    (1L, 1003L, "2024-01-01 12:00:00"), // outside everything → dropped
+    (1L, 1004L, "2024-01-02 05:07:00"), // deep inside the long interval
+    (2L, 2000L, "2024-01-01 10:25:00"), // must match key 2 only
+    (3L, 3000L, "2024-01-01 10:25:00"), // key with no intervals → dropped
+    (5L, 5000L, "1969-12-31 23:59:00"), // negative-micros chunk arithmetic
+    (5L, 5001L, "1970-01-01 00:00:00")) // epoch-exact
+    .toDF("user_id", "event_id", "t")
+    .select(col("user_id"), col("event_id"), to_timestamp(col("t")).as("t"))
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select(col("event_id"), unix_micros(col("st")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("point-in-interval: inclusive bounds, overlap duplication, key " +
+      "scoping, epoch crossing — equal to the naive non-equi join") {
+    // 15-min chunks force the long interval through 36 chunk keys
+    val got = TemporalOps.pointInIntervalJoin(ptFixture, ivFixture,
+      "user_id", "t", "st", "en", chunkSeconds = 900)
+    val naive = ptFixture.alias("p").join(ivFixture.alias("i"),
+      col("p.user_id") === col("i.user_id") &&
+        col("p.t") >= col("i.st") && col("p.t") <= col("i.en"))
+      .select(col("p.user_id"), col("event_id"), col("t"), col("st"), col("en"))
+    assert(pairsOf(got) == pairsOf(naive))
+    val matched = got.select(col("event_id")).collect().map(_.getLong(0))
+    assert(matched.count(_ == 1000L) == 2) // overlap duplicates, both ways
+    assert(!matched.contains(1003L) && !matched.contains(3000L))
+    assert(matched.contains(5000L) && matched.contains(5001L))
+  }
+
+  test("point-in-interval: null key/timestamp rows drop like BETWEEN") {
+    val dirtyPts = ptFixture.unionByName(Seq((99L, 9999L))
+      .toDF("user_id", "event_id")
+      .withColumn("t", lit(null).cast("timestamp")))
+    val dirtyIvs = ivFixture.unionByName(Seq(Tuple1(98L)).toDF("user_id")
+      .withColumn("st", lit(null).cast("timestamp"))
+      .withColumn("en", to_timestamp(lit("2024-01-01 10:00:00"))))
+    val clean = TemporalOps.pointInIntervalJoin(ptFixture, ivFixture,
+      "user_id", "t", "st", "en", 900)
+    val dirty = TemporalOps.pointInIntervalJoin(dirtyPts, dirtyIvs,
+      "user_id", "t", "st", "en", 900)
+    assert(pairsOf(dirty) == pairsOf(clean))
+  }
+
+  test("point-in-interval plans an EQUI join — no nested loop, no " +
+      "cartesian product") {
+    val df = TemporalOps.pointInIntervalJoin(ptFixture, ivFixture,
+      "user_id", "t", "st", "en", 900)
+    df.collect()
+    import org.apache.spark.sql.execution.joins._
+    val all = PlanWalk.nodes(df.queryExecution.executedPlan)
+    assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !all.exists(_.isInstanceOf[CartesianProductExec]),
+      df.queryExecution.executedPlan.toString)
+    assert(all.exists(n => n.isInstanceOf[BroadcastHashJoinExec] ||
+      n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("gate ev_interval_join: every guarded event lands in exactly one " +
+      "session, and that session contains it") {
+    val ev = Tables.events(spark, sf).filter(col("event_id").isNotNull &&
+      col("ts").isNotNull && col("user_id").isNotNull &&
+      col("value").isNotNull)
+    val got = graft.queries.ExtQueries.evIntervalJoin(spark, sf)
+    assert(got.count() == ev.count()) // non-overlap ⇒ exactly one each
+    assert(got.filter(col("ev_ts") < col("session_start")).count() == 0)
+  }
+
   test("gate ev_asof: every click appears exactly once, lag_sec >= 0, " +
       "and matches agree with the attribution range join where both apply") {
     val asof = graft.queries.ExtQueries.evAsof(spark, sf)
