@@ -256,6 +256,16 @@ object TrainingQueries {
     SketchOps.sampledQuantiles(Tables.documents(s, d), "doc_id", "source",
       "n_chars", qs = Seq(0.5, 0.9, 0.99), rate = 0.5, salt = "q")
 
+  /** EXACT document-length percentiles ([[graft.ops.SelectOps]]): the
+    * radix-bisection selection — three histogram passes, no global
+    * sort, no value buffering — where [[skQuantile]] is the sampled
+    * bound. Integer-only rank arithmetic keeps both engines on the
+    * same rank (IEEE `ceil(p·n)` can differ by one).
+    */
+  val skExactPct: Q = (s, d) =>
+    graft.ops.SelectOps.exactPercentilesLong(
+      Tables.documents(s, d), "n_chars", Seq(1, 50, 90, 99, 100))
+
   /** Passage-granular dedup: 3-token spans, first global occurrence
     * survives, documents reassembled from surviving passages.
     */
@@ -613,6 +623,7 @@ object TrainingQueries {
         .select(col("doc_id"), col("fp"))),
     "sk_distinct_kmv" -> skDistinctKmv,
     "sk_quantile" -> skQuantile,
+    "sk_exact_pct" -> skExactPct,
     "sk_heavy_cm" -> skHeavyCm,
     "sk_bloom" -> skBloom,
     "dd_frontier" -> ddFrontier,
@@ -1096,6 +1107,16 @@ object TrainingQueries {
         |SELECT source, n_sample, q,
         |  vs[CAST(greatest(1, ceil(q * n_sample)) AS INT)] AS quantile
         |FROM g, unnest([0.5, 0.9, 0.99]) u(q)""".stripMargin,
+    "sk_exact_pct" ->
+      // the oracle pays the full sort the operator exists to avoid;
+      // integer rank arithmetic mirrors exactPercentilesLong exactly
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |n AS (SELECT count(*) AS c FROM v),
+        |p(p) AS (VALUES (1),(50),(90),(99),(100)),
+        |r AS (SELECT p, greatest(1, (p * c + 99) // 100) AS rank FROM p, n),
+        |s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+        |SELECT r.p, r.rank, s.x AS value FROM r JOIN s ON s.rn = r.rank""".stripMargin,
     "prep_pipeline" ->
       s"""WITH q AS (SELECT doc_id,
          |  floor((least(len($toksSql)::DOUBLE / 100.0, 1.0) * 0.5

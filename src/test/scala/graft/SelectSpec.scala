@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SelectOps
+
+/** Exact order statistics (radix bisection) against the sorted ground
+  * truth: adversarial value sets (negatives, Long extremes, heavy
+  * ties, single element), every rank, null exclusion, out-of-range
+  * ranks refused, and the gate's integer rank rule.
+  */
+class SelectSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def check(vs: Seq[Long], ks: Seq[Long]): Unit = {
+    val got = SelectOps.kthSmallestLong(vs.toDF("v"), "v", ks)
+    val sorted = vs.sorted
+    ks.foreach(k => assert(got(k) == sorted((k - 1).toInt),
+      s"k=$k of $vs: got ${got(k)}, want ${sorted((k - 1).toInt)}"))
+  }
+
+  test("every rank of an adversarial value set matches the sorted truth") {
+    val vs = Seq(Long.MinValue, Long.MinValue + 1, -7L, -7L, -1L, 0L, 0L,
+      0L, 1L, 42L, 42L, 1L << 45, Long.MaxValue - 1, Long.MaxValue)
+    check(vs, 1L to vs.length.toLong)
+    check(Seq(5L), Seq(1L))
+    check(Seq.fill(100)(3L), Seq(1L, 50L, 100L)) // all-ties
+  }
+
+  test("randomized cross-check, bucket-boundary-heavy values") {
+    val rnd = new scala.util.Random(7)
+    // values clustered AT the 21/42-bit radix boundaries, where an
+    // off-by-one in the prefix walk would misattribute whole buckets
+    val vs = Seq.fill(500)(rnd.nextLong()) ++
+      Seq.fill(200)((rnd.nextInt(4).toLong - 2L) << 43) ++
+      Seq.fill(200)((rnd.nextInt(4).toLong - 2L) << 22) ++
+      Seq.fill(100)(rnd.nextInt(16).toLong - 8L)
+    check(vs, Seq(1L, 2L, 499L, 500L, 501L, 999L, 1000L))
+  }
+
+  test("nulls are excluded; out-of-range ranks are refused") {
+    val df = Seq(Some(10L), None, Some(20L), None, Some(30L))
+      .toDF("v")
+    assert(SelectOps.kthSmallestLong(df, "v", Seq(3L))(3L) == 30L)
+    intercept[IllegalArgumentException] {
+      SelectOps.kthSmallestLong(df, "v", Seq(4L))
+    }
+  }
+
+  test("exact percentiles: integer rank rule, endpoints are min and max") {
+    val vs = (1L to 1000L).map(i => i * 3)
+    val out = SelectOps.exactPercentilesLong(vs.toDF("v"), "v",
+        Seq(1, 50, 90, 99, 100))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1) == (10L, 30L))       // ceil(1*1000/100)=10 → 10th = 30
+    assert(out(50) == (500L, 1500L))
+    assert(out(100) == (1000L, 3000L)) // max
+    assert(out(99) == (990L, 2970L))
+  }
+
+  test("gate sk_exact_pct: p100 is the true max, ranks are monotone") {
+    val got = graft.queries.TrainingQueries.registry("sk_exact_pct")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val trueMax = Tables.documents(spark, sf)
+      .agg(max(col("n_chars").cast("long"))).head().getLong(0)
+    assert(got.last._3 == trueMax)
+    assert(got.map(_._2).sameElements(got.map(_._2).sorted))
+    assert(got.map(_._3).sameElements(got.map(_._3).sorted))
+  }
+}
