@@ -266,6 +266,13 @@ object TrainingQueries {
     graft.ops.SelectOps.exactPercentilesLong(
       Tables.documents(s, d), "n_chars", Seq(1, 50, 90, 99, 100))
 
+  /** Per-source exact percentiles — all groups through the SAME three
+    * histogram passes, not a scan per source.
+    */
+  val skExactPctGroup: Q = (s, d) =>
+    graft.ops.SelectOps.exactPercentilesLongByGroup(
+      Tables.documents(s, d), "source", "n_chars", Seq(50, 90, 99))
+
   /** Passage-granular dedup: 3-token spans, first global occurrence
     * survives, documents reassembled from surviving passages.
     */
@@ -624,6 +631,7 @@ object TrainingQueries {
     "sk_distinct_kmv" -> skDistinctKmv,
     "sk_quantile" -> skQuantile,
     "sk_exact_pct" -> skExactPct,
+    "sk_exact_pct_group" -> skExactPctGroup,
     "sk_heavy_cm" -> skHeavyCm,
     "sk_bloom" -> skBloom,
     "dd_frontier" -> ddFrontier,
@@ -1117,6 +1125,17 @@ object TrainingQueries {
         |r AS (SELECT p, greatest(1, (p * c + 99) // 100) AS rank FROM p, n),
         |s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
         |SELECT r.p, r.rank, s.x AS value FROM r JOIN s ON s.rn = r.rank""".stripMargin,
+    "sk_exact_pct_group" ->
+      """WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+        |  WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |n AS (SELECT source, count(*) AS c FROM v GROUP BY source),
+        |p(p) AS (VALUES (50),(90),(99)),
+        |r AS (SELECT source, p, greatest(1, (p * c + 99) // 100) AS rank
+        |  FROM p, n),
+        |s AS (SELECT source, x, row_number() OVER
+        |  (PARTITION BY source ORDER BY x) AS rn FROM v)
+        |SELECT r.source, r.p, r.rank, s.x AS value
+        |FROM r JOIN s ON s.source = r.source AND s.rn = r.rank""".stripMargin,
     "prep_pipeline" ->
       s"""WITH q AS (SELECT doc_id,
          |  floor((least(len($toksSql)::DOUBLE / 100.0, 1.0) * 0.5

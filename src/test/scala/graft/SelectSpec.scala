@@ -59,6 +59,41 @@ class SelectSpec extends AnyFunSuite {
     assert(out(99) == (990L, 2970L))
   }
 
+  test("grouped kernel: per-group answers equal per-group sorted truth, " +
+      "one shared pass set") {
+    val rnd = new scala.util.Random(11)
+    val data = (for (g <- Seq("a", "b", "c"); _ <- 1 to 300)
+      yield (g, rnd.nextLong() >> rnd.nextInt(40))).toSeq
+    val df = data.toDF("g", "v")
+    val ks = Map("a" -> Seq(1L, 150L, 300L), "b" -> Seq(7L), "c" -> Seq(299L))
+    val got = SelectOps.kthSmallestLongByGroup(df, "g", "v", ks)
+    for ((g, gks) <- ks; k <- gks) {
+      val sorted = data.filter(_._1 == g).map(_._2).sorted
+      assert(got(g)(k) == sorted((k - 1).toInt), s"group $g k=$k")
+    }
+    // a rank past one group's size must name THAT group in the error
+    val err = intercept[IllegalArgumentException] {
+      SelectOps.kthSmallestLongByGroup(df, "g", "v", Map("b" -> Seq(301L)))
+    }
+    assert(err.getMessage.contains("group b"))
+  }
+
+  test("gate sk_exact_pct_group: per-source p99 bounded by that source's max") {
+    val got = graft.queries.TrainingQueries
+      .registry("sk_exact_pct_group")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(3)))
+    val maxes = Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(max(col("n_chars").cast("long")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && maxes.size > 1)
+    got.foreach { case (src, _, v) => assert(v <= maxes(src), src) }
+    // within a source, values monotone in p
+    got.groupBy(_._1).values.foreach { rows =>
+      val vs = rows.sortBy(_._2).map(_._3)
+      assert(vs.sameElements(vs.sorted))
+    }
+  }
+
   test("gate sk_exact_pct: p100 is the true max, ranks are monotone") {
     val got = graft.queries.TrainingQueries.registry("sk_exact_pct")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
