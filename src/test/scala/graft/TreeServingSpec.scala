@@ -67,6 +67,26 @@ class TreeServingSpec extends AnyFunSuite {
     assert(idx.nodeInfo("ottNOPE").isEmpty)
   }
 
+  test("a loaded index doubles as the descendant-rewrite's anchor " +
+      "catalog: clade query over the REAL tree, zero extra collects") {
+    import graft.plans.{DescendantRewrite, IntervalCatalog}
+    IntervalCatalog.clear()
+    IntervalCatalog.installFrom(idx) // resolver only — no Spark job
+    val root = t.nodes.filter(col("parent_id") === -1L)
+      .select(col("node_id")).head().getLong(0)
+    val viaRewrite = t.nodes.filter(DescendantRewrite
+        .descendant_of(col("ancestors"), lit(root)))
+      .select(col("node_id"))
+    // the rule must have found the interval through the index resolver
+    assert(!viaRewrite.queryExecution.optimizedPlan.toString
+      .contains("array_contains"))
+    val got = viaRewrite.collect().map(_.getLong(0)).toSet
+    val want = t.nodes.filter(array_contains(col("ancestors"), root))
+      .select(col("node_id")).collect().map(_.getLong(0)).toSet
+    assert(got == want && got.size == idx.size) // root's clade = whole tree
+    IntervalCatalog.clear()
+  }
+
   test("warm lookups stay far under the Spark job floor") {
     val ids = Seq("ott1085739", "ott90560", "ott803675", "ott1057044")
     ids.foreach(idx.nodeInfo(_)) // warm
