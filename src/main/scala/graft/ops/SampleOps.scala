@@ -239,4 +239,32 @@ object SampleOps {
     // merge plan lazily reads the very parquet the write replaces)
     saveMixStats(ClusterOps.flatten(merged), path, batchId)
   }
+
+  /** Deterministic corpus shuffle: a reproducible global training order
+    * as (shard, pos). The order is a pure function of (seed, id) — any
+    * engine, any partitioning, any rerun deals the identical epoch; a
+    * new seed is a fresh epoch permutation with ZERO data movement
+    * until the training writer materializes it. Shard assignment is
+    * scan-local (md5 prefix mod nShards); the only distributed work is
+    * one rank per shard — pick nShards so a shard is file-sized
+    * (100k+ shards at 100 TB), which also makes this the sharded-write
+    * planner: `partitionBy(shard)`, readers stream each file in `pos`
+    * order. Spark's own `orderBy(rand())` is none of these things —
+    * not reproducible across reruns, not stable under repartitioning,
+    * and a full global sort. Null ids are excluded (no stable order
+    * without an identity).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(conv(substring(col("__h"), 1, 8), 16, 10)
+        .cast("long"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("__h"), col(idCol).cast("string"))).cast("long"))
+      .drop("__h")
+  }
 }

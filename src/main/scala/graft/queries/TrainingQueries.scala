@@ -273,6 +273,14 @@ object TrainingQueries {
     graft.ops.SelectOps.exactPercentilesLongByGroup(
       Tables.documents(s, d), "source", "n_chars", Seq(50, 90, 99))
 
+  /** Reproducible epoch order ([[SampleOps.deterministicShuffle]]):
+    * every engine deals the identical (shard, pos) for seed "ep7".
+    */
+  val smpShuffle: Q = (s, d) =>
+    SampleOps.deterministicShuffle(Tables.documents(s, d), "doc_id",
+        seed = "ep7", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
   /** Passage-granular dedup: 3-token spans, first global occurrence
     * survives, documents reassembled from surviving passages.
     */
@@ -649,6 +657,7 @@ object TrainingQueries {
     "txt_langid" -> txtLangid,
     "smp_hash" -> smpHash,
     "smp_stratified" -> smpStratified,
+    "smp_shuffle" -> smpShuffle,
     "smp_temperature" -> smpTemperature,
     "txt_scrub" -> txtScrub,
     "pack_seqs" -> packSeqs,
@@ -1259,6 +1268,17 @@ object TrainingQueries {
       s"""SELECT doc_id, source FROM documents
          |WHERE substr(md5('split1:' || doc_id::VARCHAR), 1, 4)
          |  < '${SampleOps.threshold(0.2)}'""".stripMargin,
+    "smp_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5('ep7:' || doc_id::VARCHAR) AS hh FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, hh,
+        |    CAST(('0x' || substr(hh, 1, 8))::BIGINT % 8 AS INT) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard
+        |    ORDER BY hh, doc_id::VARCHAR) AS pos
+        |FROM s""".stripMargin,
     "smp_stratified" ->
       s"""WITH f AS (SELECT source,
          |    substr(md5('mix1:' || doc_id::VARCHAR), 1, 4) AS b,

@@ -387,6 +387,29 @@ class TrainingSpec extends AnyFunSuite {
     assert(math.abs(keptFrac - 0.5) < 0.15, s"default-rate fraction $keptFrac")
   }
 
+  test("deterministic shuffle: reruns identical, epochs differ, every " +
+      "shard position contiguous, partitioning-independent") {
+    import org.apache.spark.sql.functions._
+    val n = docs.count()
+    def orderOf(d: org.apache.spark.sql.DataFrame, seed: String) =
+      SampleOps.deterministicShuffle(d, "doc_id", seed, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+    val ep1 = orderOf(docs, "ep1").toMap
+    assert(ep1.size == n)
+    // rerun AND different input partitioning: identical deal
+    assert(orderOf(docs, "ep1").toMap == ep1)
+    assert(orderOf(docs.repartition(3), "ep1").toMap == ep1)
+    // a new seed is a genuinely different permutation
+    val ep2 = orderOf(docs, "ep2").toMap
+    assert(ep1 != ep2 && ep1.keySet == ep2.keySet)
+    // per shard: positions are exactly 1..|shard|
+    ep1.values.groupBy(_._1).foreach { case (shard, rows) =>
+      val ps = rows.map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.length.toLong), s"shard $shard")
+    }
+  }
+
   test("temperature mixing flattens toward small sources, integer-exact") {
     import spark.implicits._
     // skewed corpus: one giant source, one small
