@@ -40,6 +40,10 @@ object DescBench {
     val anchors = Seq(5L, 1027L, n / 2 - 1)
     IntervalCatalog.clear()
     IntervalCatalog.registerAnchors(nodes, anchors)
+    // an unresolved anchor would silently degrade descendant_of to
+    // array_contains and the "interval" timing would measure nothing
+    anchors.foreach(a => require(IntervalCatalog.lookup(a).isDefined,
+      s"anchor $a not in the $n-node tree — pick anchors that exist"))
     for (a <- anchors) {
       val viaContains = time(s"contains_$a")(
         nodes.filter(array_contains(col("ancestors"), a)).count())

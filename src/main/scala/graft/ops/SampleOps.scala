@@ -257,6 +257,10 @@ object SampleOps {
   def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
       nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    Seq("shard", "pos", "__h").filter(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"input already has a '$c' column — deterministicShuffle would " +
+          "silently overwrite it; rename it first"))
     val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
     df.filter(col(idCol).isNotNull)
       .withColumn("__h", h)

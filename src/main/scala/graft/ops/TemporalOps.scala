@@ -115,8 +115,12 @@ object TemporalOps {
     val g = chunkSeconds * 1000000L
     def chunkOf(c: org.apache.spark.sql.Column) =
       unix_micros(c) - pmod(unix_micros(c), lit(g))
-    val iv = intervals.withColumn("__chunk", explode(sequence(
-      chunkOf(col(startCol)), chunkOf(col(endCol)), lit(g))))
+    // an inverted interval (end before start) matches nothing under
+    // BETWEEN; without this filter it would instead crash the job —
+    // sequence() throws on start > stop with a positive step
+    val iv = intervals.filter(col(startCol) <= col(endCol))
+      .withColumn("__chunk", explode(sequence(
+        chunkOf(col(startCol)), chunkOf(col(endCol)), lit(g))))
     val pt = points.withColumn("__chunk", chunkOf(col(tsCol)))
     pt.join(iv, Seq(keyCol, "__chunk"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))

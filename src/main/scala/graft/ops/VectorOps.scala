@@ -319,6 +319,14 @@ object VectorOps {
   /** The code-assignment EXPRESSION for one vector column — exposed so
     * store builds can compute codes in the same projection as the cell
     * assignment instead of joining two derivations back on id.
+    *
+    * EAGER: building this Column collects the codebook (one bounded
+    * job — m·codes rows, kilobytes by contract), so callers on the
+    * lazy-builder discipline should `localCheckpoint()` the codebook
+    * once and reuse the Column rather than re-deriving it per call.
+    * The expression itself evaluates only non-null vectors; null rows
+    * must be filtered by the caller (as [[pqEncode]] and the store
+    * builds do — a null vector has no codes and must not be encoded).
     */
   def pqCodesCol(vec: Column, codebook: DataFrame, m: Int,
       dim: Int): Column = {
@@ -346,8 +354,10 @@ object VectorOps {
 
   def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int,
       dim: Int): DataFrame =
-    corpus.select(col("id"),
-      pqCodesCol(col("vec"), codebook, m, dim).as("codes"))
+    // null vectors have no codes: the former join formulation dropped
+    // them implicitly, the projection form must drop them explicitly
+    corpus.filter(col("vec").isNotNull)
+      .select(col("id"), pqCodesCol(col("vec"), codebook, m, dim).as("codes"))
 
   /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
     * query precomputes a distance table to every codebook entry

@@ -249,8 +249,9 @@ object VectorStore {
     // codes ride the SAME projection as the cell assignment (quantizing
     // v — the float vector widened to double — floors to the identical
     // longs): a separate pqEncode joined back on id would shuffle the
-    // whole corpus once more for no reason
-    VectorOps.assignCells(corpus, centroids, 1)
+    // whole corpus once more for no reason. Null vectors are dropped
+    // (no codes, no cell), as the join formulation did implicitly.
+    VectorOps.assignCells(corpus.filter(col("vec").isNotNull), centroids, 1)
       .select(col("id"), col("v").as("vec"),
         VectorOps.pqCodesCol(col("v"), codebook, m, dim).as("codes"),
         concat(lit("c"), col("cell")).as("cell"))
@@ -282,7 +283,8 @@ object VectorStore {
         spark, path, ManifestFile))
       return
     graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
-    VectorOps.assignCells(corpus, st.centroids, 1)
+    VectorOps.assignCells(corpus.filter(col("vec").isNotNull),
+        st.centroids, 1)
       .select(col("id"), col("v").as("vec"),
         VectorOps.pqCodesCol(col("v"), st.codebook, st.m, st.dim).as("codes"),
         concat(lit("c"), col("cell")).as("cell"))

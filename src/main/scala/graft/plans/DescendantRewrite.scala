@@ -62,6 +62,15 @@ object DescendantRewrite {
   * request-sized, never a corpus scan), or zero extra work when a
   * serving index is already loaded ([[installFrom]] resolves through
   * [[graft.tree.TreeServing.Index]]'s existing hash maps).
+  *
+  * SCOPE CONTRACT: the catalog is process-global and keyed by node id
+  * alone, so it serves ONE labeling at a time. Within a single store
+  * that is automatic (the labeler's ids and DFS ranks are globally
+  * unique across its trees); when switching between independently
+  * labeled tables in one session (as the test fixtures do), `clear()`
+  * and re-register before querying, and don't interleave lazy
+  * descendant_of plans across the switch — optimization reads the
+  * catalog at ACTION time, not at DataFrame construction.
   */
 object IntervalCatalog {
   private val anchors =
@@ -96,10 +105,15 @@ object IntervalCatalog {
   * probe an array column on a table with a `pre` field.
   */
 case class DescendantOf(left: Expression, right: Expression)
-    extends BinaryExpression with Predicate {
+    extends BinaryExpression with Predicate
+    with org.apache.spark.sql.graftbridge.DelegatesInputTypes {
 
   private lazy val contains = ArrayContains(left, right)
 
+  // same coercions as array_contains: `descendant_of(ancestors, 5)`
+  // (int literal against array<bigint>) must analyze like the built-in,
+  // not demand the 5L spelling
+  override protected def inputTypesDelegate = contains
   override def checkInputDataTypes(): TypeCheckResult =
     contains.checkInputDataTypes()
   override def nullable: Boolean = contains.nullable
@@ -113,28 +127,51 @@ case class DescendantOf(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Optimizer rule: inside a Filter, replace `descendant_of(anc, lit)`
-  * with `pre >= lo AND pre <= hi` when the catalog knows `lit`'s
-  * interval and the child exposes an unambiguous long `pre`; degrade to
-  * `array_contains` otherwise. Injected via
+/** Optimizer rule: inside a Filter, replace `descendant_of(anc, x)`
+  * with `pre >= lo AND pre <= hi` when it is PROVABLY the labeled-table
+  * clade question — the rewrite demands all of:
+  *
+  *  - `anc` is an attribute literally named `ancestors` (the labeler's
+  *    column contract; any other array degrades to `array_contains` —
+  *    substituting an interval for membership in an arbitrary array
+  *    would be a semantics switch, not an optimization);
+  *  - the LEAF relation that produced that `ancestors` attribute also
+  *    exposes the `pre` long attribute, still live in the filter
+  *    child's output — intervals are a property of ONE labeling pass,
+  *    so a `pre` from some other join input (or an `ancestors` whose
+  *    own relation's `pre` was projected away) must never be bound;
+  *  - the anchor folds to a long the [[IntervalCatalog]] knows
+  *    (foldable, not just literal: the int→bigint coercion cast around
+  *    `descendant_of(ancestors, 5)` may not be constant-folded yet on
+  *    the fixpoint iteration that reaches us).
+  *
+  * Anything else degrades to `array_contains`. Injected via
   * [[graft.functions.GraftExtensions]]; idempotent (one pass eliminates
   * every DescendantOf in filters), so fixpoint batches terminate.
   */
 object DescendantIntervalRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, child) if cond.exists(_.isInstanceOf[DescendantOf]) =>
-      val pres = child.output.filter(a =>
-        a.name == "pre" && a.dataType == LongType)
       val newCond = cond transformUp {
         case DescendantOf(anc, anchor) =>
-          (anchor, pres) match {
-            case (Literal(uid: Long, LongType), Seq(pre)) =>
-              IntervalCatalog.lookup(uid) match {
-                case Some((lo, hi)) =>
-                  And(GreaterThanOrEqual(pre, Literal(lo)),
-                    LessThanOrEqual(pre, Literal(hi)))
-                case None => ArrayContains(anc, anchor)
-              }
+          val preOfSameRelation = anc match {
+            case a: AttributeReference if a.name == "ancestors" =>
+              child.collectLeaves()
+                .find(_.outputSet.contains(a))
+                .flatMap(_.output.find(p =>
+                  p.name == "pre" && p.dataType == LongType))
+                .filter(child.outputSet.contains)
+            case _ => None
+          }
+          val anchorVal = anchor match {
+            case e if e.foldable && e.dataType == LongType =>
+              Option(e.eval()).map(_.asInstanceOf[Long])
+            case _ => None
+          }
+          (preOfSameRelation, anchorVal.flatMap(IntervalCatalog.lookup)) match {
+            case (Some(pre), Some((lo, hi))) =>
+              And(GreaterThanOrEqual(pre, Literal(lo)),
+                LessThanOrEqual(pre, Literal(hi)))
             case _ => ArrayContains(anc, anchor)
           }
       }

@@ -141,6 +141,10 @@ class TemporalSpec extends AnyFunSuite {
     val dirtyIvs = ivFixture.unionByName(Seq(Tuple1(98L)).toDF("user_id")
       .withColumn("st", lit(null).cast("timestamp"))
       .withColumn("en", to_timestamp(lit("2024-01-01 10:00:00"))))
+      // an INVERTED interval must match nothing, not crash sequence()
+      .unionByName(Seq(Tuple1(1L)).toDF("user_id")
+        .withColumn("st", to_timestamp(lit("2024-01-02 10:00:00")))
+        .withColumn("en", to_timestamp(lit("2024-01-01 10:00:00"))))
     val clean = TemporalOps.pointInIntervalJoin(ptFixture, ivFixture,
       "user_id", "t", "st", "en", 900)
     val dirty = TemporalOps.pointInIntervalJoin(dirtyPts, dirtyIvs,

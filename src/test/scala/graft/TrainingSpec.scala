@@ -387,6 +387,16 @@ class TrainingSpec extends AnyFunSuite {
     assert(math.abs(keptFrac - 0.5) < 0.15, s"default-rate fraction $keptFrac")
   }
 
+  test("deterministic shuffle refuses inputs that already carry its " +
+      "output columns") {
+    import org.apache.spark.sql.functions._
+    val poisoned = docs.withColumn("pos", lit(1L))
+    val err = intercept[IllegalArgumentException] {
+      SampleOps.deterministicShuffle(poisoned, "doc_id", "s", 4)
+    }
+    assert(err.getMessage.contains("pos"))
+  }
+
   test("deterministic shuffle: reruns identical, epochs differ, every " +
       "shard position contiguous, partitioning-independent") {
     import org.apache.spark.sql.functions._
@@ -559,6 +569,14 @@ class TrainingSpec extends AnyFunSuite {
     val enc4 = encSet(4)
     assert(encSet(1) == enc4 && encSet(13) == enc4)
     assert(enc4.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
+
+    // a null vector has no codes: the row is dropped, never emitted
+    // with codes = NULL (the join formulation's implicit behavior)
+    val withNull = e.unionByName(e.limit(1)
+      .select(lit(-1L).as("id"), lit(null).cast(e.schema("vec").dataType).as("vec")))
+    val encN = VectorOps.pqEncode(withNull, cb, m = 4, dim = 64)
+    assert(encN.count() == e.count())
+    assert(encN.filter(col("id") === -1L).count() == 0)
 
     val q = e.filter(col("id") < 10)
     val enc = VectorOps.pqEncode(e, cb, m = 4, dim = 64)
