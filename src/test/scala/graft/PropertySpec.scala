@@ -172,6 +172,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("point-in-interval join equals the brute-force definition on " +
+      "random interval sets, boundary-heavy, inversions included") {
+    import spark.implicits._
+    (81L to 84L).foreach { seed =>
+      val rnd = new Random(seed)
+      // a coarse grid in ms with a 10s chunk: instants land ON chunk
+      // boundaries often, intervals span 0..4 chunks, ~1/6 inverted
+      def inst() = rnd.nextInt(12).toLong * 5000L
+      val ivRows = Seq.tabulate(30 + rnd.nextInt(30)) { i =>
+        (rnd.nextInt(4).toLong, i.toLong, inst(),
+          inst() + (rnd.nextInt(6) - 1).toLong * 5000L)
+      } // (k, ivid, startMs, endMs) — end may precede start
+      val ptRows = Seq.tabulate(40 + rnd.nextInt(40)) { i =>
+        (rnd.nextInt(4).toLong, 1000L + i, inst())
+      }
+      val ivs = ivRows.toDF("k", "ivid", "sms", "ems")
+        .select(col("k"), col("ivid"), timestamp_millis(col("sms")).as("st"),
+          timestamp_millis(col("ems")).as("en"))
+      val pts = ptRows.toDF("k", "pid", "ms")
+        .select(col("k"), col("pid"), timestamp_millis(col("ms")).as("t"))
+      val got = graft.ops.TemporalOps.pointInIntervalJoin(
+          pts, ivs, "k", "t", "st", "en", chunkSeconds = 10)
+        .select(col("pid"), col("ivid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        (pk, pid, pms) <- ptRows
+        (ik, ivid, sms, ems) <- ivRows
+        if ik == pk && pms >= sms && pms <= ems
+      } yield (pid, ivid)).sorted
+      assert(got == want, s"seed=$seed")
+      assert(want.nonEmpty, s"seed=$seed produced no containments")
+    }
+  }
+
   test("span dedup keeps each distinct passage exactly once on random docs") {
     import spark.implicits._
     (61L to 64L).foreach { seed =>
