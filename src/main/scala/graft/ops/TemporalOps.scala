@@ -126,4 +126,38 @@ object TemporalOps {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__chunk")
   }
+
+  /** Interval-overlap join: every `left` interval paired with every
+    * `right` interval of the same key they overlap (inclusive ends:
+    * `l.start <= r.end AND r.start <= l.end`) — "which browsing
+    * sessions overlapped a purchase session". Same chunked shape as
+    * [[pointInIntervalJoin]], with the classic duplicate guard: a pair
+    * sharing several chunks would match in each one, so it is emitted
+    * ONLY from the FIRST chunk both occupy — `max(chunk(l.start),
+    * chunk(r.start))`, exact integer arithmetic, no `dropDuplicates`
+    * shuffle. Inverted intervals match nothing on either side; the two
+    * inputs may share only the key column.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, lStart: String, lEnd: String,
+      rStart: String, rEnd: String, chunkSeconds: Long): DataFrame = {
+    require(chunkSeconds > 0, "chunkSeconds must be positive")
+    (left.columns ++ right.columns).filter(_.startsWith("__")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column '$c' collides with intervalOverlapJoin's internal tags"))
+    require(left.columns.intersect(right.columns).sameElements(
+        Array(keyCol)),
+      "left and right may share ONLY the key column")
+    val g = chunkSeconds * 1000000L
+    def chunkOf(c: org.apache.spark.sql.Column) =
+      unix_micros(c) - pmod(unix_micros(c), lit(g))
+    def side(df: DataFrame, s: String, e: String) =
+      df.filter(col(s) <= col(e)).withColumn("__chunk",
+        explode(sequence(chunkOf(col(s)), chunkOf(col(e)), lit(g))))
+    side(left, lStart, lEnd)
+      .join(side(right, rStart, rEnd), Seq(keyCol, "__chunk"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__chunk") === greatest(chunkOf(col(lStart)), chunkOf(col(rStart))))
+      .drop("__chunk")
+  }
 }

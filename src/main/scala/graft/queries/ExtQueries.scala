@@ -410,6 +410,30 @@ object ExtQueries {
           .as("session_start"))
   }
 
+  /** Interval-overlap join ([[graft.ops.TemporalOps.intervalOverlapJoin]]):
+    * which browsing (view) sessions overlapped a purchase (click)
+    * session, per user — interval×interval, the temporal-join member
+    * `ev_interval_join`'s point×interval form can't express. Chunked
+    * equi-join with the first-shared-chunk duplicate guard.
+    */
+  val evOverlapJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    // 24h gap: the fixture's per-user event cadence is ~1.5 days, so
+    // 10-min sessions are singletons that can never overlap across
+    // types — day-scale "activity episodes" are the natural intervals
+    def sess(t: String, pre: String) =
+      EventStreams.sessionIntervals(ev.filter(col("event_type") === t),
+          gapMinutes = 1440)
+        .select(col("user_id"), col("session_start").as(s"${pre}_start"),
+          col("session_end").as(s"${pre}_end"))
+    graft.ops.TemporalOps.intervalOverlapJoin(
+        sess("view", "v"), sess("click", "c"), "user_id",
+        "v_start", "v_end", "c_start", "c_end", chunkSeconds = 3600)
+      .select(col("user_id"),
+        date_format(col("v_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("v_start"),
+        date_format(col("c_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_start"))
+  }
+
   /** S2: taxonomy TSV scan (multichar "\t|\t" separator, header skip,
     * try_cast ids) — the oracle re-parses the RAW fixture file in DuckDB,
     * fully independent of the Spark ingest path.
@@ -732,6 +756,7 @@ object ExtQueries {
     "a6_supporting_studies" -> a6SupportingStudies,
     "ev_sessions" -> evSessions,
     "ev_interval_join" -> evIntervalJoin,
+    "ev_overlap_join" -> evOverlapJoin,
     "ev_dedup" -> evDedup,
     "f10_mrca_codec" -> mrcaCodec,
     "mm_media_meta" -> mmMediaMeta,
@@ -1145,6 +1170,41 @@ object ExtQueries {
         |  strftime(iv.st, '%Y-%m-%d %H:%M:%S.%f') AS session_start
         |FROM e JOIN iv ON e.user_id = iv.user_id
         |  AND e.t BETWEEN iv.st AND iv.en""".stripMargin,
+    "ev_overlap_join" ->
+      // per-type session chains (same gaps-and-islands as ev_sessions,
+      // restricted to one event_type each), then the inclusive overlap
+      // join the chunked form must reproduce exactly
+      """WITH ev AS (SELECT event_id, user_id, value, event_type,
+        |    ts::TIMESTAMP AS t FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL),
+        |vx AS (SELECT *, lag(epoch_us(t)) OVER
+        |  (PARTITION BY user_id ORDER BY t, event_id) AS prev_us
+        |  FROM ev WHERE event_type = 'view'),
+        |vy AS (SELECT *, CASE WHEN prev_us IS NULL
+        |  OR epoch_us(t) - prev_us > 86400000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM vx),
+        |vz AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |  ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |  CURRENT ROW) AS session_idx FROM vy),
+        |vs AS (SELECT user_id, min(t) AS st, max(t) AS en
+        |  FROM vz GROUP BY user_id, session_idx),
+        |cx AS (SELECT *, lag(epoch_us(t)) OVER
+        |  (PARTITION BY user_id ORDER BY t, event_id) AS prev_us
+        |  FROM ev WHERE event_type = 'click'),
+        |cy AS (SELECT *, CASE WHEN prev_us IS NULL
+        |  OR epoch_us(t) - prev_us > 86400000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM cx),
+        |cz AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |  ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |  CURRENT ROW) AS session_idx FROM cy),
+        |cs AS (SELECT user_id, min(t) AS st, max(t) AS en
+        |  FROM cz GROUP BY user_id, session_idx)
+        |SELECT v.user_id,
+        |  strftime(v.st, '%Y-%m-%d %H:%M:%S.%f') AS v_start,
+        |  strftime(c.st, '%Y-%m-%d %H:%M:%S.%f') AS c_start
+        |FROM vs v JOIN cs c ON v.user_id = c.user_id
+        |  AND v.st <= c.en AND c.st <= v.en""".stripMargin,
     "f10_mrca_codec" ->
       """SELECT c_custkey,
         |  c_custkey + 10000000 * (c_custkey + 1) AS packed,

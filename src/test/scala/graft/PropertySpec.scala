@@ -206,6 +206,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("interval-overlap join equals brute force on random sets — each " +
+      "overlapping pair exactly once despite multi-chunk spans") {
+    import spark.implicits._
+    (91L to 94L).foreach { seed =>
+      val rnd = new Random(seed)
+      def inst() = rnd.nextInt(12).toLong * 5000L
+      // spans up to 5 chunks (10s chunk) so most pairs share SEVERAL
+      // chunks — the duplicate guard is what's under test
+      def mk(n: Int, idBase: Long) = Seq.tabulate(n) { i =>
+        val s = inst()
+        (rnd.nextInt(3).toLong, idBase + i, s,
+          s + (rnd.nextInt(11) - 1).toLong * 5000L)
+      }
+      val lRows = mk(20 + rnd.nextInt(20), 0L)
+      val rRows = mk(20 + rnd.nextInt(20), 1000L)
+      def df(rows: Seq[(Long, Long, Long, Long)], id: String, s: String,
+          e: String) = rows.toDF("k", id, "sms", "ems")
+        .select(col("k"), col(id), timestamp_millis(col("sms")).as(s),
+          timestamp_millis(col("ems")).as(e))
+      val got = graft.ops.TemporalOps.intervalOverlapJoin(
+          df(lRows, "lid", "lst", "len"), df(rRows, "rid", "rst", "ren"),
+          "k", "lst", "len", "rst", "ren", chunkSeconds = 10)
+        .select(col("lid"), col("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        (lk, lid, ls, le) <- lRows if ls <= le
+        (rk, rid, rs, re) <- rRows if rs <= re
+        if lk == rk && ls <= re && rs <= le
+      } yield (lid, rid)).sorted
+      assert(got == want, s"seed=$seed")
+      assert(got.distinct == got, s"seed=$seed emitted duplicates")
+      assert(want.nonEmpty, s"seed=$seed produced no overlaps")
+    }
+  }
+
   test("span dedup keeps each distinct passage exactly once on random docs") {
     import spark.implicits._
     (61L to 64L).foreach { seed =>

