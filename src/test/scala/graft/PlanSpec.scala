@@ -331,6 +331,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("deterministic shuffle costs exactly one exchange — the per-shard " +
+      "rank — and no global sort") {
+    // the whole point is beating orderBy(rand()): shard assignment must
+    // stay a scan-local projection and the only distributed work the
+    // shard-partitioned window rank; a global Sort or a second Exchange
+    // means the deal regressed to the full-sort shape
+    val df = graft.queries.TrainingQueries.registry("smp_shuffle")(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val all = PlanWalk.nodes(df.queryExecution.executedPlan)
+    assert(all.count(_.isInstanceOf[ShuffleExchangeLike]) == 1,
+      df.queryExecution.executedPlan.toString)
+    val globalSorts = all.collect { case s: SortExec if s.global => s }
+    assert(globalSorts.isEmpty, df.queryExecution.executedPlan.toString)
+  }
+
   test("induced kernel counts distincts by rank — no per-row set building") {
     // count(distinct) over a window isn't expressible, and the
     // collect_set fallback materializes the whole set PER ROW (O(p²)
