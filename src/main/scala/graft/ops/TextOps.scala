@@ -20,6 +20,31 @@ object TextOps {
   /** Lowercased whitespace tokens. */
   def tokensCol(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Token-window chunking for training prep: fixed `size`-token
+    * windows advancing by `stride` tokens (overlap = size − stride),
+    * as an array of (chunk_idx, chunk_text) structs — explode at the
+    * call site. Entirely row-local (no shuffle, no UDF): window count
+    * is 1 + ⌈max(0, n−size)/stride⌉ so a short document is exactly one
+    * chunk and the final window keeps the tail without spawning an
+    * all-overlap chunk past it. The ⌈⌉ is float-free in effect — token
+    * counts are far inside double exactness, and floor(x/s) of a
+    * non-negative int ratio is the integer division both engines
+    * agree on.
+    */
+  def chunksCol(text: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = tokensCol(text)
+    val extra = greatest(lit(0), org.apache.spark.sql.functions.size(toks)
+      - lit(size))
+    val nChunks = (lit(1) +
+      floor((extra + lit(stride - 1)) / lit(stride))).cast("int")
+    transform(sequence(lit(0), nChunks - lit(1)), i =>
+      struct(i.as("chunk_idx"),
+        array_join(slice(toks, i * lit(stride) + lit(1), lit(size)), " ")
+          .as("chunk_text")))
+  }
+
   /** Distinct-token-set fingerprint: md5 of the sorted distinct tokens.
     * Collapses reordered/duplicated-word documents to one key — the
     * hash-groupBy exact-dedup key that survives token shuffling.

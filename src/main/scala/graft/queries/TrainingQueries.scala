@@ -281,6 +281,18 @@ object TrainingQueries {
         seed = "ep7", nShards = 8)
       .select(col("doc_id"), col("shard"), col("pos"))
 
+  /** Token-window chunking ([[TextOps.chunksCol]]): 32-token windows,
+    * stride 16 (half overlap) — the context-window splitter every
+    * training pipeline runs before packing. Row-local; the explode is
+    * the only row-count change.
+    */
+  val txtChunks: Q = (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        posexplode(TextOps.chunksCol(col("text"), size = 32, stride = 16)))
+      .select(col("doc_id"), col("col.chunk_idx").as("chunk_idx"),
+        col("col.chunk_text").as("chunk_text"))
+
   /** Passage-granular dedup: 3-token spans, first global occurrence
     * survives, documents reassembled from surviving passages.
     */
@@ -652,6 +664,7 @@ object TrainingQueries {
     "dd_spans" -> ddSpans,
     "emb_quantize" -> embQuantize,
     "txt_tokens" -> txtTokens,
+    "txt_chunks" -> txtChunks,
     "dd_winnow" -> ddWinnow,
     "dd_winnow_pairs" -> ddWinnowPairs,
     "txt_langid" -> txtLangid,
@@ -1268,6 +1281,17 @@ object TrainingQueries {
       s"""SELECT doc_id, source FROM documents
          |WHERE substr(md5('split1:' || doc_id::VARCHAR), 1, 4)
          |  < '${SampleOps.threshold(0.2)}'""".stripMargin,
+    "txt_chunks" ->
+      // integer chunk-count rule mirrored exactly: 1 + (max(0, n-32)
+      // + 15) // 16; list_slice's inclusive end == slice's length form
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE doc_id < 200),
+         |c AS (SELECT doc_id, toks,
+         |  1 + (greatest(0, len(toks) - 32) + 15) // 16 AS nc FROM t)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  array_to_string(list_slice(toks, i*16 + 1, i*16 + 32), ' ')
+         |    AS chunk_text
+         |FROM c, unnest(generate_series(0, nc - 1)) u(i)""".stripMargin,
     "smp_shuffle" ->
       """WITH h AS (SELECT doc_id,
         |    md5('ep7:' || doc_id::VARCHAR) AS hh FROM documents

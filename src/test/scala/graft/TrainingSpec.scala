@@ -387,6 +387,29 @@ class TrainingSpec extends AnyFunSuite {
     assert(math.abs(keptFrac - 0.5) < 0.15, s"default-rate fraction $keptFrac")
   }
 
+  test("token chunking: window/stride algebra, short docs, tail window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def chunksOf(text: String, size: Int, stride: Int): Seq[(Int, String)] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(explode(TextOps.chunksCol(col("text"), size, stride)).as("c"))
+        .select(col("c.chunk_idx"), col("c.chunk_text"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    val toks = (1 to 40).map(i => s"w$i")
+    val got = chunksOf(toks.mkString(" "), size = 8, stride = 4)
+    assert(got.size == 9) // 1 + ceil((40-8)/4)
+    assert(got.head._2 == toks.take(8).mkString(" "))
+    assert(got.last._2 == toks.drop(32).mkString(" ")) // tail, full window
+    // every token appears; consecutive chunks overlap by size - stride
+    got.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(a.split(" ").drop(4).sameElements(b.split(" ").take(4)))
+    case _ => }
+    // shorter than one window → exactly one chunk, the document itself
+    assert(chunksOf("a b c", 8, 4) == Seq((0, "a b c")))
+    // exact multiple: no empty trailing chunk
+    assert(chunksOf((1 to 8).map("t" + _).mkString(" "), 8, 4).size == 1)
+  }
+
   test("deterministic shuffle refuses inputs that already carry its " +
       "output columns") {
     import org.apache.spark.sql.functions._
