@@ -75,7 +75,11 @@ object GraftFunctions {
         toExpr(graft.ops.TextOps.normalizeCol(toCol(es.head))))),
     ("graft_token_estimate", graft.ops.TextOps.getClass.getName,
       checked("graft_token_estimate", 1)(es =>
-        toExpr(graft.ops.TextOps.bpeTokenEstimateCol(toCol(es.head))))))
+        toExpr(graft.ops.TextOps.bpeTokenEstimateCol(toCol(es.head))))),
+    ("graft_chunks", graft.ops.TextOps.getClass.getName,
+      checked("graft_chunks", 3)(es =>
+        toExpr(graft.ops.TextOps.chunksCol(toCol(es.head),
+          litInt("graft_chunks", es(1)), litInt("graft_chunks", es(2)))))))
 
   /** Register on an existing session: `SELECT mrca_pack(a, b)` works in
     * `spark.sql` afterwards.

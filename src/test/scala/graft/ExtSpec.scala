@@ -183,7 +183,8 @@ class ExtSpec extends AnyFunSuite {
         |  graft_fingerprint(text) AS fp, graft_minhash(text, 8) AS mh,
         |  graft_langid(text) AS lang, graft_scrub_pii(text) AS scrubbed,
         |  graft_normalize(text) AS norm,
-        |  graft_token_estimate(text) AS est
+        |  graft_token_estimate(text) AS est,
+        |  graft_chunks(text, 32, 16) AS chunks
         |FROM sqldocs""".stripMargin).collect().map(_.toSeq).toSet
     val viaCols = docs.select(col("doc_id"),
         TextOps.tokensCol(col("text")).as("toks"),
@@ -192,7 +193,8 @@ class ExtSpec extends AnyFunSuite {
         TextOps.langIdCol(col("text")).as("lang"),
         TextOps.scrubPiiCol(col("text")).as("scrubbed"),
         TextOps.normalizeCol(col("text")).as("norm"),
-        TextOps.bpeTokenEstimateCol(col("text")).as("est"))
+        TextOps.bpeTokenEstimateCol(col("text")).as("est"),
+        TextOps.chunksCol(col("text"), 32, 16).as("chunks"))
       .collect().map(_.toSeq).toSet
     assert(viaSql == viaCols)
     assert(viaSql.nonEmpty)
