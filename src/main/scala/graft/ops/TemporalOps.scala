@@ -101,28 +101,42 @@ object TemporalOps {
     * prefixes are reserved, and key/chunk dedup via USING keeps one key
     * column.
     */
+  /** Shared chunk machinery for the two chunked joins: exact integer
+    * chunk ids on `unix_micros` (no double division — a boundary
+    * timestamp must never round into the wrong chunk), the interval
+    * side exploded over every chunk it overlaps (inverted intervals
+    * filtered FIRST: they match nothing under BETWEEN, but `sequence()`
+    * would throw on start > stop), and the input guards both joins
+    * demand.
+    */
+  private def chunkOf(g: Long)(c: org.apache.spark.sql.Column) =
+    unix_micros(c) - pmod(unix_micros(c), lit(g))
+
+  private def chunkedIntervals(df: DataFrame, s: String, e: String,
+      g: Long): DataFrame =
+    df.filter(col(s) <= col(e)).withColumn("__chunk",
+      explode(sequence(chunkOf(g)(col(s)), chunkOf(g)(col(e)), lit(g))))
+
+  private def requireJoinable(a: DataFrame, b: DataFrame, keyCol: String,
+      opName: String, chunkSeconds: Long): Unit = {
+    require(chunkSeconds > 0, "chunkSeconds must be positive")
+    (a.columns ++ b.columns).filter(_.startsWith("__")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column '$c' collides with $opName's internal tags"))
+    require(a.columns.intersect(b.columns).sameElements(Array(keyCol)),
+      s"$opName inputs may share ONLY the key column — a silently " +
+        "duplicated output name would make the result ambiguous")
+  }
+
   def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
       keyCol: String, tsCol: String, startCol: String, endCol: String,
       chunkSeconds: Long): DataFrame = {
-    require(chunkSeconds > 0, "chunkSeconds must be positive")
-    (points.columns ++ intervals.columns).filter(_.startsWith("__")).foreach(c =>
-      throw new IllegalArgumentException(
-        s"column '$c' collides with pointInIntervalJoin's internal tags"))
-    require(points.columns.intersect(intervals.columns).sameElements(
-        Array(keyCol)),
-      "points and intervals may share ONLY the key column — a silently " +
-        "duplicated output name would make the result ambiguous")
+    requireJoinable(points, intervals, keyCol, "pointInIntervalJoin",
+      chunkSeconds)
     val g = chunkSeconds * 1000000L
-    def chunkOf(c: org.apache.spark.sql.Column) =
-      unix_micros(c) - pmod(unix_micros(c), lit(g))
-    // an inverted interval (end before start) matches nothing under
-    // BETWEEN; without this filter it would instead crash the job —
-    // sequence() throws on start > stop with a positive step
-    val iv = intervals.filter(col(startCol) <= col(endCol))
-      .withColumn("__chunk", explode(sequence(
-        chunkOf(col(startCol)), chunkOf(col(endCol)), lit(g))))
-    val pt = points.withColumn("__chunk", chunkOf(col(tsCol)))
-    pt.join(iv, Seq(keyCol, "__chunk"))
+    points.withColumn("__chunk", chunkOf(g)(col(tsCol)))
+      .join(chunkedIntervals(intervals, startCol, endCol, g),
+        Seq(keyCol, "__chunk"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__chunk")
   }
@@ -141,23 +155,13 @@ object TemporalOps {
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
       keyCol: String, lStart: String, lEnd: String,
       rStart: String, rEnd: String, chunkSeconds: Long): DataFrame = {
-    require(chunkSeconds > 0, "chunkSeconds must be positive")
-    (left.columns ++ right.columns).filter(_.startsWith("__")).foreach(c =>
-      throw new IllegalArgumentException(
-        s"column '$c' collides with intervalOverlapJoin's internal tags"))
-    require(left.columns.intersect(right.columns).sameElements(
-        Array(keyCol)),
-      "left and right may share ONLY the key column")
+    requireJoinable(left, right, keyCol, "intervalOverlapJoin", chunkSeconds)
     val g = chunkSeconds * 1000000L
-    def chunkOf(c: org.apache.spark.sql.Column) =
-      unix_micros(c) - pmod(unix_micros(c), lit(g))
-    def side(df: DataFrame, s: String, e: String) =
-      df.filter(col(s) <= col(e)).withColumn("__chunk",
-        explode(sequence(chunkOf(col(s)), chunkOf(col(e)), lit(g))))
-    side(left, lStart, lEnd)
-      .join(side(right, rStart, rEnd), Seq(keyCol, "__chunk"))
+    chunkedIntervals(left, lStart, lEnd, g)
+      .join(chunkedIntervals(right, rStart, rEnd, g), Seq(keyCol, "__chunk"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
-        col("__chunk") === greatest(chunkOf(col(lStart)), chunkOf(col(rStart))))
+        col("__chunk") === greatest(chunkOf(g)(col(lStart)),
+          chunkOf(g)(col(rStart))))
       .drop("__chunk")
   }
 }

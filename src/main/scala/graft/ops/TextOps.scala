@@ -31,18 +31,33 @@ object TextOps {
     * non-negative int ratio is the integer division both engines
     * agree on.
     */
-  def chunksCol(text: Column, size: Int, stride: Int): Column = {
+  def chunksCol(text: Column, size: Int, stride: Int): Column =
+    chunksOfTokens(tokensCol(text), size, stride)
+
+  /** The kernel over an arbitrary token-array expression. The tokens
+    * are bound ONCE through a single-element-array transform before
+    * the per-chunk lambda references them — higher-order functions
+    * re-inline their argument expression per element (the measured
+    * O(len²) winnowSelectCol trap), so without the binding every chunk
+    * of an n-token document would re-run the tokenizer: ~n/stride full
+    * re-tokenizations per row. A null token array (null text) yields a
+    * null chunk array — `explode` drops it, the same no-phantom-rows
+    * discipline as the other null-text guards in this file.
+    */
+  def chunksOfTokens(toks: Column, size: Int, stride: Int): Column = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
-    val toks = tokensCol(text)
-    val extra = greatest(lit(0), org.apache.spark.sql.functions.size(toks)
-      - lit(size))
-    val nChunks = (lit(1) +
-      floor((extra + lit(stride - 1)) / lit(stride))).cast("int")
-    transform(sequence(lit(0), nChunks - lit(1)), i =>
-      struct(i.as("chunk_idx"),
-        array_join(slice(toks, i * lit(stride) + lit(1), lit(size)), " ")
-          .as("chunk_text")))
+    element_at(transform(array(toks), t => {
+      val extra = greatest(lit(0), org.apache.spark.sql.functions.size(t)
+        - lit(size))
+      val nChunks = (lit(1) +
+        floor((extra + lit(stride - 1)) / lit(stride))).cast("int")
+      when(t.isNotNull,
+        transform(sequence(lit(0), nChunks - lit(1)), i =>
+          struct(i.as("chunk_idx"),
+            array_join(slice(t, i * lit(stride) + lit(1), lit(size)), " ")
+              .as("chunk_text"))))
+    }), 1)
   }
 
   /** Distinct-token-set fingerprint: md5 of the sorted distinct tokens.

@@ -820,6 +820,30 @@ object ExtQueries {
       |  json_extract_string(json, '$.nodes."' || ot_node_id || '".resolved_by') AS f_rb
       |  FROM k)""".stripMargin
 
+  // Shared DuckDB fragments for the session oracles: the guarded event
+  // source and the gaps-and-islands chain (prefix+x/y/z/s), written
+  // ONCE so a chain fix cannot desynchronize one oracle from
+  // EventStreams.sessionIntervals. `s` holds the [st, en] interval per
+  // (user, session); callers that only need `z` simply don't reference
+  // it (DuckDB leaves unreferenced CTEs unevaluated).
+  private val evGuardSql =
+    """e AS (SELECT event_id, user_id, value, event_type,
+      |    ts::TIMESTAMP AS t FROM events
+      |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+      |    AND user_id IS NOT NULL AND value IS NOT NULL)""".stripMargin
+  private def sessChainSql(p: String, where: String, gapUs: Long): String =
+    s"""${p}x AS (SELECT *, lag(epoch_us(t)) OVER
+       |  (PARTITION BY user_id ORDER BY t, event_id) AS prev_us
+       |  FROM e$where),
+       |${p}y AS (SELECT *, CASE WHEN prev_us IS NULL
+       |  OR epoch_us(t) - prev_us > $gapUs THEN 1 ELSE 0 END AS is_new
+       |  FROM ${p}x),
+       |${p}z AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+       |  ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |  CURRENT ROW) AS session_idx FROM ${p}y),
+       |${p}s AS (SELECT user_id, min(t) AS st, max(t) AS en
+       |  FROM ${p}z GROUP BY user_id, session_idx)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "s2_taxonomy" ->
       s"""WITH $rawTaxonomyCte
@@ -1138,73 +1162,31 @@ object ExtQueries {
     "ev_sessions" ->
       // the null exclusion mirrors sessionize/sessionizeBatch's
       // poison-row guard (no fixture nulls today; by-construction parity)
-      """WITH e AS (SELECT event_id, user_id, value, ts::TIMESTAMP AS t FROM events
-        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
-        |    AND user_id IS NOT NULL AND value IS NOT NULL),
-        |x AS (SELECT *, lag(epoch_us(t)) OVER
-        |  (PARTITION BY user_id ORDER BY t, event_id) AS prev_us FROM e),
-        |y AS (SELECT *, CASE WHEN prev_us IS NULL
-        |  OR epoch_us(t) - prev_us > 600000000 THEN 1 ELSE 0 END AS is_new FROM x),
-        |z AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM y)
-        |SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM z GROUP BY user_id, session_idx""".stripMargin,
+      (s"WITH $evGuardSql,\n" + sessChainSql("", "", 600000000L) + "\n" +
+        """SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+          |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+          |FROM z GROUP BY user_id, session_idx""".stripMargin),
     "ev_interval_join" ->
-      // same session CTE chain as ev_sessions, intervals kept as
-      // timestamps, then the BETWEEN containment join the chunked
-      // equi-join must reproduce exactly
-      """WITH e AS (SELECT event_id, user_id, value, ts::TIMESTAMP AS t FROM events
-        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
-        |    AND user_id IS NOT NULL AND value IS NOT NULL),
-        |x AS (SELECT *, lag(epoch_us(t)) OVER
-        |  (PARTITION BY user_id ORDER BY t, event_id) AS prev_us FROM e),
-        |y AS (SELECT *, CASE WHEN prev_us IS NULL
-        |  OR epoch_us(t) - prev_us > 600000000 THEN 1 ELSE 0 END AS is_new FROM x),
-        |z AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM y),
-        |iv AS (SELECT user_id, min(t) AS st, max(t) AS en
-        |  FROM z GROUP BY user_id, session_idx)
-        |SELECT e.user_id, e.event_id,
-        |  strftime(e.t, '%Y-%m-%d %H:%M:%S.%f') AS ev_ts,
-        |  strftime(iv.st, '%Y-%m-%d %H:%M:%S.%f') AS session_start
-        |FROM e JOIN iv ON e.user_id = iv.user_id
-        |  AND e.t BETWEEN iv.st AND iv.en""".stripMargin,
+      // same session chain, intervals kept as timestamps, then the
+      // BETWEEN containment join the chunked equi-join must reproduce
+      (s"WITH $evGuardSql,\n" + sessChainSql("", "", 600000000L) + "\n" +
+        """SELECT e.user_id, e.event_id,
+          |  strftime(e.t, '%Y-%m-%d %H:%M:%S.%f') AS ev_ts,
+          |  strftime(s.st, '%Y-%m-%d %H:%M:%S.%f') AS session_start
+          |FROM e JOIN s ON e.user_id = s.user_id
+          |  AND e.t BETWEEN s.st AND s.en""".stripMargin),
     "ev_overlap_join" ->
-      // per-type session chains (same gaps-and-islands as ev_sessions,
-      // restricted to one event_type each), then the inclusive overlap
-      // join the chunked form must reproduce exactly
-      """WITH ev AS (SELECT event_id, user_id, value, event_type,
-        |    ts::TIMESTAMP AS t FROM events
-        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
-        |    AND user_id IS NOT NULL AND value IS NOT NULL),
-        |vx AS (SELECT *, lag(epoch_us(t)) OVER
-        |  (PARTITION BY user_id ORDER BY t, event_id) AS prev_us
-        |  FROM ev WHERE event_type = 'view'),
-        |vy AS (SELECT *, CASE WHEN prev_us IS NULL
-        |  OR epoch_us(t) - prev_us > 86400000000 THEN 1 ELSE 0 END AS is_new
-        |  FROM vx),
-        |vz AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
-        |  ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |  CURRENT ROW) AS session_idx FROM vy),
-        |vs AS (SELECT user_id, min(t) AS st, max(t) AS en
-        |  FROM vz GROUP BY user_id, session_idx),
-        |cx AS (SELECT *, lag(epoch_us(t)) OVER
-        |  (PARTITION BY user_id ORDER BY t, event_id) AS prev_us
-        |  FROM ev WHERE event_type = 'click'),
-        |cy AS (SELECT *, CASE WHEN prev_us IS NULL
-        |  OR epoch_us(t) - prev_us > 86400000000 THEN 1 ELSE 0 END AS is_new
-        |  FROM cx),
-        |cz AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
-        |  ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |  CURRENT ROW) AS session_idx FROM cy),
-        |cs AS (SELECT user_id, min(t) AS st, max(t) AS en
-        |  FROM cz GROUP BY user_id, session_idx)
-        |SELECT v.user_id,
-        |  strftime(v.st, '%Y-%m-%d %H:%M:%S.%f') AS v_start,
-        |  strftime(c.st, '%Y-%m-%d %H:%M:%S.%f') AS c_start
-        |FROM vs v JOIN cs c ON v.user_id = c.user_id
-        |  AND v.st <= c.en AND c.st <= v.en""".stripMargin,
+      // two per-type instances of the SAME shared session chain (24h
+      // gap), then the inclusive overlap join the chunked form must
+      // reproduce exactly
+      (s"WITH $evGuardSql,\n" +
+        sessChainSql("v", " WHERE event_type = 'view'", 86400000000L) + ",\n" +
+        sessChainSql("c", " WHERE event_type = 'click'", 86400000000L) + "\n" +
+        """SELECT vs.user_id,
+          |  strftime(vs.st, '%Y-%m-%d %H:%M:%S.%f') AS v_start,
+          |  strftime(cs.st, '%Y-%m-%d %H:%M:%S.%f') AS c_start
+          |FROM vs JOIN cs ON vs.user_id = cs.user_id
+          |  AND vs.st <= cs.en AND cs.st <= vs.en""".stripMargin),
     "f10_mrca_codec" ->
       """SELECT c_custkey,
         |  c_custkey + 10000000 * (c_custkey + 1) AS packed,

@@ -288,10 +288,14 @@ object TrainingQueries {
     */
   val txtChunks: Q = (s, d) =>
     Tables.documents(s, d).filter(col("doc_id") < 200)
+      // bind the token array BEFORE the chunk lambda (lambda args
+      // re-inline per element — the O(len²) winnowSelectCol trap)
+      .select(col("doc_id"), TextOps.tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
-        posexplode(TextOps.chunksCol(col("text"), size = 32, stride = 16)))
-      .select(col("doc_id"), col("col.chunk_idx").as("chunk_idx"),
-        col("col.chunk_text").as("chunk_text"))
+        explode(TextOps.chunksOfTokens(col("toks"), size = 32, stride = 16))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"))
 
   /** Passage-granular dedup: 3-token spans, first global occurrence
     * survives, documents reassembled from surviving passages.
@@ -1285,7 +1289,7 @@ object TrainingQueries {
       // integer chunk-count rule mirrored exactly: 1 + (max(0, n-32)
       // + 15) // 16; list_slice's inclusive end == slice's length form
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
-         |  WHERE doc_id < 200),
+         |  WHERE doc_id < 200 AND text IS NOT NULL),
          |c AS (SELECT doc_id, toks,
          |  1 + (greatest(0, len(toks) - 32) + 15) // 16 AS nc FROM t)
          |SELECT doc_id, CAST(i AS INT) AS chunk_idx,

@@ -408,6 +408,11 @@ class TrainingSpec extends AnyFunSuite {
     assert(chunksOf("a b c", 8, 4) == Seq((0, "a b c")))
     // exact multiple: no empty trailing chunk
     assert(chunksOf((1 to 8).map("t" + _).mkString(" "), 8, 4).size == 1)
+    // null text → NO phantom chunk row (null array, explode drops)
+    val nulls = Seq(Tuple1("x y")).toDF("text")
+      .select(lit(null).cast("string").as("text"))
+      .select(explode(TextOps.chunksCol(col("text"), 8, 4)))
+    assert(nulls.count() == 0)
   }
 
   test("deterministic shuffle refuses inputs that already carry its " +
