@@ -137,6 +137,42 @@ object SelectOps {
         StructField("value", LongType, nullable = false))))
   }
 
+  /** Exact selection over DOUBLE columns: the values ride through
+    * [[graft.functions.OrderBits]]'s IEEE order-preserving bits
+    * transform (codegen'd, two long ops), the long kernel runs
+    * unchanged, and the winning longs map bijectively back to the
+    * exact doubles they came from — so the reported percentile is
+    * bit-identical to a value in the data, never an interpolation.
+    * NaN sorts above +∞ on both engines; nulls are excluded.
+    */
+  def kthSmallestDouble(df: DataFrame, valueCol: String,
+      ks: Seq[Long]): Map[Long, Double] =
+    kthSmallestLong(
+      df.select(graft.functions.OrderBits.toBitsCol(col(valueCol))
+        .as(valueCol)),
+      valueCol, ks)
+      .map { case (k, v) => k -> graft.functions.OrderBits.fromBits(v) }
+
+  /** (p, rank, value) percentiles of a double column — integer rank
+    * rule, exact data values out.
+    */
+  def exactPercentilesDouble(df: DataFrame, valueCol: String,
+      ps: Seq[Int]): DataFrame = {
+    require(ps.forall(p => p >= 0 && p <= 100), s"percentiles ∈ [0,100]: $ps")
+    val spark = df.sparkSession
+    val n = df.filter(col(valueCol).isNotNull).count()
+    require(n > 0, "exact percentiles of an empty input")
+    val ranks = ps.distinct.map(p => p -> math.max(1L, (p * n + 99L) / 100L))
+    val byK = kthSmallestDouble(df, valueCol, ranks.map(_._2))
+    val rows = ranks.sortBy(_._1).map { case (p, k) => Row(p, k, byK(k)) }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("p", IntegerType, nullable = false),
+        StructField("rank", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = false))))
+  }
+
   /** Ungrouped form: (p, rank, value) with the same integer rank rule. */
   def exactPercentilesLong(df: DataFrame, valueCol: String,
       ps: Seq[Int]): DataFrame = {

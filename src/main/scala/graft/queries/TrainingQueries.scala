@@ -273,6 +273,14 @@ object TrainingQueries {
     graft.ops.SelectOps.exactPercentilesLongByGroup(
       Tables.documents(s, d), "source", "n_chars", Seq(50, 90, 99))
 
+  /** Exact percentiles of a DOUBLE metric (events.value) through the
+    * IEEE order-bits transform — the reported values are exact data
+    * elements, bit-comparable cross-engine.
+    */
+  val skExactPctDbl: Q = (s, d) =>
+    graft.ops.SelectOps.exactPercentilesDouble(
+      Tables.events(s, d), "value", Seq(1, 50, 90, 99))
+
   /** Reproducible epoch order ([[SampleOps.deterministicShuffle]]):
     * every engine deals the identical (shard, pos) for seed "ep7".
     */
@@ -656,6 +664,7 @@ object TrainingQueries {
     "sk_quantile" -> skQuantile,
     "sk_exact_pct" -> skExactPct,
     "sk_exact_pct_group" -> skExactPctGroup,
+    "sk_exact_pct_dbl" -> skExactPctDbl,
     "sk_heavy_cm" -> skHeavyCm,
     "sk_bloom" -> skBloom,
     "dd_frontier" -> ddFrontier,
@@ -1148,6 +1157,13 @@ object TrainingQueries {
         |  WHERE n_chars IS NOT NULL),
         |n AS (SELECT count(*) AS c FROM v),
         |p(p) AS (VALUES (1),(50),(90),(99),(100)),
+        |r AS (SELECT p, greatest(1, (p * c + 99) // 100) AS rank FROM p, n),
+        |s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+        |SELECT r.p, r.rank, s.x AS value FROM r JOIN s ON s.rn = r.rank""".stripMargin,
+    "sk_exact_pct_dbl" ->
+      """WITH v AS (SELECT value AS x FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT count(*) AS c FROM v),
+        |p(p) AS (VALUES (1),(50),(90),(99)),
         |r AS (SELECT p, greatest(1, (p * c + 99) // 100) AS rank FROM p, n),
         |s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
         |SELECT r.p, r.rank, s.x AS value FROM r JOIN s ON s.rn = r.rank""".stripMargin,

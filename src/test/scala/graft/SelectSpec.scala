@@ -94,6 +94,34 @@ class SelectSpec extends AnyFunSuite {
     }
   }
 
+  test("double selection: order-bits round-trip, IEEE edge values, " +
+      "sorted-truth equality") {
+    import graft.functions.OrderBits
+    // the transform is a bijection that preserves order on edge values
+    val edge = Seq(Double.NegativeInfinity, -1.7e308, -2.5, -Double.MinPositiveValue,
+      -0.0, 0.0, Double.MinPositiveValue, 1.0, 2.5, 1.7e308,
+      Double.PositiveInfinity)
+    edge.foreach(d => assert(OrderBits.fromBits(OrderBits.toBits(d)) == d ||
+      (d.isNaN && OrderBits.fromBits(OrderBits.toBits(d)).isNaN)))
+    edge.sliding(2).foreach { case Seq(a, b) =>
+      assert(OrderBits.toBits(a) < OrderBits.toBits(b), s"$a !< $b")
+    case _ => }
+    assert(OrderBits.toBits(Double.NaN) > OrderBits.toBits(Double.PositiveInfinity))
+
+    val rnd = new scala.util.Random(13)
+    val vs = Seq.fill(400)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(8) - 4)) ++
+      Seq(-0.0, 0.0, Double.NegativeInfinity, Double.PositiveInfinity)
+    val got = SelectOps.kthSmallestDouble(vs.toDF("v"), "v",
+      Seq(1L, 7L, 200L, 404L))
+    val sorted = vs.sorted
+    Seq(1L, 7L, 200L, 404L).foreach { k =>
+      val want = sorted((k - 1).toInt)
+      assert(got(k) == want ||
+        java.lang.Double.doubleToRawLongBits(got(k)) ==
+          java.lang.Double.doubleToRawLongBits(want), s"k=$k")
+    }
+  }
+
   test("gate sk_exact_pct: p100 is the true max, ranks are monotone") {
     val got = graft.queries.TrainingQueries.registry("sk_exact_pct")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
