@@ -54,6 +54,8 @@ object GraftFunctions {
     ("descendant_of", classOf[graft.plans.DescendantOf].getName,
       checked("descendant_of", 2)(es =>
         graft.plans.DescendantOf(es.head, es(1)))),
+    ("double_order_bits", classOf[DoubleOrderBits].getName,
+      checked("double_order_bits", 1)(es => DoubleOrderBits(es.head))),
     ("graft_tokens", graft.ops.TextOps.getClass.getName,
       checked("graft_tokens", 1)(es =>
         toExpr(graft.ops.TextOps.tokensCol(toCol(es.head))))),

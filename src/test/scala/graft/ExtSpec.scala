@@ -215,6 +215,12 @@ class ExtSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
     assert(r.getDouble(0) == 11.0)
+    // double_order_bits: SQL-callable, int coerces through the sqrt
+    // contract, matches the driver-side transform
+    val b = spark.sql(
+      "SELECT double_order_bits(-2.5D) AS a, double_order_bits(4) AS b").head()
+    assert(b.getLong(0) == graft.functions.OrderBits.toBits(-2.5))
+    assert(b.getLong(1) == graft.functions.OrderBits.toBits(4.0))
     // the ANN scoring path keeps using the native expression (parquet-backed
     // plan so nothing constant-folds)
     val e = Tables.embeddings(spark, sf)
