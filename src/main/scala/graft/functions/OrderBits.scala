@@ -17,17 +17,21 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongT
   *
   * Ordering matches SQL engines' double sort for all ordinary values;
   * -0.0 sorts just below +0.0 (engines treat them equal — both sides
-  * of an orderBy tie), and NaN sorts above +∞ exactly like DuckDB's
-  * ascending NULLS-last-style NaN handling, so cross-engine rank
-  * parity holds even on poisoned data. Codegen'd: two long ops per
-  * value, no boxing.
+  * of an orderBy tie, so gates that may see zeros normalize with
+  * `+ 0.0` on both engines), and NaN sorts above +∞ exactly like
+  * DuckDB's ascending NaN handling. CANONICAL bits, not raw: a NaN
+  * with the sign bit set (perfectly legal in parquet written
+  * elsewhere) would order below −∞ under raw bits — `doubleToLongBits`
+  * collapses every NaN payload to the one positive quiet NaN, which
+  * is also what makes "NaN above +∞" hold for all of them. Codegen'd:
+  * two long ops per value, no boxing.
   */
 object OrderBits {
   def toBitsCol(c: Column): Column =
     ColumnBridge.column(DoubleOrderBits(ColumnBridge.expression(c)))
 
   def toBits(d: Double): Long = {
-    val s = java.lang.Double.doubleToRawLongBits(d)
+    val s = java.lang.Double.doubleToLongBits(d)
     s ^ ((s >> 63) & 0x7fffffffffffffffL)
   }
 
@@ -51,7 +55,7 @@ case class DoubleOrderBits(child: Expression) extends UnaryExpression
     nullSafeCodeGen(ctx, ev, d => {
       val s = ctx.freshName("s")
       s"""
-         |long $s = java.lang.Double.doubleToRawLongBits($d);
+         |long $s = java.lang.Double.doubleToLongBits($d);
          |${ev.value} = $s ^ (($s >> 63) & 0x7fffffffffffffffL);
        """.stripMargin
     })

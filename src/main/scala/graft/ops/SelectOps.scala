@@ -157,37 +157,35 @@ object SelectOps {
     * rule, exact data values out.
     */
   def exactPercentilesDouble(df: DataFrame, valueCol: String,
-      ps: Seq[Int]): DataFrame = {
-    require(ps.forall(p => p >= 0 && p <= 100), s"percentiles ∈ [0,100]: $ps")
-    val spark = df.sparkSession
-    val n = df.filter(col(valueCol).isNotNull).count()
-    require(n > 0, "exact percentiles of an empty input")
-    val ranks = ps.distinct.map(p => p -> math.max(1L, (p * n + 99L) / 100L))
-    val byK = kthSmallestDouble(df, valueCol, ranks.map(_._2))
-    val rows = ranks.sortBy(_._1).map { case (p, k) => Row(p, k, byK(k)) }
-    spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava),
-      StructType(Seq(StructField("p", IntegerType, nullable = false),
-        StructField("rank", LongType, nullable = false),
-        StructField("value", DoubleType, nullable = false))))
-  }
+      ps: Seq[Int]): DataFrame =
+    percentileFrame(df, valueCol, ps, DoubleType,
+      ks => kthSmallestDouble(df, valueCol, ks))
 
   /** Ungrouped form: (p, rank, value) with the same integer rank rule. */
   def exactPercentilesLong(df: DataFrame, valueCol: String,
-      ps: Seq[Int]): DataFrame = {
+      ps: Seq[Int]): DataFrame =
+    percentileFrame(df, valueCol, ps, LongType,
+      ks => kthSmallestLong(df, valueCol, ks))
+
+  /** The one place the rank rule and the (p, rank, value) frame are
+    * assembled — long and double forms must never drift apart on
+    * either.
+    */
+  private def percentileFrame(df: DataFrame, valueCol: String,
+      ps: Seq[Int], valueType: DataType,
+      kth: Seq[Long] => Map[Long, _]): DataFrame = {
     require(ps.forall(p => p >= 0 && p <= 100), s"percentiles ∈ [0,100]: $ps")
     val spark = df.sparkSession
     val n = df.filter(col(valueCol).isNotNull).count()
     require(n > 0, "exact percentiles of an empty input")
     val ranks = ps.distinct.map(p => p -> math.max(1L, (p * n + 99L) / 100L))
-    val byK = kthSmallestLong(df, valueCol, ranks.map(_._2))
+    val byK = kth(ranks.map(_._2))
     val rows = ranks.sortBy(_._1).map { case (p, k) => Row(p, k, byK(k)) }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava),
       StructType(Seq(StructField("p", IntegerType, nullable = false),
         StructField("rank", LongType, nullable = false),
-        StructField("value", LongType, nullable = false))))
+        StructField("value", valueType, nullable = false))))
   }
 }

@@ -279,7 +279,11 @@ object TrainingQueries {
     */
   val skExactPctDbl: Q = (s, d) =>
     graft.ops.SelectOps.exactPercentilesDouble(
-      Tables.events(s, d), "value", Seq(1, 50, 90, 99))
+      // + 0.0 normalizes any -0.0 (bit-distinct but SQL-equal, so a
+      // rank landing between the two zeros could differ cross-engine);
+      // the oracle applies the same identity
+      Tables.events(s, d).select((col("value") + lit(0.0)).as("value")),
+      "value", Seq(1, 50, 90, 99))
 
   /** Reproducible epoch order ([[SampleOps.deterministicShuffle]]):
     * every engine deals the identical (shard, pos) for seed "ep7".
@@ -1161,7 +1165,7 @@ object TrainingQueries {
         |s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
         |SELECT r.p, r.rank, s.x AS value FROM r JOIN s ON s.rn = r.rank""".stripMargin,
     "sk_exact_pct_dbl" ->
-      """WITH v AS (SELECT value AS x FROM events WHERE value IS NOT NULL),
+      """WITH v AS (SELECT value + 0 AS x FROM events WHERE value IS NOT NULL),
         |n AS (SELECT count(*) AS c FROM v),
         |p(p) AS (VALUES (1),(50),(90),(99)),
         |r AS (SELECT p, greatest(1, (p * c + 99) // 100) AS rank FROM p, n),

@@ -107,6 +107,13 @@ class SelectSpec extends AnyFunSuite {
       assert(OrderBits.toBits(a) < OrderBits.toBits(b), s"$a !< $b")
     case _ => }
     assert(OrderBits.toBits(Double.NaN) > OrderBits.toBits(Double.PositiveInfinity))
+    // a NEGATIVE-payload NaN (legal in foreign parquet) must canonicalize
+    // and still sort above +∞, not below -∞ as raw bits would put it
+    val negNaN = java.lang.Double.longBitsToDouble(0xFFF8000000000000L)
+    assert(OrderBits.toBits(negNaN) == OrderBits.toBits(Double.NaN))
+    val poisoned = SelectOps.kthSmallestDouble(
+      Seq(1.0, 2.0, negNaN).toDF("v"), "v", Seq(1L, 3L))
+    assert(poisoned(1L) == 1.0 && poisoned(3L).isNaN)
 
     val rnd = new scala.util.Random(13)
     val vs = Seq.fill(400)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(8) - 4)) ++
