@@ -78,6 +78,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("stream-static point-in-interval join equals batch: streamed " +
+      "events land in their stored sessions") {
+    // the serving shape: session intervals are a STORED artifact (built
+    // batch-side), the point stream joins against them statelessly —
+    // the chunked equi-join works unchanged as a stream-static join
+    val dir = Files.createTempDirectory("graft_ivs").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/part-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val guarded = batchEvents.filter(col("event_id").isNotNull &&
+      col("ts").isNotNull && col("user_id").isNotNull &&
+      col("value").isNotNull)
+    val ivs = EventStreams.sessionIntervals(batchEvents).localCheckpoint()
+    val stream = EventStreams.readEvents(spark, dir)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val q = graft.ops.TemporalOps.pointInIntervalJoin(stream, ivs,
+        "user_id", "ts", "session_start", "session_end", chunkSeconds = 3600)
+      .writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), unix_micros(col("session_start")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = key(spark.table("ivj_out"))
+    val want = key(graft.ops.TemporalOps.pointInIntervalJoin(
+      guarded.select(col("user_id"), col("event_id"), col("ts")), ivs,
+      "user_id", "ts", "session_start", "session_end", chunkSeconds = 3600))
+    assert(got == want)
+    assert(got.size == guarded.count()) // every event in exactly one session
+  }
+
   test("streaming KMV distinct sketch exactly equals its batch twin") {
     // the sketch is a deterministic function of the distinct-value SET, so
     // streaming and batch don't just converge — they are equal, unlike HLL
