@@ -1,11 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Exact distributed order statistics — the kth smallest element of a
-  * long column without a global sort.
+  * long or double column without a global sort.
   *
   * The built-in exact `percentile` is an object aggregate that buffers
   * every value in one executor's memory, and a `row_number() OVER
@@ -16,17 +16,41 @@ import org.apache.spark.sql.types._
   * cutoffs, SLA percentiles, dataset split thresholds).
   *
   * Shape: radix bisection over the value domain. Values map to
-  * unsigned order by flipping the sign bit; three histogram passes
-  * (21 + 21 + 22 bits) narrow each requested rank to its bucket, then
-  * to its exact value. Every pass is one `groupBy(bucket).count()` —
-  * a shuffle of BUCKET COUNTS (≤2^21 rows per active prefix), never of
-  * data — and the driver walks the sorted histogram to split ranks
-  * into residuals. Work: ≤3 column-pruned scans of the input
-  * regardless of size; driver memory is bounded by the histogram
-  * width, independent of row count. No sort, no per-group buffering,
-  * no value ever collected except the answers.
+  * unsigned order by flipping the sign bit (doubles first ride the
+  * bijective IEEE order-bits transform, [[graft.functions.OrderBits]]);
+  * a handful of histogram passes narrow each requested rank to its
+  * bucket, then to its exact value. Every pass is one
+  * `groupBy(group, bucket).count()` — a shuffle of BUCKET COUNTS,
+  * never of data — and the driver walks the per-(group, prefix)
+  * histograms to split ranks into residuals. Between passes the input
+  * is pruned with a BROADCAST SEMI-JOIN against the tiny frame of
+  * still-active (group, prefix) pairs — one row per unresolved
+  * branch — never a synthesized literal predicate, so 10⁵-group
+  * requests cost a small-side broadcast, not a 10⁵-term analysis-time
+  * OR-chain.
+  *
+  * Driver memory is the only non-distributed state and it is bounded
+  * by construction: pass widths ADAPT to the group count so the
+  * worst-case per-pass histogram stays ≤ ~2^24 (group, bucket) count
+  * pairs — more groups buys narrower (more numerous) passes, e.g.
+  * ≤8 groups → 3 scans of 22-bit buckets; 10⁴ groups → 7 scans of
+  * ≤10-bit buckets. Work is always O(passes) column-pruned scans of
+  * the input regardless of row count; no sort, no per-group
+  * buffering, no value ever collected except the answers.
   */
 object SelectOps {
+
+  /** Hard cap on distinct groups per request: each group costs a few
+    * driver-side map entries (its ranks, residuals, and one output row
+    * per percentile), so the driver footprint is O(groups), not O(rows).
+    * 2^21 groups ≈ hundreds of MB of driver maps — beyond that the
+    * per-group answer set itself is big data and belongs in a frame
+    * (use [[SketchOps.sampledQuantiles]] or aggregate first).
+    */
+  val MaxGroups: Int = 1 << 21
+
+  private val integralTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
 
   /** The kth (1-indexed) smallest values of `valueCol` for every k in
     * `ks`, as k → value. Nulls are excluded (SQL aggregate
@@ -39,54 +63,138 @@ object SelectOps {
 
   /** The grouped kernel: per group key, the kth smallest values for
     * that group's requested ranks — ALL groups resolved in the same
-    * ≤3 histogram passes (`groupBy(group, bucket).count()`), not a
-    * scan per group. Driver memory: Σ active-prefix histogram widths.
-    * Group keys must be non-null (filter first; a null group has no
-    * SQL grouping identity here).
+    * histogram passes (`groupBy(group, bucket).count()`), not a scan
+    * per group. Group keys must be non-null (filter first; a null
+    * group has no SQL grouping identity here).
+    *
+    * The value column must be integral (byte/short/int/long): a double
+    * silently truncated by a long cast would return wrong order
+    * statistics without error, so floating-point columns are refused
+    * here — use [[kthSmallestDoubleByGroup]], which preserves exact
+    * IEEE order.
     */
   def kthSmallestLongByGroup[G](df: DataFrame, groupCol: String,
       valueCol: String, ks: Map[G, Seq[Long]]): Map[G, Map[Long, Long]] = {
-    require(ks.nonEmpty && ks.values.forall(_.nonEmpty), "no ranks requested")
+    val vt = df.schema(valueCol).dataType
+    require(integralTypes.contains(vt),
+      s"kthSmallestLongByGroup requires an integral value column; " +
+        s"'$valueCol' is $vt — use kthSmallestDoubleByGroup for " +
+        "floating-point columns (exact IEEE order, no truncation)")
     // sign-bit flip: unsigned order of u == signed order of v
     val u = df.select(col(groupCol).as("g"), col(valueCol).cast("long")
       .bitwiseXOR(lit(Long.MinValue)).as("u"))
       .filter(col("u").isNotNull && col("g").isNotNull)
-
-    // (group, prefix value, prefix shift, ranks in prefix as k→resid)
-    var groups: Seq[(G, Long, Int, Seq[(Long, Long)])] =
-      ks.toSeq.map { case (g, gks) =>
-        (g, 0L, 64, gks.distinct.map(k => k -> k))
+    selectBits(u, ks, df.schema(groupCol).dataType)
+      .map { case (g, m) =>
+        g -> m.map { case (k, b) => k -> (b ^ Long.MinValue) }
       }
-    var answers = Map.empty[G, Map[Long, Long]]
-      .withDefaultValue(Map.empty)
+  }
 
-    for (shift <- Seq(43, 22, 0) if groups.nonEmpty) {
+  /** Grouped exact selection over DOUBLE (or float) columns: values
+    * ride [[graft.functions.OrderBits]]'s order-preserving bits
+    * transform (codegen'd, two long ops), the long kernel runs
+    * unchanged, and the winning longs map bijectively back to the
+    * exact doubles they came from — the reported value is always a
+    * datum, never an interpolation. NaN sorts above +∞ on both
+    * engines; nulls are excluded. Floats widen exactly to doubles, so
+    * 32-bit columns share the path.
+    */
+  def kthSmallestDoubleByGroup[G](df: DataFrame, groupCol: String,
+      valueCol: String, ks: Map[G, Seq[Long]]): Map[G, Map[Long, Double]] = {
+    val vt = df.schema(valueCol).dataType
+    require(vt == DoubleType || vt == FloatType,
+      s"kthSmallestDoubleByGroup requires a double/float value column; " +
+        s"'$valueCol' is $vt")
+    val u = df.select(col(groupCol).as("g"),
+      graft.functions.OrderBits.toBitsCol(col(valueCol).cast("double"))
+        .bitwiseXOR(lit(Long.MinValue)).as("u"))
+      .filter(col("u").isNotNull && col("g").isNotNull)
+    selectBits(u, ks, df.schema(groupCol).dataType)
+      .map { case (g, m) =>
+        g -> m.map { case (k, b) =>
+          k -> graft.functions.OrderBits.fromBits(b ^ Long.MinValue)
+        }
+      }
+  }
+
+  /** The shared bisection kernel over a pre-encoded frame
+    * `(g, u: long)` where UNSIGNED order of `u` is the value order.
+    * Returns g → (k → winning u). See the object doc for the pass
+    * plan and pruning shape.
+    */
+  private def selectBits[G](uIn: DataFrame, ks: Map[G, Seq[Long]],
+      gType: DataType): Map[G, Map[Long, Long]] = {
+    require(ks.nonEmpty && ks.values.forall(_.nonEmpty), "no ranks requested")
+    require(ks.size <= MaxGroups,
+      s"${ks.size} groups exceeds MaxGroups=$MaxGroups — driver state is " +
+        "O(groups); aggregate or sample beyond this")
+    val spark = uIn.sparkSession
+
+    // Adaptive pass plan: worst-case driver histogram per pass is
+    // nGroups · 2^width rows; shrink the bucket width until
+    // nGroups · 2^bits ≤ 2^23 (so ≤ 2^24 pairs at width = bits + 1),
+    // floored at 8 bits (≤ 8 passes).
+    var bits = 21
+    while (bits > 8 && (ks.size.toLong << bits) > (1L << 23)) bits -= 1
+    val passes = math.ceil(64.0 / (bits + 1)).toInt
+    val width = math.ceil(64.0 / passes).toInt
+    val shifts = (1 until passes).map(i => 64 - i * width) :+ 0
+
+    // active branches: (group, prefix value at prevShift, ranks as
+    // k → residual-rank-within-prefix)
+    var branches: Seq[(G, Long, Seq[(Long, Long)])] =
+      ks.toSeq.map { case (g, gks) => (g, 0L, gks.distinct.map(k => k -> k)) }
+    var prevShift = 64
+    var answers = Map.empty[G, Map[Long, Long]].withDefaultValue(Map.empty)
+
+    for (shift <- shifts if branches.nonEmpty) {
       val pruned =
-        if (groups.exists(_._3 >= 64)) u
-        else u.filter(groups.map { case (g, p, ps, _) =>
-          col("g") === lit(g) && shiftrightunsigned(col("u"), ps) === lit(p)
-        }.reduce(_ || _))
+        if (prevShift >= 64) uIn
+        else {
+          // tiny frame of still-active (group, prefix) pairs — one row
+          // per unresolved branch; broadcast semi-join, never a
+          // synthesized OR-chain over groups
+          val active = branches.map { case (g, p, _) => Row(g, p) }
+          val pf = spark.createDataFrame(
+            new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+              .SeqHasAsJava(active).asJava),
+            StructType(Seq(StructField("pg", gType, nullable = true),
+              StructField("pp", LongType, nullable = false))))
+          uIn.join(broadcast(pf),
+            uIn("g") === pf("pg") &&
+              shiftrightunsigned(uIn("u"), prevShift) === pf("pp"),
+            "left_semi")
+        }
       val counts = pruned
         .groupBy(col("g"), shiftrightunsigned(col("u"), shift).as("b"))
         .agg(count(lit(1)).as("c"))
         .collect()
+      // one hash-grouping of the histogram by (group, prefix) — each
+      // branch then reads only its own sorted slice (no per-branch
+      // rescan of the full histogram)
+      val pShift = prevShift
+      val byBranch: Map[(Any, Long), Array[(Long, Long)]] = counts
         .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
-        .sortWith((a, b) => java.lang.Long.compareUnsigned(a._2, b._2) < 0)
-
-      groups = groups.flatMap { case (g, prefix, pShift, ranks) =>
-        val mine = counts.filter { case (cg, b, _) =>
-          cg == g && (pShift >= 64 || (b >>> (pShift - shift)) == prefix)
+        .groupBy { case (g, b, _) =>
+          (g, if (pShift >= 64) 0L else b >>> (pShift - shift))
         }
+        .map { case (key, rs) =>
+          key -> rs.map { case (_, b, c) => (b, c) }
+            .sortWith((a, b) => java.lang.Long.compareUnsigned(a._1, b._1) < 0)
+        }
+
+      branches = branches.flatMap { case (g, prefix, ranks) =>
+        val mine = byBranch.getOrElse(
+          (g, if (pShift >= 64) 0L else prefix), Array.empty[(Long, Long)])
         var seen = 0L
         var remaining = ranks.sortBy(_._2)
         val next = scala.collection.mutable.Map
           .empty[Long, scala.collection.mutable.ListBuffer[(Long, Long)]]
-        for ((_, b, c) <- mine if remaining.nonEmpty) {
+        for ((b, c) <- mine if remaining.nonEmpty) {
           val (inB, after) = remaining.partition(r =>
             r._2 > seen && r._2 <= seen + c)
           inB.foreach { case (k, r) =>
-            if (shift == 0)
-              answers += g -> (answers(g) + (k -> (b ^ Long.MinValue)))
+            if (shift == 0) answers += g -> (answers(g) + (k -> b))
             else next.getOrElseUpdate(b,
               scala.collection.mutable.ListBuffer()) += (k -> (r - seen))
           }
@@ -96,14 +204,15 @@ object SelectOps {
         require(remaining.isEmpty,
           s"rank out of range for group $g: " +
             s"${remaining.map(_._1).mkString(",")} (only $seen rows in scope)")
-        next.toSeq.map { case (b, rs) => (g, b, shift, rs.toSeq) }
+        next.toSeq.map { case (b, rs) => (g, b, rs.toSeq) }
       }
+      prevShift = shift
     }
     answers
   }
 
   /** Per-group exact percentiles (group, p, rank, value) — every group
-    * resolved in the same three passes; the group-count pass that
+    * resolved in the same shared passes; the group-count pass that
     * derives ranks is the only extra job. rank = max(1, ⌈p·n/100⌉),
     * computed with integer arithmetic only — `ceil(0.9 * n)` in IEEE
     * doubles can land one past the true rank, and a rank that differs
@@ -111,47 +220,26 @@ object SelectOps {
     * involved anywhere.
     */
   def exactPercentilesLongByGroup(df: DataFrame, groupCol: String,
-      valueCol: String, ps: Seq[Int]): DataFrame = {
-    require(ps.forall(p => p >= 0 && p <= 100), s"percentiles ∈ [0,100]: $ps")
-    val spark = df.sparkSession
-    val ns = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .groupBy(col(groupCol)).count()
-      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
-    require(ns.nonEmpty, "exact percentiles of an empty input")
-    val ranksPer = ns.map { case (g, n) =>
-      g -> ps.distinct.map(p => p -> math.max(1L, (p * n + 99L) / 100L))
-    }
-    val byG = kthSmallestLongByGroup(df, groupCol, valueCol,
-      ranksPer.map { case (g, prs) => g -> prs.map(_._2) })
-    val rows = (for {
-      (g, prs) <- ranksPer.toSeq
-      (p, k) <- prs
-    } yield Row(g, p, k, byG(g)(k))).sortBy(r => (r.get(0).toString, r.getInt(1)))
-    spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava),
-      StructType(Seq(
-        StructField(groupCol, df.schema(groupCol).dataType, nullable = true),
-        StructField("p", IntegerType, nullable = false),
-        StructField("rank", LongType, nullable = false),
-        StructField("value", LongType, nullable = false))))
-  }
+      valueCol: String, ps: Seq[Int]): DataFrame =
+    groupedPercentileFrame(df, groupCol, valueCol, ps, LongType,
+      rk => kthSmallestLongByGroup(df, groupCol, valueCol, rk)
+        .map { case (g, m) => g -> m.map { case (k, v) => k -> (v: Any) } })
 
-  /** Exact selection over DOUBLE columns: the values ride through
-    * [[graft.functions.OrderBits]]'s IEEE order-preserving bits
-    * transform (codegen'd, two long ops), the long kernel runs
-    * unchanged, and the winning longs map bijectively back to the
-    * exact doubles they came from — so the reported percentile is
-    * bit-identical to a value in the data, never an interpolation.
-    * NaN sorts above +∞ on both engines; nulls are excluded.
+  /** Per-group exact DOUBLE percentiles — the grouped kernel composed
+    * with the order-bits transform; same integer rank rule, exact data
+    * values out.
     */
+  def exactPercentilesDoubleByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Int]): DataFrame =
+    groupedPercentileFrame(df, groupCol, valueCol, ps, DoubleType,
+      rk => kthSmallestDoubleByGroup(df, groupCol, valueCol, rk)
+        .map { case (g, m) => g -> m.map { case (k, v) => k -> (v: Any) } })
+
+  /** Exact selection over DOUBLE columns (ungrouped form). */
   def kthSmallestDouble(df: DataFrame, valueCol: String,
       ks: Seq[Long]): Map[Long, Double] =
-    kthSmallestLong(
-      df.select(graft.functions.OrderBits.toBitsCol(col(valueCol))
-        .as(valueCol)),
-      valueCol, ks)
-      .map { case (k, v) => k -> graft.functions.OrderBits.fromBits(v) }
+    kthSmallestDoubleByGroup(df.withColumn("__g", lit(1)), "__g", valueCol,
+      Map(1 -> ks))(1)
 
   /** (p, rank, value) percentiles of a double column — integer rank
     * rule, exact data values out.
@@ -167,10 +255,57 @@ object SelectOps {
     percentileFrame(df, valueCol, ps, LongType,
       ks => kthSmallestLong(df, valueCol, ks))
 
-  /** The one place the rank rule and the (p, rank, value) frame are
-    * assembled — long and double forms must never drift apart on
-    * either.
+  /** Natural order on collected group keys: external Spark types are
+    * Comparable (String, boxed numerics, Date/Timestamp), so 9 < 10
+    * for numeric keys — never the `toString` order that put "10"
+    * before "9". Mixed/exotic key classes fall back to string order
+    * (output order only; values are unaffected).
     */
+  private val groupOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Comparable[_], y)
+          if y != null && x.getClass == y.getClass =>
+        x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
+      case _ => String.valueOf(a).compareTo(String.valueOf(b))
+    }
+  }
+
+  /** The one place the grouped rank rule and the (group, p, rank,
+    * value) frame are assembled — long and double forms must never
+    * drift apart. Driver state here is O(groups): one count row, a
+    * ranks seq, and |ps| output rows per group (bounded by
+    * [[MaxGroups]] inside the kernel).
+    */
+  private def groupedPercentileFrame(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Int], valueType: DataType,
+      kth: Map[Any, Seq[Long]] => Map[Any, Map[Long, Any]]): DataFrame = {
+    require(ps.forall(p => p >= 0 && p <= 100), s"percentiles ∈ [0,100]: $ps")
+    val spark = df.sparkSession
+    val ns = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).count()
+      .collect().map(r => (r.get(0): Any) -> r.getLong(1)).toMap
+    require(ns.nonEmpty, "exact percentiles of an empty input")
+    val ranksPer = ns.map { case (g, n) =>
+      g -> ps.distinct.map(p => p -> math.max(1L, (p * n + 99L) / 100L))
+    }
+    val byG = kth(ranksPer.map { case (g, prs) => g -> prs.map(_._2) })
+    val rows = (for {
+      (g, prs) <- ranksPer.toSeq
+      (p, k) <- prs
+    } yield Row(g, p, k, byG(g)(k)))
+      .sortBy(r => (r.get(0), r.getInt(1)))(
+        Ordering.Tuple2(groupOrdering, Ordering.Int))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField(groupCol, df.schema(groupCol).dataType, nullable = true),
+        StructField("p", IntegerType, nullable = false),
+        StructField("rank", LongType, nullable = false),
+        StructField("value", valueType, nullable = false))))
+  }
+
+  /** Ungrouped frame assembly — same rank rule, no group column. */
   private def percentileFrame(df: DataFrame, valueCol: String,
       ps: Seq[Int], valueType: DataType,
       kth: Seq[Long] => Map[Long, _]): DataFrame = {

@@ -285,6 +285,16 @@ object TrainingQueries {
       Tables.events(s, d).select((col("value") + lit(0.0)).as("value")),
       "value", Seq(1, 50, 90, 99))
 
+  /** Per-event-type exact DOUBLE percentiles — the grouped kernel
+    * composed with the order-bits transform: all groups through the
+    * shared histogram passes, values bit-identical data elements.
+    */
+  val skExactPctDblGroup: Q = (s, d) =>
+    graft.ops.SelectOps.exactPercentilesDoubleByGroup(
+      Tables.events(s, d).select(col("event_type"),
+        (col("value") + lit(0.0)).as("value")),
+      "event_type", "value", Seq(50, 90, 99))
+
   /** Reproducible epoch order ([[SampleOps.deterministicShuffle]]):
     * every engine deals the identical (shard, pos) for seed "ep7".
     */
@@ -669,6 +679,7 @@ object TrainingQueries {
     "sk_exact_pct" -> skExactPct,
     "sk_exact_pct_group" -> skExactPctGroup,
     "sk_exact_pct_dbl" -> skExactPctDbl,
+    "sk_exact_pct_dbl_group" -> skExactPctDblGroup,
     "sk_heavy_cm" -> skHeavyCm,
     "sk_bloom" -> skBloom,
     "dd_frontier" -> ddFrontier,
@@ -1171,6 +1182,17 @@ object TrainingQueries {
         |r AS (SELECT p, greatest(1, (p * c + 99) // 100) AS rank FROM p, n),
         |s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
         |SELECT r.p, r.rank, s.x AS value FROM r JOIN s ON s.rn = r.rank""".stripMargin,
+    "sk_exact_pct_dbl_group" ->
+      """WITH v AS (SELECT event_type, value + 0 AS x FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT event_type, count(*) AS c FROM v GROUP BY event_type),
+        |p(p) AS (VALUES (50),(90),(99)),
+        |r AS (SELECT event_type, p, greatest(1, (p * c + 99) // 100) AS rank
+        |  FROM p, n),
+        |s AS (SELECT event_type, x, row_number() OVER
+        |  (PARTITION BY event_type ORDER BY x) AS rn FROM v)
+        |SELECT r.event_type, r.p, r.rank, s.x AS value
+        |FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rank""".stripMargin,
     "sk_exact_pct_group" ->
       """WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
         |  WHERE n_chars IS NOT NULL AND source IS NOT NULL),

@@ -129,6 +129,68 @@ class SelectSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped doubles: per-group answers equal per-group sorted truth; " +
+      "type-aware output order puts group 9 before 10") {
+    val rnd = new scala.util.Random(17)
+    val data = (for (g <- Seq(2L, 9L, 10L); _ <- 1 to 200)
+      yield (g, rnd.nextGaussian() * math.pow(10, rnd.nextInt(6) - 3))).toSeq
+    val df = data.toDF("g", "v")
+    val ks = Map(2L -> Seq(1L, 100L, 200L), 9L -> Seq(37L), 10L -> Seq(199L))
+    val got = SelectOps.kthSmallestDoubleByGroup(df, "g", "v", ks)
+    for ((g, gks) <- ks; k <- gks) {
+      val sorted = data.filter(_._1 == g).map(_._2).sorted
+      assert(got(g)(k) == sorted((k - 1).toInt), s"group $g k=$k")
+    }
+    // numeric group keys order numerically in the assembled frame
+    val frame = SelectOps.exactPercentilesDoubleByGroup(df, "g", "v", Seq(50))
+      .collect().map(_.getLong(0))
+    assert(frame.sameElements(Array(2L, 9L, 10L)))
+  }
+
+  test("an integral kernel refuses a double column instead of truncating") {
+    val df = Seq(("a", 1.9), ("a", 2.1)).toDF("g", "v")
+    val err = intercept[IllegalArgumentException] {
+      SelectOps.kthSmallestLongByGroup(df, "g", "v", Map("a" -> Seq(1L)))
+    }
+    assert(err.getMessage.contains("kthSmallestDoubleByGroup"))
+  }
+
+  test("10^4 groups resolve through broadcast-pruned passes, no literal " +
+      "OR-chain, in bounded time") {
+    val n = 10000
+    // 3 rows per group, values salted per group so buckets spread
+    val df = spark.range(n.toLong * 3).selectExpr(
+      "id % 10000 AS g", "(id % 10000) * 1000 + (id div 10000) * 37 AS v")
+    val ks = (0L until n.toLong).map(g => g -> Seq(2L)).toMap
+    val t0 = System.nanoTime()
+    val got = SelectOps.kthSmallestLongByGroup(df, "g", "v", ks)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.size == n)
+    // 2nd smallest of {g*1000, g*1000+37, g*1000+74} is g*1000+37
+    Seq(0L, 1L, 4999L, 9999L).foreach(g => assert(got(g)(2L) == g * 1000 + 37))
+    // the old OR-chain would spend minutes in analysis; the broadcast
+    // path is a handful of small jobs
+    assert(secs < 120, s"10^4-group selection took $secs s")
+  }
+
+  test("gate sk_exact_pct_dbl_group: matches the window truth per event type") {
+    val got = graft.queries.TrainingQueries
+      .registry("sk_exact_pct_dbl_group")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val evs = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), (col("value") + lit(0.0)).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted }
+    assert(got.nonEmpty && evs.size > 1)
+    for ((t, vs) <- evs; p <- Seq(50, 90, 99)) {
+      val rank = math.max(1L, (p * vs.length + 99L) / 100L)
+      val (gotRank, gotV) = got((t, p))
+      assert(gotRank == rank && gotV == vs((rank - 1).toInt), s"$t p$p")
+    }
+  }
+
   test("gate sk_exact_pct: p100 is the true max, ranks are monotone") {
     val got = graft.queries.TrainingQueries.registry("sk_exact_pct")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
