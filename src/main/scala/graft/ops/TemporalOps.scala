@@ -78,6 +78,84 @@ object TemporalOps {
       .select(col("__r.*"), col("matched"))
   }
 
+  /** The serving form of the as-of left side: each surviving left row
+    * with its VALIDITY interval. Per key, ordered by timestamp, a row
+    * is the as-of answer for every instant in `[__t, __until)` (null
+    * `__until` = latest row, open-ended) — so an as-of join becomes a
+    * STATELESS equality-plus-residual join against this frame, the
+    * shape Structured Streaming can run ([[asofJoinStreamStatic]]),
+    * where [[asofJoin]]'s union+window cannot (an unbounded
+    * running-`last` window has no incremental streaming plan).
+    *
+    * Equal-instant left ties resolve HERE, at snapshot build, with the
+    * same largest-`leftTieCol` rule as [[asofJoin]]: the losers get
+    * empty validity and are dropped. Build this once per snapshot
+    * (batch-side, e.g. nightly dimension close), persist it, and let
+    * any number of streams join it; the two windows below are
+    * batch-side cost, never per-micro-batch state. Schema:
+    * `(__k, __t, __until, matched)` with `matched` carrying ALL left
+    * columns.
+    */
+  def asofSnapshot(left: DataFrame, keyCol: String, leftTsCol: String,
+      leftTieCol: String): DataFrame = {
+    val tieType = left.schema(leftTieCol).dataType
+    require(tieType == org.apache.spark.sql.types.LongType ||
+        tieType == org.apache.spark.sql.types.IntegerType ||
+        tieType == org.apache.spark.sql.types.ShortType ||
+        tieType == org.apache.spark.sql.types.ByteType,
+      s"asofSnapshot requires an integral leftTieCol; '$leftTieCol' is " +
+        s"$tieType")
+    left.columns.filter(_.startsWith("__")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column '$c' collides with asofSnapshot's internal tags"))
+    val tiebreak = Window.partitionBy(col("__k"), col("__t"))
+      .orderBy(col("__tie").desc)
+    val succession = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    left.filter(col(keyCol).isNotNull && col(leftTsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(leftTsCol).as("__t"),
+        col(leftTieCol).cast("long").as("__tie"),
+        struct(left.columns.map(col): _*).as("matched"))
+      .withColumn("__rn", row_number().over(tiebreak))
+      .filter(col("__rn") === 1)
+      .withColumn("__until", lead(col("__t"), 1).over(succession))
+      .select(col("__k"), col("__t"), col("__until"), col("matched"))
+  }
+
+  /** Stream-compatible as-of join: `right` rows (streamed or batch)
+    * against an [[asofSnapshot]] — each row lands in exactly one
+    * validity interval, so the join is a plain left-outer
+    * equality-on-key join with a range residual: stateless, no
+    * watermark, no per-key state, legal as a stream-static join in
+    * append mode. On the same inputs the result is row-for-row equal
+    * to [[asofJoin]] (`matched` null when no left row precedes);
+    * null-key/null-timestamp right rows drop, as there.
+    *
+    * This is the feature-lookup / SCD-enrichment serving shape: the
+    * dimension history closes batch-side into the snapshot, the event
+    * stream enriches against it with broadcast-hash cost when the
+    * snapshot is small and shuffled-hash otherwise.
+    */
+  def asofJoinStreamStatic(right: DataFrame, snapshot: DataFrame,
+      keyCol: String, rightTsCol: String): DataFrame = {
+    require(snapshot.columns.sameElements(
+        Array("__k", "__t", "__until", "matched")),
+      "snapshot must be an asofSnapshot frame (__k, __t, __until, matched)")
+    require(!right.columns.contains("matched"),
+      "right side already has a 'matched' column — the as-of output " +
+        "name; rename it before joining")
+    right.columns.filter(_.startsWith("__")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column '$c' collides with asofJoinStreamStatic's internal tags"))
+    val r = right.filter(col(keyCol).isNotNull && col(rightTsCol).isNotNull)
+    r.join(snapshot,
+        r(keyCol) === snapshot("__k") &&
+          r(rightTsCol) >= snapshot("__t") &&
+          (snapshot("__until").isNull ||
+            r(rightTsCol) < snapshot("__until")),
+        "left_outer")
+      .select(right.columns.map(col) :+ col("matched"): _*)
+  }
+
   /** Point-in-interval join: every `points` row paired with every
     * `intervals` row of the same key whose `[startCol, endCol]` contains
     * its `tsCol` (inclusive both ends — SQL BETWEEN). The direct

@@ -387,6 +387,32 @@ object ExtQueries {
           " div 1000000").as("lag_sec"))
   }
 
+  /** The same attribution question through the SERVING shape
+    * ([[graft.ops.TemporalOps.asofSnapshot]] +
+    * [[graft.ops.TemporalOps.asofJoinStreamStatic]]): the view history
+    * closes into a validity-interval snapshot batch-side, clicks join
+    * it STATELESSLY — the plan a click stream runs unchanged
+    * (StreamingSpec proves stream==batch). Shares `ev_asof`'s oracle:
+    * the two shapes must agree row for row.
+    */
+  val evAsofStatic: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val snap = graft.ops.TemporalOps.asofSnapshot(views,
+      "user_id", "view_ts", "view_id")
+    graft.ops.TemporalOps.asofJoinStreamStatic(clicks, snap,
+        "user_id", "click_ts")
+      .select(col("click_id"), col("user_id"),
+        col("matched.view_id").as("view_id"),
+        expr("(unix_micros(click_ts) - unix_micros(matched.view_ts))" +
+          " div 1000000").as("lag_sec"))
+  }
+
   /** Point-in-interval join ([[graft.ops.TemporalOps.pointInIntervalJoin]]):
     * every event assigned to the gap-session interval containing it —
     * the membership question `ev_asof` (latest-before) and
@@ -742,6 +768,7 @@ object ExtQueries {
     "tree_multi" -> treeMulti,
     "ev_attribution" -> evAttribution,
     "ev_asof" -> evAsof,
+    "ev_asof_static" -> evAsofStatic,
     "s10_edge_dump" -> s10EdgeDump,
     "s5_newick_tokens" -> s5NewickTokens,
     "s13_tax_newick" -> s13TaxNewick,
@@ -843,6 +870,24 @@ object ExtQueries {
        |  CURRENT ROW) AS session_idx FROM ${p}y),
        |${p}s AS (SELECT user_id, min(t) AS st, max(t) AS en
        |  FROM ${p}z GROUP BY user_id, session_idx)""".stripMargin
+
+  private val evAsofOracle =
+    """WITH u AS (
+      |  SELECT user_id, ts::TIMESTAMP AS t, 0 AS side, event_id AS tie,
+      |    event_id AS v_id, ts::TIMESTAMP AS v_ts, NULL::BIGINT AS c_id
+      |  FROM events WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT user_id, ts::TIMESTAMP, 1, 0, NULL::BIGINT, NULL::TIMESTAMP,
+      |    event_id
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (SELECT user_id, t, side, c_id,
+      |    last_value(v_id IGNORE NULLS) OVER w AS view_id,
+      |    last_value(v_ts IGNORE NULLS) OVER w AS view_ts
+      |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, side, tie
+      |    ROWS UNBOUNDED PRECEDING))
+      |SELECT c_id AS click_id, user_id, view_id,
+      |  (epoch_us(t) - epoch_us(view_ts)) // 1000000 AS lag_sec
+      |FROM m WHERE side = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "s2_taxonomy" ->
@@ -1084,24 +1129,11 @@ object ExtQueries {
         |  AND ct >= vt AND ct <= vt + INTERVAL 30 MINUTE""".stripMargin,
     // the same union+window formulation as the Spark operator: a shared
     // ORDER BY (t, side, tie) makes equal-instant and tie semantics
-    // explicit and identical on both engines
-    "ev_asof" ->
-      """WITH u AS (
-        |  SELECT user_id, ts::TIMESTAMP AS t, 0 AS side, event_id AS tie,
-        |    event_id AS v_id, ts::TIMESTAMP AS v_ts, NULL::BIGINT AS c_id
-        |  FROM events WHERE event_type = 'view'
-        |  UNION ALL
-        |  SELECT user_id, ts::TIMESTAMP, 1, 0, NULL::BIGINT, NULL::TIMESTAMP,
-        |    event_id
-        |  FROM events WHERE event_type = 'click'),
-        |m AS (SELECT user_id, t, side, c_id,
-        |    last_value(v_id IGNORE NULLS) OVER w AS view_id,
-        |    last_value(v_ts IGNORE NULLS) OVER w AS view_ts
-        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, side, tie
-        |    ROWS UNBOUNDED PRECEDING))
-        |SELECT c_id AS click_id, user_id, view_id,
-        |  (epoch_us(t) - epoch_us(view_ts)) // 1000000 AS lag_sec
-        |FROM m WHERE side = 1""".stripMargin,
+    // explicit and identical on both engines; ev_asof_static (the
+    // snapshot serving shape) must agree with it row for row, so the
+    // two gates share one oracle text
+    "ev_asof" -> evAsofOracle,
+    "ev_asof_static" -> evAsofOracle,
     "s10_edge_dump" ->
       """WITH n AS (SELECT node_id, ot_node_id, name
         |  FROM read_parquet('__FIXTURE__/nodes/*.parquet')),

@@ -110,6 +110,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == guarded.count()) // every event in exactly one session
   }
 
+  test("stream-static as-of join equals batch: streamed clicks enrich " +
+      "against the stored view snapshot") {
+    // the SCD-enrichment serving shape: the dimension history closes
+    // batch-side into an asofSnapshot, the click stream joins it
+    // STATELESSLY — asofJoin's union+window cannot stream, this can
+    val dir = Files.createTempDirectory("graft_asof").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/part-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val views = batchEvents.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val snap = graft.ops.TemporalOps.asofSnapshot(views,
+      "user_id", "view_ts", "view_id").localCheckpoint()
+    val clickStream = EventStreams.readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val q = graft.ops.TemporalOps.asofJoinStreamStatic(clickStream, snap,
+        "user_id", "click_ts")
+      .select(col("click_id"), col("matched.view_id").as("view_id"))
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val got = key(spark.table("asof_out"))
+    val clicks = batchEvents.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val want = key(graft.ops.TemporalOps.asofJoin(views, clicks,
+        "user_id", "view_ts", "click_ts", "view_id")
+      .select(col("click_id"), col("matched.view_id").as("view_id")))
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming KMV distinct sketch exactly equals its batch twin") {
     // the sketch is a deterministic function of the distinct-value SET, so
     // streaming and batch don't just converge — they are equal, unlike HLL

@@ -75,6 +75,45 @@ class TemporalSpec extends AnyFunSuite {
     assert(run(dirtyViews, dirtyClicks) == run(views, clicks))
   }
 
+  private def runStatic(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] = {
+    val snap = TemporalOps.asofSnapshot(l, "user_id", "view_ts", "view_id")
+    TemporalOps.asofJoinStreamStatic(r, snap, "user_id", "click_ts")
+      .select(col("click_id"), col("matched.view_id"))
+      .collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+  }
+
+  test("snapshot + stream-static join equals asofJoin on the adversarial " +
+      "fixture, dirty rows included") {
+    assert(runStatic(views, clicks) == run(views, clicks))
+    // same null hygiene: re-run with the dirty unions from the null test
+    val dirtyViews = views.unionByName(
+      Seq((4L, 91L)).toDF("user_id", "view_id")
+        .select(col("user_id"), col("view_id"),
+          lit(null).cast("timestamp").as("view_ts")))
+    val dirtyClicks = clicks.unionByName(
+      Seq((Option.empty[Long], 500L, "2024-01-01 10:00:00"))
+        .toDF("user_id", "click_id", "t")
+        .select(col("user_id"), col("click_id"),
+          to_timestamp(col("t")).as("click_ts")))
+    assert(runStatic(dirtyViews, dirtyClicks) == run(views, clicks))
+    // snapshot validity intervals abut exactly: one interval per
+    // surviving (key, instant), losers of the equal-instant tie dropped
+    val snap = TemporalOps.asofSnapshot(views, "user_id", "view_ts", "view_id")
+      .collect()
+    assert(snap.count(r => r.getLong(0) == 3L) == 1) // tie collapsed
+    assert(snap.forall(r => r.isNullAt(2) ||
+      r.getTimestamp(1).before(r.getTimestamp(2))))
+  }
+
+  test("a frame that is not an asofSnapshot is refused") {
+    intercept[IllegalArgumentException] {
+      TemporalOps.asofJoinStreamStatic(clicks, views, "user_id", "click_ts")
+    }
+  }
+
   test("the plan carries ONE exchange — no join, no candidate pairs") {
     val df = TemporalOps.asofJoin(views, clicks,
       "user_id", "view_ts", "click_ts", "view_id")
