@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Real byte-pair-encoding tokenization as a row-local, codegen'd
+  * column expression — no UDF, no driver loop, the same
+  * literal-codebook pattern as PQ encoding ([[graft.ops.VectorOps]]):
+  * the merge table is a compile-time literal, so the whole tokenizer
+  * is a deterministic pure function any engine can replay (the DuckDB
+  * oracle replays it verbatim via [[tokensSql]]).
+  *
+  * Encoding uses the classic rank-order equivalence: applying merges
+  * sequentially in TRAINING order, each exhaustively left-to-right,
+  * yields exactly the priority-queue greedy result — a merge can only
+  * create pairs involving its OWN output symbol, and any rule over
+  * that symbol has a later rank, so no earlier rule ever becomes
+  * applicable again. Each rule application is ONE literal (non-regex)
+  * `replace` over a delimited symbol string: a word renders as
+  * `|c1||c2||…||cn|` (every symbol fenced by pipes on both sides —
+  * single separators would let two adjacent matches share a boundary
+  * pipe and miss the second merge of `aaaa`), rule (l, r) is the
+  * literal rewrite `|l||r|` → `|lr|`. '|' is reserved and stripped
+  * from input; merges are in-word only (whitespace splits first), so
+  * state never crosses a token boundary and the expression stays
+  * embarrassingly row-local — exactly what a 100 TB corpus scan
+  * needs.
+  *
+  * The table: 64 merges trained on the `documents` corpus word
+  * frequencies (lowercased, whitespace-split), most-frequent-pair
+  * first with lexicographic tie-break — fully reproducible from the
+  * data. Retraining at another scale only changes this literal.
+  */
+object Bpe {
+
+  /** The trained merge table, rank order. */
+  val merges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
+    "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u", "co" -> "lu",
+    "colu" -> "m", "colum" -> "n", "cu" -> "st", "cust" -> "o",
+    "custo" -> "mer", "f" -> "i", "fi" -> "l", "fil" -> "t",
+    "filt" -> "er", "a" -> "l", "al" -> "l", "m" -> "all",
+    "s" -> "mall", "g" -> "e", "l" -> "ow", "mer" -> "ge",
+    "s" -> "low", "c" -> "t", "ct" -> "or", "d" -> "er",
+    "e" -> "ctor", "or" -> "der", "v" -> "ector", "in" -> "e",
+    "l" -> "ine", "a" -> "b", "ab" -> "l", "abl" -> "e", "at" -> "a",
+    "d" -> "ata", "t" -> "able", "u" -> "p", "a" -> "g", "ag" -> "g",
+    "a" -> "lu", "alu" -> "e", "v" -> "alue", "e" -> "y", "k" -> "ey")
+
+  /** BPE tokens of one already-lowercased, pipe-free word. */
+  private def wordTokens(w: Column): Column = {
+    // |c1||c2||…||cn| — regexp char-split works on code POINTS (Java
+    // '.' consumes a full surrogate pair), matching DuckDB's; the
+    // rtrim-then-append trim is safe because symbols never contain '|'
+    val wrapped = concat(
+      rtrim(concat(lit("|"), regexp_replace(w, "(.)", "$1||")), "|"),
+      lit("|"))
+    val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
+      call_function("replace", s, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+    }
+    array_remove(split(merged, "\\|+"), "")
+  }
+
+  /** BPE tokens of a document: lowercase, strip the reserved '|',
+    * whitespace-split, encode each word, flatten. Null text → null.
+    */
+  def tokensCol(text: Column): Column =
+    flatten(transform(
+      split(call_function("replace", lower(text), lit("|"), lit("")),
+        "\\s+"),
+      wordTokens(_)))
+
+  private def q(s: String) = s.replace("'", "''")
+
+  /** The SAME tokenizer as DuckDB SQL over a text expression — the
+    * oracle replays the literal merge table, rule for rule.
+    */
+  def tokensSql(textExpr: String): String = {
+    val wrapped =
+      "rtrim('|' || regexp_replace(w, '(.)', '\\1||', 'g'), '|') || '|'"
+    val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
+      s"replace($s, '|${q(l)}||${q(r)}|', '|${q(l + r)}|')"
+    }
+    s"flatten(list_transform(" +
+      s"string_split_regex(lower(replace($textExpr, '|', '')), '\\s+'), " +
+      s"w -> list_filter(string_split_regex($merged, '\\|+'), " +
+      "x -> x <> '')))"
+  }
+}

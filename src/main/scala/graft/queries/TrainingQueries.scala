@@ -524,6 +524,22 @@ object TrainingQueries {
       TextOps.bpeTokenEstimateCol(col("text")).as("n_bpe_est"),
       length(col("text")).cast("long").as("n_chars"))
 
+  /** REAL subword tokenization ([[graft.functions.Bpe]]): greedy
+    * merge-table BPE as a row-local codegen'd expression — the literal
+    * 64-rule table trained on this corpus, applied rank-order with
+    * exhaustive literal rewrites; where [[txtTokens]]'s `n_bpe_est` is
+    * a documented length heuristic, `n_bpe` here is the true subword
+    * count the packer should budget against. The oracle replays the
+    * identical merge table rule for rule.
+    */
+  val txtBpe: Q = (s, d) =>
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(graft.functions.Bpe.tokensCol(col("text"))).cast("long")
+          .as("n_bpe"),
+        array_join(graft.functions.Bpe.tokensCol(col("text")), " ")
+          .as("bpe_text"))
+
   /** Winnowing fingerprints (k=8 char grams, window 4) on an id window. */
   val ddWinnow: Q = (s, d) =>
     TextOps.winnowFingerprints(
@@ -692,6 +708,7 @@ object TrainingQueries {
     "dd_spans" -> ddSpans,
     "emb_quantize" -> embQuantize,
     "txt_tokens" -> txtTokens,
+    "txt_bpe" -> txtBpe,
     "txt_chunks" -> txtChunks,
     "dd_winnow" -> ddWinnow,
     "dd_winnow_pairs" -> ddWinnowPairs,
@@ -1307,6 +1324,13 @@ object TrainingQueries {
          |    AS n_bpe_est,
          |  CAST(length(text) AS BIGINT) AS n_chars
          |FROM documents""".stripMargin,
+    "txt_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${graft.functions.Bpe.tokensSql("text")}) AS BIGINT)
+         |    AS n_bpe,
+         |  array_to_string(${graft.functions.Bpe.tokensSql("text")}, ' ')
+         |    AS bpe_text
+         |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "dd_winnow" ->
       """WITH t AS (SELECT doc_id, lower(text) AS tx
         |  FROM documents WHERE doc_id < 50),

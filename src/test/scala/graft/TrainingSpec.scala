@@ -684,4 +684,51 @@ class TrainingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(viaGate == want)
   }
+
+  test("BPE: rank-order merges, adjacent-pair boundary, pipe hygiene") {
+    import spark.implicits._
+    def toks(t: String): Seq[String] =
+      Seq(t).toDF("text")
+        .select(graft.functions.Bpe.tokensCol(col("text")).as("t"))
+        .head().getSeq[String](0)
+    // cascaded merges reach the trained whole-word symbols
+    assert(toks("customer filter") == Seq("customer", "filter"))
+    assert(toks("Value KEY") == Seq("value", "key")) // lowercased first
+    // rule (a,t) must merge BOTH adjacent pairs of "atat" in one pass —
+    // a single-separator encoding would consume the shared boundary
+    // and leave the second pair unmerged
+    assert(toks("atat") == Seq("at", "at"))
+    // untrained word falls back toward characters, never drops text
+    assert(toks("zzq").mkString == "zzq")
+    // the reserved delimiter is stripped, not tokenized
+    assert(toks("k|ey") == Seq("key"))
+    // the greedy result equals a reference priority-queue BPE encode
+    def refBpe(word: String): Seq[String] = {
+      var sym = word.map(_.toString).toVector
+      val rank = graft.functions.Bpe.merges.zipWithIndex.toMap
+      var done = false
+      while (!done && sym.length > 1) {
+        val best = sym.zip(sym.tail).map(p => rank.get(p)).zipWithIndex
+          .collect { case (Some(r), i) => (r, i) }
+        if (best.isEmpty) done = true
+        else {
+          val r = best.map(_._1).min
+          val (l, rr) = graft.functions.Bpe.merges(r)
+          // merge every occurrence left-to-right, non-overlapping
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < sym.length) {
+            if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == rr) {
+              out += l + rr; i += 2
+            } else { out += sym(i); i += 1 }
+          }
+          sym = out.toVector
+        }
+      }
+      sym
+    }
+    for (w <- Seq("customer", "database", "slowly", "keyvalue", "joins",
+        "batched", "xyz", "aggregate", "orderline"))
+      assert(toks(w) == refBpe(w), s"word $w")
+  }
 }
