@@ -71,6 +71,47 @@ object IntervalBench {
     }
     require(naive == chunked, s"disagreement: naive=$naive chunked=$chunked")
     println(s"""{"matches":$chunked,"agree":true}""")
+
+    // ---- skewed span mix: does the AUTO width hold up when spans are
+    // not uniform? 95% 1-hour sessions + 5% 72-hour sessions per key.
+    // The median (1 h) governs: auto snaps to 4096 s, the long tail
+    // explodes by span/chunk ≈ 64 chunks each — bounded — where a
+    // span-MEAN tuner would have been dragged to ~4.5 h and a naive
+    // min-span tuner to the narrowest interval. Self-verifying: the
+    // auto-chunked count must equal the naive non-equi join's.
+    val skewPts = ptsPerKey / 5
+    val longEvery = 20L
+    val sIvs = spark.range(0L, nKeys).select(col("id").as("k"))
+      .withColumn("s", explode(sequence(lit(0L), lit(sessions - 1))))
+      .select(col("k"),
+        (unix_micros(base) + col("s") * 7200L * 1000000L).as("su"),
+        when(col("s") % longEvery === 0L, 72L * 3600L)
+          .otherwise(3600L).as("spanSec"))
+      .select(col("k"), timestamp_micros(col("su")).as("st"),
+        timestamp_micros(col("su") + col("spanSec") * 1000000L).as("en"))
+      .repartition(32).localCheckpoint()
+    val sPts = spark.range(0L, nKeys * skewPts)
+      .select((col("id") % nKeys).as("k"), expr(s"id div $nKeys").as("i"))
+      .select(col("k"), col("i").as("pid"),
+        timestamp_micros(unix_micros(base)
+          + (col("i") % sessions) * 7200L * 1000000L
+          + (col("i") * 7L % 60L) * 60L * 1000000L).as("t"))
+      .localCheckpoint()
+    val autoWidth = graft.ops.TemporalOps.autoChunkSeconds(sIvs, "st", "en")
+    println(s"""{"auto_chunk_seconds":$autoWidth}""")
+    val autoCount = time(s"chunked_auto_skewed_$skewPts") {
+      TemporalOps.pointInIntervalJoin(sPts, sIvs, "k", "t", "st", "en")
+        .count()
+    }
+    val naiveSkew = time(s"naive_skewed_$skewPts") {
+      sPts.alias("p").join(sIvs.alias("i"),
+          col("p.k") === col("i.k") &&
+            col("p.t") >= col("i.st") && col("p.t") <= col("i.en"))
+        .count()
+    }
+    require(autoCount == naiveSkew,
+      s"disagreement: naive=$naiveSkew auto=$autoCount")
+    println(s"""{"skew_matches":$autoCount,"agree":true}""")
     spark.stop()
   }
 }

@@ -206,6 +206,47 @@ object TemporalOps {
         "duplicated output name would make the result ambiguous")
   }
 
+  /** Derive `chunkSeconds` for the chunked joins from the data
+    * instead of a hand-set knob — the one parameter a user can mis-set
+    * by 1000× in either direction (too wide: every key's rows share a
+    * chunk and the residual degenerates toward per-key quadratic; too
+    * narrow: the interval side explodes by span/chunk). ONE
+    * column-pruned stats pass takes the median span (approximate
+    * percentile, 1-pass; the knob tolerates 2× error) and snaps UP to
+    * the next power-of-two seconds, clamped to [1 s, 7 d] — snapping
+    * absorbs the approximation noise, and chunk ≈ typical span keeps
+    * the explode factor Σ⌈span/chunk⌉ ≈ |intervals| while candidates
+    * stay co-occupancy-bounded. Inverted/null intervals are excluded
+    * exactly as the join itself excludes them; an empty interval side
+    * falls back to one hour (any chunk joins an empty side correctly).
+    */
+  def autoChunkSeconds(intervals: DataFrame, startCol: String,
+      endCol: String): Long = {
+    val row = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .select(percentile_approx(
+        unix_micros(col(endCol)) - unix_micros(col(startCol)),
+        lit(0.5), lit(1000)).as("m"))
+      .head()
+    if (row.isNullAt(0)) 3600L
+    else {
+      val medianSec = math.max(1L, row.getLong(0) / 1000000L)
+      var c = 1L
+      while (c < medianSec && c < 7L * 86400L) c <<= 1
+      math.min(c, 7L * 86400L)
+    }
+  }
+
+  /** [[pointInIntervalJoin]] with [[autoChunkSeconds]] — one extra
+    * stats job over the interval side, no knob.
+    */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+      keyCol: String, tsCol: String, startCol: String,
+      endCol: String): DataFrame =
+    pointInIntervalJoin(points, intervals, keyCol, tsCol, startCol, endCol,
+      autoChunkSeconds(intervals, startCol, endCol))
+
   def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
       keyCol: String, tsCol: String, startCol: String, endCol: String,
       chunkSeconds: Long): DataFrame = {
@@ -230,6 +271,18 @@ object TemporalOps {
     * shuffle. Inverted intervals match nothing on either side; the two
     * inputs may share only the key column.
     */
+  /** [[intervalOverlapJoin]] with [[autoChunkSeconds]]: the WIDER
+    * side's typical span governs (narrow chunks multiply the wide
+    * side's explode factor; wide chunks only add residual checks), so
+    * take the max of the two sides' derived widths.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, lStart: String, lEnd: String,
+      rStart: String, rEnd: String): DataFrame =
+    intervalOverlapJoin(left, right, keyCol, lStart, lEnd, rStart, rEnd,
+      math.max(autoChunkSeconds(left, lStart, lEnd),
+        autoChunkSeconds(right, rStart, rEnd)))
+
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
       keyCol: String, lStart: String, lEnd: String,
       rStart: String, rEnd: String, chunkSeconds: Long): DataFrame = {

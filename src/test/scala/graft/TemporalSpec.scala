@@ -173,6 +173,32 @@ class TemporalSpec extends AnyFunSuite {
     assert(matched.contains(5000L) && matched.contains(5001L))
   }
 
+  test("auto-tuned chunkSeconds equals every manual setting; the width " +
+      "snaps to the median span's power of two") {
+    // fixture spans: 30 min, 40 min, 9 h, 30 min, 1 h → median 40 min
+    // (2400 s) → next power of two 4096 s
+    assert(TemporalOps.autoChunkSeconds(ivFixture, "st", "en") == 4096L)
+    val auto = TemporalOps.pointInIntervalJoin(ptFixture, ivFixture,
+      "user_id", "t", "st", "en")
+    val manual = TemporalOps.pointInIntervalJoin(ptFixture, ivFixture,
+      "user_id", "t", "st", "en", chunkSeconds = 900)
+    assert(pairsOf(auto) == pairsOf(manual))
+    // overlap join: auto (max of both sides) equals manual too
+    val l = ivFixture
+    val r = ivFixture.select(col("user_id"), col("st").as("rst"),
+      col("en").as("ren"))
+    def ov(df: org.apache.spark.sql.DataFrame) = df
+      .select(unix_micros(col("st")), unix_micros(col("rst")))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    assert(ov(TemporalOps.intervalOverlapJoin(l, r, "user_id",
+        "st", "en", "rst", "ren")) ==
+      ov(TemporalOps.intervalOverlapJoin(l, r, "user_id",
+        "st", "en", "rst", "ren", chunkSeconds = 900)))
+    // degenerate interval sides fall back instead of dividing by zero
+    assert(TemporalOps.autoChunkSeconds(
+      ivFixture.filter(col("user_id") === -1L), "st", "en") == 3600L)
+  }
+
   test("point-in-interval: null key/timestamp rows drop like BETWEEN") {
     val dirtyPts = ptFixture.unionByName(Seq((99L, 9999L))
       .toDF("user_id", "event_id")
