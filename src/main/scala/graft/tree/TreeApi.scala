@@ -549,6 +549,50 @@ object TreeApi {
     Map("newick" -> text, "synth_id" -> synthId)
   }
 
+  /** Transport-injectable `source_tree` — the remote half of S7. The
+    * reference proxies the artifact over HTTP
+    * (tree_of_life_v3.java:886-907: GET, first line, any failure →
+    * "Invalid source id"); here the transport is a pluggable
+    * `url => Option[body]` so the engine suite exercises the complete
+    * endpoint (URL construction, id whitelist, error mapping) with a
+    * hermetic fetcher, and a deployment passes [[httpFetch]] to mirror
+    * the reference's proxy byte-for-byte. [[sourceTree]] remains the
+    * cluster-native path for Spark-readable stores.
+    */
+  def sourceTreeVia(t: Ingested, fetch: String => Option[String],
+      urlBase: String, studyId: String, treeId: String,
+      format: String = "newick"): Map[String, Any] = {
+    require(format == "newick",
+      "The only currently supported format is newick.")
+    val idRe = "^[A-Za-z0-9_-]+$".r
+    require(idRe.matches(studyId) && idRe.matches(treeId),
+      s"Invalid source id '${studyId}_$treeId' provided.")
+    val synthId = t.treeIdStr
+    val version = synthId.replace("opentree", "")
+    val url = s"$urlBase/v$version/trees/${studyId}_$treeId.tre"
+    fetch(url).map(_.stripLineEnd).filter(_.nonEmpty) match {
+      case Some(tree) => Map("newick" -> tree, "synth_id" -> synthId)
+      case None => throw new IllegalArgumentException(
+        s"Invalid source id '${studyId}_$treeId' provided.")
+    }
+  }
+
+  /** The reference's transport, one line of the .tre artifact over
+    * HTTP; None on ANY failure (connect, 404, read) — the endpoint
+    * maps that to the invalid-source-id error exactly as the
+    * reference's empty catch block does. Driver-side request I/O, not
+    * cluster work: one small artifact per API call.
+    */
+  def httpFetch(url: String): Option[String] =
+    try {
+      val conn = new java.net.URI(url).toURL.openConnection()
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(10000)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      try Option(in.readLine()) finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** `draft_trees` (tree_of_life_v3.java:778-826): per-synth-tree metadata
     * projection — synth id, dates, taxonomy version, root taxon info, size.
     */

@@ -402,6 +402,42 @@ class TreeApiSpec extends AnyFunSuite {
       }
   }
 
+  test("source_tree via injectable transport: URL shape, re-served " +
+      "newick, reference error mapping") {
+    // a stored tree re-served through the endpoint shape: serialize the
+    // fixture subtree, hand it to a hermetic fetcher, get it back parsed
+    val stored = "(a:1.0,(b:2.0,c:3.0)bc:0.5)root;"
+    var seenUrl: String = null
+    val fetch: String => Option[String] = { url =>
+      seenUrl = url
+      if (url.endsWith("/pg_01_tree1.tre")) Some(stored + "\n") else None
+    }
+    val r = TreeApi.sourceTreeVia(t, fetch,
+      "http://files.example.org/preprocessed", "pg_01", "tree1")
+    assert(r("newick") == stored)
+    assert(r("synth_id") == "opentree4.1")
+    // the URL layout the reference constructs: base/v<version>/trees/
+    assert(seenUrl ==
+      "http://files.example.org/preprocessed/v4.1/trees/pg_01_tree1.tre")
+    // the served newick is valid — it round-trips the parser
+    assert(graft.tree.Newick.parse(r("newick").toString).nonEmpty)
+    // fetch failure (any cause) maps to the reference's invalid-id error
+    intercept[IllegalArgumentException] {
+      TreeApi.sourceTreeVia(t, fetch, "http://files.example.org/preprocessed",
+        "pg_99", "tree9")
+    }
+    // an empty body is a missing artifact, not an empty tree
+    intercept[IllegalArgumentException] {
+      TreeApi.sourceTreeVia(t, _ => Some(""),
+        "http://files.example.org/preprocessed", "pg_01", "tree1")
+    }
+    // the id whitelist guards the URL exactly as it guards the path
+    intercept[IllegalArgumentException] {
+      TreeApi.sourceTreeVia(t, fetch, "http://files.example.org/preprocessed",
+        "pg_01/..", "tree1")
+    }
+  }
+
   test("taxonomy → newick round-trips through the parser") {
     val tax = TreeIngest.readTaxonomy(spark, s"$fx/gavia_taxonomy.tsv")
     val nwk = TreeExports.taxonomyToNewick(spark, tax)
