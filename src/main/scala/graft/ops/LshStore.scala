@@ -224,11 +224,14 @@ object LshStore {
         graft.StoreUtil.requireManifest(spark, path, ManifestFile,
           "LSH band store"),
         "ingests", s"LSH manifest at $path").toLong
-    // default row tag = the ingest counter: distinct per call, and
-    // disjoint from nothing — explicit foreachBatch ids are equally
-    // monotonic, and the tag's only job is identifying ONE batch's rows
-    // to recoverIngest
-    val bid = batchId.getOrElse(ingests)
+    // default row tag = NEGATIVE ingest counter, -(ingests+1): distinct
+    // per call AND disjoint from every explicit foreachBatch id (those
+    // are >= 0). With the old tag (= ingests) a manual catch-up ingest
+    // between stream batches could share a tag with the NEXT stream
+    // batch — the counters track in lockstep — and if that later batch
+    // crashed mid-append, recoverIngest's `ingest_batch != bad` filter
+    // would roll the COMPLETED manual batch's rows out with it
+    val bid = batchId.getOrElse(-(ingests + 1L))
     val (kk, bb) =
       if (present) {
         val st = load(spark, path)

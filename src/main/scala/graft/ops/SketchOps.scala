@@ -471,6 +471,14 @@ object SketchOps {
     * bit-equal to it (both orders are total), with the window's full
     * per-group sort replaced by the bounded [[TopKAgg]] state.
     *
+    * Null-row boundary of the bit-equality claim: null score/id rows
+    * are filtered BEFORE grouping (they can't rank — see below), so a
+    * group whose rows are ALL null vanishes from this output, whereas
+    * the window form (default null ordering) would still emit its rows
+    * with null-ranked tails. Rows that can rank are identical in both
+    * forms; only the no-rankable-rows group differs, and "a group with
+    * nothing rankable has no top-k" is this operator's contract.
+    *
     * Score and id must be integral columns: a silent cast("long") on a
     * double score would truncate 3.9 and 3.1 into a tie and rank a
     * DIFFERENT row than the window form (breaking the bit-equality this

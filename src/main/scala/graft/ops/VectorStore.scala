@@ -28,6 +28,14 @@ object VectorStore {
 
   val ManifestFile = "_graft_vstore.json"
 
+  /** Crash bracket for [[appendPq]]: present while an append is in
+    * flight, carrying the batch tag, the append-counter snapshot, and
+    * the pre-batch manifest (the manifest delete is the reader fence,
+    * so rollback metadata must live here). [[recoverAppendPq]] consumes
+    * it.
+    */
+  val PendingFile = "_graft_vstore.pending"
+
   /** A loaded store: `cells` is the partition-pruned corpus scan
     * (id, vec, cell), `centroids` the broadcast-sized routing table.
     */
@@ -251,9 +259,13 @@ object VectorStore {
     // longs): a separate pqEncode joined back on id would shuffle the
     // whole corpus once more for no reason. Null vectors are dropped
     // (no codes, no cell), as the join formulation did implicitly.
+    // every row carries its ingest tag from birth (creation tag: the
+    // creating batchId, or -1) so [[recoverAppendPq]] can roll a later
+    // partial append back by tag — the LshStore pair-log protocol
     VectorOps.assignCells(corpus.filter(col("vec").isNotNull), centroids, 1)
       .select(col("id"), col("v").as("vec"),
         VectorOps.pqCodesCol(col("v"), codebook, m, dim).as("codes"),
+        lit(batchId.getOrElse(-1L)).as("ingest_batch"),
         concat(lit("c"), col("cell")).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -264,9 +276,19 @@ object VectorStore {
     // crash-redelivery window the plain save closes: a replayed create
     // must take the no-op path, not append onto its own output
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      s"""{"version":1,"layout":"ivf-pq","m":$m,"dim":$dim""" +
-        batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}")
+      pqManifest(m, dim, appends = 0L, batchId))
   }
+
+  private def pqManifest(m: Int, dim: Int, appends: Long,
+      batchId: Option[Long]): String =
+    s"""{"version":1,"layout":"ivf-pq","m":$m,"dim":$dim""" +
+      s""","appends":$appends""" +
+      batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
+
+  /** The append counter; 0 for stores written before it existed. */
+  private def appendsOf(mf: String): Long =
+    ("\"appends\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(mf)
+      .map(_.group(1).toLong).getOrElse(0L)
 
   /** Incrementally add vectors to a PQ store: the batch routes through
     * the STORED centroids and encodes against the STORED codebook (both
@@ -282,17 +304,74 @@ object VectorStore {
     if (batchId.isDefined && batchId == graft.ops.SketchOps.lastBatchId(
         spark, path, ManifestFile))
       return
+    val mfPre = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "vector store")
+    val appends = appendsOf(mfPre)
+    // default tags are negative (disjoint from every explicit >= 0
+    // foreachBatch id — the LshStore collision lesson) and distinct per
+    // append via the counter
+    val bid = batchId.getOrElse(-(appends + 2L))
+    // crash bracket: the pending marker carries the tag, the counter
+    // snapshot, AND the pre-batch manifest — the manifest delete is the
+    // reader fence, so the rollback metadata must live elsewhere
+    graft.StoreUtil.writeMarker(spark, path, PendingFile,
+      s"$bid:$appends\n$mfPre")
     graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
-    VectorOps.assignCells(corpus.filter(col("vec").isNotNull),
+    val legacyUntagged = !st.cells.columns.contains("ingest_batch")
+    val assigned = VectorOps.assignCells(corpus.filter(col("vec").isNotNull),
         st.centroids, 1)
       .select(col("id"), col("v").as("vec"),
         VectorOps.pqCodesCol(col("v"), st.codebook, st.m, st.dim).as("codes"),
+        lit(bid).as("ingest_batch"),
         concat(lit("c"), col("cell")).as("cell"))
+    // a store written before tags existed keeps a uniform schema (mixed
+    // parquet schemas under one directory read back as whichever file
+    // is sampled first); it simply has no rollback path, as before
+    (if (legacyUntagged) assigned.drop("ingest_batch") else assigned)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      s"""{"version":1,"layout":"ivf-pq","m":${st.m},"dim":${st.dim}""" +
-        batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}")
+      pqManifest(st.m, st.dim, appends + 1L, batchId))
+    graft.StoreUtil.deleteMarker(spark, path, PendingFile)
+  }
+
+  /** Roll an interrupted [[appendPq]] back out into `dest` — the
+    * LshStore recovery protocol transplanted: the pending marker's
+    * counter snapshot is the completion witness (a bumped counter in a
+    * present manifest means only the marker delete was lost — keep
+    * everything; an absent manifest or unmoved counter means the append
+    * died — drop the tagged rows and restore the pre-batch manifest
+    * recorded in the marker). Centroids and codebook are append-
+    * invariant and copy verbatim.
+    */
+  def recoverAppendPq(spark: SparkSession, path: String,
+      dest: String): Unit = {
+    val pending = graft.StoreUtil.readMarker(spark, path, PendingFile)
+      .getOrElse(throw new IllegalStateException(
+        s"no interrupted appendPq recorded at $path"))
+    val Array(head, mfPre) = pending.split("\n", 2)
+    val Array(badStr, startStr) = head.trim.split(":", 2)
+    val bad = badStr.toLong
+    requireDisjoint(spark, path, dest)
+    val mfNow = graft.StoreUtil.readMarker(spark, path, ManifestFile)
+    val completed = mfNow.exists(appendsOf(_) != startStr.toLong)
+    val cells = spark.read.parquet(s"$path/cells")
+    require(cells.columns.contains("ingest_batch") || completed,
+      s"cells at $path carry no ingest tags (pre-tag store) — a partial " +
+        "append cannot be rolled back; rebuild from source")
+    val kept =
+      if (completed) cells
+      else cells.filter(col("ingest_batch") =!= bad)
+    graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
+    kept.withColumn("cell", col("cell").cast("string"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/cells")
+    spark.read.parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(s"$dest/centroids")
+    spark.read.parquet(s"$path/codebook")
+      .write.mode("overwrite").parquet(s"$dest/codebook")
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
+      mfNow.getOrElse(mfPre))
   }
 
   def loadPq(spark: SparkSession, path: String): LoadedPq = {

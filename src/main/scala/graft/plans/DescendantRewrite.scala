@@ -77,13 +77,30 @@ object IntervalCatalog {
     new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
   @volatile private var resolver: Long => Option[(Long, Long)] = _ => None
 
-  /** Collect (pre, post) for the given node ids only and remember them. */
+  /** Collect (pre, post) for the given node ids only and remember them.
+    * An id re-registered with DIFFERENT bounds is the signature of the
+    * scope-contract violation above — two independently labeled tables
+    * sharing ids in one session without `clear()` — and a stale
+    * interval substituted into a rewrite returns wrong rows silently,
+    * so the collision is logged loudly (the new bounds win, matching
+    * last-writer semantics; the warning is the tripwire).
+    */
   def registerAnchors(labeled: org.apache.spark.sql.DataFrame,
       ids: Seq[Long]): Unit = {
     import org.apache.spark.sql.functions.col
     labeled.filter(col("node_id").isin(ids: _*))
       .select(col("node_id"), col("pre"), col("post")).collect()
-      .foreach(r => anchors.put(r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .foreach { r =>
+        val (id, iv) = (r.getLong(0), (r.getLong(1), r.getLong(2)))
+        val prev = anchors.put(id, iv)
+        if (prev != null && prev != iv)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"IntervalCatalog: node $id re-registered with different " +
+              s"bounds ($prev -> $iv) — two labelings are sharing one " +
+              "catalog; call IntervalCatalog.clear() when switching " +
+              "labeled tables or descendant_of rewrites may use stale " +
+              "intervals")
+      }
   }
 
   /** Resolve through an already-built serving index (no Spark job). */

@@ -220,6 +220,34 @@ class LshStoreSpec extends AnyFunSuite {
     assert(pairSet(LshStore.pairLog(spark, dest)) == oneShot)
   }
 
+  test("manual-then-explicit tag collision: recovery rolls out ONLY the " +
+      "crashed stream batch, never the completed manual one") {
+    // 0-based stream ids and the ingest counter track in lockstep, so a
+    // manual catch-up ingest tagged with the RAW counter would share its
+    // tag with the NEXT stream batch; default tags are negative
+    // (-(ingests+1)) precisely so this interleaving cannot alias
+    val dir = Files.createTempDirectory("graft_lsh_collide").toString
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") < 40),
+      "doc_id", "text", batchId = Some(0L)) // stream batch 0, ingests → 1
+    LshStore.ingestBatch(spark, dir,
+      window.filter(col("doc_id") >= 40 && col("doc_id") < 70),
+      "doc_id", "text") // manual catch-up — tag must NOT be 1
+    val goodPairs = pairSet(LshStore.pairLog(spark, dir))
+    val goodBands = LshStore.load(spark, dir).bands.count()
+    assert(goodBands > 0)
+    // the restarted stream's batch 1 crashes mid-append: marker down
+    // (bid 1, counter snapshot 2), partial pair rows tagged 1
+    StoreUtil.writeMarker(spark, dir, LshStore.PendingFile, "1:2")
+    spark.range(3).select(lit(9990L).as("a"), (col("id") + 9991L).as("b"),
+        lit(1L).as("ingest_batch"))
+      .write.mode("append").parquet(s"$dir/pairs")
+    val dest = Files.createTempDirectory("graft_lsh_collide_rec").toString
+    LshStore.recoverIngest(spark, dir, dest)
+    // the crashed batch's rows are gone, the manual batch's are intact
+    assert(pairSet(LshStore.pairLog(spark, dest)) == goodPairs)
+    assert(LshStore.load(spark, dest).bands.count() == goodBands)
+  }
+
   test("compact rewrites an ingest-grown store losslessly") {
     val dir = Files.createTempDirectory("graft_lsh_cp").toString
     (0 until 3).foreach { m =>

@@ -257,6 +257,59 @@ class VectorStoreSpec extends AnyFunSuite {
       served.collect().map(_.toSeq).toSet)
   }
 
+  test("appendPq crash windows: rollback drops ONLY the tagged batch; " +
+      "a completed append with a lost marker delete is kept whole") {
+    import graft.ops.VectorOps
+    val cb = VectorOps.pqCodebook(corpus, m = 4, codes = 16, dim = 64)
+    def rows(p: String) = VectorStore.loadPq(spark, p).cells
+      .select("id", "codes", "cell").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1).toSeq, r.getString(2)))
+      .toMap
+    // --- window 1: crash mid-append (manifest gone, rows half-written)
+    val dir = Files.createTempDirectory("graft_pq_crash").toString
+    VectorStore.savePq(corpus.filter(col("id") < 150), cents, cb, dir,
+      m = 4, dim = 64, batchId = Some(0L))
+    val preMf = graft.StoreUtil
+      .readMarker(spark, dir, VectorStore.ManifestFile).get
+    val good = rows(dir)
+    // simulate: pending marker down (tag 1, counter snapshot 0), manifest
+    // deleted, a partial cell file appended with the batch tag
+    graft.StoreUtil.writeMarker(spark, dir, VectorStore.PendingFile,
+      s"1:0\n$preMf")
+    graft.StoreUtil.deleteMarker(spark, dir, VectorStore.ManifestFile)
+    corpus.filter(col("id") >= 150 && col("id") < 160)
+      .select(col("id"), VectorOps.toDouble(col("vec")).as("vec"),
+        VectorOps.pqCodesCol(VectorOps.toDouble(col("vec")), cb, 4, 64)
+          .as("codes"),
+        lit(1L).as("ingest_batch"), lit("c0").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    intercept[IllegalStateException](VectorStore.loadPq(spark, dir))
+    val dest = Files.createTempDirectory("graft_pq_rec").toString
+    intercept[IllegalArgumentException](
+      VectorStore.recoverAppendPq(spark, dir, dir))
+    VectorStore.recoverAppendPq(spark, dir, dest)
+    assert(rows(dest) == good) // tagged partial rows rolled out
+    // the recovered store still serves
+    assert(VectorStore.queryAdc(VectorStore.loadPq(spark, dest),
+      corpus.filter(col("id") < 5), k = 3, nprobe = 2).count() == 15)
+
+    // --- window 2: append COMPLETED, only the marker delete was lost
+    val dir2 = Files.createTempDirectory("graft_pq_done").toString
+    VectorStore.savePq(corpus.filter(col("id") < 150), cents, cb, dir2,
+      m = 4, dim = 64, batchId = Some(0L))
+    VectorStore.appendPq(spark, dir2, corpus.filter(col("id") >= 150),
+      batchId = Some(1L))
+    val full = rows(dir2)
+    graft.StoreUtil.writeMarker(spark, dir2, VectorStore.PendingFile,
+      s"1:0\n$preMf") // stale marker: counter already moved 0 → 1
+    val dest2 = Files.createTempDirectory("graft_pq_done_rec").toString
+    VectorStore.recoverAppendPq(spark, dir2, dest2)
+    assert(rows(dest2) == full) // nothing filtered
+    // a store with no interrupted append refuses recovery
+    intercept[IllegalStateException](
+      VectorStore.recoverAppendPq(spark, dest2, dest))
+  }
+
   test("query fails fast past the bounded-collect cap") {
     val queries = corpus.filter(col("id") < 20) // 20 ids × nprobe 2 = 40 rows
     intercept[IllegalArgumentException] {
