@@ -100,11 +100,29 @@ object StoreUtil {
 
   /** Manifest content, or fail fast with a store-kind-specific message. */
   def requireManifest(spark: SparkSession, path: String, marker: String,
-      kind: String): String =
-    readMarker(spark, path, marker).getOrElse(
+      kind: String): String = {
+    val mf = readMarker(spark, path, marker).getOrElse(
       throw new IllegalStateException(s"$path is not a $kind (no $marker)"))
+    requireVersion(mf, 1, s"$kind at $path")
+    mf
+  }
 
   /** One integer field from a JSON-ish manifest string. */
+  /** Forward-compat gate every store loader runs: a manifest stamped by
+    * a NEWER format version must be refused, not misread — a v2 layout
+    * (say, a changed pair-log schema) silently half-read as v1 is a
+    * wrong-answer generator. Absent version (pre-stamp artifact) reads
+    * as 1.
+    */
+  def requireVersion(manifest: String, supported: Int, where: String): Unit = {
+    val v = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(manifest)
+      .map(_.group(1).toInt).getOrElse(1)
+    if (v > supported) throw new IllegalStateException(
+      s"$where is store-format v$v, but this build reads <= v$supported — " +
+        "upgrade the library (reading a newer layout as an older one " +
+        "would silently corrupt results)")
+  }
+
   def manifestInt(manifest: String, key: String, where: String): Int =
     ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(manifest)
       .map(_.group(1).toInt)

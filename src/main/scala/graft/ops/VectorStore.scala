@@ -170,10 +170,11 @@ object VectorStore {
       spark.read.parquet(s"$path/centroids"))
   }
 
-  private def requireStore(spark: SparkSession, path: String): Unit =
-    if (graft.StoreUtil.readMarker(spark, path, ManifestFile).isEmpty)
-      throw new IllegalStateException(
-        s"$path is not a vector store (no $ManifestFile)")
+  private def requireStore(spark: SparkSession, path: String): Unit = {
+    graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "vector store")
+    ()
+  }
 
   /** ANN top-k against the stored layout. The bounded query side is routed
     * to its `nprobe` best cells (broadcast centroids); the distinct probed

@@ -549,10 +549,15 @@ object TrainingQueries {
   val txtBpe: Q = (s, d) =>
     Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"),
-        size(graft.functions.Bpe.tokensCol(col("text"))).cast("long")
-          .as("n_bpe"),
-        array_join(graft.functions.Bpe.tokensCol(col("text")), " ")
-          .as("bpe_text"))
+        // bind the tokenizer ONCE through the single-element-array
+        // fence (chunksOfTokens precedent): two direct references
+        // would re-run all 64 merge passes per projection
+        element_at(transform(
+          array(graft.functions.Bpe.tokensCol(col("text"))),
+          t => struct(size(t).cast("long").as("n"),
+            array_join(t, " ").as("s"))), 1).as("b"))
+      .select(col("doc_id"), col("b.n").as("n_bpe"),
+        col("b.s").as("bpe_text"))
 
   /** Winnowing fingerprints (k=8 char grams, window 4) on an id window. */
   val ddWinnow: Q = (s, d) =>

@@ -329,10 +329,14 @@ object TreeStore {
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
       s"""{"version":1,"buckets":$buckets}""")
 
-  private def readManifest(spark: SparkSession, path: String): Int =
-    graft.StoreUtil.readMarker(spark, path, ManifestFile)
-      .flatMap("\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(_))
+  private def readManifest(spark: SparkSession, path: String): Int = {
+    val mf = graft.StoreUtil.readMarker(spark, path, ManifestFile)
+      .getOrElse(throw new IllegalStateException(
+        s"$path is not a tree store (no $ManifestFile)"))
+    graft.StoreUtil.requireVersion(mf, 1, s"tree store at $path")
+    "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(mf)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(
         s"$path is not a tree store (no bucket count in $ManifestFile)"))
+  }
 }

@@ -191,6 +191,17 @@ class SelectSpec extends AnyFunSuite {
     }
   }
 
+  test("float32 columns ride the double path via exact widening") {
+    val vs = Seq(1.5f, -2.25f, 0.1f, 3.75f, Float.MaxValue, -0.0f)
+    val df = vs.toDF("v").select(col("v").cast("float").as("v"))
+    assert(df.schema("v").dataType ==
+      org.apache.spark.sql.types.FloatType)
+    val got = SelectOps.kthSmallestDouble(df, "v", Seq(1L, 3L, 6L))
+    val sorted = vs.map(_.toDouble).sorted
+    assert(got(1L) == sorted(0) && got(3L) == sorted(2) &&
+      got(6L) == sorted(5))
+  }
+
   test("gate sk_exact_pct: p100 is the true max, ranks are monotone") {
     val got = graft.queries.TrainingQueries.registry("sk_exact_pct")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

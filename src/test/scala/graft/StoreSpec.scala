@@ -64,6 +64,26 @@ class StoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a tree store"), e.getMessage)
   }
 
+  test("a manifest stamped by a newer format version is refused, not " +
+      "misread — across every store family") {
+    // tree store
+    val t = Files.createTempDirectory("graft_v2_tree").toString
+    graft.StoreUtil.writeMarker(spark, t, TreeStore.ManifestFile,
+      """{"version":2,"buckets":4}""")
+    val e1 = intercept[IllegalStateException] { TreeStore.load(spark, t) }
+    assert(e1.getMessage.contains("v2"), e1.getMessage)
+    // vector store (requireManifest path covers lsh/kmv/cm the same way)
+    val v = Files.createTempDirectory("graft_v2_vec").toString
+    graft.StoreUtil.writeMarker(spark, v, graft.ops.VectorStore.ManifestFile,
+      """{"version":2,"layout":"ivf-cell"}""")
+    val e2 = intercept[IllegalStateException] {
+      graft.ops.VectorStore.load(spark, v)
+    }
+    assert(e2.getMessage.contains("v2"), e2.getMessage)
+    // an UNVERSIONED manifest (pre-stamp artifact) still reads as v1
+    graft.StoreUtil.requireVersion("""{"buckets":4}""", 1, "test")
+  }
+
   test("multi-tree store round-trips per-tree views") {
     val multi = TreeIngest.ingestAll(spark, Seq(
       TreeIngest.TreeSource(s"$fx/gavia.tre", s"$fx/gavia_annotations.json",
