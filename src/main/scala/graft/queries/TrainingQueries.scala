@@ -333,6 +333,23 @@ object TrainingQueries {
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk_text").as("chunk_text"))
 
+  /** Context-window chunking over REAL subword tokens: the same
+    * 32/16 windower as [[txtChunks]], fed by [[graft.functions.Bpe]]
+    * instead of whitespace words — window boundaries now fall on the
+    * units a trainer actually budgets, closing the loop the BPE gate
+    * opened (estimate → true counts → true windows). Same fence, same
+    * row-local shape; only the token stream changed.
+    */
+  val txtBpeChunks: Q = (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), graft.functions.Bpe.tokensCol(col("text"))
+        .as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.chunksOfTokens(col("toks"), size = 32, stride = 16))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"))
+
   /** Passage-granular dedup: 3-token spans, first global occurrence
     * survives, documents reassembled from surviving passages.
     */
@@ -728,6 +745,7 @@ object TrainingQueries {
     "emb_quantize" -> embQuantize,
     "txt_tokens" -> txtTokens,
     "txt_bpe" -> txtBpe,
+    "txt_bpe_chunks" -> txtBpeChunks,
     "txt_chunks" -> txtChunks,
     "dd_winnow" -> ddWinnow,
     "dd_winnow_pairs" -> ddWinnowPairs,
@@ -1374,6 +1392,16 @@ object TrainingQueries {
       // integer chunk-count rule mirrored exactly: 1 + (max(0, n-32)
       // + 15) // 16; list_slice's inclusive end == slice's length form
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE doc_id < 200 AND text IS NOT NULL),
+         |c AS (SELECT doc_id, toks,
+         |  1 + (greatest(0, len(toks) - 32) + 15) // 16 AS nc FROM t)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  array_to_string(list_slice(toks, i*16 + 1, i*16 + 32), ' ')
+         |    AS chunk_text
+         |FROM c, unnest(generate_series(0, nc - 1)) u(i)""".stripMargin,
+    "txt_bpe_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${graft.functions.Bpe.tokensSql("text")}
+         |    AS toks FROM documents
          |  WHERE doc_id < 200 AND text IS NOT NULL),
          |c AS (SELECT doc_id, toks,
          |  1 + (greatest(0, len(toks) - 32) + 15) // 16 AS nc FROM t)

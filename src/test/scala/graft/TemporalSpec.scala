@@ -108,6 +108,29 @@ class TemporalSpec extends AnyFunSuite {
       r.getTimestamp(1).before(r.getTimestamp(2))))
   }
 
+  test("the stream-static shape plans an EQUALITY join with a range " +
+      "residual — never a nested loop") {
+    // the key equality must be extracted as the join key (hash/merge
+    // join); a BNLJ here would evaluate every (right, snapshot) pair —
+    // exactly the per-key cross product the snapshot form exists to avoid
+    val snap = TemporalOps.asofSnapshot(views, "user_id", "view_ts",
+      "view_id")
+    val df = TemporalOps.asofJoinStreamStatic(clicks, snap,
+      "user_id", "click_ts")
+    df.collect()
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec, BaseJoinExec}
+    val all = PlanWalk.nodes(df.queryExecution.executedPlan)
+    assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !all.exists(_.isInstanceOf[CartesianProductExec]),
+      df.queryExecution.executedPlan.toString)
+    val joins = all.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty &&
+      joins.forall(_.leftKeys.nonEmpty),
+      "key equality must be extracted as the join key:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("a frame that is not an asofSnapshot is refused") {
     intercept[IllegalArgumentException] {
       TemporalOps.asofJoinStreamStatic(clicks, views, "user_id", "click_ts")
