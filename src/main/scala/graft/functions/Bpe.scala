@@ -53,8 +53,10 @@ object Bpe {
   /** BPE tokens of one already-lowercased, pipe-free word. */
   private def wordTokens(w: Column): Column = {
     // |c1||c2||…||cn| — regexp char-split works on code POINTS (Java
-    // '.' consumes a full surrogate pair), matching DuckDB's; the
-    // rtrim-then-append trim is safe because symbols never contain '|'
+    // '.' consumes a full surrogate pair), matching DuckDB's RE2 for
+    // every char that reaches here (tokensCol pre-maps the four code
+    // points where the engines' '.'/'\s' diverge); the rtrim-then-
+    // append trim is safe because symbols never contain '|'
     val wrapped = concat(
       rtrim(concat(lit("|"), regexp_replace(w, "(.)", "$1||")), "|"),
       lit("|"))
@@ -64,12 +66,21 @@ object Bpe {
     array_remove(split(merged, "\\|+"), "")
   }
 
-  /** BPE tokens of a document: lowercase, strip the reserved '|',
-    * whitespace-split, encode each word, flatten. Null text → null.
+  /** BPE tokens of a document: normalize, whitespace-split, encode
+    * each word, flatten. Null text → null. Normalization strips the
+    * reserved '|' and maps the four code points where Java and RE2
+    * regex semantics DIVERGE to plain spaces — U+000B is Java-`\s`
+    * but not RE2-`\s`, and U+0085/U+2028/U+2029 are line terminators
+    * Java's `.` skips but RE2's matches; they are line separators
+    * semantically, so both engines treating them as token boundaries
+    * is also the right tokenization. Without this a document
+    * containing U+2028 would tokenize differently cross-engine.
     */
   def tokensCol(text: Column): Column =
     flatten(transform(
-      split(call_function("replace", lower(text), lit("|"), lit("")),
+      split(regexp_replace(
+        call_function("replace", lower(text), lit("|"), lit("")),
+        "[\\u000B\\u0085\\u2028\\u2029]", " "),
         "\\s+"),
       wordTokens(_)))
 
@@ -85,7 +96,9 @@ object Bpe {
       s"replace($s, '|${q(l)}||${q(r)}|', '|${q(l + r)}|')"
     }
     s"flatten(list_transform(" +
-      s"string_split_regex(lower(replace($textExpr, '|', '')), '\\s+'), " +
+      s"string_split_regex(regexp_replace(" +
+      s"lower(replace($textExpr, '|', '')), " +
+      s"'[\\x{000B}\\x{0085}\\x{2028}\\x{2029}]', ' ', 'g'), '\\s+'), " +
       s"w -> list_filter(string_split_regex($merged, '\\|+'), " +
       "x -> x <> '')))"
   }

@@ -31,10 +31,15 @@ import org.apache.spark.sql.types._
   *
   * Driver memory is the only non-distributed state and it is bounded
   * by construction: pass widths ADAPT to the group count so the
-  * worst-case per-pass histogram stays ≤ ~2^24 (group, bucket) count
+  * worst-case per-pass histogram stays ≤ 2^24 (group, bucket) count
   * pairs — more groups buys narrower (more numerous) passes, e.g.
-  * ≤8 groups → 3 scans of 22-bit buckets; 10⁴ groups → 7 scans of
-  * ≤10-bit buckets. Work is always O(passes) column-pruned scans of
+  * ≤4 groups → 3 scans of 22-bit buckets; 10⁴ groups → 7 scans of
+  * ≤10-bit buckets — and beyond [[GroupsPerRound]] groups the group
+  * set is processed in bounded ROUNDS (each a full pass set over its
+  * slice of groups, the input scan pruned to the slice by the same
+  * broadcast semi-join), so the heap bound holds all the way to
+  * [[MaxGroups]] at the honest price of more scans, never more
+  * driver memory. Work is O(passes · rounds) column-pruned scans of
   * the input regardless of row count; no sort, no per-group
   * buffering, no value ever collected except the answers.
   */
@@ -117,10 +122,17 @@ object SelectOps {
       }
   }
 
+  /** Groups resolved per round: 2^15 · 2^8 (minimum width) = 2^23
+    * histogram rows worst case, inside the 2^24-pair budget at
+    * width = bits + 1. Requests beyond this split into rounds —
+    * more scans, never more driver heap.
+    */
+  val GroupsPerRound: Int = 1 << 15
+
   /** The shared bisection kernel over a pre-encoded frame
     * `(g, u: long)` where UNSIGNED order of `u` is the value order.
     * Returns g → (k → winning u). See the object doc for the pass
-    * plan and pruning shape.
+    * plan, pruning shape, and round split.
     */
   private def selectBits[G](uIn: DataFrame, ks: Map[G, Seq[Long]],
       gType: DataType): Map[G, Map[Long, Long]] = {
@@ -128,12 +140,21 @@ object SelectOps {
     require(ks.size <= MaxGroups,
       s"${ks.size} groups exceeds MaxGroups=$MaxGroups — driver state is " +
         "O(groups); aggregate or sample beyond this")
+    if (ks.size <= GroupsPerRound) selectBitsRound(uIn, ks, gType)
+    else ks.toSeq.grouped(GroupsPerRound)
+      .map(chunk => selectBitsRound(uIn, chunk.toMap, gType))
+      .reduce(_ ++ _)
+  }
+
+  private def selectBitsRound[G](uIn: DataFrame, ks: Map[G, Seq[Long]],
+      gType: DataType): Map[G, Map[Long, Long]] = {
     val spark = uIn.sparkSession
 
     // Adaptive pass plan: worst-case driver histogram per pass is
     // nGroups · 2^width rows; shrink the bucket width until
     // nGroups · 2^bits ≤ 2^23 (so ≤ 2^24 pairs at width = bits + 1),
-    // floored at 8 bits (≤ 8 passes).
+    // floored at 8 bits (≤ 8 passes). GroupsPerRound caps nGroups so
+    // the floor never breaks the budget.
     var bits = 21
     while (bits > 8 && (ks.size.toLong << bits) > (1L << 23)) bits -= 1
     val passes = math.ceil(64.0 / (bits + 1)).toInt
@@ -148,23 +169,23 @@ object SelectOps {
     var answers = Map.empty[G, Map[Long, Long]].withDefaultValue(Map.empty)
 
     for (shift <- shifts if branches.nonEmpty) {
-      val pruned =
-        if (prevShift >= 64) uIn
-        else {
-          // tiny frame of still-active (group, prefix) pairs — one row
-          // per unresolved branch; broadcast semi-join, never a
-          // synthesized OR-chain over groups
-          val active = branches.map { case (g, p, _) => Row(g, p) }
-          val pf = spark.createDataFrame(
-            new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-              .SeqHasAsJava(active).asJava),
-            StructType(Seq(StructField("pg", gType, nullable = true),
-              StructField("pp", LongType, nullable = false))))
-          uIn.join(broadcast(pf),
-            uIn("g") === pf("pg") &&
-              shiftrightunsigned(uIn("u"), prevShift) === pf("pp"),
-            "left_semi")
-        }
+      // tiny frame of still-active (group, prefix) branches — one row
+      // each; broadcast semi-join, never a synthesized OR-chain over
+      // groups. Pass 1 prunes on GROUP alone, which also bounds the
+      // histogram by the REQUESTED groups — without it the first
+      // collect scales with the groups present in the DATA, which may
+      // dwarf the request (and would break the per-round budget)
+      val active = branches.map { case (g, p, _) => Row(g, p) }
+      val pf = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(active).asJava),
+        StructType(Seq(StructField("pg", gType, nullable = true),
+          StructField("pp", LongType, nullable = false))))
+      val joinCond =
+        if (prevShift >= 64) uIn("g") === pf("pg")
+        else uIn("g") === pf("pg") &&
+          shiftrightunsigned(uIn("u"), prevShift) === pf("pp")
+      val pruned = uIn.join(broadcast(pf), joinCond, "left_semi")
       val counts = pruned
         .groupBy(col("g"), shiftrightunsigned(col("u"), shift).as("b"))
         .agg(count(lit(1)).as("c"))

@@ -39,17 +39,26 @@ object TemporalOps {
     * is reserved for the output and must not exist on `right`, and
     * neither input may carry `__`-prefixed columns (internal tags).
     */
-  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      leftTsCol: String, rightTsCol: String,
-      leftTieCol: String): DataFrame = {
-    val tieType = left.schema(leftTieCol).dataType
+  /** The deterministic-tie contract both as-of entry points share —
+    * one definition, so `ev_asof_static` can never drift from
+    * `ev_asof`'s accepted tie types.
+    */
+  private def requireIntegralTie(df: DataFrame, tieCol: String,
+      opName: String): Unit = {
+    val tieType = df.schema(tieCol).dataType
     require(tieType == org.apache.spark.sql.types.LongType ||
         tieType == org.apache.spark.sql.types.IntegerType ||
         tieType == org.apache.spark.sql.types.ShortType ||
         tieType == org.apache.spark.sql.types.ByteType,
-      s"asofJoin requires an integral leftTieCol; '$leftTieCol' is " +
+      s"$opName requires an integral leftTieCol; '$tieCol' is " +
         s"$tieType (a lossy/failing cast would break the deterministic " +
         "tie order)")
+  }
+
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      leftTieCol: String): DataFrame = {
+    requireIntegralTie(left, leftTieCol, "asofJoin")
     require(!right.columns.contains("matched"),
       "right side already has a 'matched' column — the as-of output " +
         "name; rename it before joining (e.g. when chaining as-ofs)")
@@ -98,13 +107,7 @@ object TemporalOps {
     */
   def asofSnapshot(left: DataFrame, keyCol: String, leftTsCol: String,
       leftTieCol: String): DataFrame = {
-    val tieType = left.schema(leftTieCol).dataType
-    require(tieType == org.apache.spark.sql.types.LongType ||
-        tieType == org.apache.spark.sql.types.IntegerType ||
-        tieType == org.apache.spark.sql.types.ShortType ||
-        tieType == org.apache.spark.sql.types.ByteType,
-      s"asofSnapshot requires an integral leftTieCol; '$leftTieCol' is " +
-        s"$tieType")
+    requireIntegralTie(left, leftTieCol, "asofSnapshot")
     left.columns.filter(_.startsWith("__")).foreach(c =>
       throw new IllegalArgumentException(
         s"column '$c' collides with asofSnapshot's internal tags"))

@@ -104,6 +104,9 @@ object VectorStore {
     // read ONLY the centroids: going through load() would pay partition
     // discovery over every cell directory for a table append never scans
     val centroids = spark.read.parquet(s"$path/centroids")
+    // a manual no-batchId append must not erase the recorded explicit
+    // last_batch (zombie guard — same rule as appendPq/LshStore)
+    val prevLast = graft.ops.SketchOps.lastBatchId(spark, path, ManifestFile)
     // bracket the append with the manifest (same crash protocol as save):
     // a crash mid-append leaves committed task files beside the old data
     // with no job-level rollback, so the store must refuse to load until
@@ -116,7 +119,8 @@ object VectorStore {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
       """{"version":1,"layout":"ivf-cell"""" +
-        batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}")
+        batchId.orElse(prevLast).map(id => s""","last_batch":$id""")
+          .getOrElse("") + "}")
   }
 
   /** Rewrite an append-grown store into a fresh one-file-per-cell layout
@@ -331,8 +335,14 @@ object VectorStore {
     (if (legacyUntagged) assigned.drop("ingest_batch") else assigned)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    // a manual no-batchId append must not erase a previous explicit
+    // last_batch — the LshStore zombie-guard rule: a catch-up append
+    // between a streaming crash and its restart would otherwise let
+    // the redelivered batch append twice
+    val prevLast = "\"last_batch\"\\s*:\\s*(-?\\d+)".r
+      .findFirstMatchIn(mfPre).map(_.group(1).toLong)
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      pqManifest(st.m, st.dim, appends + 1L, batchId))
+      pqManifest(st.m, st.dim, appends + 1L, batchId.orElse(prevLast)))
     graft.StoreUtil.deleteMarker(spark, path, PendingFile)
   }
 

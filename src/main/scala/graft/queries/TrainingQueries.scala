@@ -134,10 +134,16 @@ object TrainingQueries {
     ddShared.get(s, "cand|" + d)(
       TextOps.minhashCandidates(ddWindow(s, d), "doc_id", "text")
         .localCheckpoint())
-  private def ddComponents(s: SparkSession, d: String) =
+  private def ddComponents(s: SparkSession, d: String) = {
+    // materialize the candidate entry BEFORE entering the cc build:
+    // a get inside a get is a nested computeIfAbsent on one
+    // ConcurrentHashMap — the documented recursive-update hazard, a
+    // run-dependent crash whenever the two keys share a hash bin
+    val cand = ddCandidates(s, d)
     ddShared.get(s, "cc|" + d)(
-      ClusterOps.connectedComponents(ddCandidates(s, d),
+      ClusterOps.connectedComponents(cand,
         ddWindow(s, d).select(col("doc_id").as("id"))).localCheckpoint())
+  }
   private def ddQualityScores(s: SparkSession, d: String) =
     ddShared.get(s, "qual|" + d)(
       TextOps.quality(ddWindow(s, d), "doc_id", "text")

@@ -330,10 +330,8 @@ object TreeStore {
       s"""{"version":1,"buckets":$buckets}""")
 
   private def readManifest(spark: SparkSession, path: String): Int = {
-    val mf = graft.StoreUtil.readMarker(spark, path, ManifestFile)
-      .getOrElse(throw new IllegalStateException(
-        s"$path is not a tree store (no $ManifestFile)"))
-    graft.StoreUtil.requireVersion(mf, 1, s"tree store at $path")
+    val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "tree store")
     "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(mf)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(

@@ -702,6 +702,13 @@ class TrainingSpec extends AnyFunSuite {
     assert(toks("zzq").mkString == "zzq")
     // the reserved delimiter is stripped, not tokenized
     assert(toks("k|ey") == Seq("key"))
+    // the four Java/RE2-divergent code points act as token boundaries
+    // on BOTH engines (they are line/field separators semantically);
+    // without the normalization U+2028 would survive Spark's \s+ split
+    // but not DuckDB's '.', hash-mismatching the gates
+    assert(toks("key value") == Seq("key", "value"))
+    assert(toks("keyvalue") == Seq("key", "value"))
+    assert(toks("keyvalue key") == Seq("key", "value", "key"))
     // the greedy result equals a reference priority-queue BPE encode
     def refBpe(word: String): Seq[String] = {
       var sym = word.map(_.toString).toVector

@@ -310,6 +310,38 @@ class VectorStoreSpec extends AnyFunSuite {
       VectorStore.recoverAppendPq(spark, dest2, dest))
   }
 
+  test("a manual no-batchId append preserves the zombie guard (both " +
+      "layouts)") {
+    import graft.ops.VectorOps
+    // stream appends batch 5, crashes before its checkpoint commits; an
+    // operator runs a manual catch-up; the restarted stream re-delivers
+    // batch 5 — which must STILL no-op
+    val cb = VectorOps.pqCodebook(corpus, m = 4, codes = 16, dim = 64)
+    val pq = Files.createTempDirectory("graft_pq_manual").toString
+    VectorStore.savePq(corpus.filter(col("id") < 100), cents, cb, pq,
+      m = 4, dim = 64, batchId = Some(0L))
+    VectorStore.appendPq(spark, pq, corpus.filter(col("id") >= 100 &&
+      col("id") < 150), batchId = Some(5L))
+    VectorStore.appendPq(spark, pq,
+      corpus.filter(col("id") >= 150 && col("id") < 180)) // manual
+    val nPq = VectorStore.loadPq(spark, pq).cells.count()
+    VectorStore.appendPq(spark, pq, corpus.filter(col("id") >= 100 &&
+      col("id") < 150), batchId = Some(5L)) // the zombie
+    assert(VectorStore.loadPq(spark, pq).cells.count() == nPq)
+
+    val iv = Files.createTempDirectory("graft_ivf_manual").toString
+    VectorStore.save(corpus.filter(col("id") < 100), cents, iv,
+      batchId = Some(0L))
+    VectorStore.append(spark, iv, corpus.filter(col("id") >= 100 &&
+      col("id") < 150), batchId = Some(5L))
+    VectorStore.append(spark, iv,
+      corpus.filter(col("id") >= 150 && col("id") < 180)) // manual
+    val nIv = VectorStore.load(spark, iv).cells.count()
+    VectorStore.append(spark, iv, corpus.filter(col("id") >= 100 &&
+      col("id") < 150), batchId = Some(5L)) // the zombie
+    assert(VectorStore.load(spark, iv).cells.count() == nIv)
+  }
+
   test("query fails fast past the bounded-collect cap") {
     val queries = corpus.filter(col("id") < 20) // 20 ids × nprobe 2 = 40 rows
     intercept[IllegalArgumentException] {
