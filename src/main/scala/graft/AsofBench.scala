@@ -67,6 +67,35 @@ object AsofBench {
     require(viaAsof == viaRange,
       s"asof != range-join max: ${viaAsof.size} vs ${viaRange.size}")
     println(s"""{"verified_rows":${viaAsof.size},"agree":true}""")
+
+    // ---- the SERVING shape at the same scale: close the 5M-row left
+    // history into a validity-interval snapshot once (the batch-side
+    // cost a deployment pays per dimension close), then join the full
+    // 5M-row right side against it statelessly — the plan a stream
+    // runs per micro-batch. Self-verifying: row count preserved and
+    // (on the verification slice) matches identical to asofJoin's.
+    val snap = time("asof_snapshot_build_5m") {
+      val s = graft.ops.TemporalOps.asofSnapshot(
+        l.select(col("k"), col("id").as("lid"), col("t").as("lt")),
+        "k", "lt", "lid").localCheckpoint()
+      s.count(); s
+    }
+    val servedCount = time("asof_stream_static_5m") {
+      graft.ops.TemporalOps.asofJoinStreamStatic(
+          r.select(col("k"), col("id").as("rid"), col("t").as("rt")),
+          snap, "k", "rt")
+        .count()
+    }
+    require(servedCount == n,
+      s"stream-static asof must keep every right row: $servedCount != $n")
+    val viaStatic = graft.ops.TemporalOps.asofJoinStreamStatic(rv,
+        graft.ops.TemporalOps.asofSnapshot(lv, "k", "lt", "lid"), "k", "rt")
+      .filter(col("matched").isNotNull)
+      .select(col("rid"), col("matched.lid"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    require(viaStatic == viaRange,
+      s"stream-static != range-join max: ${viaStatic.size} vs ${viaRange.size}")
+    println(s"""{"static_verified_rows":${viaStatic.size},"agree":true}""")
     spark.stop()
   }
 }

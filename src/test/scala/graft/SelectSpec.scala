@@ -191,6 +191,30 @@ class SelectSpec extends AnyFunSuite {
     }
   }
 
+  test("a request past GroupsPerRound splits into rounds with answers " +
+      "identical to the single-round truth") {
+    val n = SelectOps.GroupsPerRound + 7 // forces exactly 2 rounds
+    val df = spark.range(n.toLong * 2).selectExpr(
+      s"id % $n AS g", s"(id % $n) * 10 + (id div $n) * 3 AS v")
+    val ks = (0L until n.toLong).map(g => g -> Seq(2L)).toMap
+    val got = SelectOps.kthSmallestLongByGroup(df, "g", "v", ks)
+    assert(got.size == n)
+    // 2nd smallest of {g*10, g*10+3} is g*10+3 — check both rounds' ends
+    Seq(0L, 1L, SelectOps.GroupsPerRound.toLong - 1L,
+        SelectOps.GroupsPerRound.toLong, n.toLong - 1L)
+      .foreach(g => assert(got(g)(2L) == g * 10 + 3, s"group $g"))
+  }
+
+  test("pass 1 is bounded by the REQUESTED groups, not the data's") {
+    // 1M distinct data groups, 3 requested: the first histogram must
+    // prune to the request (a collect scaling with the data's group
+    // count would be a driver bomb on a real corpus)
+    val df = spark.range(1000000L).selectExpr("id AS g", "id * 7 AS v")
+    val got = SelectOps.kthSmallestLongByGroup(df, "g", "v",
+      Map(5L -> Seq(1L), 99999L -> Seq(1L), 999999L -> Seq(1L)))
+    assert(got(5L)(1L) == 35L && got(999999L)(1L) == 6999993L)
+  }
+
   test("float32 columns ride the double path via exact widening") {
     val vs = Seq(1.5f, -2.25f, 0.1f, 3.75f, Float.MaxValue, -0.0f)
     val df = vs.toDF("v").select(col("v").cast("float").as("v"))
