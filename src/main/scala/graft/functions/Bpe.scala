@@ -77,12 +77,25 @@ object Bpe {
     * containing U+2028 would tokenize differently cross-engine.
     */
   def tokensCol(text: Column): Column =
-    flatten(transform(
-      split(regexp_replace(
-        call_function("replace", lower(text), lit("|"), lit("")),
-        "[\\u000B\\u0085\\u2028\\u2029]", " "),
-        "\\s+"),
-      wordTokens(_)))
+    flatten(transform(wordsCol(text), wordTokens(_)))
+
+  /** The shared word-level normalization (lowercase, '|' stripped,
+    * divergent code points → space, whitespace split) — ONE
+    * definition, so the BPE and unigram-LM token streams can never
+    * disagree about word boundaries. May contain "" entries (leading
+    * whitespace); consumers filter.
+    */
+  def wordsCol(text: Column): Column =
+    split(regexp_replace(
+      call_function("replace", lower(text), lit("|"), lit("")),
+      "[\\u000B\\u0085\\u2028\\u2029]", " "),
+      "\\s+")
+
+  /** [[wordsCol]] as DuckDB SQL — the oracle's twin. */
+  def wordsSql(textExpr: String): String =
+    s"string_split_regex(regexp_replace(" +
+      s"lower(replace($textExpr, '|', '')), " +
+      s"'[\\x{000B}\\x{0085}\\x{2028}\\x{2029}]', ' ', 'g'), '\\s+')"
 
   private def q(s: String) = s.replace("'", "''")
 
@@ -95,10 +108,7 @@ object Bpe {
     val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
       s"replace($s, '|${q(l)}||${q(r)}|', '|${q(l + r)}|')"
     }
-    s"flatten(list_transform(" +
-      s"string_split_regex(regexp_replace(" +
-      s"lower(replace($textExpr, '|', '')), " +
-      s"'[\\x{000B}\\x{0085}\\x{2028}\\x{2029}]', ' ', 'g'), '\\s+'), " +
+    s"flatten(list_transform(${wordsSql(textExpr)}, " +
       s"w -> list_filter(string_split_regex($merged, '\\|+'), " +
       "x -> x <> '')))"
   }

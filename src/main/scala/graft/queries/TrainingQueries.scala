@@ -339,6 +339,25 @@ object TrainingQueries {
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk_text").as("chunk_text"))
 
+  /** Unigram LM surprisal scoring ([[graft.functions.Unigram]]): the
+    * perplexity-style quality filter — integer millinats end to end,
+    * so the score is hash-identical cross-engine with zero float
+    * arithmetic. `keep` is the classic threshold decision (mean
+    * surprisal under 4 nats/word): a doc of corpus-typical words
+    * passes, one dominated by OOV/noise words does not.
+    */
+  val txtSurprise: Q = (s, d) =>
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.Unigram.surpriseOfTokens(
+          graft.functions.Bpe.wordsCol(col("text"))).as("sc"))
+      .select(col("doc_id"), col("sc.n_tokens").as("n_tokens"),
+        col("sc.surprise_millinats").as("surprise_millinats"))
+      .withColumn("mean_millinats",
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr("surprise_millinats div n_tokens")))
+      .withColumn("keep", col("mean_millinats") < 4000L)
+
   /** Context-window chunking over REAL subword tokens: the same
     * 32/16 windower as [[txtChunks]], fed by [[graft.functions.Bpe]]
     * instead of whitespace words — window boundaries now fall on the
@@ -752,6 +771,7 @@ object TrainingQueries {
     "txt_tokens" -> txtTokens,
     "txt_bpe" -> txtBpe,
     "txt_bpe_chunks" -> txtBpeChunks,
+    "txt_surprise" -> txtSurprise,
     "txt_chunks" -> txtChunks,
     "dd_winnow" -> ddWinnow,
     "dd_winnow_pairs" -> ddWinnowPairs,
@@ -1405,6 +1425,20 @@ object TrainingQueries {
          |  array_to_string(list_slice(toks, i*16 + 1, i*16 + 32), ' ')
          |    AS chunk_text
          |FROM c, unnest(generate_series(0, nc - 1)) u(i)""".stripMargin,
+    "txt_surprise" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(${graft.functions.Bpe.wordsSql("text")},
+         |      x -> x <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(${graft.functions.Unigram.surpriseSql("toks")} AS BIGINT)
+         |    AS surprise_millinats FROM t)
+         |SELECT doc_id, n_tokens, surprise_millinats,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |    ELSE surprise_millinats // n_tokens END AS mean_millinats,
+         |  (CASE WHEN n_tokens = 0 THEN 0
+         |    ELSE surprise_millinats // n_tokens END) < 4000 AS keep
+         |FROM sc""".stripMargin,
     "txt_bpe_chunks" ->
       s"""WITH t AS (SELECT doc_id, ${graft.functions.Bpe.tokensSql("text")}
          |    AS toks FROM documents

@@ -685,6 +685,37 @@ class TrainingSpec extends AnyFunSuite {
     assert(viaGate == want)
   }
 
+  test("unigram surprisal: table words score their millinats, OOV the " +
+      "ceiling, keep thresholds on the integer mean") {
+    import spark.implicits._
+    import graft.functions.{Bpe, Unigram}
+    def score(t: String): (Long, Long) = {
+      val r = Seq(t).toDF("text")
+        .select(Unigram.surpriseOfTokens(Bpe.wordsCol(col("text"))).as("s"))
+        .head().getStruct(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val m = Unigram.table.toMap
+    assert(score("join hash") == (2L, m("join") + m("hash")))
+    assert(score("JOIN") == (1L, m("join")))            // lowercased
+    assert(score("zzqx") == (1L, Unigram.oovMillinats)) // OOV ceiling
+    assert(score("") == (0L, 0L))                       // empty doc
+    assert(score("   ") == (0L, 0L))                    // whitespace only
+    // the gate's keep decision: typical words pass, OOV-dominated fails
+    val got = Seq((1L, "join hash row batch"), (2L, "zzq qqq xxx"))
+      .toDF("doc_id", "text")
+      .transform(df => {
+        // score through the same expressions the gate uses
+        df.select(col("doc_id"),
+          Unigram.surpriseOfTokens(Bpe.wordsCol(col("text"))).as("sc"))
+          .select(col("doc_id"),
+            (expr("sc.surprise_millinats div sc.n_tokens") < 4000L)
+              .as("keep"))
+      })
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L) && !got(2L))
+  }
+
   test("BPE: rank-order merges, adjacent-pair boundary, pipe hygiene") {
     import spark.implicits._
     def toks(t: String): Seq[String] =
