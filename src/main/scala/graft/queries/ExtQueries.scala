@@ -436,6 +436,26 @@ object ExtQueries {
           .as("session_start"))
   }
 
+  /** The same containment question through the AUTO-tuned chunk width
+    * ([[graft.ops.TemporalOps.autoChunkSeconds]]) — the knob-free form
+    * a user should reach for first. Shares `ev_interval_join`'s
+    * oracle: chunk width must never change the answer.
+    */
+  val evIntervalJoinAuto: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val points = ev
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val iv = EventStreams.sessionIntervals(Tables.events(s, d))
+    graft.ops.TemporalOps.pointInIntervalJoin(points, iv,
+        "user_id", "ts", "session_start", "session_end")
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ev_ts"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"))
+  }
+
   /** Interval-overlap join ([[graft.ops.TemporalOps.intervalOverlapJoin]]):
     * which browsing (view) sessions overlapped a purchase (click)
     * session, per user — interval×interval, the temporal-join member
@@ -783,6 +803,7 @@ object ExtQueries {
     "a6_supporting_studies" -> a6SupportingStudies,
     "ev_sessions" -> evSessions,
     "ev_interval_join" -> evIntervalJoin,
+    "ev_interval_join_auto" -> evIntervalJoinAuto,
     "ev_overlap_join" -> evOverlapJoin,
     "ev_dedup" -> evDedup,
     "f10_mrca_codec" -> mrcaCodec,
@@ -870,6 +891,17 @@ object ExtQueries {
        |  CURRENT ROW) AS session_idx FROM ${p}y),
        |${p}s AS (SELECT user_id, min(t) AS st, max(t) AS en
        |  FROM ${p}z GROUP BY user_id, session_idx)""".stripMargin
+
+  // same session chain, intervals kept as timestamps, then the BETWEEN
+  // containment join the chunked equi-join must reproduce — shared by
+  // the manual-width and auto-width gates
+  private lazy val evIntervalJoinOracle: String =
+    s"WITH $evGuardSql,\n" + sessChainSql("", "", 600000000L) + "\n" +
+      """SELECT e.user_id, e.event_id,
+        |  strftime(e.t, '%Y-%m-%d %H:%M:%S.%f') AS ev_ts,
+        |  strftime(s.st, '%Y-%m-%d %H:%M:%S.%f') AS session_start
+        |FROM e JOIN s ON e.user_id = s.user_id
+        |  AND e.t BETWEEN s.st AND s.en""".stripMargin
 
   private val evAsofOracle =
     """WITH u AS (
@@ -1198,15 +1230,10 @@ object ExtQueries {
         """SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
           |  count(*) AS n_events, round(sum(value), 2) AS sum_value
           |FROM z GROUP BY user_id, session_idx""".stripMargin),
-    "ev_interval_join" ->
-      // same session chain, intervals kept as timestamps, then the
-      // BETWEEN containment join the chunked equi-join must reproduce
-      (s"WITH $evGuardSql,\n" + sessChainSql("", "", 600000000L) + "\n" +
-        """SELECT e.user_id, e.event_id,
-          |  strftime(e.t, '%Y-%m-%d %H:%M:%S.%f') AS ev_ts,
-          |  strftime(s.st, '%Y-%m-%d %H:%M:%S.%f') AS session_start
-          |FROM e JOIN s ON e.user_id = s.user_id
-          |  AND e.t BETWEEN s.st AND s.en""".stripMargin),
+    "ev_interval_join" -> evIntervalJoinOracle,
+    // the auto-tuned form must produce the identical containment set —
+    // chunk width is an execution detail, never an answer change
+    "ev_interval_join_auto" -> evIntervalJoinOracle,
     "ev_overlap_join" ->
       // two per-type instances of the SAME shared session chain (24h
       // gap), then the inclusive overlap join the chunked form must

@@ -201,6 +201,19 @@ class PlanSpec extends AnyFunSuite {
     assert(rep.contains("ReadSchema: struct<doc_id:bigint,text:string>"), rep)
   }
 
+  test("BPE and surprisal gates are scan-local: zero exchanges, pruned " +
+      "reads, pushed null filter") {
+    // 64 merge passes / the LM table lookup are pure projections — the
+    // moment either plans an exchange, the 100 TB story is gone
+    for (g <- Seq("txt_bpe", "txt_surprise")) {
+      val p = finalPlan(graft.queries.TrainingQueries.registry(g)(spark, sf))
+      assert(!p.contains("Exchange"), s"$g:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$g:\n$p")
+      assert(p.contains("IsNotNull(text)"), s"$g:\n$p")
+    }
+  }
+
   test("KMV sketch aggregates partially before the exchange") {
     val p = finalPlan(graft.queries.TrainingQueries.skDistinctKmv(spark, sf))
     // typed Aggregator → ObjectHashAggregate with a partial pass: a group
