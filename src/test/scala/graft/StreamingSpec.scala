@@ -320,6 +320,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaTwin == viaGate)
   }
 
+  test("streaming surprisal scoring equals the batch gate row for row") {
+    // the LM quality filter is a stateless projection — it must stream
+    // UNCHANGED (same expressions, no rewrite, no state), which is the
+    // point of the integer literal-table design
+    import graft.functions.{Bpe, Unigram}
+    val docs = Tables.documents(spark, sf)
+    val inDir = Files.createTempDirectory("graft_surp_in").toString
+    writeEventFile(inDir, "a.parquet", docs.filter(col("doc_id") % 2 === 0))
+    writeEventFile(inDir, "b.parquet", docs.filter(col("doc_id") % 2 =!= 0))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    def scored(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        Unigram.surpriseOfTokens(Bpe.wordsCol(col("text"))).as("sc"))
+      .select(col("doc_id"), col("sc.n_tokens").as("n"),
+        col("sc.surprise_millinats").as("m"))
+    val q = scored(stream)
+      .writeStream.format("memory").queryName("surp_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = rows(spark.table("surp_out"))
+    val want = rows(scored(docs))
+    assert(got == want && got.nonEmpty)
+    // and the batch side is the gate's own scoring (same columns)
+    val viaGate = graft.queries.TrainingQueries
+      .registry("txt_surprise")(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("surprise_millinats"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGate == want)
+  }
+
   test("foreachBatch maintains the persisted LSH band index — streamed " +
       "near-dup pairs equal the one-shot banding") {
     // the near-dup leg of the store-maintenance lifecycle: each
