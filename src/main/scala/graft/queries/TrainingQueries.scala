@@ -358,6 +358,24 @@ object TrainingQueries {
           .otherwise(expr("surprise_millinats div n_tokens")))
       .withColumn("keep", col("mean_millinats") < 4000L)
 
+  /** Bigram conditional surprisal with stupid-backoff
+    * ([[graft.functions.Unigram.bigramSurpriseOfTokens]]): the n-gram
+    * step up from [[txtSurprise]] — word order now matters (a shuffled
+    * document scores worse than a fluent one under the SAME unigram
+    * distribution), which is the signal that actually separates
+    * boilerplate from prose. Same integer-millinat discipline.
+    */
+  val txtBigram: Q = (s, d) =>
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.Unigram.bigramSurpriseOfTokens(
+          graft.functions.Bpe.wordsCol(col("text"))).as("sc"))
+      .select(col("doc_id"), col("sc.n_tokens").as("n_tokens"),
+        col("sc.surprise_millinats").as("surprise_millinats"))
+      .withColumn("mean_millinats",
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr("surprise_millinats div n_tokens")))
+
   /** Context-window chunking over REAL subword tokens: the same
     * 32/16 windower as [[txtChunks]], fed by [[graft.functions.Bpe]]
     * instead of whitespace words — window boundaries now fall on the
@@ -783,6 +801,7 @@ object TrainingQueries {
     "txt_bpe" -> txtBpe,
     "txt_bpe_chunks" -> txtBpeChunks,
     "txt_surprise" -> txtSurprise,
+    "txt_bigram" -> txtBigram,
     "txt_chunks" -> txtChunks,
     "dd_winnow" -> ddWinnow,
     "dd_winnow_pairs" -> ddWinnowPairs,
@@ -1450,6 +1469,18 @@ object TrainingQueries {
          |    ELSE surprise_millinats // n_tokens END AS mean_millinats,
          |  (CASE WHEN n_tokens = 0 THEN 0
          |    ELSE surprise_millinats // n_tokens END) < 4000 AS keep
+         |FROM sc""".stripMargin,
+    "txt_bigram" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(${graft.functions.Bpe.wordsSql("text")},
+         |      x -> x <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(${graft.functions.Unigram.bigramSurpriseSql("toks")} AS BIGINT)
+         |    AS surprise_millinats FROM t)
+         |SELECT doc_id, n_tokens, surprise_millinats,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |    ELSE surprise_millinats // n_tokens END AS mean_millinats
          |FROM sc""".stripMargin,
     "txt_bpe_chunks" ->
       s"""WITH t AS (SELECT doc_id, ${graft.functions.Bpe.tokensSql("text")}

@@ -716,6 +716,28 @@ class TrainingSpec extends AnyFunSuite {
     assert(got(1L) && !got(2L))
   }
 
+  test("bigram surprisal: word order matters, backoff = unigram + ln2, " +
+      "first word scores unigram") {
+    import spark.implicits._
+    import graft.functions.{Bpe, Unigram}
+    def score(t: String): Long = Seq(t).toDF("text")
+      .select(Unigram.bigramSurpriseOfTokens(Bpe.wordsCol(col("text")))
+        .as("s"))
+      .head().getStruct(0).getLong(1)
+    val u = Unigram.table.toMap
+    val b = Unigram.bigramTable.toMap
+    assert(score("table") == u("table"))
+    // in-table bigram: conditional cost, cheaper than independence
+    assert(score("table hash") == u("table") + b("table hash"))
+    assert(b("table hash") < u("hash"))
+    // REVERSED pair is not in the table → stupid-backoff
+    assert(score("hash table") ==
+      u("hash") + u("table") + Unigram.backoffMillinats)
+    // so the fluent order scores strictly better than the shuffled one
+    assert(score("table hash") < score("hash table"))
+    assert(score("") == 0L)
+  }
+
   test("BPE: rank-order merges, adjacent-pair boundary, pipe hygiene") {
     import spark.implicits._
     def toks(t: String): Seq[String] =
