@@ -81,7 +81,17 @@ object GraftFunctions {
     ("graft_chunks", graft.ops.TextOps.getClass.getName,
       checked("graft_chunks", 3)(es =>
         toExpr(graft.ops.TextOps.chunksCol(toCol(es.head),
-          litInt("graft_chunks", es(1)), litInt("graft_chunks", es(2)))))))
+          litInt("graft_chunks", es(1)), litInt("graft_chunks", es(2)))))),
+    ("graft_bpe", Bpe.getClass.getName,
+      checked("graft_bpe", 1)(es =>
+        toExpr(Bpe.tokensCol(toCol(es.head))))),
+    ("graft_surprise", Unigram.getClass.getName,
+      checked("graft_surprise", 1)(es =>
+        toExpr(Unigram.surpriseOfTokens(Bpe.wordsCol(toCol(es.head)))))),
+    ("graft_bigram_surprise", Unigram.getClass.getName,
+      checked("graft_bigram_surprise", 1)(es =>
+        toExpr(Unigram.bigramSurpriseOfTokens(
+          Bpe.wordsCol(toCol(es.head)))))))
 
   /** Register on an existing session: `SELECT mrca_pack(a, b)` works in
     * `spark.sql` afterwards.

@@ -124,6 +124,38 @@ object TemporalOps {
       .select(col("__k"), col("__t"), col("__until"), col("matched"))
   }
 
+  /** On-disk form of [[asofSnapshot]] — the artifact a nightly
+    * dimension close writes once and every stream/consumer joins
+    * against. Follows the store-family conventions: a manifest marker
+    * self-identifies the directory (a random parquet dir must not be
+    * misread as a snapshot), carries the format version
+    * ([[graft.StoreUtil.requireVersion]] refuses newer layouts), and
+    * load validates the exact snapshot schema.
+    */
+  val SnapshotManifest = "_graft_asof.json"
+
+  def saveSnapshot(snapshot: DataFrame, path: String): Unit = {
+    require(snapshot.columns.sameElements(
+        Array("__k", "__t", "__until", "matched")),
+      "not an asofSnapshot frame (__k, __t, __until, matched)")
+    val spark = snapshot.sparkSession
+    graft.StoreUtil.deleteMarker(spark, path, SnapshotManifest)
+    snapshot.write.mode("overwrite").parquet(s"$path/snapshot")
+    graft.StoreUtil.writeMarker(spark, path, SnapshotManifest,
+      """{"version":1,"layout":"asof-snapshot"}""")
+  }
+
+  def loadSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    graft.StoreUtil.requireManifest(spark, path, SnapshotManifest,
+      "as-of snapshot store")
+    val df = spark.read.parquet(s"$path/snapshot")
+    require(df.columns.sameElements(
+        Array("__k", "__t", "__until", "matched")),
+      s"$path/snapshot does not carry the asofSnapshot schema")
+    df
+  }
+
   /** Stream-compatible as-of join: `right` rows (streamed or batch)
     * against an [[asofSnapshot]] — each row lands in exactly one
     * validity interval, so the join is a plain left-outer

@@ -184,7 +184,10 @@ class ExtSpec extends AnyFunSuite {
         |  graft_langid(text) AS lang, graft_scrub_pii(text) AS scrubbed,
         |  graft_normalize(text) AS norm,
         |  graft_token_estimate(text) AS est,
-        |  graft_chunks(text, 32, 16) AS chunks
+        |  graft_chunks(text, 32, 16) AS chunks,
+        |  graft_bpe(text) AS bpe,
+        |  graft_surprise(text) AS surp,
+        |  graft_bigram_surprise(text) AS surp2
         |FROM sqldocs""".stripMargin).collect().map(_.toSeq).toSet
     val viaCols = docs.select(col("doc_id"),
         TextOps.tokensCol(col("text")).as("toks"),
@@ -194,7 +197,12 @@ class ExtSpec extends AnyFunSuite {
         TextOps.scrubPiiCol(col("text")).as("scrubbed"),
         TextOps.normalizeCol(col("text")).as("norm"),
         TextOps.bpeTokenEstimateCol(col("text")).as("est"),
-        TextOps.chunksCol(col("text"), 32, 16).as("chunks"))
+        TextOps.chunksCol(col("text"), 32, 16).as("chunks"),
+        graft.functions.Bpe.tokensCol(col("text")).as("bpe"),
+        graft.functions.Unigram.surpriseOfTokens(
+          graft.functions.Bpe.wordsCol(col("text"))).as("surp"),
+        graft.functions.Unigram.bigramSurpriseOfTokens(
+          graft.functions.Bpe.wordsCol(col("text"))).as("surp2"))
       .collect().map(_.toSeq).toSet
     assert(viaSql == viaCols)
     assert(viaSql.nonEmpty)

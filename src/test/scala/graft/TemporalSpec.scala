@@ -131,6 +131,33 @@ class TemporalSpec extends AnyFunSuite {
         df.queryExecution.executedPlan.toString)
   }
 
+  test("the snapshot persists as a self-identifying store and serves " +
+      "identically after reload") {
+    val snap = TemporalOps.asofSnapshot(views, "user_id", "view_ts",
+      "view_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_store")
+      .toString
+    TemporalOps.saveSnapshot(snap, dir)
+    val loaded = TemporalOps.loadSnapshot(spark, dir)
+    def res(s: org.apache.spark.sql.DataFrame) =
+      TemporalOps.asofJoinStreamStatic(clicks, s, "user_id", "click_ts")
+        .select(col("click_id"), col("matched.view_id"))
+        .collect().map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(res(loaded) == run(views, clicks))
+    // a non-store directory is refused, as is a non-snapshot frame
+    val empty = java.nio.file.Files.createTempDirectory("graft_not_asof")
+      .toString
+    intercept[IllegalStateException](TemporalOps.loadSnapshot(spark, empty))
+    intercept[IllegalArgumentException](TemporalOps.saveSnapshot(views, dir))
+    // a newer store-format version is refused, not misread
+    graft.StoreUtil.writeMarker(spark, dir, TemporalOps.SnapshotManifest,
+      """{"version":2,"layout":"asof-snapshot"}""")
+    val e = intercept[IllegalStateException](
+      TemporalOps.loadSnapshot(spark, dir))
+    assert(e.getMessage.contains("v2"), e.getMessage)
+  }
+
   test("a frame that is not an asofSnapshot is refused") {
     intercept[IllegalArgumentException] {
       TemporalOps.asofJoinStreamStatic(clicks, views, "user_id", "click_ts")
