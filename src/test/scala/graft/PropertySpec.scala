@@ -333,6 +333,66 @@ class PropertySpec extends AnyFunSuite {
     assert(got.forall(l => !l.exists("(),;:[]'\" \t".contains(_))))
   }
 
+  test("grouped exact selection equals per-group sorted truth on random " +
+      "multisets with random group counts") {
+    import spark.implicits._
+    (21L to 26L).foreach { seed =>
+      val rnd = new Random(seed)
+      val nGroups = 1 + rnd.nextInt(6)
+      val data = (0 until nGroups).flatMap { g =>
+        val sz = 1 + rnd.nextInt(120)
+        // mix magnitudes and force ties
+        Seq.fill(sz)(g.toLong -> (rnd.nextLong() >> rnd.nextInt(50)))
+      }
+      val ks = data.groupBy(_._1).map { case (g, rows) =>
+        val n = rows.length
+        g -> Seq(1L, (n / 2 + 1).toLong, n.toLong).distinct
+      }
+      val got = graft.ops.SelectOps.kthSmallestLongByGroup(
+        data.toDF("g", "v"), "g", "v", ks)
+      for ((g, gks) <- ks; k <- gks) {
+        val sorted = data.filter(_._1 == g).map(_._2).sorted
+        assert(got(g)(k) == sorted((k - 1).toInt), s"seed=$seed g=$g k=$k")
+      }
+    }
+  }
+
+  test("BPE expression equals the reference priority-queue encoder on " +
+      "random words over the symbol alphabet") {
+    import spark.implicits._
+    val rank = graft.functions.Bpe.merges.zipWithIndex.toMap
+    def refBpe(word: String): Seq[String] = {
+      var sym = word.map(_.toString).toVector
+      var done = false
+      while (!done && sym.length > 1) {
+        val present = sym.zip(sym.tail).flatMap(rank.get)
+        if (present.isEmpty) done = true
+        else {
+          val (l, r) = graft.functions.Bpe.merges(present.min)
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < sym.length) {
+            if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += sym(i); i += 1 }
+          }
+          sym = out.toVector
+        }
+      }
+      sym
+    }
+    val rnd = new Random(31)
+    // alphabet biased toward the merge table's symbols so rules fire
+    val alpha = "abcdehijklmnopqrstuvwy"
+    val words = Seq.fill(300)(
+      (0 until (1 + rnd.nextInt(12)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val got = words.toDF("w")
+      .select(col("w"), graft.functions.Bpe.tokensCol(col("w")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach(w => assert(got(w) == refBpe(w), s"word '$w'"))
+  }
+
   test("newick branch lengths serialize with the zero→epsilon rule") {
     val s = Newick.serialize(0L,
       Map(0L -> Seq(1L, 2L)).withDefaultValue(Seq.empty),
