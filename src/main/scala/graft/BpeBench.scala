@@ -25,11 +25,18 @@ object BpeBench {
       "column", "slow", "small", "line", "aggregate", "zq1", "xphi", "qqj")
     val vocabCol = array(vocab.map(lit): _*)
     def corpus(rows: Long) = spark.range(0L, rows).toDF("doc_id")
-      // 60 words per doc, word pick = hash(doc, pos) mod a skewed range
+      // 60 words per doc. Skewed pick: index = u² · |vocab| over a
+      // unit hash — word 0 draws ~10× word 21, so merge-heavy trained
+      // words and rarely-merging noise words occur at genuinely
+      // different rates (a plain `hash mod |vocab|` is uniform and
+      // would measure a cost profile no real corpus has)
       .select(col("doc_id"), array_join(transform(sequence(lit(0), lit(59)),
-        i => element_at(vocabCol,
-          (pmod(xxhash64(col("doc_id"), i), lit(vocab.size.toLong * 3L))
-            % lit(vocab.size.toLong)).cast("int") + 1)), " ").as("text"))
+        i => {
+          val u = pmod(xxhash64(col("doc_id"), i), lit(1000000L))
+            .cast("double") / lit(1000000.0)
+          element_at(vocabCol,
+            floor(u * u * vocab.size).cast("int") + 1)
+        }), " ").as("text"))
       .localCheckpoint()
 
     def time[A](name: String)(body: => A): A = {
@@ -56,30 +63,11 @@ object BpeBench {
     require(toks2 > toks1 && toks2 < toks1 * 3,
       s"2x corpus produced ${toks2}x tokens vs $toks1 — nonlinear")
 
-    // reference agreement on a sample: the priority-queue greedy encode
-    val rank = graft.functions.Bpe.merges.zipWithIndex.toMap
-    def refBpe(word: String): Seq[String] = {
-      var sym = word.map(_.toString).toVector
-      var done = false
-      while (!done && sym.length > 1) {
-        val best = sym.zip(sym.tail).flatMap(rank.get) match {
-          case s if s.isEmpty => done = true; -1
-          case s => s.min
-        }
-        if (!done) {
-          val (l, r) = graft.functions.Bpe.merges(best)
-          val out = scala.collection.mutable.ArrayBuffer[String]()
-          var i = 0
-          while (i < sym.length) {
-            if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == r) {
-              out += l + r; i += 2
-            } else { out += sym(i); i += 1 }
-          }
-          sym = out.toVector
-        }
-      }
-      sym
-    }
+    // reference agreement on a sample: the single-sourced
+    // priority-queue greedy encode (Bpe.referenceEncode — shared with
+    // PropertySpec/TrainingSpec so the oracle cannot drift per copy)
+    def refBpe(word: String): Seq[String] =
+      graft.functions.Bpe.referenceEncode(word)
     val sample = c1.filter(col("doc_id") < 50)
       .select(col("text"), graft.functions.Bpe.tokensCol(col("text")))
       .collect()

@@ -97,6 +97,38 @@ object Bpe {
       s"lower(replace($textExpr, '|', '')), " +
       s"'[\\x{000B}\\x{0085}\\x{2028}\\x{2029}]', ' ', 'g'), '\\s+')"
 
+  /** Driver-side PRIORITY-QUEUE greedy BPE over one normalized word —
+    * the independent reference implementation of the rank-order
+    * equivalence the expression relies on (lowest-rank applicable
+    * rule first, each application merging every occurrence
+    * left-to-right non-overlapping). The single source of truth for
+    * every suite and probe that cross-checks [[tokensCol]]
+    * (PropertySpec, TrainingSpec, BpeBench): a triplicated oracle can
+    * drift, and a reference that disagrees with itself can hide a
+    * real encoder bug. Never on a hot path — test/bench samples only.
+    */
+  def referenceEncode(word: String): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var sym = word.map(_.toString).toVector
+    var done = false
+    while (!done && sym.length > 1) {
+      val present = sym.zip(sym.tail).flatMap(rank.get)
+      if (present.isEmpty) done = true
+      else {
+        val (l, r) = merges(present.min)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < sym.length) {
+          if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        sym = out.toVector
+      }
+    }
+    sym
+  }
+
   private def q(s: String) = s.replace("'", "''")
 
   /** The SAME tokenizer as DuckDB SQL over a text expression — the

@@ -47,19 +47,21 @@ object Unigram {
     map(table.flatMap { case (w, v) => Seq(lit(w), lit(v)) }: _*)
 
   /** (n_tokens, surprise_millinats) of a document as a struct — one
-    * pass over the bound token array; empty docs are (0, 0). `toks`
-    * must already be the normalized token array
-    * (e.g. `split(lower(text), "\\s+")` with the caller's hygiene) so
-    * the tokenizer is not re-run per reference.
+    * pass over the token array; empty docs are (0, 0). The cleaned
+    * array is bound ONCE through the single-element-array transform
+    * fence (the winnowSelectCol lesson, see
+    * [[graft.ops.TextOps.chunksOfTokens]]) so `toks` may be the
+    * tokenizer expression itself — every reference below goes through
+    * the lambda variable, never re-running the chain.
     */
-  def surpriseOfTokens(toks: Column): Column = {
-    val clean = filter(toks, t => t =!= lit(""))
-    val total = aggregate(clean, lit(0L), (acc, t) =>
-      acc + coalesce(element_at(tableCol, t), lit(oovMillinats)))
-    when(toks.isNotNull,
-      struct(size(clean).cast("long").as("n_tokens"),
-        total.as("surprise_millinats")))
-  }
+  def surpriseOfTokens(toks: Column): Column =
+    element_at(transform(array(filter(toks, t => t =!= lit(""))), cl => {
+      val total = aggregate(cl, lit(0L), (acc, t) =>
+        acc + coalesce(element_at(tableCol, t), lit(oovMillinats)))
+      when(cl.isNotNull,
+        struct(size(cl).cast("long").as("n_tokens"),
+          total.as("surprise_millinats")))
+    }), 1)
 
   private def q(s: String) = s.replace("'", "''")
 
@@ -118,23 +120,28 @@ object Unigram {
     * the table, else its unigram cost + [[backoffMillinats]]. Still
     * one row-local pass, still pure integers.
     */
-  def bigramSurpriseOfTokens(toks: Column): Column = {
-    val clean = filter(toks, t => t =!= lit(""))
-    val n = size(clean)
-    val first = when(n >= 1, uniCost(element_at(clean, 1))).otherwise(0L)
-    val rest = aggregate(
-      when(n >= 2, sequence(lit(2), n)).otherwise(array().cast("array<int>")),
-      lit(0L),
-      (acc, i) => {
-        val pair = concat(element_at(clean, i - 1), lit(" "),
-          element_at(clean, i))
-        acc + coalesce(element_at(bigramCol, pair),
-          uniCost(element_at(clean, i)) + lit(backoffMillinats))
-      })
-    when(toks.isNotNull,
-      struct(n.cast("long").as("n_tokens"),
-        (first + rest).as("surprise_millinats")))
-  }
+  def bigramSurpriseOfTokens(toks: Column): Column =
+    element_at(transform(array(filter(toks, t => t =!= lit(""))), cl => {
+      // `cl` is the lambda variable — a leaf. Without this fence the
+      // element_at(clean, i-1)/element_at(clean, i) references inside
+      // the merge lambda would re-inline the whole tokenizer chain per
+      // array element: O(n²) per document, minutes on a 5k-word row.
+      val n = size(cl)
+      val first = when(n >= 1, uniCost(element_at(cl, 1))).otherwise(0L)
+      val rest = aggregate(
+        when(n >= 2, sequence(lit(2), n))
+          .otherwise(array().cast("array<int>")),
+        lit(0L),
+        (acc, i) => {
+          val pair = concat(element_at(cl, i - 1), lit(" "),
+            element_at(cl, i))
+          acc + coalesce(element_at(bigramCol, pair),
+            uniCost(element_at(cl, i)) + lit(backoffMillinats))
+        })
+      when(cl.isNotNull,
+        struct(n.cast("long").as("n_tokens"),
+          (first + rest).as("surprise_millinats")))
+    }), 1)
 
   /** The bigram scorer as DuckDB SQL over a token-list expression. */
   def bigramSurpriseSql(toksExpr: String): String = {

@@ -252,9 +252,17 @@ object LshStore {
     graft.StoreUtil.writeMarker(spark, path, PendingFile,
       s"$bid:$ingests")
     val mode = if (present) "append" else "overwrite"
+    // ingest_seq = ingests+1 is the ROLLBACK identity: store-unique by
+    // construction, where ingest_batch (the caller's foreachBatch id,
+    // kept for pair-log observability) can alias across stream
+    // generations — a fresh checkpoint re-starts at batch 0, and a
+    // crash of that ingest must not roll an OLDER batch-0's rows out
+    val seq = ingests + 1L
     newPairs.withColumn("ingest_batch", lit(bid))
+      .withColumn("ingest_seq", lit(seq))
       .write.mode(mode).parquet(s"$path/pairs")
     b.withColumn("ingest_batch", lit(bid))
+      .withColumn("ingest_seq", lit(seq))
       .write.mode(mode).parquet(s"$path/bands")
     // an ingest WITHOUT a batchId must not erase a previous explicit
     // last_batch: a manual catch-up ingest between a streaming crash and
@@ -303,9 +311,19 @@ object LshStore {
         s"($path); the source is read lazily while dest is written")
     val completed = graft.StoreUtil.manifestInt(m, "ingests",
       s"LSH manifest at $path").toLong != startStr.toLong
+    // prefer the store-unique ingest_seq (= startSnapshot+1 for the
+    // crashed ingest) over the batch tag: an explicit batchId can alias
+    // an OLDER ingest's tag (fresh-checkpoint streams restart at 0), and
+    // tag-filtering would roll that completed ingest's rows out too.
+    // seq-less rows (written by a pre-seq version) fall back to the tag.
+    val badSeq = startStr.toLong + 1L
     def clean(table: String): DataFrame = {
       val t = spark.read.parquet(s"$path/$table")
-      if (completed) t else t.filter(col("ingest_batch") =!= bad)
+      if (completed) t
+      else if (t.columns.contains("ingest_seq"))
+        t.filter(coalesce(col("ingest_seq") =!= badSeq,
+          col("ingest_batch") =!= bad))
+      else t.filter(col("ingest_batch") =!= bad)
     }
     graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
     clean("pairs").write.mode("overwrite").parquet(s"$dest/pairs")

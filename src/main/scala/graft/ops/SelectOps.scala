@@ -146,9 +146,47 @@ object SelectOps {
       .reduce(_ ++ _)
   }
 
+  private def integralBox(g: Any): Option[Long] = g match {
+    case b: java.lang.Byte    => Some(b.longValue)
+    case s: java.lang.Short   => Some(s.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long    => Some(l.longValue)
+    case _ => None
+  }
+
+  /** Caller group keys normalized to the group column's EXTERNAL type:
+    * `Map(5 -> …)` (a Scala Int) against a LongType column must equal
+    * the collected `java.lang.Long(5)` — without this the broadcast
+    * frame fails with an obscure "not a valid external type" encoder
+    * error, or worse, the histogram lookup misses every group and dies
+    * with a misleading "rank out of range … only 0 rows in scope".
+    * Integral keys convert EXACTLY (a lossy narrow is refused loudly);
+    * all other types pass through and must already match.
+    */
+  private def keyNormalizer(gType: DataType): Any => Any = {
+    def narrowed(to: String, fits: Long => Boolean,
+        box: Long => Any): Any => Any =
+      g => integralBox(g).map { n =>
+        require(fits(n), s"group key $n does not fit the group column's " +
+          s"$to type")
+        box(n)
+      }.getOrElse(g)
+    gType match {
+      case LongType    => g => integralBox(g).map(Long.box).getOrElse(g)
+      case IntegerType =>
+        narrowed("int", n => n == n.toInt, n => Int.box(n.toInt))
+      case ShortType   =>
+        narrowed("short", n => n == n.toShort, n => Short.box(n.toShort))
+      case ByteType    =>
+        narrowed("byte", n => n == n.toByte, n => Byte.box(n.toByte))
+      case _ => identity
+    }
+  }
+
   private def selectBitsRound[G](uIn: DataFrame, ks: Map[G, Seq[Long]],
       gType: DataType): Map[G, Map[Long, Long]] = {
     val spark = uIn.sparkSession
+    val ext = keyNormalizer(gType)
 
     // Adaptive pass plan: worst-case driver histogram per pass is
     // nGroups · 2^width rows; shrink the bucket width until
@@ -175,7 +213,7 @@ object SelectOps {
       // histogram by the REQUESTED groups — without it the first
       // collect scales with the groups present in the DATA, which may
       // dwarf the request (and would break the per-round budget)
-      val active = branches.map { case (g, p, _) => Row(g, p) }
+      val active = branches.map { case (g, p, _) => Row(ext(g), p) }
       val pf = spark.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters
           .SeqHasAsJava(active).asJava),
@@ -206,7 +244,8 @@ object SelectOps {
 
       branches = branches.flatMap { case (g, prefix, ranks) =>
         val mine = byBranch.getOrElse(
-          (g, if (pShift >= 64) 0L else prefix), Array.empty[(Long, Long)])
+          (ext(g), if (pShift >= 64) 0L else prefix),
+          Array.empty[(Long, Long)])
         var seen = 0L
         var remaining = ranks.sortBy(_._2)
         val next = scala.collection.mutable.Map

@@ -271,6 +271,12 @@ object VectorStore {
       .select(col("id"), col("v").as("vec"),
         VectorOps.pqCodesCol(col("v"), codebook, m, dim).as("codes"),
         lit(batchId.getOrElse(-1L)).as("ingest_batch"),
+        // ingest_seq 0 = creation; appends use the counter+1 — the
+        // store-unique rollback identity (an explicit batchId can alias
+        // the creation tag when a fresh-checkpoint stream restarts at
+        // the creating id, and rolling back by tag would then delete
+        // the original corpus with the crashed batch)
+        lit(0L).as("ingest_seq"),
         concat(lit("c"), col("cell")).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -323,16 +329,22 @@ object VectorStore {
       s"$bid:$appends\n$mfPre")
     graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
     val legacyUntagged = !st.cells.columns.contains("ingest_batch")
+    val legacySeqless = !st.cells.columns.contains("ingest_seq")
     val assigned = VectorOps.assignCells(corpus.filter(col("vec").isNotNull),
         st.centroids, 1)
       .select(col("id"), col("v").as("vec"),
         VectorOps.pqCodesCol(col("v"), st.codebook, st.m, st.dim).as("codes"),
         lit(bid).as("ingest_batch"),
+        lit(appends + 1L).as("ingest_seq"),
         concat(lit("c"), col("cell")).as("cell"))
     // a store written before tags existed keeps a uniform schema (mixed
     // parquet schemas under one directory read back as whichever file
-    // is sampled first); it simply has no rollback path, as before
-    (if (legacyUntagged) assigned.drop("ingest_batch") else assigned)
+    // is sampled first); it simply has no rollback path, as before —
+    // and a tag-only store likewise stays seq-less (rollback falls
+    // back to the tag, with the documented aliasing caveat)
+    (if (legacyUntagged) assigned.drop("ingest_batch", "ingest_seq")
+     else if (legacySeqless) assigned.drop("ingest_seq")
+     else assigned)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
     // a manual no-batchId append must not erase a previous explicit
@@ -370,8 +382,17 @@ object VectorStore {
     require(cells.columns.contains("ingest_batch") || completed,
       s"cells at $path carry no ingest tags (pre-tag store) — a partial " +
         "append cannot be rolled back; rebuild from source")
+    // rollback identity: the store-unique ingest_seq (= counter
+    // snapshot + 1 for the crashed append) when rows carry it — the
+    // batch tag can alias the creation tag or an older append's tag
+    // across stream generations, and tag-filtering would delete those
+    // completed rows too. Seq-less rows fall back to the tag.
+    val badSeq = startStr.toLong + 1L
     val kept =
       if (completed) cells
+      else if (cells.columns.contains("ingest_seq"))
+        cells.filter(coalesce(col("ingest_seq") =!= badSeq,
+          col("ingest_batch") =!= bad))
       else cells.filter(col("ingest_batch") =!= bad)
     graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
     kept.withColumn("cell", col("cell").cast("string"))

@@ -371,20 +371,29 @@ object ExtQueries {
     * "unattributed" rows a real pipeline must not silently drop). One
     * |views|+|clicks| exchange, no candidate pairs.
     */
-  val evAsof: Q = (s, d) => {
+  // shared by the two as-of gates: ONE view/click projection and ONE
+  // output shape, so the union+window form and the snapshot serving
+  // form can never drift apart while claiming one oracle
+  private def asofSides(s: SparkSession, d: String) = {
     val ev = Tables.events(s, d)
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"),
-        col("ts").as("view_ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-    graft.ops.TemporalOps.asofJoin(views, clicks,
-        "user_id", "view_ts", "click_ts", "view_id")
-      .select(col("click_id"), col("user_id"),
-        col("matched.view_id").as("view_id"),
-        expr("(unix_micros(click_ts) - unix_micros(matched.view_ts))" +
-          " div 1000000").as("lag_sec"))
+    (ev.filter(col("event_type") === "view")
+       .select(col("user_id"), col("event_id").as("view_id"),
+         col("ts").as("view_ts")),
+     ev.filter(col("event_type") === "click")
+       .select(col("user_id"), col("event_id").as("click_id"),
+         col("ts").as("click_ts")))
+  }
+
+  private def asofProject(joined: DataFrame) =
+    joined.select(col("click_id"), col("user_id"),
+      col("matched.view_id").as("view_id"),
+      expr("(unix_micros(click_ts) - unix_micros(matched.view_ts))" +
+        " div 1000000").as("lag_sec"))
+
+  val evAsof: Q = (s, d) => {
+    val (views, clicks) = asofSides(s, d)
+    asofProject(graft.ops.TemporalOps.asofJoin(views, clicks,
+      "user_id", "view_ts", "click_ts", "view_id"))
   }
 
   /** The same attribution question through the SERVING shape
@@ -396,21 +405,11 @@ object ExtQueries {
     * the two shapes must agree row for row.
     */
   val evAsofStatic: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"),
-        col("ts").as("view_ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
+    val (views, clicks) = asofSides(s, d)
     val snap = graft.ops.TemporalOps.asofSnapshot(views,
       "user_id", "view_ts", "view_id")
-    graft.ops.TemporalOps.asofJoinStreamStatic(clicks, snap,
-        "user_id", "click_ts")
-      .select(col("click_id"), col("user_id"),
-        col("matched.view_id").as("view_id"),
-        expr("(unix_micros(click_ts) - unix_micros(matched.view_ts))" +
-          " div 1000000").as("lag_sec"))
+    asofProject(graft.ops.TemporalOps.asofJoinStreamStatic(clicks, snap,
+      "user_id", "click_ts"))
   }
 
   /** Point-in-interval join ([[graft.ops.TemporalOps.pointInIntervalJoin]]):
@@ -421,40 +420,37 @@ object ExtQueries {
     * Same null guard on the point side as the session builder, so the
     * two sides agree on which rows exist.
     */
-  val evIntervalJoin: Q = (s, d) => {
+  // one body for the manual and auto-width containment gates — chunk
+  // width must never change the answer, and a shared body keeps the
+  // points filter / session builder from drifting between the twins
+  private def intervalContainmentGate(s: SparkSession, d: String,
+      chunkSeconds: Option[Long]): DataFrame = {
     val ev = Tables.events(s, d)
     val points = ev
       .filter(col("event_id").isNotNull && col("ts").isNotNull &&
         col("user_id").isNotNull && col("value").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"))
     val iv = EventStreams.sessionIntervals(Tables.events(s, d))
-    graft.ops.TemporalOps.pointInIntervalJoin(points, iv,
-        "user_id", "ts", "session_start", "session_end", chunkSeconds = 3600)
-      .select(col("user_id"), col("event_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ev_ts"),
-        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-          .as("session_start"))
+    val joined = chunkSeconds match {
+      case Some(c) => graft.ops.TemporalOps.pointInIntervalJoin(points, iv,
+        "user_id", "ts", "session_start", "session_end", chunkSeconds = c)
+      case None => graft.ops.TemporalOps.pointInIntervalJoin(points, iv,
+        "user_id", "ts", "session_start", "session_end")
+    }
+    joined.select(col("user_id"), col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ev_ts"),
+      date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .as("session_start"))
   }
+
+  val evIntervalJoin: Q = (s, d) => intervalContainmentGate(s, d, Some(3600L))
 
   /** The same containment question through the AUTO-tuned chunk width
     * ([[graft.ops.TemporalOps.autoChunkSeconds]]) — the knob-free form
     * a user should reach for first. Shares `ev_interval_join`'s
     * oracle: chunk width must never change the answer.
     */
-  val evIntervalJoinAuto: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-    val points = ev
-      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
-        col("user_id").isNotNull && col("value").isNotNull)
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val iv = EventStreams.sessionIntervals(Tables.events(s, d))
-    graft.ops.TemporalOps.pointInIntervalJoin(points, iv,
-        "user_id", "ts", "session_start", "session_end")
-      .select(col("user_id"), col("event_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ev_ts"),
-        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-          .as("session_start"))
-  }
+  val evIntervalJoinAuto: Q = (s, d) => intervalContainmentGate(s, d, None)
 
   /** Interval-overlap join ([[graft.ops.TemporalOps.intervalOverlapJoin]]):
     * which browsing (view) sessions overlapped a purchase (click)

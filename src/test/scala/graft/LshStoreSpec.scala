@@ -133,7 +133,7 @@ class LshStoreSpec extends AnyFunSuite {
     // append never ran, manifest pre-batch
     StoreUtil.writeMarker(spark, dir, LshStore.PendingFile, "7:1")
     spark.range(3).select(lit(9990L).as("a"), (col("id") + 9991L).as("b"),
-        lit(7L).as("ingest_batch"))
+        lit(7L).as("ingest_batch"), lit(2L).as("ingest_seq"))
       .write.mode("append").parquet(s"$dir/pairs")
     intercept[IllegalStateException](LshStore.load(spark, dir))
     intercept[IllegalStateException](LshStore.exists(spark, dir))
@@ -239,12 +239,41 @@ class LshStoreSpec extends AnyFunSuite {
     // (bid 1, counter snapshot 2), partial pair rows tagged 1
     StoreUtil.writeMarker(spark, dir, LshStore.PendingFile, "1:2")
     spark.range(3).select(lit(9990L).as("a"), (col("id") + 9991L).as("b"),
-        lit(1L).as("ingest_batch"))
+        lit(1L).as("ingest_batch"), lit(3L).as("ingest_seq"))
       .write.mode("append").parquet(s"$dir/pairs")
     val dest = Files.createTempDirectory("graft_lsh_collide_rec").toString
     LshStore.recoverIngest(spark, dir, dest)
     // the crashed batch's rows are gone, the manual batch's are intact
     assert(pairSet(LshStore.pairLog(spark, dest)) == goodPairs)
+    assert(LshStore.load(spark, dest).bands.count() == goodBands)
+  }
+
+  test("crashed batch whose explicit id ALIASES an older ingest's tag " +
+      "rolls out ONLY its own rows (seq-based recovery identity)") {
+    // a fresh-checkpoint stream restarts at batch 0 — the same explicit
+    // id an OLDER generation already ingested under. The zombie guard
+    // only remembers the LATEST batch, so the new batch 0 proceeds; if
+    // it crashes, tag-based rollback (ingest_batch != 0) would delete
+    // the completed old batch-0 rows too. ingest_seq is store-unique,
+    // so only the crashed ingest's rows go.
+    val dir = Files.createTempDirectory("graft_lsh_alias").toString
+    LshStore.ingestBatch(spark, dir, window.filter(col("doc_id") < 40),
+      "doc_id", "text", batchId = Some(0L)) // gen-1 batch 0, seq 1
+    LshStore.ingestBatch(spark, dir,
+      window.filter(col("doc_id") >= 40 && col("doc_id") < 70),
+      "doc_id", "text", batchId = Some(1L)) // gen-1 batch 1, seq 2
+    val goodPairs = pairSet(LshStore.pairLog(spark, dir))
+    val goodBands = LshStore.load(spark, dir).bands.count()
+    // gen-2 batch 0 crashes mid-append: marker (bid 0, snapshot 2),
+    // partial rows tagged batch 0 / seq 3
+    StoreUtil.writeMarker(spark, dir, LshStore.PendingFile, "0:2")
+    spark.range(3).select(lit(9990L).as("a"), (col("id") + 9991L).as("b"),
+        lit(0L).as("ingest_batch"), lit(3L).as("ingest_seq"))
+      .write.mode("append").parquet(s"$dir/pairs")
+    val dest = Files.createTempDirectory("graft_lsh_alias_rec").toString
+    LshStore.recoverIngest(spark, dir, dest)
+    assert(pairSet(LshStore.pairLog(spark, dest)) == goodPairs,
+      "gen-1 batch-0 rows sharing the crashed batch's tag must survive")
     assert(LshStore.load(spark, dest).bands.count() == goodBands)
   }
 

@@ -360,27 +360,10 @@ class PropertySpec extends AnyFunSuite {
   test("BPE expression equals the reference priority-queue encoder on " +
       "random words over the symbol alphabet") {
     import spark.implicits._
-    val rank = graft.functions.Bpe.merges.zipWithIndex.toMap
-    def refBpe(word: String): Seq[String] = {
-      var sym = word.map(_.toString).toVector
-      var done = false
-      while (!done && sym.length > 1) {
-        val present = sym.zip(sym.tail).flatMap(rank.get)
-        if (present.isEmpty) done = true
-        else {
-          val (l, r) = graft.functions.Bpe.merges(present.min)
-          val out = scala.collection.mutable.ArrayBuffer[String]()
-          var i = 0
-          while (i < sym.length) {
-            if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == r) {
-              out += l + r; i += 2
-            } else { out += sym(i); i += 1 }
-          }
-          sym = out.toVector
-        }
-      }
-      sym
-    }
+    // single-sourced reference oracle (shared with TrainingSpec and
+    // BpeBench — a per-suite copy can drift)
+    def refBpe(word: String): Seq[String] =
+      graft.functions.Bpe.referenceEncode(word)
     val rnd = new Random(31)
     // alphabet biased toward the merge table's symbols so rules fire
     val alpha = "abcdehijklmnopqrstuvwy"

@@ -147,6 +147,27 @@ class SelectSpec extends AnyFunSuite {
     assert(frame.sameElements(Array(2L, 9L, 10L)))
   }
 
+  test("caller group keys coerce exactly to the column's external type") {
+    // Map(5 -> …) with Scala Int keys against a LongType group column:
+    // the broadcast frame and the collected histogram carry
+    // java.lang.Long — without normalization the lookup misses every
+    // group and dies with a misleading rank-out-of-range
+    val df = Seq((5L, 10L), (5L, 20L), (9L, 7L)).toDF("g", "v")
+    val got = SelectOps.kthSmallestLongByGroup(df, "g", "v",
+      Map(5 -> Seq(2L), 9 -> Seq(1L))) // Int keys, LongType column
+    assert(got(5)(2L) == 20L && got(9)(1L) == 7L)
+    // and the reverse: Long keys against an IntegerType column
+    val dfi = Seq((5, 10L), (9, 7L)).toDF("g", "v")
+    val goti = SelectOps.kthSmallestLongByGroup(dfi, "g", "v",
+      Map(5L -> Seq(1L), 9L -> Seq(1L)))
+    assert(goti(5L)(1L) == 10L && goti(9L)(1L) == 7L)
+    // a lossy narrow is refused loudly, never silently truncated
+    intercept[IllegalArgumentException] {
+      SelectOps.kthSmallestLongByGroup(dfi, "g", "v",
+        Map((1L << 40) -> Seq(1L)))
+    }
+  }
+
   test("an integral kernel refuses a double column instead of truncating") {
     val df = Seq(("a", 1.9), ("a", 2.1)).toDF("g", "v")
     val err = intercept[IllegalArgumentException] {

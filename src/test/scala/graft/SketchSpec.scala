@@ -225,6 +225,28 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("a NEGATIVE explicit batchId round-trips through the manifest and " +
+      "still arms the idempotence guard") {
+    // foreachBatch ids are >= 0, but nothing stops a caller recording a
+    // negative explicit id; a sign-blind parser would read it back as
+    // None and let the redelivered batch double-count every counter
+    val toks = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select(explode(graft.ops.TextOps.tokensCol(col("text"))).as("item"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm_neg").toString
+    SketchOps.saveCm(SketchOps.cmSketch(toks, "item", depth = 3, width = 32),
+      dir, batchId = Some(-7L))
+    assert(SketchOps.lastBatchId(spark, dir, SketchOps.CmManifestFile)
+      == Some(-7L))
+    val before = SketchOps.loadCm(spark, dir).counters
+      .collect().map(_.toSeq).toSet
+    SketchOps.appendCm(spark, dir,
+      SketchOps.cmSketch(toks, "item", depth = 3, width = 32),
+      batchId = Some(-7L)) // redelivery
+    val after = SketchOps.loadCm(spark, dir).counters
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "a redelivered negative-id batch must no-op")
+  }
+
   test("bounded top-k per group equals the window form, is partition-" +
       "order independent, and plans no window or full sort") {
     val docs = Tables.documents(spark, sf)

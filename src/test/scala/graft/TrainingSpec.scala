@@ -738,6 +738,36 @@ class TrainingSpec extends AnyFunSuite {
     assert(score("") == 0L)
   }
 
+  test("LM scorers stay linear on a long document (the tokenizer chain " +
+      "is fence-bound, not re-inlined per element)") {
+    import spark.implicits._
+    import graft.functions.{Bpe, Unigram}
+    // 8k words of an in-table bigram: without the single-element-array
+    // binding, element_at(clean, i) inside the aggregate lambda re-runs
+    // the whole lower/replace/regexp/split chain per element — O(n²),
+    // minutes for this row. With the fence it's one pass (the test
+    // finishing at all is the guard; the value pins correctness).
+    val n = 8000
+    val doc = Seq.fill(n / 2)("table hash").mkString(" ")
+    val r = Seq(doc).toDF("text")
+      .select(Unigram.bigramSurpriseOfTokens(Bpe.wordsCol(col("text")))
+        .as("b"),
+        Unigram.surpriseOfTokens(Bpe.wordsCol(col("text"))).as("u"))
+      .head()
+    val u = Unigram.table.toMap
+    val b = Unigram.bigramTable.toMap
+    val bs = r.getStruct(0)
+    assert(bs.getLong(0) == n)
+    // first word unigram; then alternating in-table "table hash" and
+    // backed-off "hash table" transitions
+    val wantB = u("table") + (n / 2) * b("table hash") +
+      (n / 2 - 1) * (u("table") + Unigram.backoffMillinats)
+    assert(bs.getLong(1) == wantB)
+    val us = r.getStruct(1)
+    assert(us.getLong(0) == n)
+    assert(us.getLong(1) == (n / 2) * (u("table") + u("hash")))
+  }
+
   test("BPE: rank-order merges, adjacent-pair boundary, pipe hygiene") {
     import spark.implicits._
     def toks(t: String): Seq[String] =
@@ -762,31 +792,11 @@ class TrainingSpec extends AnyFunSuite {
     assert(toks("key value") == Seq("key", "value"))
     assert(toks("keyvalue") == Seq("key", "value"))
     assert(toks("keyvalue key") == Seq("key", "value", "key"))
-    // the greedy result equals a reference priority-queue BPE encode
-    def refBpe(word: String): Seq[String] = {
-      var sym = word.map(_.toString).toVector
-      val rank = graft.functions.Bpe.merges.zipWithIndex.toMap
-      var done = false
-      while (!done && sym.length > 1) {
-        val best = sym.zip(sym.tail).map(p => rank.get(p)).zipWithIndex
-          .collect { case (Some(r), i) => (r, i) }
-        if (best.isEmpty) done = true
-        else {
-          val r = best.map(_._1).min
-          val (l, rr) = graft.functions.Bpe.merges(r)
-          // merge every occurrence left-to-right, non-overlapping
-          val out = scala.collection.mutable.ArrayBuffer[String]()
-          var i = 0
-          while (i < sym.length) {
-            if (i < sym.length - 1 && sym(i) == l && sym(i + 1) == rr) {
-              out += l + rr; i += 2
-            } else { out += sym(i); i += 1 }
-          }
-          sym = out.toVector
-        }
-      }
-      sym
-    }
+    // the greedy result equals the single-sourced reference
+    // priority-queue BPE encode (Bpe.referenceEncode, shared with
+    // PropertySpec and BpeBench)
+    def refBpe(word: String): Seq[String] =
+      graft.functions.Bpe.referenceEncode(word)
     for (w <- Seq("customer", "database", "slowly", "keyvalue", "joins",
         "batched", "xyz", "aggregate", "orderline"))
       assert(toks(w) == refBpe(w), s"word $w")

@@ -281,7 +281,8 @@ class VectorStoreSpec extends AnyFunSuite {
       .select(col("id"), VectorOps.toDouble(col("vec")).as("vec"),
         VectorOps.pqCodesCol(VectorOps.toDouble(col("vec")), cb, 4, 64)
           .as("codes"),
-        lit(1L).as("ingest_batch"), lit("c0").as("cell"))
+        lit(1L).as("ingest_batch"), lit(1L).as("ingest_seq"),
+        lit("c0").as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
     intercept[IllegalStateException](VectorStore.loadPq(spark, dir))
     val dest = Files.createTempDirectory("graft_pq_rec").toString
@@ -308,6 +309,44 @@ class VectorStoreSpec extends AnyFunSuite {
     // a store with no interrupted append refuses recovery
     intercept[IllegalStateException](
       VectorStore.recoverAppendPq(spark, dest2, dest))
+  }
+
+  test("rollback of a crashed append whose batchId ALIASES the creation " +
+      "tag keeps the original corpus (seq-based recovery identity)") {
+    import graft.ops.VectorOps
+    // a fresh-checkpoint stream restarts at batch 0 — the same explicit
+    // id the store was CREATED with. Tag-based rollback would filter
+    // ingest_batch != 0 and silently delete the whole original corpus;
+    // the store-unique ingest_seq must keep it.
+    val cb = VectorOps.pqCodebook(corpus, m = 4, codes = 16, dim = 64)
+    val dir = Files.createTempDirectory("graft_pq_alias").toString
+    VectorStore.savePq(corpus.filter(col("id") < 120), cents, cb, dir,
+      m = 4, dim = 64, batchId = Some(0L)) // creation rows tagged 0, seq 0
+    VectorStore.appendPq(spark, dir, corpus.filter(col("id") >= 120 &&
+      col("id") < 150), batchId = Some(1L)) // seq 1
+    val good = VectorStore.loadPq(spark, dir).cells
+      .select("id").collect().map(_.getLong(0)).toSet
+    val preMf = graft.StoreUtil
+      .readMarker(spark, dir, VectorStore.ManifestFile).get
+    // new stream generation delivers ITS batch 0 (guard: Some(0) !=
+    // last_batch Some(1), proceeds) and crashes mid-append: tag 0 —
+    // aliasing the creation rows — seq 2, counter snapshot 1
+    graft.StoreUtil.writeMarker(spark, dir, VectorStore.PendingFile,
+      s"0:1\n$preMf")
+    graft.StoreUtil.deleteMarker(spark, dir, VectorStore.ManifestFile)
+    corpus.filter(col("id") >= 150 && col("id") < 160)
+      .select(col("id"), VectorOps.toDouble(col("vec")).as("vec"),
+        VectorOps.pqCodesCol(VectorOps.toDouble(col("vec")), cb, 4, 64)
+          .as("codes"),
+        lit(0L).as("ingest_batch"), lit(2L).as("ingest_seq"),
+        lit("c0").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    val dest = Files.createTempDirectory("graft_pq_alias_rec").toString
+    VectorStore.recoverAppendPq(spark, dir, dest)
+    val kept = VectorStore.loadPq(spark, dest).cells
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == good,
+      "creation rows sharing the crashed batch's tag must survive rollback")
   }
 
   test("a manual no-batchId append preserves the zombie guard (both " +
