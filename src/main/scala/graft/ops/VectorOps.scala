@@ -52,7 +52,11 @@ object VectorOps {
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
 
-  /** Cosine-threshold near-duplicate pairs within a candidate set. */
+  /** Cosine-threshold near-duplicate pairs within a candidate set.
+    * ALL-PAIRS — exact but O(n²), so strictly for bounded candidate
+    * sets (an LSH bucket, a probed cell, a verification window); the
+    * corpus-scale path is [[nearDupPairsBucketed]].
+    */
   def nearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
     val a = vecs.select(col("id").as("a"), toDouble(col("vec")).as("va"))
     val b = vecs.select(col("id").as("b"), toDouble(col("vec")).as("vb"))
@@ -60,6 +64,66 @@ object VectorOps {
       .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") > threshold)
       .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Cell-bucketed near-duplicate pairs — the corpus-scale semantic-
+    * dedup candidate generator (the SemDeDup shape): every vector lands
+    * in its nearest centroid cell (broadcast centroids, map-side dot
+    * products), pairs form only WITHIN a shared cell, so pairwise work
+    * is Σ|cell|² after one shuffle on the cell key — never the
+    * |corpus|² of [[nearDupPairs]]. The trade is recall at Voronoi
+    * boundaries: a near-dup pair split across two cells is invisible at
+    * nprobe=1; `nprobe > 1` probes each vector into its n nearest
+    * cells, recovering boundary pairs at ~nprobe× candidate cost (the
+    * IVF recall knob applied to dedup). Pairs are unordered (a < b) and
+    * emitted once even when two probed cells both surface them; cosine
+    * is orientation-independent (same fold, commuted products), so the
+    * dedup is exact. Deterministic: same centroids → same cells → same
+    * pairs, any engine.
+    */
+  def nearDupPairsBucketed(vecs: DataFrame, centroids: DataFrame,
+      threshold: Double, nprobe: Int = 1): DataFrame = {
+    val probed = assignCells(vecs, centroids, nprobe)
+      .select(col("id").as("a"), col("v").as("va"), col("cell"))
+    val primary = assignCells(vecs, centroids, 1)
+      .select(col("id").as("b"), col("v").as("vb"), col("cell"))
+    probed.join(primary, Seq("cell"))
+      .filter(col("a") =!= col("b"))
+      // normalize orientation BEFORE distinct: with nprobe>1 only the
+      // probing side fans out, so pair (x,y) may surface as (x,y) or
+      // (y,x) depending on whose probe list covers whose primary cell
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .distinct()
+      .filter(col("cos") > threshold)
+  }
+
+  /** SemDeDup keep decision over the full corpus: one nearest-cell
+    * assignment (reused for both join sides), within-cell near-dup
+    * pairs, and the deterministic smallest-id survivor policy — a row
+    * is dropped iff some SMALLER id in its cell is cosine-closer than
+    * `threshold`. Output (id, cell, keep) for every input row, so the
+    * caller filters `keep` for the surviving corpus or audits the
+    * dropped set. For transitive-closure canonicalization (keep one per
+    * connected component, quality-ranked) feed
+    * [[nearDupPairsBucketed]] into the [[ClusterOps]] CC pipeline
+    * instead — this is the cheap one-pass policy a 100 TB prep run
+    * applies inside each cell.
+    */
+  def semanticDedup(vecs: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val cells = assignCells(vecs, centroids, 1)
+    val x = cells.select(col("id").as("a"), col("v").as("va"), col("cell"))
+    val y = cells.select(col("id").as("b"), col("v").as("vb"), col("cell"))
+    val dominated = x.join(y, Seq("cell"))
+      .filter(col("a") < col("b") &&
+        round(cosine(col("va"), col("vb")), 6) > threshold)
+      .select(col("b").as("id")).distinct()
+      .withColumn("dom", lit(true))
+    cells.select(col("id"), col("cell"))
+      .join(dominated, Seq("id"), "left_outer")
+      .select(col("id"), col("cell"), col("dom").isNull.as("keep"))
   }
 
   /** Random-hyperplane LSH signature: bit i = sign(v · h_i) where h_i is a

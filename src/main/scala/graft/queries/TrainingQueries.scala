@@ -203,6 +203,31 @@ object TrainingQueries {
         .select(col("vec_id").as("id"), col("embedding").as("vec")),
       threshold = 0.3)
 
+  private def embCorpus(s: SparkSession, d: String) =
+    Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def embCents(s: SparkSession, d: String) =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  /** Cell-bucketed near-dup pairs at nprobe=2
+    * ([[VectorOps.nearDupPairsBucketed]]) — the Σ|cell|² corpus-scale
+    * candidate generator with the boundary-recall probe exercised; the
+    * oracle replays the probing, orientation normalization, and dedup.
+    */
+  val embNearDupCells: Q = (s, d) =>
+    VectorOps.nearDupPairsBucketed(embCorpus(s, d), embCents(s, d),
+      threshold = 0.3, nprobe = 2)
+
+  /** SemDeDup composite ([[VectorOps.semanticDedup]]): nearest-cell
+    * assignment → within-cell near-dup pairs → smallest-id survivor —
+    * every row emitted with its cell and keep decision.
+    */
+  val ddSemantic: Q = (s, d) =>
+    VectorOps.semanticDedup(embCorpus(s, d), embCents(s, d),
+      threshold = 0.3)
+
   /** Brute-force exact cosine top-5 for query vectors vec_id < 5. */
   val annTopk: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
@@ -768,6 +793,8 @@ object TrainingQueries {
     "km_step" -> kmStep,
     "dd_simhash" -> ddSimhash,
     "emb_neardup" -> embNearDup,
+    "emb_neardup_cells" -> embNearDupCells,
+    "dd_semantic" -> ddSemantic,
     "ann_topk" -> annTopk,
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
@@ -868,6 +895,24 @@ object TrainingQueries {
       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
       |  FROM scored)
       |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Shared nearest-cell ranking fragment for the semantic-dedup
+    * oracles: the vec_id<300 corpus scored against the vec_id<8
+    * centroids with the (cosine DESC, cid) tie rule — `ranked` is
+    * filtered by r for primary (r = 1) vs probed (r <= nprobe) views,
+    * the exact [[VectorOps.assignCells]] semantics.
+    */
+  private val embCellsSql =
+    """e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings WHERE vec_id < 300),
+      |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |ranked AS (SELECT e.id, e.v, c.cid,
+      |    row_number() OVER (PARTITION BY e.id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |      DESC, c.cid) AS r
+      |  FROM e, c)""".stripMargin
 
   /** Shared oracle fragments for the dedup-clustering family:
     * LSH candidate graph on doc_id < 100, min-reachable-id connected
@@ -1149,6 +1194,29 @@ object TrainingQueries {
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT a, b, cos FROM p WHERE cos > 0.3""".stripMargin,
+    "emb_neardup_cells" ->
+      s"""WITH $embCellsSql,
+         |probed AS (SELECT id, v, cid AS cell FROM ranked WHERE r <= 2),
+         |prim AS (SELECT id, v, cid AS cell FROM ranked WHERE r = 1),
+         |p AS (SELECT DISTINCT least(x.id, y.id) AS a,
+         |    greatest(x.id, y.id) AS b,
+         |    round(list_dot_product(x.v, y.v) /
+         |      (sqrt(list_dot_product(x.v, x.v)) *
+         |       sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+         |  FROM probed x JOIN prim y
+         |    ON x.cell = y.cell AND x.id <> y.id)
+         |SELECT a, b, cos FROM p WHERE cos > 0.3""".stripMargin,
+    "dd_semantic" ->
+      s"""WITH $embCellsSql,
+         |cells AS (SELECT id, v, cid AS cell FROM ranked WHERE r = 1),
+         |dom AS (SELECT DISTINCT y.id FROM cells x JOIN cells y
+         |  ON x.cell = y.cell AND x.id < y.id
+         |  WHERE round(list_dot_product(x.v, y.v) /
+         |    (sqrt(list_dot_product(x.v, x.v)) *
+         |     sqrt(list_dot_product(y.v, y.v))), 6) > 0.3)
+         |SELECT cells.id, cells.cell,
+         |  cells.id NOT IN (SELECT id FROM dom) AS keep
+         |FROM cells""".stripMargin,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings),

@@ -298,6 +298,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("semantic dedup: centroids broadcast, pairing is a cell-key " +
+      "equi-join — never a corpus×corpus product") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Tables.embeddings(spark, sf).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val p = finalPlan(graft.ops.VectorOps.semanticDedup(e, cents, 0.3))
+    // the only nested-loop joins are the broadcast centroid scorings
+    // (bounded side by contract); the within-cell pairing must be a
+    // hash/merge EQUI-join on the cell key, so pairwise work is
+    // Σ|cell|², never |corpus|²
+    assert(!p.contains("CartesianProduct"), p)
+    assert("SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length +
+      "BroadcastHashJoin".r.findAllIn(p).length >= 1, p)
+    // every BroadcastNestedLoopJoin present is a centroid scoring pass
+    // (small side = the 8-row centroid frame), not a corpus self-join
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
   test("sequence packing shuffles once: shard-partitioned window, no global sort") {
     val p = finalPlan(graft.queries.TrainingQueries.packSeqs(spark, sf))
     // exactly ONE exchange (the shard-partitioned window's) — ">= 1"

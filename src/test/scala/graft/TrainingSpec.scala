@@ -652,6 +652,40 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed near-dup pairs are a subset of brute pairs, probing " +
+      "widens recall monotonically, and the keep policy is consistent") {
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Tables.embeddings(spark, sf).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a"), col("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(VectorOps.nearDupPairs(e, 0.3))
+    val p1 = pairSet(VectorOps.nearDupPairsBucketed(e, cents, 0.3, nprobe = 1))
+    val p2 = pairSet(VectorOps.nearDupPairsBucketed(e, cents, 0.3, nprobe = 2))
+    // soundness: bucketing can only MISS pairs, never invent them —
+    // every bucketed pair is a true cosine>τ pair
+    assert(p1.subsetOf(brute) && p2.subsetOf(brute))
+    // probing monotonicity: nprobe=2 sees every nprobe=1 pair (the
+    // primary cell is always among the probed cells) plus boundary pairs
+    assert(p1.subsetOf(p2))
+    assert(p1.nonEmpty, "fixture must produce within-cell near-dups")
+    // keep policy: a row is dropped iff it is the LARGER side of some
+    // within-cell pair — exactly the pair set at nprobe=1
+    val keep = VectorOps.semanticDedup(e, cents, 0.3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val dominated = p1.map(_._2)
+    assert(keep.size == 300)
+    keep.foreach { case (id, k) =>
+      assert(k == !dominated.contains(id), s"id $id keep=$k")
+    }
+    // determinism across partitionings (the cell key is the only
+    // shuffle; re-dealing input partitions must not change pairs)
+    assert(pairSet(VectorOps.nearDupPairsBucketed(e.repartition(13), cents,
+      0.3, nprobe = 2)) == p2)
+  }
+
   test("bloom-prefiltered frontier dedup is transparent at every shape") {
     // the composite's correctness must not depend on the filter's FP
     // rate: any shape — the gate's deliberately tight 3×256, something
