@@ -692,4 +692,138 @@ object SketchOps {
     saveBloom(BloomSketch(ClusterOps.flatten(merged.bits),
       merged.depth, merged.width), path, batchId)
   }
+
+  // ------------------------------------- decimal-log histogram sketch
+
+  /** Mergeable quantile sketch — the quantile member of the sketch-store
+    * family (KMV = distinct, CM = counts, Bloom = membership): a
+    * DECIMAL-LOG HISTOGRAM over a long column. Each value lands in the
+    * bin keyed by (digit count, first 3 decimal digits) of its
+    * magnitude, signed — pure string/integer arithmetic, so binning is
+    * bit-identical on any engine (a log()-based bin id differs in the
+    * last ulp near boundaries and hash-mismatches the oracle; this is
+    * the same determinism discipline as the md5 hashes above).
+    *
+    * Properties, all by construction:
+    * - bounded state: ≤ ~2·19·900 + 1001 bins over the whole long
+    *   range, independent of row count; the aggregation is a plain
+    *   `groupBy(bin).count()` — map-side partial, one tiny exchange;
+    * - EXACTLY mergeable: bins sum ([[mergeHist]]) — two batches folded
+    *   equal the one-shot sketch bit for bit, so a persisted store
+    *   grows without ever rescanning history ([[appendHist]]);
+    * - bounded relative error: a bin's width is ≤ 1% of its magnitude
+    *   (3 leading digits kept), and |v| < 1000 is represented EXACTLY;
+    * - deterministic quantile read-out ([[histQuantiles]]): the gate's
+    *   integer rank rule (max(1, ⌈p·n/100⌉), integer arithmetic only)
+    *   walked over the cumulative bin counts.
+    *
+    * The estimate returned for a rank is the bin's signed magnitude
+    * truncation: for v ≥ 0 the bin's lower bound (est ≤ true <
+    * est·1.01 + 1), for v < 0 its upper bound (est·1.01 − 1 < true ≤
+    * est). [[SelectOps]] is the exact complement when the number must
+    * be right; this is the O(bins)-state summary a monitoring loop
+    * keeps warm per stream.
+    */
+  def decHist(df: org.apache.spark.sql.DataFrame,
+      valueCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(histBinCol(col(valueCol)).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The bin expression: signed rpad-truncated magnitude.
+    * abs() rides decimal(20,0), so Long.MinValue (whose long abs
+    * overflows back to itself) bins correctly; the truncated magnitude
+    * of 9223372036854775808 is 9220000000000000000, back inside long.
+    */
+  private[graft] def histBinCol(v: Column): Column = {
+    val s = abs(v.cast("decimal(20,0)")).cast("string")
+    val m = rpad(substring(s, 1, 3), length(s), lit("0"))
+      .cast("decimal(20,0)")
+    when(v < 0, -m).otherwise(m).cast("long")
+  }
+
+  /** The same binning as DuckDB SQL over a bigint expression. */
+  def histBinSql(vExpr: String): String = {
+    val s = s"CAST(abs(CAST($vExpr AS HUGEINT)) AS VARCHAR)"
+    val m =
+      s"CAST(rpad(substr($s, 1, 3), CAST(length($s) AS INT), '0') AS HUGEINT)"
+    s"CAST(CASE WHEN $vExpr < 0 THEN -$m ELSE $m END AS BIGINT)"
+  }
+
+  /** Sum bins — the exact merge. */
+  def mergeHist(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    a.unionByName(b).groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+
+  /** (p, rank, est) for the requested integer percentiles: rank under
+    * the shared integer rank rule, est = value of the first bin whose
+    * cumulative count reaches it. The cumulative walk is a
+    * single-partition window over the BIN table — bounded at ~35k rows
+    * by the bin algebra itself, never by the data, so the "no partition
+    * defined" shape is safe here by construction.
+    */
+  def histQuantiles(hist: org.apache.spark.sql.DataFrame,
+      ps: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles in [1,100]: $ps")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.select(col("bin"), sum(col("cnt")).over(w).as("cum"))
+    val ranks = cum.agg(max(col("cum")).as("n"))
+      .select(explode(array(ps.distinct.sorted.map(lit(_)): _*)).as("p"),
+        col("n"))
+      // integer `div`, never `/`: long / long is DOUBLE division in
+      // Spark, and p·n+99 can exceed double exactness (the shared
+      // integer rank rule of SelectOps.groupedPercentileFrame)
+      .select(col("p"),
+        greatest(lit(1L),
+          expr("(cast(p as bigint) * n + 99) div 100")).as("rank"))
+    ranks.join(cum, col("cum") >= col("rank"))
+      .groupBy(col("p"), col("rank"))
+      .agg(min(col("bin")).as("est"))
+      .orderBy(col("p"))
+  }
+
+  /** Persisted histogram store — same manifest/crash/zombie protocol as
+    * the KMV/CM/Bloom legs.
+    */
+  val HistManifestFile = "_graft_histstore.json"
+
+  def saveHist(hist: org.apache.spark.sql.DataFrame, path: String,
+      batchId: Option[Long] = None): Unit =
+    graft.StoreUtil.saveManifested(hist, path, "bins", HistManifestFile,
+      s"""{"version":1,"kind":"dec-hist"""" + batchField(batchId) + "}")
+
+  def loadHist(spark: SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    graft.StoreUtil.requireManifest(spark, path, HistManifestFile,
+      "histogram store")
+    spark.read.parquet(s"$path/bins")
+  }
+
+  /** Same single-writer probe discipline as [[cmStoreExists]]. */
+  def histStoreExists(spark: SparkSession, path: String): Boolean = {
+    val healthy =
+      graft.StoreUtil.readMarker(spark, path, HistManifestFile).isDefined
+    if (!healthy && graft.StoreUtil.pathExists(spark, path, "bins"))
+      throw new IllegalStateException(
+        s"$path holds bins but no $HistManifestFile — a previous save " +
+          "crashed mid-write; restore a copy or re-sketch the corpus")
+    healthy
+  }
+
+  /** Fold a batch's bins into the store, in place — history is never
+    * rescanned (the bins ARE the summary; integer sums are exact, so
+    * fold order is irrelevant). Materialize-then-overwrite crash
+    * protocol and the batchId zombie guard, as in [[appendKmv]].
+    */
+  def appendHist(spark: SparkSession, path: String,
+      batch: org.apache.spark.sql.DataFrame,
+      batchId: Option[Long] = None): Unit = {
+    if (batchId.isDefined &&
+        batchId == lastBatchId(spark, path, HistManifestFile)) return
+    val merged = mergeHist(loadHist(spark, path), batch)
+    saveHist(ClusterOps.flatten(merged), path, batchId)
+  }
 }

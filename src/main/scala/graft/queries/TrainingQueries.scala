@@ -311,6 +311,38 @@ object TrainingQueries {
     graft.ops.SelectOps.exactPercentilesLong(
       Tables.documents(s, d), "n_chars", Seq(1, 50, 90, 99, 100))
 
+  /** Mergeable decimal-log histogram quantiles over the same column as
+    * `sk_exact_pct` ([[graft.ops.SketchOps.decHist]] →
+    * [[graft.ops.SketchOps.histQuantiles]]): O(bins) state, integer
+    * binning both engines replay digit for digit, ≤1% relative error by
+    * construction — the streaming-monitoring complement of the exact
+    * multi-pass kernel.
+    */
+  val skHist: Q = (s, d) =>
+    SketchOps.histQuantiles(
+      SketchOps.decHist(Tables.documents(s, d)
+        .select(col("n_chars").cast("long").as("v")), "v"),
+      Seq(1, 50, 90, 99, 100))
+
+  /** The histogram store lifecycle: two disjoint halves saved + folded
+    * ([[graft.ops.SketchOps.appendHist]] — history never rescanned),
+    * quantiles served from the loaded bins. Integer bin sums are exact,
+    * so this is DEFINED bit-identical to [[skHist]] and shares its
+    * oracle.
+    */
+  val skHistStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("histstore", d) { p =>
+      def half(even: Boolean) = SketchOps.decHist(
+        Tables.documents(s, d)
+          .filter((col("doc_id") % 2 === 0) === even)
+          .select(col("n_chars").cast("long").as("v")), "v")
+      SketchOps.saveHist(half(even = true), p)
+      SketchOps.appendHist(s, p, half(even = false))
+    }
+    SketchOps.histQuantiles(SketchOps.loadHist(s, dir),
+      Seq(1, 50, 90, 99, 100))
+  }
+
   /** Per-source exact percentiles — all groups through the SAME three
     * histogram passes, not a scan per source.
     */
@@ -809,6 +841,8 @@ object TrainingQueries {
         .select(col("doc_id"), col("fp"))),
     "sk_distinct_kmv" -> skDistinctKmv,
     "sk_quantile" -> skQuantile,
+    "sk_hist" -> skHist,
+    "sk_hist_store" -> skHistStore,
     "sk_exact_pct" -> skExactPct,
     "sk_exact_pct_group" -> skExactPctGroup,
     "sk_exact_pct_dbl" -> skExactPctDbl,
@@ -895,6 +929,25 @@ object TrainingQueries {
       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
       |  FROM scored)
       |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** The decimal-log histogram oracle: replays the binning digit for
+    * digit ([[graft.ops.SketchOps.histBinSql]]), the cumulative walk,
+    * and the shared integer rank rule.
+    */
+  private val histQuantileSql =
+    s"""WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+       |  WHERE n_chars IS NOT NULL),
+       |h AS (SELECT ${SketchOps.histBinSql("v")} AS bin, count(*) AS cnt
+       |  FROM v GROUP BY 1),
+       |c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+       |n AS (SELECT max(cum) AS n FROM c),
+       |p(p) AS (VALUES (1),(50),(90),(99),(100)),
+       |r AS (SELECT p,
+       |  greatest(1, (CAST(p AS BIGINT) * n.n + 99) // 100) AS rank
+       |  FROM p, n)
+       |SELECT r.p, CAST(r.rank AS BIGINT) AS rank,
+       |  CAST(min(c.bin) AS BIGINT) AS est
+       |FROM r JOIN c ON c.cum >= r.rank GROUP BY r.p, r.rank""".stripMargin
 
   /** Shared nearest-cell ranking fragment for the semantic-dedup
     * oracles: the vec_id<300 corpus scored against the vec_id<8
@@ -1344,6 +1397,12 @@ object TrainingQueries {
         |SELECT source, n_sample, q,
         |  vs[CAST(greatest(1, ceil(q * n_sample)) AS INT)] AS quantile
         |FROM g, unnest([0.5, 0.9, 0.99]) u(q)""".stripMargin,
+    "sk_hist" -> histQuantileSql,
+    // the store gate is DEFINED bit-identical to sk_hist (integer bin
+    // sums are exact and order-free); what differs is the save/append
+    // lifecycle, which SQL cannot see — shared oracle, same rule as
+    // ann_store / sk_kmv_store
+    "sk_hist_store" -> histQuantileSql,
     "sk_exact_pct" ->
       // the oracle pays the full sort the operator exists to avoid;
       // integer rank arithmetic mirrors exactPercentilesLong exactly

@@ -225,6 +225,76 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("decimal-log histogram: exact under 1000, ≤1% bins above, extreme " +
+      "and negative values bin safely, merge equals one-shot") {
+    import spark.implicits._
+    // binning truth table, including the abs(Long.MinValue) overflow trap
+    val vals = Seq(0L, 7L, 999L, 1000L, 1049L, 123456L, -5L, -999L,
+      -1050L, Long.MaxValue, Long.MinValue)
+    val bins = SketchOps.decHist(vals.toDF("v"), "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // |v| < 1000 is exact; 1049 truncates to 1040; -1050 is already a
+    // width-multiple and survives exactly; the two long extremes land
+    // on ±9220000000000000000 (abs(MinValue) binning through decimal)
+    assert(bins.keySet == Set(0L, 7L, 999L, 1000L, 1040L, 123000L, -5L,
+      -999L, -1050L, 9220000000000000000L, -9220000000000000000L))
+    assert(bins.values.sum == vals.length)
+
+    // merge is exact: two halves folded == one-shot, any partitioning
+    val df = Tables.documents(spark, sf).select(col("n_chars")
+      .cast("long").as("v"))
+    def binsOf(d: org.apache.spark.sql.DataFrame) =
+      SketchOps.decHist(d, "v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = binsOf(df)
+    val folded = SketchOps.mergeHist(
+      SketchOps.decHist(df.filter(col("v") % 2 === 0), "v"),
+      SketchOps.decHist(df.filter(col("v") % 2 =!= 0), "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == oneShot)
+    assert(binsOf(df.repartition(17)) == oneShot)
+
+    // quantile estimates honor the documented error envelope against
+    // the EXACT kernel on the same column and rank rule
+    val est = SketchOps.histQuantiles(SketchOps.decHist(df, "v"),
+        Seq(1, 50, 90, 99, 100))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val exact = graft.ops.SelectOps.exactPercentilesLong(
+        df.toDF("n_chars"), "n_chars", Seq(1, 50, 90, 99, 100))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    for ((p, e) <- est) {
+      val t = exact(p)
+      assert(e <= t && t < e + math.max(1L, e / 100L) + 1L,
+        s"p$p: est $e vs exact $t outside the 1% envelope")
+    }
+  }
+
+  test("histogram store: append folds without rescan, zombie no-ops, " +
+      "crashed save refuses") {
+    val df = Tables.documents(spark, sf).select(col("n_chars")
+      .cast("long").as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    SketchOps.saveHist(SketchOps.decHist(df.filter(col("v") < 1000), "v"),
+      dir, batchId = Some(0L))
+    SketchOps.appendHist(spark, dir,
+      SketchOps.decHist(df.filter(col("v") >= 1000), "v"), batchId = Some(1L))
+    def served = SketchOps.loadHist(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = SketchOps.decHist(df, "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == want)
+    // re-delivered batch 1 must not double its bins
+    SketchOps.appendHist(spark, dir,
+      SketchOps.decHist(df.filter(col("v") >= 1000), "v"), batchId = Some(1L))
+    assert(served == want)
+    // bins without a manifest = crashed save, refused loudly
+    val broken = java.nio.file.Files.createTempDirectory("graft_hist_b")
+      .toString
+    SketchOps.decHist(df, "v").write.parquet(s"$broken/bins")
+    intercept[IllegalStateException](SketchOps.histStoreExists(spark, broken))
+    intercept[IllegalStateException](SketchOps.loadHist(spark, broken))
+  }
+
   test("a NEGATIVE explicit batchId round-trips through the manifest and " +
       "still arms the idempotence guard") {
     // foreachBatch ids are >= 0, but nothing stops a caller recording a

@@ -282,6 +282,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(again == want)
   }
 
+  test("foreachBatch maintains the persisted histogram store across " +
+      "micro-batches") {
+    // the quantile leg of the store-maintenance lifecycle: each
+    // micro-batch is binned ALONE and its bins fold into the store
+    // (appendHist — integer sums, exact merge), and the served
+    // quantiles equal sketching the whole corpus at once
+    val inDir = Files.createTempDirectory("graft_hist_fb_in").toString
+    writeEventFile(inDir, "a.parquet",
+      batchEvents.filter(col("event_id") % 2 === 0))
+    writeEventFile(inDir, "b.parquet",
+      batchEvents.filter(col("event_id") % 2 =!= 0))
+    val store = Files.createTempDirectory("graft_hist_fb_store")
+      .toString + "/hist"
+    var batches = 0
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .select(col("event_id").as("v"))
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        val b = graft.ops.SketchOps.decHist(df, "v")
+        // PROBE, never catch-and-create (the CM-leg discipline): the
+        // catch would swallow "store broken" and reset history
+        if (graft.ops.SketchOps.histStoreExists(spark, store))
+          graft.ops.SketchOps.appendHist(spark, store, b, Some(id))
+        else graft.ops.SketchOps.saveHist(b, store, Some(id))
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    def q50(h: org.apache.spark.sql.DataFrame) =
+      graft.ops.SketchOps.histQuantiles(h, Seq(50, 99))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val served = graft.ops.SketchOps.loadHist(spark, store)
+    val want = graft.ops.SketchOps.decHist(
+      batchEvents.select(col("event_id").as("v")), "v")
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      want.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(q50(served) == q50(want) && q50(served).nonEmpty)
+  }
+
   test("streaming corpus prep equals batch on the surviving fingerprint set") {
     // the prep_pipeline composition under streaming: row-local gates
     // stream unchanged; dedup becomes dropDuplicatesWithinWatermark on
