@@ -235,6 +235,36 @@ object VectorStore {
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
 
+  /** Incremental SEMANTIC frontier — the embedding leg of the
+    * incremental-dedup triad (Bloom store = exact-hash frontier,
+    * LshStore = MinHash text frontier): of a new batch, the rows with
+    * NO stored cosine-near-duplicate. History is probed through the
+    * store's cell layout — the batch routes to cells via the STORED
+    * centroids (routing never drifts) and compares only against the
+    * matching cells' vectors, so the work is Σ|cell∩batch|·|cell|,
+    * never |batch|·|history|, and history itself is never self-joined
+    * or rescanned. `nprobe > 1` widens the probe for Voronoi-boundary
+    * dups ([[VectorOps.nearDupPairsBucketed]]'s recall knob). The
+    * batch side is UNBOUNDED by design — nothing passes through the
+    * driver (contrast [[query]]'s request-bounded collect): at scale
+    * this is a shuffle-join on the cell key with the frontier's
+    * anti-join on top. Survivors keep every batch column; a typical
+    * maintenance loop appends them ([[append]]) and drops the rest.
+    */
+  def frontier(st: Loaded, batch: DataFrame, threshold: Double,
+      nprobe: Int = 1): DataFrame = {
+    val probed = VectorOps.assignCells(batch, st.centroids, nprobe)
+      .select(col("id"), col("v"),
+        concat(lit("c"), col("cell")).as("cell"))
+    val hist = st.cells.select(VectorOps.toDouble(col("vec")).as("h_vec"),
+      col("cell"))
+    val dup = probed.join(hist, Seq("cell"))
+      .filter(round(VectorOps.cosine(col("v"), col("h_vec")), 6)
+        > threshold)
+      .select(col("id")).distinct()
+    batch.join(dup, Seq("id"), "left_anti")
+  }
+
   // -------------------------------------------------- IVF+PQ layout
 
   /** A loaded PQ store: cells carry (id, vec, codes, cell), plus the

@@ -228,6 +228,22 @@ object TrainingQueries {
     VectorOps.semanticDedup(embCorpus(s, d), embCents(s, d),
       threshold = 0.3)
 
+  /** Incremental semantic frontier ([[VectorStore.frontier]]): history
+    * vec_id < 150 persisted as an IVF store once per data dir, then the
+    * 150–300 batch probed against it through the cell layout — the
+    * embedding leg of the incremental-dedup triad (`dd_frontier` =
+    * exact hash via Bloom, `dd_lsh_store` = MinHash text).
+    */
+  val embFrontier: Q = (s, d) => {
+    val all = embCorpus(s, d)
+    val dir = graft.StoreUtil.cachedStoreDir("vfrontier", d) { p =>
+      VectorStore.save(all.filter(col("id") < 150), embCents(s, d), p)
+    }
+    VectorStore.frontier(VectorStore.load(s, dir),
+        all.filter(col("id") >= 150), threshold = 0.3)
+      .select(col("id"))
+  }
+
   /** Brute-force exact cosine top-5 for query vectors vec_id < 5. */
   val annTopk: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
@@ -827,6 +843,7 @@ object TrainingQueries {
     "emb_neardup" -> embNearDup,
     "emb_neardup_cells" -> embNearDupCells,
     "dd_semantic" -> ddSemantic,
+    "emb_frontier" -> embFrontier,
     "ann_topk" -> annTopk,
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
@@ -1270,6 +1287,18 @@ object TrainingQueries {
          |SELECT cells.id, cells.cell,
          |  cells.id NOT IN (SELECT id FROM dom) AS keep
          |FROM cells""".stripMargin,
+    "emb_frontier" ->
+      s"""WITH $embCellsSql,
+         |cells AS (SELECT id, v, cid AS cell FROM ranked WHERE r = 1),
+         |hist AS (SELECT * FROM cells WHERE id < 150),
+         |batch AS (SELECT * FROM cells WHERE id >= 150),
+         |dup AS (SELECT DISTINCT b.id FROM batch b JOIN hist h
+         |  ON b.cell = h.cell
+         |  WHERE round(list_dot_product(b.v, h.v) /
+         |    (sqrt(list_dot_product(b.v, b.v)) *
+         |     sqrt(list_dot_product(h.v, h.v))), 6) > 0.3)
+         |SELECT b.id FROM batch b
+         |WHERE b.id NOT IN (SELECT id FROM dup)""".stripMargin,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |  FROM embeddings),

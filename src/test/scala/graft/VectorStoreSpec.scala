@@ -311,6 +311,51 @@ class VectorStoreSpec extends AnyFunSuite {
       VectorStore.recoverAppendPq(spark, dest2, dest))
   }
 
+  test("semantic frontier: survivors have no within-cell stored near-dup, " +
+      "appending them closes the frontier, probing only widens the dup set") {
+    import spark.implicits._
+    val histDir = Files.createTempDirectory("graft_vfront").toString
+    val hist = corpus.filter(col("id") < 150)
+    val batch = corpus.filter(col("id") >= 150)
+    VectorStore.save(hist, cents, histDir)
+    val st = VectorStore.load(spark, histDir)
+    val kept = VectorStore.frontier(st, batch, threshold = 0.3)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // ground truth recomputed directly from the assignments: a batch
+    // row survives iff NO history row in its primary cell is closer
+    // than the threshold
+    val cellOf = VectorOps.assignCells(corpus, cents, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val vecs = corpus.select(col("id"),
+        VectorOps.toDouble(col("vec")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val histIds = (0L until 150L).filter(vecs.contains)
+    batch.select(col("id")).collect().map(_.getLong(0)).foreach { b =>
+      val hasDup = histIds.exists(h =>
+        cellOf(h) == cellOf(b) && cos(vecs(b), vecs(h)) > 0.3)
+      assert(kept.contains(b) == !hasDup, s"batch id $b")
+    }
+    // the maintenance loop: append the survivors, re-probe the same
+    // batch — every row is now a dup (of itself at cosine 1, or of a
+    // stored near-dup), so the frontier is EMPTY
+    VectorStore.append(spark, histDir,
+      batch.join(kept.toSeq.toDF("id"), Seq("id"), "left_semi"))
+    val again = VectorStore.frontier(VectorStore.load(spark, histDir),
+      batch, threshold = 0.3)
+    assert(again.count() == 0,
+      "appended survivors must close the frontier for their own batch")
+    // probing wider can only FIND MORE dups — survivors shrink
+    val kept2 = VectorStore.frontier(st, batch, threshold = 0.3, nprobe = 2)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(kept2.subsetOf(kept))
+  }
+
   test("rollback of a crashed append whose batchId ALIASES the creation " +
       "tag keeps the original corpus (seq-based recovery identity)") {
     import graft.ops.VectorOps
