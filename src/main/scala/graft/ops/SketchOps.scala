@@ -725,10 +725,23 @@ object SketchOps {
     * keeps warm per stream.
     */
   def decHist(df: org.apache.spark.sql.DataFrame,
-      valueCol: String): org.apache.spark.sql.DataFrame =
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    // integral only — the decimal cast would TRUNCATE a double column
+    // silently and return wrong quantiles without error (the same
+    // guard discipline as SelectOps.kthSmallestLongByGroup); scale
+    // doubles to integer units (micros, cents) at the caller, where
+    // the unit is known
+    val vt = df.schema(valueCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(vt),
+      s"decHist requires an integral value column; '$valueCol' is $vt — " +
+        "scale floating-point values to integer units first")
     df.filter(col(valueCol).isNotNull)
       .groupBy(histBinCol(col(valueCol)).as("bin"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** The bin expression: signed rpad-truncated magnitude.
     * abs() rides decimal(20,0), so Long.MinValue (whose long abs

@@ -269,6 +269,14 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("decHist refuses a double column instead of truncating") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      SketchOps.decHist(Seq(1.5, 2.5).toDF("v"), "v")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("histogram store: append folds without rescan, zombie no-ops, " +
       "crashed save refuses") {
     val df = Tables.documents(spark, sf).select(col("n_chars")

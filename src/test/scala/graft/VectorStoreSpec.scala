@@ -29,6 +29,19 @@ class VectorStoreSpec extends AnyFunSuite {
   }
   lazy val store = VectorStore.load(spark, storeDir)
 
+  /** One parquet file per micro-batch: maxFilesPerTrigger=1 then maps
+    * files to batches deterministically.
+    */
+  private def writeOneFile(inDir: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val sub = Files.createTempDirectory("graft_vstore_fb_tmp").toString + "/w"
+    df.coalesce(1).write.parquet(sub)
+    val f = new java.io.File(sub).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$inDir/$name"))
+  }
+
   test("store round trip preserves every vector exactly") {
     val orig = corpus.select(col("id"),
         VectorOps.toDouble(col("vec")).as("v"))
@@ -112,16 +125,8 @@ class VectorStoreSpec extends AnyFunSuite {
     // append with the batchId guard after.
     import org.apache.spark.sql.streaming.Trigger
     val inDir = Files.createTempDirectory("graft_vstore_fb_in").toString
-    def writeOneFile(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val sub = Files.createTempDirectory("graft_vstore_fb_tmp").toString + "/w"
-      df.coalesce(1).write.parquet(sub)
-      val f = new java.io.File(sub).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(s"$inDir/$name"))
-    }
-    writeOneFile("a.parquet", corpus.filter(col("id") < 150))
-    writeOneFile("b.parquet", corpus.filter(col("id") >= 150))
+    writeOneFile(inDir, "a.parquet", corpus.filter(col("id") < 150))
+    writeOneFile(inDir, "b.parquet", corpus.filter(col("id") >= 150))
     val dir = Files.createTempDirectory("graft_vstore_fb").toString + "/v"
     var batches = 0
     val stream = spark.readStream.schema(corpus.schema)
@@ -354,6 +359,48 @@ class VectorStoreSpec extends AnyFunSuite {
     val kept2 = VectorStore.frontier(st, batch, threshold = 0.3, nprobe = 2)
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(kept2.subsetOf(kept))
+  }
+
+  test("foreachBatch semantic-dedup loop: frontier gates each batch " +
+      "before it appends, so only genuinely novel vectors accumulate") {
+    // the realistic maintenance composition: per micro-batch,
+    // frontier-vs-store first, then append ONLY the survivors. Batch 2
+    // carries exact re-keyed copies of batch 1 (cosine 1 dups) plus the
+    // 150–300 rows; the loop's final store must equal seed ∪ the
+    // one-shot frontier answer — copies never land
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = Files.createTempDirectory("graft_vfb_in").toString
+    val seed = corpus.filter(col("id") < 150)
+    val rest = corpus.filter(col("id") >= 150)
+    writeOneFile(inDir, "a.parquet", seed)
+    writeOneFile(inDir, "b.parquet", rest.unionByName(
+      seed.select((col("id") + 1000L).as("id"), col("vec"))))
+    val dir = Files.createTempDirectory("graft_vfb").toString + "/v"
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (graft.StoreUtil.readMarker(spark, dir,
+            VectorStore.ManifestFile).isDefined) {
+          val novel = VectorStore.frontier(VectorStore.load(spark, dir),
+            df, threshold = 0.3)
+          VectorStore.append(spark, dir, novel, Some(id))
+        } else VectorStore.save(df, cents, dir, Some(id))
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = VectorStore.load(spark, dir).cells
+      .select("id").collect().map(_.getLong(0)).toSet
+    // no re-keyed copy survives (each is a cosine-1 dup of history)
+    assert(got.forall(_ < 1000L), s"copies leaked: ${got.filter(_ >= 1000L)}")
+    // survivors equal the one-shot frontier of the same rows
+    val oneShotDir = Files.createTempDirectory("graft_vfb_ref").toString
+    VectorStore.save(seed, cents, oneShotDir)
+    val want = VectorStore.frontier(VectorStore.load(spark, oneShotDir),
+        rest, threshold = 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet ++
+      seed.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
   }
 
   test("rollback of a crashed append whose batchId ALIASES the creation " +
