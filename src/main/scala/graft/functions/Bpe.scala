@@ -97,6 +97,104 @@ object Bpe {
       s"lower(replace($textExpr, '|', '')), " +
       s"'[\\x{000B}\\x{0085}\\x{2028}\\x{2029}]', ' ', 'g'), '\\s+')"
 
+  /** TRAIN a merge table from a word-frequency frame — the distributed
+    * shape that closes the tokenizer loop (the literal [[merges]] is
+    * one output of this procedure): ONE corpus scan produces the
+    * compact (word, count) table, and the k training iterations run on
+    * that bounded frame, never the corpus — at 100 TB the frequency
+    * table is millions of rows where the corpus is trillions, so the
+    * iteration cost is decoupled from data size exactly as k-means
+    * iterates on assignments, not raw bytes. Each iteration is one
+    * weighted adjacent-pair aggregation (map-side partial, tiny
+    * exchange), one driver argmax (a single collected row), and one
+    * literal `replace` projection — the SAME fence-string rewrite the
+    * encoder applies, so training and encoding can never disagree
+    * about merge semantics. Deterministic end to end: pair counts are
+    * exact integers, ties break (count DESC, l ASC, r ASC).
+    *
+    * Standard BPE counting: ALL adjacent symbol pairs count (an "aaaa"
+    * contributes (a,a) three times), while application merges
+    * left-to-right non-overlapping — the Sennrich (2016) convention,
+    * which the double-fence `replace` reproduces.
+    *
+    * @param wordFreqs (word, count) — already normalized ([[wordsCol]]
+    *                  hygiene: lowercased, '|'-free, non-empty)
+    * @return the merge table in rank order, length `nMerges` (fails if
+    *         the corpus exhausts its pairs first — train fewer merges)
+    */
+  def train(wordFreqs: org.apache.spark.sql.DataFrame, wordCol: String,
+      countCol: String, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges > 0, s"nMerges=$nMerges must be positive")
+    var cur = wordFreqs
+      .select(fencedCol(col(wordCol)).as("f"),
+        col(countCol).cast("long").as("c"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(String, String)]
+    for (i <- 0 until nMerges) {
+      // adjacent pairs of the CURRENT symbolization, weighted by word
+      // count; the symbol array is bound once through the
+      // single-element-array fence (the winnowSelectCol lesson) before
+      // the per-index lambda references it
+      val best = cur.select(explode(element_at(transform(
+            array(array_remove(split(col("f"), "\\|+"), "")), sy =>
+              when(size(sy) >= 2, transform(sequence(lit(1), size(sy) - 1),
+                j => struct(element_at(sy, j).as("l"),
+                  element_at(sy, j + 1).as("r"))))
+                .otherwise(array().cast("array<struct<l:string,r:string>>"))),
+            1)).as("p"), col("c"))
+        .groupBy(col("p.l"), col("p.r"))
+        .agg(sum(col("c")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"corpus exhausted its symbol pairs after $i merges — " +
+          s"requested $nMerges")
+      val (l, r) = (best(0).getString(0), best(0).getString(1))
+      out += ((l, r))
+      cur = cur.select(
+        call_function("replace", col("f"), lit(s"|$l||$r|"), lit(s"|$l$r|"))
+          .as("f"), col("c"))
+    }
+    out.result()
+  }
+
+  /** One word as its pipe-fenced character symbolization — the
+    * encoder's wire format ([[wordTokens]]), shared so training
+    * rewrites exactly what encoding rewrites.
+    */
+  private def fencedCol(w: Column): Column =
+    concat(rtrim(concat(lit("|"), regexp_replace(w, "(.)", "$1||")), "|"),
+      lit("|"))
+
+  /** Driver-side reference trainer over an in-memory frequency table —
+    * the independent oracle for [[train]] (same counting convention,
+    * same tie-break), used by the suites; never a hot path.
+    */
+  def referenceTrain(wordFreqs: Seq[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    var words = wordFreqs.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    (0 until nMerges).map { _ =>
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((sym, c) <- words; j <- 0 until sym.length - 1)
+        counts((sym(j), sym(j + 1))) += c
+      require(counts.nonEmpty, "corpus exhausted its symbol pairs")
+      val (l, r) = counts.toSeq
+        .sortBy { case ((pl, pr), pc) => (-pc, pl, pr) }.head._1
+      words = words.map { case (sym, c) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var j = 0
+        while (j < sym.length) {
+          if (j < sym.length - 1 && sym(j) == l && sym(j + 1) == r) {
+            out += l + r; j += 2
+          } else { out += sym(j); j += 1 }
+        }
+        (out.toVector, c)
+      }
+      (l, r)
+    }
+  }
+
   /** Driver-side PRIORITY-QUEUE greedy BPE over one normalized word —
     * the independent reference implementation of the rank-order
     * equivalence the expression relies on (lowest-rank applicable

@@ -228,6 +228,36 @@ object TrainingQueries {
     VectorOps.semanticDedup(embCorpus(s, d), embCents(s, d),
       threshold = 0.3)
 
+  /** BPE merge-table TRAINING on the corpus word frequencies
+    * ([[graft.functions.Bpe.train]]): one corpus scan to the compact
+    * (word, count) table, then 8 iterations of weighted-pair argmax +
+    * the encoder's own fence rewrite — closing the tokenizer loop the
+    * literal `Bpe.merges` table came from. The oracle replays all 8
+    * layers unrolled in SQL, so counting convention, tie-break, and
+    * merge application are pinned cross-engine.
+    */
+  val txtBpeTrain: Q = (s, d) => {
+    import graft.functions.Bpe
+    val wf = Tables.documents(s, d)
+      .select(explode(Bpe.wordsCol(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val rows = Bpe.train(wf, "w", "c", nMerges = 8).zipWithIndex
+      .map { case ((l, r), i) =>
+        org.apache.spark.sql.Row(i.toLong, l, r)
+      }
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("l",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
   /** Incremental semantic frontier ([[VectorStore.frontier]]): history
     * vec_id < 150 persisted as an IVF store once per data dir, then the
     * 150–300 batch probed against it through the cell layout — the
@@ -844,6 +874,7 @@ object TrainingQueries {
     "emb_neardup_cells" -> embNearDupCells,
     "dd_semantic" -> ddSemantic,
     "emb_frontier" -> embFrontier,
+    "txt_bpe_train" -> txtBpeTrain,
     "ann_topk" -> annTopk,
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
@@ -946,6 +977,35 @@ object TrainingQueries {
       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
       |  FROM scored)
       |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** The BPE-training oracle: 8 unrolled layers, each one weighted
+    * adjacent-pair count over the current fence-string symbolization,
+    * the (count DESC, l, r) argmax, and the fence rewrite — the exact
+    * [[graft.functions.Bpe.train]] loop in SQL.
+    */
+  private val bpeTrainSql: String = {
+    val layers = (0 until 8).map { i =>
+      s"""p$i AS (SELECT l, r, sum(c) AS pc FROM (
+         |  SELECT syms[CAST(j AS INT)] AS l, syms[CAST(j + 1 AS INT)] AS r, c
+         |  FROM (SELECT list_filter(string_split_regex(f, '\\|+'),
+         |      x -> x <> '') AS syms, c FROM w$i),
+         |    unnest(range(1, len(syms))) u(j))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |w${i + 1} AS (SELECT replace(f, '|' || b.l || '||' || b.r || '|',
+         |    '|' || b.l || b.r || '|') AS f, c FROM w$i, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (0 until 8)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, l, r FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wf AS (SELECT w, count(*) AS c FROM (
+       |  SELECT unnest(${graft.functions.Bpe.wordsSql("text")}) AS w
+       |  FROM documents WHERE text IS NOT NULL) WHERE w <> '' GROUP BY w),
+       |w0 AS (SELECT rtrim('|' || regexp_replace(w, '(.)', '\\1||', 'g'),
+       |    '|') || '|' AS f, c FROM wf),
+       |$layers
+       |$ranks""".stripMargin
+  }
 
   /** The decimal-log histogram oracle: replays the binning digit for
     * digit ([[graft.ops.SketchOps.histBinSql]]), the cumulative walk,
@@ -1287,6 +1347,7 @@ object TrainingQueries {
          |SELECT cells.id, cells.cell,
          |  cells.id NOT IN (SELECT id FROM dom) AS keep
          |FROM cells""".stripMargin,
+    "txt_bpe_train" -> bpeTrainSql,
     "emb_frontier" ->
       s"""WITH $embCellsSql,
          |cells AS (SELECT id, v, cid AS cell FROM ranked WHERE r = 1),

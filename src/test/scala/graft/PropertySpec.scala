@@ -376,6 +376,43 @@ class PropertySpec extends AnyFunSuite {
     words.foreach(w => assert(got(w) == refBpe(w), s"word '$w'"))
   }
 
+  test("distributed BPE training equals the reference trainer on random " +
+      "frequency tables, and its output re-encodes consistently") {
+    import spark.implicits._
+    val rnd = new Random(47)
+    val alpha = "abcdeklmnorstu"
+    for (seed <- 0 until 5) {
+      val words = (0 until 40).map { i =>
+        val w = (0 until (2 + (rnd.nextInt(6))))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        (w, 1L + rnd.nextInt(20).toLong)
+      }
+      // distinct words (duplicate keys would double-count one side)
+      val freqs = words.groupBy(_._1).map { case (w, g) =>
+        (w, g.map(_._2).sum) }.toSeq
+      val got = graft.functions.Bpe.train(
+        freqs.toDF("w", "c"), "w", "c", nMerges = 6)
+      val want = graft.functions.Bpe.referenceTrain(freqs, 6)
+      assert(got == want, s"seed=$seed: $got vs $want")
+    }
+  }
+
+  test("training on the fixture corpus equals the reference trainer on " +
+      "the same frequencies") {
+    // SF-independent reproducibility: whatever this fixture's word
+    // frequencies are, the distributed trainer and the driver-side
+    // reference must induce the identical table. (The shipped literal
+    // prefix is the sf0.01 instance — the txt_bpe_train gate's oracle
+    // pins that cross-engine at the driver's verify SF.)
+    val wf = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Bpe.wordsCol(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val trained = graft.functions.Bpe.train(wf, "w", "c", nMerges = 8)
+    val freqs = wf.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(trained == graft.functions.Bpe.referenceTrain(freqs, 8))
+  }
+
   test("newick branch lengths serialize with the zero→epsilon rule") {
     val s = Newick.serialize(0L,
       Map(0L -> Seq(1L, 2L)).withDefaultValue(Seq.empty),
