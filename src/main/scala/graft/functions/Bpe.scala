@@ -172,15 +172,20 @@ object Bpe {
     */
   def referenceTrain(wordFreqs: Seq[(String, Long)],
       nMerges: Int): Seq[(String, String)] = {
-    var words = wordFreqs.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    var words = wordFreqs.map { case (w, c) => (codePointSymbols(w), c) }
     (0 until nMerges).map { _ =>
       val counts = scala.collection.mutable.Map
         .empty[(String, String), Long].withDefaultValue(0L)
       for ((sym, c) <- words; j <- 0 until sym.length - 1)
         counts((sym(j), sym(j + 1))) += c
       require(counts.nonEmpty, "corpus exhausted its symbol pairs")
-      val (l, r) = counts.toSeq
-        .sortBy { case ((pl, pr), pc) => (-pc, pl, pr) }.head._1
+      val (l, r) = counts.toSeq.sortWith { case (((al, ar), ac), ((bl, br), bc)) =>
+        if (ac != bc) ac > bc
+        else {
+          val c0 = utf8Compare(al, bl)
+          if (c0 != 0) c0 < 0 else utf8Compare(ar, br) < 0
+        }
+      }.head._1
       words = words.map { case (sym, c) =>
         val out = scala.collection.mutable.ArrayBuffer[String]()
         var j = 0
@@ -195,6 +200,25 @@ object Bpe {
     }
   }
 
+  /** Word → CODE-POINT symbols — what the engines' regex `(.)` splits
+    * on: a supplementary character (emoji, astral CJK) is ONE symbol,
+    * never two surrogate halves. Both driver-side references must use
+    * this, or they diverge from train/tokensCol on non-BMP input.
+    */
+  private def codePointSymbols(w: String): Vector[String] =
+    w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector
+
+  /** Code-point (= UTF-8 binary) string order — the collation Spark's
+    * UTF8String and DuckDB's default binary comparison share; Java's
+    * `compareTo` is UTF-16 code-unit order, which disagrees for
+    * strings mixing U+E000..U+FFFF with supplementary characters.
+    */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Driver-side PRIORITY-QUEUE greedy BPE over one normalized word —
     * the independent reference implementation of the rank-order
     * equivalence the expression relies on (lowest-rank applicable
@@ -207,7 +231,7 @@ object Bpe {
     */
   def referenceEncode(word: String): Seq[String] = {
     val rank = merges.zipWithIndex.toMap
-    var sym = word.map(_.toString).toVector
+    var sym = codePointSymbols(word)
     var done = false
     while (!done && sym.length > 1) {
       val present = sym.zip(sym.tail).flatMap(rank.get)

@@ -172,12 +172,22 @@ object VectorOps {
     * map-side), keeping the `nprobe` best cells per row. Ties break on
     * cid for determinism.
     *
-    * Shuffle budget: the nprobe=1 path (the k-means hot loop over the
-    * FULL corpus) reduces with `max_by` — partial aggregation combines
-    * map-side, so the exchange carries ~n rows, not the n·k scored
-    * rows. nprobe>1 needs a per-id window (n·k through one exchange);
-    * its callers probe the bounded QUERY side only, where that cost is
-    * request-sized by construction.
+    * Shuffle budget — BOTH paths are bounded-state aggregations, safe
+    * on an UNBOUNDED df (the dedup/frontier callers probe the corpus
+    * side): nprobe=1 reduces with `max_by` (partial aggregation
+    * combines map-side, the exchange carries ~n rows, not n·k);
+    * nprobe>1 rides [[SketchOps.topKPerGroup]] (≤nprobe entries per id
+    * per partition before the exchange — the row_number window this
+    * replaces shuffled ALL n·k scored rows through one exchange and
+    * sorted them per id). Cosines ride the order-bits transform
+    * (order-preserving, NaN above +∞ — identical to the window's
+    * NaN-greatest descending sort), and the (cos DESC, cid ASC) tie
+    * rule is topKPerGroup's (score DESC, id ASC) rule verbatim, so
+    * results are bit-identical to the window form. The nprobe>1 path
+    * re-reads `df` to re-attach vectors after the aggregation (top-k
+    * state carries only (bits, cid)) — `df` must be deterministic, or
+    * pre-materialized by the caller (VectorStore.query collects it;
+    * the gates read parquet).
     */
   def assignCells(df: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val cents = broadcast(centroids.select(col("cid"),
@@ -193,11 +203,14 @@ object VectorOps {
           struct(col("c_cos"), -col("cid"))).as("m"))
         .select(col("id"), col("m.v").as("v"), col("m.cid").as("cell"))
     } else {
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("c_cos").desc, col("cid"))
-      scored.withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= nprobe)
-        .select(col("id"), col("v"), col("cid").as("cell"))
+      val top = SketchOps.topKPerGroup(
+        scored.select(col("id"),
+          graft.functions.OrderBits.toBitsCol(col("c_cos")).as("ob"),
+          col("cid")),
+        "id", "ob", "cid", nprobe)
+      top.select(col("id"), col("cid").as("cell"))
+        .join(df.select(col("id"), toDouble(col("vec")).as("v")), Seq("id"))
+        .select(col("id"), col("v"), col("cell"))
     }
   }
 

@@ -180,6 +180,28 @@ object VectorStore {
     ()
   }
 
+  /** Whether a healthy store (either layout — both share the manifest
+    * file and cells directory) exists at `path` — the probe a
+    * maintenance loop's create-or-append branch MUST use, with the same
+    * discipline as [[SketchOps.cmStoreExists]]: cells without a
+    * manifest mean a save/append crashed mid-write, and that is BROKEN,
+    * not absent — a bare readMarker probe would take the save branch
+    * and `overwrite` the accumulated corpus with one micro-batch,
+    * silently resetting history (for a frontier store, every prior
+    * survivor could then re-enter as "novel").
+    */
+  def storeExists(spark: SparkSession, path: String): Boolean = {
+    val healthy =
+      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
+    if (!healthy && graft.StoreUtil.pathExists(spark, path, "cells"))
+      throw new IllegalStateException(
+        s"$path holds cells but no $ManifestFile — a save or append " +
+          "crashed mid-write; recover (recoverAppendPq for a pending " +
+          "PQ append) or rebuild from source rather than resetting " +
+          "history")
+    healthy
+  }
+
   /** ANN top-k against the stored layout. The bounded query side is routed
     * to its `nprobe` best cells (broadcast centroids); the distinct probed
     * cell keys — at most |queries|·nprobe of them, request-bounded — are

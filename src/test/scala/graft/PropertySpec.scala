@@ -397,6 +397,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("non-BMP characters are ONE symbol in expression, trainer, and " +
+      "references alike (code points, never surrogate halves)") {
+    import spark.implicits._
+    // U+1D11E (musical G clef) is a supplementary character: Java's
+    // per-char map would split it into two lone surrogates, while the
+    // engines' regex '(.)' treats it as one code point
+    val w = "a𝄞b"
+    val got = Seq(w).toDF("t")
+      .select(graft.functions.Bpe.tokensCol(col("t"))).head().getSeq[String](0)
+    assert(got.contains("𝄞"), got)
+    assert(got == graft.functions.Bpe.referenceEncode(w))
+    // and training on a corpus containing it agrees engine-vs-reference
+    val freqs = Seq((w, 5L), ("ab", 3L), ("aa", 2L))
+    val trained = graft.functions.Bpe.train(
+      freqs.toDF("w", "c"), "w", "c", nMerges = 2)
+    assert(trained == graft.functions.Bpe.referenceTrain(freqs, 2))
+  }
+
   test("training on the fixture corpus equals the reference trainer on " +
       "the same frequencies") {
     // SF-independent reproducibility: whatever this fixture's word

@@ -116,6 +116,22 @@ class VectorStoreSpec extends AnyFunSuite {
     intercept[IllegalStateException] { VectorStore.load(spark, dir) }
   }
 
+  test("storeExists distinguishes absent / healthy / BROKEN (cells, no " +
+      "manifest) — the maintenance-loop probe discipline") {
+    val absent = Files.createTempDirectory("graft_vs_absent").toString
+    assert(!VectorStore.storeExists(spark, s"$absent/v"))
+    assert(VectorStore.storeExists(spark, storeDir))
+    // a crashed save: cells on disk, manifest gone — must REFUSE, not
+    // read as absent (the save branch would overwrite history)
+    val broken = Files.createTempDirectory("graft_vs_broken").toString
+    corpus.limit(5)
+      .select(col("id"), col("vec"), lit("c0").as("cell"))
+      .write.partitionBy("cell").parquet(s"$broken/cells")
+    val e = intercept[IllegalStateException](
+      VectorStore.storeExists(spark, broken))
+    assert(e.getMessage.contains("no " + VectorStore.ManifestFile))
+  }
+
   test("foreachBatch maintains the vector store across micro-batches") {
     // the ANN leg of the store-maintenance lifecycle (CM/KMV/mix-stats
     // siblings live in StreamingSpec): each embedding micro-batch is
@@ -134,8 +150,10 @@ class VectorStoreSpec extends AnyFunSuite {
     val q = stream.writeStream.foreachBatch {
       (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         batches += 1
-        if (graft.StoreUtil.readMarker(spark, dir,
-            VectorStore.ManifestFile).isDefined)
+        // PROBE for the store, never a bare manifest peek: cells
+        // without a manifest mean a crashed write, and the save branch
+        // would overwrite the accumulated corpus with one micro-batch
+        if (VectorStore.storeExists(spark, dir))
           VectorStore.append(spark, dir, df, Some(id))
         else VectorStore.save(df, cents, dir, Some(id))
         ()
@@ -380,8 +398,7 @@ class VectorStoreSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = stream.writeStream.foreachBatch {
       (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (graft.StoreUtil.readMarker(spark, dir,
-            VectorStore.ManifestFile).isDefined) {
+        if (VectorStore.storeExists(spark, dir)) {
           val novel = VectorStore.frontier(VectorStore.load(spark, dir),
             df, threshold = 0.3)
           VectorStore.append(spark, dir, novel, Some(id))
