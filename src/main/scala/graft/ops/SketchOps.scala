@@ -763,10 +763,65 @@ object SketchOps {
     s"CAST(CASE WHEN $vExpr < 0 THEN -$m ELSE $m END AS BIGINT)"
   }
 
-  /** Sum bins — the exact merge. */
+  /** Sum bins — the exact merge. Every non-`cnt` column is part of the
+    * bin key (the [[appendKmv]] rule), so the plain and grouped
+    * ([[decHistByGroup]]) layouts share one merge and one store
+    * lifecycle.
+    */
   def mergeHist(a: org.apache.spark.sql.DataFrame,
-      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    a.unionByName(b).groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    require(a.columns.sorted.toSeq == b.columns.sorted.toSeq,
+      s"histogram schemas differ: ${a.columns.mkString(",")} vs " +
+        b.columns.mkString(","))
+    val keys = a.columns.filterNot(_ == "cnt").toSeq
+    a.unionByName(b).groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Per-group decimal-log histogram: (g, bin, cnt) — same binning,
+    * null groups excluded (no SQL grouping identity), all groups
+    * sketched in ONE aggregation pass. State stays bounded per group
+    * by the bin algebra; total state is O(groups · bins-touched).
+    */
+  def decHistByGroup(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(vt),
+      s"decHistByGroup requires an integral value column; '$valueCol' " +
+        s"is $vt — scale floating-point values to integer units first")
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), histBinCol(col(valueCol)).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** (g, p, rank, est) per group — every group walked in the same
+    * per-group cumulative window over the BIN table (bounded rows per
+    * group by the bin algebra, so the window partitions are tiny by
+    * construction), then one equi-join on g with the rank residual.
+    */
+  def histQuantilesByGroup(hist: org.apache.spark.sql.DataFrame,
+      ps: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles in [1,100]: $ps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.select(col("g"), col("bin"),
+      sum(col("cnt")).over(w).as("cum"))
+    val ranks = cum.groupBy(col("g")).agg(max(col("cum")).as("n"))
+      .select(col("g").as("rg"),
+        explode(array(ps.distinct.sorted.map(lit(_)): _*)).as("p"), col("n"))
+      .select(col("rg"), col("p"),
+        greatest(lit(1L),
+          expr("(cast(p as bigint) * n + 99) div 100")).as("rank"))
+    ranks.join(cum, col("rg") === col("g") && col("cum") >= col("rank"))
+      .groupBy(col("rg").as("g"), col("p"), col("rank"))
+      .agg(min(col("bin")).as("est"))
+      .orderBy(col("g"), col("p"))
+  }
 
   /** (p, rank, est) for the requested integer percentiles: rank under
     * the shared integer rank rule, est = value of the first bin whose

@@ -491,4 +491,61 @@ object TextOps {
         + (lit(1.0) - punct.cast("double") / length(text)) * 0.3
         + (stops.cast("double") / nTok) * 0.2).as("quality_score"))
   }
+
+  /** BM25-shaped retrieval scoring against a literal query — INTEGER-
+    * EXACT end to end, the cross-engine determinism discipline of the
+    * surprisal/ADC/temperature family applied to ranking. Two
+    * departures from textbook BM25, both deliberate:
+    * - idf is the RATIONAL Robertson core, 1000·(N−df+0.5)/(df+0.5)
+    *   integer-divided, not its logarithm: ln() is not correctly
+    *   rounded and a 1-ulp engine difference at a rounding boundary
+    *   fails a hash oracle nondeterministically (the float-sum
+    *   lesson). Monotonicity in df — what the ranking needs — is
+    *   identical; swap in a log where bit-reproducibility is not a
+    *   contract.
+    * - k1 = 1.2 and b = 0.75 (the standard constants) enter as exact
+    *   ratios: multiplying numerator and denominator of the
+    *   tf-saturation term by 10·totalLen makes every operand an
+    *   integer — score_t = idf · 22·tf·totalLen / (10·totalLen·tf +
+    *   3·totalLen + 9·len·N), evaluated in decimal(38,0) (hugeint in
+    *   the oracle) so a web-scale N·totalLen product cannot overflow.
+    * Per-term quotients floor to integer millis and SUM per doc —
+    * integer addition is order-free, so the score is partition- and
+    * engine-independent. Scale shape: one corpus scan for lengths +
+    * postings; the per-term frames (df, stats) broadcast; the only
+    * data-sized shuffle is the (doc, term) tf aggregation over
+    * MATCHING rows.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(topK > 0, s"topK=$topK must be positive")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        filter(tokensCol(col(textCol)), t => t =!= lit("")).as("toks"))
+    val lens = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("len"))
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot"))
+    val tf = base
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("""(CAST(2 * (n - df) + 1 AS DECIMAL(38,0)) * 1000 * 22
+               |   * tf * tot)
+               | div
+               | (CAST(2 * df + 1 AS DECIMAL(38,0))
+               |   * (CAST(10 AS DECIMAL(38,0)) * tot * tf
+               |      + CAST(3 AS DECIMAL(38,0)) * tot
+               |      + CAST(9 AS DECIMAL(38,0)) * len * n))"""
+          .stripMargin.replace("\n", " ")).as("m"))
+      .groupBy(col("doc_id")).agg(sum(col("m")).as("score_milli"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

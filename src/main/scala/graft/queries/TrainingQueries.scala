@@ -285,6 +285,15 @@ object TrainingQueries {
   val txtRepetition: Q = (s, d) =>
     TextOps.repetition(Tables.documents(s, d), "doc_id", "text")
 
+  /** Integer-exact BM25 top-20 for a three-term query
+    * ([[TextOps.bm25]]) — the retrieval-scoring member of the text
+    * family; the oracle replays the rational-idf arithmetic in
+    * HUGEINT.
+    */
+  val txtBm25: Q = (s, d) =>
+    TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
+      Seq("data", "query", "table"), topK = 20)
+
   /** Int8 embedding quantization, long form for the oracle compare. */
   val embQuantize: Q = (s, d) =>
     VectorOps.quantizeInt8(
@@ -369,6 +378,20 @@ object TrainingQueries {
       SketchOps.decHist(Tables.documents(s, d)
         .select(col("n_chars").cast("long").as("v")), "v"),
       Seq(1, 50, 90, 99, 100))
+
+  /** Per-source histogram quantiles ([[graft.ops.SketchOps
+    * .decHistByGroup]] → [[graft.ops.SketchOps.histQuantilesByGroup]]):
+    * all sources sketched in one aggregation pass, walked per group —
+    * the monitoring complement of `sk_exact_pct_group`, at O(groups ·
+    * bins) state instead of per-request scans.
+    */
+  val skHistGroup: Q = (s, d) =>
+    SketchOps.histQuantilesByGroup(
+      SketchOps.decHistByGroup(Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("v")),
+        "source", "v"),
+      Seq(50, 99))
+      .select(col("g").as("source"), col("p"), col("rank"), col("est"))
 
   /** The histogram store lifecycle: two disjoint halves saved + folded
     * ([[graft.ops.SketchOps.appendHist]] — history never rescanned),
@@ -878,6 +901,7 @@ object TrainingQueries {
     "ann_topk" -> annTopk,
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
+    "txt_bm25" -> txtBm25,
     "prep_pipeline" -> prepPipeline,
     "prep_stream_twin" -> ((s, d) =>
       // the streaming prep's batch twin (graft.streaming.DocStreams):
@@ -890,6 +914,7 @@ object TrainingQueries {
     "sk_distinct_kmv" -> skDistinctKmv,
     "sk_quantile" -> skQuantile,
     "sk_hist" -> skHist,
+    "sk_hist_group" -> skHistGroup,
     "sk_hist_store" -> skHistStore,
     "sk_exact_pct" -> skExactPct,
     "sk_exact_pct_group" -> skExactPctGroup,
@@ -1488,6 +1513,22 @@ object TrainingQueries {
         |  vs[CAST(greatest(1, ceil(q * n_sample)) AS INT)] AS quantile
         |FROM g, unnest([0.5, 0.9, 0.99]) u(q)""".stripMargin,
     "sk_hist" -> histQuantileSql,
+    "sk_hist_group" ->
+      s"""WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+         |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+         |h AS (SELECT g, ${SketchOps.histBinSql("v")} AS bin, count(*) AS cnt
+         |  FROM v GROUP BY 1, 2),
+         |c AS (SELECT g, bin,
+         |  sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum FROM h),
+         |n AS (SELECT g, max(cum) AS n FROM c GROUP BY g),
+         |p(p) AS (VALUES (50),(99)),
+         |r AS (SELECT n.g, p,
+         |  greatest(1, (CAST(p AS BIGINT) * n.n + 99) // 100) AS rank
+         |  FROM p, n)
+         |SELECT r.g AS source, r.p, CAST(r.rank AS BIGINT) AS rank,
+         |  CAST(min(c.bin) AS BIGINT) AS est
+         |FROM r JOIN c ON c.g = r.g AND c.cum >= r.rank
+         |GROUP BY r.g, r.p, r.rank""".stripMargin,
     // the store gate is DEFINED bit-identical to sk_hist (integer bin
     // sums are exact and order-free); what differs is the save/append
     // lifecycle, which SQL cannot see — shared oracle, same rule as
@@ -1603,6 +1644,28 @@ object TrainingQueries {
          |      len(grams)::DOUBLE) * 10000.0) / 10000.0
          |    ELSE 0.0 END AS rep_score
          |FROM g""".stripMargin,
+    "txt_bm25" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter($toksSql, x -> x <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM t),
+         |stats AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+         |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS tok FROM t)
+         |  WHERE tok IN ('data', 'query', 'table') GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    (CAST(2 * (s.n - d.df) + 1 AS HUGEINT) * 1000 * 22
+         |      * tf.tf * s.tot) //
+         |    (CAST(2 * d.df + 1 AS HUGEINT)
+         |      * (CAST(10 AS HUGEINT) * s.tot * tf.tf
+         |         + CAST(3 AS HUGEINT) * s.tot
+         |         + CAST(9 AS HUGEINT) * l.len * s.n)) AS m
+         |  FROM tf JOIN dft d USING (term)
+         |  JOIN lens l ON l.doc_id = tf.doc_id, stats s)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_milli
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id AS id, embedding
         |  FROM embeddings WHERE vec_id < 50)

@@ -321,6 +321,24 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
   }
 
+  test("multi-probe cell assignment plans WITHOUT a window: bounded " +
+      "top-k aggregation, map-side partial") {
+    import org.apache.spark.sql.functions.col
+    // the nprobe>1 path must stay safe on an UNBOUNDED probing side
+    // (the dedup/frontier callers): a row_number window here shuffles
+    // all n·k scored rows and sorts per id — the regression this locks
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Tables.embeddings(spark, sf).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val p = finalPlan(
+      graft.ops.VectorOps.nearDupPairsBucketed(e, cents, 0.3, nprobe = 2))
+    assert(!p.contains("Window"), p)
+    // the top-k aggregate combines map-side before its exchange
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2 ||
+      "SortAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("sequence packing shuffles once: shard-partitioned window, no global sort") {
     val p = finalPlan(graft.queries.TrainingQueries.packSeqs(spark, sf))
     // exactly ONE exchange (the shard-partitioned window's) — ">= 1"

@@ -277,6 +277,44 @@ class SketchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("grouped histogram: per-group estimates honor the envelope " +
+      "against the exact grouped kernel; grouped bins fold through the " +
+      "SAME store lifecycle") {
+    val df = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+    val est = SketchOps.histQuantilesByGroup(
+        SketchOps.decHistByGroup(df, "source", "v"), Seq(50, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val exact = graft.ops.SelectOps.exactPercentilesLongByGroup(
+        df.toDF("source", "n_chars"), "source", "n_chars", Seq(50, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    for (((g, p), e) <- est) {
+      val t = exact((g, p))
+      assert(e <= t && t < e + math.max(1L, e / 100L) + 1L,
+        s"$g p$p: est $e vs exact $t outside the 1% envelope")
+    }
+    // the generalized merge: grouped halves fold bit-equal to one-shot,
+    // through the SAME save/append store protocol
+    val dir = java.nio.file.Files.createTempDirectory("graft_histg").toString
+    SketchOps.saveHist(
+      SketchOps.decHistByGroup(df.filter(col("v") % 2 === 0), "source", "v"),
+      dir, batchId = Some(0L))
+    SketchOps.appendHist(spark, dir,
+      SketchOps.decHistByGroup(df.filter(col("v") % 2 =!= 0), "source", "v"),
+      batchId = Some(1L))
+    val served = SketchOps.loadHist(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = SketchOps.decHistByGroup(df, "source", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(served == want)
+    // mixed-layout merge is refused loudly, never mis-keyed
+    intercept[IllegalArgumentException] {
+      SketchOps.mergeHist(SketchOps.decHist(df.select(col("v")), "v"),
+        SketchOps.decHistByGroup(df, "source", "v"))
+    }
+  }
+
   test("histogram store: append folds without rescan, zombie no-ops, " +
       "crashed save refuses") {
     val df = Tables.documents(spark, sf).select(col("n_chars")

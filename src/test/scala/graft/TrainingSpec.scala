@@ -772,6 +772,28 @@ class TrainingSpec extends AnyFunSuite {
     assert(score("") == 0L)
   }
 
+  test("bm25: tf raises, idf favors rare terms, scores match the hand-" +
+      "computed integer arithmetic, partitioning-independent") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "data data data pad pad"),
+      (2L, "data pad pad pad pad"),
+      (3L, "pad pad pad pad pad"),
+      (4L, "rare pad pad pad pad")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.bm25(df, "doc_id", "text", Seq("data", "rare"), topK = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val got = run(fixture)
+    // N=4, tot=20, len=5: hand arithmetic of the rational-idf formula —
+    //   doc1 data tf=3 df=2: ⌊5000·22·3·20 / (5·(600+60+180))⌋ = 1571
+    //   doc2 data tf=1 df=2: ⌊5000·22·20  / (5·440·… )⌋        = 1000
+    //   doc4 rare tf=1 df=1: ⌊7000·22·20  / (3·440)⌋           = 2333
+    // rare beats frequent at equal tf (idf), tf=3 beats tf=1, and the
+    // no-hit doc 3 is absent
+    assert(got.toSeq == Seq(4L -> 2333L, 1L -> 1571L, 2L -> 1000L))
+    assert(run(fixture.repartition(7)).toSeq == got.toSeq)
+  }
+
   test("LM scorers stay linear on a long document (the tokenizer chain " +
       "is fence-bound, not re-inlined per element)") {
     import spark.implicits._
