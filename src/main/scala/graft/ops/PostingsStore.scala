@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index — the RETRIEVAL serving artifact, the
+  * analog of the reference's Lucene indexes
+  * (GraphBase.java:431-448) for full-text scoring instead of point
+  * lookup: one corpus pass at build time writes a postings table
+  * `(term, doc_id, tf, len)` BUCKETED BY TERM, so a query reads only
+  * its own terms' buckets (`SelectedBucketsCount` — the same pruning
+  * contract `TreeStore` proves for node ids) and never touches the
+  * corpus again. Document length rides ON the posting row (classic
+  * index denormalization): scoring needs len per matching doc, and
+  * carrying it beats a corpus-sized join against a lengths table at
+  * query time. Corpus-level stats (N docs, total length — what idf
+  * and length-normalization need) are two integers in the manifest.
+  *
+  * [[queryBm25]] is DEFINED bit-identical to [[TextOps.bm25]] over
+  * the same corpus: same tokenizer ([[TextOps.bm25Base]]), same
+  * integer scoring tail ([[TextOps.bm25Rank]]), df recomputed from
+  * the pruned postings themselves (a count over the terms' buckets —
+  * no separate df table to drift). What changes is the IO: the
+  * in-memory form scans and tokenizes the corpus per query; the
+  * store serves from ~|terms|/buckets of a pre-tokenized table.
+  *
+  * Append ingests NEW documents only (ids must be new — the
+  * single-writer contract of the store family; re-ingesting an id
+  * would double its postings): their postings land in the same
+  * bucket layout, and N/total length fold into the manifest. A
+  * crash mid-append leaves the store manifest-less, so every reader
+  * fails fast (the CM/KMV "detectable, not atomic" protocol);
+  * recovery is rebuilding from source. `batchId` arms the standard
+  * foreachBatch zombie guard.
+  */
+object PostingsStore {
+
+  val ManifestFile = "_graft_postings.json"
+
+  case class Loaded(postings: DataFrame, nDocs: Long, totalLen: Long,
+      buckets: Int)
+
+  private def manifest(buckets: Int, nDocs: Long, totalLen: Long,
+      batchId: Option[Long]): String =
+    s"""{"version":1,"buckets":$buckets,"n_docs":$nDocs""" +
+      s""","total_len":$totalLen""" +
+      batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
+
+  /** (postings, nDocs, totalLen) of one document batch — the single
+    * definition both save and append index with.
+    */
+  private def indexOf(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, Long, Long) = {
+    val base = TextOps.bm25Base(docs, idCol, textCol)
+    val lens = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("len"))
+    val postings = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("len"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("len"))
+    val s = lens.agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+      coalesce(sum(col("len")), lit(0L)).as("tot")).head()
+    (postings, s.getLong(0), s.getLong(1))
+  }
+
+  def save(docs: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int = 32, batchId: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
+    // manifest deleted first, rewritten last: a crash mid-write leaves
+    // a store every reader refuses instead of serving partial postings
+    graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
+    val (postings, n, tot) = indexOf(docs, idCol, textCol)
+    graft.tree.TreeStore.writeBucketed(spark, postings,
+      s"$path/postings", "term", buckets)
+    graft.StoreUtil.writeMarker(spark, path, ManifestFile,
+      manifest(buckets, n, tot, batchId))
+  }
+
+  def load(spark: SparkSession, path: String): Loaded = {
+    val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "postings store")
+    def long(k: String): Long =
+      ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(mf)
+        .getOrElse(throw new IllegalStateException(
+          s"postings manifest at $path lacks $k")).group(1).toLong
+    val buckets = long("buckets").toInt
+    Loaded(graft.tree.TreeStore.loadBucketed(spark, s"$path/postings",
+      "term", buckets), long("n_docs"), long("total_len"), buckets)
+  }
+
+  /** Same probe discipline as the sibling stores: postings without a
+    * manifest mean a crashed write — refuse, never treat as absent.
+    */
+  def storeExists(spark: SparkSession, path: String): Boolean = {
+    val healthy =
+      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
+    if (!healthy && graft.StoreUtil.pathExists(spark, path, "postings"))
+      throw new IllegalStateException(
+        s"$path holds postings but no $ManifestFile — a save or append " +
+          "crashed mid-write; rebuild the index from source")
+    healthy
+  }
+
+  /** Index NEW documents into the store: their postings append into the
+    * same bucket layout (new files beside the old, bucket ids in the
+    * names — the bucketed-read union TreeStore relies on), N and total
+    * length fold into the manifest. Doc ids must be new to the store.
+    */
+  def append(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String,
+      batchId: Option[Long] = None): Unit = {
+    if (batchId.isDefined && batchId == SketchOps.lastBatchId(
+        spark, path, ManifestFile))
+      return
+    val st = load(spark, path)
+    val prevLast = SketchOps.lastBatchId(spark, path, ManifestFile)
+    graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
+    val (postings, n, tot) = indexOf(docs, idCol, textCol)
+    graft.tree.TreeStore.appendBucketed(spark, postings,
+      s"$path/postings", "term", st.buckets)
+    graft.StoreUtil.writeMarker(spark, path, ManifestFile,
+      manifest(st.buckets, st.nDocs + n, st.totalLen + tot,
+        batchId.orElse(prevLast)))
+  }
+
+  /** BM25 top-k from the stored index: the terms filter bucket-prunes
+    * the postings scan, df comes from counting the pruned rows, and the
+    * scoring tail is [[TextOps.bm25Rank]] verbatim — bit-identical to
+    * the in-memory scorer over the same corpus, which is what the
+    * shared oracle asserts.
+    */
+  def queryBm25(st: Loaded, queryTerms: Seq[String], topK: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val hits = st.postings.filter(col("term").isin(terms: _*))
+    val dft = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    TextOps.bm25Rank(
+      hits.join(broadcast(dft), Seq("term"))
+        .select(col("doc_id"), col("tf"), col("df"), col("len"),
+          lit(st.nDocs).as("n"), lit(st.totalLen).as("tot")),
+      topK)
+  }
+}

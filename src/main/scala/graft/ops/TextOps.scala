@@ -521,9 +521,7 @@ object TextOps {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     require(topK > 0, s"topK=$topK must be positive")
     val terms = queryTerms.map(_.toLowerCase).distinct
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        filter(tokensCol(col(textCol)), t => t =!= lit("")).as("toks"))
+    val base = bm25Base(docs, idCol, textCol)
     val lens = base.select(col("doc_id"),
       size(col("toks")).cast("long").as("len"))
     val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot"))
@@ -532,9 +530,18 @@ object TextOps {
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dft), Seq("term"))
+    bm25Rank(tf.join(broadcast(dft), Seq("term"))
       .join(lens, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats)), topK)
+  }
+
+  /** The shared scoring tail over a frame carrying (doc_id, tf, df,
+    * len, n, tot) — ONE definition of the integer arithmetic, so the
+    * in-memory form and [[PostingsStore.queryBm25]] can never drift
+    * while claiming one oracle.
+    */
+  private[graft] def bm25Rank(perTerm: DataFrame, topK: Int): DataFrame =
+    perTerm
       .select(col("doc_id"),
         expr("""(CAST(2 * (n - df) + 1 AS DECIMAL(38,0)) * 1000 * 22
                |   * tf * tot)
@@ -547,5 +554,14 @@ object TextOps {
       .groupBy(col("doc_id")).agg(sum(col("m")).as("score_milli"))
       .orderBy(col("score_milli").desc, col("doc_id"))
       .limit(topK)
-  }
+
+  /** (doc_id, toks) with the bm25 token hygiene — shared by the
+    * in-memory scorer and the postings-store builder (ONE tokenizer,
+    * or index and query would disagree about terms).
+    */
+  private[graft] def bm25Base(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        filter(tokensCol(col(textCol)), t => t =!= lit("")).as("toks"))
 }

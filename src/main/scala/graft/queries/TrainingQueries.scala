@@ -294,6 +294,22 @@ object TrainingQueries {
     TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
       Seq("data", "query", "table"), topK = 20)
 
+  /** The same query served from the persisted inverted index
+    * ([[graft.ops.PostingsStore]]): built once per data dir, then
+    * every call reads only the query terms' BUCKETS of the postings
+    * table — bit-identical to [[txtBm25]] by construction (shared
+    * tokenizer and scoring tail), so it shares that oracle.
+    */
+  val txtBm25Store: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("postings", d) { p =>
+      graft.ops.PostingsStore.save(Tables.documents(s, d), "doc_id",
+        "text", p)
+    }
+    graft.ops.PostingsStore.queryBm25(
+      graft.ops.PostingsStore.load(s, dir),
+      Seq("data", "query", "table"), topK = 20)
+  }
+
   /** Int8 embedding quantization, long form for the oracle compare. */
   val embQuantize: Q = (s, d) =>
     VectorOps.quantizeInt8(
@@ -902,6 +918,7 @@ object TrainingQueries {
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
     "txt_bm25" -> txtBm25,
+    "txt_bm25_store" -> txtBm25Store,
     "prep_pipeline" -> prepPipeline,
     "prep_stream_twin" -> ((s, d) =>
       // the streaming prep's batch twin (graft.streaming.DocStreams):
@@ -1002,6 +1019,32 @@ object TrainingQueries {
       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
       |  FROM scored)
       |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** The integer BM25 oracle — rational idf, k1/b as exact ratios,
+    * HUGEINT products (see [[graft.ops.TextOps.bm25]]).
+    */
+  private val bm25Sql =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter($toksSql, x -> x <> '') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM t),
+       |stats AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
+       |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS tok FROM t)
+       |  WHERE tok IN ('data', 'query', 'table') GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |    (CAST(2 * (s.n - d.df) + 1 AS HUGEINT) * 1000 * 22
+       |      * tf.tf * s.tot) //
+       |    (CAST(2 * d.df + 1 AS HUGEINT)
+       |      * (CAST(10 AS HUGEINT) * s.tot * tf.tf
+       |         + CAST(3 AS HUGEINT) * s.tot
+       |         + CAST(9 AS HUGEINT) * l.len * s.n)) AS m
+       |  FROM tf JOIN dft d USING (term)
+       |  JOIN lens l ON l.doc_id = tf.doc_id, stats s)
+       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_milli
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin
 
   /** The BPE-training oracle: 8 unrolled layers, each one weighted
     * adjacent-pair count over the current fence-string symbolization,
@@ -1644,28 +1687,11 @@ object TrainingQueries {
          |      len(grams)::DOUBLE) * 10000.0) / 10000.0
          |    ELSE 0.0 END AS rep_score
          |FROM g""".stripMargin,
-    "txt_bm25" ->
-      s"""WITH t AS (SELECT doc_id,
-         |    list_filter($toksSql, x -> x <> '') AS toks
-         |  FROM documents WHERE text IS NOT NULL),
-         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM t),
-         |stats AS (SELECT count(*) AS n, sum(len) AS tot FROM lens),
-         |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(toks) AS tok FROM t)
-         |  WHERE tok IN ('data', 'query', 'table') GROUP BY 1, 2),
-         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT tf.doc_id,
-         |    (CAST(2 * (s.n - d.df) + 1 AS HUGEINT) * 1000 * 22
-         |      * tf.tf * s.tot) //
-         |    (CAST(2 * d.df + 1 AS HUGEINT)
-         |      * (CAST(10 AS HUGEINT) * s.tot * tf.tf
-         |         + CAST(3 AS HUGEINT) * s.tot
-         |         + CAST(9 AS HUGEINT) * l.len * s.n)) AS m
-         |  FROM tf JOIN dft d USING (term)
-         |  JOIN lens l ON l.doc_id = tf.doc_id, stats s)
-         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_milli
-         |FROM sc GROUP BY doc_id
-         |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin,
+    "txt_bm25" -> bm25Sql,
+    // the store gate is DEFINED bit-identical to txt_bm25 (shared
+    // tokenizer + scoring tail); what differs is the bucket-pruned IO,
+    // which SQL cannot see — shared oracle, the ann_store rule
+    "txt_bm25_store" -> bm25Sql,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id AS id, embedding
         |  FROM embeddings WHERE vec_id < 50)

@@ -266,7 +266,7 @@ object TreeStore {
     * external-table name and drop it after — the files (with Spark's bucket
     * ids in their names) are what persists.
     */
-  private def writeBucketed(spark: SparkSession, df: DataFrame, dir: String,
+  private[graft] def writeBucketed(spark: SparkSession, df: DataFrame, dir: String,
       key: String, buckets: Int): Unit = {
     val tmp = s"graft_store_w_${tableSuffix(dir)}"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
@@ -292,7 +292,7 @@ object TreeStore {
     * bucket ids in the names, and a bucketed read unions the per-bucket
     * file sets, so the exchange-free join property survives appends.
     */
-  private def appendBucketed(spark: SparkSession, df: DataFrame, dir: String,
+  private[graft] def appendBucketed(spark: SparkSession, df: DataFrame, dir: String,
       key: String, buckets: Int): Unit = {
     // register the location as a bucketed table FIRST: saveAsTable(Append)
     // on a nonexistent table is CTAS and would REPLACE the directory
@@ -308,7 +308,7 @@ object TreeStore {
       .saveAsTable(tbl)
   }
 
-  private def loadBucketed(spark: SparkSession, dir: String, key: String,
+  private[graft] def loadBucketed(spark: SparkSession, dir: String, key: String,
       buckets: Int): DataFrame = {
     val tbl = s"graft_store_${tableSuffix(dir)}"
     val schemaDdl = spark.read.parquet(dir).schema.toDDL

@@ -794,6 +794,58 @@ class TrainingSpec extends AnyFunSuite {
     assert(run(fixture.repartition(7)).toSeq == got.toSeq)
   }
 
+  test("postings store: served BM25 equals in-memory bit for bit, the " +
+      "term filter bucket-prunes, append folds new docs, crash refused") {
+    import graft.ops.PostingsStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_post").toString
+    val terms = Seq("data", "query", "table")
+    PostingsStore.save(docs, "doc_id", "text", dir, buckets = 8)
+    val st = PostingsStore.load(spark, dir)
+    val served = PostingsStore.queryBm25(st, terms, topK = 20)
+      .collect().map(_.toSeq)
+    val mem = TextOps.bm25(docs, "doc_id", "text", terms, topK = 20)
+      .collect().map(_.toSeq)
+    assert(served.toSeq == mem.toSeq && served.nonEmpty)
+    // the term predicate is a BUCKET filter: one term reads 1 of 8
+    // buckets' files (the Lucene-postings analog of TreeStore's
+    // point-lookup pruning). Pin auto-bucketed-scan off so the
+    // no-join point read keeps its bucket filter (the StoreSpec rule)
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(auto)
+    spark.conf.set(auto, "false")
+    try {
+      val one = st.postings.filter(col("term") === "data")
+      one.collect()
+      assert(one.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount: 1 out of 8"),
+        one.queryExecution.executedPlan.toString)
+    } finally spark.conf.set(auto, old)
+    // append new docs: stats fold, answers equal a one-shot index
+    val grow = java.nio.file.Files.createTempDirectory("graft_postg").toString
+    PostingsStore.save(docs.filter(col("doc_id") < 250), "doc_id", "text",
+      grow, buckets = 8, batchId = Some(0L))
+    PostingsStore.append(spark, grow, docs.filter(col("doc_id") >= 250),
+      "doc_id", "text", batchId = Some(1L))
+    val g = PostingsStore.load(spark, grow)
+    assert((g.nDocs, g.totalLen) == (st.nDocs, st.totalLen))
+    assert(PostingsStore.queryBm25(g, terms, topK = 20)
+      .collect().map(_.toSeq).toSeq == mem.toSeq)
+    // zombie re-delivery no-ops (re-ingesting doubles postings)
+    PostingsStore.append(spark, grow, docs.filter(col("doc_id") >= 250),
+      "doc_id", "text", batchId = Some(1L))
+    assert(PostingsStore.load(spark, grow).nDocs == st.nDocs)
+    // postings without a manifest = crashed write, refused loudly
+    val broken = java.nio.file.Files.createTempDirectory("graft_postb")
+      .toString
+    spark.range(3).select(lit("x").as("term"), col("id").as("doc_id"),
+        lit(1L).as("tf"), lit(5L).as("len"))
+      .write.parquet(s"$broken/postings")
+    intercept[IllegalStateException](PostingsStore.storeExists(spark, broken))
+    intercept[IllegalStateException](PostingsStore.load(spark, broken))
+    assert(!PostingsStore.storeExists(spark,
+      java.nio.file.Files.createTempDirectory("graft_postn").toString + "/p"))
+  }
+
   test("LM scorers stay linear on a long document (the tokenizer chain " +
       "is fence-bound, not re-inlined per element)") {
     import spark.implicits._
