@@ -128,6 +128,15 @@ object StoreUtil {
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(s"$where lacks '$key'"))
 
+  /** The 64-bit sibling — ONE manifest-field parsing rule for the store
+    * family (a per-store copy is the drift the shared definition
+    * exists to prevent).
+    */
+  def manifestLong(manifest: String, key: String, where: String): Long =
+    ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(manifest)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"$where lacks '$key'"))
+
   def readMarker(spark: SparkSession, dir: String,
       name: String): Option[String] = {
     val fs = fsOf(spark, dir)

@@ -47,31 +47,43 @@ object PostingsStore {
       batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
 
   /** (postings, nDocs, totalLen) of one document batch — the single
-    * definition both save and append index with.
+    * definition both save and append index with. The tokenized corpus
+    * is materialized ONCE (the ClusterOps.flatten checkpoint) so the
+    * eager stats aggregate and the postings write do not each pay a
+    * full tokenize pass. Evaluating the stats here — BEFORE any caller
+    * touches the store's manifest — also means a bad column name or
+    * unreadable input fails while the store is still intact.
     */
   private def indexOf(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, Long, Long) = {
-    val base = TextOps.bm25Base(docs, idCol, textCol)
-    val lens = base.select(col("doc_id"),
-      size(col("toks")).cast("long").as("len"))
+    val base = ClusterOps.flatten(TextOps.bm25Base(docs, idCol, textCol))
     val postings = base
       .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
         explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("len"))
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col("doc_id"), col("tf"), col("len"))
-    val s = lens.agg(coalesce(count(lit(1)), lit(0L)).as("n"),
-      coalesce(sum(col("len")), lit(0L)).as("tot")).head()
+    val s = base.agg(coalesce(count(lit(1)), lit(0L)).as("n"),
+      coalesce(sum(size(col("toks"))), lit(0L)).as("tot")).head()
     (postings, s.getLong(0), s.getLong(1))
   }
 
   def save(docs: DataFrame, idCol: String, textCol: String, path: String,
       buckets: Int = 32, batchId: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
-    // manifest deleted first, rewritten last: a crash mid-write leaves
-    // a store every reader refuses instead of serving partial postings
-    graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
+    // index FIRST, manifest delete after: the eager stats job validates
+    // the inputs, so a typo'd column name or unreadable source fails
+    // with any existing store at `path` untouched
     val (postings, n, tot) = indexOf(docs, idCol, textCol)
+    // an all-empty write emits no parquet files, which a later load
+    // would misreport as a schema-inference failure on a "healthy"
+    // store — refuse here; a maintenance loop simply keeps probing
+    // storeExists and re-taking the save branch until docs arrive
+    require(n > 0, "refusing to index an empty corpus — defer store " +
+      "creation until the first non-empty batch")
+    // manifest deleted before the write, rewritten last: a crash
+    // mid-write leaves a store every reader refuses
+    graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
     graft.tree.TreeStore.writeBucketed(spark, postings,
       s"$path/postings", "term", buckets)
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
@@ -82,9 +94,7 @@ object PostingsStore {
     val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
       "postings store")
     def long(k: String): Long =
-      ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(mf)
-        .getOrElse(throw new IllegalStateException(
-          s"postings manifest at $path lacks $k")).group(1).toLong
+      graft.StoreUtil.manifestLong(mf, k, s"postings manifest at $path")
     val buckets = long("buckets").toInt
     Loaded(graft.tree.TreeStore.loadBucketed(spark, s"$path/postings",
       "term", buckets), long("n_docs"), long("total_len"), buckets)
@@ -116,8 +126,24 @@ object PostingsStore {
       return
     val st = load(spark, path)
     val prevLast = SketchOps.lastBatchId(spark, path, ManifestFile)
-    graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
+    // index + validate BEFORE touching the manifest (the save rule)
     val (postings, n, tot) = indexOf(docs, idCol, textCol)
+    if (n == 0) return // nothing to index; the store stays as-is
+    // ENFORCE the new-ids contract instead of documenting it: a
+    // re-ingested doc would double its postings and double-count the
+    // stats, silently corrupting every later score — the corruption
+    // TreeStore.appendTree's id checks exist to prevent. Cost: one
+    // column-pruned doc_id scan of the index per append — far cheaper
+    // than the rebuild an undetected duplicate forces
+    val dup = postings.select(col("doc_id")).distinct()
+      .join(st.postings.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .head(1)
+    require(dup.isEmpty,
+      s"append batch re-ingests doc_id ${dup.head.get(0)} already " +
+        "in the postings store — append indexes NEW documents only " +
+        "(re-indexing a changed doc means rebuilding the index)")
+    graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
     graft.tree.TreeStore.appendBucketed(spark, postings,
       s"$path/postings", "term", st.buckets)
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
@@ -133,6 +159,7 @@ object PostingsStore {
     */
   def queryBm25(st: Loaded, queryTerms: Seq[String], topK: Int): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(topK > 0, s"topK=$topK must be positive") // the bm25 twin's guard
     val terms = queryTerms.map(_.toLowerCase).distinct
     val hits = st.postings.filter(col("term").isin(terms: _*))
     val dft = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -511,10 +511,12 @@ object TextOps {
     *   the oracle) so a web-scale N·totalLen product cannot overflow.
     * Per-term quotients floor to integer millis and SUM per doc —
     * integer addition is order-free, so the score is partition- and
-    * engine-independent. Scale shape: one corpus scan for lengths +
-    * postings; the per-term frames (df, stats) broadcast; the only
-    * data-sized shuffle is the (doc, term) tf aggregation over
-    * MATCHING rows.
+    * engine-independent. Scale shape: two tokenize scans (corpus
+    * stats + matching-term extraction — stats needs every doc's
+    * length, matched or not), NO corpus-sized shuffle (len rides the
+    * tf aggregation key instead of joining a lengths table); the
+    * per-term frames (df, stats) broadcast. [[PostingsStore]] removes
+    * the per-query scans entirely.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], topK: Int): DataFrame = {
@@ -522,16 +524,16 @@ object TextOps {
     require(topK > 0, s"topK=$topK must be positive")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val base = bm25Base(docs, idCol, textCol)
-    val lens = base.select(col("doc_id"),
-      size(col("toks")).cast("long").as("len"))
-    val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("tot"))
     val tf = base
-      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        explode(col("toks")).as("term"))
       .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     bm25Rank(tf.join(broadcast(dft), Seq("term"))
-      .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(stats)), topK)
   }
 

@@ -834,6 +834,28 @@ class TrainingSpec extends AnyFunSuite {
     PostingsStore.append(spark, grow, docs.filter(col("doc_id") >= 250),
       "doc_id", "text", batchId = Some(1L))
     assert(PostingsStore.load(spark, grow).nDocs == st.nDocs)
+    // a RE-INGESTED doc id is refused, never silently double-counted
+    val eDup = intercept[IllegalArgumentException] {
+      PostingsStore.append(spark, grow,
+        docs.filter(col("doc_id") === 10), "doc_id", "text",
+        batchId = Some(9L))
+    }
+    assert(eDup.getMessage.contains("re-ingests"))
+    assert(PostingsStore.load(spark, grow).nDocs == st.nDocs,
+      "a refused append must leave the store loadable and unchanged")
+    // an empty corpus is refused at save (no files would be written and
+    // load would misreport schema inference); a bad column name fails
+    // BEFORE the manifest is touched
+    intercept[IllegalArgumentException] {
+      PostingsStore.save(docs.filter(lit(false)), "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("graft_poste").toString)
+    }
+    intercept[Exception] {
+      PostingsStore.append(spark, grow, docs.filter(col("doc_id") >= 500),
+        "no_such_col", "text")
+    }
+    assert(PostingsStore.load(spark, grow).nDocs == st.nDocs,
+      "a failed-validation append must not brick the store")
     // postings without a manifest = crashed write, refused loudly
     val broken = java.nio.file.Files.createTempDirectory("graft_postb")
       .toString
