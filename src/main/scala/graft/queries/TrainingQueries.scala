@@ -274,6 +274,32 @@ object TrainingQueries {
       .select(col("id"))
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    * top-20 and the cosine dense top-20 (embeddings align 1:1 with
+    * documents), the standard two-tower serving composition. RRF is
+    * INTEGER-EXACT by nature — contribution = 1000000 div (60 + rank),
+    * absent-from-list = 0 — so the fused ranking is engine-independent
+    * with no float anywhere. Ties break on doc_id.
+    */
+  val retHybrid: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    val lex = TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("data", "query", "table"), topK = 20)
+      .select(col("doc_id"), row_number().over(w).cast("long").as("lrank"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val dense = VectorOps.topK(e.filter(col("id") === 0), e, k = 20)
+      .select(col("n_id").as("doc_id"), col("rank").as("drank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr("1000000 div (60 + lrank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + drank)"), lit(0L)))
+          .as("rrf_milli"))
+      .orderBy(col("rrf_milli").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Brute-force exact cosine top-5 for query vectors vec_id < 5. */
   val annTopk: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
@@ -919,6 +945,7 @@ object TrainingQueries {
     "txt_repetition" -> txtRepetition,
     "txt_bm25" -> txtBm25,
     "txt_bm25_store" -> txtBm25Store,
+    "ret_hybrid" -> retHybrid,
     "prep_pipeline" -> prepPipeline,
     "prep_stream_twin" -> ((s, d) =>
       // the streaming prep's batch twin (graft.streaming.DocStreams):
@@ -1692,6 +1719,28 @@ object TrainingQueries {
     // tokenizer + scoring tail); what differs is the bucket-pruned IO,
     // which SQL cannot see — shared oracle, the ann_store rule
     "txt_bm25_store" -> bm25Sql,
+    "ret_hybrid" ->
+      s"""WITH bm AS ($bm25Sql),
+         |lex AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
+         |    AS BIGINT) AS lrank FROM bm),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT c.vec_id AS doc_id,
+         |    round(list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) *
+         |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+         |  FROM (SELECT * FROM e WHERE vec_id = 0) q
+         |  JOIN e c ON c.vec_id <> q.vec_id),
+         |dense AS (SELECT doc_id, drank FROM (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+         |    AS BIGINT) AS drank FROM scored) WHERE drank <= 20),
+         |fused AS (SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id,
+         |    coalesce(1000000 // (60 + l.lrank), 0)
+         |      + coalesce(1000000 // (60 + dn.drank), 0) AS rrf_milli
+         |  FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id)
+         |SELECT doc_id, rrf_milli FROM fused
+         |ORDER BY rrf_milli DESC, doc_id LIMIT 10""".stripMargin,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id AS id, embedding
         |  FROM embeddings WHERE vec_id < 50)

@@ -794,6 +794,32 @@ class TrainingSpec extends AnyFunSuite {
     assert(run(fixture.repartition(7)).toSeq == got.toSeq)
   }
 
+  test("hybrid RRF fusion equals the per-tower recomputation; dual-" +
+      "listed docs outrank single-tower docs at equal positions") {
+    val fused = TrainingQueries.retHybrid(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute both towers independently and fold the RRF by hand
+    val lex = TrainingQueries.txtBm25(spark, sf).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val dense = graft.ops.VectorOps.topK(e.filter(col("id") === 0), e, 20)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    def rrf(id: Long): Long =
+      lex.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+        dense.get(id).map(r => 1000000L / (60L + r)).getOrElse(0L)
+    assert(fused.nonEmpty && fused.forall { case (id, s) => s == rrf(id) })
+    // a doc on BOTH lists must beat any doc on one list at the same or
+    // worse positions — the property fusion exists for
+    val dual = fused.keys.filter(id => lex.contains(id) && dense.contains(id))
+    if (dual.nonEmpty) {
+      val best = fused.maxBy(_._2)
+      assert(lex.contains(best._1) && dense.contains(best._1),
+        s"top fused doc ${best._1} should be dual-listed")
+    }
+  }
+
   test("postings store: served BM25 equals in-memory bit for bit, the " +
       "term filter bucket-prunes, append folds new docs, crash refused") {
     import graft.ops.PostingsStore
