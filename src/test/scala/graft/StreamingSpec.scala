@@ -323,6 +323,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(q50(served) == q50(want) && q50(served).nonEmpty)
   }
 
+  test("foreachBatch maintains the postings store across micro-batches") {
+    // the retrieval leg of the store-maintenance lifecycle: each doc
+    // micro-batch indexes ALONE and appends into the bucketed layout
+    // (new ids only — the enforced contract), stats fold in the
+    // manifest, and the served BM25 equals indexing the whole corpus
+    // at once
+    import graft.ops.PostingsStore
+    val docs = Tables.documents(spark, sf)
+    val inDir = Files.createTempDirectory("graft_post_fb_in").toString
+    writeEventFile(inDir, "a.parquet", docs.filter(col("doc_id") % 2 === 0))
+    writeEventFile(inDir, "b.parquet", docs.filter(col("doc_id") % 2 =!= 0))
+    val store = Files.createTempDirectory("graft_post_fb").toString + "/p"
+    var batches = 0
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        // PROBE, never catch-and-create (the family discipline)
+        if (PostingsStore.storeExists(spark, store))
+          PostingsStore.append(spark, store, df, "doc_id", "text", Some(id))
+        else PostingsStore.save(df, "doc_id", "text", store,
+          batchId = Some(id))
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val grown = PostingsStore.load(spark, store)
+    val oneDir = Files.createTempDirectory("graft_post_fb_one").toString
+    PostingsStore.save(docs, "doc_id", "text", oneDir)
+    val one = PostingsStore.load(spark, oneDir)
+    assert((grown.nDocs, grown.totalLen) == (one.nDocs, one.totalLen))
+    val terms = Seq("data", "query", "table")
+    assert(PostingsStore.queryBm25(grown, terms, 20)
+      .collect().map(_.toSeq).toSeq ==
+      PostingsStore.queryBm25(one, terms, 20).collect().map(_.toSeq).toSeq)
+    // zombie re-delivery of the last batch id is a no-op (re-indexing
+    // would trip the duplicate-id check; the guard must fire FIRST)
+    val lastId = graft.ops.SketchOps.lastBatchId(spark, store,
+      PostingsStore.ManifestFile)
+    assert(lastId.isDefined)
+    PostingsStore.append(spark, store, docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", lastId)
+    assert(PostingsStore.load(spark, store).nDocs == one.nDocs)
+  }
+
   test("streaming corpus prep equals batch on the surviving fingerprint set") {
     // the prep_pipeline composition under streaming: row-local gates
     // stream unchanged; dedup becomes dropDuplicatesWithinWatermark on
