@@ -198,6 +198,18 @@ object TextOps {
     val t = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         array_distinct(tokensCol(col(textCol))).as("toks"))
+    jaccardVerifySets(candidates, t, minJaccard)
+  }
+
+  /** [[jaccardVerify]]'s kernel over an explicit `(id, toks)` set frame —
+    * the entry point when the set elements are not unigram tokens
+    * (shingles for [[prefixSimilarityJoin]], char-grams, …). `toks` must
+    * already be distinct; a null set is dropped (same no-phantom-pairs
+    * rule as the null-text guard above).
+    */
+  def jaccardVerifySets(candidates: DataFrame, sets: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val t = sets.filter(col("toks").isNotNull)
     candidates.select(col("a"), col("b"))
       .join(t.select(col("id").as("a"), col("toks").as("ta")), "a")
       .join(t.select(col("id").as("b"), col("toks").as("tb")), "b")
@@ -206,6 +218,95 @@ object TextOps {
         q4(col("inter") / (size(col("ta")) + size(col("tb")) - col("inter"))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Threshold-relaxation epsilon for the prefix-filter bounds: every
+    * ceil() in the candidate math subtracts it first, so a floating-point
+    * wobble at an exact rational boundary (t·n landing on an integer) can
+    * only ADMIT a candidate, never drop a true pair — false positives are
+    * erased by the exact verifier, false negatives would be wrong answers.
+    */
+  private val PrefixEps = 1e-9
+
+  /** EXACT set-similarity self-join candidates via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.). Input
+    * `sets` is `(id, toks)` with distinct elements; output is every
+    * `(a, b)`, `a < b`, whose Jaccard MAY reach `minJaccard` — a provable
+    * superset of the true pairs, unlike MinHash banding which misses with
+    * tunable probability. Chain into [[jaccardVerifySets]].
+    *
+    * Why it is exact: J(x,y) ≥ t forces |x∩y| ≥ ⌈t·|x|⌉, so x's last
+    * ⌈t·|x|⌉−1 tokens (under ANY total order) cannot contain all of x∩y —
+    * some common token sits in the first |x|−⌈t·|x|⌉+1 ("the prefix").
+    * Sharper: the globally SMALLEST common token w has ≥ |x∩y|−1 common
+    * tokens ordered after it in both sets, so pos(w) lands inside both
+    * prefixes AND min(|x|−pos(w), |y|−pos(w)) ≥ |x∩y| — which is what the
+    * position filter checks against the overlap equivalence
+    * |x∩y| ≥ ⌈t/(1+t)·(|x|+|y|)⌉ ⟺ J ≥ t.
+    *
+    * At 100 TB: the ONLY pairwise work is the equi-join on prefix tokens,
+    * and the global order is ascending document frequency — prefixes hold
+    * each set's RAREST tokens, so Σ prefix-df² is driven by the long tail,
+    * not the stopword head (the reason AllPairs beats the naive token
+    * join's Σ df² by orders of magnitude). The df pass is one groupBy over
+    * exploded sets; the length filter (⌈t·max⌉ ≤ min) and position filter
+    * then cut survivors to near the true pair count at high thresholds.
+    * No signatures, no bands, no recall knob to mis-tune.
+    */
+  def prefixCandidates(sets: DataFrame, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard — at t = 0 every " +
+        "pair qualifies and no filter can bound the join")
+    val t = minJaccard
+    val s = sets.filter(col("toks").isNotNull && size(col("toks")) > 0)
+      .select(col("id"), col("toks"))
+    val ex = s.select(col("id"), explode(col("toks")).as("tok"))
+    val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("d"))
+    // rarest-first total order, (df, token) lexicographic — the token
+    // tie-break makes the order deterministic across runs and engines
+    val sorted = ex.join(dfreq, "tok")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("d"), col("tok"))))
+        .as("sorted"), count(lit(1)).as("n"))
+    val prefLen = (col("n")
+      - ceil(lit(t) * col("n") - lit(PrefixEps)) + lit(1)).cast("int")
+    val pref = sorted
+      .select(col("id"), col("n"),
+        posexplode(slice(col("sorted"), lit(1), prefLen)))
+      .select(col("id"), col("n"), col("pos"), col("col.tok").as("tok"))
+    val a = pref.select(col("tok"), col("id").as("a"), col("n").as("na"),
+      col("pos").as("pa"))
+    val b = pref.select(col("tok"), col("id").as("b"), col("n").as("nb"),
+      col("pos").as("pb"))
+    a.join(b, Seq("tok"))
+      .filter(col("a") < col("b"))
+      // length filter: J >= t needs t·max(|x|,|y|) <= min(|x|,|y|)
+      .filter(least(col("na"), col("nb")) >=
+        ceil(lit(t) * greatest(col("na"), col("nb")) - lit(PrefixEps)))
+      // position filter: best-case overlap from the BEST shared prefix
+      // token (pos is 0-based, so n - pos counts the token itself)
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(max(least(col("na") - col("pa"), col("nb") - col("pb")))
+        .as("ub"))
+      .filter(col("ub") >= ceil(
+        lit(t / (1.0 + t)) * (col("na") + col("nb")) - lit(PrefixEps)))
+      .select(col("a"), col("b"))
+  }
+
+  /** Exact near-duplicate pairs over word `shingleN`-gram sets:
+    * [[prefixCandidates]] bounds the pairwise work, [[jaccardVerifySets]]
+    * certifies — no false negatives end to end, the guarantee the
+    * MinHash-LSH path trades away for fixed cost. Shingles (not unigrams)
+    * are the set elements: a natural-language corpus shares its unigram
+    * vocabulary almost completely (every prefix token is common), while
+    * shingle frequency falls off fast enough for prefixes to discriminate.
+    */
+  def prefixSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, shingleN: Int = 3): DataFrame = {
+    val sets = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokensCol(col(textCol)).as("w"))
+      .select(col("id"), shinglesOfTokens(col("w"), shingleN).as("toks"))
+    jaccardVerifySets(prefixCandidates(sets, minJaccard), sets, minJaccard)
   }
 
   /** BPE-ish token-count estimate: each whitespace token contributes

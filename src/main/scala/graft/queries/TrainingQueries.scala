@@ -64,6 +64,17 @@ object TrainingQueries {
     TextOps.jaccardVerify(TextOps.allPairs(w, "doc_id"), w, "doc_id", "text", 0.5)
   }
 
+  /** EXACT near-dup join over the WHOLE corpus — no id window, no LSH
+    * recall gamble: prefix-filtered candidates (AllPairs/PPJoin) over
+    * 3-token shingle sets, then exact Jaccard verification. The unigram
+    * gates above need a bound or a banding pass; this one's pairwise work
+    * is bounded by shared rare-shingle prefixes, which is what makes the
+    * exact guarantee affordable ([[graft.ops.TextOps.prefixCandidates]]).
+    */
+  val ddPrefixJoin: Q = (s, d) =>
+    TextOps.prefixSimilarityJoin(Tables.documents(s, d),
+      "doc_id", "text", 0.5)
+
   /** The real dedup pipeline shape: MinHash-LSH candidates → exact Jaccard
     * verification, chained — verifier cost is bounded by the candidate set.
     */
@@ -926,6 +937,7 @@ object TrainingQueries {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_lsh_store" -> ddLshStore,
     "dd_jaccard" -> ddJaccard,
+    "dd_prefix_join" -> ddPrefixJoin,
     "dd_lsh_verified" -> ddLshVerified,
     "dd_cluster" -> ddCluster,
     "dd_canonical" -> ddCanonical,
@@ -1293,6 +1305,25 @@ object TrainingQueries {
          |  FROM documents WHERE doc_id < 100),
          |ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
          |sz AS (SELECT doc_id, len(toks) AS n FROM t),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |  FROM ex x JOIN ex y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b,
+         |  floor(inter::DOUBLE / (xa.n + xb.n - inter) * 10000.0) / 10000.0 AS jaccard
+         |FROM p JOIN sz xa ON xa.doc_id = a JOIN sz xb ON xb.doc_id = b
+         |WHERE floor(inter::DOUBLE / (xa.n + xb.n - inter) * 10000.0) / 10000.0 >= 0.5""".stripMargin,
+    // the prefix join is EXACT, so its oracle is the brute-force pairwise
+    // truth over the same 3-shingle sets — any candidate-filtering bug
+    // (dropped true pair) hash-mismatches here
+    "dd_prefix_join" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+         |    list_distinct(list_transform(range(0, len(w) - 2),
+         |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+         |    ELSE [] END AS toks FROM t),
+         |ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
+         |sz AS (SELECT doc_id, len(toks) AS n FROM sh),
          |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
          |  FROM ex x JOIN ex y ON x.tok = y.tok AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2)

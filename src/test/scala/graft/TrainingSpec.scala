@@ -75,6 +75,65 @@ class TrainingSpec extends AnyFunSuite {
     assert(verified.forall { case (a, b, j) => exact((a, b)) == j })
   }
 
+  test("prefix-filtered similarity join is EXACT: equals brute force at " +
+      "every threshold, candidates bounded") {
+    import spark.implicits._
+    // real corpus + planted mutations: an exact copy, a one-word edit, a
+    // half-overlap splice, and a shuffled decoy that shares vocabulary
+    // but no 3-shingles
+    val base = docs.filter(col("doc_id") < 120)
+    val seedRows = base.select("doc_id", "text").collect()
+    val t0 = seedRows.head.getString(1)
+    val w0 = t0.split("\\s+")
+    val planted = Seq(
+      (100001L, t0), // exact dup
+      (100002L, (w0.take(3) ++ Array("zzz") ++ w0.drop(4)).mkString(" ")),
+      (100003L, (w0.take(w0.length / 2) ++
+        seedRows(1).getString(1).split("\\s+").take(w0.length / 2))
+        .mkString(" ")),
+      (100004L, w0.reverse.mkString(" ")),
+      (100005L, null.asInstanceOf[String]), // null text: dropped
+      (100006L, "one two")) // < shingle width: empty set
+    val corpus = base.unionByName(
+      planted.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(base.columns.map(col): _*))
+    def sets(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"), TextOps.tokensCol(col("text")).as("w"))
+        .select(col("id"), TextOps.shinglesOfTokens(col("w"), 3).as("toks"))
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = TextOps.prefixSimilarityJoin(corpus, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val want = TextOps.jaccardVerifySets(
+          TextOps.allPairs(corpus.filter(col("text").isNotNull), "doc_id"),
+          sets(corpus), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(got == want, s"prefix join diverged from brute force at t=$t")
+    }
+    // the exact dup must surface at 0.8 and the one-word edit at 0.5
+    // (each edited word invalidates up to `shingleN` shingles); the
+    // vocabulary-preserving shuffle must NOT (shingle sets disjoint)
+    val high = TextOps.prefixSimilarityJoin(corpus, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mid = TextOps.prefixSimilarityJoin(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val id0 = seedRows.head.getLong(0)
+    assert(high((id0, 100001L)) && mid((id0, 100002L)))
+    assert(!high.exists { case (a, b) => a == 100004L || b == 100004L })
+    // effectiveness: the candidate set is a small fraction of all pairs
+    val n = corpus.filter(col("text").isNotNull).count()
+    val cand = TextOps.prefixCandidates(sets(corpus), 0.5).count()
+    assert(cand < n * (n - 1) / 2 / 10,
+      s"prefix filter left $cand of ${n * (n - 1) / 2} pairs — not pruning")
+    intercept[IllegalArgumentException] {
+      TextOps.prefixCandidates(sets(corpus), 0.0)
+    }
+  }
+
   test("connected components: a long chain, a triangle, and singletons") {
     import spark.implicits._
     // chain 0-1-2-...-19 (forces several doubling rounds), triangle 100-101-102,
