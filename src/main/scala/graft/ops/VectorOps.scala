@@ -167,6 +167,51 @@ object VectorOps {
         x => greatest(lit(-127L), least(lit(127L), floor(x * 127.0)))
           .cast("tinyint")).as("qvec"))
 
+  /** Johnson–Lindenstrauss random projection to `dOut` dimensions with a
+    * ±1 (Achlioptas) matrix — the embedding-compression pass before ANN
+    * or clustering at 100 TB: dOut/dims of the bytes downstream, pairwise
+    * distances preserved within the JL distortion bound. Entirely
+    * row-local and codegen'd: the sign matrix is dOut·dims literals
+    * derived from md5(seed:j:i) (top bit of the first byte — the simhash
+    * hex convention, so an external engine reproduces the exact matrix
+    * from the seed string alone), and each output coordinate is an
+    * integer dot product.
+    *
+    * Integer-exact by construction: inputs quantize to
+    * q = floor(x·2²⁰ + ½) (float mantissas shifted into double exactness
+    * — no cross-engine rounding wobble), so y_j = Σᵢ s_ji·qᵢ is a LONG
+    * whose value is independent of summation order. A double formulation
+    * would hash-diverge on any engine that sums in a different order;
+    * this one is bit-reproducible everywhere, the property every
+    * deterministic-pipeline operator in this repo holds. Undo the scale
+    * with y / 2²⁰ when real-valued coordinates are needed.
+    *
+    * Output: (id, proj array<long>) — downstream ops keep the array;
+    * oracles posexplode it.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, dOut: Int, seed: String = "graft"): DataFrame = {
+    require(dims > 0 && dOut > 0, s"need positive dims=$dims dOut=$dOut")
+    val signs: Seq[Seq[Long]] = (0 until dOut).map { j =>
+      (0 until dims).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1L else -1L
+      }
+    }
+    val sLit = array(signs.map(r => array(r.map(lit(_)): _*)): _*)
+    val q = transform(toDouble(col(vecCol)),
+      x => floor(x * lit(1048576.0) + lit(0.5)).cast("long"))
+    // bind the quantized array ONCE via the single-element-array trick
+    // (chunksOfTokens note): the outer transform references it per output
+    // dimension, and an inlined subtree would re-quantize dOut times
+    df.select(col(idCol).as("id"),
+      element_at(transform(array(q), qv =>
+        transform(sLit, row =>
+          aggregate(zip_with(qv, row, (x, s) => x * s),
+            lit(0L), (acc, v) => acc + v))), 1).as("proj"))
+  }
+
   /** Nearest-centroid cell assignment: each row of `df` (id, vec) scored
     * against every centroid (broadcast, so the n·k dot products are
     * map-side), keeping the `nprobe` best cells per row. Ties break on

@@ -356,6 +356,18 @@ object TrainingQueries {
       .select(col("id"), posexplode(col("qvec")).as(Seq("pos", "q")))
       .withColumn("pos", col("pos").cast("long"))
 
+  /** JL ±1 random projection 64→16, long form for the oracle compare —
+    * integer-exact coordinates, so the oracle replays the md5 sign
+    * matrix and the quantized dot products bit for bit.
+    */
+  val embRproj: Q = (s, d) =>
+    VectorOps.randomProject(
+      Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "id", "vec", dims = 64, dOut = 16)
+      .select(col("id").as("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+      .withColumn("j", col("j").cast("long"))
+
   /** The corpus-preparation pipeline end to end: quality gate →
     * repetition gate → exact dedup by token-set fingerprint (smallest id
     * survives). This is the composition a real training run executes
@@ -987,6 +999,7 @@ object TrainingQueries {
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
     "emb_quantize" -> embQuantize,
+    "emb_rproj" -> embRproj,
     "txt_tokens" -> txtTokens,
     "txt_bpe" -> txtBpe,
     "txt_bpe_chunks" -> txtBpeChunks,
@@ -1779,6 +1792,18 @@ object TrainingQueries {
         |  CAST(greatest(-127, least(127,
         |    floor(embedding[CAST(p AS INT)]::DOUBLE * 127.0))) AS TINYINT) AS q
         |FROM e, unnest(range(1, len(embedding) + 1)) u(p)""".stripMargin,
+    // the sign matrix is pure md5(seed:j:i) — the oracle rebuilds it and
+    // the integer dot products from scratch, no Spark-side artifact
+    "emb_rproj" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    floor(embedding[CAST(i + 1 AS INT)]::DOUBLE * 1048576.0 + 0.5)::BIGINT AS qx
+        |  FROM embeddings, unnest(range(0, 64)) u(i)),
+        |s AS (SELECT j, i,
+        |    CASE WHEN substring(md5('graft:' || j::VARCHAR || ':' || i::VARCHAR), 1, 1) >= '8'
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM unnest(range(0, 16)) a(j), unnest(range(0, 64)) b(i))
+        |SELECT q.vec_id, s.j, CAST(sum(s.sgn * q.qx) AS BIGINT) AS y
+        |FROM q JOIN s ON s.i = q.i GROUP BY 1, 2""".stripMargin,
     "txt_quality" ->
       s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks,
          |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,

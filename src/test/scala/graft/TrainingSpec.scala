@@ -345,6 +345,42 @@ class TrainingSpec extends AnyFunSuite {
     assert(r(3L) == 0.0)
   }
 
+  test("JL random projection: bit-equal to a driver-side recompute, " +
+      "neighbors preserved") {
+    val sample = embs.filter(col("id") < 100)
+    val got = VectorOps.randomProject(sample, "id", "vec", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    // independent recompute: same md5 convention, scalar loops
+    def sgn(j: Int, i: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1L else -1L
+    }
+    val raw = sample.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    assert(raw.keySet == got.keySet && raw.nonEmpty)
+    for ((id, v) <- raw) {
+      val q = v.map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong)
+      val want = (0 until 16).map(j =>
+        (0 until 64).map(i => sgn(j, i) * q(i)).sum).toVector
+      assert(got(id) == want, s"projection of $id diverged")
+    }
+    // JL sanity: an identical vector projects identically, and a lightly
+    // perturbed copy stays nearer than ≥90% of unrelated vectors
+    def d2(a: Vector[Long], b: Vector[Long]): Double =
+      a.zip(b).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum
+    val anchor = raw.keys.min
+    val noisy = raw(anchor).map(x => x + 0.01f)
+    val nProj = {
+      val q = noisy.map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong)
+      (0 until 16).map(j => (0 until 64).map(i => sgn(j, i) * q(i)).sum).toVector
+    }
+    val dn = d2(got(anchor), nProj)
+    val others = (raw.keySet - anchor).toSeq.map(o => d2(got(anchor), got(o)))
+    assert(others.count(_ > dn).toDouble / others.size >= 0.9,
+      "perturbed copy should out-rank unrelated vectors in projected space")
+  }
+
   test("int8 quantization bounds and dequantization error") {
     val q = VectorOps.quantizeInt8(embs, "id", "vec")
       .select(col("id"), posexplode(col("qvec")).as(Seq("pos", "q")))
