@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{ClusterOps, LshStore, PackOps, SampleOps, SketchOps,
-  TextOps, VectorOps, VectorStore}
+import graft.ops.{ClusterOps, LinearModel, LshStore, PackOps, SampleOps,
+  SketchOps, TextOps, VectorOps, VectorStore}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the documents/embeddings tables, each with a DuckDB
@@ -367,6 +367,46 @@ object TrainingQueries {
       "id", "vec", dims = 64, dOut = 16)
       .select(col("id").as("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
       .withColumn("j", col("j").cast("long"))
+
+  /** Integer feature columns for the logistic quality classifier: one
+    * bound tokenization, then row-local counts. Shared verbatim by the
+    * trainer gate and the scoring spec.
+    */
+  private def lrFeatures(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("text").isNotNull)
+      .select(col("n_chars"), TextOps.tokensCol(col("text")).as("w"))
+      .select(
+        lit(1L).as("x0"),
+        // count features are CENTERED by fixed literals near their
+        // corpus means (~55 tokens, ~25 distinct): uncentered counts
+        // make the bias direction nearly collinear with every feature
+        // and fixed-step GD oscillates instead of converging (measured:
+        // 0.51 vs 0.99 accuracy at identical steps). Constants are part
+        // of the model definition, not per-run statistics — scoring
+        // needs no corpus pass
+        (size(col("w")) - lit(55)).cast("long").as("x1"),
+        (size(array_distinct(col("w"))) - lit(25)).cast("long").as("x2"),
+        size(filter(col("w"), t => t === lit("the"))).cast("long").as("x3"),
+        size(filter(col("w"), t => t === lit("a"))).cast("long").as("x4"),
+        (col("n_chars") >= 300).cast("long").as("y"))
+
+  private val lrFeatCols = Seq("x0", "x1", "x2", "x3", "x4")
+
+  /** Test access to the exact gate feature frame. */
+  private[graft] def lrFeaturesForTest(docs: org.apache.spark.sql.DataFrame) =
+    lrFeatures(docs)
+
+  /** Train the fixed-point logistic quality classifier (8 full-batch GD
+    * steps, lr 2⁻⁴) and emit the weight vector — bit-reproducible, so
+    * the oracle replays the whole loop from scratch in unrolled SQL
+    * ([[graft.ops.LinearModel]]).
+    */
+  val txtLrTrain: Q = (s, d) => {
+    val w = LinearModel.train(lrFeatures(Tables.documents(s, d)),
+      lrFeatCols, "y", iters = 8, lrShift = 4)
+    import s.implicits._
+    w.zipWithIndex.map { case (wv, i) => (i.toLong, wv) }.toDF("i", "w")
+  }
 
   /** The corpus-preparation pipeline end to end: quality gate →
     * repetition gate → exact dedup by token-set fingerprint (smallest id
@@ -1000,6 +1040,7 @@ object TrainingQueries {
     "dd_spans" -> ddSpans,
     "emb_quantize" -> embQuantize,
     "emb_rproj" -> embRproj,
+    "txt_lr_train" -> txtLrTrain,
     "txt_tokens" -> txtTokens,
     "txt_bpe" -> txtBpe,
     "txt_bpe_chunks" -> txtBpeChunks,
@@ -1792,6 +1833,18 @@ object TrainingQueries {
         |  CAST(greatest(-127, least(127,
         |    floor(embedding[CAST(p AS INT)]::DOUBLE * 127.0))) AS TINYINT) AS q
         |FROM e, unnest(range(1, len(embedding) + 1)) u(p)""".stripMargin,
+    // the oracle replays ALL 8 GD iterations from scratch (unrolled CTE
+    // chain, sigmoid table inlined) — integer fixed-point makes the two
+    // engines' training runs bit-identical
+    "txt_lr_train" ->
+      s"""WITH f AS (SELECT n_chars, $toksSql AS w FROM documents
+         |  WHERE text IS NOT NULL),
+         |${graft.ops.LinearModel.trainOracleSql(
+            Seq("1", "len(w) - 55", "len(list_distinct(w)) - 25",
+              "len(list_filter(w, t -> t = 'the'))",
+              "len(list_filter(w, t -> t = 'a'))"),
+            "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END",
+            iters = 8, lrShift = 4)}""".stripMargin,
     // the sign matrix is pure md5(seed:j:i) — the oracle rebuilds it and
     // the integer dot products from scratch, no Spark-side artifact
     "emb_rproj" ->

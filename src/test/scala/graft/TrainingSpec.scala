@@ -381,6 +381,42 @@ class TrainingSpec extends AnyFunSuite {
       "perturbed copy should out-rank unrelated vectors in projected space")
   }
 
+  test("logistic trainer: bit-equal to a scalar recompute, partition-" +
+      "independent, and the model actually classifies") {
+    import graft.ops.LinearModel
+    val f = TrainingQueries.lrFeaturesForTest(docs)
+    val cols = Seq("x0", "x1", "x2", "x3", "x4")
+    val w = LinearModel.train(f, cols, "y", iters = 8, lrShift = 4)
+    // scalar recompute of the exact fixed-point loop, driver-side
+    val rows = f.collect().map(r =>
+      (cols.indices.map(i => r.getLong(i)).toVector, r.getLong(cols.size)))
+    def sg(z: Long): Long = {
+      val idx = math.max(-128L,
+        math.min(127L, math.floor(z.toDouble / 4096.0).toLong))
+      LinearModel.SigTable((idx + 128).toInt)
+    }
+    var ww = Vector.fill(cols.size)(0L)
+    for (_ <- 0 until 8) {
+      val g = rows.foldLeft(Vector.fill(cols.size)(0L)) { case (acc, (x, y)) =>
+        val e = sg(x.zip(ww).map { case (a, b) => a * b }.sum) - 65536L * y
+        acc.zip(x).map { case (gi, xi) => gi + e * xi }
+      }
+      val denom = rows.length.toDouble * 16
+      ww = ww.zip(g).map { case (wi, gi) =>
+        wi - math.floor(gi.toDouble / denom).toLong }
+    }
+    assert(w == ww, s"distributed $w != scalar $ww")
+    // long-sum gradients are order-independent: any partitioning trains
+    // the same bits
+    assert(LinearModel.train(f.repartition(7), cols, "y", 8, 4) == w)
+    // the model separates its classes
+    val scored = f.withColumn("s", LinearModel.scoreFp(cols, w)).collect()
+    val acc = scored.count(r => (r.getLong(6) >= 32768L) ==
+      (r.getLong(5) == 1L)).toDouble / scored.length
+    assert(acc >= 0.9, s"training accuracy $acc")
+    assert(scored.forall(r => r.getLong(6) >= 0L && r.getLong(6) <= 65536L))
+  }
+
   test("int8 quantization bounds and dequantization error") {
     val q = VectorOps.quantizeInt8(embs, "id", "vec")
       .select(col("id"), posexplode(col("qvec")).as(Seq("pos", "q")))
