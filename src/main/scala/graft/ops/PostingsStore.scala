@@ -169,4 +169,31 @@ object PostingsStore {
           lit(st.nDocs).as("n"), lit(st.totalLen).as("tot")),
       topK)
   }
+
+  /** Rewrite an append-grown store to one file per bucket at `dest` —
+    * the maintenance pass every store in this family offers (LshStore/
+    * TreeStore.compact): each append stacks another file set into every
+    * bucket, so after k batches a term probe opens k files per bucket.
+    * The manifest string is carried over verbatim (doc counts, bucket
+    * count, AND the last_batch zombie guard — a redelivered micro-batch
+    * must still no-op against the compacted store). Destination must be
+    * disjoint: the source is read lazily while dest is written.
+    */
+  def compact(spark: SparkSession, path: String, dest: String): Unit = {
+    val m = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "postings store")
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toUri.toString.stripSuffix("/")
+    }
+    val (s, d) = (qualified(path), qualified(dest))
+    require(d != s && !d.startsWith(s + "/") && !s.startsWith(d + "/"),
+      s"compact requires a destination disjoint from the source ($s vs $d)")
+    val st = load(spark, path)
+    graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
+    graft.tree.TreeStore.writeBucketed(spark, st.postings,
+      s"$dest/postings", "term", st.buckets)
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile, m)
+  }
 }

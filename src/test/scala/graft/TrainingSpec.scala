@@ -1013,6 +1013,26 @@ class TrainingSpec extends AnyFunSuite {
     }
     assert(PostingsStore.load(spark, grow).nDocs == st.nDocs,
       "a failed-validation append must not brick the store")
+    // compact the append-grown store: answers and manifest unchanged,
+    // one file per bucket again, zombie guard still armed
+    def parquetFiles(p: String): Int =
+      new java.io.File(s"$p/postings").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val tight = java.nio.file.Files
+      .createTempDirectory("graft_postc").toString + "/c"
+    PostingsStore.compact(spark, grow, tight)
+    val c = PostingsStore.load(spark, tight)
+    assert((c.nDocs, c.totalLen) == (st.nDocs, st.totalLen))
+    assert(PostingsStore.queryBm25(c, terms, topK = 20)
+      .collect().map(_.toSeq).toSeq == mem.toSeq)
+    assert(parquetFiles(tight) <= 8 && parquetFiles(tight) < parquetFiles(grow),
+      s"compact should shrink ${parquetFiles(grow)} files to <= 8 buckets")
+    PostingsStore.append(spark, tight, docs.filter(col("doc_id") >= 250),
+      "doc_id", "text", batchId = Some(1L)) // redelivery: still a no-op
+    assert(PostingsStore.load(spark, tight).nDocs == st.nDocs)
+    intercept[IllegalArgumentException] {
+      PostingsStore.compact(spark, grow, grow)
+    }
     // postings without a manifest = crashed write, refused loudly
     val broken = java.nio.file.Files.createTempDirectory("graft_postb")
       .toString
