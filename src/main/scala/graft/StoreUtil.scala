@@ -58,6 +58,25 @@ object StoreUtil {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Refuse rewrite destinations that alias the source store. Paths are
+    * compared as fully-qualified Hadoop URIs so `file:` forms and bare
+    * paths cannot alias, and prefix containment is checked both ways —
+    * the source is read lazily while the destination is written, so an
+    * overlap would overwrite files mid-scan. The single definition every
+    * store's compact/rewrite shares.
+    */
+  def requireDisjoint(spark: SparkSession, path: String, dest: String,
+      what: String): Unit = {
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toUri.toString.stripSuffix("/")
+    }
+    val (s, d) = (qualified(path), qualified(dest))
+    require(d != s && !d.startsWith(s + "/") && !s.startsWith(d + "/"),
+      s"$what requires a destination disjoint from the source ($s vs $d)")
+  }
+
   def writeMarker(spark: SparkSession, dir: String, name: String,
       content: String): Unit = {
     val fs = fsOf(spark, dir)

@@ -56,9 +56,13 @@ object LinearModel {
   }
 
   /** z_fp for one row from integer feature columns and literal weights. */
-  def zFp(featCols: Seq[String], weights: Seq[Long]): Column =
+  def zFp(featCols: Seq[String], weights: Seq[Long]): Column = {
+    require(featCols.size == weights.size && featCols.nonEmpty,
+      s"feature/weight arity mismatch: ${featCols.size} features vs " +
+        s"${weights.size} weights — zip would silently drop terms")
     featCols.zip(weights).map { case (c, w) => col(c) * lit(w) }
       .reduce(_ + _)
+  }
 
   /** Keep-probability in fixed point (0..2¹⁶) under literal trained
     * weights — the row-local scoring column a quality gate filters on.
@@ -78,10 +82,15 @@ object LinearModel {
       iters: Int, lrShift: Int): Seq[Long] = {
     require(iters > 0 && lrShift >= 0,
       s"need iters > 0 (got $iters) and lrShift >= 0 (got $lrShift)")
+    // a null feature or label would null its err·x product, silently
+    // vanishing from the gradient sums while still counting in n — a
+    // shrunk learning rate AND a divergence from any oracle that maps
+    // nulls to a value. Exclude such rows from BOTH, visibly.
+    val clean = df.na.drop(featCols :+ labelCol)
     var w = Seq.fill(featCols.size)(0L)
     for (_ <- 0 until iters) {
       val err = sigmoidFp(zFp(featCols, w)) - lit(Scale) * col(labelCol)
-      val row = df.select(
+      val row = clean.select(
         featCols.map(c => sum(err * col(c)).as(s"g_$c")) :+
           count(lit(1)).as("_n"): _*).head()
       val n = row.getLong(featCols.size)
@@ -103,6 +112,8 @@ object LinearModel {
     */
   def trainOracleSql(featSql: Seq[String], labelSql: String,
       iters: Int, lrShift: Int): String = {
+    require(iters > 0 && lrShift >= 0, // train's guard, same bad inputs
+      s"need iters > 0 (got $iters) and lrShift >= 0 (got $lrShift)")
     val k = featSql.size
     val xs = (0 until k).map(i => s"x$i")
     val feats = featSql.zip(xs).map { case (e, x) => s"$e AS $x" }

@@ -306,9 +306,7 @@ object LshStore {
       .getOrElse(throw new IllegalStateException(
         s"$path's first ingest crashed (no pre-batch manifest survives) — " +
           "delete the directory and re-ingest the batch"))
-    require(qualified(spark, path) != qualified(spark, dest),
-      s"recover destination must be disjoint from the broken store " +
-        s"($path); the source is read lazily while dest is written")
+    graft.StoreUtil.requireDisjoint(spark, path, dest, "recover")
     val completed = graft.StoreUtil.manifestInt(m, "ingests",
       s"LSH manifest at $path").toLong != startStr.toLong
     // prefer the store-unique ingest_seq (= startSnapshot+1 for the
@@ -351,20 +349,12 @@ object LshStore {
     require(files >= 1, s"files must be >= 1, got $files")
     val m = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
       "LSH band store")
-    require(qualified(spark, path) != qualified(spark, dest),
-      s"compact destination must be disjoint from the source ($path); " +
-        "the source is read lazily while dest is written")
+    graft.StoreUtil.requireDisjoint(spark, path, dest, "compact")
     graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
     spark.read.parquet(s"$path/pairs").repartition(files)
       .write.mode("overwrite").parquet(s"$dest/pairs")
     spark.read.parquet(s"$path/bands").repartition(files)
       .write.mode("overwrite").parquet(s"$dest/bands")
     graft.StoreUtil.writeMarker(spark, dest, ManifestFile, m)
-  }
-
-  private def qualified(spark: SparkSession, p: String): String = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(hp).toUri.toString.stripSuffix("/")
   }
 }

@@ -182,14 +182,7 @@ object PostingsStore {
   def compact(spark: SparkSession, path: String, dest: String): Unit = {
     val m = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
       "postings store")
-    def qualified(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(hp).toUri.toString.stripSuffix("/")
-    }
-    val (s, d) = (qualified(path), qualified(dest))
-    require(d != s && !d.startsWith(s + "/") && !s.startsWith(d + "/"),
-      s"compact requires a destination disjoint from the source ($s vs $d)")
+    graft.StoreUtil.requireDisjoint(spark, path, dest, "compact")
     val st = load(spark, path)
     graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
     graft.tree.TreeStore.writeBucketed(spark, st.postings,

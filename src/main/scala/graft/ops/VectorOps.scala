@@ -204,12 +204,20 @@ object VectorOps {
       x => floor(x * lit(1048576.0) + lit(0.5)).cast("long"))
     // bind the quantized array ONCE via the single-element-array trick
     // (chunksOfTokens note): the outer transform references it per output
-    // dimension, and an inlined subtree would re-quantize dOut times
+    // dimension, and an inlined subtree would re-quantize dOut times.
+    // A row whose vector length differs from `dims` fails LOUDLY: zip_with
+    // would null-pad it and the fold would emit an all-null projection
+    // that silently poisons every downstream distance
     df.select(col(idCol).as("id"),
-      element_at(transform(array(q), qv =>
-        transform(sLit, row =>
-          aggregate(zip_with(qv, row, (x, s) => x * s),
-            lit(0L), (acc, v) => acc + v))), 1).as("proj"))
+      when(col(vecCol).isNull, lit(null)) // null in, null out (family rule)
+        .when(size(col(vecCol)) === lit(dims),
+          element_at(transform(array(q), qv =>
+            transform(sLit, row =>
+              aggregate(zip_with(qv, row, (x, s) => x * s),
+                lit(0L), (acc, v) => acc + v))), 1))
+        .otherwise(raise_error(concat(lit(s"randomProject: expected a " +
+          s"$dims-dim vector, got length "), size(col(vecCol)).cast("string"),
+          lit(" at id "), col(idCol).cast("string")))).as("proj"))
   }
 
   /** Nearest-centroid cell assignment: each row of `df` (id, vec) scored

@@ -154,15 +154,7 @@ object VectorStore {
 
   private def requireDisjoint(spark: SparkSession, path: String,
       dest: String): Unit = {
-    def qualified(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.makeQualified(hp).toUri.toString.stripSuffix("/")
-    }
-    val (s, d) = (qualified(path), qualified(dest))
-    require(d != s && !d.startsWith(s + "/") && !s.startsWith(d + "/"),
-      s"compaction requires a destination disjoint from the source store " +
-        s"($s vs $d)")
+    graft.StoreUtil.requireDisjoint(spark, path, dest, "compaction")
   }
 
   /** Open a saved store. Fails fast on a directory that is not a vector

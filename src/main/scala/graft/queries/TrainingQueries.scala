@@ -1838,7 +1838,7 @@ object TrainingQueries {
     // engines' training runs bit-identical
     "txt_lr_train" ->
       s"""WITH f AS (SELECT n_chars, $toksSql AS w FROM documents
-         |  WHERE text IS NOT NULL),
+         |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
          |${graft.ops.LinearModel.trainOracleSql(
             Seq("1", "len(w) - 55", "len(list_distinct(w)) - 25",
               "len(list_filter(w, t -> t = 'the'))",

@@ -193,17 +193,8 @@ object TreeStore {
     * mid-scan).
     */
   private def requireDisjoint(spark: SparkSession, path: String,
-      dest: String): Unit = {
-    def qualified(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.makeQualified(hp).toUri.toString.stripSuffix("/")
-    }
-    val (s, d) = (qualified(path), qualified(dest))
-    require(d != s && !d.startsWith(s + "/") && !s.startsWith(d + "/"),
-      s"rewrite requires a destination disjoint from the source store " +
-        s"($s vs $d)")
-  }
+      dest: String): Unit =
+    graft.StoreUtil.requireDisjoint(spark, path, dest, "rewrite")
 
   private def storeTreeIds(spark: SparkSession, path: String): Set[String] =
     spark.read.parquet(s"$path/tree_meta")

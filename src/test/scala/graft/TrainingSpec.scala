@@ -379,6 +379,20 @@ class TrainingSpec extends AnyFunSuite {
     val others = (raw.keySet - anchor).toSeq.map(o => d2(got(anchor), got(o)))
     assert(others.count(_ > dn).toDouble / others.size >= 0.9,
       "perturbed copy should out-rank unrelated vectors in projected space")
+    // a wrong-length vector fails LOUDLY (zip_with would null-pad it into
+    // an all-null projection); a null vector passes through as null
+    import spark.implicits._
+    val bad = Seq((1L, Seq(0.5f, 0.5f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "vec")
+    val e = intercept[Exception] {
+      VectorOps.randomProject(bad.filter(col("id") === 1), "id", "vec", 64, 16)
+        .collect()
+    }
+    assert(e.getMessage.contains("randomProject") ||
+      e.getCause != null && e.getCause.getMessage.contains("randomProject"))
+    val nulls = VectorOps.randomProject(bad.filter(col("id") === 2),
+      "id", "vec", 64, 16).collect()
+    assert(nulls.length == 1 && nulls.head.isNullAt(1))
   }
 
   test("logistic trainer: bit-equal to a scalar recompute, partition-" +
@@ -415,6 +429,16 @@ class TrainingSpec extends AnyFunSuite {
       (r.getLong(5) == 1L)).toDouble / scored.length
     assert(acc >= 0.9, s"training accuracy $acc")
     assert(scored.forall(r => r.getLong(6) >= 0L && r.getLong(6) <= 65536L))
+    // arity mismatch between features and weights fails fast (zip would
+    // silently drop terms); null-label rows leave the gradient AND the
+    // denominator together (na.drop), so they cannot shrink the step
+    intercept[IllegalArgumentException] {
+      LinearModel.scoreFp(cols, w.dropRight(1))
+    }
+    val withNull = f.unionByName(
+      f.limit(3).withColumn("y", lit(null).cast("long")))
+    assert(LinearModel.train(withNull, cols, "y", 8, 4) == w,
+      "null-label rows must not perturb training")
   }
 
   test("int8 quantization bounds and dequantization error") {
