@@ -611,6 +611,112 @@ object TextOps {
         (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Maximal duplicated token spans across the corpus — the signal a
+    * suffix-array substring-dedup pipeline computes (ExactSubstr in the
+    * dedup literature), re-expressed relationally so it distributes: every
+    * length-`win` sliding token window whose exact sequence occurs at ≥ 2
+    * (doc, position) sites ANYWHERE in the corpus (cross-doc boilerplate
+    * or within-doc loops alike) marks its token range duplicated, and per
+    * document the overlapping/touching duplicated ranges are unioned into
+    * maximal spans. A duplicated region of length M ≥ win yields windows
+    * at every one of its M−win+1 starts, so the union reconstructs the
+    * whole region; `win` is exactly the minimum duplication length
+    * detected — the suffix array's `min_length` knob.
+    *
+    * Complements [[dedupSpans]]: that op cuts at FIXED span boundaries
+    * (passage granularity, cheap, misses dups straddling a boundary);
+    * this one slides, so any ≥win-token repeat is found at its exact
+    * extent.
+    *
+    * Scale shape: the window table is ~n_tokens rows (one per token,
+    * materialized once — four branches read it); finding duplicated
+    * hashes is ONE hash aggregate with map-side partial combine (never
+    * pairwise — Σ df² never appears, unlike a token self-join); the
+    * island merge is a window over each document's duplicated positions
+    * only, bounded by document length, partitioned by doc id across
+    * executors. At 100 TB: two shuffles (hash agg + merge-back join),
+    * both on corpus-sized-not-squared data.
+    *
+    * @return (idCol, span_start, span_end, span_len) — 0-based inclusive
+    *         token indices, one row per maximal span; docs with no
+    *         duplication emit no rows (see [[duplicationStats]] for the
+    *         all-docs view)
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      win: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = duplicatedPositions(docs, idCol, textCol, win)
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("i"))
+    // interval union: a window's range [i, i+win-1] extends the current
+    // island iff it overlaps or touches the running max end; `pe` looks
+    // only at PRECEDING rows so the first row of each doc starts fresh
+    val pe = max(col("i") + lit(win - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    pos
+      .withColumn("new_isl",
+        when(pe.isNull || col("i") > pe + lit(1), lit(1L)).otherwise(lit(0L)))
+      .withColumn("isl", sum(col("new_isl"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + lit(win - 1).cast("long")).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  /** Per-document duplication coverage from the same sliding-window
+    * evidence as [[duplicatedSpans]]: how many of a document's tokens sit
+    * inside some ≥win-token sequence that repeats somewhere in the corpus,
+    * and the covered fraction — the filter/downweight signal pipelines
+    * derive from substring dedup (a doc that is 80% duplicated boilerplate
+    * is dropped whole; one with a 5% header is span-stripped). Every
+    * non-null-text doc emits a row (dup_tokens = 0 when clean), so the
+    * output joins 1:1 against quality/langid features.
+    *
+    * Token coverage is computed from the duplicated POSITIONS (count of
+    * distinct covered token indices = Σ island extents), not by
+    * re-materializing spans — same two shuffles as [[duplicatedSpans]].
+    */
+  def duplicationStats(docs: DataFrame, idCol: String, textCol: String,
+      win: Int): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, win)
+      .groupBy(col(idCol).as("id"))
+      .agg(sum(col("span_len")).as("dup_tokens"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        size(tokensCol(col(textCol))).cast("long").as("n_tokens"))
+      .join(spans, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          q4(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double")))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
+  /** Duplicated (id, i) window positions: the shared evidence table of
+    * [[duplicatedSpans]]/[[duplicationStats]]. Materialized because the
+    * dup-hash aggregate and the merge-back join both read it; occurrence
+    * counting is over ALL sites (a within-doc repeat is duplication too).
+    */
+  private def duplicatedPositions(docs: DataFrame, idCol: String,
+      textCol: String, win: Int): DataFrame = {
+    require(win >= 1, s"win=$win must be positive")
+    val w = ClusterOps.flatten(docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokensCol(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= win)
+      .select(col("id"),
+        explode(sequence(lit(0L), (size(col("toks")) - win).cast("long")))
+          .as("i"),
+        col("toks"))
+      .select(col("id"), col("i"),
+        md5(array_join(slice(col("toks"), (col("i") + 1).cast("int"),
+          lit(win)), " ")).as("h")))
+    val dup = w.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("h"))
+    w.join(dup, "h").select(col("id"), col("i"))
+  }
+
   /** Quality features + a composite score (length, punctuation, stopword
     * density) — ratios floor-quantized for cross-engine stability.
     */

@@ -632,6 +632,25 @@ object TrainingQueries {
       Tables.documents(s, d).filter(col("doc_id") < 200),
       "doc_id", "text", span = 3)
 
+  /** Sliding-window exact-substring dedup (the suffix-array signal):
+    * maximal spans of ≥4 consecutive tokens whose sequence repeats
+    * anywhere in the corpus, per document. Unlike [[ddSpans]]' fixed
+    * passage grid, a repeat straddling any boundary is still found at
+    * its exact extent. Whole documents table — the evidence aggregate is
+    * corpus-wide by construction.
+    */
+  val ddDupSpans: Q = (s, d) =>
+    TextOps.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+      win = 4)
+
+  /** Coverage companion of [[ddDupSpans]]: tokens inside some repeated
+    * ≥4-gram and the covered fraction, one row per non-null-text doc —
+    * the drop/downweight signal substring dedup feeds a filter stage.
+    */
+  val ddDupRatio: Q = (s, d) =>
+    TextOps.duplicationStats(Tables.documents(s, d), "doc_id", "text",
+      win = 4)
+
   /** Count-min heavy hitters: token counts sketched into 3×32 counters
     * (order-independent sums — bit-identical cross-engine), every distinct
     * token probed, estimate ≥ 60 kept. CM never undercounts, so the kept
@@ -1038,6 +1057,8 @@ object TrainingQueries {
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
+    "dd_dup_spans" -> ddDupSpans,
+    "dd_dup_ratio" -> ddDupRatio,
     "emb_quantize" -> embQuantize,
     "emb_rproj" -> embRproj,
     "txt_lr_train" -> txtLrTrain,
@@ -1063,6 +1084,33 @@ object TrainingQueries {
   )
 
   private val toksSql = "string_split_regex(lower(text), '\\s+')"
+
+  /** Shared CTE chain of the sliding-window dedup oracles (win = 4):
+    * token windows → ≥2-occurrence hashes → duplicated positions →
+    * interval-union island merge → maximal `spans`. The caller supplies
+    * the final SELECT over `t` (tokenized docs) and `spans`.
+    */
+  private def dupSpansSql(finalSelect: String): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |w AS (SELECT doc_id, CAST(p AS BIGINT) AS i,
+       |    md5(array_to_string(toks[p+1:p+4], ' ')) AS h
+       |  FROM t, unnest(range(0, len(toks) - 4 + 1)) u(p)),
+       |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+       |pos AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (h)),
+       |m AS (SELECT doc_id, i,
+       |    max(i + 3) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |  FROM pos),
+       |isl AS (SELECT doc_id, i,
+       |    sum(CASE WHEN pe IS NULL OR i > pe + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM m),
+       |spans AS (SELECT doc_id, min(i) AS span_start,
+       |    max(i) + 3 AS span_end, max(i) + 3 - min(i) + 1 AS span_len
+       |  FROM isl GROUP BY doc_id, g)
+       |$finalSelect""".stripMargin
 
   /** MinHash(k=8) + LSH(4×2) candidate pairs over the doc_id<100 window —
     * shared by `dd_minhash_lsh` (one-shot banding) and `dd_lsh_store`
@@ -1579,6 +1627,22 @@ object TrainingQueries {
          |FROM t JOIN nsp ON t.doc_id = nsp.doc_id
          |LEFT JOIN kept ON t.doc_id = kept.doc_id
          |GROUP BY t.doc_id""".stripMargin,
+    // the sliding-window dedup oracles replay the full pipeline: window
+    // hashes, the >=2-occurrence aggregate, and the interval-union island
+    // merge (running max of preceding ends; a window extends the island
+    // iff it overlaps or touches). Exact op — any dropped or mis-merged
+    // span hash-mismatches here.
+    "dd_dup_spans" -> dupSpansSql(
+      "SELECT doc_id, span_start, span_end, span_len FROM spans"),
+    "dd_dup_ratio" -> dupSpansSql(
+      """SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(sum(spans.span_len), 0)::BIGINT AS dup_tokens,
+        |  CASE WHEN len(t.toks) > 0 THEN floor(
+        |      coalesce(sum(spans.span_len), 0)::DOUBLE / len(t.toks)
+        |        * 10000.0) / 10000.0
+        |    ELSE 0.0 END AS dup_ratio
+        |FROM t LEFT JOIN spans ON t.doc_id = spans.doc_id
+        |GROUP BY t.doc_id, len(t.toks)""".stripMargin),
     // the store-served CM probe is defined bit-identical to the fresh
     // sketch (order-independent sums; shape from the manifest) — shared
     // oracle, same as ann_store/ann_ivf

@@ -51,6 +51,39 @@ class TrainingSpec extends AnyFunSuite {
     assert(untouched.filter(col("clean_text") =!= col("orig")).count() == 0)
   }
 
+  test("duplicated spans: planted repeats found at exact extents, merged, " +
+      "and clean text yields none") {
+    import spark.implicits._
+    // a 9-token boilerplate planted in two docs at different offsets, a
+    // WITHIN-doc repeat, a repeat straddling what would be a passage
+    // boundary, and a clean doc sharing vocabulary but no 4-gram
+    val boiler = "all rights reserved redistribution is subject to license terms"
+    val df = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"unrelated words here then $boiler and a tail of text"),
+      (3L, "x1 x2 loop one two three four loop one two three four x3"),
+      (4L, "reserved rights all license subject terms is redistribution to"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val spans = TextOps.duplicatedSpans(df, "doc_id", "text", win = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: boiler occupies tokens 2..10; doc 2: tokens 4..12
+    // doc 3: "loop one two three four" at 2..6 and 7..11 — ADJACENT
+    //        occurrences merge into one maximal span 2..11
+    assert(spans == Set((1L, 2L, 10L), (2L, 4L, 12L), (3L, 2L, 11L)),
+      s"got $spans")
+    val stats = TextOps.duplicationStats(df, "doc_id", "text", win = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(stats(1L) == (13L, 9L) && stats(2L) == (18L, 9L))
+    assert(stats(3L) == (13L, 10L))
+    assert(stats(4L) == (9L, 0L), "shuffled vocabulary is not duplication")
+    assert(!stats.contains(5L), "null text emits no row")
+    // a clean doc alone in the corpus: windows exist, none repeats
+    assert(TextOps.duplicatedSpans(df.filter(col("doc_id") === 4L),
+      "doc_id", "text", win = 4).count() == 0)
+  }
+
   test("span dedup drops null-text docs, matching the SQL-side semantics") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f"), (2L, null.asInstanceOf[String]))
