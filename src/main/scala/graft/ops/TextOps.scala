@@ -678,8 +678,18 @@ object TextOps {
     * re-materializing spans — same two shuffles as [[duplicatedSpans]].
     */
   def duplicationStats(docs: DataFrame, idCol: String, textCol: String,
-      win: Int): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, win)
+      win: Int): DataFrame =
+    duplicationStatsFromSpans(docs, idCol, textCol,
+      duplicatedSpans(docs, idCol, textCol, win))
+
+  /** [[duplicationStats]] over a precomputed [[duplicatedSpans]] frame —
+    * the entry point when both the spans and the coverage view are served
+    * from one evidence pass (the spans frame is tiny relative to the
+    * window table; cache it, not the windows).
+    */
+  def duplicationStatsFromSpans(docs: DataFrame, idCol: String,
+      textCol: String, spansFrame: DataFrame): DataFrame = {
+    val spans = spansFrame
       .groupBy(col(idCol).as("id"))
       .agg(sum(col("span_len")).as("dup_tokens"))
     docs.filter(col(textCol).isNotNull)

@@ -639,17 +639,23 @@ object TrainingQueries {
     * its exact extent. Whole documents table — the evidence aggregate is
     * corpus-wide by construction.
     */
-  val ddDupSpans: Q = (s, d) =>
-    TextOps.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
-      win = 4)
+  val ddDupSpans: Q = (s, d) => ddDupSpansShared(s, d)
 
   /** Coverage companion of [[ddDupSpans]]: tokens inside some repeated
     * ≥4-gram and the covered fraction, one row per non-null-text doc —
     * the drop/downweight signal substring dedup feeds a filter stage.
+    * Served from the same memoized spans frame as [[ddDupSpans]] (the
+    * evidence pass — window table + corpus-wide hash agg — is the cost;
+    * the spans it yields are tiny).
     */
   val ddDupRatio: Q = (s, d) =>
-    TextOps.duplicationStats(Tables.documents(s, d), "doc_id", "text",
-      win = 4)
+    TextOps.duplicationStatsFromSpans(Tables.documents(s, d), "doc_id",
+      "text", ddDupSpansShared(s, d))
+
+  private def ddDupSpansShared(s: SparkSession, d: String) =
+    ddShared.get(s, "dupspans|" + d)(
+      TextOps.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        win = 4).localCheckpoint())
 
   /** Count-min heavy hitters: token counts sketched into 3×32 counters
     * (order-independent sums — bit-identical cross-engine), every distinct
