@@ -643,9 +643,17 @@ object TextOps {
     *         all-docs view)
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      win: Int): DataFrame =
+    duplicatedSpansFromWindows(idCol,
+      windowTable(docs, idCol, textCol, win), win)
+
+  /** [[duplicatedSpans]] over a precomputed [[windowTable]]. */
+  private[graft] def duplicatedSpansFromWindows(idCol: String, w: DataFrame,
       win: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = duplicatedPositions(docs, idCol, textCol, win)
+    val dup = w.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("h"))
+    val pos = w.join(dup, "h").select(col("id"), col("i"))
     val byDoc = Window.partitionBy(col("id")).orderBy(col("i"))
     // interval union: a window's range [i, i+win-1] extends the current
     // island iff it overlaps or touches the running max end; `pe` looks
@@ -704,15 +712,74 @@ object TextOps {
           .otherwise(lit(0.0)).as("dup_ratio"))
   }
 
-  /** Duplicated (id, i) window positions: the shared evidence table of
-    * [[duplicatedSpans]]/[[duplicationStats]]. Materialized because the
-    * dup-hash aggregate and the merge-back join both read it; occurrence
-    * counting is over ALL sites (a within-doc repeat is duplication too).
+  /** The removal stage of substring dedup (what the suffix-array
+    * pipelines actually DO with the spans): every duplicated window
+    * occurrence except the global first — min (doc, position), the same
+    * keep-first rule as [[dedupSpans]] — marks its tokens for removal,
+    * and each document is reassembled from its surviving tokens. One
+    * copy of every ≥win-token repeat survives, in the earliest document
+    * that carries it; later copies (and later within-doc repeats) are
+    * cut at exact extents. A token covered by both a protected (first)
+    * and an unprotected occurrence is removed — overlap resolves toward
+    * removal, which keeps the rule deterministic and order-free.
+    *
+    * Scale shape: the first-occurrence rule is one min-struct aggregate
+    * over the window table (map-side combinable, no window function, no
+    * sort); coverage is explode + distinct on removal windows only.
+    * Reassembly is row-local: each doc's removed-index array attaches
+    * once and an indexed filter rebuilds the text.
+    *
+    * @return (idCol, clean_text, n_tokens, n_removed) per non-null-text
+    *         doc
     */
-  private def duplicatedPositions(docs: DataFrame, idCol: String,
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      win: Int): DataFrame =
+    stripDuplicatedSpansFromWindows(docs, idCol, textCol,
+      windowTable(docs, idCol, textCol, win), win)
+
+  /** [[stripDuplicatedSpans]] over a precomputed [[windowTable]] — the
+    * entry point when several dedup views are served from one evidence
+    * pass.
+    */
+  private[graft] def stripDuplicatedSpansFromWindows(docs: DataFrame,
+      idCol: String, textCol: String, w: DataFrame, win: Int): DataFrame = {
+    val firstOcc = w.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("i"))).as("first"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val removedIdx = w.join(firstOcc, "h")
+      .filter(struct(col("id"), col("i")) =!= col("first"))
+      .select(col("id"),
+        explode(sequence(col("i"), col("i") + lit(win - 1).cast("long")))
+          .as("idx"))
+      .distinct()
+    val remArr = removedIdx.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("idx"))).as("removed"),
+        count(lit(1)).as("n_removed"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokensCol(col(textCol)).as("toks"))
+      .join(remArr, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        array_join(
+          filter(col("toks"), (_, idx) =>
+            !array_contains(
+              coalesce(col("removed"), array().cast("array<bigint>")),
+              idx.cast("long"))),
+          " ").as("clean_text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** (id, i, h) sliding window-hash rows, MATERIALIZED — the aggregate
+    * and the join-back both read it, and every un-materialized reference
+    * would re-run the interpreted tokenize chain. Exposed package-wide so
+    * a serving layer can compute the evidence ONCE and derive spans,
+    * coverage, and the strip transform from the same frame.
+    */
+  private[graft] def windowTable(docs: DataFrame, idCol: String,
       textCol: String, win: Int): DataFrame = {
     require(win >= 1, s"win=$win must be positive")
-    val w = ClusterOps.flatten(docs.filter(col(textCol).isNotNull)
+    ClusterOps.flatten(docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokensCol(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= win)
       .select(col("id"),
@@ -722,9 +789,6 @@ object TextOps {
       .select(col("id"), col("i"),
         md5(array_join(slice(col("toks"), (col("i") + 1).cast("int"),
           lit(win)), " ")).as("h")))
-    val dup = w.groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select(col("h"))
-    w.join(dup, "h").select(col("id"), col("i"))
   }
 
   /** Quality features + a composite score (length, punctuation, stopword

@@ -652,10 +652,32 @@ object TrainingQueries {
     TextOps.duplicationStatsFromSpans(Tables.documents(s, d), "doc_id",
       "text", ddDupSpansShared(s, d))
 
-  private def ddDupSpansShared(s: SparkSession, d: String) =
-    ddShared.get(s, "dupspans|" + d)(
-      TextOps.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+  /** The (id, i, h) window-hash evidence table, computed once per
+    * (session, sf dir) — all three substring-dedup views (spans /
+    * coverage / strip) derive from it; it is the dominant cost of each.
+    */
+  private def ddDupWindows(s: SparkSession, d: String) =
+    ddShared.get(s, "dupwin|" + d)(
+      TextOps.windowTable(Tables.documents(s, d), "doc_id", "text",
         win = 4).localCheckpoint())
+
+  private def ddDupSpansShared(s: SparkSession, d: String) = {
+    // materialize the windows entry BEFORE the dependent get — nested
+    // computeIfAbsent on one map is the documented recursive-update
+    // hazard (see ddComponents)
+    val w = ddDupWindows(s, d)
+    ddShared.get(s, "dupspans|" + d)(
+      TextOps.duplicatedSpansFromWindows("doc_id", w, win = 4)
+        .localCheckpoint())
+  }
+
+  /** The removal stage over the same evidence: one copy of every ≥4-gram
+    * repeat survives (global-first site), later copies are cut and the
+    * text reassembled — the transform substring dedup feeds the trainer.
+    */
+  val ddDupStrip: Q = (s, d) =>
+    TextOps.stripDuplicatedSpansFromWindows(Tables.documents(s, d),
+      "doc_id", "text", ddDupWindows(s, d), win = 4)
 
   /** Count-min heavy hitters: token counts sketched into 3×32 counters
     * (order-independent sums — bit-identical cross-engine), every distinct
@@ -1065,6 +1087,7 @@ object TrainingQueries {
     "dd_spans" -> ddSpans,
     "dd_dup_spans" -> ddDupSpans,
     "dd_dup_ratio" -> ddDupRatio,
+    "dd_dup_strip" -> ddDupStrip,
     "emb_quantize" -> embQuantize,
     "emb_rproj" -> embRproj,
     "txt_lr_train" -> txtLrTrain,
@@ -1640,6 +1663,36 @@ object TrainingQueries {
     // span hash-mismatches here.
     "dd_dup_spans" -> dupSpansSql(
       "SELECT doc_id, span_start, span_end, span_len FROM spans"),
+    // the strip oracle replays the keep-first rule (row_number over
+    // (doc, pos) per hash), the coverage explode, and the reassembly —
+    // exact transform, so a mis-protected or over-cut token mismatches
+    "dd_dup_strip" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id, CAST(p AS BIGINT) AS i,
+         |    md5(array_to_string(toks[p+1:p+4], ' ')) AS h
+         |  FROM t, unnest(range(0, len(toks) - 4 + 1)) u(p)),
+         |r AS (SELECT doc_id, i,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+         |    count(*) OVER (PARTITION BY h) AS cnt FROM w),
+         |rem AS (SELECT DISTINCT doc_id, i + u.k AS idx
+         |  FROM r, unnest(range(0, 4)) u(k) WHERE cnt >= 2 AND rn > 1),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+         |  FROM rem GROUP BY 1),
+         |tok AS (SELECT doc_id, CAST(p AS BIGINT) AS idx, toks[p+1] AS tok
+         |  FROM t, unnest(range(0, len(toks))) u(p)),
+         |kept AS (SELECT tok.doc_id, tok.idx, tok.tok FROM tok
+         |  LEFT JOIN rem ON tok.doc_id = rem.doc_id AND tok.idx = rem.idx
+         |  WHERE rem.idx IS NULL)
+         |SELECT t.doc_id,
+         |  coalesce(string_agg(kept.tok, ' ' ORDER BY kept.idx), '')
+         |    AS clean_text,
+         |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(max(agg.n_removed), 0)::BIGINT AS n_removed
+         |FROM t
+         |LEFT JOIN kept ON t.doc_id = kept.doc_id
+         |LEFT JOIN agg ON t.doc_id = agg.doc_id
+         |GROUP BY t.doc_id, len(t.toks)""".stripMargin,
     "dd_dup_ratio" -> dupSpansSql(
       """SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
         |  coalesce(sum(spans.span_len), 0)::BIGINT AS dup_tokens,

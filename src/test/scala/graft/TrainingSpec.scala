@@ -82,6 +82,21 @@ class TrainingSpec extends AnyFunSuite {
     // a clean doc alone in the corpus: windows exist, none repeats
     assert(TextOps.duplicatedSpans(df.filter(col("doc_id") === 4L),
       "doc_id", "text", win = 4).count() == 0)
+    // the removal stage: doc 1 holds the global-first occurrence and
+    // keeps its copy; doc 2's copy is cut at exact extent; doc 3's
+    // within-doc repeat keeps the first site and cuts the second —
+    // note the second "loop" run loses only its unprotected windows'
+    // union [7..11], so the doubled phrase collapses to one copy
+    val strip = TextOps.stripDuplicatedSpans(df, "doc_id", "text", win = 4)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(3))))
+      .toMap
+    assert(strip(1L)._2 == 0L &&
+      strip(1L)._1 == s"alpha beta $boiler gamma delta")
+    assert(strip(2L) ==
+      ("unrelated words here then and a tail of text", 9L))
+    assert(strip(3L) == ("x1 x2 loop one two three four x3", 5L))
+    assert(strip(4L)._2 == 0L)
+    assert(!strip.contains(5L))
   }
 
   test("span dedup drops null-text docs, matching the SQL-side semantics") {
