@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted sliding-window hash index — the incremental exact-substring
+  * dedup artifact, completing the family [[LshStore]] (near-dup pairs)
+  * and [[VectorStore]] (semantic) cover at their granularities.
+  *
+  * [[TextOps.duplicatedSpans]] proves the one-shot plan (one corpus-wide
+  * hash aggregate, never pairwise); this store makes the EVIDENCE durable,
+  * which is what a continuously-crawled corpus needs: when a new snapshot
+  * arrives, every ≥win-token sequence it shares with ALL prior data must
+  * be found without re-tokenizing, re-hashing, or even re-reading the old
+  * corpus. The stored index is per-ingest aggregated `(h, n, first_id,
+  * first_i)` — one row per DISTINCT window hash per batch, 16-byte md5
+  * plus three longs, strictly smaller than the corpus's token stream and
+  * free of the text itself. At 100 TB the index is the only history a
+  * dedup pass touches, and [[probeSpans]]/[[probeStrip]] scan it exactly
+  * once with the (small) new batch's distinct hashes broadcast — no
+  * shuffle of history, ever.
+  *
+  * Probe semantics (immutable history, the frontier contract shared with
+  * [[LshStore]]/`emb_frontier`): a batch window is duplicated iff its
+  * hash occurs in the store OR ≥2 times within the batch. Because any
+  * partner site counts regardless of which side holds it, the probe of a
+  * batch equals the ONE-SHOT [[TextOps.duplicatedSpans]] over
+  * history∪batch restricted to batch documents — the property the gate's
+  * shared-oracle check rides on (`DupStoreSpec` proves it on adversarial
+  * splits). History rows are never re-judged: a window in an OLD document
+  * whose first partner arrives later is the old snapshot's business only
+  * if the pipeline re-probes it, which is a full re-run, not an ingest.
+  *
+  * Same durability contract as every manifested store here: a pending
+  * marker brackets the append, load/exists refuse a marked store,
+  * [[recoverIngest]] rolls a crashed batch out by its store-unique
+  * `ingest_seq`, zombie re-delivery of a completed foreachBatch batch is
+  * a manifest-guarded no-op, and [[compact]] rewrites the append-grown
+  * layout (merging per-hash rows — counts sum, first sites take the
+  * minimum — so a long-lived store stays one row per distinct hash).
+  * SINGLE WRITER assumed.
+  *
+  * Layout: `path/hashes` (h, n, first_id, first_i, ingest_batch,
+  * ingest_seq), `path/_graft_dupstore.json`.
+  */
+object DupStore {
+
+  val ManifestFile = "_graft_dupstore.json"
+  val PendingFile = "_graft_dup_pending"
+
+  /** A loaded index: `hashes` is the stored scan; `win` is the manifest's
+    * window length, carried so a probe can never hash its batch with a
+    * different window than the index was built with (a mismatch finds
+    * nothing, silently).
+    */
+  final case class Loaded(hashes: DataFrame, win: Int, path: String)
+
+  private def manifest(win: Int, ingests: Long,
+      batchId: Option[Long]): String =
+    s"""{"version":1,"win":$win,"ingests":$ingests""" +
+      batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
+
+  private def refusePending(spark: SparkSession, path: String): Unit =
+    if (graft.StoreUtil.readMarker(spark, path, PendingFile).isDefined)
+      throw new IllegalStateException(
+        s"$path has an unfinished ingest ($PendingFile present) — run " +
+          "DupStore.recoverIngest(spark, path, dest) to roll it back")
+
+  /** Whether a healthy index exists at `path` — same broken-vs-absent
+    * discipline as the sibling stores: rows without a manifest mean the
+    * FIRST ingest crashed, and a create-on-first-batch branch must not
+    * silently reset the index over them.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    refusePending(spark, path)
+    val healthy =
+      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
+    if (!healthy && graft.StoreUtil.pathExists(spark, path, "hashes"))
+      throw new IllegalStateException(
+        s"$path holds hash rows but no $ManifestFile — the first ingest " +
+          "crashed mid-write; delete the directory and re-ingest the batch")
+    healthy
+  }
+
+  def load(spark: SparkSession, path: String): Loaded = {
+    refusePending(spark, path)
+    val m = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "dup-hash store")
+    Loaded(spark.read.parquet(s"$path/hashes"),
+      graft.StoreUtil.manifestInt(m, "win", s"dup manifest at $path"), path)
+  }
+
+  /** Ingest one batch: aggregate its window hashes (count + min (doc,
+    * pos) site per hash) and append them, creating the store on the
+    * first batch. The window length is validated against the manifest on
+    * every later ingest. Idempotent under foreachBatch zombie
+    * re-delivery via the manifest's `last_batch`; the pending marker +
+    * `ingest_seq` tag give [[recoverIngest]] its rollback identity
+    * (format and rationale inherited verbatim from [[LshStore]]).
+    */
+  def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String, win: Int = 4,
+      batchId: Option[Long] = None): Unit = {
+    val present = exists(spark, path)
+    val prevLastBatch =
+      if (present) SketchOps.lastBatchId(spark, path, ManifestFile) else None
+    if (present && batchId.isDefined && batchId == prevLastBatch) return
+    val ingests: Long =
+      if (!present) 0L
+      else graft.StoreUtil.manifestInt(
+        graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+          "dup-hash store"),
+        "ingests", s"dup manifest at $path").toLong
+    val bid = batchId.getOrElse(-(ingests + 1L))
+    val ww =
+      if (present) {
+        val st = load(spark, path)
+        require(win == st.win,
+          s"index at $path was built with win=${st.win}; refusing " +
+            s"ingest with win=$win")
+        st.win
+      } else win
+    val rows = TextOps.windowTable(batch, idCol, textCol, ww)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("id"), col("i"))).as("first"))
+      .select(col("h"), col("n"),
+        col("first.id").as("first_id"), col("first.i").as("first_i"))
+    graft.StoreUtil.writeMarker(spark, path, PendingFile, s"$bid:$ingests")
+    val seq = ingests + 1L
+    rows.withColumn("ingest_batch", lit(bid))
+      .withColumn("ingest_seq", lit(seq))
+      .write.mode(if (present) "append" else "overwrite")
+      .parquet(s"$path/hashes")
+    graft.StoreUtil.writeMarker(spark, path, ManifestFile,
+      manifest(ww, ingests + 1L, batchId.orElse(prevLastBatch)))
+    graft.StoreUtil.deleteMarker(spark, path, PendingFile)
+  }
+
+  /** Duplicated (id, i) window positions of a batch against
+    * history∪batch: the batch is hashed ONCE (materialized — three plan
+    * branches read it), its distinct hashes probe the store with the
+    * batch side broadcast (one history scan, zero history shuffle), and
+    * within-batch repeats come from the batch's own aggregate.
+    */
+  private def dupPositions(st: Loaded, batch: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val w = ClusterOps.flatten(
+      TextOps.windowTable(batch, idCol, textCol, st.win))
+    val batchDup = w.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("h"))
+    val histDup = st.hashes
+      .join(broadcast(w.select(col("h")).distinct()), "h")
+      .select(col("h")).distinct()
+    val dupH = batchDup.union(histDup).distinct()
+    (w, w.join(dupH, "h").select(col("id"), col("i")))
+  }
+
+  /** Maximal duplicated spans of `batch` against everything the store
+    * has seen plus the batch itself — equal by construction to the
+    * one-shot [[TextOps.duplicatedSpans]] over history∪batch restricted
+    * to batch docs. Same output shape as the in-memory op.
+    */
+  def probeSpans(st: Loaded, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    TextOps.spansFromPositions(idCol,
+      dupPositions(st, batch, idCol, textCol)._2, st.win)
+
+  /** Per-doc coverage companion of [[probeSpans]] (same output shape as
+    * [[TextOps.duplicationStats]]).
+    */
+  def probeStats(st: Loaded, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    TextOps.duplicationStatsFromSpans(batch, idCol, textCol,
+      probeSpans(st, batch, idCol, textCol))
+
+  /** The incremental removal stage: any batch window whose hash the
+    * store has seen is cut (history holds a strictly earlier copy);
+    * within the batch, the keep-first rule of
+    * [[TextOps.stripDuplicatedSpans]] applies — min (doc, pos) site
+    * survives. Equal by construction to the one-shot strip over
+    * history∪batch restricted to batch docs, PROVIDED history ids
+    * precede batch ids (the crawl-snapshot contract; with interleaved
+    * ids the one-shot may protect a batch site over a history site —
+    * `DupStoreSpec` pins both sides of this boundary).
+    */
+  def probeStrip(st: Loaded, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (w, _) = dupPositions(st, batch, idCol, textCol)
+    val inHist = st.hashes
+      .join(broadcast(w.select(col("h")).distinct()), "h")
+      .select(col("h")).distinct()
+    val firstInBatch = w.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("i"))).as("first"),
+        count(lit(1)).as("n"))
+    // removal = every site of a history-known hash, else every
+    // non-first site of a batch-repeated hash
+    val rem = w
+      .join(firstInBatch, "h")
+      .join(inHist.withColumn("hist", lit(true)), Seq("h"), "left_outer")
+      .filter(coalesce(col("hist"), lit(false)) ||
+        (col("n") >= 2 && struct(col("id"), col("i")) =!= col("first")))
+      .select(col("id"), col("i"))
+    TextOps.stripFromRemovalWindows(batch, idCol, textCol, rem, st.win)
+  }
+
+  /** Roll an interrupted ingest back out into a clean store at `dest` —
+    * marker format, completion witness, and seq-over-tag preference as
+    * documented at [[LshStore.recoverIngest]].
+    */
+  def recoverIngest(spark: SparkSession, path: String, dest: String): Unit = {
+    val pending = graft.StoreUtil.readMarker(spark, path, PendingFile)
+      .getOrElse(throw new IllegalStateException(
+        s"no interrupted ingest recorded at $path")).trim
+    val Array(badStr, startStr) = pending.split(":", 2)
+    val m = graft.StoreUtil.readMarker(spark, path, ManifestFile)
+      .getOrElse(throw new IllegalStateException(
+        s"$path's first ingest crashed (no pre-batch manifest survives)" +
+          " — delete the directory and re-ingest the batch"))
+    graft.StoreUtil.requireDisjoint(spark, path, dest, "recover")
+    val completed = graft.StoreUtil.manifestInt(m, "ingests",
+      s"dup manifest at $path").toLong != startStr.toLong
+    val t = spark.read.parquet(s"$path/hashes")
+    val cleaned =
+      if (completed) t
+      else t.filter(coalesce(col("ingest_seq") =!= (startStr.toLong + 1L),
+        col("ingest_batch") =!= badStr.toLong))
+    graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
+    cleaned.write.mode("overwrite").parquet(s"$dest/hashes")
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile, m)
+  }
+
+  /** Rewrite an ingest-grown store at `dest`, MERGING per-hash rows —
+    * counts sum, first sites take the struct minimum — so a store that
+    * has seen k batches goes back to one row per distinct hash (probes
+    * only test hash existence and min-site, both preserved under the
+    * merge; `DupStoreSpec` proves probe-equality across compaction).
+    * Merged rows carry batch tag −1/seq 0 (no live rollback identity —
+    * compaction of a healthy store has nothing to roll back; the
+    * manifest, including the zombie guard, is copied verbatim).
+    */
+  def compact(spark: SparkSession, path: String, dest: String,
+      files: Int = 1): Unit = {
+    refusePending(spark, path)
+    require(files >= 1, s"files must be >= 1, got $files")
+    val m = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "dup-hash store")
+    graft.StoreUtil.requireDisjoint(spark, path, dest, "compact")
+    graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
+    spark.read.parquet(s"$path/hashes")
+      .groupBy(col("h"))
+      .agg(sum(col("n")).as("n"),
+        min(struct(col("first_id").as("id"), col("first_i").as("i")))
+          .as("first"))
+      .select(col("h"), col("n"),
+        col("first.id").as("first_id"), col("first.i").as("first_i"),
+        lit(-1L).as("ingest_batch"), lit(0L).as("ingest_seq"))
+      .repartition(files)
+      .write.mode("overwrite").parquet(s"$dest/hashes")
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile, m)
+  }
+}

@@ -650,10 +650,19 @@ object TextOps {
   /** [[duplicatedSpans]] over a precomputed [[windowTable]]. */
   private[graft] def duplicatedSpansFromWindows(idCol: String, w: DataFrame,
       win: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dup = w.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("h"))
-    val pos = w.join(dup, "h").select(col("id"), col("i"))
+    spansFromPositions(idCol, w.join(dup, "h").select(col("id"), col("i")),
+      win)
+  }
+
+  /** Island merge: duplicated window positions `(id, i)` → maximal
+    * merged spans. The kernel shared by the in-memory path and the
+    * incremental [[DupStore]] probe.
+    */
+  private[graft] def spansFromPositions(idCol: String, pos: DataFrame,
+      win: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("i"))
     // interval union: a window's range [i, i+win-1] extends the current
     // island iff it overlaps or touches the running max end; `pe` looks
@@ -747,8 +756,21 @@ object TextOps {
       .agg(min(struct(col("id"), col("i"))).as("first"),
         count(lit(1)).as("n"))
       .filter(col("n") >= 2)
-    val removedIdx = w.join(firstOcc, "h")
-      .filter(struct(col("id"), col("i")) =!= col("first"))
+    stripFromRemovalWindows(docs, idCol, textCol,
+      w.join(firstOcc, "h")
+        .filter(struct(col("id"), col("i")) =!= col("first"))
+        .select(col("id"), col("i")),
+      win)
+  }
+
+  /** Reassembly kernel: removal window positions `(id, i)` → per-doc
+    * clean text. Shared by the in-memory keep-first strip and the
+    * incremental [[DupStore]] probe (which derives its removal set
+    * against stored history).
+    */
+  private[graft] def stripFromRemovalWindows(docs: DataFrame, idCol: String,
+      textCol: String, rem: DataFrame, win: Int): DataFrame = {
+    val removedIdx = rem
       .select(col("id"),
         explode(sequence(col("i"), col("i") + lit(win - 1).cast("long")))
           .as("idx"))

@@ -671,6 +671,29 @@ object TrainingQueries {
         .localCheckpoint())
   }
 
+  /** The incremental substring-dedup path ([[graft.ops.DupStore]]): the
+    * doc_id < 250 history arrives as two snapshots folded into a
+    * persisted window-hash index, then the 250–499 batch probes it —
+    * and the probe must equal the one-shot [[TextOps.duplicatedSpans]]
+    * over the whole <500 corpus restricted to batch docs (shared-shape
+    * oracle below). The 100 TB substring-dedup lifecycle: history is
+    * never re-tokenized or re-hashed, only its per-hash index is
+    * scanned, with the batch broadcast.
+    */
+  val ddDupStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("dupstore", d) { p =>
+      val hist = Tables.documents(s, d).filter(col("doc_id") < 250)
+      graft.ops.DupStore.ingestBatch(s, p,
+        hist.filter(col("doc_id") < 125), "doc_id", "text")
+      graft.ops.DupStore.ingestBatch(s, p,
+        hist.filter(col("doc_id") >= 125), "doc_id", "text")
+    }
+    graft.ops.DupStore.probeSpans(graft.ops.DupStore.load(s, dir),
+      Tables.documents(s, d)
+        .filter(col("doc_id") >= 250 && col("doc_id") < 500),
+      "doc_id", "text")
+  }
+
   /** The removal stage over the same evidence: one copy of every ≥4-gram
     * repeat survives (global-first site), later copies are cut and the
     * text reassembled — the transform substring dedup feeds the trainer.
@@ -1088,6 +1111,7 @@ object TrainingQueries {
     "dd_dup_spans" -> ddDupSpans,
     "dd_dup_ratio" -> ddDupRatio,
     "dd_dup_strip" -> ddDupStrip,
+    "dd_dup_store" -> ddDupStore,
     "emb_quantize" -> embQuantize,
     "emb_rproj" -> embRproj,
     "txt_lr_train" -> txtLrTrain,
@@ -1119,9 +1143,10 @@ object TrainingQueries {
     * interval-union island merge → maximal `spans`. The caller supplies
     * the final SELECT over `t` (tokenized docs) and `spans`.
     */
-  private def dupSpansSql(finalSelect: String): String =
+  private def dupSpansSql(finalSelect: String,
+      where: String = "text IS NOT NULL"): String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM documents WHERE $where),
        |w AS (SELECT doc_id, CAST(p AS BIGINT) AS i,
        |    md5(array_to_string(toks[p+1:p+4], ' ')) AS h
        |  FROM t, unnest(range(0, len(toks) - 4 + 1)) u(p)),
@@ -1663,6 +1688,14 @@ object TrainingQueries {
     // span hash-mismatches here.
     "dd_dup_spans" -> dupSpansSql(
       "SELECT doc_id, span_start, span_end, span_len FROM spans"),
+    // the store probe equals the one-shot spans over history∪batch
+    // restricted to batch docs — any duplicate relationship counts
+    // regardless of which side holds the partner site, so the one
+    // relational definition covers both paths (see DupStore's scaladoc)
+    "dd_dup_store" -> dupSpansSql(
+      "SELECT doc_id, span_start, span_end, span_len FROM spans " +
+        "WHERE doc_id >= 250",
+      where = "text IS NOT NULL AND doc_id < 500"),
     // the strip oracle replays the keep-first rule (row_number over
     // (doc, pos) per hash), the coverage explode, and the reassembly —
     // exact transform, so a mis-protected or over-cut token mismatches
