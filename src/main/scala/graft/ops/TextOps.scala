@@ -797,6 +797,13 @@ object TextOps {
     * would re-run the interpreted tokenize chain. Exposed package-wide so
     * a serving layer can compute the evidence ONCE and derive spans,
     * coverage, and the strip transform from the same frame.
+    *
+    * `h` is the 16-byte BINARY md5, not its 32-char hex string: the hash
+    * never leaves any operator (only grouped and joined on), and binary
+    * keys halve every aggregate's state, every exchange, and the
+    * persisted [[DupStore]] index. The DuckDB oracles group on the hex
+    * md5 — any injective proxy for the window string yields the same
+    * partition, so the two engines agree without sharing the encoding.
     */
   private[graft] def windowTable(docs: DataFrame, idCol: String,
       textCol: String, win: Int): DataFrame = {
@@ -809,8 +816,8 @@ object TextOps {
           .as("i"),
         col("toks"))
       .select(col("id"), col("i"),
-        md5(array_join(slice(col("toks"), (col("i") + 1).cast("int"),
-          lit(win)), " ")).as("h")))
+        unhex(md5(array_join(slice(col("toks"), (col("i") + 1).cast("int"),
+          lit(win)), " "))).as("h")))
   }
 
   /** Quality features + a composite score (length, punctuation, stopword

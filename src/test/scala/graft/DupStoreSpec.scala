@@ -136,7 +136,7 @@ class DupStoreSpec extends AnyFunSuite {
     // simulate a crash mid-ingest of batch 7 (marker down, some rows
     // appended with the crashed seq, manifest pre-batch)
     StoreUtil.writeMarker(spark, dir, DupStore.PendingFile, "7:1")
-    spark.range(3).select(md5(col("id").cast("string")).as("h"),
+    spark.range(3).select(unhex(md5(col("id").cast("string"))).as("h"),
         lit(2L).as("n"), lit(9999L).as("first_id"), lit(0L).as("first_i"),
         lit(7L).as("ingest_batch"), lit(2L).as("ingest_seq"))
       .write.mode("append").parquet(s"$dir/hashes")
@@ -185,11 +185,11 @@ class DupStoreSpec extends AnyFunSuite {
     // and min-first sites survive the merge (strip semantics intact)
     val firstBefore = st.hashes.groupBy("h")
       .agg(min(struct(col("first_id"), col("first_i"))).as("f"))
-      .select(col("h"), col("f.first_id"), col("f.first_i"))
+      .select(hex(col("h")).as("h"), col("f.first_id"), col("f.first_i"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     val firstAfter = cst.hashes
-      .select("h", "first_id", "first_i")
+      .select(hex(col("h")).as("h"), col("first_id"), col("first_i"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(firstAfter == firstBefore)

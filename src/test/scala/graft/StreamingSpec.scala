@@ -478,6 +478,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(log.count() == log.select("a", "b").distinct().count())
   }
 
+  test("foreachBatch maintains the dup-hash index — a post-stream probe " +
+      "equals the one-shot spans restricted to the probe batch") {
+    // the substring-dedup leg of the store-maintenance lifecycle: each
+    // micro-batch's window hashes fold into the persisted index, then a
+    // fresh batch probes the accumulated history — and the probe equals
+    // running duplicatedSpans over everything at once, restricted to the
+    // probe docs (the store's frontier contract).
+    import graft.ops.{DupStore, TextOps}
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val hist = all.filter(col("doc_id") < 120)
+    val probe = all.filter(col("doc_id") >= 120)
+    val inDir = Files.createTempDirectory("graft_dup_fb_in").toString
+    (0 until 3).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet", hist.filter(col("doc_id") % 3 === m))
+    }
+    val store = Files.createTempDirectory("graft_dup_fb_store").toString + "/dup"
+    var batches = 0
+    val stream = spark.readStream.schema(hist.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        DupStore.ingestBatch(spark, store, df, "doc_id", "text",
+          batchId = Some(id))
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+    def spanSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "span_start", "span_end").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = spanSet(DupStore.probeSpans(DupStore.load(spark, store),
+      probe, "doc_id", "text"))
+    val want = spanSet(TextOps.duplicatedSpans(all, "doc_id", "text",
+      win = 4).filter(col("doc_id") >= 120))
+    assert(got == want)
+    assert(got.nonEmpty)
+    // zombie re-delivery of the final micro-batch: manifest-guarded no-op
+    val before = DupStore.load(spark, store).hashes.count()
+    DupStore.ingestBatch(spark, store, hist.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", batchId = Some(batches.toLong - 1L))
+    assert(DupStore.load(spark, store).hashes.count() == before)
+  }
+
   test("foreachBatch maintains the persisted bloom filter across " +
       "micro-batches") {
     // the frontier-membership leg of the store-maintenance lifecycle:
