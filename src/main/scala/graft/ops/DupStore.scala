@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * which is what a continuously-crawled corpus needs: when a new snapshot
   * arrives, every ≥win-token sequence it shares with ALL prior data must
   * be found without re-tokenizing, re-hashing, or even re-reading the old
-  * corpus. The stored index is per-ingest aggregated `(h, n, first_id,
-  * first_i)` — one row per DISTINCT window hash per batch, 16-byte md5
-  * plus three longs, strictly smaller than the corpus's token stream and
-  * free of the text itself. At 100 TB the index is the only history a
-  * dedup pass touches, and [[probeSpans]]/[[probeStrip]] scan it exactly
-  * once with the (small) new batch's distinct hashes broadcast — no
-  * shuffle of history, ever.
+  * corpus. The stored index is per-ingest aggregated `(h, n)` — one row
+  * per DISTINCT window hash per batch, a 16-byte binary md5 plus a
+  * count, free of the text itself. Like the suffix array this op
+  * re-expresses, the index is O(corpus tokens) — that is the price of
+  * EXACT substring dedup at any granularity — but what a probe saves is
+  * the expensive part: no re-tokenizing, no re-hashing, and above all no
+  * shuffle of history, ever — [[probeSpans]]/[[probeStrip]] scan the
+  * index exactly once with the (small) new batch's distinct hashes
+  * broadcast, where the one-shot re-run exchanges the entire corpus's
+  * window table through its hash aggregate every snapshot.
   *
   * Probe semantics (immutable history, the frontier contract shared with
   * [[LshStore]]/`emb_frontier`): a batch window is duplicated iff its
@@ -36,12 +39,11 @@ import org.apache.spark.sql.functions._
   * [[recoverIngest]] rolls a crashed batch out by its store-unique
   * `ingest_seq`, zombie re-delivery of a completed foreachBatch batch is
   * a manifest-guarded no-op, and [[compact]] rewrites the append-grown
-  * layout (merging per-hash rows — counts sum, first sites take the
-  * minimum — so a long-lived store stays one row per distinct hash).
-  * SINGLE WRITER assumed.
+  * layout (merging per-hash rows — counts sum — so a long-lived store
+  * stays one row per distinct hash). SINGLE WRITER assumed.
   *
-  * Layout: `path/hashes` (h, n, first_id, first_i, ingest_batch,
-  * ingest_seq), `path/_graft_dupstore.json`.
+  * Layout: `path/hashes` (h, n, ingest_batch, ingest_seq),
+  * `path/_graft_dupstore.json`.
   */
 object DupStore {
 
@@ -120,12 +122,14 @@ object DupStore {
             s"ingest with win=$win")
         st.win
       } else win
+    // one aggregate consumes the lazy window table inline — no
+    // checkpoint; per-batch rows are (h, n) only: every probe tests hash
+    // EXISTENCE (history-wins has no tie to break — history is earlier
+    // by the crawl contract), so site payloads would be 16 write-only
+    // bytes per row in an O(corpus tokens) artifact
     val rows = TextOps.windowTable(batch, idCol, textCol, ww)
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("n"),
-        min(struct(col("id"), col("i"))).as("first"))
-      .select(col("h"), col("n"),
-        col("first.id").as("first_id"), col("first.i").as("first_i"))
+      .agg(count(lit(1)).as("n"))
     graft.StoreUtil.writeMarker(spark, path, PendingFile, s"$bid:$ingests")
     val seq = ingests + 1L
     rows.withColumn("ingest_batch", lit(bid))
@@ -137,23 +141,32 @@ object DupStore {
     graft.StoreUtil.deleteMarker(spark, path, PendingFile)
   }
 
-  /** Duplicated (id, i) window positions of a batch against
-    * history∪batch: the batch is hashed ONCE (materialized — three plan
-    * branches read it), its distinct hashes probe the store with the
-    * batch side broadcast (one history scan, zero history shuffle), and
-    * within-batch repeats come from the batch's own aggregate.
+  /** The shared probe evidence: the batch hashed ONCE (materialized —
+    * several plan branches read it) and the store-matched subset of its
+    * hashes — ONE definition of the history join for every probe, with
+    * the batch side broadcast (one history scan, zero history shuffle).
     */
-  private def dupPositions(st: Loaded, batch: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame) = {
+  private final case class Evidence(w: DataFrame, histDup: DataFrame)
+
+  private def evidence(st: Loaded, batch: DataFrame, idCol: String,
+      textCol: String): Evidence = {
+    // windowTable is lazy; ONE flatten here is the probe's only
+    // materialization of the batch evidence
     val w = ClusterOps.flatten(
       TextOps.windowTable(batch, idCol, textCol, st.win))
-    val batchDup = w.groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select(col("h"))
-    val histDup = st.hashes
+    Evidence(w, st.hashes
       .join(broadcast(w.select(col("h")).distinct()), "h")
-      .select(col("h")).distinct()
-    val dupH = batchDup.union(histDup).distinct()
-    (w, w.join(dupH, "h").select(col("id"), col("i")))
+      .select(col("h")).distinct())
+  }
+
+  /** Duplicated (id, i) window positions: store-known hashes plus
+    * within-batch repeats from the batch's own aggregate.
+    */
+  private def dupPositions(ev: Evidence): DataFrame = {
+    val batchDup = ev.w.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("h"))
+    val dupH = batchDup.union(ev.histDup).distinct()
+    ev.w.join(dupH, "h").select(col("id"), col("i"))
   }
 
   /** Maximal duplicated spans of `batch` against everything the store
@@ -164,7 +177,7 @@ object DupStore {
   def probeSpans(st: Loaded, batch: DataFrame, idCol: String,
       textCol: String): DataFrame =
     TextOps.spansFromPositions(idCol,
-      dupPositions(st, batch, idCol, textCol)._2, st.win)
+      dupPositions(evidence(st, batch, idCol, textCol)), st.win)
 
   /** Per-doc coverage companion of [[probeSpans]] (same output shape as
     * [[TextOps.duplicationStats]]).
@@ -186,18 +199,15 @@ object DupStore {
     */
   def probeStrip(st: Loaded, batch: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val (w, _) = dupPositions(st, batch, idCol, textCol)
-    val inHist = st.hashes
-      .join(broadcast(w.select(col("h")).distinct()), "h")
-      .select(col("h")).distinct()
-    val firstInBatch = w.groupBy(col("h"))
+    val ev = evidence(st, batch, idCol, textCol)
+    val firstInBatch = ev.w.groupBy(col("h"))
       .agg(min(struct(col("id"), col("i"))).as("first"),
         count(lit(1)).as("n"))
     // removal = every site of a history-known hash, else every
     // non-first site of a batch-repeated hash
-    val rem = w
+    val rem = ev.w
       .join(firstInBatch, "h")
-      .join(inHist.withColumn("hist", lit(true)), Seq("h"), "left_outer")
+      .join(ev.histDup.withColumn("hist", lit(true)), Seq("h"), "left_outer")
       .filter(coalesce(col("hist"), lit(false)) ||
         (col("n") >= 2 && struct(col("id"), col("i")) =!= col("first")))
       .select(col("id"), col("i"))
@@ -231,10 +241,10 @@ object DupStore {
   }
 
   /** Rewrite an ingest-grown store at `dest`, MERGING per-hash rows —
-    * counts sum, first sites take the struct minimum — so a store that
-    * has seen k batches goes back to one row per distinct hash (probes
-    * only test hash existence and min-site, both preserved under the
-    * merge; `DupStoreSpec` proves probe-equality across compaction).
+    * counts sum — so a store that has seen k batches goes back to one
+    * row per distinct hash (probes only test hash EXISTENCE, preserved
+    * under the merge; `DupStoreSpec` proves probe-equality across
+    * compaction).
     * Merged rows carry batch tag −1/seq 0 (no live rollback identity —
     * compaction of a healthy store has nothing to roll back; the
     * manifest, including the zombie guard, is copied verbatim). Unlike
@@ -252,11 +262,8 @@ object DupStore {
     graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
     spark.read.parquet(s"$path/hashes")
       .groupBy(col("h"))
-      .agg(sum(col("n")).as("n"),
-        min(struct(col("first_id").as("id"), col("first_i").as("i")))
-          .as("first"))
+      .agg(sum(col("n")).as("n"))
       .select(col("h"), col("n"),
-        col("first.id").as("first_id"), col("first.i").as("first_i"),
         lit(-1L).as("ingest_batch"), lit(0L).as("ingest_seq"))
       .repartition(files)
       .write.mode("overwrite").parquet(s"$dest/hashes")

@@ -645,7 +645,7 @@ object TextOps {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       win: Int): DataFrame =
     duplicatedSpansFromWindows(idCol,
-      windowTable(docs, idCol, textCol, win), win)
+      ClusterOps.flatten(windowTable(docs, idCol, textCol, win)), win)
 
   /** [[duplicatedSpans]] over a precomputed [[windowTable]]. */
   private[graft] def duplicatedSpansFromWindows(idCol: String, w: DataFrame,
@@ -744,7 +744,7 @@ object TextOps {
   def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       win: Int): DataFrame =
     stripDuplicatedSpansFromWindows(docs, idCol, textCol,
-      windowTable(docs, idCol, textCol, win), win)
+      ClusterOps.flatten(windowTable(docs, idCol, textCol, win)), win)
 
   /** [[stripDuplicatedSpans]] over a precomputed [[windowTable]] — the
     * entry point when several dedup views are served from one evidence
@@ -767,36 +767,44 @@ object TextOps {
     * clean text. Shared by the in-memory keep-first strip and the
     * incremental [[DupStore]] probe (which derives its removal set
     * against stored history).
+    *
+    * Removal positions are first merged into maximal islands (the
+    * [[spansFromPositions]] kernel), so the per-doc payload is one
+    * (start, end) struct per REGION, not one index per token — a
+    * heavily duplicated long document (the op's exact target) attaches
+    * a handful of ranges instead of a 40k-element index array, and the
+    * per-token membership test is O(regions), not O(removed tokens).
     */
   private[graft] def stripFromRemovalWindows(docs: DataFrame, idCol: String,
       textCol: String, rem: DataFrame, win: Int): DataFrame = {
-    val removedIdx = rem
-      .select(col("id"),
-        explode(sequence(col("i"), col("i") + lit(win - 1).cast("long")))
-          .as("idx"))
-      .distinct()
-    val remArr = removedIdx.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("idx"))).as("removed"),
-        count(lit(1)).as("n_removed"))
+    val islands = spansFromPositions("id", rem, win)
+    val remArr = islands.groupBy(col("id"))
+      .agg(sort_array(collect_list(
+          struct(col("span_start").as("s"), col("span_end").as("e"))))
+        .as("cut"),
+        sum(col("span_len")).as("n_removed"))
+    val noCut = array().cast("array<struct<s:bigint,e:bigint>>")
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokensCol(col(textCol)).as("toks"))
       .join(remArr, Seq("id"), "left_outer")
+      .withColumn("cut", coalesce(col("cut"), noCut))
       .select(col("id").as(idCol),
         array_join(
           filter(col("toks"), (_, idx) =>
-            !array_contains(
-              coalesce(col("removed"), array().cast("array<bigint>")),
-              idx.cast("long"))),
+            !exists(col("cut"), c =>
+              idx.cast("long").between(c("s"), c("e")))),
           " ").as("clean_text"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
-  /** (id, i, h) sliding window-hash rows, MATERIALIZED — the aggregate
-    * and the join-back both read it, and every un-materialized reference
-    * would re-run the interpreted tokenize chain. Exposed package-wide so
-    * a serving layer can compute the evidence ONCE and derive spans,
-    * coverage, and the strip transform from the same frame.
+  /** (id, i, h) sliding window-hash rows — LAZY: callers with several
+    * plan branches over it materialize once ([[ClusterOps.flatten]], see
+    * the one-shot entry points and the [[DupStore]] probe); a
+    * single-consumer caller (the store's ingest aggregate) composes it
+    * inline and pays no checkpoint. Exposed package-wide so a serving
+    * layer can compute the evidence ONCE and derive spans, coverage, and
+    * the strip transform from the same frame.
     *
     * `h` is the 16-byte BINARY md5, not its 32-char hex string: the hash
     * never leaves any operator (only grouped and joined on), and binary
@@ -808,7 +816,7 @@ object TextOps {
   private[graft] def windowTable(docs: DataFrame, idCol: String,
       textCol: String, win: Int): DataFrame = {
     require(win >= 1, s"win=$win must be positive")
-    ClusterOps.flatten(docs.filter(col(textCol).isNotNull)
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokensCol(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= win)
       .select(col("id"),
@@ -817,7 +825,7 @@ object TextOps {
         col("toks"))
       .select(col("id"), col("i"),
         unhex(md5(array_join(slice(col("toks"), (col("i") + 1).cast("int"),
-          lit(win)), " "))).as("h")))
+          lit(win)), " "))).as("h"))
   }
 
   /** Quality features + a composite score (length, punctuation, stopword

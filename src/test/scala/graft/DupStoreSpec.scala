@@ -137,7 +137,7 @@ class DupStoreSpec extends AnyFunSuite {
     // appended with the crashed seq, manifest pre-batch)
     StoreUtil.writeMarker(spark, dir, DupStore.PendingFile, "7:1")
     spark.range(3).select(unhex(md5(col("id").cast("string"))).as("h"),
-        lit(2L).as("n"), lit(9999L).as("first_id"), lit(0L).as("first_i"),
+        lit(2L).as("n"),
         lit(7L).as("ingest_batch"), lit(2L).as("ingest_seq"))
       .write.mode("append").parquet(s"$dir/hashes")
     intercept[IllegalStateException](DupStore.load(spark, dir))
@@ -182,16 +182,11 @@ class DupStoreSpec extends AnyFunSuite {
     // merged counts preserve the total occurrence mass
     val massBefore = st.hashes.agg(sum("n")).head().getLong(0)
     assert(cst.hashes.agg(sum("n")).head().getLong(0) == massBefore)
-    // and min-first sites survive the merge (strip semantics intact)
-    val firstBefore = st.hashes.groupBy("h")
-      .agg(min(struct(col("first_id"), col("first_i"))).as("f"))
-      .select(hex(col("h")).as("h"), col("f.first_id"), col("f.first_i"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    val firstAfter = cst.hashes
-      .select(hex(col("h")).as("h"), col("first_id"), col("first_i"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    assert(firstAfter == firstBefore)
+    // strip answers ride on hash existence only — unchanged across the
+    // merge too
+    assert(DupStore.probeStrip(cst, batch, "doc_id", "text")
+      .agg(sum("n_removed")).head().getLong(0) ==
+      DupStore.probeStrip(st, batch, "doc_id", "text")
+        .agg(sum("n_removed")).head().getLong(0))
   }
 }
