@@ -521,6 +521,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(DupStore.load(spark, store).hashes.count() == before)
   }
 
+  test("streamed strip-then-ingest reproduces the one-shot corpus strip " +
+      "row for row") {
+    // the production cleaning loop: each micro-batch is STRIPPED against
+    // the store (history wins), then ingested. Because batch order
+    // follows id order, the accumulated per-batch outputs must equal the
+    // one-shot keep-first strip of the whole corpus: a window's
+    // protecting site lives in the earliest batch that carries its hash,
+    // and later batches can never retroactively change an earlier
+    // batch's output — the property that makes the streamed form safe to
+    // emit incrementally.
+    import graft.ops.{DupStore, TextOps}
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 150)
+    val inDir = Files.createTempDirectory("graft_strip_fb_in").toString
+    (0 until 3).foreach { m =>
+      // contiguous id ranges per batch — the ids-follow-arrival contract
+      writeEventFile(inDir, s"$m.parquet",
+        all.filter(col("doc_id") >= m * 50 && col("doc_id") < (m + 1) * 50))
+    }
+    val store =
+      Files.createTempDirectory("graft_strip_fb_store").toString + "/dup"
+    val acc = scala.collection.mutable.Map[Long, (String, Long)]()
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batch = df.localCheckpoint()
+        val cleaned =
+          if (DupStore.exists(spark, store))
+            DupStore.probeStrip(DupStore.load(spark, store), batch,
+              "doc_id", "text")
+          else TextOps.stripDuplicatedSpans(batch, "doc_id", "text", win = 4)
+        cleaned.collect().foreach(r =>
+          acc(r.getLong(0)) = (r.getString(1), r.getLong(3)))
+        DupStore.ingestBatch(spark, store, batch, "doc_id", "text",
+          batchId = Some(id))
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val want = TextOps.stripDuplicatedSpans(all, "doc_id", "text", win = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3))))
+      .toMap
+    assert(acc.toMap == want)
+    assert(want.values.exists(_._2 > 0L),
+      "fixture degenerated: nothing was stripped")
+  }
+
   test("foreachBatch maintains the persisted bloom filter across " +
       "micro-batches") {
     // the frontier-membership leg of the store-maintenance lifecycle:
