@@ -271,6 +271,77 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sliding-window dedup equals brute force on random docs: spans, " +
+      "coverage, and keep-first strip") {
+    import spark.implicits._
+    (71L to 74L).foreach { seed =>
+      val rnd = new Random(seed)
+      // small vocab forces heavy cross-doc and within-doc repetition,
+      // exercising island merging and keep-first tie-breaks hard
+      val raw = (0L until 30L).map { id =>
+        (id, Seq.fill(4 + rnd.nextInt(25))(s"t${rnd.nextInt(5)}")
+          .mkString(" "))
+      }
+      val docs = raw.toDF("doc_id", "text")
+      val win = 2 + rnd.nextInt(3)
+      val toks: Map[Long, Array[String]] =
+        raw.map { case (id, t) => id -> t.split("\\s+") }.toMap
+      // brute force, computed independently driver-side: every window's
+      // occurrence list over the whole corpus
+      val occ = toks.toSeq.flatMap { case (id, ts) =>
+        (0 to ts.length - win).map(i =>
+          (ts.slice(i, i + win).mkString(" "), id, i))
+      }
+      val byWindow = occ.groupBy(_._1)
+      val dupSites = occ.filter(o => byWindow(o._1).size >= 2)
+      // expected maximal spans: union per doc of [i, i+win-1] ranges
+      def merge(rs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+        rs.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+          case (acc, (s, e)) => acc match {
+            case (ps, pe) :: rest if s <= pe + 1 =>
+              (ps, math.max(pe, e)) :: rest
+            case _ => (s, e) :: acc
+          }
+        }.reverse
+      val wantSpans = dupSites.groupBy(_._2).flatMap { case (id, os) =>
+        merge(os.map(o => (o._3.toLong, (o._3 + win - 1).toLong)))
+          .map { case (s, e) => (id, s, e) }
+      }.toSet
+      val gotSpans = graft.ops.TextOps
+        .duplicatedSpans(docs, "doc_id", "text", win)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(gotSpans == wantSpans, s"seed=$seed win=$win")
+      // coverage: summed extents per doc, zero rows for clean docs
+      val wantCover = toks.map { case (id, ts) =>
+        id -> wantSpans.filter(_._1 == id).toSeq
+          .map(s => s._3 - s._2 + 1).sum
+      }
+      val gotCover = graft.ops.TextOps
+        .duplicationStats(docs, "doc_id", "text", win)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(gotCover == wantCover, s"seed=$seed win=$win")
+      // keep-first strip: a site survives iff it is the (doc, pos)-min
+      // occurrence of its window; removed tokens = union of non-first
+      // sites' ranges
+      val firstOf = byWindow.map { case (w, os) =>
+        w -> os.map(o => (o._2, o._3)).min
+      }
+      val wantStrip = toks.map { case (id, ts) =>
+        val cut = dupSites.filter(o =>
+            o._2 == id && firstOf(o._1) != ((id, o._3)))
+          .flatMap(o => o._3 until o._3 + win).toSet
+        id -> ((ts.indices.filterNot(cut).map(ts).mkString(" "),
+          cut.size.toLong))
+      }
+      val gotStrip = graft.ops.TextOps
+        .stripDuplicatedSpans(docs, "doc_id", "text", win)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3))))
+        .toMap
+      assert(gotStrip == wantStrip, s"seed=$seed win=$win")
+    }
+  }
+
   test("malformed newick fails fast with positioned diagnostics") {
     val bad = Seq(
       "(a,(b,c);",   // stray ';' truncates the tree → unclosed '('
