@@ -127,6 +127,97 @@ object ClusterOps {
     * @param quality   (id, score)
     * @return (component, n_docs, keep_id, keep_score)
     */
+  /** Integer-exact PageRank over a directed edge set — the graph
+    * centrality every crawl/link pipeline ranks pages, domains, or
+    * near-dup clusters with, built from the same iterate-join-aggregate
+    * shape as [[connectedComponents]] and bit-reproducible across
+    * engines and runs the way the engine's whole numeric family is
+    * ([[LinearModel]], ADC, surprisal): ranks live in integer
+    * MICRO-units, every division is integer division, so a DuckDB
+    * oracle replays the complete iteration unrolled
+    * ([[pageRankOracleSql]]) and hash-matches.
+    *
+    * Per iteration: r'(v) = (1000−d)·1000 + (d · Σ_{u→v} r(u) div
+    * deg(u)) div 1000, with d in milli-units. Dangling mass is NOT
+    * redistributed (sinks leak, the common web-graph simplification) —
+    * ranks are a centrality ORDERING, not a probability vector, and
+    * the leak is the price of never materializing a dangling-node
+    * broadcast per round. Parallel edges are weights (each contributes
+    * its source's share once).
+    *
+    * Scale shape: the edge table is partitioned by src and sorted ONCE,
+    * then persisted — every round's sort-merge join streams it with
+    * ZERO exchange and ZERO sort on the edge side (the invariant a
+    * plan-lock test pins); per round the only data that moves is the
+    * rank vector (O(nodes), exchanged to meet the edges) and the
+    * map-side-combined contribution sums (≤ O(nodes) after partial
+    * aggregation, whatever the edge count). Rounds are O(iters),
+    * independent of graph size. The rank vector routes through
+    * [[flatten]] each round — the CC lesson: an un-severed stats chain
+    * explodes the driver by round ~17; the STATIC edge table is
+    * persisted, not flattened, precisely so its partitioning survives
+    * for the join to reuse.
+    *
+    * @param edges (src, dst) directed; parallel edges allowed
+    * @param nodes (id) full node universe — sources, sinks, and
+    *              isolated nodes all emit a row
+    * @return (id, rank_micro); rank_micro ≥ (1000−dampingMilli)·1000
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
+      dampingMilli: Int = 850): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(dampingMilli >= 0 && dampingMilli <= 1000,
+      s"dampingMilli=$dampingMilli must be in [0, 1000]")
+    val n = flatten(nodes.select(col("id")).distinct())
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.select(col("src"), col("dst")).join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = (1000L - dampingMilli) * 1000L
+    var r = flatten(n.withColumn("rank", lit(1000000L)))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = flatten(n.join(contrib, n("id") === contrib("dst"), "left_outer")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampingMilli * coalesce(s, 0L)) div 1000"))
+            .as("rank")))
+    }
+    // the final flatten already materialized r, so releasing the edge
+    // cache here cannot force a recompute
+    e.unpersist(blocking = false)
+    r.select(col("id"), col("rank").as("rank_micro"))
+  }
+
+  /** The unrolled-SQL twin of [[pageRank]] for a DuckDB oracle (the
+    * [[LinearModel.trainOracleSql]] pattern): one CTE pair per
+    * iteration over caller-provided CTEs `e (src, dst)` and `nd (id)`.
+    * DuckDB's `//` and Spark's `div` agree on non-negative integers,
+    * which ranks always are.
+    */
+  def pageRankOracleSql(iters: Int, dampingMilli: Int = 850): String = {
+    require(iters >= 1 && dampingMilli >= 0 && dampingMilli <= 1000,
+      "same domain as pageRank")
+    val base = (1000L - dampingMilli) * 1000L
+    val head =
+      s"""deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nd)"""
+        .stripMargin
+    val its = (1 to iters).map { t =>
+      s"""c$t AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
+         |  JOIN r${t - 1} r ON r.id = ed.src GROUP BY 1),
+         |r$t AS (SELECT nd.id, CAST($base +
+         |    ($dampingMilli * coalesce(c$t.s, 0)) // 1000 AS BIGINT)
+         |    AS rank
+         |  FROM nd LEFT JOIN c$t ON nd.id = c$t.dst)""".stripMargin
+    }
+    s"$head,\n${its.mkString(",\n")}\n" +
+      s"SELECT id, rank AS rank_micro FROM r$iters"
+  }
+
   def canonicalPerCluster(clustered: DataFrame, quality: DataFrame): DataFrame = {
     val joined = clustered.join(quality, "id")
     val w = Window.partitionBy(col("component"))

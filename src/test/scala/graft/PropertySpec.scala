@@ -342,6 +342,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("integer PageRank equals the brute-force iteration on random " +
+      "directed graphs") {
+    import spark.implicits._
+    (81L to 84L).foreach { seed =>
+      val rnd = new Random(seed)
+      val n = 6 + rnd.nextInt(20)
+      // random multigraph with parallel edges, sinks, and sources
+      val es = Seq.fill(n * 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val iters = 1 + rnd.nextInt(4)
+      val dm = 850
+      // brute force driver-side, same integer arithmetic
+      val deg = es.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+      var r = (0L until n).map(_ -> 1000000L).toMap
+      (1 to iters).foreach { _ =>
+        val in = es.groupBy(_._2).map { case (v, xs) =>
+          v -> xs.map { case (u, _) => r(u) / deg(u) }.sum
+        }
+        r = (0L until n).map(v =>
+          v -> ((1000L - dm) * 1000L + dm * in.getOrElse(v, 0L) / 1000L))
+          .toMap
+      }
+      val got = graft.ops.ClusterOps.pageRank(
+          es.toDF("src", "dst"),
+          (0L until n).toDF("id"), iters, dm)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == r, s"seed=$seed n=$n iters=$iters")
+    }
+  }
+
   test("malformed newick fails fast with positioned diagnostics") {
     val bad = Seq(
       "(a,(b,c);",   // stray ';' truncates the tree → unclosed '('
