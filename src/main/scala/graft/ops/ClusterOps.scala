@@ -56,8 +56,17 @@ object ClusterOps {
     val spark = edges.sparkSession
     val e = edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    val sym = flatten(
-      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct())
+    // the symmetric edge table is STATIC across rounds and every round
+    // joins it on v — partition+sort it by v ONCE and persist (the
+    // pageRank edge-cache design): each round's join then streams the
+    // cache with no exchange and no sort on the edge side, so the only
+    // per-round movement is the O(nodes) label frame. A flatten here
+    // (the old shape) erased the partitioning and re-shuffled the
+    // O(edges) side every round.
+    val sym =
+      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+        .repartition(col("v")).sortWithinPartitions(col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var lbl = flatten(
       nodes.select(col("id").cast("long").as("id"))
         .distinct()
@@ -118,6 +127,9 @@ object ClusterOps {
       round += 1
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
+    // the final flatten already materialized lbl — releasing the edge
+    // cache cannot force a recompute
+    sym.unpersist(blocking = false)
     lbl.select(col("id"), col("lbl").as("component"))
   }
 
