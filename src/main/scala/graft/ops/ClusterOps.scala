@@ -176,25 +176,55 @@ object ClusterOps {
     * @return (id, rank_micro); rank_micro ≥ (1000−dampingMilli)·1000
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
-      dampingMilli: Int = 850): DataFrame = {
+      dampingMilli: Int = 850): DataFrame =
+    prKernel(edges, flatten(nodes.select(col("id")).distinct())
+        .select(col("id"), lit(true).as("seed")),
+      iters, dampingMilli)
+
+  /** Personalized PageRank (random walk with restart): the teleport
+    * term lands ONLY on the `seeds` set, so rank measures graph
+    * proximity to the seeds — the contamination-tracing query over a
+    * near-dup graph ("rank every document by how close it sits to the
+    * known benchmark set"), and the related-item query over any link
+    * graph. Non-seed nodes start at 0 and earn rank only through
+    * incoming walks. Same integer arithmetic, iteration shape, cached
+    * edge layout, and unrolled oracle as [[pageRank]]
+    * ([[pageRankOracleSql]] with `personalized = true` over an
+    * `nd (id, seed)` CTE).
+    */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
+      seeds: DataFrame, iters: Int, dampingMilli: Int = 850): DataFrame =
+    prKernel(edges,
+      flatten(nodes.select(col("id")).distinct()
+        .join(seeds.select(col("id")).distinct()
+          .withColumn("seed", lit(true)), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("seed"), lit(false)).as("seed"))),
+      iters, dampingMilli)
+
+  /** Shared iteration kernel: `n` carries (id, seed); seeds receive the
+    * teleport base and the initial unit mass, non-seeds neither.
+    */
+  private def prKernel(edges: DataFrame, n: DataFrame, iters: Int,
+      dampingMilli: Int): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(dampingMilli >= 0 && dampingMilli <= 1000,
       s"dampingMilli=$dampingMilli must be in [0, 1000]")
-    val n = flatten(nodes.select(col("id")).distinct())
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = edges.select(col("src"), col("dst")).join(deg, "src")
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = (1000L - dampingMilli) * 1000L
-    var r = flatten(n.withColumn("rank", lit(1000000L)))
+    val baseOf = when(col("seed"),
+      lit((1000L - dampingMilli) * 1000L)).otherwise(lit(0L))
+    var r = flatten(n.select(col("id"), col("seed"),
+      when(col("seed"), lit(1000000L)).otherwise(lit(0L)).as("rank")))
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(r.withColumnRenamed("id", "src"), "src")
+        .join(r.select(col("id").as("src"), col("rank")), "src")
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       r = flatten(n.join(contrib, n("id") === contrib("dst"), "left_outer")
-        .select(col("id"),
-          (lit(base) + expr(s"($dampingMilli * coalesce(s, 0L)) div 1000"))
+        .select(col("id"), col("seed"),
+          (baseOf + expr(s"($dampingMilli * coalesce(s, 0L)) div 1000"))
             .as("rank")))
     }
     // the final flatten already materialized r, so releasing the edge
@@ -203,25 +233,33 @@ object ClusterOps {
     r.select(col("id"), col("rank").as("rank_micro"))
   }
 
-  /** The unrolled-SQL twin of [[pageRank]] for a DuckDB oracle (the
-    * [[LinearModel.trainOracleSql]] pattern): one CTE pair per
-    * iteration over caller-provided CTEs `e (src, dst)` and `nd (id)`.
-    * DuckDB's `//` and Spark's `div` agree on non-negative integers,
-    * which ranks always are.
+  /** The unrolled-SQL twin of [[pageRank]]/[[personalizedPageRank]] for
+    * a DuckDB oracle (the [[LinearModel.trainOracleSql]] pattern): one
+    * CTE pair per iteration over caller-provided CTEs `e (src, dst)`
+    * and `nd (id)` — or `nd (id, seed)` when `personalized`, where the
+    * teleport base and initial mass land on seeds only. DuckDB's `//`
+    * and Spark's `div` agree on non-negative integers, which ranks
+    * always are.
     */
-  def pageRankOracleSql(iters: Int, dampingMilli: Int = 850): String = {
+  def pageRankOracleSql(iters: Int, dampingMilli: Int = 850,
+      personalized: Boolean = false): String = {
     require(iters >= 1 && dampingMilli >= 0 && dampingMilli <= 1000,
       "same domain as pageRank")
     val base = (1000L - dampingMilli) * 1000L
+    val baseSql =
+      if (personalized) s"CASE WHEN nd.seed THEN $base ELSE 0 END" else s"$base"
+    val r0Sql =
+      if (personalized) "CASE WHEN seed THEN 1000000 ELSE 0 END"
+      else "1000000"
     val head =
       s"""deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
          |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
-         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nd)"""
+         |r0 AS (SELECT id, CAST($r0Sql AS BIGINT) AS rank FROM nd)"""
         .stripMargin
     val its = (1 to iters).map { t =>
       s"""c$t AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
          |  JOIN r${t - 1} r ON r.id = ed.src GROUP BY 1),
-         |r$t AS (SELECT nd.id, CAST($base +
+         |r$t AS (SELECT nd.id, CAST($baseSql +
          |    ($dampingMilli * coalesce(c$t.s, 0)) // 1000 AS BIGINT)
          |    AS rank
          |  FROM nd LEFT JOIN c$t ON nd.id = c$t.dst)""".stripMargin

@@ -320,8 +320,29 @@ object Relational {
     graft.ops.ClusterOps.pageRank(edges, nodes, iters = 4)
   }
 
+  /** Personalized PageRank from the nation-0/1/2 suppliers as seeds —
+    * the contamination-tracing shape (rank every node by walk proximity
+    * to a known set) run over the same trade graph as [[grPagerank]].
+    */
+  val grPpr: Q = (s, d) => {
+    val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L).as("a"),
+        (col("l_suppkey") * 2L + 1L).as("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    val seeds = supplier(s, d).filter(col("s_nationkey") < 3)
+      .select((col("s_suppkey") * 2L + 1L).as("id"))
+    graft.ops.ClusterOps.personalizedPageRank(edges, nodes, seeds,
+      iters = 4)
+  }
+
   val registry: Map[String, Q] = Map(
     "gr_pagerank" -> grPagerank,
+    "gr_ppr" -> grPpr,
     "j7_salted_join" -> j7SaltedJoin,
     "q1_agg" -> q1Agg,
     "q3_topk_join" -> q3TopkJoin,
@@ -366,6 +387,20 @@ object Relational {
          |nd AS (SELECT DISTINCT id FROM
          |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
          |${graft.ops.ClusterOps.pageRankOracleSql(iters = 4)}"""
+        .stripMargin,
+    "gr_ppr" ->
+      s"""WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM p
+         |  UNION ALL SELECT b AS src, a AS dst FROM p),
+         |sd AS (SELECT s_suppkey * 2 + 1 AS id FROM supplier
+         |  WHERE s_nationkey < 3),
+         |nd AS (SELECT u.id, (sd.id IS NOT NULL) AS seed FROM
+         |  (SELECT DISTINCT id FROM
+         |    (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)) u
+         |  LEFT JOIN sd ON u.id = sd.id),
+         |${graft.ops.ClusterOps.pageRankOracleSql(iters = 4,
+            personalized = true)}"""
         .stripMargin,
     "j7_salted_join" ->
       """SELECT p_brand, count(*) AS n,

@@ -369,6 +369,26 @@ class PropertySpec extends AnyFunSuite {
           (0L until n).toDF("id"), iters, dm)
         .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
       assert(got == r, s"seed=$seed n=$n iters=$iters")
+      // personalized variant: teleport and initial mass on a random
+      // seed subset only — brute force with the masked base
+      val seedSet = (0L until n).filter(_ => rnd.nextBoolean()).toSet
+      if (seedSet.nonEmpty) {
+        var pr = (0L until n)
+          .map(v => v -> (if (seedSet(v)) 1000000L else 0L)).toMap
+        (1 to iters).foreach { _ =>
+          val in = es.groupBy(_._2).map { case (v, xs) =>
+            v -> xs.map { case (u, _) => pr(u) / deg(u) }.sum
+          }
+          pr = (0L until n).map(v =>
+            v -> ((if (seedSet(v)) (1000L - dm) * 1000L else 0L)
+              + dm * in.getOrElse(v, 0L) / 1000L)).toMap
+        }
+        val gotP = graft.ops.ClusterOps.personalizedPageRank(
+            es.toDF("src", "dst"), (0L until n).toDF("id"),
+            seedSet.toSeq.toDF("id"), iters, dm)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        assert(gotP == pr, s"seed=$seed n=$n iters=$iters ppr")
+      }
     }
   }
 
