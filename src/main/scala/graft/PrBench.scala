@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale probe for [[graft.ops.ClusterOps.pageRank]]: the per-round
+  * claim is that only the O(nodes) rank vector moves — the edge table
+  * streams from its partitioned cache — and that a pathological hub
+  * (one node receiving a constant fraction of ALL edges) costs nothing
+  * extra, because the contribution sum combines map-side so the hub's
+  * reducer receives #partitions rows, never its in-degree.
+  *
+  * Graph: n nodes, 4n edges; 25% of all edges point at node 0 (the
+  * hub), the rest land hash-uniformly; sources are hash-uniform. The
+  * probe times uniform-vs-hub at the same size (the hub must NOT be
+  * slower) and doubles n to show per-round cost tracks edges linearly,
+  * then self-verifies: total rank mass is conserved up to integer-floor
+  * loss and dangling leakage (mass never increases), the hub outranks
+  * every uniform node, and a seeded personalized run confines nonzero
+  * rank to nodes reachable from the seeds.
+  * Usage: runMain graft.PrBench [nNodes]
+  */
+object PrBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(cpus)
+    import graft.ops.ClusterOps
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+
+    def time[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val v = body
+      println(f"""{"which":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      v
+    }
+    def edgesOf(nn: Long, hub: Boolean) = {
+      val e = spark.range(0L, 4L * nn).toDF("i")
+        .select(pmod(xxhash64(col("i"), lit("s")), lit(nn)).as("src"),
+          (if (hub)
+            when(pmod(col("i"), lit(4L)) === 0L, lit(0L))
+              .otherwise(pmod(xxhash64(col("i"), lit("d")), lit(nn)))
+          else pmod(xxhash64(col("i"), lit("d")), lit(nn))).as("dst"))
+      e.localCheckpoint()
+    }
+    val nodes = spark.range(0L, n).toDF("id").localCheckpoint()
+
+    val uni = edgesOf(n, hub = false)
+    val hub = edgesOf(n, hub = true)
+    // warm codegen on a small run
+    ClusterOps.pageRank(uni.limit(1000), nodes.limit(100), iters = 1).count()
+    val rUni = time(s"uniform_${n}_4it") {
+      ClusterOps.pageRank(uni, nodes, iters = 4).localCheckpoint()
+    }
+    val rHub = time(s"hub25pct_${n}_4it") {
+      ClusterOps.pageRank(hub, nodes, iters = 4).localCheckpoint()
+    }
+    // hub must dominate: its rank above every non-hub node's
+    val hubRank = rHub.filter(col("id") === 0L).head().getLong(1)
+    val maxOther = rHub.filter(col("id") =!= 0L)
+      .agg(max(col("rank_micro"))).head().getLong(0)
+    require(hubRank > maxOther,
+      s"hub rank $hubRank not above max other $maxOther")
+    // mass conservation: total <= n * 1e6 (floor loss + dangling leak
+    // only ever SHRINK mass), and within 20% of it on this
+    // every-node-has-out-edges graph
+    val mass = BigDecimal(
+      rUni.agg(sum(col("rank_micro").cast("decimal(38,0)")))
+        .head().getDecimal(0))
+    val full = BigDecimal(n) * BigDecimal(1000000L)
+    require(mass <= full && mass > full * 0.8,
+      s"mass $mass vs full $full")
+    println(s"""{"hub_rank":$hubRank,"max_other":$maxOther,"agree":true}""")
+
+    // linear scaling: double the graph, per-iteration cost ~2x not 4x
+    val n2 = n * 2
+    val nodes2 = spark.range(0L, n2).toDF("id").localCheckpoint()
+    val uni2 = edgesOf(n2, hub = false)
+    time(s"uniform_${n2}_4it") {
+      ClusterOps.pageRank(uni2, nodes2, iters = 4).count()
+    }
+
+    // personalized reachability: seeds in [0, 100); with edges only
+    // from even to even nodes... simpler: a two-island graph — edges
+    // stay within each half — PPR seeded in the lower half must leave
+    // the upper half at exactly zero
+    val half = n / 2
+    val isl = spark.range(0L, 2L * n).toDF("i")
+      .select(pmod(xxhash64(col("i"), lit("a")), lit(half)).as("src"),
+        pmod(xxhash64(col("i"), lit("b")), lit(half)).as("dst"))
+      .union(spark.range(0L, 2L * n).toDF("i")
+        .select((pmod(xxhash64(col("i"), lit("c")), lit(half)) + half)
+          .as("src"),
+          (pmod(xxhash64(col("i"), lit("d")), lit(half)) + half).as("dst")))
+      .localCheckpoint()
+    val seeds = spark.range(0L, 100L).toDF("id")
+    val ppr = time(s"ppr_two_islands_${n}_3it") {
+      ClusterOps.personalizedPageRank(isl, nodes, seeds, iters = 3)
+        .localCheckpoint()
+    }
+    val leaked = ppr.filter(col("id") >= half && col("rank_micro") > 0L)
+      .count()
+    require(leaked == 0L, s"$leaked unreachable nodes got nonzero rank")
+    println(s"""{"ppr_leak":0,"agree":true}""")
+    spark.stop()
+  }
+}
