@@ -60,8 +60,10 @@ object PrBench {
     require(hubRank > maxOther,
       s"hub rank $hubRank not above max other $maxOther")
     // mass conservation: total <= n * 1e6 (floor loss + dangling leak
-    // only ever SHRINK mass), and within 20% of it on this
-    // every-node-has-out-edges graph
+    // only ever SHRINK mass). The 20% slack covers BOTH: hash-uniform
+    // source assignment of 4n edges leaves ~e^-4 ≈ 1.8% of nodes
+    // dangling, each leaking its mass every iteration — do not tighten
+    // this bound to floor-loss-only
     val mass = BigDecimal(
       rUni.agg(sum(col("rank_micro").cast("decimal(38,0)")))
         .head().getDecimal(0))

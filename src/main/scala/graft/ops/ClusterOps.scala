@@ -67,6 +67,7 @@ object ClusterOps {
       e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
         .repartition(col("v")).sortWithinPartitions(col("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var lbl = flatten(
       nodes.select(col("id").cast("long").as("id"))
         .distinct()
@@ -127,10 +128,14 @@ object ClusterOps {
       round += 1
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
-    // the final flatten already materialized lbl — releasing the edge
-    // cache cannot force a recompute
-    sym.unpersist(blocking = false)
     lbl.select(col("id"), col("lbl").as("component"))
+    } finally {
+      // the final flatten already materialized lbl, so releasing the
+      // cache cannot force a recompute — and on the non-convergence
+      // throw above, releasing here keeps a long-lived session from
+      // accumulating pinned O(edges) caches across failed calls
+      sym.unpersist(blocking = false)
+    }
   }
 
   /** One canonical document per cluster: highest quality score wins, ties
@@ -201,36 +206,58 @@ object ClusterOps {
         .select(col("id"), coalesce(col("seed"), lit(false)).as("seed"))),
       iters, dampingMilli)
 
-  /** Shared iteration kernel: `n` carries (id, seed); seeds receive the
-    * teleport base and the initial unit mass, non-seeds neither.
+  /** The per-src-partitioned, sorted, persisted edge cache every round
+    * streams — package-visible so the PlanSpec lock inspects the REAL
+    * production layout, not a test replica.
+    */
+  private[graft] def prEdgeCache(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    edges.select(col("src"), col("dst")).join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** One round's contribution sums over the cached edges — the join the
+    * PlanSpec lock asserts streams the cache with no exchange or sort
+    * on the edge side.
+    */
+  private[graft] def prContrib(e: DataFrame, r: DataFrame): DataFrame =
+    e.join(r.select(col("id").as("src"), col("rank")), "src")
+      .select(col("dst"), expr("rank div deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+
+  /** Shared iteration kernel: `n` carries (id, seed), already flattened
+    * by the wrappers; seeds receive the teleport base and the initial
+    * unit mass, non-seeds neither.
     */
   private def prKernel(edges: DataFrame, n: DataFrame, iters: Int,
       dampingMilli: Int): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(dampingMilli >= 0 && dampingMilli <= 1000,
       s"dampingMilli=$dampingMilli must be in [0, 1000]")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = edges.select(col("src"), col("dst")).join(deg, "src")
-      .repartition(col("src")).sortWithinPartitions(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val baseOf = when(col("seed"),
-      lit((1000L - dampingMilli) * 1000L)).otherwise(lit(0L))
-    var r = flatten(n.select(col("id"), col("seed"),
-      when(col("seed"), lit(1000000L)).otherwise(lit(0L)).as("rank")))
-    for (_ <- 1 to iters) {
-      val contrib = e
-        .join(r.select(col("id").as("src"), col("rank")), "src")
-        .select(col("dst"), expr("rank div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = flatten(n.join(contrib, n("id") === contrib("dst"), "left_outer")
-        .select(col("id"), col("seed"),
-          (baseOf + expr(s"($dampingMilli * coalesce(s, 0L)) div 1000"))
-            .as("rank")))
+    val e = prEdgeCache(edges)
+    try {
+      val baseOf = when(col("seed"),
+        lit((1000L - dampingMilli) * 1000L)).otherwise(lit(0L))
+      // r0 is a cheap projection of the already-flattened n — each
+      // round's flatten below is what severs the cross-round chain
+      var r = n.select(col("id"), col("seed"),
+        when(col("seed"), lit(1000000L)).otherwise(lit(0L)).as("rank"))
+      for (_ <- 1 to iters) {
+        val contrib = prContrib(e, r)
+        r = flatten(n.join(contrib, n("id") === contrib("dst"), "left_outer")
+          .select(col("id"), col("seed"),
+            (baseOf + expr(s"($dampingMilli * coalesce(s, 0L)) div 1000"))
+              .as("rank")))
+      }
+      r.select(col("id"), col("rank").as("rank_micro"))
+    } finally {
+      // after the final flatten r is materialized, so releasing the
+      // cache cannot force a recompute; on a FAILED round the release
+      // matters even more — without it a long-lived session accumulates
+      // pinned O(edges) caches from every failed call
+      e.unpersist(blocking = false)
     }
-    // the final flatten already materialized r, so releasing the edge
-    // cache here cannot force a recompute
-    e.unpersist(blocking = false)
-    r.select(col("id"), col("rank").as("rank_micro"))
   }
 
   /** The unrolled-SQL twin of [[pageRank]]/[[personalizedPageRank]] for

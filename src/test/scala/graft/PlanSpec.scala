@@ -419,18 +419,15 @@ class PlanSpec extends AnyFunSuite {
     val nodes = (0L until 100L).toDF("id")
     val df = graft.ops.ClusterOps.pageRank(edges, nodes, iters = 2)
     df.collect()
-    // the returned frame is flattened (RDD-backed), so inspect a fresh
-    // single-round plan built on the same cached edge table shape
-    val e2 = edges.join(
-        edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .repartition(col("src")).sortWithinPartitions(col("src"))
-      .persist()
+    // the operator's returned frame is flattened (RDD-backed), so lock
+    // the round plan by composing the SAME package-private kernels the
+    // loop runs — prEdgeCache + prContrib — not a test-local replica:
+    // dropping the repartition/sort/persist from prEdgeCache, or
+    // changing prContrib's join, fails HERE
+    val e2 = graft.ops.ClusterOps.prEdgeCache(edges)
     e2.count()
-    val r = nodes.withColumn("rank", lit(1000000L))
-      .withColumnRenamed("id", "src")
-    val round = e2.join(r, "src")
-      .select(col("dst"), expr("rank div deg").as("c"))
-      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    val round = graft.ops.ClusterOps.prContrib(e2,
+      nodes.withColumn("rank", lit(1000000L)))
     round.collect()
     val all = PlanWalk.nodes(round.queryExecution.executedPlan)
     // the invariant: on the JOIN's edge side, nothing may sit between
