@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.IntLog
+
+/** A bigram language model TRAINED on the corpus and scored with
+  * integer micronat costs — the perplexity-style quality filter closed
+  * over its own data, where [[graft.functions.Unigram]] ships a
+  * compile-time table. Training is two hash aggregates (unigram and
+  * bigram counts); scoring is three left joins against the count
+  * frames plus [[IntLog.lnMicroCol]], so costs derived from RUNTIME
+  * counts are still bit-identical across engines (the property every
+  * literal-table scorer in this repo bought at the price of fixed
+  * weights).
+  *
+  * Cost model (stupid backoff, all integer micronats):
+  *  - first token:            ln N − ln c(w)         (unseen w: c := 1)
+  *  - seen bigram (w1, w2):   ln c(w1) − ln c(w1 w2)
+  *  - backoff:                916291 + ln N − ln c(w2)  (−ln 0.4, then
+  *                            the unigram cost; unseen w2: c := 1)
+  * Sums are order-independent integer additions; the per-doc mean is
+  * integer division, so the caller picks no rounding.
+  *
+  * At 100 TB: counts are word-keyed aggregates (map-side combined);
+  * scoring shuffles the corpus's token stream once per join key, with
+  * the count frames broadcastable whenever the vocabulary is (AQE
+  * decides — a web-scale vocabulary sort-merges instead, still
+  * one-pass). Nothing is pairwise, nothing collects.
+  */
+object LmOps {
+
+  /** −ln(0.4) in micronats — the stupid-backoff penalty. */
+  val BackoffMicro = 916291L
+
+  /** Unigram counts (w, c) over the corpus's whitespace tokens. */
+  def trainUnigram(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(TextOps.tokensCol(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Bigram counts (w1, w2, c) over consecutive token pairs. */
+  def trainBigram(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(TextOps.tokensCol(col(textCol)).as("t"))
+      .select(col("t"), posexplode(col("t")))
+      .filter(col("pos") >= 1)
+      .select(element_at(col("t"), col("pos")).as("w1"),
+        col("col").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+
+  /** Score every non-null-text doc against trained `uni`/`bi` counts.
+    * @return (idCol, n_tokens, cost_micronats, mean_micronats)
+    */
+  def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame): DataFrame = {
+    val nFrame = uni.agg(sum(col("c")).as("n_total"))
+    val pos = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextOps.tokensCol(col(textCol)).as("t"))
+      .select(col("id"), col("t"), posexplode(col("t")))
+      .select(col("id"), col("pos").as("p"), col("col").as("w2"),
+        when(col("pos") >= 1, element_at(col("t"), col("pos"))).as("w1"))
+    val joined = pos
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"), "left_outer")
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"), "left_outer")
+      .join(bi.select(col("w1"), col("w2"), col("c").as("c12")),
+        Seq("w1", "w2"), "left_outer")
+      .crossJoin(broadcast(nFrame))
+    val lnN = IntLog.lnMicroCol(col("n_total"))
+    val uniCost = lnN - IntLog.lnMicroCol(coalesce(col("c2"), lit(1L)))
+    val cost = when(col("p") === 0, uniCost)
+      .when(col("c12").isNotNull,
+        IntLog.lnMicroCol(col("c1")) - IntLog.lnMicroCol(col("c12")))
+      .otherwise(lit(BackoffMicro) + uniCost)
+    joined.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(cost).as("cost_micronats"))
+      .select(col("id").as(idCol), col("n_tokens"), col("cost_micronats"),
+        expr("cost_micronats div n_tokens").as("mean_micronats"))
+  }
+
+  /** The scoring pipeline as DuckDB SQL over CTEs the caller provides:
+    * `t (doc_id, t)` — tokenized docs to score — and `tr (t)` — the
+    * tokenized TRAINING docs. Counts, N, and every micronat cost are
+    * re-derived in SQL with [[IntLog.lnMicroSql]], so the oracle
+    * replays training AND scoring from raw text.
+    */
+  def scoreBigramOracleSql(finalFrom: String = ""): String = {
+    def ln(e: String) = IntLog.lnMicroSql(e)
+    s"""uni AS (SELECT u AS w, count(*) AS c FROM tr, unnest(t) x(u)
+       |  GROUP BY 1),
+       |bi AS (SELECT t[p] AS w1, t[p+1] AS w2, count(*) AS c
+       |  FROM tr, unnest(range(1, len(t))) r(p) GROUP BY 1, 2),
+       |nt AS (SELECT sum(c) AS n_total FROM uni),
+       |pos AS (SELECT doc_id, p, t[p+1] AS w2,
+       |    CASE WHEN p >= 1 THEN t[p] END AS w1
+       |  FROM t, unnest(range(0, len(t))) r(p)),
+       |j AS (SELECT pos.doc_id, pos.p, u2.c AS c2, u1.c AS c1,
+       |    bi.c AS c12, nt.n_total
+       |  FROM pos
+       |  LEFT JOIN uni u2 ON u2.w = pos.w2
+       |  LEFT JOIN uni u1 ON u1.w = pos.w1
+       |  LEFT JOIN bi ON bi.w1 = pos.w1 AND bi.w2 = pos.w2
+       |  CROSS JOIN nt),
+       |costs AS (SELECT doc_id, CASE
+       |    WHEN p = 0 THEN ${ln("n_total")} - ${ln("coalesce(c2, 1)")}
+       |    WHEN c12 IS NOT NULL THEN ${ln("c1")} - ${ln("c12")}
+       |    ELSE $BackoffMicro + ${ln("n_total")} - ${ln("coalesce(c2, 1)")}
+       |    END AS mc FROM j)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(mc) AS BIGINT) AS cost_micronats,
+       |  CAST(sum(mc) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |    AS mean_micronats
+       |FROM costs GROUP BY 1$finalFrom""".stripMargin
+  }
+}

@@ -702,6 +702,26 @@ object TrainingQueries {
     TextOps.stripDuplicatedSpansFromWindows(Tables.documents(s, d),
       "doc_id", "text", ddDupWindows(s, d), win = 4)
 
+  /** Bigram LM TRAINED on the doc_id < 250 half of the corpus (two
+    * hash aggregates), then scoring ALL docs — the held-out half
+    * exercises the backoff and OOV paths naturally. Costs come from
+    * [[graft.functions.IntLog]]'s integer micronat log over the RUNTIME
+    * counts, so the oracle replays training AND scoring from raw text
+    * and still hash-matches — the capability the literal-table scorers
+    * (txt_surprise / txt_bigram) trade away for fixed weights.
+    */
+  val lmScoreTrained: Q = (s, d) => {
+    val train = Tables.documents(s, d).filter(col("doc_id") < 250)
+    graft.ops.LmOps.scoreBigram(Tables.documents(s, d), "doc_id", "text",
+      graft.ops.LmOps.trainUnigram(train, "doc_id", "text"),
+      graft.ops.LmOps.trainBigram(train, "doc_id", "text"))
+  }
+
+  /** The trained bigram count table itself (the LM artifact). */
+  val lmTrainBi: Q = (s, d) =>
+    graft.ops.LmOps.trainBigram(
+      Tables.documents(s, d).filter(col("doc_id") < 250), "doc_id", "text")
+
   /** Count-min heavy hitters: token counts sketched into 3×32 counters
     * (order-independent sums — bit-identical cross-engine), every distinct
     * token probed, estimate ≥ 60 kept. CM never undercounts, so the kept
@@ -1112,6 +1132,8 @@ object TrainingQueries {
     "dd_dup_ratio" -> ddDupRatio,
     "dd_dup_strip" -> ddDupStrip,
     "dd_dup_store" -> ddDupStore,
+    "lm_score_trained" -> lmScoreTrained,
+    "lm_train_bi" -> lmTrainBi,
     "emb_quantize" -> embQuantize,
     "emb_rproj" -> embRproj,
     "txt_lr_train" -> txtLrTrain,
@@ -1735,6 +1757,20 @@ object TrainingQueries {
         |    ELSE 0.0 END AS dup_ratio
         |FROM t LEFT JOIN spans ON t.doc_id = spans.doc_id
         |GROUP BY t.doc_id, len(t.toks)""".stripMargin),
+    // the trained-LM oracles replay the WHOLE pipeline from raw text:
+    // tokenization, both count aggregates, N, and the integer micronat
+    // log of every runtime count (IntLog.lnMicroSql — same literal
+    // tables as the Spark expression, so the engines cannot drift)
+    "lm_score_trained" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |tr AS (SELECT t FROM t WHERE doc_id < 250),
+         |${graft.ops.LmOps.scoreBigramOracleSql()}""".stripMargin,
+    "lm_train_bi" ->
+      s"""WITH tr AS (SELECT $toksSql AS t
+         |  FROM documents WHERE text IS NOT NULL AND doc_id < 250)
+         |SELECT t[p] AS w1, t[p+1] AS w2, count(*) AS c
+         |FROM tr, unnest(range(1, len(t))) r(p) GROUP BY 1, 2""".stripMargin,
     // the store-served CM probe is defined bit-identical to the fresh
     // sketch (order-independent sums; shape from the manifest) — shared
     // oracle, same as ann_store/ann_ivf
