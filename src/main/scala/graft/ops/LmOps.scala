@@ -34,13 +34,13 @@ object LmOps {
   val BackoffMicro = 916291L
 
   /** Unigram counts (w, c) over the corpus's whitespace tokens. */
-  def trainUnigram(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def trainUnigram(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(explode(TextOps.tokensCol(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
 
   /** Bigram counts (w1, w2, c) over consecutive token pairs. */
-  def trainBigram(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def trainBigram(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(TextOps.tokensCol(col(textCol)).as("t"))
       .select(col("t"), posexplode(col("t")))
@@ -53,7 +53,12 @@ object LmOps {
     * @return (idCol, n_tokens, cost_micronats, mean_micronats)
     */
   def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
-      uni: DataFrame, bi: DataFrame): DataFrame = {
+      uni0: DataFrame, bi: DataFrame): DataFrame = {
+    // the unigram frame feeds THREE consumers (c2 join, c1 join, the
+    // N aggregate) — materialize it once so the training aggregation
+    // doesn't rerun per consumer; it is vocabulary-sized, so the
+    // checkpoint is bounded. `bi` has one consumer and stays lazy.
+    val uni = ClusterOps.flatten(uni0)
     val nFrame = uni.agg(sum(col("c")).as("n_total"))
     val pos = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), TextOps.tokensCol(col(textCol)).as("t"))
@@ -66,12 +71,15 @@ object LmOps {
       .join(bi.select(col("w1"), col("w2"), col("c").as("c12")),
         Seq("w1", "w2"), "left_outer")
       .crossJoin(broadcast(nFrame))
-    val lnN = IntLog.lnMicroCol(col("n_total"))
-    val uniCost = lnN - IntLog.lnMicroCol(coalesce(col("c2"), lit(1L)))
-    val cost = when(col("p") === 0, uniCost)
+      // IntLog's contract: bind computed inputs to real columns first —
+      // its expression references x several times
+      .withColumn("c2e", coalesce(col("c2"), lit(1L)))
+      .withColumn("uni_cost",
+        IntLog.lnMicroCol(col("n_total")) - IntLog.lnMicroCol(col("c2e")))
+    val cost = when(col("p") === 0, col("uni_cost"))
       .when(col("c12").isNotNull,
         IntLog.lnMicroCol(col("c1")) - IntLog.lnMicroCol(col("c12")))
-      .otherwise(lit(BackoffMicro) + uniCost)
+      .otherwise(lit(BackoffMicro) + col("uni_cost"))
     joined.groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(cost).as("cost_micronats"))
@@ -79,18 +87,25 @@ object LmOps {
         expr("cost_micronats div n_tokens").as("mean_micronats"))
   }
 
+  /** The bigram-count aggregate over a tokenized CTE `tr (t)` — shared
+    * between [[scoreBigramOracleSql]]'s `bi` CTE and the standalone
+    * `lm_train_bi` oracle so the two can never drift.
+    */
+  val biCountsSql: String =
+    """SELECT t[p] AS w1, t[p+1] AS w2, count(*) AS c
+      |FROM tr, unnest(range(1, len(t))) r(p) GROUP BY 1, 2""".stripMargin
+
   /** The scoring pipeline as DuckDB SQL over CTEs the caller provides:
     * `t (doc_id, t)` — tokenized docs to score — and `tr (t)` — the
     * tokenized TRAINING docs. Counts, N, and every micronat cost are
     * re-derived in SQL with [[IntLog.lnMicroSql]], so the oracle
     * replays training AND scoring from raw text.
     */
-  def scoreBigramOracleSql(finalFrom: String = ""): String = {
+  def scoreBigramOracleSql(): String = {
     def ln(e: String) = IntLog.lnMicroSql(e)
     s"""uni AS (SELECT u AS w, count(*) AS c FROM tr, unnest(t) x(u)
        |  GROUP BY 1),
-       |bi AS (SELECT t[p] AS w1, t[p+1] AS w2, count(*) AS c
-       |  FROM tr, unnest(range(1, len(t))) r(p) GROUP BY 1, 2),
+       |bi AS ($biCountsSql),
        |nt AS (SELECT sum(c) AS n_total FROM uni),
        |pos AS (SELECT doc_id, p, t[p+1] AS w2,
        |    CASE WHEN p >= 1 THEN t[p] END AS w1
@@ -111,6 +126,6 @@ object LmOps {
        |  CAST(sum(mc) AS BIGINT) AS cost_micronats,
        |  CAST(sum(mc) AS BIGINT) // CAST(count(*) AS BIGINT)
        |    AS mean_micronats
-       |FROM costs GROUP BY 1$finalFrom""".stripMargin
+       |FROM costs GROUP BY 1""".stripMargin
   }
 }

@@ -713,14 +713,14 @@ object TrainingQueries {
   val lmScoreTrained: Q = (s, d) => {
     val train = Tables.documents(s, d).filter(col("doc_id") < 250)
     graft.ops.LmOps.scoreBigram(Tables.documents(s, d), "doc_id", "text",
-      graft.ops.LmOps.trainUnigram(train, "doc_id", "text"),
-      graft.ops.LmOps.trainBigram(train, "doc_id", "text"))
+      graft.ops.LmOps.trainUnigram(train, "text"),
+      graft.ops.LmOps.trainBigram(train, "text"))
   }
 
   /** The trained bigram count table itself (the LM artifact). */
   val lmTrainBi: Q = (s, d) =>
     graft.ops.LmOps.trainBigram(
-      Tables.documents(s, d).filter(col("doc_id") < 250), "doc_id", "text")
+      Tables.documents(s, d).filter(col("doc_id") < 250), "text")
 
   /** Count-min heavy hitters: token counts sketched into 3×32 counters
     * (order-independent sums — bit-identical cross-engine), every distinct
@@ -1769,8 +1769,7 @@ object TrainingQueries {
     "lm_train_bi" ->
       s"""WITH tr AS (SELECT $toksSql AS t
          |  FROM documents WHERE text IS NOT NULL AND doc_id < 250)
-         |SELECT t[p] AS w1, t[p+1] AS w2, count(*) AS c
-         |FROM tr, unnest(range(1, len(t))) r(p) GROUP BY 1, 2""".stripMargin,
+         |${graft.ops.LmOps.biCountsSql}""".stripMargin,
     // the store-served CM probe is defined bit-identical to the fresh
     // sketch (order-independent sums; shape from the manifest) — shared
     // oracle, same as ann_store/ann_ivf

@@ -48,8 +48,8 @@ class LmSpec extends AnyFunSuite {
     val train = Seq(
       (1L, "the quick fox jumps the quick fox sleeps"),
       (2L, "the quick fox jumps again")).toDF("doc_id", "text")
-    val uni = LmOps.trainUnigram(train, "doc_id", "text")
-    val bi = LmOps.trainBigram(train, "doc_id", "text")
+    val uni = LmOps.trainUnigram(train, "text")
+    val bi = LmOps.trainBigram(train, "text")
     val uc = uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // 13 training tokens; "the quick" occurs 3x, "the"=3, "quick"=3
     assert(uc("the") == 3L && uc("quick") == 3L && uc.values.sum == 13L)
