@@ -54,7 +54,18 @@ object CcBench {
       (sizes.getLong(0), sizes.getLong(1))
     }
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"{" + f""""mode":"$mode","nodes":$n,"components":$nComp,"largest":$biggest,"sec":$secs%.1f""" + "}")
+    // canonical-selection probe on the SAME components: in giant mode one
+    // component holds 30% of all nodes, the adversarial case for any
+    // per-component sort — the max_by aggregate must stay flat where the
+    // old row_number window funneled 0.3n rows into one task
+    val quality = spark.range(0L, n).toDF("id")
+      .withColumn("score", pmod(xxhash64(col("id")), lit(1000000L)))
+    val t1 = System.nanoTime()
+    val nCanon = ClusterOps.canonicalPerCluster(cc, quality).count()
+    val canonSecs = (System.nanoTime() - t1) / 1e9
+    require(nCanon == nComp,
+      s"canonical rows $nCanon != components $nComp")
+    println(f"{" + f""""mode":"$mode","nodes":$n,"components":$nComp,"largest":$biggest,"sec":$secs%.1f,"canon_sec":$canonSecs%.1f""" + "}")
     spark.stop()
   }
 }

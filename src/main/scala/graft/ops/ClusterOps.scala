@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dedup clustering: connected components over a near-duplicate candidate
@@ -245,9 +244,17 @@ object ClusterOps {
         when(col("seed"), lit(1000000L)).otherwise(lit(0L)).as("rank"))
       for (_ <- 1 to iters) {
         val contrib = prContrib(e, r)
+        // the damped product rides decimal(38,0): a hub's contribution
+        // sum s is bounded only by total rank mass (~n·10⁶), so the
+        // plain long product dampingMilli·s would wrap silently past
+        // ~1.1e10 nodes — inside advertised web-graph scale. `div` on
+        // decimal yields long (the bm25Rank arithmetic), bit-identical
+        // to the long path wherever the long path doesn't overflow, and
+        // the oracle computes the same term in HUGEINT.
         r = flatten(n.join(contrib, n("id") === contrib("dst"), "left_outer")
           .select(col("id"), col("seed"),
-            (baseOf + expr(s"($dampingMilli * coalesce(s, 0L)) div 1000"))
+            (baseOf + expr(s"(cast($dampingMilli as decimal(38,0)) " +
+              "* coalesce(s, 0L)) div 1000"))
               .as("rank")))
       }
       r.select(col("id"), col("rank").as("rank_micro"))
@@ -287,8 +294,8 @@ object ClusterOps {
       s"""c$t AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
          |  JOIN r${t - 1} r ON r.id = ed.src GROUP BY 1),
          |r$t AS (SELECT nd.id, CAST($baseSql +
-         |    ($dampingMilli * coalesce(c$t.s, 0)) // 1000 AS BIGINT)
-         |    AS rank
+         |    ($dampingMilli * CAST(coalesce(c$t.s, 0) AS HUGEINT)) // 1000
+         |    AS BIGINT) AS rank
          |  FROM nd LEFT JOIN c$t ON nd.id = c$t.dst)""".stripMargin
     }
     s"$head,\n${its.mkString(",\n")}\n" +
@@ -297,12 +304,20 @@ object ClusterOps {
 
   def canonicalPerCluster(clustered: DataFrame, quality: DataFrame): DataFrame = {
     val joined = clustered.join(quality, "id")
-    val w = Window.partitionBy(col("component"))
-      .orderBy(col("score").desc, col("id"))
-    joined.withColumn("rk", row_number().over(w))
-      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("component"))))
-      .filter(col("rk") === 1)
+    // argmax as an AGGREGATE, not a window: row_number over
+    // partitionBy(component) lands a giant near-dup component's full
+    // membership in ONE task's sort — the adversarial case dedup exists
+    // for — where max_by combines map-side and moves one row per
+    // component per partition. The ordering key reverses id order with
+    // bitwise NOT (~id is monotone DECREASING over the whole long
+    // domain, where -id overflows at Long.MinValue), so one max_by
+    // yields (score DESC, id ASC) — ids are unique, so the key is
+    // tie-free and the argmax deterministic.
+    joined.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(struct(col("id"), col("score")),
+          struct(col("score"), bitwise_not(col("id").cast("long")))).as("k"))
       .select(col("component"), col("n_docs"),
-        col("id").as("keep_id"), col("score").as("keep_score"))
+        col("k.id").as("keep_id"), col("k.score").as("keep_score"))
   }
 }

@@ -108,7 +108,17 @@ object LinearModel {
         require(n > 0, "refusing to train on an empty corpus")
         val denom = n.toDouble * (1L << lrShift)
         w = w.zipWithIndex.map { case (wi, i) =>
-          wi - math.floor(row.getLong(i).toDouble / denom).toLong
+          val g = row.getLong(i)
+          // the floor-of-double update is exact only while |g| < 2⁵³
+          // (above that the double round-trip rounds g itself and the
+          // bit-reproducibility contract silently dies — reachable
+          // around 1.4e8 rows at 2¹⁶-scale errors); driver-side and
+          // per-step, so the check is free
+          require(math.abs(g) < (1L << 53),
+            s"gradient component $i = $g exceeds the 2^53 exact-double " +
+              "bound — shard the corpus or rescale features to keep " +
+              "the fixed-point update bit-reproducible")
+          wi - math.floor(g.toDouble / denom).toLong
         }
       }
       w

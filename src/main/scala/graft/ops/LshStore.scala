@@ -316,7 +316,15 @@ object LshStore {
     // seq-less rows (written by a pre-seq version) fall back to the tag.
     val badSeq = startStr.toLong + 1L
     def clean(table: String): DataFrame = {
-      val t = spark.read.parquet(s"$path/$table")
+      // mergeSchema: a store created by a pre-seq build and ingested
+      // into since holds MIXED file schemas — without the union schema,
+      // whether ingest_seq (the alias-safe rollback identity) is even
+      // visible depends on which footer Spark samples, making the
+      // rollback nondeterministically tag-based. Old rows surface with
+      // ingest_seq NULL, which the coalesce below already routes to the
+      // tag fallback (VectorStore.appendPq handles legacy the same way).
+      val t = spark.read.option("mergeSchema", "true")
+        .parquet(s"$path/$table")
       if (completed) t
       else if (t.columns.contains("ingest_seq"))
         t.filter(coalesce(col("ingest_seq") =!= badSeq,
@@ -351,9 +359,14 @@ object LshStore {
       "LSH band store")
     graft.StoreUtil.requireDisjoint(spark, path, dest, "compact")
     graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
-    spark.read.parquet(s"$path/pairs").repartition(files)
+    // mergeSchema for the same mixed-schema reason as recoverIngest —
+    // sampling a pre-seq footer here would silently DROP ingest_seq
+    // from every row of the compacted store
+    spark.read.option("mergeSchema", "true").parquet(s"$path/pairs")
+      .repartition(files)
       .write.mode("overwrite").parquet(s"$dest/pairs")
-    spark.read.parquet(s"$path/bands").repartition(files)
+    spark.read.option("mergeSchema", "true").parquet(s"$path/bands")
+      .repartition(files)
       .write.mode("overwrite").parquet(s"$dest/bands")
     graft.StoreUtil.writeMarker(spark, dest, ManifestFile, m)
   }

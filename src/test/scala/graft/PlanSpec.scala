@@ -475,4 +475,30 @@ class PlanSpec extends AnyFunSuite {
     // which is exactly what the pre-r7 two-consumer shape did
     assert("Exchange hashpartitioning\\(anc".r.findAllIn(p).length == 1, p)
   }
+
+  test("canonicalPerCluster is an argmax aggregate — no per-component window") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // a giant near-dup component puts its WHOLE membership into one
+    // task under row_number().over(partitionBy(component)) — the argmax
+    // must be a partial/final aggregate (one row per component per
+    // partition moves), with zero window operators anywhere
+    val clustered = spark.range(0L, 5000L).toDF("id")
+      .withColumn("component", lit(0L)) // one giant component
+    val quality = spark.range(0L, 5000L).toDF("id")
+      .withColumn("score", pmod(xxhash64(col("id")), lit(100L)))
+    val df = graft.ops.ClusterOps.canonicalPerCluster(clustered, quality)
+    val row = df.collect()
+    val all = PlanWalk.nodes(df.queryExecution.executedPlan)
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      df.queryExecution.executedPlan.toString)
+    // map-side combine survives: a partial + final aggregate pair
+    assert(all.count(_.nodeName.contains("Aggregate")) >= 2,
+      df.queryExecution.executedPlan.toString)
+    // and the argmax semantics hold: score ties (pmod 100 over 5000 ids
+    // guarantees them) break to the LOWEST id among max-score rows
+    assert(row.length == 1 && row(0).getLong(1) == 5000L)
+    val q = quality.orderBy(col("score").desc, col("id")).limit(1).collect()(0)
+    assert(row(0).getLong(2) == q.getLong(0) && row(0).getLong(3) == q.getLong(1))
+  }
 }

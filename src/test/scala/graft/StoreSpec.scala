@@ -72,7 +72,7 @@ class StoreSpec extends AnyFunSuite {
       """{"version":2,"buckets":4}""")
     val e1 = intercept[IllegalStateException] { TreeStore.load(spark, t) }
     assert(e1.getMessage.contains("v2"), e1.getMessage)
-    // vector store (requireManifest path covers lsh/kmv/cm the same way)
+    // vector store
     val v = Files.createTempDirectory("graft_v2_vec").toString
     graft.StoreUtil.writeMarker(spark, v, graft.ops.VectorStore.ManifestFile,
       """{"version":2,"layout":"ivf-cell"}""")
@@ -80,6 +80,31 @@ class StoreSpec extends AnyFunSuite {
       graft.ops.VectorStore.load(spark, v)
     }
     assert(e2.getMessage.contains("v2"), e2.getMessage)
+    // LSH band store
+    val l = Files.createTempDirectory("graft_v2_lsh").toString
+    graft.StoreUtil.writeMarker(spark, l, graft.ops.LshStore.ManifestFile,
+      """{"version":2,"k":8,"bands":4,"ingests":1}""")
+    val e3 = intercept[IllegalStateException] {
+      graft.ops.LshStore.load(spark, l)
+    }
+    assert(e3.getMessage.contains("v2"), e3.getMessage)
+    // dup-hash store
+    val du = Files.createTempDirectory("graft_v2_dup").toString
+    graft.StoreUtil.writeMarker(spark, du, graft.ops.DupStore.ManifestFile,
+      """{"version":2,"win":4,"ingests":1}""")
+    val e4 = intercept[IllegalStateException] {
+      graft.ops.DupStore.load(spark, du)
+    }
+    assert(e4.getMessage.contains("v2"), e4.getMessage)
+    // postings store
+    val po = Files.createTempDirectory("graft_v2_post").toString
+    graft.StoreUtil.writeMarker(spark, po,
+      graft.ops.PostingsStore.ManifestFile,
+      """{"version":2,"buckets":8,"n_docs":1,"total_len":1}""")
+    val e5 = intercept[IllegalStateException] {
+      graft.ops.PostingsStore.load(spark, po)
+    }
+    assert(e5.getMessage.contains("v2"), e5.getMessage)
     // an UNVERSIONED manifest (pre-stamp artifact) still reads as v1
     graft.StoreUtil.requireVersion("""{"buckets":4}""", 1, "test")
   }
