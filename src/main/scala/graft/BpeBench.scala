@@ -15,9 +15,54 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.BpeBench [nDocs]
   */
 object BpeBench {
+
+  /** Merge-count economics probe: train a ≥512-merge table on a
+    * synthetic word-frequency frame and assert the per-merge cost is
+    * FLAT — the property the every-16-merges re-checkpoint buys
+    * ([[graft.functions.Bpe.RecheckpointEvery]]): without it iteration
+    * i replays i `replace` projections and the second half of training
+    * costs ~3× the first. Measured as t(k) vs t(k/2) on the identical
+    * deterministic input (training is prefix-stable, so the difference
+    * IS the second half). Also cross-checks the full k-merge table
+    * against the driver-side reference trainer, rule for rule.
+    */
+  private def trainProbe(spark: org.apache.spark.sql.SparkSession,
+      k: Int): Unit = {
+    import graft.functions.Bpe
+    // 2000 distinct md5-hex "words", Zipf-ish counts: hex text has
+    // enormous adjacent-pair diversity (merging a pair mints a symbol
+    // whose neighbors mint new pairs), so k merges never exhaust
+    val wf = spark.range(0L, 2000L).toDF("id")
+      .select(md5(col("id").cast("string")).as("w"),
+        expr("10000 div (id + 1) + 1").as("c"))
+      .localCheckpoint()
+    def timed(m: Int): (Seq[(String, String)], Double) = {
+      val t0 = System.nanoTime()
+      val t = Bpe.train(wf, "w", "c", m)
+      (t, (System.nanoTime() - t0) / 1e9)
+    }
+    val (half, tHalf) = timed(k / 2)
+    val (full, tFull) = timed(k)
+    val tSecond = tFull - tHalf
+    println(f"""{"which":"bpe_train","merges":$k,"first_half_sec":$tHalf%.1f,"second_half_sec":$tSecond%.1f}""")
+    require(full.take(k / 2) == half, "training is not prefix-stable")
+    require(tSecond <= tHalf * 2.0 + 5.0,
+      f"second-half merges cost $tSecond%.1f s vs first-half $tHalf%.1f s " +
+        "— per-merge cost is growing (re-checkpoint cadence broken?)")
+    val local = wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(full == Bpe.referenceTrain(local, k),
+      "distributed training diverged from the reference trainer")
+    println(s"""{"which":"bpe_train","reference_agree":true}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(cpus)
+    if (args.headOption.contains("train")) {
+      trainProbe(spark, args.lift(1).map(_.toInt).getOrElse(512))
+      spark.stop()
+      return
+    }
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
 
     val vocab = Seq("customer", "filter", "value", "key", "table", "data",

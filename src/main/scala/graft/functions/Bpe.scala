@@ -50,8 +50,10 @@ object Bpe {
     "d" -> "ata", "t" -> "able", "u" -> "p", "a" -> "g", "ag" -> "g",
     "a" -> "lu", "alu" -> "e", "v" -> "alue", "e" -> "y", "k" -> "ey")
 
-  /** BPE tokens of one already-lowercased, pipe-free word. */
-  private def wordTokens(w: Column): Column = {
+  /** BPE tokens of one already-lowercased, pipe-free word under an
+    * arbitrary merge table.
+    */
+  private def wordTokens(w: Column, table: Seq[(String, String)]): Column = {
     // |c1||c2||…||cn| — regexp char-split works on code POINTS (Java
     // '.' consumes a full surrogate pair), matching DuckDB's RE2 for
     // every char that reaches here (tokensCol pre-maps the four code
@@ -60,7 +62,7 @@ object Bpe {
     val wrapped = concat(
       rtrim(concat(lit("|"), regexp_replace(w, "(.)", "$1||")), "|"),
       lit("|"))
-    val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
+    val merged = table.foldLeft(wrapped) { case (s, (l, r)) =>
       call_function("replace", s, lit(s"|$l||$r|"), lit(s"|$l$r|"))
     }
     array_remove(split(merged, "\\|+"), "")
@@ -76,8 +78,19 @@ object Bpe {
     * is also the right tokenization. Without this a document
     * containing U+2028 would tokenize differently cross-engine.
     */
-  def tokensCol(text: Column): Column =
-    flatten(transform(wordsCol(text), wordTokens(_)))
+  def tokensCol(text: Column): Column = tokensCol(text, merges)
+
+  /** The same encoder under a caller-supplied merge table — what
+    * closes [[train]] into a usable artifact: the table a TRAINING run
+    * emits feeds the encoder directly, instead of transiting through
+    * the compiled-in literal. Table entries must respect the fence
+    * alphabet (no '|' inside a symbol — [[train]] output always does).
+    */
+  def tokensCol(text: Column, table: Seq[(String, String)]): Column = {
+    require(table.forall { case (l, r) => !l.contains("|") && !r.contains("|") },
+      "merge symbols must be pipe-free (the fence alphabet)")
+    flatten(transform(wordsCol(text), wordTokens(_, table)))
+  }
 
   /** The shared word-level normalization (lowercase, '|' stripped,
     * divergent code points → space, whitespace split) — ONE
@@ -154,9 +167,24 @@ object Bpe {
       cur = cur.select(
         call_function("replace", col("f"), lit(s"|$l||$r|"), lit(s"|$l$r|"))
           .as("f"), col("c"))
+      // re-checkpoint every 16 merges: the replace chain otherwise grows
+      // one projection per iteration ON TOP of the last checkpoint, so
+      // iteration i replays i rewrites over the vocab frame and a 32k-merge
+      // production vocabulary goes O(k²) in plan work. The checkpoint
+      // bounds both the replay and the per-iteration analysis cost to one
+      // 16-deep chain — output is bit-identical (same rewrites, same
+      // order), only the evaluation boundary moves. Not on the last
+      // iteration: nothing reads `cur` after the final argmax.
+      if ((i + 1) % RecheckpointEvery == 0 && i + 1 < nMerges)
+        cur = cur.localCheckpoint()
     }
     out.result()
   }
+
+  /** Training's plan-depth bound: merges per localCheckpoint of the
+    * frequency frame (see [[train]]).
+    */
+  val RecheckpointEvery = 16
 
   /** One word as its pipe-fenced character symbolization — the
     * encoder's wire format ([[wordTokens]]), shared so training
@@ -229,15 +257,16 @@ object Bpe {
     * drift, and a reference that disagrees with itself can hide a
     * real encoder bug. Never on a hot path — test/bench samples only.
     */
-  def referenceEncode(word: String): Seq[String] = {
-    val rank = merges.zipWithIndex.toMap
+  def referenceEncode(word: String,
+      table: Seq[(String, String)] = merges): Seq[String] = {
+    val rank = table.zipWithIndex.toMap
     var sym = codePointSymbols(word)
     var done = false
     while (!done && sym.length > 1) {
       val present = sym.zip(sym.tail).flatMap(rank.get)
       if (present.isEmpty) done = true
       else {
-        val (l, r) = merges(present.min)
+        val (l, r) = table(present.min)
         val out = scala.collection.mutable.ArrayBuffer[String]()
         var i = 0
         while (i < sym.length) {
@@ -256,11 +285,29 @@ object Bpe {
   /** The SAME tokenizer as DuckDB SQL over a text expression — the
     * oracle replays the literal merge table, rule for rule.
     */
-  def tokensSql(textExpr: String): String = {
+  def tokensSql(textExpr: String): String = tokensSql(textExpr, merges)
+
+  /** [[tokensSql]] under a caller-supplied merge table ([[tokensCol]]'s
+    * oracle twin). Each rule may also be a SQL EXPRESSION pair instead
+    * of a literal (see [[tokensSqlExprRules]]) — this literal form
+    * quotes its symbols.
+    */
+  def tokensSql(textExpr: String, table: Seq[(String, String)]): String =
+    tokensSqlExprRules(textExpr,
+      table.map { case (l, r) => (s"'${q(l)}'", s"'${q(r)}'") })
+
+  /** The tokenizer as DuckDB SQL where each merge rule's (l, r) are SQL
+    * expressions in scope at the call site — the form a trained-table
+    * oracle needs: the rules come out of the training CTEs (`b0.l`,
+    * `b0.r`, …), so the oracle tokenizes with the very table it just
+    * re-derived, never with anything exported from the engine.
+    */
+  def tokensSqlExprRules(textExpr: String,
+      rules: Seq[(String, String)]): String = {
     val wrapped =
       "rtrim('|' || regexp_replace(w, '(.)', '\\1||', 'g'), '|') || '|'"
-    val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
-      s"replace($s, '|${q(l)}||${q(r)}|', '|${q(l + r)}|')"
+    val merged = rules.foldLeft(wrapped) { case (s, (l, r)) =>
+      s"replace($s, '|' || $l || '||' || $r || '|', '|' || $l || $r || '|')"
     }
     s"flatten(list_transform(${wordsSql(textExpr)}, " +
       s"w -> list_filter(string_split_regex($merged, '\\|+'), " +

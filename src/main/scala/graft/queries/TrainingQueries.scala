@@ -239,6 +239,25 @@ object TrainingQueries {
     VectorOps.semanticDedup(embCorpus(s, d), embCents(s, d),
       threshold = 0.3)
 
+  /** The 8-merge table trained on this data dir's corpus word
+    * frequencies, computed ONCE per (session, dir) — the train gate
+    * emits it and the trained-encoder gate tokenizes with it, so the
+    * two gates exercise one artifact instead of re-running the
+    * 8-iteration loop per gate.
+    */
+  private val bpeTrainedTables =
+    new graft.SessionCache[Seq[(String, String)]]()
+  private def bpeTrainedTable(s: SparkSession,
+      d: String): Seq[(String, String)] =
+    bpeTrainedTables.get(s, d) {
+      import graft.functions.Bpe
+      val wf = Tables.documents(s, d)
+        .select(explode(Bpe.wordsCol(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      Bpe.train(wf, "w", "c", nMerges = 8)
+    }
+
   /** BPE merge-table TRAINING on the corpus word frequencies
     * ([[graft.functions.Bpe.train]]): one corpus scan to the compact
     * (word, count) table, then 8 iterations of weighted-pair argmax +
@@ -248,12 +267,7 @@ object TrainingQueries {
     * merge application are pinned cross-engine.
     */
   val txtBpeTrain: Q = (s, d) => {
-    import graft.functions.Bpe
-    val wf = Tables.documents(s, d)
-      .select(explode(Bpe.wordsCol(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val rows = Bpe.train(wf, "w", "c", nMerges = 8).zipWithIndex
+    val rows = bpeTrainedTable(s, d).zipWithIndex
       .map { case ((l, r), i) =>
         org.apache.spark.sql.Row(i.toLong, l, r)
       }
@@ -268,6 +282,25 @@ object TrainingQueries {
         org.apache.spark.sql.types.StructField("r",
           org.apache.spark.sql.types.StringType, nullable = false))))
   }
+
+  /** Train→encode closed into one artifact: the doc window tokenized
+    * with the 8-merge table [[txtBpeTrain]] just trained — not the
+    * compiled-in literal ([[graft.functions.Bpe.tokensCol]]'s
+    * caller-table form). The encoder itself is unchanged (row-local
+    * literal `replace` chain, no UDF, no shuffle); what this gate pins
+    * is the LIFECYCLE: a trained table drives the encoder directly,
+    * and the oracle re-derives that table in SQL and tokenizes with
+    * the training CTEs' own rules, so training output and encoder
+    * input can never drift.
+    */
+  val txtBpeTrained: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200 && col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.functions.Bpe.tokensCol(col("text"),
+          bpeTrainedTable(s, d))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
 
   /** Incremental semantic frontier ([[VectorStore.frontier]]): history
     * vec_id < 150 persisted as an IVF store once per data dir, then the
@@ -1094,6 +1127,7 @@ object TrainingQueries {
     "dd_semantic" -> ddSemantic,
     "emb_frontier" -> embFrontier,
     "txt_bpe_train" -> txtBpeTrain,
+    "txt_bpe_trained" -> txtBpeTrained,
     "ann_topk" -> annTopk,
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
@@ -1263,13 +1297,16 @@ object TrainingQueries {
        |FROM sc GROUP BY doc_id
        |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin
 
-  /** The BPE-training oracle: 8 unrolled layers, each one weighted
-    * adjacent-pair count over the current fence-string symbolization,
-    * the (count DESC, l, r) argmax, and the fence rewrite — the exact
-    * [[graft.functions.Bpe.train]] loop in SQL.
+  /** The k BPE training layers as CTEs over `w0 (f, c)`: each layer is
+    * one weighted adjacent-pair count over the current fence-string
+    * symbolization, the (count DESC, l, r) argmax `b_i`, and the fence
+    * rewrite `w_{i+1}` — the exact [[graft.functions.Bpe.train]] loop
+    * in SQL. ONE definition shared by the train gate's oracle and the
+    * trained-encoder gate's, so the two cannot replay different
+    * training semantics.
     */
-  private val bpeTrainSql: String = {
-    val layers = (0 until 8).map { i =>
+  private def bpeLayersSql(k: Int): String =
+    (0 until k).map { i =>
       s"""p$i AS (SELECT l, r, sum(c) AS pc FROM (
          |  SELECT syms[CAST(j AS INT)] AS l, syms[CAST(j + 1 AS INT)] AS r, c
          |  FROM (SELECT list_filter(string_split_regex(f, '\\|+'),
@@ -1280,16 +1317,45 @@ object TrainingQueries {
          |w${i + 1} AS (SELECT replace(f, '|' || b.l || '||' || b.r || '|',
          |    '|' || b.l || b.r || '|') AS f, c FROM w$i, b$i b)""".stripMargin
     }.mkString(",\n")
-    val ranks = (0 until 8)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, l, r FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH wf AS (SELECT w, count(*) AS c FROM (
+
+  /** The corpus word-frequency head the layers iterate on — `wf (w, c)`
+    * and its fence symbolization `w0 (f, c)`.
+    */
+  private val bpeTrainHeadSql: String =
+    s"""wf AS (SELECT w, count(*) AS c FROM (
        |  SELECT unnest(${graft.functions.Bpe.wordsSql("text")}) AS w
        |  FROM documents WHERE text IS NOT NULL) WHERE w <> '' GROUP BY w),
        |w0 AS (SELECT rtrim('|' || regexp_replace(w, '(.)', '\\1||', 'g'),
-       |    '|') || '|' AS f, c FROM wf),
-       |$layers
+       |    '|') || '|' AS f, c FROM wf)""".stripMargin
+
+  /** The BPE-training oracle: 8 unrolled layers, ranks unioned out. */
+  private val bpeTrainSql: String = {
+    val ranks = (0 until 8)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, l, r FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainHeadSql,
+       |${bpeLayersSql(8)}
        |$ranks""".stripMargin
+  }
+
+  /** The trained-encoder oracle: re-derive the 8-merge table (same
+    * layers as [[bpeTrainSql]]), then tokenize the doc window with the
+    * rules STRAIGHT OUT of the training CTEs
+    * ([[graft.functions.Bpe.tokensSqlExprRules]] over `b0..b7`) — the
+    * oracle never sees an engine-exported table, it replays
+    * train→encode end to end.
+    */
+  private val bpeTrainedSql: String = {
+    val rules = (0 until 8).map(i => (s"b$i.l", s"b$i.r"))
+    val bTables = (0 until 8).map(i => s"b$i").mkString(", ")
+    s"""WITH $bpeTrainHeadSql,
+       |${bpeLayersSql(8)},
+       |dt AS (SELECT doc_id,
+       |    ${graft.functions.Bpe.tokensSqlExprRules("text", rules)} AS toks
+       |  FROM documents, $bTables
+       |  WHERE text IS NOT NULL AND doc_id < 200)
+       |SELECT doc_id, p AS pos, toks[CAST(p + 1 AS INT)] AS token
+       |FROM dt, unnest(range(0, len(toks))) r(p)""".stripMargin
   }
 
   /** The decimal-log histogram oracle: replays the binning digit for
@@ -1652,6 +1718,7 @@ object TrainingQueries {
          |  cells.id NOT IN (SELECT id FROM dom) AS keep
          |FROM cells""".stripMargin,
     "txt_bpe_train" -> bpeTrainSql,
+    "txt_bpe_trained" -> bpeTrainedSql,
     "emb_frontier" ->
       s"""WITH $embCellsSql,
          |cells AS (SELECT id, v, cid AS cell FROM ranked WHERE r = 1),
