@@ -49,16 +49,36 @@ object LmOps {
         col("col").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
 
+  /** Trigram counts (w1, w2, w3, c) over consecutive token triples. */
+  def trainTrigram(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(TextOps.tokensCol(col(textCol)).as("t"))
+      .select(col("t"), posexplode(col("t")))
+      .filter(col("pos") >= 2)
+      .select(element_at(col("t"), col("pos") - 1).as("w1"),
+        element_at(col("t"), col("pos")).as("w2"),
+        col("col").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+
   /** Score every non-null-text doc against trained `uni`/`bi` counts.
+    *
+    * `broadcastCounts` is the vocab-bounded fast path: the count frames
+    * are hinted broadcast, so the corpus token stream is NEVER
+    * exchanged — without it each join key (w2, w1, (w1,w2)) shuffles
+    * the exploded corpus once. Correct whenever the vocabulary fits an
+    * executor (the common case even at web scale: counts are per
+    * DISTINCT word); leave false to let AQE decide from stats.
     * @return (idCol, n_tokens, cost_micronats, mean_micronats)
     */
   def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
-      uni0: DataFrame, bi: DataFrame): DataFrame = {
+      uni0: DataFrame, bi: DataFrame,
+      broadcastCounts: Boolean = false): DataFrame = {
     // the unigram frame feeds THREE consumers (c2 join, c1 join, the
     // N aggregate) — materialize it once so the training aggregation
     // doesn't rerun per consumer; it is vocabulary-sized, so the
     // checkpoint is bounded. `bi` has one consumer and stays lazy.
     val uni = ClusterOps.flatten(uni0)
+    def h(df: DataFrame) = if (broadcastCounts) broadcast(df) else df
     val nFrame = uni.agg(sum(col("c")).as("n_total"))
     val pos = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), TextOps.tokensCol(col(textCol)).as("t"))
@@ -66,9 +86,9 @@ object LmOps {
       .select(col("id"), col("pos").as("p"), col("col").as("w2"),
         when(col("pos") >= 1, element_at(col("t"), col("pos"))).as("w1"))
     val joined = pos
-      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"), "left_outer")
-      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"), "left_outer")
-      .join(bi.select(col("w1"), col("w2"), col("c").as("c12")),
+      .join(h(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"), "left_outer")
+      .join(h(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"), "left_outer")
+      .join(h(bi.select(col("w1"), col("w2"), col("c").as("c12"))),
         Seq("w1", "w2"), "left_outer")
       .crossJoin(broadcast(nFrame))
       // IntLog's contract: bind computed inputs to real columns first —
@@ -87,6 +107,70 @@ object LmOps {
         expr("cost_micronats div n_tokens").as("mean_micronats"))
   }
 
+  /** Trigram scoring with the full stupid-backoff CHAIN — the order-3
+    * member of the family ([[scoreBigram]]'s cost model extended one
+    * level): a seen trigram costs ln c(w₀w₁) − ln c(w₀w₁w₂); an unseen
+    * one pays the backoff penalty and falls to the bigram rule, which
+    * itself falls to the unigram rule. Position 0 scores as a unigram,
+    * position 1 as a bigram — the natural short-context degradation.
+    * Same integer-micronat arithmetic, same runtime-count [[IntLog]]
+    * logs, and the same [[scoreBigram]] broadcast fast path — here it
+    * saves FIVE corpus exchanges (w2, w1, (w1,w2), (w0,w1),
+    * (w0,w1,w2)), so for any executor-fitting vocabulary the corpus
+    * moves exactly once: into the final per-doc aggregate.
+    * @return (idCol, n_tokens, cost_micronats, mean_micronats)
+    */
+  def scoreTrigram(docs: DataFrame, idCol: String, textCol: String,
+      uni0: DataFrame, bi0: DataFrame, tri: DataFrame,
+      broadcastCounts: Boolean = false): DataFrame = {
+    // uni feeds three consumers, bi two (the (w1,w2) and (w0,w1)
+    // joins) — materialize both once; tri has one consumer, stays lazy
+    val uni = ClusterOps.flatten(uni0)
+    val bi = ClusterOps.flatten(bi0)
+    def h(df: DataFrame) = if (broadcastCounts) broadcast(df) else df
+    val nFrame = uni.agg(sum(col("c")).as("n_total"))
+    val pos = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TextOps.tokensCol(col(textCol)).as("t"))
+      .select(col("id"), col("t"), posexplode(col("t")))
+      .select(col("id"), col("pos").as("p"), col("col").as("w2"),
+        when(col("pos") >= 1, element_at(col("t"), col("pos"))).as("w1"),
+        when(col("pos") >= 2, element_at(col("t"), col("pos") - 1)).as("w0"))
+    val joined = pos
+      .join(h(uni.select(col("w").as("w2"), col("c").as("c2"))),
+        Seq("w2"), "left_outer")
+      .join(h(uni.select(col("w").as("w1"), col("c").as("c1"))),
+        Seq("w1"), "left_outer")
+      .join(h(bi.select(col("w1"), col("w2"), col("c").as("c12"))),
+        Seq("w1", "w2"), "left_outer")
+      .join(h(bi.select(col("w1").as("w0"), col("w2").as("w1"),
+          col("c").as("c01"))),
+        Seq("w0", "w1"), "left_outer")
+      .join(h(tri.select(col("w1").as("w0"), col("w2").as("w1"),
+          col("w3").as("w2"), col("c").as("c012"))),
+        Seq("w0", "w1", "w2"), "left_outer")
+      .crossJoin(broadcast(nFrame))
+      .withColumn("c2e", coalesce(col("c2"), lit(1L)))
+      .withColumn("uni_cost",
+        IntLog.lnMicroCol(col("n_total")) - IntLog.lnMicroCol(col("c2e")))
+    // a seen trigram implies a seen (w0,w1) bigram, so c01 is non-null
+    // wherever the first branch fires
+    val cost = when(col("p") === 0, col("uni_cost"))
+      .when(col("p") >= 2 && col("c012").isNotNull,
+        IntLog.lnMicroCol(col("c01")) - IntLog.lnMicroCol(col("c012")))
+      .when(col("p") >= 2 && col("c12").isNotNull,
+        lit(BackoffMicro) +
+          IntLog.lnMicroCol(col("c1")) - IntLog.lnMicroCol(col("c12")))
+      .when(col("p") >= 2, lit(2L * BackoffMicro) + col("uni_cost"))
+      .when(col("c12").isNotNull,
+        IntLog.lnMicroCol(col("c1")) - IntLog.lnMicroCol(col("c12")))
+      .otherwise(lit(BackoffMicro) + col("uni_cost"))
+    joined.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(cost).as("cost_micronats"))
+      .select(col("id").as(idCol), col("n_tokens"), col("cost_micronats"),
+        expr("cost_micronats div n_tokens").as("mean_micronats"))
+  }
+
   /** The bigram-count aggregate over a tokenized CTE `tr (t)` — shared
     * between [[scoreBigramOracleSql]]'s `bi` CTE and the standalone
     * `lm_train_bi` oracle so the two can never drift.
@@ -94,6 +178,14 @@ object LmOps {
   val biCountsSql: String =
     """SELECT t[p] AS w1, t[p+1] AS w2, count(*) AS c
       |FROM tr, unnest(range(1, len(t))) r(p) GROUP BY 1, 2""".stripMargin
+
+  /** The trigram-count aggregate over a tokenized CTE `tr (t)` — the
+    * [[biCountsSql]] sibling, shared by the trigram oracles.
+    */
+  val triCountsSql: String =
+    """SELECT t[p] AS w1, t[p+1] AS w2, t[p+2] AS w3, count(*) AS c
+      |FROM tr, unnest(range(1, len(t) - 1)) r(p) GROUP BY 1, 2, 3"""
+      .stripMargin
 
   /** The scoring pipeline as DuckDB SQL over CTEs the caller provides:
     * `t (doc_id, t)` — tokenized docs to score — and `tr (t)` — the
@@ -121,6 +213,48 @@ object LmOps {
        |    WHEN p = 0 THEN ${ln("n_total")} - ${ln("coalesce(c2, 1)")}
        |    WHEN c12 IS NOT NULL THEN ${ln("c1")} - ${ln("c12")}
        |    ELSE $BackoffMicro + ${ln("n_total")} - ${ln("coalesce(c2, 1)")}
+       |    END AS mc FROM j)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(mc) AS BIGINT) AS cost_micronats,
+       |  CAST(sum(mc) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |    AS mean_micronats
+       |FROM costs GROUP BY 1""".stripMargin
+  }
+
+  /** [[scoreTrigram]]'s oracle over the same caller CTEs `t` / `tr` —
+    * counts (all three orders), N, and the full backoff chain
+    * re-derived in SQL with [[IntLog.lnMicroSql]].
+    */
+  def scoreTrigramOracleSql(): String = {
+    def ln(e: String) = IntLog.lnMicroSql(e)
+    val uniCost = s"${ln("n_total")} - ${ln("coalesce(c2, 1)")}"
+    s"""uni AS (SELECT u AS w, count(*) AS c FROM tr, unnest(t) x(u)
+       |  GROUP BY 1),
+       |bi AS ($biCountsSql),
+       |tri AS ($triCountsSql),
+       |nt AS (SELECT sum(c) AS n_total FROM uni),
+       |pos AS (SELECT doc_id, p, t[p+1] AS w2,
+       |    CASE WHEN p >= 1 THEN t[p] END AS w1,
+       |    CASE WHEN p >= 2 THEN t[p-1] END AS w0
+       |  FROM t, unnest(range(0, len(t))) r(p)),
+       |j AS (SELECT pos.doc_id, pos.p, u2.c AS c2, u1.c AS c1,
+       |    b12.c AS c12, b01.c AS c01, tg.c AS c012, nt.n_total
+       |  FROM pos
+       |  LEFT JOIN uni u2 ON u2.w = pos.w2
+       |  LEFT JOIN uni u1 ON u1.w = pos.w1
+       |  LEFT JOIN bi b12 ON b12.w1 = pos.w1 AND b12.w2 = pos.w2
+       |  LEFT JOIN bi b01 ON b01.w1 = pos.w0 AND b01.w2 = pos.w1
+       |  LEFT JOIN tri tg ON tg.w1 = pos.w0 AND tg.w2 = pos.w1
+       |    AND tg.w3 = pos.w2
+       |  CROSS JOIN nt),
+       |costs AS (SELECT doc_id, CASE
+       |    WHEN p = 0 THEN $uniCost
+       |    WHEN p >= 2 AND c012 IS NOT NULL THEN ${ln("c01")} - ${ln("c012")}
+       |    WHEN p >= 2 AND c12 IS NOT NULL
+       |      THEN $BackoffMicro + ${ln("c1")} - ${ln("c12")}
+       |    WHEN p >= 2 THEN ${2L * BackoffMicro} + $uniCost
+       |    WHEN c12 IS NOT NULL THEN ${ln("c1")} - ${ln("c12")}
+       |    ELSE $BackoffMicro + $uniCost
        |    END AS mc FROM j)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |  CAST(sum(mc) AS BIGINT) AS cost_micronats,

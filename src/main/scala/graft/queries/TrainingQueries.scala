@@ -755,6 +755,30 @@ object TrainingQueries {
     graft.ops.LmOps.trainBigram(
       Tables.documents(s, d).filter(col("doc_id") < 250), "text")
 
+  /** The trained trigram count table (the order-3 LM artifact). */
+  val lmTrainTri: Q = (s, d) =>
+    graft.ops.LmOps.trainTrigram(
+      Tables.documents(s, d).filter(col("doc_id") < 250), "text")
+
+  /** Trigram LM with the full stupid-backoff chain, trained on the
+    * <250 half and scoring ALL docs — run through the BROADCAST fast
+    * path ([[graft.ops.LmOps.scoreTrigram]] `broadcastCounts = true`):
+    * with a vocab-bounded model the corpus token stream is never
+    * exchanged for a join (PlanSpec locks the executed shape — five
+    * broadcast joins, exactly one exchange: the per-doc aggregate).
+    * Output is hash-identical to the default path by construction; the
+    * oracle replays training AND the chained backoff scoring from raw
+    * text.
+    */
+  val lmScoreTri: Q = (s, d) => {
+    val train = Tables.documents(s, d).filter(col("doc_id") < 250)
+    graft.ops.LmOps.scoreTrigram(Tables.documents(s, d), "doc_id", "text",
+      graft.ops.LmOps.trainUnigram(train, "text"),
+      graft.ops.LmOps.trainBigram(train, "text"),
+      graft.ops.LmOps.trainTrigram(train, "text"),
+      broadcastCounts = true)
+  }
+
   /** Count-min heavy hitters: token counts sketched into 3×32 counters
     * (order-independent sums — bit-identical cross-engine), every distinct
     * token probed, estimate ≥ 60 kept. CM never undercounts, so the kept
@@ -1168,6 +1192,8 @@ object TrainingQueries {
     "dd_dup_store" -> ddDupStore,
     "lm_score_trained" -> lmScoreTrained,
     "lm_train_bi" -> lmTrainBi,
+    "lm_train_tri" -> lmTrainTri,
+    "lm_score_tri" -> lmScoreTri,
     "emb_quantize" -> embQuantize,
     "emb_rproj" -> embRproj,
     "txt_lr_train" -> txtLrTrain,
@@ -1837,6 +1863,15 @@ object TrainingQueries {
       s"""WITH tr AS (SELECT $toksSql AS t
          |  FROM documents WHERE text IS NOT NULL AND doc_id < 250)
          |${graft.ops.LmOps.biCountsSql}""".stripMargin,
+    "lm_train_tri" ->
+      s"""WITH tr AS (SELECT $toksSql AS t
+         |  FROM documents WHERE text IS NOT NULL AND doc_id < 250)
+         |${graft.ops.LmOps.triCountsSql}""".stripMargin,
+    "lm_score_tri" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |tr AS (SELECT t FROM t WHERE doc_id < 250),
+         |${graft.ops.LmOps.scoreTrigramOracleSql()}""".stripMargin,
     // the store-served CM probe is defined bit-identical to the fresh
     // sketch (order-independent sums; shape from the manifest) — shared
     // oracle, same as ann_store/ann_ivf

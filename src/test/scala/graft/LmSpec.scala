@@ -70,4 +70,46 @@ class LmSpec extends AnyFunSuite {
     // the intended ordering: fluent < disfluent < gibberish (per token)
     assert(got(10L) < got(11L) && got(11L) < got(12L))
   }
+
+  test("trained trigram LM: every backoff-chain branch replays by hand; " +
+      "broadcast fast path is bit-identical to the default") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick fox jumps the quick fox sleeps"),
+      (2L, "the quick fox jumps again")).toDF("doc_id", "text")
+    val uni = LmOps.trainUnigram(train, "text")
+    val bi = LmOps.trainBigram(train, "text")
+    val tri = LmOps.trainTrigram(train, "text")
+    val score = Seq(
+      (10L, "the quick fox"), // uni + seen bigram + SEEN trigram
+      (11L, "quick fox again"), // trigram unseen, (fox again) unseen →
+      // double backoff to uni(again)
+      (12L, "sleeps the quick"), // trigram (sleeps,the,quick) unseen,
+      // bigram (the,quick) seen → single backoff
+      (13L, "zz yy xx")) // OOV at every order
+      .toDF("doc_id", "text")
+    def run(bcast: Boolean) =
+      LmOps.scoreTrigram(score, "doc_id", "text", uni, bi, tri, bcast)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = run(bcast = false)
+    assert(got == run(bcast = true), "broadcast path diverged")
+    def ln(x: Long) = refLnMicro(x)
+    val n = 13L
+    val bk = LmOps.BackoffMicro
+    // c(the quick)=3, c(the quick fox)=3, c(quick fox)=3
+    assert(got(10L) == (ln(n) - ln(3)) + (ln(3) - ln(3)) + (ln(3) - ln(3)))
+    // p2 of doc 11: (quick, fox, again) unseen; (fox, again) unseen →
+    // 2·backoff + uni(again)=1
+    assert(got(11L) == (ln(n) - ln(3)) + (ln(3) - ln(3)) +
+      (2 * bk + ln(n) - ln(1)))
+    // p2 of doc 12: trigram unseen, bigram (the, quick) seen c=3,
+    // c(the)=3 → backoff + ln 3 − ln 3; p1 (sleeps, the) unseen →
+    // backoff + uni(the)
+    assert(got(12L) == (ln(n) - ln(1 /*sleeps*/)) +
+      (bk + ln(n) - ln(3)) + (bk + ln(3) - ln(3)))
+    // OOV: p0 uni(1); p1 backoff+uni(1); p2 double-backoff+uni(1)
+    assert(got(13L) == (ln(n) - ln(1)) + (bk + ln(n) - ln(1)) +
+      (2 * bk + ln(n) - ln(1)))
+    assert(got(10L) < got(12L) && got(12L) < got(13L))
+  }
 }

@@ -476,6 +476,38 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(anc".r.findAllIn(p).length == 1, p)
   }
 
+  test("trigram scoring under a broadcastable vocab never exchanges the " +
+      "corpus token stream") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    // lm_score_tri runs the broadcast fast path: all five count joins
+    // (w2, w1, (w1,w2), (w0,w1), (w0,w1,w2)) must be BroadcastHashJoins
+    // — a shuffled join anywhere means the exploded corpus moved for a
+    // vocabulary-sized side — and every exchange that remains (the
+    // per-doc aggregate, the lazily-built trigram count table, the
+    // single-row N total) must sit directly above a PARTIAL aggregate:
+    // raw exploded token rows never enter a shuffle
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.queries.TrainingQueries.registry("lm_score_tri")(spark, sf)
+    df.collect()
+    val all = PlanWalk.nodes(df.queryExecution.executedPlan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!all.exists(p => p.isInstanceOf[SortMergeJoinExec] ||
+      p.isInstanceOf[ShuffledHashJoinExec]), plan)
+    assert(all.count(_.isInstanceOf[BroadcastHashJoinExec]) == 5, plan)
+    val exchanges = all.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.nonEmpty, plan)
+    exchanges.foreach { e =>
+      val firstAgg = PlanWalk.nodes(e.asInstanceOf[
+          org.apache.spark.sql.execution.SparkPlan].children.head)
+        .collectFirst { case a: BaseAggregateExec => a }
+      assert(firstAgg.exists(_.aggregateExpressions.forall(
+        _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+        s"exchange without a map-side combine below it: $e\n$plan")
+    }
+  }
+
   test("canonicalPerCluster is an argmax aggregate — no per-component window") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     import org.apache.spark.sql.execution.window.WindowExec
