@@ -102,6 +102,30 @@ object PrBench {
       .count()
     require(leaked == 0L, s"$leaked unreachable nodes got nonzero rank")
     println(s"""{"ppr_leak":0,"agree":true}""")
+
+    // fixed-point early stop == forced extra rounds, bit for bit: run
+    // the monotone map to convergence (dangling redistribution on — the
+    // hub graph leaves ~e⁻⁴ of nodes dangling), then again with 5 FORCED
+    // extra rounds. Idempotence past the fixed point is exactly what
+    // lets the unrolled oracle at any depth ≥ convergence hash-match the
+    // early-stopped engine.
+    val nf = math.max(n / 8, 10000L)
+    val nodesF = spark.range(0L, nf).toDF("id").localCheckpoint()
+    val ef = edgesOf(nf, hub = true)
+    val fp = time(s"fixed_point_$nf") {
+      val r = ClusterOps.pageRankFixedPoint(ef, nodesF, maxRounds = 60,
+        dampingMilli = 500, redistributeDangling = true)
+      r.ranks.count(); r
+    }
+    val again = ClusterOps.pageRankFixedPoint(ef, nodesF, maxRounds = 80,
+      dampingMilli = 500, redistributeDangling = true,
+      minRounds = fp.rounds + 5)
+    val drifted = fp.ranks.withColumnRenamed("rank_micro", "a")
+      .join(again.ranks.withColumnRenamed("rank_micro", "b"), "id")
+      .filter(col("a") =!= col("b")).count()
+    require(drifted == 0L,
+      s"$drifted ranks changed after forced extra rounds")
+    println(s"""{"fp_rounds":${fp.rounds},"idempotent":true}""")
     spark.stop()
   }
 }

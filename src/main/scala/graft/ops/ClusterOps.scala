@@ -267,6 +267,124 @@ object ClusterOps {
     }
   }
 
+  /** A fixed-point PageRank run: the converged ranks and the number of
+    * rounds the iteration actually took.
+    */
+  final case class PrFixedPoint(ranks: DataFrame, rounds: Int)
+
+  /** PageRank iterated to the EXACT integer fixed point instead of a
+    * fixed round count — the [[connectedComponents]] witness discipline
+    * applied to ranks: every round's flatten job also observes
+    * Σ(r_t − r_{t−1}) (a CollectMetrics rider, no extra action), and
+    * the loop stops the first time the delta is exactly zero.
+    *
+    * Why this CANNOT cycle (integer iterations in general can — the
+    * natural r0 = 10⁶ start measures a period-2 limit cycle with the
+    * dangling feedback, oscillating forever at delta ≈ 1742 on the
+    * sf0.001 trade graph): iteration starts from r0 = base, the
+    * all-teleport LOWER bound, and the round map is MONOTONE — floor
+    * divisions of nonneg sums are nondecreasing in every input, and so
+    * is the dangling share. By induction every component is
+    * nondecreasing (r1 = base + nonneg ≥ r0), and total mass is
+    * bounded (damping < 1), so each integer component must stop
+    * moving: the iteration reaches the LEAST fixed point exactly, in
+    * finitely many rounds. A zero delta is then genuinely terminal —
+    * every further application reproduces the vector — which is what
+    * lets a DuckDB oracle unrolled to ANY round count ≥ the
+    * convergence round hash-match the early-stopped engine
+    * ([[pageRankOracleSql]] `fixedPoint = true` layers are idempotent
+    * past the fixed point; `minRounds` forces extra rounds to PROVE
+    * that on a real graph — PrBench's early-stop assertion).
+    *
+    * `redistributeDangling` closes the rank leak [[pageRank]] accepts:
+    * each round the previous round's total dangling mass D (rank on
+    * nodes with no out-edge, observed on the SAME rider — no extra
+    * aggregate job) is split `D div n` across all n nodes inside the
+    * damped term: r'(v) = base + (d·(Σ contrib + D div n)) div 1000.
+    * The div remainder (< n micro-units per round) still leaks —
+    * exactness is what makes the oracle replayable, and a probability
+    * vector was never the contract ([[pageRank]]'s ordering argument).
+    *
+    * Convergence economics: increments shrink by ~damping per round
+    * and floor to zero below one micro-unit, so rounds ≈
+    * log_{1/d}(10⁶) — ~20 at d = 0.5, ~85 at d = 0.85. Pick the
+    * damping with the round budget in mind; the per-round cost shape
+    * is [[pageRank]]'s (cached edges, O(nodes) movement).
+    *
+    * @param minRounds keep iterating this many rounds even after the
+    *                  fixed point — the idempotence probe
+    */
+  def pageRankFixedPoint(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 100, dampingMilli: Int = 850,
+      redistributeDangling: Boolean = false,
+      minRounds: Int = 0): PrFixedPoint = {
+    require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
+    require(dampingMilli >= 0 && dampingMilli <= 1000,
+      s"dampingMilli=$dampingMilli must be in [0, 1000]")
+    val e = prEdgeCache(edges)
+    try {
+      // has_out is STATIC — compute it once, carry it on the rank rows
+      // so the per-round dangling sum is a rider, not a join
+      val n = flatten(nodes.select(col("id")).distinct()
+        .join(edges.select(col("src").as("id")).distinct()
+            .withColumn("o", lit(true)), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("o"), lit(false)).as("has_out")))
+      val nNodes = n.count()
+      require(nNodes > 0, "pageRankFixedPoint needs a non-empty node set")
+      val base = (1000L - dampingMilli) * 1000L
+      // r0 = base: the monotone-from-below start (see scaladoc) — the
+      // ONLY start for which cycle-freedom is provable
+      var r = n.select(col("id"), col("has_out"),
+        lit(base).as("rank"))
+      // initial dangling mass: count·base over the dangling set (r0 is
+      // uniform) — one column-pruned count, no rank scan
+      var dMass: Long =
+        if (redistributeDangling)
+          n.filter(!col("has_out")).count() * base
+        else 0L
+      var rounds = 0
+      var converged = false
+      while ((!converged || rounds < minRounds) && rounds < maxRounds) {
+        val contrib = prContrib(e, r)
+        val share = dMass / nNodes // both non-negative: floor division
+        val obs = org.apache.spark.sql.Observation(s"pr_fp_r$rounds")
+        val next = flatten(
+          r.join(contrib, r("id") === contrib("dst"), "left_outer")
+            .select(col("id"), col("has_out"), col("rank").as("prev"),
+              (lit(base) + expr(s"(cast($dampingMilli as decimal(38,0))" +
+                s" * (coalesce(s, 0L) + $share)) div 1000")).as("rank"))
+            .observe(obs,
+              sum(abs(col("rank") - col("prev")).cast("decimal(38,0)"))
+                .as("delta"),
+              sum(when(!col("has_out"), col("rank")).otherwise(lit(0L))
+                .cast("decimal(38,0)")).as("dmass"))
+            .select(col("id"), col("has_out"), col("rank")))
+        def metric(name: String): BigDecimal =
+          Option(obs.get(name))
+            .map(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
+            .getOrElse(BigDecimal(0))
+        converged = metric("delta") == 0
+        if (sys.env.contains("GRAFT_PR_DEBUG"))
+          // scalastyle:off println
+          println(s"pr_fp round=$rounds delta=${metric("delta")} " +
+            s"dmass=${metric("dmass")}")
+        if (redistributeDangling) {
+          val dm = metric("dmass")
+          require(dm.isValidLong, s"dangling mass $dm exceeds Long")
+          dMass = dm.toLong
+        }
+        r = next
+        rounds += 1
+      }
+      require(converged,
+        s"pageRankFixedPoint did not reach a fixed point in $maxRounds " +
+          "rounds — integer rank dynamics can in principle cycle; raise " +
+          "maxRounds or fall back to pageRank(iters)")
+      PrFixedPoint(r.select(col("id"), col("rank").as("rank_micro")),
+        rounds)
+    } finally e.unpersist(blocking = false)
+  }
+
   /** The unrolled-SQL twin of [[pageRank]]/[[personalizedPageRank]] for
     * a DuckDB oracle (the [[LinearModel.trainOracleSql]] pattern): one
     * CTE pair per iteration over caller-provided CTEs `e (src, dst)`
@@ -276,27 +394,60 @@ object ClusterOps {
     * always are.
     */
   def pageRankOracleSql(iters: Int, dampingMilli: Int = 850,
-      personalized: Boolean = false): String = {
+      personalized: Boolean = false,
+      redistributeDangling: Boolean = false,
+      fixedPoint: Boolean = false): String = {
     require(iters >= 1 && dampingMilli >= 0 && dampingMilli <= 1000,
       "same domain as pageRank")
+    require(!(personalized && (redistributeDangling || fixedPoint)),
+      "dangling redistribution / fixed-point start are the plain-PR " +
+        "variant (pageRankFixedPoint)")
     val base = (1000L - dampingMilli) * 1000L
     val baseSql =
       if (personalized) s"CASE WHEN nd.seed THEN $base ELSE 0 END" else s"$base"
     val r0Sql =
       if (personalized) "CASE WHEN seed THEN 1000000 ELSE 0 END"
+      else if (fixedPoint) s"$base" // the monotone-from-below start
       else "1000000"
+    // deg/ed/nd are referenced once PER LAYER — materialize them under
+    // the dangling unroll so the inliner cannot rescan the base tables
+    // 22 times (see the r$t materialization note below)
+    val matHead = if (redistributeDangling) " MATERIALIZED" else ""
     val head =
-      s"""deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-         |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+      s"""deg AS$matHead (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |ed AS$matHead (SELECT e.src, e.dst, deg.deg FROM e
+         |  JOIN deg USING (src)),
+         |nn AS (SELECT count(*) AS n FROM nd),
          |r0 AS (SELECT id, CAST($r0Sql AS BIGINT) AS rank FROM nd)"""
         .stripMargin
+    // with the dangling rider, r_{t-1} has TWO consumers (c$t and d$t)
+    // — DuckDB may INLINE multiply-referenced CTEs, which doubles the
+    // plan per layer and goes exponential in the unroll depth (a
+    // 22-layer dangling oracle measured 2²² parquet re-opens).
+    // MATERIALIZED pins one evaluation per round, the semantics the
+    // engine's flatten gives its side.
+    val mat = if (redistributeDangling) " MATERIALIZED" else ""
     val its = (1 to iters).map { t =>
-      s"""c$t AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
+      // the dangling CTE replays pageRankFixedPoint's rider: previous
+      // round's rank mass on no-out-edge nodes, its floor share D//n
+      // folded into the damped term
+      val dang =
+        if (!redistributeDangling) ""
+        else s"""d$t AS (SELECT coalesce(sum(r.rank), 0) AS dm
+                |  FROM r${t - 1} r WHERE NOT EXISTS
+                |    (SELECT 1 FROM deg WHERE deg.src = r.id)),
+                |""".stripMargin
+      val contribSql =
+        if (redistributeDangling)
+          s"CAST(coalesce(c$t.s, 0) AS HUGEINT) + d$t.dm // nn.n"
+        else s"CAST(coalesce(c$t.s, 0) AS HUGEINT)"
+      val extraFrom = if (redistributeDangling) s", d$t, nn" else ""
+      s"""${dang}c$t AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
          |  JOIN r${t - 1} r ON r.id = ed.src GROUP BY 1),
-         |r$t AS (SELECT nd.id, CAST($baseSql +
-         |    ($dampingMilli * CAST(coalesce(c$t.s, 0) AS HUGEINT)) // 1000
+         |r$t AS$mat (SELECT nd.id, CAST($baseSql +
+         |    ($dampingMilli * ($contribSql)) // 1000
          |    AS BIGINT) AS rank
-         |  FROM nd LEFT JOIN c$t ON nd.id = c$t.dst)""".stripMargin
+         |  FROM nd LEFT JOIN c$t ON nd.id = c$t.dst$extraFrom)""".stripMargin
     }
     s"$head,\n${its.mkString(",\n")}\n" +
       s"SELECT id, rank AS rank_micro FROM r$iters"
