@@ -117,12 +117,16 @@ object StoreUtil {
   def pathExists(spark: SparkSession, dir: String, name: String): Boolean =
     fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, name))
 
-  /** Manifest content, or fail fast with a store-kind-specific message. */
+  /** Manifest content, or fail fast with a store-kind-specific message.
+    * `supported` is the newest layout version this build reads (1 for
+    * every store that never changed layout; PostingsStore passes its
+    * own).
+    */
   def requireManifest(spark: SparkSession, path: String, marker: String,
-      kind: String): String = {
+      kind: String, supported: Int = 1): String = {
     val mf = readMarker(spark, path, marker).getOrElse(
       throw new IllegalStateException(s"$path is not a $kind (no $marker)"))
-    requireVersion(mf, 1, s"$kind at $path")
+    requireVersion(mf, supported, s"$kind at $path")
     mf
   }
 

@@ -37,12 +37,20 @@ object PostingsStore {
 
   val ManifestFile = "_graft_postings.json"
 
+  /** Store layout version this build writes and reads. v2 added the
+    * per-posting `positions` array (phrase/proximity serving); a v1
+    * store still loads — BM25 never touches positions — but
+    * [[queryPhrase]] refuses it with a rebuild message, and a FUTURE
+    * version refuses at load ([[graft.StoreUtil.requireVersion]]).
+    */
+  val FormatVersion = 2
+
   case class Loaded(postings: DataFrame, nDocs: Long, totalLen: Long,
-      buckets: Int)
+      buckets: Int, version: Int)
 
   private def manifest(buckets: Int, nDocs: Long, totalLen: Long,
       batchId: Option[Long]): String =
-    s"""{"version":1,"buckets":$buckets,"n_docs":$nDocs""" +
+    s"""{"version":$FormatVersion,"buckets":$buckets,"n_docs":$nDocs""" +
       s""","total_len":$totalLen""" +
       batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
 
@@ -53,16 +61,23 @@ object PostingsStore {
     * full tokenize pass. Evaluating the stats here — BEFORE any caller
     * touches the store's manifest — also means a bad column name or
     * unreadable input fails while the store is still intact.
+    *
+    * Positions ride ON the posting row (sorted 0-based token indexes):
+    * tf is their cardinality, and phrase queries become row-local array
+    * intersections after a per-doc join — the standard positional-index
+    * trade of ~one int per corpus token for proximity serving.
     */
   private def indexOf(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, Long, Long) = {
     val base = ClusterOps.flatten(TextOps.bm25Base(docs, idCol, textCol))
     val postings = base
       .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
-        explode(col("toks")).as("term"))
+        posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"), col("len"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col("term"), col("doc_id"), col("tf"), col("len"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("term"), col("doc_id"), col("tf"), col("len"),
+        col("positions"))
     val s = base.agg(coalesce(count(lit(1)), lit(0L)).as("n"),
       coalesce(sum(size(col("toks"))), lit(0L)).as("tot")).head()
     (postings, s.getLong(0), s.getLong(1))
@@ -92,12 +107,15 @@ object PostingsStore {
 
   def load(spark: SparkSession, path: String): Loaded = {
     val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
-      "postings store")
+      "postings store", FormatVersion)
     def long(k: String): Long =
       graft.StoreUtil.manifestLong(mf, k, s"postings manifest at $path")
     val buckets = long("buckets").toInt
+    val version = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(mf)
+      .map(_.group(1).toInt).getOrElse(1)
     Loaded(graft.tree.TreeStore.loadBucketed(spark, s"$path/postings",
-      "term", buckets), long("n_docs"), long("total_len"), buckets)
+      "term", buckets), long("n_docs"), long("total_len"), buckets,
+      version)
   }
 
   /** Same probe discipline as the sibling stores: postings without a
@@ -125,6 +143,12 @@ object PostingsStore {
         spark, path, ManifestFile))
       return
     val st = load(spark, path)
+    // appending positional rows into a pre-positions store would mix
+    // file schemas under postings/ (the LshStore mergeSchema lesson) —
+    // refuse; the v1 store keeps serving BM25 until rebuilt
+    require(st.version == FormatVersion,
+      s"store at $path is layout v${st.version}; this build appends " +
+        s"v$FormatVersion rows — rebuild the index to upgrade")
     val prevLast = SketchOps.lastBatchId(spark, path, ManifestFile)
     // index + validate BEFORE touching the manifest (the save rule)
     val (postings, n, tot) = indexOf(docs, idCol, textCol)
@@ -157,6 +181,45 @@ object PostingsStore {
     * the in-memory scorer over the same corpus, which is what the
     * shared oracle asserts.
     */
+  /** Exact phrase occurrences from the positional index: each phrase
+    * slot i fetches its term's (bucket-pruned) postings, shifts the
+    * position array left by i, and the doc's occurrence count is the
+    * size of the running `array_intersect` — row-local after the
+    * per-doc equi-joins, never a token-level self-join (the raw-text
+    * form the oracle replays IS that self-join; the index turns it into
+    * |phrase| bounded joins of per-term lists). Inner joins ensure a
+    * doc missing any term drops immediately. A repeated term reuses the
+    * same postings row per slot, so "data data" intersects a list with
+    * its own shift — exactly consecutive-occurrence semantics.
+    * @return (doc_id, n_occurrences) top-k by (count DESC, doc_id)
+    */
+  def queryPhrase(st: Loaded, phrase: Seq[String], topK: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    require(topK > 0, s"topK=$topK must be positive")
+    require(st.version >= 2,
+      "this postings store predates positional postings (layout v1) — " +
+        "rebuild it to serve phrase queries")
+    val terms = phrase.map(_.toLowerCase)
+    val hits = st.postings.filter(col("term").isin(terms.distinct: _*))
+      .select(col("term"), col("doc_id"), col("positions"))
+    var cand = hits.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("positions").as("cand"))
+    for ((t, i) <- terms.zipWithIndex.tail) {
+      cand = cand.join(
+        hits.filter(col("term") === t)
+          .select(col("doc_id"),
+            transform(col("positions"), p => p - i).as("shifted")),
+        "doc_id")
+        .select(col("doc_id"),
+          array_intersect(col("cand"), col("shifted")).as("cand"))
+    }
+    cand.select(col("doc_id"),
+        size(col("cand")).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   def queryBm25(st: Loaded, queryTerms: Seq[String], topK: Int): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     require(topK > 0, s"topK=$topK must be positive") // the bm25 twin's guard
@@ -181,7 +244,7 @@ object PostingsStore {
     */
   def compact(spark: SparkSession, path: String, dest: String): Unit = {
     val m = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
-      "postings store")
+      "postings store", FormatVersion)
     graft.StoreUtil.requireDisjoint(spark, path, dest, "compact")
     val st = load(spark, path)
     graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)

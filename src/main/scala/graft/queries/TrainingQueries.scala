@@ -380,6 +380,23 @@ object TrainingQueries {
       Seq("data", "query", "table"), topK = 20)
   }
 
+  /** Exact phrase retrieval from the SAME persisted index as
+    * [[txtBm25Store]] (one store, two query classes — the v2 positional
+    * layout): consecutive-position intersection of the three terms'
+    * postings, counted per doc. The oracle replays the definition from
+    * raw text as a token-level self-join — the O(corpus) form the
+    * positional index exists to avoid.
+    */
+  val txtPhrase: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("postings", d) { p =>
+      graft.ops.PostingsStore.save(Tables.documents(s, d), "doc_id",
+        "text", p)
+    }
+    graft.ops.PostingsStore.queryPhrase(
+      graft.ops.PostingsStore.load(s, dir),
+      Seq("slow", "hash", "batch"), topK = 20)
+  }
+
   /** Int8 embedding quantization, long form for the oracle compare. */
   val embQuantize: Q = (s, d) =>
     VectorOps.quantizeInt8(
@@ -1157,6 +1174,7 @@ object TrainingQueries {
     "txt_repetition" -> txtRepetition,
     "txt_bm25" -> txtBm25,
     "txt_bm25_store" -> txtBm25Store,
+    "txt_phrase" -> txtPhrase,
     "ret_hybrid" -> retHybrid,
     "prep_pipeline" -> prepPipeline,
     "prep_stream_twin" -> ((s, d) =>
@@ -2093,6 +2111,22 @@ object TrainingQueries {
          |    ELSE 0.0 END AS rep_score
          |FROM g""".stripMargin,
     "txt_bm25" -> bm25Sql,
+    // the phrase oracle IS the definition over raw text: a token-level
+    // consecutive-position self-join — the index serves the same answer
+    // from |phrase| per-term list joins
+    "txt_phrase" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter($toksSql, x -> x <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id, j AS pos, toks[CAST(j + 1 AS INT)] AS tok
+         |  FROM t, unnest(range(0, len(toks))) r(j))
+         |SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM p p0
+         |JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+         |JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+         |WHERE p0.tok = 'slow' AND p1.tok = 'hash' AND p2.tok = 'batch'
+         |GROUP BY 1 ORDER BY n_occurrences DESC, p0.doc_id
+         |LIMIT 20""".stripMargin,
     // the store gate is DEFINED bit-identical to txt_bm25 (shared
     // tokenizer + scoring tail); what differs is the bucket-pruned IO,
     // which SQL cannot see — shared oracle, the ann_store rule

@@ -96,15 +96,15 @@ class StoreSpec extends AnyFunSuite {
       graft.ops.DupStore.load(spark, du)
     }
     assert(e4.getMessage.contains("v2"), e4.getMessage)
-    // postings store
-    val po = Files.createTempDirectory("graft_v2_post").toString
+    // postings store — reads <= v2 (v2 added positions), refuses v3
+    val po = Files.createTempDirectory("graft_v3_post").toString
     graft.StoreUtil.writeMarker(spark, po,
       graft.ops.PostingsStore.ManifestFile,
-      """{"version":2,"buckets":8,"n_docs":1,"total_len":1}""")
+      """{"version":3,"buckets":8,"n_docs":1,"total_len":1}""")
     val e5 = intercept[IllegalStateException] {
       graft.ops.PostingsStore.load(spark, po)
     }
-    assert(e5.getMessage.contains("v2"), e5.getMessage)
+    assert(e5.getMessage.contains("v3"), e5.getMessage)
     // an UNVERSIONED manifest (pre-stamp artifact) still reads as v1
     graft.StoreUtil.requireVersion("""{"buckets":4}""", 1, "test")
   }

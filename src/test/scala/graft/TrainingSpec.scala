@@ -1023,6 +1023,50 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("positional postings: phrase counts equal a driver-side reference " +
+      "on the corpus; repeated-term phrases; v1 stores refused for phrase") {
+    import graft.ops.PostingsStore
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phr").toString
+    PostingsStore.save(docs, "doc_id", "text", dir, buckets = 8)
+    val st = PostingsStore.load(spark, dir)
+    // driver-side reference: the engine's own tokenizer (collected), all
+    // consecutive-triple counts; pick the corpus's most frequent trigram
+    // so the probe always has matches at any SF
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(TextOps.tokensCol(col("text")), t => t =!= lit("")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val triCounts = toks.flatMap { case (_, t) => t.sliding(3).filter(_.size == 3) }
+      .groupBy(identity).map { case (k, v) => (k, v.size) }
+    val phrase = triCounts.maxBy { case (k, n) => (n, k.mkString(" ")) }._1.toSeq
+    val ref = toks.map { case (id, t) =>
+      id -> t.sliding(3).count(_ == phrase)
+    }.filter(_._2 > 0).toMap
+    val got = PostingsStore.queryPhrase(st, phrase, topK = 10000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref.map { case (k, v) => k -> v.toLong } && got.nonEmpty)
+    // repeated-term phrase: consecutive self-pairs, left-to-right
+    val mini = Seq((1L, "data data data x data data"),
+      (2L, "data x data")).toDF("doc_id", "text")
+    val mdir = java.nio.file.Files.createTempDirectory("graft_phr2").toString
+    PostingsStore.save(mini, "doc_id", "text", mdir, buckets = 2)
+    val mst = PostingsStore.load(spark, mdir)
+    val mm = PostingsStore.queryPhrase(mst, Seq("data", "data"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 positions of data: 0,1,2,4,5 → (0,1),(1,2),(4,5); doc 2 none
+    assert(mm == Map(1L -> 3L))
+    // a phrase whose term is absent anywhere → empty, not an error
+    assert(PostingsStore.queryPhrase(mst, Seq("data", "zzz"), 10).isEmpty)
+    // a pre-positions (v1) handle is refused for phrase serving with a
+    // rebuild message — BM25 keeps working on it
+    val v1 = st.copy(version = 1)
+    val e = intercept[IllegalArgumentException] {
+      PostingsStore.queryPhrase(v1, phrase, 5)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("postings store: served BM25 equals in-memory bit for bit, the " +
       "term filter bucket-prunes, append folds new docs, crash refused") {
     import graft.ops.PostingsStore
