@@ -214,6 +214,43 @@ object DupStore {
     TextOps.stripFromRemovalWindows(batch, idCol, textCol, rem, st.win)
   }
 
+  /** The crawl-cleaning micro-batch body, packaged: strip `batch`
+    * against everything the store has seen (history wins; within-batch
+    * keep-first — [[probeStrip]]; the FIRST batch, with no history yet,
+    * is the one-shot within-batch strip), write the cleaned rows to
+    * `outPath/batch=<id>`, then ingest the batch's window hashes. This
+    * is the composition a streaming pipeline runs per `foreachBatch`
+    * delivery — streamed outputs accumulate to exactly the one-shot
+    * corpus strip when batch order follows id order (StreamingSpec
+    * proves it across micro-batches and a zombie redelivery).
+    *
+    * Exactly-once discipline: a redelivered `batchId` that already
+    * completed is a FULL no-op (the manifest's last_batch guard —
+    * output and index both already reflect it); a redelivery after a
+    * crash between the output write and the ingest overwrites its own
+    * `batch=<id>` directory with identical bytes (per-batch overwrite
+    * is the idempotent-sink recipe) and re-ingests; a crash mid-ingest
+    * leaves the pending marker, which [[recoverIngest]] rolls back
+    * before the stream restarts.
+    */
+  def probeStripThenIngest(spark: SparkSession, path: String,
+      outPath: String, batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long, win: Int = 4): Unit = {
+    val present = exists(spark, path)
+    if (present &&
+        SketchOps.lastBatchId(spark, path, ManifestFile).contains(batchId))
+      return
+    // one materialization feeds the strip (several plan branches) and
+    // the ingest — a foreachBatch Dataset re-executes per action
+    // otherwise
+    val b = ClusterOps.flatten(batch)
+    val cleaned =
+      if (present) probeStrip(load(spark, path), b, idCol, textCol)
+      else TextOps.stripDuplicatedSpans(b, idCol, textCol, win)
+    cleaned.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    ingestBatch(spark, path, b, idCol, textCol, win, Some(batchId))
+  }
+
   /** Roll an interrupted ingest back out into a clean store at `dest` —
     * marker format, completion witness, and seq-over-tag preference as
     * documented at [[LshStore.recoverIngest]].

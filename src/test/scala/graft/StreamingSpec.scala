@@ -522,15 +522,18 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streamed strip-then-ingest reproduces the one-shot corpus strip " +
-      "row for row") {
-    // the production cleaning loop: each micro-batch is STRIPPED against
-    // the store (history wins), then ingested. Because batch order
-    // follows id order, the accumulated per-batch outputs must equal the
-    // one-shot keep-first strip of the whole corpus: a window's
-    // protecting site lives in the earliest batch that carries its hash,
-    // and later batches can never retroactively change an earlier
-    // batch's output — the property that makes the streamed form safe to
-    // emit incrementally.
+      "row for row, and a zombie redelivery is a full no-op") {
+    // the production cleaning loop, driven through the PACKAGED
+    // composition (DupStore.probeStripThenIngest — the foreachBatch
+    // body): each micro-batch is stripped against the store (history
+    // wins), its cleaned rows land in an idempotent per-batch output
+    // directory, then its hashes ingest. Because batch order follows id
+    // order, the accumulated per-batch outputs must equal the one-shot
+    // keep-first strip of the whole corpus: a window's protecting site
+    // lives in the earliest batch that carries its hash, and later
+    // batches can never retroactively change an earlier batch's output
+    // — the property that makes the streamed form safe to emit
+    // incrementally.
     import graft.ops.{DupStore, TextOps}
     val all = Tables.documents(spark, sf).filter(col("doc_id") < 150)
     val inDir = Files.createTempDirectory("graft_strip_fb_in").toString
@@ -541,29 +544,38 @@ class StreamingSpec extends AnyFunSuite {
     }
     val store =
       Files.createTempDirectory("graft_strip_fb_store").toString + "/dup"
-    val acc = scala.collection.mutable.Map[Long, (String, Long)]()
+    val outDir =
+      Files.createTempDirectory("graft_strip_fb_out").toString + "/clean"
+    var batches = 0
     val stream = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = stream.writeStream.foreachBatch {
       (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val batch = df.localCheckpoint()
-        val cleaned =
-          if (DupStore.exists(spark, store))
-            DupStore.probeStrip(DupStore.load(spark, store), batch,
-              "doc_id", "text")
-          else TextOps.stripDuplicatedSpans(batch, "doc_id", "text", win = 4)
-        cleaned.collect().foreach(r =>
-          acc(r.getLong(0)) = (r.getString(1), r.getLong(3)))
-        DupStore.ingestBatch(spark, store, batch, "doc_id", "text",
-          batchId = Some(id))
+        batches += 1
+        DupStore.probeStripThenIngest(spark, store, outDir, df,
+          "doc_id", "text", batchId = id)
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+    def cleanedMap() = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))))
+      .toMap
+    val got = cleanedMap()
     val want = TextOps.stripDuplicatedSpans(all, "doc_id", "text", win = 4)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3))))
       .toMap
-    assert(acc.toMap == want)
+    assert(got == want)
     assert(want.values.exists(_._2 > 0L),
       "fixture degenerated: nothing was stripped")
+    // zombie redelivery of the final micro-batch: output AND index
+    // untouched (the manifest guard short-circuits the whole body)
+    val hashesBefore = DupStore.load(spark, store).hashes.count()
+    DupStore.probeStripThenIngest(spark, store, outDir,
+      all.filter(col("doc_id") >= 100), "doc_id", "text",
+      batchId = (batches - 1).toLong)
+    assert(DupStore.load(spark, store).hashes.count() == hashesBefore)
+    assert(cleanedMap() == want)
   }
 
   test("foreachBatch maintains the persisted bloom filter across " +
