@@ -138,13 +138,21 @@ object StoreUtil {
     * as 1.
     */
   def requireVersion(manifest: String, supported: Int, where: String): Unit = {
-    val v = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(manifest)
-      .map(_.group(1).toInt).getOrElse(1)
+    val v = manifestVersion(manifest)
     if (v > supported) throw new IllegalStateException(
       s"$where is store-format v$v, but this build reads <= v$supported — " +
         "upgrade the library (reading a newer layout as an older one " +
         "would silently corrupt results)")
   }
+
+  /** The ONE parsing rule for a manifest's layout version (absent =
+    * pre-stamp v1) — shared by the gate above and any loader that
+    * branches on version (PostingsStore's positional layout), so the
+    * admitting check and the branching check can never disagree.
+    */
+  def manifestVersion(manifest: String): Int =
+    "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(manifest)
+      .map(_.group(1).toInt).getOrElse(1)
 
   def manifestInt(manifest: String, key: String, where: String): Int =
     ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(manifest)

@@ -324,9 +324,12 @@ object ClusterOps {
     val e = prEdgeCache(edges)
     try {
       // has_out is STATIC — compute it once, carry it on the rank rows
-      // so the per-round dangling sum is a rider, not a join
+      // so the per-round dangling sum is a rider, not a join. Source it
+      // from the persisted edge CACHE, not the raw edges frame: the
+      // distinct-src probe then reads the cache the first round needs
+      // anyway instead of re-scanning O(edges) input a second time
       val n = flatten(nodes.select(col("id")).distinct()
-        .join(edges.select(col("src").as("id")).distinct()
+        .join(e.select(col("src").as("id")).distinct()
             .withColumn("o", lit(true)), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("o"), lit(false)).as("has_out")))
       val nNodes = n.count()
@@ -409,24 +412,21 @@ object ClusterOps {
       if (personalized) "CASE WHEN seed THEN 1000000 ELSE 0 END"
       else if (fixedPoint) s"$base" // the monotone-from-below start
       else "1000000"
-    // deg/ed/nd are referenced once PER LAYER — materialize them under
-    // the dangling unroll so the inliner cannot rescan the base tables
-    // 22 times (see the r$t materialization note below)
-    val matHead = if (redistributeDangling) " MATERIALIZED" else ""
+    // with the dangling rider, r_{t-1} has TWO consumers (c$t and d$t)
+    // and deg/ed are referenced once PER LAYER — DuckDB may INLINE
+    // multiply-referenced CTEs, which doubles the plan per layer and
+    // goes exponential in the unroll depth (a 22-layer dangling oracle
+    // measured 2²² parquet re-opens). ONE materialization flag for head
+    // and rounds: materializing one side but not the other would
+    // reintroduce the replay.
+    val mat = if (redistributeDangling) " MATERIALIZED" else ""
     val head =
-      s"""deg AS$matHead (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-         |ed AS$matHead (SELECT e.src, e.dst, deg.deg FROM e
+      s"""deg AS$mat (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |ed AS$mat (SELECT e.src, e.dst, deg.deg FROM e
          |  JOIN deg USING (src)),
          |nn AS (SELECT count(*) AS n FROM nd),
          |r0 AS (SELECT id, CAST($r0Sql AS BIGINT) AS rank FROM nd)"""
         .stripMargin
-    // with the dangling rider, r_{t-1} has TWO consumers (c$t and d$t)
-    // — DuckDB may INLINE multiply-referenced CTEs, which doubles the
-    // plan per layer and goes exponential in the unroll depth (a
-    // 22-layer dangling oracle measured 2²² parquet re-opens).
-    // MATERIALIZED pins one evaluation per round, the semantics the
-    // engine's flatten gives its side.
-    val mat = if (redistributeDangling) " MATERIALIZED" else ""
     val its = (1 to iters).map { t =>
       // the dangling CTE replays pageRankFixedPoint's rider: previous
       // round's rank mass on no-out-edge nodes, its floor share D//n
@@ -455,6 +455,18 @@ object ClusterOps {
 
   def canonicalPerCluster(clustered: DataFrame, quality: DataFrame): DataFrame = {
     val joined = clustered.join(quality, "id")
+    // the ~id tie-break below needs an integral id: a string id would
+    // cast to NULL and every max-score row would tie — max_by would then
+    // pick per-partitioning, SILENT nondeterminism. Fail fast instead
+    // (hash the id to a long upstream, the engine-wide convention).
+    val idType = joined.schema("id").dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"canonicalPerCluster needs an integral id column, got " +
+        s"${idType.simpleString} — map ids to longs first (deterministic " +
+        "argmax ties break on ~id)")
     // argmax as an AGGREGATE, not a window: row_number over
     // partitionBy(component) lands a giant near-dup component's full
     // membership in ONE task's sort — the adversarial case dedup exists

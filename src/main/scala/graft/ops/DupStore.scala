@@ -232,6 +232,11 @@ object DupStore {
     * is the idempotent-sink recipe) and re-ingests; a crash mid-ingest
     * leaves the pending marker, which [[recoverIngest]] rolls back
     * before the stream restarts.
+    *
+    * Known trade: the composition re-reads the tiny marker files once
+    * here and once inside [[ingestBatch]] (each guards independently —
+    * the ingest must stay safe when called directly). A few extra
+    * kilobyte reads per micro-batch; correctness first.
     */
   def probeStripThenIngest(spark: SparkSession, path: String,
       outPath: String, batch: DataFrame, idCol: String, textCol: String,

@@ -114,7 +114,10 @@ object LinearModel {
           // bit-reproducibility contract silently dies — reachable
           // around 1.4e8 rows at 2¹⁶-scale errors); driver-side and
           // per-step, so the check is free
-          require(math.abs(g) < (1L << 53),
+          // explicit bounds, not math.abs: abs(Long.MinValue) is
+          // NEGATIVE (two's complement), so an exactly-wrapped sum
+          // would slip through the abs form of this very check
+          require(g > -(1L << 53) && g < (1L << 53),
             s"gradient component $i = $g exceeds the 2^53 exact-double " +
               "bound — shard the corpus or rescale features to keep " +
               "the fixed-point update bit-reproducible")

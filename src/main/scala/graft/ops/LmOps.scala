@@ -96,7 +96,13 @@ object LmOps {
       .withColumn("c2e", coalesce(col("c2"), lit(1L)))
       .withColumn("uni_cost",
         IntLog.lnMicroCol(col("n_total")) - IntLog.lnMicroCol(col("c2e")))
-    val cost = when(col("p") === 0, col("uni_cost"))
+    // enforce the shared-corpus invariant (see scoreTrigram's guard): a
+    // seen bigram whose w1 is unseen would null-and-skip its cost
+    val cost = when(col("c12").isNotNull && col("c1").isNull,
+        raise_error(concat(lit("scoreBigram: count frames are " +
+          "inconsistent (a seen bigram's w1 is unseen) — train uni/bi " +
+          "on the SAME corpus; offending w1="), col("w1"))))
+      .when(col("p") === 0, col("uni_cost"))
       .when(col("c12").isNotNull,
         IntLog.lnMicroCol(col("c1")) - IntLog.lnMicroCol(col("c12")))
       .otherwise(lit(BackoffMicro) + col("uni_cost"))
@@ -152,9 +158,21 @@ object LmOps {
       .withColumn("c2e", coalesce(col("c2"), lit(1L)))
       .withColumn("uni_cost",
         IntLog.lnMicroCol(col("n_total")) - IntLog.lnMicroCol(col("c2e")))
-    // a seen trigram implies a seen (w0,w1) bigram, so c01 is non-null
-    // wherever the first branch fires
-    val cost = when(col("p") === 0, col("uni_cost"))
+    // a seen trigram implies a seen (w0,w1) bigram (and a seen bigram a
+    // seen w1) — true whenever the three count frames come from ONE
+    // training corpus. ENFORCE it instead of assuming: with mismatched
+    // frames (bi trained on a different slice, a pruned top-k bigram
+    // table) lnMicroCol(NULL) would null the row's cost and sum() would
+    // silently skip it while n_tokens still counts it — a quietly wrong
+    // mean, the failure mode every other scorer requires away.
+    val inconsistent =
+      (col("c012").isNotNull && col("c01").isNull) ||
+        (col("c12").isNotNull && col("c1").isNull)
+    val cost = when(inconsistent, raise_error(concat(
+        lit("scoreTrigram: count frames are inconsistent (a seen " +
+          "n-gram's prefix is unseen) — train uni/bi/tri on the SAME " +
+          "corpus; offending pair w1="), col("w1"), lit(" w2="), col("w2"))))
+      .when(col("p") === 0, col("uni_cost"))
       .when(col("p") >= 2 && col("c012").isNotNull,
         IntLog.lnMicroCol(col("c01")) - IntLog.lnMicroCol(col("c012")))
       .when(col("p") >= 2 && col("c12").isNotNull,

@@ -111,8 +111,7 @@ object PostingsStore {
     def long(k: String): Long =
       graft.StoreUtil.manifestLong(mf, k, s"postings manifest at $path")
     val buckets = long("buckets").toInt
-    val version = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(mf)
-      .map(_.group(1).toInt).getOrElse(1)
+    val version = graft.StoreUtil.manifestVersion(mf)
     Loaded(graft.tree.TreeStore.loadBucketed(spark, s"$path/postings",
       "term", buckets), long("n_docs"), long("total_len"), buckets,
       version)
