@@ -111,6 +111,28 @@ object VectorOps {
     * instead — this is the cheap one-pass policy a 100 TB prep run
     * applies inside each cell.
     */
+  /** [[semanticDedup]] with the centroid count SELF-TUNED to the corpus:
+    * k = ⌈√n⌉ cells, so expected cell population is ~√n and the
+    * within-cell pairwise work Σ|cell|² is ~n^1.5 instead of n² — the
+    * knob the fixed-centroid form leaves to the caller, set to the
+    * standard balance point. Centroid choice is deterministic and
+    * engine-replayable with NO RNG: the k corpus vectors smallest in
+    * (md5(id), id) order — a uniform hash spread any engine reproduces,
+    * fetched with a global TakeOrdered (top-k, never a full sort). The
+    * gate's oracle re-derives n, k, and the same k centroids in SQL.
+    */
+  def semanticDedupAuto(vecs: DataFrame, threshold: Double): DataFrame = {
+    val n = vecs.count()
+    require(n > 0, "semanticDedupAuto needs a non-empty corpus")
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val cents = vecs
+      .select(col("id"), col("vec"), md5(col("id").cast("string")).as("h"))
+      .orderBy(col("h"), col("id"))
+      .limit(k)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    semanticDedup(vecs, cents, threshold)
+  }
+
   def semanticDedup(vecs: DataFrame, centroids: DataFrame,
       threshold: Double): DataFrame = {
     val cells = assignCells(vecs, centroids, 1)

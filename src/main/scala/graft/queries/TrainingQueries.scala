@@ -239,6 +239,15 @@ object TrainingQueries {
     VectorOps.semanticDedup(embCorpus(s, d), embCents(s, d),
       threshold = 0.3)
 
+  /** [[ddSemantic]] with the centroid count self-tuned
+    * ([[VectorOps.semanticDedupAuto]]): k = ⌈√300⌉ = 18 hash-spread
+    * corpus vectors become the cells, so the per-cell population knob
+    * sets itself; the oracle re-derives n, k, and the exact centroid
+    * set from the same (md5(id), id) order.
+    */
+  val ddSemanticAuto: Q = (s, d) =>
+    VectorOps.semanticDedupAuto(embCorpus(s, d), threshold = 0.3)
+
   /** The 8-merge table trained on this data dir's corpus word
     * frequencies, computed ONCE per (session, dir) — the train gate
     * emits it and the trained-encoder gate tokenizes with it, so the
@@ -1166,6 +1175,7 @@ object TrainingQueries {
     "emb_neardup" -> embNearDup,
     "emb_neardup_cells" -> embNearDupCells,
     "dd_semantic" -> ddSemantic,
+    "dd_semantic_auto" -> ddSemanticAuto,
     "emb_frontier" -> embFrontier,
     "txt_bpe_train" -> txtBpeTrain,
     "txt_bpe_trained" -> txtBpeTrained,
@@ -1763,6 +1773,32 @@ object TrainingQueries {
          |FROM cells""".stripMargin,
     "txt_bpe_train" -> bpeTrainSql,
     "txt_bpe_trained" -> bpeTrainedSql,
+    // the auto-scaled SemDeDup oracle re-derives n, k = ceil(sqrt(n)),
+    // and the exact (md5(id), id)-ordered centroid set before replaying
+    // the dd_semantic pipeline over it
+    "dd_semantic_auto" ->
+      """WITH e AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |nn AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM e),
+        |c AS (SELECT cid, cv FROM (SELECT id AS cid, v AS cv,
+        |    row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+        |  FROM e), nn WHERE rn <= nn.k),
+        |ranked AS (SELECT e.id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.id ORDER BY
+        |      list_dot_product(e.v, c.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) *
+        |         sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS r
+        |  FROM e, c),
+        |cells AS (SELECT id, v, cid AS cell FROM ranked WHERE r = 1),
+        |dom AS (SELECT DISTINCT y.id FROM cells x JOIN cells y
+        |  ON x.cell = y.cell AND x.id < y.id
+        |  WHERE round(list_dot_product(x.v, y.v) /
+        |    (sqrt(list_dot_product(x.v, x.v)) *
+        |     sqrt(list_dot_product(y.v, y.v))), 6) > 0.3)
+        |SELECT cells.id, cells.cell,
+        |  cells.id NOT IN (SELECT id FROM dom) AS keep
+        |FROM cells""".stripMargin,
     "emb_frontier" ->
       s"""WITH $embCellsSql,
          |cells AS (SELECT id, v, cid AS cell FROM ranked WHERE r = 1),
