@@ -219,6 +219,50 @@ object PostingsStore {
       .limit(topK)
   }
 
+  /** Ordered PROXIMITY (sloppy-phrase) occurrences: term positions
+    * p₁ < p₂ < … < pₘ with every gap pᵢ₊₁ − pᵢ ≤ 1 + slop; slop = 0 is
+    * exactly [[queryPhrase]] (kept separate — the intersect form is
+    * cheaper). Counted by BACKWARD REACHABILITY, one row-local
+    * `exists` filter per slot from the last term to the first: a
+    * position of term i survives iff some surviving position of term
+    * i+1 sits in its gap window, and the count is the surviving first
+    * positions. Forward greedy (take the earliest valid next) is NOT
+    * complete for gap bounds — at slop 1, next positions {5, 6} and
+    * final {8}: greedy from 4 picks 5, whose window (5, 7] misses 8,
+    * where 4→6→8 succeeds — which is why the chain runs backward;
+    * reachability backward is existence forward, exactly what the
+    * oracle's join chain with DISTINCT first-positions counts.
+    * @return (doc_id, n_occurrences) top-k by (count DESC, doc_id)
+    */
+  def queryProximity(st: Loaded, terms: Seq[String], slop: Int,
+      topK: Int): DataFrame = {
+    require(terms.size >= 2, "proximity needs at least two terms")
+    require(slop >= 0, s"slop=$slop must be >= 0")
+    require(topK > 0, s"topK=$topK must be positive")
+    require(st.version >= 2,
+      "this postings store predates positional postings (layout v1) — " +
+        "rebuild it to serve proximity queries")
+    val ts = terms.map(_.toLowerCase)
+    val hits = st.postings.filter(col("term").isin(ts.distinct: _*))
+      .select(col("term"), col("doc_id"), col("positions"))
+    var reach = hits.filter(col("term") === ts.last)
+      .select(col("doc_id"), col("positions").as("reach"))
+    for (t <- ts.init.reverse) {
+      reach = reach.join(
+        hits.filter(col("term") === t)
+          .select(col("doc_id"), col("positions").as("cur")),
+        "doc_id")
+        .select(col("doc_id"),
+          filter(col("cur"), p => exists(col("reach"),
+            q => q > p && q <= p + 1 + slop)).as("reach"))
+    }
+    reach.select(col("doc_id"),
+        size(col("reach")).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   def queryBm25(st: Loaded, queryTerms: Seq[String], topK: Int): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     require(topK > 0, s"topK=$topK must be positive") // the bm25 twin's guard

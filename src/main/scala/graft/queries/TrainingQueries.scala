@@ -406,6 +406,23 @@ object TrainingQueries {
       Seq("slow", "hash", "batch"), topK = 20)
   }
 
+  /** Proximity retrieval from the same index
+    * ([[graft.ops.PostingsStore.queryProximity]]): the three terms in
+    * order with gaps ≤ 2 (slop 1) — matches the exact trigram plus its
+    * one-insertion variants. The oracle counts existence-of-chain per
+    * first position via a range-join chain with DISTINCT starts, the
+    * forward twin of the engine's backward-reachability filter.
+    */
+  val txtProximity: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("postings", d) { p =>
+      graft.ops.PostingsStore.save(Tables.documents(s, d), "doc_id",
+        "text", p)
+    }
+    graft.ops.PostingsStore.queryProximity(
+      graft.ops.PostingsStore.load(s, dir),
+      Seq("stream", "table", "hash"), slop = 1, topK = 20)
+  }
+
   /** Int8 embedding quantization, long form for the oracle compare. */
   val embQuantize: Q = (s, d) =>
     VectorOps.quantizeInt8(
@@ -1185,6 +1202,7 @@ object TrainingQueries {
     "txt_bm25" -> txtBm25,
     "txt_bm25_store" -> txtBm25Store,
     "txt_phrase" -> txtPhrase,
+    "txt_proximity" -> txtProximity,
     "ret_hybrid" -> retHybrid,
     "prep_pipeline" -> prepPipeline,
     "prep_stream_twin" -> ((s, d) =>
@@ -2161,6 +2179,28 @@ object TrainingQueries {
          |JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
          |JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
          |WHERE p0.tok = 'slow' AND p1.tok = 'hash' AND p2.tok = 'batch'
+         |GROUP BY 1 ORDER BY n_occurrences DESC, p0.doc_id
+         |LIMIT 20""".stripMargin,
+    // the proximity oracle is the forward existence form: a start
+    // position counts iff SOME gap-bounded chain completes — the join
+    // may multiply witnesses, DISTINCT starts collapses them; the
+    // engine's backward-reachability filter computes the same set
+    "txt_proximity" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter($toksSql, x -> x <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id, j AS pos, toks[CAST(j + 1 AS INT)] AS tok
+         |  FROM t, unnest(range(0, len(toks))) r(j))
+         |SELECT p0.doc_id,
+         |  CAST(count(DISTINCT p0.pos) AS BIGINT) AS n_occurrences
+         |FROM p p0
+         |JOIN p p1 ON p1.doc_id = p0.doc_id
+         |  AND p1.pos > p0.pos AND p1.pos <= p0.pos + 2
+         |  AND p1.tok = 'table'
+         |JOIN p p2 ON p2.doc_id = p0.doc_id
+         |  AND p2.pos > p1.pos AND p2.pos <= p1.pos + 2
+         |  AND p2.tok = 'hash'
+         |WHERE p0.tok = 'stream'
          |GROUP BY 1 ORDER BY n_occurrences DESC, p0.doc_id
          |LIMIT 20""".stripMargin,
     // the store gate is DEFINED bit-identical to txt_bm25 (shared

@@ -1067,6 +1067,50 @@ class TrainingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 
+  test("proximity queries: backward reachability beats greedy (the " +
+      "counterexample), slop 0 equals the exact phrase, corpus reference") {
+    import graft.ops.PostingsStore
+    import spark.implicits._
+    // the greedy-earliest trap spelled out in queryProximity's doc:
+    // "a b b x c" at slop 1 — greedy from a picks b@1, whose window
+    // (1, 3] misses c@4; the chain a → b@2 → c@4 exists. Reachability
+    // must count it.
+    val trap = Seq((1L, "a b b x c")).toDF("doc_id", "text")
+    val tdir = java.nio.file.Files.createTempDirectory("graft_prox").toString
+    PostingsStore.save(trap, "doc_id", "text", tdir, buckets = 2)
+    val tst = PostingsStore.load(spark, tdir)
+    val hit = PostingsStore.queryProximity(tst, Seq("a", "b", "c"),
+      slop = 1, topK = 5).collect()
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)),
+      hit.mkString(","))
+    // slop 0 == exact phrase, on the real corpus and the store built by
+    // the sibling test's fixture shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_prox2").toString
+    PostingsStore.save(docs, "doc_id", "text", dir, buckets = 8)
+    val st = PostingsStore.load(spark, dir)
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(TextOps.tokensCol(col("text")), t => t =!= lit("")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val tri = toks.flatMap { case (_, t) => t.sliding(3).filter(_.size == 3) }
+      .groupBy(identity).map { case (k, v) => (k, v.size) }
+    val phrase = tri.maxBy { case (k, n) => (n, k.mkString(" ")) }._1.toSeq
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(PostingsStore.queryProximity(st, phrase, 0, 10000)) ==
+      asMap(PostingsStore.queryPhrase(st, phrase, 10000)))
+    // slop 2 against a driver-side existence reference (any chain with
+    // gaps <= 3), on a 2-term query so the reference stays simple
+    val two = phrase.take(2)
+    val ref = toks.map { case (id, t) =>
+      val pos1 = t.zipWithIndex.filter(_._1 == two(0)).map(_._2)
+      val pos2 = t.zipWithIndex.filter(_._1 == two(1)).map(_._2).toSet
+      id -> pos1.count(p => (p + 1 to p + 3).exists(pos2))
+    }.filter(_._2 > 0).toMap.map { case (k, v) => k -> v.toLong }
+    assert(asMap(PostingsStore.queryProximity(st, two, 2, 10000)) == ref
+      && ref.nonEmpty)
+  }
+
   test("postings store: served BM25 equals in-memory bit for bit, the " +
       "term filter bucket-prunes, append folds new docs, crash refused") {
     import graft.ops.PostingsStore
