@@ -33,32 +33,47 @@ object LmOps {
   /** −ln(0.4) in micronats — the stupid-backoff penalty. */
   val BackoffMicro = 916291L
 
-  /** Unigram counts (w, c) over the corpus's whitespace tokens. */
-  def trainUnigram(docs: DataFrame, textCol: String): DataFrame =
-    docs.filter(col(textCol).isNotNull)
-      .select(explode(TextOps.tokensCol(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-
-  /** Bigram counts (w1, w2, c) over consecutive token pairs. */
-  def trainBigram(docs: DataFrame, textCol: String): DataFrame =
+  /** The tokenized corpus frame `(t: array<string>)` every trainer
+    * aggregates over — one definition so [[LmStore]]'s per-batch
+    * counts and the one-shot trainers can never tokenize differently.
+    */
+  private[ops] def tokenFrame(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(TextOps.tokensCol(col(textCol)).as("t"))
-      .select(col("t"), posexplode(col("t")))
+
+  /** Unigram counts (w, c) over a tokenized frame. */
+  private[ops] def uniCountsOfTokens(toks: DataFrame): DataFrame =
+    toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Bigram counts (w1, w2, c) over a tokenized frame. */
+  private[ops] def biCountsOfTokens(toks: DataFrame): DataFrame =
+    toks.select(col("t"), posexplode(col("t")))
       .filter(col("pos") >= 1)
       .select(element_at(col("t"), col("pos")).as("w1"),
         col("col").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
 
-  /** Trigram counts (w1, w2, w3, c) over consecutive token triples. */
-  def trainTrigram(docs: DataFrame, textCol: String): DataFrame =
-    docs.filter(col(textCol).isNotNull)
-      .select(TextOps.tokensCol(col(textCol)).as("t"))
-      .select(col("t"), posexplode(col("t")))
+  /** Trigram counts (w1, w2, w3, c) over a tokenized frame. */
+  private[ops] def triCountsOfTokens(toks: DataFrame): DataFrame =
+    toks.select(col("t"), posexplode(col("t")))
       .filter(col("pos") >= 2)
       .select(element_at(col("t"), col("pos") - 1).as("w1"),
         element_at(col("t"), col("pos")).as("w2"),
         col("col").as("w3"))
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+
+  /** Unigram counts (w, c) over the corpus's whitespace tokens. */
+  def trainUnigram(docs: DataFrame, textCol: String): DataFrame =
+    uniCountsOfTokens(tokenFrame(docs, textCol))
+
+  /** Bigram counts (w1, w2, c) over consecutive token pairs. */
+  def trainBigram(docs: DataFrame, textCol: String): DataFrame =
+    biCountsOfTokens(tokenFrame(docs, textCol))
+
+  /** Trigram counts (w1, w2, w3, c) over consecutive token triples. */
+  def trainTrigram(docs: DataFrame, textCol: String): DataFrame =
+    triCountsOfTokens(tokenFrame(docs, textCol))
 
   /** Score every non-null-text doc against trained `uni`/`bi` counts.
     *

@@ -822,6 +822,28 @@ object TrainingQueries {
       broadcastCounts = true)
   }
 
+  /** The same scoring served from the PERSISTED LM
+    * ([[graft.ops.LmStore]]): the <250 training half folds into the
+    * store as TWO ingest batches (counts are additive, so any split
+    * sums to the one-shot model), then all docs score against the
+    * loaded count views — bit-identical to [[lmScoreTri]] by
+    * construction, sharing its replay-from-raw-text oracle. This is
+    * the LM lifecycle at 100 TB: train once (or fold batches as the
+    * crawl grows), persist, score forever without re-reading history.
+    */
+  val lmScoreStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("lmstore", d) { p =>
+      val train = Tables.documents(s, d).filter(col("doc_id") < 250)
+      graft.ops.LmStore.ingestBatch(s, p,
+        train.filter(col("doc_id") < 125), "text")
+      graft.ops.LmStore.ingestBatch(s, p,
+        train.filter(col("doc_id") >= 125), "text")
+    }
+    val st = graft.ops.LmStore.load(s, dir)
+    graft.ops.LmOps.scoreTrigram(Tables.documents(s, d), "doc_id", "text",
+      st.uni, st.bi, st.tri, broadcastCounts = true)
+  }
+
   /** Count-min heavy hitters: token counts sketched into 3×32 counters
     * (order-independent sums — bit-identical cross-engine), every distinct
     * token probed, estimate ≥ 60 kept. CM never undercounts, so the kept
@@ -1240,6 +1262,7 @@ object TrainingQueries {
     "lm_train_bi" -> lmTrainBi,
     "lm_train_tri" -> lmTrainTri,
     "lm_score_tri" -> lmScoreTri,
+    "lm_score_store" -> lmScoreStore,
     "emb_quantize" -> embQuantize,
     "emb_rproj" -> embRproj,
     "txt_lr_train" -> txtLrTrain,
@@ -1940,6 +1963,15 @@ object TrainingQueries {
          |  FROM documents WHERE text IS NOT NULL AND doc_id < 250)
          |${graft.ops.LmOps.triCountsSql}""".stripMargin,
     "lm_score_tri" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |tr AS (SELECT t FROM t WHERE doc_id < 250),
+         |${graft.ops.LmOps.scoreTrigramOracleSql()}""".stripMargin,
+    // the store-served scoring is DEFINED bit-identical to lm_score_tri
+    // (additive counts over any batch split == the one-shot model;
+    // shared tokenizer and scorer) — shared oracle, the
+    // ann_store/txt_bm25_store pattern
+    "lm_score_store" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS t
          |  FROM documents WHERE text IS NOT NULL),
          |tr AS (SELECT t FROM t WHERE doc_id < 250),

@@ -105,6 +105,14 @@ class StoreSpec extends AnyFunSuite {
       graft.ops.PostingsStore.load(spark, po)
     }
     assert(e5.getMessage.contains("v3"), e5.getMessage)
+    // LM store
+    val lm = Files.createTempDirectory("graft_v2_lm").toString
+    graft.StoreUtil.writeMarker(spark, lm, graft.ops.LmStore.ManifestFile,
+      """{"version":2,"ingests":1}""")
+    val e6 = intercept[IllegalStateException] {
+      graft.ops.LmStore.load(spark, lm)
+    }
+    assert(e6.getMessage.contains("v2"), e6.getMessage)
     // an UNVERSIONED manifest (pre-stamp artifact) still reads as v1
     graft.StoreUtil.requireVersion("""{"buckets":4}""", 1, "test")
   }
