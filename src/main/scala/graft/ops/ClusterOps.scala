@@ -319,6 +319,11 @@ object ClusterOps {
       redistributeDangling: Boolean = false,
       minRounds: Int = 0): PrFixedPoint = {
     require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
+    // an idempotence probe asking for more forced rounds than the cap
+    // would silently truncate and "pass" with fewer rounds than claimed
+    require(minRounds <= maxRounds,
+      s"minRounds=$minRounds exceeds maxRounds=$maxRounds — the probe " +
+        "would silently run fewer rounds than requested")
     require(dampingMilli >= 0 && dampingMilli <= 1000,
       s"dampingMilli=$dampingMilli must be in [0, 1000]")
     val e = prEdgeCache(edges)

@@ -122,15 +122,19 @@ object VectorOps {
     * gate's oracle re-derives n, k, and the same k centroids in SQL.
     */
   def semanticDedupAuto(vecs: DataFrame, threshold: Double): DataFrame = {
-    val n = vecs.count()
+    // THREE consumers (the n count, the centroid top-k, the dedup pass)
+    // — materialize the input once so an expensive upstream pipeline is
+    // not re-executed per consumer (the ClusterOps.flatten convention)
+    val v = ClusterOps.flatten(vecs)
+    val n = v.count()
     require(n > 0, "semanticDedupAuto needs a non-empty corpus")
     val k = math.ceil(math.sqrt(n.toDouble)).toInt
-    val cents = vecs
+    val cents = v
       .select(col("id"), col("vec"), md5(col("id").cast("string")).as("h"))
       .orderBy(col("h"), col("id"))
       .limit(k)
       .select(col("id").as("cid"), col("vec").as("cvec"))
-    semanticDedup(vecs, cents, threshold)
+    semanticDedup(v, cents, threshold)
   }
 
   def semanticDedup(vecs: DataFrame, centroids: DataFrame,

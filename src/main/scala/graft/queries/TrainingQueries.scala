@@ -379,15 +379,21 @@ object TrainingQueries {
     * table — bit-identical to [[txtBm25]] by construction (shared
     * tokenizer and scoring tail), so it shares that oracle.
     */
-  val txtBm25Store: Q = (s, d) => {
-    val dir = graft.StoreUtil.cachedStoreDir("postings", d) { p =>
+  /** The ONE build of the shared postings store (memoized per data
+    * dir) — BM25, phrase, and proximity gates all serve from it; a
+    * per-gate copy of this closure would let a parameter change land
+    * in whichever gate runs first and silently skip the others.
+    */
+  private def postingsDir(s: SparkSession, d: String): String =
+    graft.StoreUtil.cachedStoreDir("postings", d) { p =>
       graft.ops.PostingsStore.save(Tables.documents(s, d), "doc_id",
         "text", p)
     }
+
+  val txtBm25Store: Q = (s, d) =>
     graft.ops.PostingsStore.queryBm25(
-      graft.ops.PostingsStore.load(s, dir),
+      graft.ops.PostingsStore.load(s, postingsDir(s, d)),
       Seq("data", "query", "table"), topK = 20)
-  }
 
   /** Exact phrase retrieval from the SAME persisted index as
     * [[txtBm25Store]] (one store, two query classes — the v2 positional
@@ -396,15 +402,10 @@ object TrainingQueries {
     * raw text as a token-level self-join — the O(corpus) form the
     * positional index exists to avoid.
     */
-  val txtPhrase: Q = (s, d) => {
-    val dir = graft.StoreUtil.cachedStoreDir("postings", d) { p =>
-      graft.ops.PostingsStore.save(Tables.documents(s, d), "doc_id",
-        "text", p)
-    }
+  val txtPhrase: Q = (s, d) =>
     graft.ops.PostingsStore.queryPhrase(
-      graft.ops.PostingsStore.load(s, dir),
+      graft.ops.PostingsStore.load(s, postingsDir(s, d)),
       Seq("slow", "hash", "batch"), topK = 20)
-  }
 
   /** Proximity retrieval from the same index
     * ([[graft.ops.PostingsStore.queryProximity]]): the three terms in
@@ -413,15 +414,10 @@ object TrainingQueries {
     * first position via a range-join chain with DISTINCT starts, the
     * forward twin of the engine's backward-reachability filter.
     */
-  val txtProximity: Q = (s, d) => {
-    val dir = graft.StoreUtil.cachedStoreDir("postings", d) { p =>
-      graft.ops.PostingsStore.save(Tables.documents(s, d), "doc_id",
-        "text", p)
-    }
+  val txtProximity: Q = (s, d) =>
     graft.ops.PostingsStore.queryProximity(
-      graft.ops.PostingsStore.load(s, dir),
+      graft.ops.PostingsStore.load(s, postingsDir(s, d)),
       Seq("stream", "table", "hash"), slop = 1, topK = 20)
-  }
 
   /** Int8 embedding quantization, long form for the oracle compare. */
   val embQuantize: Q = (s, d) =>
