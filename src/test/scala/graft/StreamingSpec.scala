@@ -369,6 +369,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(PostingsStore.load(spark, store).nDocs == one.nDocs)
   }
 
+  test("foreachBatch maintains the LM count store — scores against the " +
+      "grown store equal a one-shot-trained model bit for bit") {
+    // the language-model leg of the store-maintenance lifecycle: each
+    // doc micro-batch's n-gram counts fold into the store (additive —
+    // history never re-read), and trigram scoring against the
+    // accumulated counts equals training once over the whole corpus
+    import graft.ops.{LmOps, LmStore}
+    val docs = Tables.documents(spark, sf)
+    val inDir = Files.createTempDirectory("graft_lm_fb_in").toString
+    (0 until 3).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet", docs.filter(col("doc_id") % 3 === m))
+    }
+    val store = Files.createTempDirectory("graft_lm_fb").toString + "/lm"
+    var batches = 0
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        LmStore.ingestBatch(spark, store, df, "text", Some(id))
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+    val st = LmStore.load(spark, store)
+    def scores(u: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame,
+        t: org.apache.spark.sql.DataFrame) =
+      LmOps.scoreTrigram(docs, "doc_id", "text", u, b, t,
+          broadcastCounts = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val grown = scores(st.uni, st.bi, st.tri)
+    val one = scores(LmOps.trainUnigram(docs, "text"),
+      LmOps.trainBigram(docs, "text"), LmOps.trainTrigram(docs, "text"))
+    assert(grown == one && grown.nonEmpty)
+  }
+
   test("streaming corpus prep equals batch on the surviving fingerprint set") {
     // the prep_pipeline composition under streaming: row-local gates
     // stream unchanged; dedup becomes dropDuplicatesWithinWatermark on
