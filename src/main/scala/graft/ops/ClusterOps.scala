@@ -410,6 +410,10 @@ object ClusterOps {
     require(!(personalized && (redistributeDangling || fixedPoint)),
       "dangling redistribution / fixed-point start are the plain-PR " +
         "variant (pageRankFixedPoint)")
+    require(!redistributeDangling || fixedPoint,
+      "redistributeDangling is only engine-reachable via " +
+        "pageRankFixedPoint, which always uses the fixed-point start; " +
+        "pass fixedPoint = true with it")
     val base = (1000L - dampingMilli) * 1000L
     val baseSql =
       if (personalized) s"CASE WHEN nd.seed THEN $base ELSE 0 END" else s"$base"

@@ -198,7 +198,7 @@ object PostingsStore {
     require(st.version >= 2,
       "this postings store predates positional postings (layout v1) — " +
         "rebuild it to serve phrase queries")
-    val terms = phrase.map(_.toLowerCase)
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     val hits = st.postings.filter(col("term").isin(terms.distinct: _*))
       .select(col("term"), col("doc_id"), col("positions"))
     var cand = hits.filter(col("term") === terms.head)
@@ -242,7 +242,7 @@ object PostingsStore {
     require(st.version >= 2,
       "this postings store predates positional postings (layout v1) — " +
         "rebuild it to serve proximity queries")
-    val ts = terms.map(_.toLowerCase)
+    val ts = terms.map(_.toLowerCase(java.util.Locale.ROOT))
     val hits = st.postings.filter(col("term").isin(ts.distinct: _*))
       .select(col("term"), col("doc_id"), col("positions"))
     var reach = hits.filter(col("term") === ts.last)
@@ -266,7 +266,7 @@ object PostingsStore {
   def queryBm25(st: Loaded, queryTerms: Seq[String], topK: Int): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     require(topK > 0, s"topK=$topK must be positive") // the bm25 twin's guard
-    val terms = queryTerms.map(_.toLowerCase).distinct
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val hits = st.postings.filter(col("term").isin(terms: _*))
     val dft = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
     TextOps.bm25Rank(

@@ -327,22 +327,29 @@ object TrainingQueries {
       .select(col("id"))
   }
 
-  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
-    * top-20 and the cosine dense top-20 (embeddings align 1:1 with
-    * documents), the standard two-tower serving composition. RRF is
-    * INTEGER-EXACT by nature — contribution = 1000000 div (60 + rank),
-    * absent-from-list = 0 — so the fused ranking is engine-independent
-    * with no float anywhere. Ties break on doc_id.
+  /** The hybrid gates' fixed lexical query and dense corpus (the FULL
+    * embeddings table — the dense leg is corpus-wide, unlike the
+    * id-windowed ann gates), shared by the scan and store forms so the
+    * two can never drift apart on inputs.
     */
-  val retHybrid: Q = (s, d) => {
+  private val hybridTerms = Seq("data", "query", "table")
+
+  private def hybridEmb(s: SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** The RRF fusion tail shared VERBATIM by [[retHybrid]] and
+    * [[retHybridStore]]: rank the lexical leg (doc_id, score_milli) by
+    * score then id, take the dense leg's (n_id, rank), and fuse with
+    * integer reciprocal ranks. Sharing the tail is what makes the
+    * store gate's oracle reuse sound — the legs differ only in IO.
+    */
+  private[graft] def hybridRrf(lex0: DataFrame, dense0: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_milli").desc, col("doc_id"))
-    val lex = TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
-        Seq("data", "query", "table"), topK = 20)
+    val lex = lex0
       .select(col("doc_id"), row_number().over(w).cast("long").as("lrank"))
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val dense = VectorOps.topK(e.filter(col("id") === 0), e, k = 20)
+    val dense = dense0
       .select(col("n_id").as("doc_id"), col("rank").as("drank"))
     lex.join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -351,6 +358,50 @@ object TrainingQueries {
           .as("rrf_milli"))
       .orderBy(col("rrf_milli").desc, col("doc_id"))
       .limit(10)
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    * top-20 and the cosine dense top-20 (embeddings align 1:1 with
+    * documents), the standard two-tower serving composition. RRF is
+    * INTEGER-EXACT by nature — contribution = 1000000 div (60 + rank),
+    * absent-from-list = 0 — so the fused ranking is engine-independent
+    * with no float anywhere. Ties break on doc_id.
+    */
+  val retHybrid: Q = (s, d) => {
+    val lex = TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
+      hybridTerms, topK = 20)
+    val e = hybridEmb(s, d)
+    val dense = VectorOps.topK(e.filter(col("id") === 0), e, k = 20)
+    hybridRrf(lex, dense)
+  }
+
+  /** The same fusion SERVED FROM THE PERSISTED INDEXES — the lexical
+    * leg reads only the query terms' buckets of the shared postings
+    * store ([[txtBm25Store]]'s index) and the dense leg reads the IVF
+    * [[VectorStore]]'s cells instead of re-deriving scores from the
+    * raw tables. Both legs are the STORE twins of [[retHybrid]]'s
+    * legs: queryBm25 shares bm25's tokenizer and scoring tail, and
+    * VectorStore.query at nprobe = |centroids| probes every cell, so
+    * its candidate set (all corpus vectors but self, each scored
+    * once) and its round/tie/rank arithmetic equal [[VectorOps.topK]]
+    * bit for bit. The fusion tail is [[hybridRrf]], shared verbatim —
+    * so the gate shares ret_hybrid's oracle (the txt_bm25_store
+    * rule: the store changes IO, never answers). At serving scale
+    * the exactness/IO knob is nprobe: interactive ANN serving drops
+    * it below |centroids| and prunes cell files; the gate pins the
+    * exact setting because the oracle is the exact answer.
+    */
+  val retHybridStore: Q = (s, d) => {
+    val pst = graft.ops.PostingsStore.load(s, postingsDir(s, d))
+    val lex = graft.ops.PostingsStore.queryBm25(pst, hybridTerms, topK = 20)
+    val e = hybridEmb(s, d)
+    val vdir = graft.StoreUtil.cachedStoreDir("vhybrid", d) { p =>
+      VectorStore.save(e, embCents(s, d), p)
+    }
+    // embCents is 8 centroids; nprobe = 8 probes every cell → exact
+    val dense = VectorStore.query(VectorStore.load(s, vdir),
+      e.filter(col("id") === 0), k = 20, nprobe = 8)
+    hybridRrf(lex, dense)
   }
 
   /** Brute-force exact cosine top-5 for query vectors vec_id < 5. */
@@ -1222,6 +1273,7 @@ object TrainingQueries {
     "txt_phrase" -> txtPhrase,
     "txt_proximity" -> txtProximity,
     "ret_hybrid" -> retHybrid,
+    "ret_hybrid_store" -> retHybridStore,
     "prep_pipeline" -> prepPipeline,
     "prep_stream_twin" -> ((s, d) =>
       // the streaming prep's batch twin (graft.streaming.DocStreams):
@@ -1387,6 +1439,33 @@ object TrainingQueries {
        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_milli
        |FROM sc GROUP BY doc_id
        |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin
+
+  /** The ONE hybrid-RRF oracle, shared by `ret_hybrid` and
+    * `ret_hybrid_store` (the scan and served forms are defined
+    * bit-identical; see [[hybridRrf]]).
+    */
+  private val retHybridStoreSql =
+    s"""WITH bm AS ($bm25Sql),
+       |lex AS (SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
+       |    AS BIGINT) AS lrank FROM bm),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |scored AS (SELECT c.vec_id AS doc_id,
+       |    round(list_dot_product(q.v, c.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) *
+       |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+       |  FROM (SELECT * FROM e WHERE vec_id = 0) q
+       |  JOIN e c ON c.vec_id <> q.vec_id),
+       |dense AS (SELECT doc_id, drank FROM (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+       |    AS BIGINT) AS drank FROM scored) WHERE drank <= 20),
+       |fused AS (SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id,
+       |    coalesce(1000000 // (60 + l.lrank), 0)
+       |      + coalesce(1000000 // (60 + dn.drank), 0) AS rrf_milli
+       |  FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id)
+       |SELECT doc_id, rrf_milli FROM fused
+       |ORDER BY rrf_milli DESC, doc_id LIMIT 10""".stripMargin
 
   /** The k BPE training layers as CTEs over `w0 (f, c)`: each layer is
     * one weighted adjacent-pair count over the current fence-string
@@ -2235,28 +2314,14 @@ object TrainingQueries {
     // tokenizer + scoring tail); what differs is the bucket-pruned IO,
     // which SQL cannot see — shared oracle, the ann_store rule
     "txt_bm25_store" -> bm25Sql,
-    "ret_hybrid" ->
-      s"""WITH bm AS ($bm25Sql),
-         |lex AS (SELECT doc_id,
-         |  CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
-         |    AS BIGINT) AS lrank FROM bm),
-         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-         |  FROM embeddings),
-         |scored AS (SELECT c.vec_id AS doc_id,
-         |    round(list_dot_product(q.v, c.v) /
-         |      (sqrt(list_dot_product(q.v, q.v)) *
-         |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos
-         |  FROM (SELECT * FROM e WHERE vec_id = 0) q
-         |  JOIN e c ON c.vec_id <> q.vec_id),
-         |dense AS (SELECT doc_id, drank FROM (
-         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
-         |    AS BIGINT) AS drank FROM scored) WHERE drank <= 20),
-         |fused AS (SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id,
-         |    coalesce(1000000 // (60 + l.lrank), 0)
-         |      + coalesce(1000000 // (60 + dn.drank), 0) AS rrf_milli
-         |  FROM lex l FULL OUTER JOIN dense dn ON l.doc_id = dn.doc_id)
-         |SELECT doc_id, rrf_milli FROM fused
-         |ORDER BY rrf_milli DESC, doc_id LIMIT 10""".stripMargin,
+    "ret_hybrid" -> retHybridStoreSql,
+    // the store form is DEFINED bit-identical to ret_hybrid: both legs
+    // are the persisted-index twins of the scan legs (queryBm25 shares
+    // bm25's tokenizer+tail; VectorStore.query at nprobe=|cells| scores
+    // the identical candidate set), and the RRF fusion tail is shared
+    // verbatim — the store changes IO, never answers (txt_bm25_store
+    // rule), so it shares the oracle
+    "ret_hybrid_store" -> retHybridStoreSql,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id AS id, embedding
         |  FROM embeddings WHERE vec_id < 50)
