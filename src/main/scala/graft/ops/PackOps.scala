@@ -57,4 +57,83 @@ object PackOps {
     packed.join(nTok, "doc_id")
       .groupBy(col("shard"), col("seq_idx"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+  /** First-fit-decreasing bin packing: lay documents out into
+    * `ctxLen`-token bins WITHOUT splitting any document — the
+    * padding-efficiency alternative to [[packSequences]]'s
+    * concat-and-chunk (which never pads mid-stream but cuts documents
+    * at every boundary; FFD never cuts a document and pays only each
+    * bin's terminal slack, which the decreasing order keeps small).
+    *
+    * Deterministic and integer-exact: within each of the 16 md5 shards
+    * documents are processed in (n_tok DESC, doc_id ASC) order and each
+    * goes to the LOWEST-indexed bin with enough remaining capacity,
+    * opening a new bin when none fits — a sequential fold per shard,
+    * which a SQL oracle can replay exactly (one recursive step per
+    * document). Scale shape: the fold is inherently sequential, so the
+    * unit of parallelism is the shard — one exchange + sort routes each
+    * shard to one task (the same shape as [[packSequences]]'s window);
+    * at larger corpora the shard fan-out is the knob, and the per-doc
+    * first-fit scan (O(open bins) worst case) admits the classic
+    * max-capacity segment-tree upgrade if a shard's bin count ever
+    * bites. State per shard is one long per open bin.
+    *
+    * Documents with NULL token counts or more than `ctxLen` tokens
+    * cannot be placed and FAIL the job via an in-plan guard — silent
+    * drops would unbalance the oracle; the caller chooses the policy
+    * (filter or truncate) explicitly.
+    *
+    * @return (doc_id, shard, bin, bin_off): the document's bin index
+    *         (0-based, in creation order) within its shard and its
+    *         token offset inside that bin
+    */
+  def packFfd(docs: DataFrame, idCol: String, nTokCol: Column,
+      ctxLen: Int, salt: String): DataFrame = {
+    require(ctxLen > 0, s"ctxLen=$ctxLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+        nTokCol.cast("long").as("n_tok"),
+        substring(shuffleKey(col(idCol), salt), 1, 1).as("shard"))
+      .withColumn("n_tok",
+        when(col("n_tok").isNull || col("n_tok") > ctxLen,
+          raise_error(concat(
+            lit(s"packFfd: token count NULL or above ctxLen=$ctxLen "
+              + "for doc "), col("doc_id").cast("string"))))
+          .otherwise(col("n_tok")))
+    keyed.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tok").desc, col("doc_id"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        // shards arrive as contiguous runs; state resets at each run
+        var cur: String = null
+        var bins: scala.collection.mutable.ArrayBuffer[Long] = null
+        it.map { case (docId, nTok, shard) =>
+          if (shard != cur) {
+            cur = shard
+            bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+          }
+          var i = 0
+          while (i < bins.length && bins(i) < nTok) i += 1
+          val off =
+            if (i < bins.length) { val o = ctxLen - bins(i); bins(i) -= nTok; o }
+            else { bins += (ctxLen - nTok); 0L }
+          (docId, shard, i.toLong, off)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "bin_off")
+  }
+
+  /** Per-bin fill statistics for [[packFfd]] — n_docs, n_tokens, and
+    * the bin's padding (`ctxLen - n_tokens`), the number the packer
+    * exists to minimize. Every bin's fill is fully attributed (no
+    * document straddles), so `sum(pad)` over bins IS the corpus's
+    * total padding waste.
+    */
+  def packFfdStats(packed: DataFrame, nTok: DataFrame,
+      ctxLen: Int): DataFrame =
+    packed.join(nTok, "doc_id")
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("pad", lit(ctxLen.toLong) - col("n_tokens"))
 }

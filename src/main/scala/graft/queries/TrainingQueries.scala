@@ -1204,6 +1204,36 @@ object TrainingQueries {
       nTok)
   }
 
+  /** First-fit-decreasing packing ([[PackOps.packFfd]]): the
+    * document-preserving alternative to [[packSeqs]] — no document is
+    * ever cut at a sequence boundary; the cost is each bin's terminal
+    * slack, which the decreasing order keeps near-optimal. The oracle
+    * replays the per-shard sequential fold exactly, one recursive-CTE
+    * step per document with the open-bin capacities as list state
+    * (the LinearModel unrolled-SQL discipline applied to a
+    * data-dependent-length fold). NULL-text docs are excluded up
+    * front — packFfd refuses NULL token counts by design.
+    */
+  val packFfd: Q = (s, d) =>
+    PackOps.packFfd(Tables.documents(s, d).filter(col("text").isNotNull),
+      "doc_id", size(TextOps.tokensCol(col("text"))), ctxLen = 512,
+      salt = "ep0")
+
+  /** Per-bin fill/padding audit for [[packFfd]] — sum(pad) here IS the
+    * corpus's total training-token waste (no straddling exists to
+    * hide), the number that makes FFD's economics measurable against
+    * [[packSeqs]]'s cut-document waste (PackSpec pins the comparison).
+    */
+  val packFfdStats: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val nTok = docs.select(col("doc_id"),
+      size(TextOps.tokensCol(col("text"))).cast("long").as("n_tok"))
+    PackOps.packFfdStats(
+      PackOps.packFfd(docs, "doc_id",
+        size(TextOps.tokensCol(col("text"))), ctxLen = 512, salt = "ep0"),
+      nTok, ctxLen = 512)
+  }
+
   /** Winnowing near-dup pairs: docs sharing ≥ 2 selected fingerprints —
     * the pair-generation step of the MOSS path (fingerprints already
     * gated by dd_winnow; this closes the loop to candidate pairs).
@@ -1331,6 +1361,8 @@ object TrainingQueries {
     "pack_seqs" -> packSeqs,
     "pack_seqs_bpe" -> packSeqsBpe,
     "pack_stats" -> packStatsQ,
+    "pack_ffd" -> packFfd,
+    "pack_ffd_stats" -> packFfdStats,
     "txt_tfidf" -> txtTfidf,
     "dd_contaminate" -> ddContaminate
   )
@@ -1363,6 +1395,49 @@ object TrainingQueries {
        |spans AS (SELECT doc_id, min(i) AS span_start,
        |    max(i) + 3 AS span_end, max(i) + 3 - min(i) + 1 AS span_len
        |  FROM isl GROUP BY doc_id, g)
+       |$finalSelect""".stripMargin
+
+  /** The FFD packing replay as a recursive CTE chain, shared by
+    * `pack_ffd` and `pack_ffd_stats`: per shard, one recursive step
+    * per document in (n_tok DESC, doc_id) order, with the open bins'
+    * remaining capacities as BIGINT-list state. `nullif(..., 0)`
+    * because DuckDB's list_position signals not-found as 0; `d` is
+    * MATERIALIZED — re-inlining the window scan into every recursive
+    * step is the exponential-CTE trap the PageRank oracle documents.
+    * The caller supplies the final SELECT over `ffd
+    * (shard, rn, doc_id, bin, bin_off, bins)` (rn = 0 rows are the
+    * empty-state seeds; real placements have doc_id NOT NULL).
+    */
+  private def packFfdSql(finalSelect: String): String =
+    s"""WITH RECURSIVE k AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+       |    substr(md5('ep0:' || doc_id::VARCHAR), 1, 1) AS shard
+       |  FROM documents WHERE text IS NOT NULL),
+       |d AS MATERIALIZED (SELECT doc_id, n_tok, shard,
+       |    CAST(row_number() OVER (PARTITION BY shard
+       |      ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rn
+       |  FROM k),
+       |ffd AS (
+       |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+       |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin,
+       |    CAST(NULL AS BIGINT) AS bin_off, CAST([] AS BIGINT[]) AS bins
+       |  FROM (SELECT DISTINCT shard FROM d)
+       |  UNION ALL
+       |  SELECT shard, rn, doc_id,
+       |    CAST(CASE WHEN fit IS NULL THEN len(bins) ELSE fit - 1 END
+       |      AS BIGINT) AS bin,
+       |    CAST(CASE WHEN fit IS NULL THEN 0 ELSE 512 - bins[fit] END
+       |      AS BIGINT) AS bin_off,
+       |    CASE WHEN fit IS NULL
+       |      THEN list_append(bins, CAST(512 - n_tok AS BIGINT))
+       |      ELSE list_concat(bins[:fit-1],
+       |        list_concat([bins[fit] - n_tok], bins[fit+1:])) END AS bins
+       |  FROM (
+       |    SELECT d.shard, d.rn, d.doc_id, d.n_tok, f.bins,
+       |      nullif(list_position(
+       |        list_transform(f.bins, b -> b >= d.n_tok), true), 0) AS fit
+       |    FROM ffd f JOIN d ON d.shard = f.shard AND d.rn = f.rn + 1) s
+       |)
        |$finalSelect""".stripMargin
 
   /** MinHash(k=8) + LSH(4×2) candidate pairs over the doc_id<100 window —
@@ -2553,6 +2628,14 @@ object TrainingQueries {
          |SELECT shard, seq_idx, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM p GROUP BY 1, 2""".stripMargin,
+    "pack_ffd" -> packFfdSql(
+      "SELECT doc_id, shard, bin, bin_off FROM ffd WHERE doc_id IS NOT NULL"),
+    "pack_ffd_stats" -> packFfdSql(
+      """SELECT f.shard, f.bin, count(*) AS n_docs,
+        |  CAST(sum(k.n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(512 - sum(k.n_tok) AS BIGINT) AS pad
+        |FROM ffd f JOIN k ON k.doc_id = f.doc_id
+        |WHERE f.doc_id IS NOT NULL GROUP BY 1, 2""".stripMargin),
     "dd_contaminate" ->
       s"""WITH sh AS (SELECT doc_id,
          |    unnest(list_distinct(list_transform(

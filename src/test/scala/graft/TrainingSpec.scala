@@ -732,6 +732,67 @@ class TrainingSpec extends AnyFunSuite {
       packed.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
   }
 
+  test("FFD packing: every doc placed once, no bin overfills, first-fit " +
+      "order respected, and waste strictly below concat-and-chunk's") {
+    val ctx = 512
+    val base = docs.filter(col("text").isNotNull)
+    val nTokC = size(TextOps.tokensCol(col("text")))
+    val nTok = base.select(col("doc_id"), nTokC.cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packed = PackOps.packFfd(base, "doc_id", nTokC, ctx, "ep0").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(packed.map(_._1).distinct.length == nTok.size,
+      "every document placed exactly once")
+    val byBin = packed.groupBy(p => (p._2, p._3))
+    byBin.foreach { case ((sh, bin), rows) =>
+      val fill = rows.map(p => nTok(p._1)).sum
+      assert(fill <= ctx, s"bin $sh/$bin overfilled: $fill")
+      // offsets tile the bin: sorted offsets are the prefix sums of
+      // the docs' token counts in placement order
+      val sorted = rows.sortBy(_._4)
+      var off = 0L
+      sorted.foreach { p =>
+        assert(p._4 == off, s"bin $sh/$bin offsets must tile")
+        off += nTok(p._1)
+      }
+    }
+    // first-fit-decreasing invariant: replay the fold and require the
+    // exact same assignment (the oracle does this in SQL; this is the
+    // in-suite twin at Scala speed)
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val order = rows.map(p => (nTok(p._1), p._1)).sortBy {
+        case (n, id) => (-n, id) }
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val got = rows.map(p => p._1 -> (p._3, p._4)).toMap
+      order.foreach { case (n, id) =>
+        var i = 0
+        while (i < bins.length && bins(i) < n) i += 1
+        val off = if (i < bins.length) { val o = ctx - bins(i); bins(i) -= n; o }
+          else { bins += (ctx - n); 0L }
+        assert(got(id) == (i.toLong, off), s"doc $id deviates from FFD")
+      }
+    }
+    // economics: FFD waste = terminal slack only (no doc is ever cut);
+    // concat-and-chunk waste = its shard-tail padding PLUS every token
+    // of a boundary-straddling document (a cut doc is a broken training
+    // example). FFD must be strictly cheaper on this corpus.
+    val ffdWaste = byBin.values.map(rows =>
+      ctx - rows.map(p => nTok(p._1)).sum).sum
+    val chunked = PackOps.packSequences(base, "doc_id", nTokC, ctx, "ep0")
+      .collect()
+    val straddleTok = chunked.filter { r =>
+      val n = nTok(r.getLong(0)); val s0 = r.getLong(2)
+      n > 0 && s0 / ctx != (s0 + n - 1) / ctx
+    }.map(r => nTok(r.getLong(0))).sum
+    val tailPad = chunked.groupBy(_.getString(1)).values.map { rows =>
+      val tot = rows.map(r => nTok(r.getLong(0))).sum
+      (ctx - tot % ctx) % ctx
+    }.sum
+    assert(ffdWaste < straddleTok + tailPad,
+      s"FFD waste $ffdWaste must undercut chunked waste " +
+        s"${straddleTok + tailPad} (straddle $straddleTok + tail $tailPad)")
+  }
+
   test("tf-idf: common terms rank below distinctive ones, topK bounded") {
     val window = docs.filter(col("doc_id") < 100)
     val scored = TextOps.termScores(window, "doc_id", "text", topK = 5).collect()
