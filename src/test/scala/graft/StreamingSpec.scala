@@ -369,6 +369,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(PostingsStore.load(spark, store).nDocs == one.nDocs)
   }
 
+  test("foreachBatch maintains the IVF vector store — the grown store's " +
+      "frontier and top-k equal the one-shot store's") {
+    // the embedding leg of the store-maintenance lifecycle, beside its
+    // eight sibling families (VectorStoreSpec holds a 2-batch
+    // query-equality case; this one adds the FRONTIER — the probe a
+    // crawl loop actually serves between appends — across 3 batches):
+    // each vector micro-batch routes to cells via the STORED centroids
+    // and appends; probing the grown store then equals probing a store
+    // built from the whole history at once. Routing never drifts
+    // because append reads the centroids from the store, not the caller.
+    import graft.ops.VectorStore
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val hist = all.filter(col("id") < 150)
+    val cents = Tables.embeddings(spark, sf).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val inDir = Files.createTempDirectory("graft_vec_fb_in").toString
+    (0 until 3).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet", hist.filter(col("id") % 3 === m))
+    }
+    val store = Files.createTempDirectory("graft_vec_fb").toString + "/v"
+    var batches = 0
+    val stream = spark.readStream.schema(hist.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        // PROBE, never catch-and-create (the family discipline); the
+        // first batch's save fixes the centroids every later append
+        // routes through
+        if (VectorStore.storeExists(spark, store))
+          VectorStore.append(spark, store, df, Some(id))
+        else VectorStore.save(df, cents, store, batchId = Some(id))
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+    val grown = VectorStore.load(spark, store)
+    val oneDir = Files.createTempDirectory("graft_vec_fb_one").toString
+    VectorStore.save(hist, cents, oneDir)
+    val one = VectorStore.load(spark, oneDir)
+    val batch = all.filter(col("id") >= 150)
+    def frontierIds(st: VectorStore.Loaded) =
+      VectorStore.frontier(st, batch, threshold = 0.3)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(frontierIds(grown) == frontierIds(one) && frontierIds(one).nonEmpty)
+    def topk(st: VectorStore.Loaded) =
+      VectorStore.query(st, all.filter(col("id") === 0), k = 10, nprobe = 8)
+        .collect().map(_.toSeq).toSeq
+    assert(topk(grown) == topk(one))
+    // zombie re-delivery of the last batch id is a FULL no-op — a
+    // re-appended batch would duplicate vectors and skew every top-k
+    val lastId = graft.ops.SketchOps.lastBatchId(spark, store,
+      VectorStore.ManifestFile)
+    assert(lastId.isDefined)
+    val before = grown.cells.count()
+    VectorStore.append(spark, store, hist.filter(col("id") % 3 === 2), lastId)
+    assert(VectorStore.load(spark, store).cells.count() == before)
+  }
+
   test("foreachBatch maintains the LM count store — scores against the " +
       "grown store equal a one-shot-trained model bit for bit") {
     // the language-model leg of the store-maintenance lifecycle: each
