@@ -231,40 +231,71 @@ object ClusterOps {
     */
   private def prKernel(edges: DataFrame, n: DataFrame, iters: Int,
       dampingMilli: Int): DataFrame = {
-    require(iters >= 1, s"iters=$iters must be >= 1")
-    require(dampingMilli >= 0 && dampingMilli <= 1000,
-      s"dampingMilli=$dampingMilli must be in [0, 1000]")
     val e = prEdgeCache(edges)
-    try {
-      val baseOf = when(col("seed"),
-        lit((1000L - dampingMilli) * 1000L)).otherwise(lit(0L))
-      // r0 is a cheap projection of the already-flattened n — each
-      // round's flatten below is what severs the cross-round chain
-      var r = n.select(col("id"), col("seed"),
-        when(col("seed"), lit(1000000L)).otherwise(lit(0L)).as("rank"))
-      for (_ <- 1 to iters) {
-        val contrib = prContrib(e, r)
-        // the damped product rides decimal(38,0): a hub's contribution
-        // sum s is bounded only by total rank mass (~n·10⁶), so the
-        // plain long product dampingMilli·s would wrap silently past
-        // ~1.1e10 nodes — inside advertised web-graph scale. `div` on
-        // decimal yields long (the bm25Rank arithmetic), bit-identical
-        // to the long path wherever the long path doesn't overflow, and
-        // the oracle computes the same term in HUGEINT.
-        r = flatten(n.join(contrib, n("id") === contrib("dst"), "left_outer")
-          .select(col("id"), col("seed"),
-            (baseOf + expr(s"(cast($dampingMilli as decimal(38,0)) " +
-              "* coalesce(s, 0L)) div 1000"))
-              .as("rank")))
-      }
-      r.select(col("id"), col("rank").as("rank_micro"))
-    } finally {
+    try prKernelOn(e, n, iters, dampingMilli)
+    finally {
       // after the final flatten r is materialized, so releasing the
       // cache cannot force a recompute; on a FAILED round the release
       // matters even more — without it a long-lived session accumulates
       // pinned O(edges) caches from every failed call
       e.unpersist(blocking = false)
     }
+  }
+
+  /** PageRank served from a persisted [[GraphStore]]: the stored edge
+    * and degree tables arrive bucketed+sorted by `src`, so the
+    * degree join moves NOTHING (bucketed-⋈-bucketed, zero exchange,
+    * zero sort — PlanSpec locks it) and [[prEdgeCache]]'s per-call
+    * repartition+sort build is skipped entirely; the frame is pinned
+    * WITHOUT reshaping so every round reads memory, the cache build
+    * costing only the co-located scan. The store's node set replaces
+    * the caller-supplied frame — a rank job needs no graph inputs at
+    * all, only the store path (the reference's serve-from-store
+    * architecture: every traversal hits the stored topology, never the
+    * ingest join — `GraphBase.java:431-448`).
+    */
+  def pageRankStored(st: GraphStore.Loaded, iters: Int,
+      dampingMilli: Int = 850): DataFrame = {
+    val e = st.edges.join(st.degrees, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try prKernelOn(e,
+      flatten(st.nodes.select(col("id")).distinct())
+        .select(col("id"), lit(true).as("seed")),
+      iters, dampingMilli)
+    finally e.unpersist(blocking = false)
+  }
+
+  /** The shared iteration loop over an ALREADY-LAID-OUT edge frame
+    * `e (src, dst, deg)` — partitioned (and ideally sorted) by `src`,
+    * pinned by the caller, who also releases it.
+    */
+  private def prKernelOn(e: DataFrame, n: DataFrame, iters: Int,
+      dampingMilli: Int): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(dampingMilli >= 0 && dampingMilli <= 1000,
+      s"dampingMilli=$dampingMilli must be in [0, 1000]")
+    val baseOf = when(col("seed"),
+        lit((1000L - dampingMilli) * 1000L)).otherwise(lit(0L))
+    // r0 is a cheap projection of the already-flattened n — each
+    // round's flatten below is what severs the cross-round chain
+    var r = n.select(col("id"), col("seed"),
+      when(col("seed"), lit(1000000L)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = prContrib(e, r)
+      // the damped product rides decimal(38,0): a hub's contribution
+      // sum s is bounded only by total rank mass (~n·10⁶), so the
+      // plain long product dampingMilli·s would wrap silently past
+      // ~1.1e10 nodes — inside advertised web-graph scale. `div` on
+      // decimal yields long (the bm25Rank arithmetic), bit-identical
+      // to the long path wherever the long path doesn't overflow, and
+      // the oracle computes the same term in HUGEINT.
+      r = flatten(n.join(contrib, n("id") === contrib("dst"), "left_outer")
+        .select(col("id"), col("seed"),
+          (baseOf + expr(s"(cast($dampingMilli as decimal(38,0)) " +
+            "* coalesce(s, 0L)) div 1000"))
+            .as("rank")))
+    }
+    r.select(col("id"), col("rank").as("rank_micro"))
   }
 
   /** A fixed-point PageRank run: the converged ranks and the number of

@@ -336,6 +336,24 @@ object Relational {
     graft.ops.ClusterOps.pageRank(tradeEdges(s, d), tradeNodes(s, d),
       iters = 4)
 
+  /** The same ranks served from a persisted [[graft.ops.GraphStore]]
+    * (built once per data dir): edges, degrees, AND the node set load
+    * pre-bucketed by `src`, so a rank job needs no graph inputs at all
+    * and [[graft.ops.ClusterOps.prEdgeCache]]'s per-call
+    * repartition+sort build is skipped — the degree join over the
+    * stored tables moves nothing (PlanSpec-locked). Bit-identical to
+    * [[grPagerank]] by construction (same kernel, same integer
+    * arithmetic; the store changes layout, never answers), so it
+    * shares the oracle.
+    */
+  val grPagerankStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("gstore", d) { p =>
+      graft.ops.GraphStore.save(s, tradeEdges(s, d), p)
+    }
+    graft.ops.ClusterOps.pageRankStored(
+      graft.ops.GraphStore.load(s, dir), iters = 4)
+  }
+
   /** Personalized PageRank from the nation-0/1/2 suppliers as seeds —
     * the contamination-tracing shape (rank every node by walk proximity
     * to a known set) run over the same trade graph as [[grPagerank]].
@@ -368,6 +386,7 @@ object Relational {
 
   val registry: Map[String, Q] = Map(
     "gr_pagerank" -> grPagerank,
+    "gr_pagerank_store" -> grPagerankStore,
     "gr_ppr" -> grPpr,
     "gr_pr_converged" -> grPrConverged,
     "j7_salted_join" -> j7SaltedJoin,
@@ -402,19 +421,24 @@ object Relational {
     "ev_hour_agg" -> evHourAgg
   )
 
+  // the oracle replays all 4 PageRank iterations from scratch
+  // (unrolled CTE chain) — integer micro-unit ranks make the two
+  // engines' iterations bit-identical. ONE string for the scan and
+  // store-served gates: the store changes layout, never answers
+  // (same kernel, same arithmetic), so the two share it.
+  private val grPagerankSql =
+    s"""WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM p
+       |  UNION ALL SELECT b AS src, a AS dst FROM p),
+       |nd AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+       |${graft.ops.ClusterOps.pageRankOracleSql(iters = 4)}"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
-    // the oracle replays all 4 PageRank iterations from scratch
-    // (unrolled CTE chain) — integer micro-unit ranks make the two
-    // engines' iterations bit-identical
-    "gr_pagerank" ->
-      s"""WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |e AS (SELECT a AS src, b AS dst FROM p
-         |  UNION ALL SELECT b AS src, a AS dst FROM p),
-         |nd AS (SELECT DISTINCT id FROM
-         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
-         |${graft.ops.ClusterOps.pageRankOracleSql(iters = 4)}"""
-        .stripMargin,
+    "gr_pagerank" -> grPagerankSql,
+    "gr_pagerank_store" -> grPagerankSql,
     // the fixed-point oracle unrolls PAST the engine's convergence
     // round (22 vs ~14-15 measured at every SF) — extra layers are
     // idempotent at the fixed point, which the monotone start makes

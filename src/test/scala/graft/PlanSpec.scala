@@ -402,6 +402,85 @@ class PlanSpec extends AnyFunSuite {
     assert(globalSorts.isEmpty, df.queryExecution.executedPlan.toString)
   }
 
+  test("store-served pagerank: the loaded edge⋈degree frame moves " +
+      "nothing — zero exchange, zero sort below the degree join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // the GraphStore's whole reason to exist: edges and degrees are
+    // bucketed+sorted by src with one bucket count, so composing the
+    // serving frame the way pageRankStored does must be a pure
+    // bucketed-⋈-bucketed merge — an Exchange or Sort anywhere in this
+    // plan means the store degraded to prEdgeCache's per-call build
+    val edges = (0L until 2000L).map(i => (i % 97L, (i * 7L) % 89L))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstore_plan")
+      .toString + "/g"
+    graft.ops.GraphStore.save(spark, edges, dir, buckets = 8)
+    val st = graft.ops.GraphStore.load(spark, dir)
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the one-time serving-frame build: bucketed-⋈-bucketed, so ZERO
+      // exchange and no global sort — Spark may insert bucket-LOCAL
+      // sorts (it declines to trust multi-file bucket sort metadata),
+      // which cost CPU once before the persist, never network
+      val served = st.edges.join(st.degrees, "src")
+      served.collect()
+      val plan = PlanWalk.nodes(served.queryExecution.executedPlan)
+      assert(!plan.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        served.queryExecution.executedPlan.toString)
+      assert(!plan.collect { case s: SortExec if s.global => s }.nonEmpty,
+        served.queryExecution.executedPlan.toString)
+      assert(served.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"),
+        served.queryExecution.executedPlan.toString)
+      // per-ROUND invariant (the pageRankStored shape): once the frame
+      // is pinned, a round's contribution join must consume the cache
+      // verbatim — nothing moves or re-sorts the edge side, exactly
+      // the prEdgeCache lock one test down
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      import org.apache.spark.sql.execution.joins._
+      import org.apache.spark.sql.functions.lit
+      val pinned = served.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.count()
+      val round = graft.ops.ClusterOps.prContrib(pinned,
+        st.nodes.withColumn("rank", lit(1000000L)))
+      round.collect()
+      def containsCache(p: SparkPlan): Boolean =
+        PlanWalk.nodes(p).exists(_.isInstanceOf[InMemoryTableScanExec])
+      val joins = PlanWalk.nodes(round.queryExecution.executedPlan)
+        .filter(p => p.isInstanceOf[BroadcastHashJoinExec] ||
+          p.isInstanceOf[SortMergeJoinExec] ||
+          p.isInstanceOf[ShuffledHashJoinExec])
+      assert(joins.exists(containsCache),
+        "no join over the pinned store frame:\n" +
+          round.queryExecution.executedPlan)
+      joins.filter(containsCache).foreach { j =>
+        j.children.filter(containsCache).foreach { side =>
+          val moved = PlanWalk.nodes(side).filter(p =>
+            p.isInstanceOf[ShuffleExchangeLike] || p.isInstanceOf[SortExec])
+          assert(moved.isEmpty,
+            "stored edge side re-shuffled or re-sorted per round:\n" +
+              round.queryExecution.executedPlan)
+        }
+      }
+      pinned.unpersist()
+      // and a full served run agrees with the rebuild path bit for bit
+      val nodes = st.nodes
+      val a = graft.ops.ClusterOps.pageRankStored(st, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = graft.ops.ClusterOps.pageRank(edges, nodes, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b && a.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    }
+  }
+
   test("pagerank round streams the cached edge partitioning: no exchange, " +
       "no sort on the edge side") {
     import spark.implicits._

@@ -113,6 +113,14 @@ class StoreSpec extends AnyFunSuite {
       graft.ops.LmStore.load(spark, lm)
     }
     assert(e6.getMessage.contains("v2"), e6.getMessage)
+    // graph store
+    val g = Files.createTempDirectory("graft_v2_graph").toString
+    graft.StoreUtil.writeMarker(spark, g, graft.ops.GraphStore.ManifestFile,
+      """{"version":2,"buckets":4,"n_edges":1}""")
+    val e7 = intercept[IllegalStateException] {
+      graft.ops.GraphStore.load(spark, g)
+    }
+    assert(e7.getMessage.contains("v2"), e7.getMessage)
     // an UNVERSIONED manifest (pre-stamp artifact) still reads as v1
     graft.StoreUtil.requireVersion("""{"buckets":4}""", 1, "test")
   }
@@ -361,6 +369,57 @@ class StoreSpec extends AnyFunSuite {
     TreeStore.save(ingested, dir, buckets = 4)
     assert(TreeStore.load(spark, dir, persistNodes = false).nodes.count()
       == cleanRows)
+  }
+
+  test("graph store: save/load round trip, additive degree fold on " +
+      "append, zombie no-op, crash refusal, compact carries the guard") {
+    import graft.ops.GraphStore
+    import spark.implicits._
+    val e1 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val dir = Files.createTempDirectory("graft_gstore").toString + "/g"
+    assert(!GraphStore.storeExists(spark, dir))
+    GraphStore.save(spark, e1, dir, buckets = 4, batchId = Some(0L))
+    val st1 = GraphStore.load(spark, dir)
+    assert(st1.edges.count() == 5L, "parallel edges are weights — kept")
+    assert(st1.degrees.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    assert(st1.nodes.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // append folds counts — stored degree rows change WITHOUT the
+    // stored edges being rewritten (additivity is the append economics)
+    val e2 = Seq((2L, 4L), (4L, 1L)).toDF("src", "dst")
+    GraphStore.append(spark, dir, e2, Some(1L))
+    val st2 = GraphStore.load(spark, dir)
+    assert(st2.edges.count() == 7L)
+    assert(st2.degrees.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    assert(st2.nodes.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // ranks from the grown store equal ranks over the union built fresh
+    val direct = graft.ops.ClusterOps.pageRank(e1.unionByName(e2),
+      (1L to 4L).toDF("id"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = graft.ops.ClusterOps.pageRankStored(st2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == direct)
+    // zombie re-delivery of the last batch id is a FULL no-op
+    GraphStore.append(spark, dir, e2, Some(1L))
+    assert(GraphStore.load(spark, dir).edges.count() == 7L)
+    // a crashed write (edges present, manifest gone) refuses loudly
+    graft.StoreUtil.deleteMarker(spark, dir, GraphStore.ManifestFile)
+    val crash = intercept[IllegalStateException] {
+      GraphStore.storeExists(spark, dir)
+    }
+    assert(crash.getMessage.contains("crashed"), crash.getMessage)
+    graft.StoreUtil.writeMarker(spark, dir, GraphStore.ManifestFile,
+      s"""{"version":1,"buckets":4,"n_edges":7,"last_batch":1}""")
+    // compact rewrites the layout and carries the manifest verbatim —
+    // including the zombie guard: the re-delivered batch still no-ops
+    val dest = Files.createTempDirectory("graft_gstore_c").toString + "/g"
+    GraphStore.compact(spark, dir, dest)
+    assert(GraphStore.load(spark, dest).edges.count() == 7L)
+    GraphStore.append(spark, dest, e2, Some(1L))
+    assert(GraphStore.load(spark, dest).edges.count() == 7L)
   }
 
   test("loaded tables join with zero exchanges (bucketed serving path)") {
