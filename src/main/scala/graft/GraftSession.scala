@@ -20,6 +20,15 @@ object GraftSession {
       // ride the idiomatic cluster hook, not per-session registration
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // honor subset-key co-partitioning: when one join side is already
+      // hash-clustered on a SUBSET of the join keys (the engine's
+      // explicit repartition(col) layout decisions — e.g. the LM
+      // scorer's one w1 clustering serving four n-gram joins), let the
+      // planner keep it and move only the other side, instead of
+      // re-exchanging the big side on every join's full key set. The
+      // skew trade the default guards against is managed explicitly
+      // where it matters (salting, AQE skew join).
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

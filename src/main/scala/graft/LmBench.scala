@@ -94,6 +94,38 @@ object LmBench {
     require(grown == one && grown.nonEmpty,
       "folded-store scores diverged from the one-shot model")
     println(s"""{"verified_docs":${grown.size},"agree":true}""")
+
+    // maintenance economics: load() re-aggregates every ingest's rows,
+    // so load cost grows with batches-since-compaction — the one store
+    // cost that sits on the scoring hot path. Fold 12 batches, measure
+    // a load+aggregate, compact (needsCompact said so), measure again:
+    // the compacted load must not be slower, and the nudge must reset.
+    val mstore = s"$tmp/lm_maint"
+    (0 until 12).foreach { m =>
+      LmStore.ingestBatch(spark, mstore,
+        corpus(m * 50000L, (m + 1) * 50000L), "text", Some(m.toLong))
+    }
+    def loadCost(p: String): Double = {
+      val t0 = System.nanoTime()
+      val s = LmStore.load(spark, p)
+      s.uni.count(); s.bi.count(); s.tri.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    loadCost(mstore) // warm listings
+    val grownLoad = time("load_after_12_ingests")(loadCost(mstore))
+    require(LmStore.needsCompact(spark, mstore),
+      "12 uncompacted ingests must trip the default nudge")
+    time("compact_12_ingests") {
+      LmStore.compact(spark, mstore, s"$tmp/lm_maint_c")
+    }
+    require(!LmStore.needsCompact(spark, s"$tmp/lm_maint_c"),
+      "compaction must reset the nudge")
+    loadCost(s"$tmp/lm_maint_c")
+    val compactLoad = time("load_after_compact")(loadCost(s"$tmp/lm_maint_c"))
+    require(compactLoad <= grownLoad * 1.2 + 0.5,
+      s"compacted load $compactLoad s vs grown $grownLoad s — " +
+        "compaction stopped paying for itself")
+    println(s"""{"maint_nudge":true,"agree":true}""")
     spark.stop()
   }
 }

@@ -100,8 +100,15 @@ object LmOps {
       .select(col("id"), col("t"), posexplode(col("t")))
       .select(col("id"), col("pos").as("p"), col("col").as("w2"),
         when(col("pos") >= 1, element_at(col("t"), col("pos"))).as("w1"))
-    val joined = pos
+    val joined0 = pos
       .join(h(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"), "left_outer")
+    // big-vocab path: one explicit w1 clustering serves BOTH remaining
+    // joins (w1 ⊆ each key set) — two corpus exchanges total instead
+    // of three; the broadcast fast path skips it (its corpus never
+    // moves). Same shape as scoreTrigram, which documents it.
+    val byW1 =
+      if (broadcastCounts) joined0 else joined0.repartition(col("w1"))
+    val joined = byW1
       .join(h(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"), "left_outer")
       .join(h(bi.select(col("w1"), col("w2"), col("c").as("c12"))),
         Seq("w1", "w2"), "left_outer")
@@ -135,10 +142,15 @@ object LmOps {
     * itself falls to the unigram rule. Position 0 scores as a unigram,
     * position 1 as a bigram — the natural short-context degradation.
     * Same integer-micronat arithmetic, same runtime-count [[IntLog]]
-    * logs, and the same [[scoreBigram]] broadcast fast path — here it
-    * saves FIVE corpus exchanges (w2, w1, (w1,w2), (w0,w1),
-    * (w0,w1,w2)), so for any executor-fitting vocabulary the corpus
-    * moves exactly once: into the final per-doc aggregate.
+    * logs, and the same [[scoreBigram]] broadcast fast path — under it
+    * the corpus moves exactly once: into the final per-doc aggregate.
+    * When the vocabulary CANNOT broadcast, the five count joins ride
+    * TWO corpus exchanges, not five: the w2 join clusters the token
+    * stream once, and one explicit w1 re-clustering satisfies the four
+    * remaining key sets (w1 is a subset of each), so only the
+    * vocabulary-sized count frames move to meet the corpus — never the
+    * reverse (PlanSpec counts the token-stream exchanges on both
+    * paths, and LmSpec pins the two paths bit-identical).
     * @return (idCol, n_tokens, cost_micronats, mean_micronats)
     */
   def scoreTrigram(docs: DataFrame, idCol: String, textCol: String,
@@ -156,9 +168,22 @@ object LmOps {
       .select(col("id"), col("pos").as("p"), col("col").as("w2"),
         when(col("pos") >= 1, element_at(col("t"), col("pos"))).as("w1"),
         when(col("pos") >= 2, element_at(col("t"), col("pos") - 1)).as("w0"))
-    val joined = pos
+    val joined0 = pos
       .join(h(uni.select(col("w").as("w2"), col("c").as("c2"))),
         Seq("w2"), "left_outer")
+    // Big-vocab path (counts too large to broadcast): the w2 join above
+    // moves the token stream once (Spark clusters it by w2), and ONE
+    // explicit re-clustering by w1 here serves ALL FOUR remaining
+    // joins — hash(w1) satisfies the (w1), (w1,w2), (w0,w1), and
+    // (w0,w1,w2) clustering requirements because w1 is a subset of
+    // each key set, so only the count sides move to meet it. Without
+    // this, each join re-exchanges the corpus on its own full key —
+    // five corpus-sized shuffles instead of two (PlanSpec counts
+    // them). The broadcast fast path must NOT pay this exchange: its
+    // corpus never moves at all.
+    val byW1 =
+      if (broadcastCounts) joined0 else joined0.repartition(col("w1"))
+    val joined = byW1
       .join(h(uni.select(col("w").as("w1"), col("c").as("c1"))),
         Seq("w1"), "left_outer")
       .join(h(bi.select(col("w1"), col("w2"), col("c").as("c12"))),

@@ -45,9 +45,38 @@ object LmStore {
   final case class Loaded(uni: DataFrame, bi: DataFrame, tri: DataFrame,
       path: String)
 
-  private def manifest(ingests: Long, batchId: Option[Long]): String =
-    s"""{"version":1,"ingests":$ingests""" +
+  private def manifest(ingests: Long, batchId: Option[Long],
+      compactedAt: Long = 0L): String =
+    s"""{"version":1,"ingests":$ingests,"compacted_at":$compactedAt""" +
       batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
+
+  /** The compaction watermark — the `ingests` value the store last
+    * compacted at (0 for never, and for pre-watermark manifests).
+    */
+  private def compactedAtOf(mf: String): Long =
+    "\"compacted_at\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(mf)
+      .map(_.group(1).toLong).getOrElse(0L)
+
+  /** Whether a maintenance pass is due: [[load]] re-aggregates every
+    * ingest's rows on every call, so load cost grows with the count of
+    * batches folded since the last [[compact]] — this probe is the
+    * NUDGE that keeps a long-lived scoring service from silently
+    * paying O(ingests × vocab) per load forever. `slack` is the
+    * batches-since-compaction budget; the default matches compact's
+    * default file fan-in (a compacted table is ~`files` files, so
+    * letting ~that many batches stack keeps per-load file counts
+    * within 2× of freshly-compacted).
+    */
+  def needsCompact(spark: SparkSession, path: String,
+      slack: Int = 8): Boolean = {
+    require(slack >= 1, s"slack must be >= 1, got $slack")
+    refusePending(spark, path)
+    val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "LM store")
+    val ingests = graft.StoreUtil.manifestLong(mf, "ingests",
+      s"LM manifest at $path")
+    ingests - compactedAtOf(mf) >= slack
+  }
 
   private def refusePending(spark: SparkSession, path: String): Unit =
     if (graft.StoreUtil.readMarker(spark, path, PendingFile).isDefined)
@@ -110,13 +139,17 @@ object LmStore {
     val uni = tagged(LmOps.uniCountsOfTokens(toks))
     val bi = tagged(LmOps.biCountsOfTokens(toks))
     val tri = tagged(LmOps.triCountsOfTokens(toks))
+    val compactedAt =
+      if (!present) 0L
+      else compactedAtOf(graft.StoreUtil.requireManifest(spark, path,
+        ManifestFile, "LM store"))
     graft.StoreUtil.writeMarker(spark, path, PendingFile, s"$bid:$ingests")
     val mode = if (present) "append" else "overwrite"
     uni.write.mode(mode).parquet(s"$path/uni")
     bi.write.mode(mode).parquet(s"$path/bi")
     tri.write.mode(mode).parquet(s"$path/tri")
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      manifest(ingests + 1L, batchId.orElse(prevLast)))
+      manifest(ingests + 1L, batchId.orElse(prevLast), compactedAt))
     graft.StoreUtil.deleteMarker(spark, path, PendingFile)
   }
 
@@ -158,7 +191,9 @@ object LmStore {
     * counts sum, so a store that folded k batches goes back to one row
     * per n-gram (merged rows carry tag −1/seq 0, the [[DupStore]]
     * convention: compaction of a healthy store has no live rollback
-    * identity; the manifest, zombie guard included, copies verbatim).
+    * identity; the manifest's ingest count and zombie guard carry
+    * over, and `compacted_at` advances to the current ingest count so
+    * [[needsCompact]] goes false until another `slack` batches fold).
     */
   def compact(spark: SparkSession, path: String, dest: String,
       files: Int = 8): Unit = {
@@ -178,6 +213,10 @@ object LmStore {
     merge("uni", Seq("w"))
     merge("bi", Seq("w1", "w2"))
     merge("tri", Seq("w1", "w2", "w3"))
-    graft.StoreUtil.writeMarker(spark, dest, ManifestFile, m)
+    val ingests = graft.StoreUtil.manifestLong(m, "ingests",
+      s"LM manifest at $path")
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
+      manifest(ingests, SketchOps.lastBatchId(spark, path, ManifestFile),
+        compactedAt = ingests))
   }
 }

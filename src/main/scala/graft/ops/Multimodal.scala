@@ -337,9 +337,67 @@ object Multimodal {
     * sample rate and `height` the channel count; `n_frames` is the PCM
     * frame count (video: the container's declared frame count).
     */
+  /** HEADER-ONLY JPEG dimension read: a hand-rolled marker-segment walk
+    * (SOI, then FF-marker segments with big-endian payload lengths)
+    * to the first frame header SOFn (C0–CF minus the non-frame DHT/JPG/
+    * DAC markers C4/C8/CC), whose payload carries height then width as
+    * big-endian u16 — the JPEG interchange format layout, public ITU
+    * T.81 §B.2.2. Pure byte arithmetic over the first kilobytes: no
+    * reader plugin, no raster, no temp file — the shape a 100 TB image
+    * sweep wants (the AVI walk's sibling; [[decodeImage]] stays the
+    * general-format fallback). Returns None on anything that doesn't
+    * walk as a JPEG, including truncated-mid-segment payloads.
+    */
+  def decodeJpegHeader(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) None
+    else {
+      var i = 2
+      var out: Option[(Int, Int)] = None
+      var dead = false
+      while (out.isEmpty && !dead && i + 3 < bytes.length) {
+        if (u8(i) != 0xff) dead = true // lost marker sync
+        else {
+          val m = u8(i + 1)
+          if (m == 0xff) i += 1 // fill byte
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+          else if (m == 0xd9 || m == 0xda) dead = true // EOI / entropy data
+          else {
+            val len = u16(i + 2)
+            val isSof = m >= 0xc0 && m <= 0xcf &&
+              m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof) {
+              // payload: precision u8, height u16, width u16
+              if (i + 9 < bytes.length && len >= 7)
+                out = Some((u16(i + 7), u16(i + 5)))
+              else dead = true
+            } else i += 2 + len
+          }
+        }
+      }
+      out.filter { case (w, h) => w > 0 && h > 0 }
+    }
+  }
+
+  /** Deterministic tiny-JPEG encoder (ImageIO's baseline writer) — the
+    * fixture twin of [[encodePng]] for the header-walk path.
+    */
+  def encodeJpeg(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until width; y <- 0 until height)
+      img.setRGB(x, y, (x * 3163 + y * 757 + seed * 31) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   def decodeMedia(r: MediaRow): MediaMeta =
     if (r.kind == "image")
-      decodeImage(r.media) match {
+      // the byte-walk first (header-only, plugin-free); ImageIO for
+      // every other image container
+      decodeJpegHeader(r.media).orElse(decodeImage(r.media)) match {
         case Some((w, h)) =>
           MediaMeta(r.doc_id, r.kind, r.media.length.toLong, w.toLong,
             h.toLong, n_frames = 1L)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted inverted index — the RETRIEVAL serving artifact, the
@@ -260,6 +260,60 @@ object PostingsStore {
         size(col("reach")).cast("long").as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
       .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** UNORDERED window retrieval: documents where all query terms
+    * co-occur within `window` tokens in ANY order, ranked by the
+    * tightest such co-occurrence — min span asc (a doc where the terms
+    * sit adjacent beats one where they span a paragraph), doc_id ties.
+    * The third member of the positional-serving family:
+    * [[queryPhrase]] is order+adjacency, [[queryProximity]] is
+    * order+gap-bound, this drops order entirely — the standard
+    * "terms near each other" operator.
+    *
+    * Row-local kernel over the same v2 position arrays: the minimal
+    * covering window always STARTS at an occurrence of some query term
+    * (shrink the left edge to the leftmost contained occurrence), so
+    * candidate starts are the union of the terms' positions, and the
+    * span from start p is `max over terms of (first occurrence ≥ p)`
+    * − p + 1 — null when some term never re-occurs, and `array_min`
+    * skips those. |terms| bucket-pruned joins, then pure array math;
+    * the oracle replays the definition from raw text as the
+    * every-start token join the index exists to avoid.
+    *
+    * @return (doc_id, span) top-k by (span ASC, doc_id)
+    */
+  def queryWindow(st: Loaded, terms: Seq[String], window: Int,
+      topK: Int): DataFrame = {
+    val ts = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    require(ts.size >= 2, "a window query needs at least two distinct terms")
+    require(window >= ts.size,
+      s"window=$window cannot cover ${ts.size} distinct terms")
+    require(topK > 0, s"topK=$topK must be positive")
+    require(st.version >= 2,
+      "this postings store predates positional postings (layout v1) — " +
+        "rebuild it to serve window queries")
+    val hits = st.postings.filter(col("term").isin(ts: _*))
+      .select(col("term"), col("doc_id"), col("positions"))
+    var cand = hits.filter(col("term") === ts.head)
+      .select(col("doc_id"), col("positions").as("p0"))
+    for ((t, i) <- ts.zipWithIndex.tail) {
+      cand = cand.join(
+        hits.filter(col("term") === t)
+          .select(col("doc_id"), col("positions").as(s"p$i")), "doc_id")
+    }
+    val pcols = ts.indices.map(i => col(s"p$i"))
+    val starts = array_sort(array_distinct(concat(pcols: _*)))
+    def spanAt(p: Column): Column = {
+      val firsts = pcols.map(pc => array_min(filter(pc, x => x >= p)))
+      when(firsts.map(_.isNull).reduce(_ || _), lit(null).cast("long"))
+        .otherwise((greatest(firsts: _*) - p + 1).cast("long"))
+    }
+    cand.select(col("doc_id"),
+        array_min(transform(starts, p => spanAt(p))).as("span"))
+      .filter(col("span") <= window)
+      .orderBy(col("span").asc, col("doc_id"))
       .limit(topK)
   }
 

@@ -630,6 +630,26 @@ object ExtQueries {
         col("n_frames"))
   }
 
+  /** Real JPEG bytes through the image leg: dimensions come off the
+    * hand-rolled SOF marker walk ([[Multimodal.decodeJpegHeader]] —
+    * header-only, no reader plugin, the AVI chunk walk's image
+    * sibling), and the oracle states the encoded pixel grid, so a walk
+    * that misparses any segment fails the gate. Dimensions 16×9 and up:
+    * JPEG chroma subsampling is lossy about COLOR but never about the
+    * frame header's size fields.
+    */
+  val mmJpegMeta: Q = (s, _) => {
+    import s.implicits._
+    val rows = (0 until 8).map { i =>
+      Multimodal.MediaRow(i.toLong,
+        Multimodal.encodeJpeg(16 * (i % 4 + 1), 9 * (i % 3 + 1), seed = i),
+        "image")
+    }
+    Multimodal.extractMeta(s, rows.toDF()).toDF()
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"))
+  }
+
   private val servingCache = new graft.SessionCache[graft.tree.TreeServing.Index]()
 
   /** The driver-side serving index over the fixture tree, built once per
@@ -777,6 +797,7 @@ object ExtQueries {
     "s4_store_roundtrip" -> s4StoreRoundtrip,
     "api_serving" -> apiServing,
     "mm_png_meta" -> mmPngMeta,
+    "mm_jpeg_meta" -> mmJpegMeta,
     "mm_wav_meta" -> mmWavMeta,
     "mm_video_meta" -> mmVideoMeta,
     "mm_real_frames" -> mmRealFrames,
@@ -1106,6 +1127,12 @@ object ExtQueries {
       """SELECT CAST(i AS BIGINT) AS doc_id, 'image' AS kind,
         |  CAST(i % 4 + 1 AS BIGINT) AS width,
         |  CAST(i % 3 + 1 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS n_frames
+        |FROM unnest(range(0, 8)) u(i)""".stripMargin,
+    "mm_jpeg_meta" ->
+      """SELECT CAST(i AS BIGINT) AS doc_id, 'image' AS kind,
+        |  CAST(16 * (i % 4 + 1) AS BIGINT) AS width,
+        |  CAST(9 * (i % 3 + 1) AS BIGINT) AS height,
         |  CAST(1 AS BIGINT) AS n_frames
         |FROM unnest(range(0, 8)) u(i)""".stripMargin,
     "mm_wav_meta" ->

@@ -470,6 +470,20 @@ object TrainingQueries {
       graft.ops.PostingsStore.load(s, postingsDir(s, d)),
       Seq("stream", "table", "hash"), slop = 1, topK = 20)
 
+  /** Unordered window retrieval from the same index
+    * ([[graft.ops.PostingsStore.queryWindow]]): the three terms within
+    * 8 tokens in any order, ranked by tightest co-occurrence (min span
+    * asc). The oracle replays the min-span definition from raw text —
+    * every query-term occurrence as a candidate window start, the
+    * first occurrence of each term at-or-after it, span = the covering
+    * width — as the O(occurrences²) token join the positional index
+    * avoids.
+    */
+  val txtWindow: Q = (s, d) =>
+    graft.ops.PostingsStore.queryWindow(
+      graft.ops.PostingsStore.load(s, postingsDir(s, d)),
+      Seq("data", "table", "hash"), window = 8, topK = 20)
+
   /** Int8 embedding quantization, long form for the oracle compare. */
   val embQuantize: Q = (s, d) =>
     VectorOps.quantizeInt8(
@@ -1109,6 +1123,46 @@ object TrainingQueries {
       .select(col("doc_id"), col("b.n").as("n_bpe"),
         col("b.s").as("bpe_text"))
 
+  /** The BPE VOCABULARY artifact: dense token ids over the corpus's
+    * subword tokens, id order (count DESC, token) so id 0 is the most
+    * frequent token — the token→id table a training pipeline ships
+    * beside its merge table. The global window rides a
+    * VOCABULARY-sized frame (already aggregated to one row per
+    * distinct token — bounded by construction, the SemDeDup-centroid
+    * rule), not the corpus.
+    */
+  private def bpeVocabFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(explode(graft.functions.Bpe.tokensCol(col("text")))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("id", (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("token"))) - 1).cast("long"))
+      .select(col("id"), col("token"), col("c"))
+
+  val txtBpeVocab: Q = (s, d) => bpeVocabFrame(s, d)
+
+  /** The corpus id-encoded through that vocabulary (doc window):
+    * (doc_id, pos, tok_id) — what [[packSeqsBpe]]-style packing
+    * actually ships to a trainer (ids, not strings; 8 bytes vs a
+    * string cell). The vocabulary broadcasts (bounded), so encoding
+    * is a map-side join over the tokenizer output — no corpus
+    * shuffle; the inner join is total by construction (every token
+    * came out of the same tokenizer the vocabulary aggregated).
+    */
+  val txtBpeIds: Q = (s, d) => {
+    val vocab = bpeVocabFrame(s, d).select(col("token"), col("id"))
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("doc_id") < 100)
+      .select(col("doc_id"),
+        posexplode(graft.functions.Bpe.tokensCol(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .join(broadcast(vocab), "token")
+      .select(col("doc_id"), col("pos"), col("id").as("tok_id"))
+  }
+
   /** Winnowing fingerprints (k=8 char grams, window 4) on an id window. */
   val ddWinnow: Q = (s, d) =>
     TextOps.winnowFingerprints(
@@ -1295,6 +1349,8 @@ object TrainingQueries {
     "emb_frontier" -> embFrontier,
     "txt_bpe_train" -> txtBpeTrain,
     "txt_bpe_trained" -> txtBpeTrained,
+    "txt_bpe_vocab" -> txtBpeVocab,
+    "txt_bpe_ids" -> txtBpeIds,
     "ann_topk" -> annTopk,
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
@@ -1302,6 +1358,7 @@ object TrainingQueries {
     "txt_bm25_store" -> txtBm25Store,
     "txt_phrase" -> txtPhrase,
     "txt_proximity" -> txtProximity,
+    "txt_window" -> txtWindow,
     "ret_hybrid" -> retHybrid,
     "ret_hybrid_store" -> retHybridStore,
     "prep_pipeline" -> prepPipeline,
@@ -1964,6 +2021,33 @@ object TrainingQueries {
          |FROM cells""".stripMargin,
     "txt_bpe_train" -> bpeTrainSql,
     "txt_bpe_trained" -> bpeTrainedSql,
+    // the vocabulary replay: same tokenizer, same (count DESC, token)
+    // id order — row_number both sides, ids dense from 0
+    "txt_bpe_vocab" ->
+      s"""WITH tk AS (SELECT unnest(${graft.functions.Bpe.tokensSql("text")})
+         |    AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |v AS (SELECT token, count(*) AS c FROM tk GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY c DESC, token) - 1
+         |    AS BIGINT) AS id,
+         |  token, c FROM v""".stripMargin,
+    "txt_bpe_ids" ->
+      s"""WITH tk AS (SELECT unnest(${graft.functions.Bpe.tokensSql("text")})
+         |    AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |v AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+         |vid AS (SELECT token,
+         |    CAST(row_number() OVER (ORDER BY c DESC, token) - 1
+         |      AS BIGINT) AS id
+         |  FROM v),
+         |dt AS (SELECT doc_id,
+         |    ${graft.functions.Bpe.tokensSql("text")} AS toks
+         |  FROM documents WHERE text IS NOT NULL AND doc_id < 100),
+         |enc AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+         |    toks[CAST(p + 1 AS INT)] AS token
+         |  FROM dt, unnest(range(0, len(toks))) r(p))
+         |SELECT enc.doc_id, enc.pos, vid.id AS tok_id
+         |FROM enc JOIN vid USING (token)""".stripMargin,
     // the auto-scaled SemDeDup oracle re-derives n, k = ceil(sqrt(n)),
     // and the exact (md5(id), id)-ordered centroid set before replaying
     // the dd_semantic pipeline over it
@@ -2385,6 +2469,30 @@ object TrainingQueries {
          |WHERE p0.tok = 'stream'
          |GROUP BY 1 ORDER BY n_occurrences DESC, p0.doc_id
          |LIMIT 20""".stripMargin,
+    // min-span replay from raw text: every query-term occurrence is a
+    // candidate window start; from each, the first occurrence of each
+    // term at-or-after it; span = covering width, valid only when all
+    // three terms appear (HAVING) — min over starts, window filter 8
+    "txt_window" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter($toksSql, x -> x <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id, j AS pos, toks[CAST(j + 1 AS INT)] AS tok
+         |  FROM t, unnest(range(0, len(toks))) r(j)),
+         |tk AS (SELECT doc_id, pos, tok FROM p
+         |  WHERE tok IN ('data', 'table', 'hash')),
+         |starts AS (SELECT DISTINCT doc_id, pos FROM tk),
+         |per AS (SELECT s.doc_id, s.pos, k.tok, min(k.pos) AS fp
+         |  FROM starts s JOIN tk k
+         |    ON k.doc_id = s.doc_id AND k.pos >= s.pos
+         |  GROUP BY 1, 2, 3),
+         |cand AS (SELECT doc_id, pos,
+         |    max(fp) - pos + 1 AS span
+         |  FROM per GROUP BY 1, 2 HAVING count(DISTINCT tok) = 3),
+         |res AS (SELECT doc_id, CAST(min(span) AS BIGINT) AS span
+         |  FROM cand GROUP BY 1)
+         |SELECT doc_id, span FROM res WHERE span <= 8
+         |ORDER BY span, doc_id LIMIT 20""".stripMargin,
     // the store gate is DEFINED bit-identical to txt_bm25 (shared
     // tokenizer + scoring tail); what differs is the bucket-pruned IO,
     // which SQL cannot see — shared oracle, the ann_store rule

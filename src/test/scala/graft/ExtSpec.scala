@@ -50,6 +50,31 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
   }
 
+  test("JPEG header walk reads the SOF frame size byte-for-byte, agrees " +
+      "with ImageIO, and refuses everything that isn't a JPEG") {
+    // the hand-rolled marker walk against the JDK's reader on the same
+    // bytes — two independent implementations of the same public spec
+    for ((w, h) <- Seq((1, 1), (3, 2), (16, 9), (640, 480), (257, 301))) {
+      val bytes = Multimodal.encodeJpeg(w, h, seed = w + h)
+      assert(Multimodal.decodeJpegHeader(bytes) == Some((w, h)))
+      assert(Multimodal.decodeImage(bytes) == Some((w, h)))
+    }
+    // non-JPEG payloads: PNG (valid image, wrong magic), text, empty
+    assert(Multimodal.decodeJpegHeader(
+      Multimodal.encodePng(3, 2, seed = 1)).isEmpty)
+    assert(Multimodal.decodeJpegHeader("no".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeJpegHeader(Array.empty[Byte]).isEmpty)
+    // truncation BEFORE the SOF marker: walk runs out → None, no throw
+    val jb = Multimodal.encodeJpeg(16, 9, seed = 4)
+    assert(Multimodal.decodeJpegHeader(jb.take(4)).isEmpty)
+    // and extractMeta serves JPEG dims through the walk (image branch)
+    import spark.implicits._
+    val got = Multimodal.extractMeta(spark,
+        Seq(Multimodal.MediaRow(1L, jb, "image")).toDF())
+      .collect().head
+    assert(got.width == 16L && got.height == 9L && got.n_frames == 1L)
+  }
+
   test("real WAV bytes decode to genuine header values through extractMeta") {
     import spark.implicits._
     val rows = Seq(

@@ -155,4 +155,35 @@ class LmSpec extends AnyFunSuite {
     assert(countsMap(cst.uni) == oneUni && countsMap(cst.tri) == oneTri)
     assert(spark.read.parquet(s"$cd/uni").count() == oneUni.size)
   }
+
+  test("LM store: needsCompact nudges after slack ingests and resets at " +
+      "the compaction watermark") {
+    import graft.ops.LmStore
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmn")
+      .toString + "/lm"
+    (0 until 3).foreach { m =>
+      LmStore.ingestBatch(spark, dir, docs.filter(col("doc_id") % 3 === m),
+        "text", Some(m.toLong))
+    }
+    // 3 ingests, never compacted: due at slack 3, not yet at slack 4
+    assert(LmStore.needsCompact(spark, dir, slack = 3))
+    assert(!LmStore.needsCompact(spark, dir, slack = 4))
+    // compact advances the watermark: nothing due until slack MORE
+    // batches fold on top of the compacted store
+    val cd = java.nio.file.Files.createTempDirectory("graft_lmnc")
+      .toString + "/lm"
+    LmStore.compact(spark, dir, cd)
+    assert(!LmStore.needsCompact(spark, cd, slack = 1))
+    // the watermark survives further folds and re-triggers at slack
+    LmStore.ingestBatch(spark, cd, docs.filter(col("doc_id") % 3 === 0),
+      "text", Some(3L))
+    assert(LmStore.needsCompact(spark, cd, slack = 1))
+    assert(!LmStore.needsCompact(spark, cd, slack = 2))
+    // and the zombie guard still carries through the compacted manifest
+    val before = spark.read.parquet(s"$cd/uni").count()
+    LmStore.ingestBatch(spark, cd, docs.filter(col("doc_id") % 3 === 0),
+      "text", Some(3L))
+    assert(spark.read.parquet(s"$cd/uni").count() == before)
+  }
 }

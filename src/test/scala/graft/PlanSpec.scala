@@ -587,6 +587,59 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("trigram scoring with a non-broadcastable vocab exchanges the " +
+      "token stream at most twice — and scores equal the broadcast path") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // the unbounded-vocab shape: counts too big to hint broadcast, so
+    // the five count joins are shuffled joins — but the CORPUS side
+    // must move only twice (once clustered by w2 for the first join,
+    // once by w1 for the four remaining key sets); a regression to
+    // per-join corpus movement re-shuffles the exploded token stream
+    // five times. Corpus-side exchange = an exchange whose subtree
+    // contains the posexplode (GenerateExec) and no aggregate below it
+    // (count-frame exchanges sit above their partial count aggregate).
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val docs = Tables.documents(spark, sf).limit(300)
+    import graft.ops.LmOps
+    val uni = LmOps.trainUnigram(docs, "text")
+    val bi = LmOps.trainBigram(docs, "text")
+    val tri = LmOps.trainTrigram(docs, "text")
+    def run(bcast: Boolean) = {
+      val df = LmOps.scoreTrigram(docs, "doc_id", "text", uni, bi, tri,
+        broadcastCounts = bcast)
+      (df, df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap)
+    }
+    // kill auto-broadcast for the slow run: at spec scale AQE would
+    // broadcast the tiny count frames and the lock would never see the
+    // shuffled-join shape it exists to constrain
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (slow, slowScores) =
+      try run(false)
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    val (_, fastScores) = run(true)
+    assert(slowScores == fastScores && slowScores.nonEmpty,
+      "big-vocab path diverged from the broadcast path")
+    def corpusSide(e: SparkPlan): Boolean = {
+      val below = PlanWalk.nodes(e.children.head)
+      below.exists(_.isInstanceOf[GenerateExec]) &&
+        !below.exists(_.isInstanceOf[BaseAggregateExec])
+    }
+    val all = PlanWalk.nodes(slow.queryExecution.executedPlan)
+    // the five count joins really ARE shuffled joins in this plan
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    assert(all.count(p => p.isInstanceOf[SortMergeJoinExec] ||
+      p.isInstanceOf[ShuffledHashJoinExec]) >= 5,
+      slow.queryExecution.executedPlan.toString)
+    val corpusEx = all.collect {
+      case e: ShuffleExchangeLike if corpusSide(e) => e }
+    assert(corpusEx.length <= 2 && corpusEx.nonEmpty,
+      s"${corpusEx.length} token-stream exchanges:\n" +
+        slow.queryExecution.executedPlan)
+  }
+
   test("canonicalPerCluster is an argmax aggregate — no per-component window") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     import org.apache.spark.sql.execution.window.WindowExec

@@ -1172,6 +1172,61 @@ class TrainingSpec extends AnyFunSuite {
       && ref.nonEmpty)
   }
 
+  test("unordered window queries: min span hand-replayed, order-free, " +
+      "driver-side reference on the corpus, v1 refused") {
+    import graft.ops.PostingsStore
+    import spark.implicits._
+    // hand-built spans: doc 1 tightest cover is the full 5-token doc
+    // (data only at 0); doc 2 covers in 3 — and in REVERSE term order,
+    // which must not matter; doc 3's tightest cover is 9 > window 8
+    val mini = Seq(
+      (1L, "data x x table hash"),
+      (2L, "table data hash"),
+      (3L, "data table x x x x x x hash"),
+      (4L, "data table")).toDF("doc_id", "text")
+    val mdir = java.nio.file.Files.createTempDirectory("graft_win").toString
+    PostingsStore.save(mini, "doc_id", "text", mdir, buckets = 2)
+    val mst = PostingsStore.load(spark, mdir)
+    val got = PostingsStore.queryWindow(mst,
+        Seq("data", "table", "hash"), window = 8, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // ranked span asc: doc 2 (3) before doc 1 (5); doc 3 filtered,
+    // doc 4 lacks a term
+    assert(got == Seq((2L, 3L), (1L, 5L)), got.mkString(","))
+    // corpus reference: driver-side min-span via the engine's own
+    // tokenizer, most frequent co-occurring pair + one fixed term so
+    // matches exist at any SF
+    val dir = java.nio.file.Files.createTempDirectory("graft_win2").toString
+    PostingsStore.save(docs, "doc_id", "text", dir, buckets = 8)
+    val st = PostingsStore.load(spark, dir)
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(TextOps.tokensCol(col("text")), t => t =!= lit("")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val terms = Seq("data", "table")
+    def minSpan(t: Seq[String]): Option[Long] = {
+      val pos = terms.map(w => t.zipWithIndex.filter(_._1 == w).map(_._2))
+      if (pos.exists(_.isEmpty)) None
+      else Some(pos.flatten.distinct.sorted.flatMap { p =>
+        val firsts = pos.map(_.find(_ >= p))
+        if (firsts.exists(_.isEmpty)) None
+        else Some((firsts.flatten.max - p + 1).toLong)
+      }.min)
+    }
+    val ref = toks.flatMap { case (id, t) =>
+      minSpan(t).filter(_ <= 6L).map(id -> _) }
+      .sortBy { case (id, s) => (s, id) }.take(10000).toSeq
+    val served = PostingsStore.queryWindow(st, terms, window = 6,
+        topK = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == ref && ref.nonEmpty)
+    // layout guard: a v1 handle is refused with the rebuild message
+    val e = intercept[IllegalArgumentException] {
+      PostingsStore.queryWindow(st.copy(version = 1), terms, 6, 5)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("postings store: served BM25 equals in-memory bit for bit, the " +
       "term filter bucket-prunes, append folds new docs, crash refused") {
     import graft.ops.PostingsStore
