@@ -60,13 +60,22 @@ object GraphStore {
     */
   def save(spark: SparkSession, edges: DataFrame, path: String,
       buckets: Int = 32, batchId: Option[Long] = None): Unit = {
-    graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     // one pass is enough to serve all three tables, and the edge frame
     // may be expensive upstream (a join build): pin it for the span
     e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // materialize and validate BEFORE touching the manifest: a
+      // mis-shaped or empty edge frame must fail with any existing
+      // store at `path` untouched (the PostingsStore.save ordering) —
+      // and an empty graph would otherwise write a healthy manifest
+      // over a fileless bucketed layout, a store that probes healthy
+      // but cannot load
+      val nEdges = e.count()
+      require(nEdges > 0, "refusing to save an empty graph store — " +
+        "an edgeless save usually means the build-side join broke")
+      graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
       graft.tree.TreeStore.writeBucketed(spark, e, s"$path/edges", "src",
         buckets)
       graft.tree.TreeStore.writeBucketed(spark,
@@ -75,7 +84,6 @@ object GraphStore {
       e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct()
         .write.mode("overwrite").parquet(s"$path/nodes")
-      val nEdges = e.count()
       graft.StoreUtil.writeMarker(spark, path, ManifestFile,
         manifest(buckets, nEdges, batchId))
     } finally e.unpersist(blocking = false)
@@ -92,14 +100,12 @@ object GraphStore {
       batchId: Option[Long] = None): Unit = {
     val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
       "graph store", FormatVersion)
-    if (batchId.isDefined && batchId == graft.ops.SketchOps.lastBatchId(
-        spark, path, ManifestFile))
-      return
+    val prevLast = graft.ops.SketchOps.lastBatchId(spark, path, ManifestFile)
+    if (batchId.isDefined && batchId == prevLast) return
     val buckets = graft.StoreUtil.manifestInt(mf, "buckets",
       s"graph store at $path")
     val nEdges = graft.StoreUtil.manifestLong(mf, "n_edges",
       s"graph store at $path")
-    val prevLast = graft.ops.SketchOps.lastBatchId(spark, path, ManifestFile)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -87,7 +87,11 @@ object LmOps {
     */
   def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
       uni0: DataFrame, bi: DataFrame,
-      broadcastCounts: Boolean = false): DataFrame = {
+      broadcastCounts: Boolean = false,
+      clusterCorpus: Boolean = false): DataFrame = {
+    require(!(broadcastCounts && clusterCorpus),
+      "clusterCorpus is the big-vocab shape — under broadcastCounts " +
+        "the corpus never moves at all, so clustering it is pure waste")
     // the unigram frame feeds THREE consumers (c2 join, c1 join, the
     // N aggregate) — materialize it once so the training aggregation
     // doesn't rerun per consumer; it is vocabulary-sized, so the
@@ -102,12 +106,13 @@ object LmOps {
         when(col("pos") >= 1, element_at(col("t"), col("pos"))).as("w1"))
     val joined0 = pos
       .join(h(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"), "left_outer")
-    // big-vocab path: one explicit w1 clustering serves BOTH remaining
-    // joins (w1 ⊆ each key set) — two corpus exchanges total instead
-    // of three; the broadcast fast path skips it (its corpus never
-    // moves). Same shape as scoreTrigram, which documents it.
+    // big-vocab path (clusterCorpus): one explicit w1 clustering serves
+    // BOTH remaining joins (w1 ⊆ each key set) — two corpus exchanges
+    // total instead of three. Opt-in: with neither flag, AQE decides
+    // from stats (and broadcasts a small vocab, corpus unmoved). Same
+    // shape as scoreTrigram, which documents it.
     val byW1 =
-      if (broadcastCounts) joined0 else joined0.repartition(col("w1"))
+      if (clusterCorpus) joined0.repartition(col("w1")) else joined0
     val joined = byW1
       .join(h(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"), "left_outer")
       .join(h(bi.select(col("w1"), col("w2"), col("c").as("c12"))),
@@ -144,18 +149,23 @@ object LmOps {
     * Same integer-micronat arithmetic, same runtime-count [[IntLog]]
     * logs, and the same [[scoreBigram]] broadcast fast path — under it
     * the corpus moves exactly once: into the final per-doc aggregate.
-    * When the vocabulary CANNOT broadcast, the five count joins ride
-    * TWO corpus exchanges, not five: the w2 join clusters the token
-    * stream once, and one explicit w1 re-clustering satisfies the four
-    * remaining key sets (w1 is a subset of each), so only the
-    * vocabulary-sized count frames move to meet the corpus — never the
-    * reverse (PlanSpec counts the token-stream exchanges on both
-    * paths, and LmSpec pins the two paths bit-identical).
+    * When the vocabulary CANNOT broadcast, `clusterCorpus = true` is
+    * the shape to ask for: the five count joins then ride TWO corpus
+    * exchanges, not five — the w2 join clusters the token stream once,
+    * and one explicit w1 re-clustering satisfies the four remaining
+    * key sets (w1 is a subset of each), so only the vocabulary-sized
+    * count frames move to meet the corpus, never the reverse (PlanSpec
+    * counts the token-stream exchanges and pins the paths
+    * bit-identical). With neither flag, AQE decides from stats.
     * @return (idCol, n_tokens, cost_micronats, mean_micronats)
     */
   def scoreTrigram(docs: DataFrame, idCol: String, textCol: String,
       uni0: DataFrame, bi0: DataFrame, tri: DataFrame,
-      broadcastCounts: Boolean = false): DataFrame = {
+      broadcastCounts: Boolean = false,
+      clusterCorpus: Boolean = false): DataFrame = {
+    require(!(broadcastCounts && clusterCorpus),
+      "clusterCorpus is the big-vocab shape — under broadcastCounts " +
+        "the corpus never moves at all, so clustering it is pure waste")
     // uni feeds three consumers, bi two (the (w1,w2) and (w0,w1)
     // joins) — materialize both once; tri has one consumer, stays lazy
     val uni = ClusterOps.flatten(uni0)
@@ -171,18 +181,20 @@ object LmOps {
     val joined0 = pos
       .join(h(uni.select(col("w").as("w2"), col("c").as("c2"))),
         Seq("w2"), "left_outer")
-    // Big-vocab path (counts too large to broadcast): the w2 join above
-    // moves the token stream once (Spark clusters it by w2), and ONE
-    // explicit re-clustering by w1 here serves ALL FOUR remaining
-    // joins — hash(w1) satisfies the (w1), (w1,w2), (w0,w1), and
-    // (w0,w1,w2) clustering requirements because w1 is a subset of
-    // each key set, so only the count sides move to meet it. Without
-    // this, each join re-exchanges the corpus on its own full key —
-    // five corpus-sized shuffles instead of two (PlanSpec counts
-    // them). The broadcast fast path must NOT pay this exchange: its
-    // corpus never moves at all.
+    // Big-vocab path (clusterCorpus — counts too large to broadcast):
+    // the w2 join above moves the token stream once (Spark clusters it
+    // by w2), and ONE explicit re-clustering by w1 here serves ALL
+    // FOUR remaining joins — hash(w1) satisfies the (w1), (w1,w2),
+    // (w0,w1), and (w0,w1,w2) clustering requirements because w1 is a
+    // subset of each key set, so only the count sides move to meet it.
+    // Without this, each shuffled join re-exchanges the corpus on its
+    // own full key — five corpus-sized shuffles instead of two
+    // (PlanSpec counts them). OPT-IN: with neither flag, AQE decides
+    // from stats and broadcasts any small vocab (corpus unmoved) — a
+    // user-specified repartition cannot be elided, so defaulting it on
+    // would tax exactly the common case the fast path serves.
     val byW1 =
-      if (broadcastCounts) joined0 else joined0.repartition(col("w1"))
+      if (clusterCorpus) joined0.repartition(col("w1")) else joined0
     val joined = byW1
       .join(h(uni.select(col("w").as("w1"), col("c").as("c1"))),
         Seq("w1"), "left_outer")

@@ -122,12 +122,13 @@ object LmStore {
     val prevLast =
       if (present) SketchOps.lastBatchId(spark, path, ManifestFile) else None
     if (present && batchId.isDefined && batchId == prevLast) return
-    val ingests: Long =
-      if (!present) 0L
-      else graft.StoreUtil.manifestLong(
-        graft.StoreUtil.requireManifest(spark, path, ManifestFile,
-          "LM store"),
-        "ingests", s"LM manifest at $path")
+    // ONE manifest read serves ingests and the compaction watermark
+    val mf =
+      if (present) Some(graft.StoreUtil.requireManifest(spark, path,
+        ManifestFile, "LM store"))
+      else None
+    val ingests: Long = mf.map(graft.StoreUtil.manifestLong(_, "ingests",
+      s"LM manifest at $path")).getOrElse(0L)
     val bid = batchId.getOrElse(-(ingests + 1L))
     val seq = ingests + 1L
     // tokenize ONCE for the three aggregates (flatten — three
@@ -139,10 +140,7 @@ object LmStore {
     val uni = tagged(LmOps.uniCountsOfTokens(toks))
     val bi = tagged(LmOps.biCountsOfTokens(toks))
     val tri = tagged(LmOps.triCountsOfTokens(toks))
-    val compactedAt =
-      if (!present) 0L
-      else compactedAtOf(graft.StoreUtil.requireManifest(spark, path,
-        ManifestFile, "LM store"))
+    val compactedAt = mf.map(compactedAtOf).getOrElse(0L)
     graft.StoreUtil.writeMarker(spark, path, PendingFile, s"$bid:$ingests")
     val mode = if (present) "append" else "overwrite"
     uni.write.mode(mode).parquet(s"$path/uni")

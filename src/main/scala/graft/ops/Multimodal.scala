@@ -328,15 +328,6 @@ object Multimodal {
     bb.array()
   }
 
-  /** Per-row decode dispatch — the ONE source of truth for media metadata
-    * ([[extractMeta]] and [[sampleFrames]] both route through it): real
-    * ImageIO for decodable image bytes, real audio-header parse for
-    * decodable audio bytes, real AVI-header parse for decodable video
-    * bytes, documented stub for undecodable payloads. Audio has no pixel
-    * grid, so in the fixed [[MediaMeta]] schema `width` carries the
-    * sample rate and `height` the channel count; `n_frames` is the PCM
-    * frame count (video: the container's declared frame count).
-    */
   /** HEADER-ONLY JPEG dimension read: a hand-rolled marker-segment walk
     * (SOI, then FF-marker segments with big-endian payload lengths)
     * to the first frame header SOFn (C0–CF minus the non-frame DHT/JPG/
@@ -393,6 +384,16 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Per-row decode dispatch — the ONE source of truth for media metadata
+    * ([[extractMeta]] and [[sampleFrames]] both route through it): the
+    * JPEG byte walk then real ImageIO for decodable image bytes, real
+    * audio-header parse for decodable audio bytes, real AVI-header
+    * parse for decodable video bytes, documented stub for undecodable
+    * payloads. Audio has no pixel grid, so in the fixed [[MediaMeta]]
+    * schema `width` carries the sample rate and `height` the channel
+    * count; `n_frames` is the PCM frame count (video: the container's
+    * declared frame count).
+    */
   def decodeMedia(r: MediaRow): MediaMeta =
     if (r.kind == "image")
       // the byte-walk first (header-only, plugin-free); ImageIO for

@@ -337,14 +337,15 @@ object Relational {
       iters = 4)
 
   /** The same ranks served from a persisted [[graft.ops.GraphStore]]
-    * (built once per data dir): edges, degrees, AND the node set load
-    * pre-bucketed by `src`, so a rank job needs no graph inputs at all
-    * and [[graft.ops.ClusterOps.prEdgeCache]]'s per-call
-    * repartition+sort build is skipped — the degree join over the
-    * stored tables moves nothing (PlanSpec-locked). Bit-identical to
-    * [[grPagerank]] by construction (same kernel, same integer
-    * arithmetic; the store changes layout, never answers), so it
-    * shares the oracle.
+    * (built once per data dir): edges and degrees load pre-bucketed by
+    * `src` and the store carries the node set too (plain parquet — it
+    * only feeds the per-round dst-keyed aggregate, which shuffles
+    * regardless), so a rank job needs no graph inputs at all and
+    * [[graft.ops.ClusterOps.prEdgeCache]]'s per-call repartition+sort
+    * build is skipped — the degree join over the stored tables moves
+    * nothing (PlanSpec-locked). Bit-identical to [[grPagerank]] by
+    * construction (same kernel, same integer arithmetic; the store
+    * changes layout, never answers), so it shares the oracle.
     */
   val grPagerankStore: Q = (s, d) => {
     val dir = graft.StoreUtil.cachedStoreDir("gstore", d) { p =>

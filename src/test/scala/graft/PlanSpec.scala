@@ -608,7 +608,7 @@ class PlanSpec extends AnyFunSuite {
     val tri = LmOps.trainTrigram(docs, "text")
     def run(bcast: Boolean) = {
       val df = LmOps.scoreTrigram(docs, "doc_id", "text", uni, bi, tri,
-        broadcastCounts = bcast)
+        broadcastCounts = bcast, clusterCorpus = !bcast)
       (df, df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap)
     }
     // kill auto-broadcast for the slow run: at spec scale AQE would
