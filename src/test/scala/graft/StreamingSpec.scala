@@ -429,6 +429,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(VectorStore.load(spark, store).cells.count() == before)
   }
 
+  test("foreachBatch maintains the graph edge store — ranks from the " +
+      "grown store equal a one-shot build, degrees fold additively") {
+    // the link-analysis leg of the store-maintenance lifecycle: each
+    // edge micro-batch appends O(batch) edges and folds its per-src
+    // counts into the O(nodes) degree table — stored edges are never
+    // re-scanned — and PageRank served from the grown store equals
+    // ranking a store built from all edges at once
+    import graft.ops.{ClusterOps, GraphStore}
+    import spark.implicits._
+    val edges = (0L until 3000L)
+      .map(i => (i % 101L, (i * 13L) % 97L)).toDF("src", "dst")
+      .withColumn("part", pmod(col("src") + col("dst"), lit(3L)))
+    val inDir = Files.createTempDirectory("graft_gs_fb_in").toString
+    (0 until 3).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet",
+        edges.filter(col("part") === m).drop("part"))
+    }
+    val store = Files.createTempDirectory("graft_gs_fb").toString + "/g"
+    var batches = 0
+    val stream = spark.readStream
+      .schema(edges.drop("part").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        // PROBE, never catch-and-create (the family discipline)
+        if (GraphStore.storeExists(spark, store))
+          GraphStore.append(spark, store, df, Some(id))
+        else GraphStore.save(spark, df, store, buckets = 8,
+          batchId = Some(id))
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+    val grown = GraphStore.load(spark, store)
+    val oneDir = Files.createTempDirectory("graft_gs_fb_one").toString + "/g"
+    GraphStore.save(spark, edges.drop("part"), oneDir, buckets = 8)
+    val one = GraphStore.load(spark, oneDir)
+    // the folded degree table equals the one-shot aggregate exactly
+    def degs(st: GraphStore.Loaded) = st.degrees.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(degs(grown) == degs(one) && degs(one).nonEmpty)
+    def ranks(st: GraphStore.Loaded) =
+      ClusterOps.pageRankStored(st, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(grown) == ranks(one))
+    // zombie re-delivery of the last batch id is a FULL no-op
+    val lastId = graft.ops.SketchOps.lastBatchId(spark, store,
+      GraphStore.ManifestFile)
+    assert(lastId.isDefined)
+    val before = grown.edges.count()
+    GraphStore.append(spark, store,
+      edges.filter(col("part") === 2).drop("part"), lastId)
+    assert(GraphStore.load(spark, store).edges.count() == before)
+  }
+
   test("foreachBatch maintains the LM count store — scores against the " +
       "grown store equal a one-shot-trained model bit for bit") {
     // the language-model leg of the store-maintenance lifecycle: each
