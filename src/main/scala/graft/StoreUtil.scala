@@ -168,6 +168,37 @@ object StoreUtil {
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(s"$where lacks '$key'"))
 
+  /** The compaction watermark — the ingest count the store last
+    * compacted at (0 for never, and for pre-watermark manifests).
+    * ONE parsing rule shared by every family that folds batches as
+    * appended row sets and offers a `needsCompact` nudge (LM, LSH,
+    * dup-hash): the probe and the stamp can never disagree.
+    */
+  def compactedAtOf(mf: String): Long =
+    "\"compacted_at\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(mf)
+      .map(_.group(1).toLong).getOrElse(0L)
+
+  /** Advance (or insert) the watermark in a manifest string — the
+    * write-side twin of [[compactedAtOf]], applied by each family's
+    * `compact` to the manifest it carries to `dest`.
+    */
+  def withCompactedAt(mf: String, at: Long): String = {
+    val re = "\"compacted_at\"\\s*:\\s*\\d+".r
+    if (re.findFirstIn(mf).isDefined)
+      re.replaceFirstIn(mf, s""""compacted_at":$at""")
+    else mf.patch(mf.lastIndexOf('}'), s""","compacted_at":$at""", 0)
+  }
+
+  /** The family-wide maintenance nudge: batches folded since the last
+    * compaction ≥ `slack`. Reads the manifest's `ingests` counter and
+    * the [[compactedAtOf]] watermark; each family wraps this with its
+    * own pending/health checks.
+    */
+  def needsCompactFrom(mf: String, slack: Int, where: String): Boolean = {
+    require(slack >= 1, s"slack must be >= 1, got $slack")
+    manifestLong(mf, "ingests", where) - compactedAtOf(mf) >= slack
+  }
+
   def readMarker(spark: SparkSession, dir: String,
       name: String): Option[String] = {
     val fs = fsOf(spark, dir)

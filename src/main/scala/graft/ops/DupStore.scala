@@ -58,8 +58,9 @@ object DupStore {
   final case class Loaded(hashes: DataFrame, win: Int, path: String)
 
   private def manifest(win: Int, ingests: Long,
-      batchId: Option[Long]): String =
+      batchId: Option[Long], compactedAt: Long = 0L): String =
     s"""{"version":1,"win":$win,"ingests":$ingests""" +
+      s""","compacted_at":$compactedAt""" +
       batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
 
   private def refusePending(spark: SparkSession, path: String): Unit =
@@ -107,12 +108,13 @@ object DupStore {
     val prevLastBatch =
       if (present) SketchOps.lastBatchId(spark, path, ManifestFile) else None
     if (present && batchId.isDefined && batchId == prevLastBatch) return
-    val ingests: Long =
-      if (!present) 0L
-      else graft.StoreUtil.manifestInt(
-        graft.StoreUtil.requireManifest(spark, path, ManifestFile,
-          "dup-hash store"),
-        "ingests", s"dup manifest at $path").toLong
+    // ONE manifest read serves ingests and the compaction watermark
+    val mf =
+      if (present) Some(graft.StoreUtil.requireManifest(spark, path,
+        ManifestFile, "dup-hash store"))
+      else None
+    val ingests: Long = mf.map(graft.StoreUtil.manifestInt(_, "ingests",
+      s"dup manifest at $path").toLong).getOrElse(0L)
     val bid = batchId.getOrElse(-(ingests + 1L))
     val ww =
       if (present) {
@@ -137,7 +139,8 @@ object DupStore {
       .write.mode(if (present) "append" else "overwrite")
       .parquet(s"$path/hashes")
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      manifest(ww, ingests + 1L, batchId.orElse(prevLastBatch)))
+      manifest(ww, ingests + 1L, batchId.orElse(prevLastBatch),
+        mf.map(graft.StoreUtil.compactedAtOf).getOrElse(0L)))
     graft.StoreUtil.deleteMarker(spark, path, PendingFile)
   }
 
@@ -309,6 +312,23 @@ object DupStore {
         lit(-1L).as("ingest_batch"), lit(0L).as("ingest_seq"))
       .repartition(files)
       .write.mode("overwrite").parquet(s"$dest/hashes")
-    graft.StoreUtil.writeMarker(spark, dest, ManifestFile, m)
+    // advance the compaction watermark so needsCompact resets until
+    // `slack` more batches fold on top of the compacted store
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
+      graft.StoreUtil.withCompactedAt(m, graft.StoreUtil.manifestInt(m,
+        "ingests", s"dup manifest at $path").toLong))
+  }
+
+  /** Maintenance nudge (the LM store's family-shared rule): probes
+    * re-aggregate every ingest's `(h, n)` rows, so probe cost grows
+    * with batches since compaction — trip after `slack`.
+    */
+  def needsCompact(spark: SparkSession, path: String,
+      slack: Int = 8): Boolean = {
+    refusePending(spark, path)
+    graft.StoreUtil.needsCompactFrom(
+      graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+        "dup-hash store"),
+      slack, s"dup manifest at $path")
   }
 }

@@ -50,13 +50,6 @@ object LmStore {
     s"""{"version":1,"ingests":$ingests,"compacted_at":$compactedAt""" +
       batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
 
-  /** The compaction watermark — the `ingests` value the store last
-    * compacted at (0 for never, and for pre-watermark manifests).
-    */
-  private def compactedAtOf(mf: String): Long =
-    "\"compacted_at\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(mf)
-      .map(_.group(1).toLong).getOrElse(0L)
-
   /** Whether a maintenance pass is due: [[load]] re-aggregates every
     * ingest's rows on every call, so load cost grows with the count of
     * batches folded since the last [[compact]] — this probe is the
@@ -65,17 +58,15 @@ object LmStore {
     * batches-since-compaction budget; the default matches compact's
     * default file fan-in (a compacted table is ~`files` files, so
     * letting ~that many batches stack keeps per-load file counts
-    * within 2× of freshly-compacted).
+    * within 2× of freshly-compacted). Watermark parsing/stamping is
+    * the family-shared [[graft.StoreUtil.needsCompactFrom]] rule.
     */
   def needsCompact(spark: SparkSession, path: String,
       slack: Int = 8): Boolean = {
-    require(slack >= 1, s"slack must be >= 1, got $slack")
     refusePending(spark, path)
-    val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
-      "LM store")
-    val ingests = graft.StoreUtil.manifestLong(mf, "ingests",
-      s"LM manifest at $path")
-    ingests - compactedAtOf(mf) >= slack
+    graft.StoreUtil.needsCompactFrom(
+      graft.StoreUtil.requireManifest(spark, path, ManifestFile, "LM store"),
+      slack, s"LM manifest at $path")
   }
 
   private def refusePending(spark: SparkSession, path: String): Unit =
@@ -140,7 +131,7 @@ object LmStore {
     val uni = tagged(LmOps.uniCountsOfTokens(toks))
     val bi = tagged(LmOps.biCountsOfTokens(toks))
     val tri = tagged(LmOps.triCountsOfTokens(toks))
-    val compactedAt = mf.map(compactedAtOf).getOrElse(0L)
+    val compactedAt = mf.map(graft.StoreUtil.compactedAtOf).getOrElse(0L)
     graft.StoreUtil.writeMarker(spark, path, PendingFile, s"$bid:$ingests")
     val mode = if (present) "append" else "overwrite"
     uni.write.mode(mode).parquet(s"$path/uni")

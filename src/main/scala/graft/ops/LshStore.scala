@@ -80,8 +80,9 @@ object LshStore {
     * lesson: absent ≠ Some(0)).
     */
   private def manifest(k: Int, bands: Int, ingests: Long,
-      batchId: Option[Long]): String =
+      batchId: Option[Long], compactedAt: Long = 0L): String =
     s"""{"version":1,"k":$k,"bands":$bands,"ingests":$ingests""" +
+      s""","compacted_at":$compactedAt""" +
       batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
 
   /** Fail on a store whose pending marker is still present: an ingest is
@@ -218,12 +219,13 @@ object LshStore {
     val prevLastBatch =
       if (present) SketchOps.lastBatchId(spark, path, ManifestFile) else None
     if (present && batchId.isDefined && batchId == prevLastBatch) return
-    val ingests: Long =
-      if (!present) 0L
-      else graft.StoreUtil.manifestInt(
-        graft.StoreUtil.requireManifest(spark, path, ManifestFile,
-          "LSH band store"),
-        "ingests", s"LSH manifest at $path").toLong
+    // ONE manifest read serves ingests and the compaction watermark
+    val mf =
+      if (present) Some(graft.StoreUtil.requireManifest(spark, path,
+        ManifestFile, "LSH band store"))
+      else None
+    val ingests: Long = mf.map(graft.StoreUtil.manifestInt(_, "ingests",
+      s"LSH manifest at $path").toLong).getOrElse(0L)
     // default row tag = NEGATIVE ingest counter, -(ingests+1): distinct
     // per call AND disjoint from every explicit foreachBatch id (those
     // are >= 0). With the old tag (= ingests) a manual catch-up ingest
@@ -269,7 +271,8 @@ object LshStore {
     // its restart would otherwise disarm the zombie guard and let the
     // redelivered batch ingest twice
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      manifest(kk, bb, ingests + 1L, batchId.orElse(prevLastBatch)))
+      manifest(kk, bb, ingests + 1L, batchId.orElse(prevLastBatch),
+        mf.map(graft.StoreUtil.compactedAtOf).getOrElse(0L)))
     graft.StoreUtil.deleteMarker(spark, path, PendingFile)
   }
 
@@ -368,6 +371,23 @@ object LshStore {
     spark.read.option("mergeSchema", "true").parquet(s"$path/bands")
       .repartition(files)
       .write.mode("overwrite").parquet(s"$dest/bands")
-    graft.StoreUtil.writeMarker(spark, dest, ManifestFile, m)
+    // advance the compaction watermark so needsCompact resets until
+    // `slack` more batches fold on top of the compacted store
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
+      graft.StoreUtil.withCompactedAt(m, graft.StoreUtil.manifestLong(m,
+        "ingests", s"LSH manifest at $path")))
+  }
+
+  /** Maintenance nudge (the LM store's family-shared rule): each
+    * ingest stacks another file set into `pairs` and `bands`, so probe
+    * cost grows with batches since compaction — trip after `slack`.
+    */
+  def needsCompact(spark: SparkSession, path: String,
+      slack: Int = 8): Boolean = {
+    refusePending(spark, path)
+    graft.StoreUtil.needsCompactFrom(
+      graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+        "LSH band store"),
+      slack, s"LSH manifest at $path")
   }
 }

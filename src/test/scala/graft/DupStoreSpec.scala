@@ -188,5 +188,15 @@ class DupStoreSpec extends AnyFunSuite {
       .agg(sum("n_removed")).head().getLong(0) ==
       DupStore.probeStrip(st, batch, "doc_id", "text")
         .agg(sum("n_removed")).head().getLong(0))
+    // the maintenance nudge (family-shared watermark rule): 3 ingests
+    // uncompacted trips slack 3; compaction resets; the next fold on
+    // the compacted store carries — not erases — the watermark
+    assert(DupStore.needsCompact(spark, dir, slack = 3))
+    assert(!DupStore.needsCompact(spark, dir, slack = 4))
+    assert(!DupStore.needsCompact(spark, dest, slack = 1))
+    DupStore.ingestBatch(spark, dest, hist.filter(col("doc_id") < 40),
+      "doc_id", "text", batchId = Some(9L))
+    assert(DupStore.needsCompact(spark, dest, slack = 1))
+    assert(!DupStore.needsCompact(spark, dest, slack = 2))
   }
 }

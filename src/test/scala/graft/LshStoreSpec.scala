@@ -302,6 +302,16 @@ class LshStoreSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".parquet"))
     assert(files(dest) < files(dir),
       s"compacted ${files(dest)} vs grown ${files(dir)}")
+    // the maintenance nudge (family-shared watermark rule): 3 ingests
+    // uncompacted trips slack 3; the compacted store resets; a fresh
+    // ingest on top carries — not erases — the watermark
+    assert(LshStore.needsCompact(spark, dir, slack = 3))
+    assert(!LshStore.needsCompact(spark, dir, slack = 4))
+    assert(!LshStore.needsCompact(spark, dest, slack = 1))
+    LshStore.ingestBatch(spark, dest, window.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", batchId = Some(7L))
+    assert(LshStore.needsCompact(spark, dest, slack = 1))
+    assert(!LshStore.needsCompact(spark, dest, slack = 2))
   }
 
   test("gate dd_lsh_store equals gate dd_minhash_lsh bit for bit") {
