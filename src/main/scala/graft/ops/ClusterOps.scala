@@ -52,7 +52,6 @@ object ClusterOps {
 
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxRounds: Int = 60): DataFrame = {
-    val spark = edges.sparkSession
     val e = edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
     // the symmetric edge table is STATIC across rounds and every round
@@ -66,7 +65,45 @@ object ClusterOps {
       e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
         .repartition(col("v")).sortWithinPartitions(col("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try ccKernelOn(sym, nodes, maxRounds)
+    finally {
+      // the final flatten already materialized lbl, so releasing the
+      // cache cannot force a recompute — and on the non-convergence
+      // throw, releasing here keeps a long-lived session from
+      // accumulating pinned O(edges) caches across failed calls
+      sym.unpersist(blocking = false)
+    }
+  }
+
+  /** Connected components served from a persisted [[GraphStore]] that
+    * holds the SYMMETRIC edge set (save both directions — min-label
+    * propagation pulls across an edge in one direction only, so a
+    * directed-only store would compute reachability, not weak
+    * components). The stored table is bucketed by `src`; relabeling
+    * `src` as the round-join key `v` lets every round consume the
+    * pinned scan with zero exchange and zero sort on the O(edges)
+    * side — [[connectedComponents]]'s per-call symmetrize +
+    * repartition + sort build is skipped entirely, the
+    * [[pageRankStored]] economics applied to clustering. Parallel
+    * edges are harmless here (min over a multiset) and self-loops are
+    * filtered, so the same store serves rank and components.
+    */
+  def connectedComponentsStored(st: GraphStore.Loaded,
+      maxRounds: Int = 60): DataFrame = {
+    val sym = st.edges.filter(col("src") =!= col("dst"))
+      .select(col("dst").as("u"), col("src").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try ccKernelOn(sym, st.nodes, maxRounds)
+    finally sym.unpersist(blocking = false)
+  }
+
+  /** The shared label-propagation loop over an ALREADY-LAID-OUT
+    * symmetric edge frame `sym (u, v)` — partitioned by `v`, pinned by
+    * the caller, who also releases it.
+    */
+  private def ccKernelOn(sym: DataFrame, nodes: DataFrame,
+      maxRounds: Int): DataFrame = {
+    {
     var lbl = flatten(
       nodes.select(col("id").cast("long").as("id"))
         .distinct()
@@ -128,12 +165,6 @@ object ClusterOps {
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
     lbl.select(col("id"), col("lbl").as("component"))
-    } finally {
-      // the final flatten already materialized lbl, so releasing the
-      // cache cannot force a recompute — and on the non-convergence
-      // throw above, releasing here keeps a long-lived session from
-      // accumulating pinned O(edges) caches across failed calls
-      sym.unpersist(blocking = false)
     }
   }
 
@@ -432,6 +463,37 @@ object ClusterOps {
     * and Spark's `div` agree on non-negative integers, which ranks
     * always are.
     */
+  /** Unrolled min-label propagation as CTE layers — the CC oracle for
+    * graphs whose components are too LARGE for the transitive-closure
+    * form (the `dd_cluster` recursive CTE materializes O(n·|component|)
+    * reach rows — fine for small near-dup clusters, quadratic on a
+    * connected trade graph). One layer = each node takes the min of its
+    * own label and its neighbors' previous labels — O(edges) per layer,
+    * and idempotent at the fixed point, so unrolling PAST convergence
+    * is safe (the pageRank-oracle discipline; plain propagation reaches
+    * the per-component min in diameter rounds, while the engine gets
+    * there faster by pointer doubling — both stop at the same fixed
+    * point, component = min node id). Layers are MATERIALIZED: layer t
+    * is referenced twice (self + neighbor min) and DuckDB would
+    * otherwise inline the chain exponentially. Expects CTEs
+    * `e (u, v)` — the SYMMETRIC edge set — and `nd (id)`; emits `cl
+    * (id, component)`.
+    */
+  def ccLabelOracleSql(layers: Int): String = {
+    require(layers >= 1, s"layers=$layers must be >= 1")
+    val l0 = "l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nd)"
+    val steps = (1 to layers).map { t =>
+      s"""l$t AS MATERIALIZED (SELECT n.id,
+         |  least(n.lbl, coalesce(m.nmin, n.lbl)) AS lbl
+         |  FROM l${t - 1} n LEFT JOIN (
+         |    SELECT e.u AS id, min(l.lbl) AS nmin
+         |    FROM e JOIN l${t - 1} l ON l.id = e.v GROUP BY e.u) m
+         |  USING (id))""".stripMargin
+    }
+    (l0 +: steps).mkString(",\n") +
+      s",\ncl AS (SELECT id, lbl AS component FROM l$layers)"
+  }
+
   def pageRankOracleSql(iters: Int, dampingMilli: Int = 850,
       personalized: Boolean = false,
       redistributeDangling: Boolean = false,

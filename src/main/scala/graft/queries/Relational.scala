@@ -355,6 +355,52 @@ object Relational {
       graft.ops.GraphStore.load(s, dir), iters = 4)
   }
 
+  /** The ISLAND trade graph: edges kept only where customer and
+    * supplier agree mod 8, so the connected graph splits into exactly
+    * 8 provable components — CC over one giant component is a boring
+    * gate; this one exercises real component discovery. Filters the
+    * memoized symmetric frame (build cost stays shared); the node
+    * universe is the island endpoints (isolated nodes are excluded so
+    * the scan and store forms see identical universes — GraphStore
+    * derives its node set from the stored edges).
+    */
+  private def islandEdges(s: SparkSession, d: String): DataFrame =
+    tradeEdges(s, d)
+      .filter(expr("(src div 2) % 8 = (dst div 2) % 8"))
+
+  /** Connected components over the island trade graph
+    * ([[graft.ops.ClusterOps.connectedComponents]] — pointer doubling,
+    * log-rounds). The oracle unrolls 12 MATERIALIZED min-label layers
+    * ([[graft.ops.ClusterOps.ccLabelOracleSql]]): plain propagation
+    * converges by layer 8 at every SF and layers past the fixed point
+    * are idempotent, so both engines stop at component = min node id.
+    * The `dd_cluster` transitive-closure oracle form would be
+    * O(n·|component|) here — thousands of nodes per island.
+    */
+  val grCc: Q = (s, d) => {
+    val e = islandEdges(s, d)
+    graft.ops.ClusterOps.connectedComponents(
+      e.select(col("src").as("a"), col("dst").as("b")),
+      e.select(col("src").as("id")))
+  }
+
+  /** The same components served from the persisted symmetric
+    * [[graft.ops.GraphStore]] — built ONCE per data dir and SHARED
+    * with nothing else (the rank store holds the full graph; this one
+    * the island subgraph), loaded pre-bucketed by `src` which the CC
+    * kernel consumes as its round-join key `v`, so the per-call
+    * symmetrize+repartition+sort build is skipped. Bit-identical to
+    * [[grCc]] (same kernel, the store changes layout, never answers) —
+    * shares the oracle.
+    */
+  val grCcStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("gstore_cc", d) { p =>
+      graft.ops.GraphStore.save(s, islandEdges(s, d), p)
+    }
+    graft.ops.ClusterOps.connectedComponentsStored(
+      graft.ops.GraphStore.load(s, dir))
+  }
+
   /** Personalized PageRank from the nation-0/1/2 suppliers as seeds —
     * the contamination-tracing shape (rank every node by walk proximity
     * to a known set) run over the same trade graph as [[grPagerank]].
@@ -388,6 +434,8 @@ object Relational {
   val registry: Map[String, Q] = Map(
     "gr_pagerank" -> grPagerank,
     "gr_pagerank_store" -> grPagerankStore,
+    "gr_cc" -> grCc,
+    "gr_cc_store" -> grCcStore,
     "gr_ppr" -> grPpr,
     "gr_pr_converged" -> grPrConverged,
     "j7_salted_join" -> j7SaltedJoin,
@@ -437,9 +485,25 @@ object Relational {
        |${graft.ops.ClusterOps.pageRankOracleSql(iters = 4)}"""
       .stripMargin
 
+  // the island-CC oracle: symmetric mod-8-filtered trade edges, node
+  // universe = island endpoints, 12 unrolled min-label layers
+  // (idempotent past the layer-8 fixed point). ONE string for the scan
+  // and store-served gates — the store changes layout, never answers.
+  private val grCcSql =
+    s"""WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_custkey % 8 = l_suppkey % 8),
+       |e AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+       |  UNION ALL SELECT b, a FROM p),
+       |nd AS MATERIALIZED (SELECT DISTINCT u AS id FROM e),
+       |${graft.ops.ClusterOps.ccLabelOracleSql(layers = 12)}
+       |SELECT id, component FROM cl""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "gr_pagerank" -> grPagerankSql,
     "gr_pagerank_store" -> grPagerankSql,
+    "gr_cc" -> grCcSql,
+    "gr_cc_store" -> grCcSql,
     // the fixed-point oracle unrolls PAST the engine's convergence
     // round (22 vs ~14-15 measured at every SF) — extra layers are
     // idempotent at the fixed point, which the monotone start makes

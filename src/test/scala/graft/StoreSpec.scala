@@ -402,6 +402,26 @@ class StoreSpec extends AnyFunSuite {
     val served = graft.ops.ClusterOps.pageRankStored(st2, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(served == direct)
+    // the SAME store serves clustering: CC from the stored layout
+    // equals CC built fresh from the symmetric edge set (this fixture's
+    // edges connect everything, plus a planted two-node island)
+    val symDir = Files.createTempDirectory("graft_gstore_cc").toString + "/g"
+    val all = e1.unionByName(e2)
+      .unionByName(Seq((50L, 51L)).toDF("src", "dst"))
+    val sym = all.unionByName(
+      all.select(col("dst").as("src"), col("src").as("dst")))
+    graft.ops.GraphStore.save(spark, sym, symDir, buckets = 4)
+    val ccServed = graft.ops.ClusterOps.connectedComponentsStored(
+        graft.ops.GraphStore.load(spark, symDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccDirect = graft.ops.ClusterOps.connectedComponents(
+        sym.select(col("src").as("a"), col("dst").as("b")),
+        sym.select(col("src").as("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccServed == ccDirect && ccServed.nonEmpty)
+    assert(ccServed(50L) == 50L && ccServed(51L) == 50L,
+      "the planted island must form its own component")
+    assert(ccServed(1L) == 1L, "the main component's min id labels it")
     // zombie re-delivery of the last batch id is a FULL no-op
     GraphStore.append(spark, dir, e2, Some(1L))
     assert(GraphStore.load(spark, dir).edges.count() == 7L)
