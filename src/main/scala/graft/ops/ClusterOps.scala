@@ -103,7 +103,6 @@ object ClusterOps {
     */
   private def ccKernelOn(sym: DataFrame, nodes: DataFrame,
       maxRounds: Int): DataFrame = {
-    {
     var lbl = flatten(
       nodes.select(col("id").cast("long").as("id"))
         .distinct()
@@ -165,7 +164,6 @@ object ClusterOps {
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
     lbl.select(col("id"), col("lbl").as("component"))
-    }
   }
 
   /** One canonical document per cluster: highest quality score wins, ties

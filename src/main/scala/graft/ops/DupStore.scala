@@ -113,17 +113,20 @@ object DupStore {
       if (present) Some(graft.StoreUtil.requireManifest(spark, path,
         ManifestFile, "dup-hash store"))
       else None
-    val ingests: Long = mf.map(graft.StoreUtil.manifestInt(_, "ingests",
-      s"dup manifest at $path").toLong).getOrElse(0L)
+    val ingests: Long = mf.map(graft.StoreUtil.manifestLong(_, "ingests",
+      s"dup manifest at $path")).getOrElse(0L)
     val bid = batchId.getOrElse(-(ingests + 1L))
-    val ww =
-      if (present) {
-        val st = load(spark, path)
-        require(win == st.win,
-          s"index at $path was built with win=${st.win}; refusing " +
+    val ww = mf match {
+      case Some(m) =>
+        // parse from the held manifest string — load() would re-read it
+        val sw = graft.StoreUtil.manifestInt(m, "win",
+          s"dup manifest at $path")
+        require(win == sw,
+          s"index at $path was built with win=$sw; refusing " +
             s"ingest with win=$win")
-        st.win
-      } else win
+        sw
+      case None => win
+    }
     // one aggregate consumes the lazy window table inline — no
     // checkpoint; per-batch rows are (h, n) only: every probe tests hash
     // EXISTENCE (history-wins has no tie to break — history is earlier
@@ -273,7 +276,7 @@ object DupStore {
         s"$path's first ingest crashed (no pre-batch manifest survives)" +
           " — delete the directory and re-ingest the batch"))
     graft.StoreUtil.requireDisjoint(spark, path, dest, "recover")
-    val completed = graft.StoreUtil.manifestInt(m, "ingests",
+    val completed = graft.StoreUtil.manifestLong(m, "ingests",
       s"dup manifest at $path").toLong != startStr.toLong
     val t = spark.read.parquet(s"$path/hashes")
     val cleaned =
@@ -292,7 +295,9 @@ object DupStore {
     * compaction).
     * Merged rows carry batch tag −1/seq 0 (no live rollback identity —
     * compaction of a healthy store has nothing to roll back; the
-    * manifest, including the zombie guard, is copied verbatim). Unlike
+    * manifest's parameters and zombie guard carry over, with the
+    * `compacted_at` watermark advanced so [[needsCompact]] resets).
+    * Unlike
     * the kilobyte-scale sibling stores, this index is O(corpus tokens),
     * so `files` defaults to real parallelism — a single-file layout
     * starves the probe scan of row groups (measured ~2× slower).
@@ -315,8 +320,8 @@ object DupStore {
     // advance the compaction watermark so needsCompact resets until
     // `slack` more batches fold on top of the compacted store
     graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
-      graft.StoreUtil.withCompactedAt(m, graft.StoreUtil.manifestInt(m,
-        "ingests", s"dup manifest at $path").toLong))
+      graft.StoreUtil.withCompactedAt(m, graft.StoreUtil.manifestLong(m,
+        "ingests", s"dup manifest at $path")))
   }
 
   /** Maintenance nudge (the LM store's family-shared rule): probes

@@ -224,8 +224,8 @@ object LshStore {
       if (present) Some(graft.StoreUtil.requireManifest(spark, path,
         ManifestFile, "LSH band store"))
       else None
-    val ingests: Long = mf.map(graft.StoreUtil.manifestInt(_, "ingests",
-      s"LSH manifest at $path").toLong).getOrElse(0L)
+    val ingests: Long = mf.map(graft.StoreUtil.manifestLong(_, "ingests",
+      s"LSH manifest at $path")).getOrElse(0L)
     // default row tag = NEGATIVE ingest counter, -(ingests+1): distinct
     // per call AND disjoint from every explicit foreachBatch id (those
     // are >= 0). With the old tag (= ingests) a manual catch-up ingest
@@ -234,14 +234,19 @@ object LshStore {
     // crashed mid-append, recoverIngest's `ingest_batch != bad` filter
     // would roll the COMPLETED manual batch's rows out with it
     val bid = batchId.getOrElse(-(ingests + 1L))
-    val (kk, bb) =
-      if (present) {
-        val st = load(spark, path)
-        require(k == st.k && bands == st.nBands,
-          s"index at $path was built with k=${st.k}/bands=${st.nBands}; " +
+    val (kk, bb) = mf match {
+      case Some(m) =>
+        // parse from the held manifest string — load() would re-read it
+        val sk = graft.StoreUtil.manifestInt(m, "k",
+          s"LSH manifest at $path")
+        val sb = graft.StoreUtil.manifestInt(m, "bands",
+          s"LSH manifest at $path")
+        require(k == sk && bands == sb,
+          s"index at $path was built with k=$sk/bands=$sb; " +
             s"refusing ingest with k=$k/bands=$bands")
-        (st.k, st.nBands)
-      } else (k, bands)
+        (sk, sb)
+      case None => (k, bands)
+    }
     // shingle + sign ONCE: the materialized band table feeds the cross
     // join, the within-batch self-join, AND the index append — the
     // inline form would run the regex tokenizer and k seeded md5 minima
@@ -310,7 +315,7 @@ object LshStore {
         s"$path's first ingest crashed (no pre-batch manifest survives) — " +
           "delete the directory and re-ingest the batch"))
     graft.StoreUtil.requireDisjoint(spark, path, dest, "recover")
-    val completed = graft.StoreUtil.manifestInt(m, "ingests",
+    val completed = graft.StoreUtil.manifestLong(m, "ingests",
       s"LSH manifest at $path").toLong != startStr.toLong
     // prefer the store-unique ingest_seq (= startSnapshot+1 for the
     // crashed ingest) over the batch tag: an explicit batchId can alias
@@ -345,10 +350,11 @@ object LshStore {
     * lifecycle (each [[ingestBatch]] adds a file set per table; reads
     * stay correct but open more files until compaction). `dest` must be
     * disjoint from `path` (the source is read lazily while the
-    * destination is written); the manifest is copied verbatim, so
-    * parameters, ingest counter, and the zombie guard's `last_batch`
-    * all survive. Row content — including every `ingest_batch` tag —
-    * is unchanged. `files` is the per-table output file count (the
+    * destination is written); the manifest's parameters, ingest counter,
+    * and the zombie guard's `last_batch` all survive, and the
+    * `compacted_at` watermark ADVANCES to the current ingest count
+    * (so [[needsCompact]] resets). Row content — including every
+    * `ingest_batch` tag — is unchanged. `files` is the per-table output file count (the
     * source's read partitioning would otherwise leak through — tiny
     * appended files each become a partition and re-emerge unmerged);
     * the default suits the kilobytes-per-million-docs scale of these
