@@ -1273,6 +1273,19 @@ object TrainingQueries {
       "doc_id", size(TextOps.tokensCol(col("text"))), ctxLen = 512,
       salt = "ep0")
 
+  /** [[packFfd]] budgeted by REAL BPE counts (the [[packSeqsBpe]]
+    * fidelity rule applied to the bin packer): `n_tok` is the true
+    * subword count, so a 512-token bin holds 512 model tokens — the
+    * whitespace-count form under-budgets by the subword ratio, and a
+    * "full" bin would overflow the actual context window. Same
+    * deterministic fold, same recursive oracle with the BPE token
+    * count swapped in.
+    */
+  val packFfdBpe: Q = (s, d) =>
+    PackOps.packFfd(Tables.documents(s, d).filter(col("text").isNotNull),
+      "doc_id", size(graft.functions.Bpe.tokensCol(col("text"))),
+      ctxLen = 512, salt = "ep0")
+
   /** Per-bin fill/padding audit for [[packFfd]] — sum(pad) here IS the
     * corpus's total training-token waste (no straddling exists to
     * hide), the number that makes FFD's economics measurable against
@@ -1419,6 +1432,7 @@ object TrainingQueries {
     "pack_seqs_bpe" -> packSeqsBpe,
     "pack_stats" -> packStatsQ,
     "pack_ffd" -> packFfd,
+    "pack_ffd_bpe" -> packFfdBpe,
     "pack_ffd_stats" -> packFfdStats,
     "txt_tfidf" -> txtTfidf,
     "dd_contaminate" -> ddContaminate
@@ -1463,11 +1477,14 @@ object TrainingQueries {
     * step is the exponential-CTE trap the PageRank oracle documents.
     * The caller supplies the final SELECT over `ffd
     * (shard, rn, doc_id, bin, bin_off, bins)` (rn = 0 rows are the
-    * empty-state seeds; real placements have doc_id NOT NULL).
+    * empty-state seeds; real placements have doc_id NOT NULL) and may
+    * override the token-count expression (`pack_ffd_bpe` budgets by
+    * the real subword counts, the [[packSeqsBpe]] fidelity rule).
     */
-  private def packFfdSql(finalSelect: String): String =
+  private def packFfdSql(finalSelect: String,
+      nTokSql: String = s"len($toksSql)"): String =
     s"""WITH RECURSIVE k AS MATERIALIZED (SELECT doc_id,
-       |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+       |    CAST($nTokSql AS BIGINT) AS n_tok,
        |    substr(md5('ep0:' || doc_id::VARCHAR), 1, 1) AS shard
        |  FROM documents WHERE text IS NOT NULL),
        |d AS MATERIALIZED (SELECT doc_id, n_tok, shard,
@@ -2738,6 +2755,9 @@ object TrainingQueries {
          |FROM p GROUP BY 1, 2""".stripMargin,
     "pack_ffd" -> packFfdSql(
       "SELECT doc_id, shard, bin, bin_off FROM ffd WHERE doc_id IS NOT NULL"),
+    "pack_ffd_bpe" -> packFfdSql(
+      "SELECT doc_id, shard, bin, bin_off FROM ffd WHERE doc_id IS NOT NULL",
+      nTokSql = s"len(${graft.functions.Bpe.tokensSql("text")})"),
     "pack_ffd_stats" -> packFfdSql(
       """SELECT f.shard, f.bin, count(*) AS n_docs,
         |  CAST(sum(k.n_tok) AS BIGINT) AS n_tokens,
