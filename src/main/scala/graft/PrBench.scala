@@ -153,6 +153,42 @@ object PrBench {
       .filter(col("a") =!= col("b")).count()
     require(storeDrift == 0L, s"$storeDrift served ranks diverge")
     println(s"""{"store_served_agree":true}""")
+
+    // the PRODUCTION variant's A/B: fixed-point iteration (converged
+    // ranks + dangling redistribution) served from the store vs the
+    // per-call prEdgeCache rebuild — the variant a deployment actually
+    // runs, over the hub graph whose ~e⁻⁴ dangling nodes make the
+    // redistribution term real. Node universe = the store's own (edge
+    // endpoints): the A/B must iterate identical maps, and the hash
+    // ranges leave ~e⁻⁸ of ids out of the edge list entirely.
+    val fdir = java.nio.file.Files.createTempDirectory("graft_prb_fp")
+      .toString + "/g"
+    time(s"fp_store_save_$nf") {
+      graft.ops.GraphStore.save(spark, ef, fdir)
+    }
+    val fst = graft.ops.GraphStore.load(spark, fdir)
+    val fpServed = time(s"fp_served_$nf") {
+      val r = ClusterOps.pageRankFixedPointStored(fst, maxRounds = 60,
+        dampingMilli = 500, redistributeDangling = true)
+      r.ranks.localCheckpoint(); r
+    }
+    time(s"fp_served_again_$nf") {
+      ClusterOps.pageRankFixedPointStored(fst, maxRounds = 60,
+        dampingMilli = 500, redistributeDangling = true).ranks.count()
+    }
+    val fpRebuild = time(s"fp_rebuild_$nf") {
+      val r = ClusterOps.pageRankFixedPoint(ef, fst.nodes, maxRounds = 60,
+        dampingMilli = 500, redistributeDangling = true)
+      r.ranks.localCheckpoint(); r
+    }
+    require(fpServed.rounds == fpRebuild.rounds,
+      s"served converged in ${fpServed.rounds} rounds, " +
+        s"rebuild in ${fpRebuild.rounds}")
+    val fpDrift = fpServed.ranks.withColumnRenamed("rank_micro", "a")
+      .join(fpRebuild.ranks.withColumnRenamed("rank_micro", "b"), "id")
+      .filter(col("a") =!= col("b")).count()
+    require(fpDrift == 0L, s"$fpDrift fixed-point served ranks diverge")
+    println(s"""{"fp_store_served_agree":true,"fp_rounds":${fpServed.rounds}}""")
     spark.stop()
   }
 }

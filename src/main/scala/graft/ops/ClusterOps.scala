@@ -378,14 +378,6 @@ object ClusterOps {
       maxRounds: Int = 100, dampingMilli: Int = 850,
       redistributeDangling: Boolean = false,
       minRounds: Int = 0): PrFixedPoint = {
-    require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
-    // an idempotence probe asking for more forced rounds than the cap
-    // would silently truncate and "pass" with fewer rounds than claimed
-    require(minRounds <= maxRounds,
-      s"minRounds=$minRounds exceeds maxRounds=$maxRounds — the probe " +
-        "would silently run fewer rounds than requested")
-    require(dampingMilli >= 0 && dampingMilli <= 1000,
-      s"dampingMilli=$dampingMilli must be in [0, 1000]")
     val e = prEdgeCache(edges)
     try {
       // has_out is STATIC — compute it once, carry it on the rank rows
@@ -397,7 +389,56 @@ object ClusterOps {
         .join(e.select(col("src").as("id")).distinct()
             .withColumn("o", lit(true)), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("o"), lit(false)).as("has_out")))
-      val nNodes = n.count()
+      prFixedPointOn(e, n, maxRounds, dampingMilli, redistributeDangling,
+        minRounds)
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** [[pageRankFixedPoint]] served from a persisted [[GraphStore]] —
+    * the PRODUCTION rank variant (converged ranks, dangling
+    * redistribution) on the [[pageRankStored]] economics: the stored
+    * edge and degree tables arrive bucketed+sorted by `src`, so the
+    * serving-frame build moves nothing and [[prEdgeCache]]'s per-call
+    * repartition+sort is skipped; the store's degree table doubles as
+    * the has_out set (one row per source — O(nodes), cheaper than the
+    * edge-cache distinct the scan path pays), and its node set replaces
+    * the caller's frame, so a converged-rank job needs only the store
+    * path (the reference's build-once/traverse-forever serving shape,
+    * `GraphBase.java:431-448`). Bit-identical to the scan path by
+    * construction — same kernel, same integer arithmetic; the store
+    * changes layout, never answers.
+    */
+  def pageRankFixedPointStored(st: GraphStore.Loaded, maxRounds: Int = 100,
+      dampingMilli: Int = 850, redistributeDangling: Boolean = false,
+      minRounds: Int = 0): PrFixedPoint = {
+    val e = st.edges.join(st.degrees, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = flatten(st.nodes.select(col("id"))
+        .join(st.degrees.select(col("src").as("id"))
+            .withColumn("o", lit(true)), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("o"), lit(false)).as("has_out")))
+      prFixedPointOn(e, n, maxRounds, dampingMilli, redistributeDangling,
+        minRounds)
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** The shared fixed-point loop over an ALREADY-LAID-OUT edge frame
+    * `e (src, dst, deg)` (partitioned by `src`, pinned and released by
+    * the caller) and a flattened node frame `n (id, has_out)`.
+    */
+  private def prFixedPointOn(e: DataFrame, n: DataFrame, maxRounds: Int,
+      dampingMilli: Int, redistributeDangling: Boolean,
+      minRounds: Int): PrFixedPoint = {
+    require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
+    // an idempotence probe asking for more forced rounds than the cap
+    // would silently truncate and "pass" with fewer rounds than claimed
+    require(minRounds <= maxRounds,
+      s"minRounds=$minRounds exceeds maxRounds=$maxRounds — the probe " +
+        "would silently run fewer rounds than requested")
+    require(dampingMilli >= 0 && dampingMilli <= 1000,
+      s"dampingMilli=$dampingMilli must be in [0, 1000]")
+    val nNodes = n.count()
       require(nNodes > 0, "pageRankFixedPoint needs a non-empty node set")
       val base = (1000L - dampingMilli) * 1000L
       // r0 = base: the monotone-from-below start (see scaladoc) — the
@@ -450,7 +491,6 @@ object ClusterOps {
           "maxRounds or fall back to pageRank(iters)")
       PrFixedPoint(r.select(col("id"), col("rank").as("rank_micro")),
         rounds)
-    } finally e.unpersist(blocking = false)
   }
 
   /** The unrolled-SQL twin of [[pageRank]]/[[personalizedPageRank]] for

@@ -481,6 +481,48 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("store-served fixed-point pagerank: stored frame moves nothing, " +
+      "and converged ranks + rounds equal the scan path bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // a graph with GENUINE sinks (dst ids 100.. never appear as src), so
+    // the dangling-redistribution term moves real mass — the production
+    // variant's whole point; the store's degree table doubles as the
+    // has_out set, which this locks against the scan path's edge-cache
+    // derivation
+    val edges = (0L until 2000L).map(i => (i % 97L, 100L + (i * 7L) % 89L))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstore_fp")
+      .toString + "/g"
+    graft.ops.GraphStore.save(spark, edges, dir, buckets = 8)
+    val st = graft.ops.GraphStore.load(spark, dir)
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the serving-frame build must stay a pure bucketed-⋈-bucketed
+      // merge — zero exchange, no global sort (bucket-LOCAL sorts are
+      // Spark distrusting multi-file bucket metadata, CPU not network)
+      val served = st.edges.join(st.degrees, "src")
+      served.collect()
+      val plan = PlanWalk.nodes(served.queryExecution.executedPlan)
+      assert(!plan.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        served.queryExecution.executedPlan.toString)
+      assert(plan.collect { case s: SortExec if s.global => s }.isEmpty,
+        served.queryExecution.executedPlan.toString)
+      val a = graft.ops.ClusterOps.pageRankFixedPointStored(st,
+        maxRounds = 60, dampingMilli = 400, redistributeDangling = true)
+      val b = graft.ops.ClusterOps.pageRankFixedPoint(edges, st.nodes,
+        maxRounds = 60, dampingMilli = 400, redistributeDangling = true)
+      assert(a.rounds == b.rounds)
+      val am = a.ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bm = b.ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(am == bm && am.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    }
+  }
+
   test("pagerank round streams the cached edge partitioning: no exchange, " +
       "no sort on the edge side") {
     import spark.implicits._
