@@ -199,6 +199,19 @@ object StoreUtil {
     manifestLong(mf, "ingests", where) - compactedAtOf(mf) >= slack
   }
 
+  /** The file names directly under `dir` (non-recursive, files only) —
+    * how a store append records its rollback identity when its rows
+    * carry no batch tag (bucketed layouts, where a per-row tag would
+    * widen every stored edge): the pre-append file list IS the
+    * pre-batch state.
+    */
+  def listFileNames(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.getName)
+  }
+
   def readMarker(spark: SparkSession, dir: String,
       name: String): Option[String] = {
     val fs = fsOf(spark, dir)

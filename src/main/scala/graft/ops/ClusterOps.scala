@@ -90,6 +90,16 @@ object ClusterOps {
     */
   def connectedComponentsStored(st: GraphStore.Loaded,
       maxRounds: Int = 60): DataFrame = {
+    // the precondition is RECORDED, not just documented: a directed
+    // store (e.g. one built for PageRank) silently yields reachability
+    // labels, not weak components — refuse unless the saver asserted
+    // both directions are stored (GraphStore.save(symmetric = true))
+    require(st.symmetric,
+      "connectedComponentsStored needs a store saved with symmetric = " +
+        "true — min-label propagation pulls across an edge in one " +
+        "direction only, so a directed-edge store would compute " +
+        "reachability, not weak components; store both directions and " +
+        "assert the flag at save time")
     val sym = st.edges.filter(col("src") =!= col("dst"))
       .select(col("dst").as("u"), col("src").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

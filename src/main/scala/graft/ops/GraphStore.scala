@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *   - `degrees/`  (src, deg)  bucketed+sorted by src
   *   - `nodes/`    (id)        the distinct node set, small
   *   - `_graft_gstore.json`    manifest (version, buckets, n_edges,
+  *                             ingests, compacted_at, symmetric,
   *                             optional last_batch)
   *
   * Degrees are stored DENORMALIZED from the edge rows because append
@@ -32,34 +33,73 @@ import org.apache.spark.sql.functions._
   * touches.
   *
   * Crash protocol (the family discipline): the manifest is deleted
-  * before any write and rewritten last, so a mid-save/append crash
-  * leaves a store that REFUSES to load (rebuild or re-drive the batch)
-  * instead of silently serving a half-written graph; a re-delivered
-  * `batchId` equal to the recorded `last_batch` is a FULL no-op.
+  * before any write and rewritten last, so a mid-save crash leaves a
+  * store that REFUSES to load; a mid-APPEND crash is recoverable —
+  * [[PendingFile]] (written first, removed last) records the pre-batch
+  * manifest and the pre-append edge file list, so [[recoverAppend]]
+  * rolls exactly the crashed batch out instead of forcing a rebuild
+  * from source; a re-delivered `batchId` equal to the recorded
+  * `last_batch` is a FULL no-op.
+  *
+  * The `symmetric` manifest flag is a caller assertion recorded at
+  * save time: [[ClusterOps.connectedComponentsStored]] needs BOTH edge
+  * directions stored (min-label propagation pulls across an edge one
+  * way) and refuses stores saved without the flag — a directed store
+  * built for PageRank would silently compute reachability labels, not
+  * weak components.
   */
 object GraphStore {
 
   val ManifestFile = "_graft_gstore.json"
+
+  /** Present only while an append is in flight: line 1 is the
+    * pre-batch manifest, the remaining lines the pre-append edge file
+    * names. A crash mid-append leaves it behind, so the partial state
+    * is DETECTED (load/append/compact refuse) and [[recoverAppend]]
+    * can roll exactly the crashed batch out.
+    */
+  val PendingFile = "_graft_gstore_pending"
+
   val FormatVersion = 1
 
   /** The loaded store: `edges` and `degrees` arrive bucketed by `src`
     * (catalog-registered scans — joining them on `src` moves nothing);
-    * `nodes` is the distinct node set.
+    * `nodes` is the distinct node set; `symmetric` echoes the save-time
+    * assertion that both edge directions are stored.
     */
   case class Loaded(edges: DataFrame, degrees: DataFrame, nodes: DataFrame,
-      buckets: Int)
+      buckets: Int, symmetric: Boolean)
 
-  private def manifest(buckets: Int, nEdges: Long,
-      lastBatch: Option[Long]): String =
-    s"""{"version":$FormatVersion,"buckets":$buckets,"n_edges":$nEdges""" +
+  private def manifest(buckets: Int, nEdges: Long, lastBatch: Option[Long],
+      ingests: Long, compactedAt: Long, symmetric: Boolean): String =
+    s"""{"version":$FormatVersion,"buckets":$buckets,"n_edges":$nEdges,""" +
+      s""""ingests":$ingests,"compacted_at":$compactedAt,""" +
+      s""""symmetric":$symmetric""" +
       lastBatch.map(id => s""","last_batch":$id""").getOrElse("") + "}"
+
+  private def symmetricOf(mf: String): Boolean =
+    "\"symmetric\"\\s*:\\s*true".r.findFirstIn(mf).isDefined
+
+  private def ingestsOf(mf: String, path: String): Long =
+    graft.StoreUtil.manifestLong(mf, "ingests", s"graph store at $path")
+
+  private def refusePending(spark: SparkSession, path: String): Unit =
+    if (graft.StoreUtil.readMarker(spark, path, PendingFile).isDefined)
+      throw new IllegalStateException(
+        s"$path has an unfinished append ($PendingFile present) — run " +
+          "GraphStore.recoverAppend(spark, path, dest) to roll the " +
+          "crashed batch out")
 
   /** Build the store from an edge list (src, dst). Parallel edges are
     * kept — they act as weights, exactly as [[ClusterOps.pageRank]]
-    * treats them.
+    * treats them. Pass `symmetric = true` ONLY when the edge frame
+    * holds both directions of every link — the flag is recorded in the
+    * manifest and gates the consumers whose correctness depends on it
+    * ([[ClusterOps.connectedComponentsStored]]).
     */
   def save(spark: SparkSession, edges: DataFrame, path: String,
-      buckets: Int = 32, batchId: Option[Long] = None): Unit = {
+      buckets: Int = 32, batchId: Option[Long] = None,
+      symmetric: Boolean = false): Unit = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     // one pass is enough to serve all three tables, and the edge frame
@@ -75,6 +115,10 @@ object GraphStore {
       val nEdges = e.count()
       require(nEdges > 0, "refusing to save an empty graph store — " +
         "an edgeless save usually means the build-side join broke")
+      // a full rewrite supersedes any crashed append at this path (the
+      // TreeStore.save rule): clear the stale pending marker so the
+      // rebuilt, internally consistent store loads
+      graft.StoreUtil.deleteMarker(spark, path, PendingFile)
       graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
       graft.tree.TreeStore.writeBucketed(spark, e, s"$path/edges", "src",
         buckets)
@@ -84,8 +128,11 @@ object GraphStore {
       e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct()
         .write.mode("overwrite").parquet(s"$path/nodes")
+      // a fresh save IS compact (one file per bucket): ingests = 1 and
+      // the watermark sits at it, so needsCompact starts false
       graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-        manifest(buckets, nEdges, batchId))
+        manifest(buckets, nEdges, batchId, ingests = 1L, compactedAt = 1L,
+          symmetric = symmetric))
     } finally e.unpersist(blocking = false)
   }
 
@@ -94,10 +141,14 @@ object GraphStore {
     * so stored edges are never re-scanned; the degree and node tables
     * (O(nodes), not O(edges)) are the only rewrites. The merged frames
     * are materialized BEFORE the overwrite (the appendCm rule: the
-    * merge plan reads the files the write replaces).
+    * merge plan reads the files the write replaces). The store stays
+    * flagged symmetric only while every appended batch is asserted
+    * symmetric too — one directed batch downgrades the flag, because
+    * the UNION is what the CC consumer traverses.
     */
   def append(spark: SparkSession, path: String, edges: DataFrame,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, symmetric: Boolean = false): Unit = {
+    refusePending(spark, path)
     val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
       "graph store", FormatVersion)
     val prevLast = graft.ops.SketchOps.lastBatchId(spark, path, ManifestFile)
@@ -121,6 +172,12 @@ object GraphStore {
           .unionByName(e.select(col("src").as("id")))
           .unionByName(e.select(col("dst").as("id"))).distinct())
       val batchCount = e.count()
+      // the rollback identity: the pre-batch manifest plus the exact
+      // edge file set that existed before this batch — written BEFORE
+      // the manifest delete, removed after the new manifest lands, so
+      // every crash window in between is recoverable
+      graft.StoreUtil.writeMarker(spark, path, PendingFile,
+        (mf +: dataFileNames(spark, s"$path/edges")).mkString("\n"))
       graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
       graft.tree.TreeStore.appendBucketed(spark, e, s"$path/edges", "src",
         buckets)
@@ -128,12 +185,16 @@ object GraphStore {
         s"$path/degrees", "src", buckets)
       mergedNodes.write.mode("overwrite").parquet(s"$path/nodes")
       graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-        manifest(buckets, nEdges + batchCount,
-          batchId.orElse(prevLast)))
+        manifest(buckets, nEdges + batchCount, batchId.orElse(prevLast),
+          ingests = ingestsOf(mf, path) + 1L,
+          compactedAt = graft.StoreUtil.compactedAtOf(mf),
+          symmetric = symmetricOf(mf) && symmetric))
+      graft.StoreUtil.deleteMarker(spark, path, PendingFile)
     } finally e.unpersist(blocking = false)
   }
 
   def load(spark: SparkSession, path: String): Loaded = {
+    refusePending(spark, path)
     val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
       "graph store", FormatVersion)
     val buckets = graft.StoreUtil.manifestInt(mf, "buckets",
@@ -144,31 +205,99 @@ object GraphStore {
       graft.tree.TreeStore.loadBucketed(spark, s"$path/degrees", "src",
         buckets),
       spark.read.parquet(s"$path/nodes"),
-      buckets)
+      buckets, symmetricOf(mf))
   }
 
-  /** Healthy-store probe — and the fail-fast for the crashed state
-    * (data present, manifest gone), which must never be silently
+  /** Healthy-store probe — and the fail-fast for the crashed states: an
+    * unfinished append (pending marker) and a crashed save (data
+    * present, manifest gone), neither of which may be silently
     * re-created over.
     */
   def storeExists(spark: SparkSession, path: String): Boolean = {
+    refusePending(spark, path)
     val healthy =
       graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
     if (!healthy && graft.StoreUtil.pathExists(spark, path, "edges"))
       throw new IllegalStateException(
-        s"$path holds edges but no $ManifestFile — a save or append " +
-          "crashed mid-write; rebuild from source (or re-drive the " +
-          "batch through save) rather than resetting history")
+        s"$path holds edges but no $ManifestFile — a save crashed " +
+          "mid-write; rebuild from source (or re-drive the batch " +
+          "through save) rather than resetting history")
     healthy
+  }
+
+  /** Whether a maintenance pass is due: each [[append]] stacks another
+    * file set into every touched bucket, so after k batches a rank
+    * round opens O(k) files per bucket — the same unbounded growth the
+    * fold stores surface, probed by the same family-shared
+    * [[graft.StoreUtil.needsCompactFrom]] rule over the manifest's
+    * `ingests` counter and `compacted_at` watermark.
+    */
+  def needsCompact(spark: SparkSession, path: String,
+      slack: Int = 8): Boolean = {
+    refusePending(spark, path)
+    graft.StoreUtil.needsCompactFrom(
+      graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+        "graph store", FormatVersion),
+      slack, s"graph store at $path")
+  }
+
+  /** Roll an interrupted append back out into a clean store at `dest`:
+    * the pending marker names the exact pre-batch edge files, so the
+    * crashed batch's files are excluded and degrees + nodes — pure
+    * functions of the edge multiset — are rebuilt from the survivors
+    * (O(store) once, vs the full re-ingest a source rebuild costs; the
+    * damaged source is read-only throughout, so recovery itself is
+    * crash-safe). An append that COMPLETED before the crash (new
+    * manifest landed, marker delete didn't) is kept whole. The dest
+    * manifest's watermark advances to the ingest count — the rewrite
+    * is one file per bucket, a compaction by construction.
+    */
+  def recoverAppend(spark: SparkSession, path: String, dest: String): Unit = {
+    val pending = graft.StoreUtil.readMarker(spark, path, PendingFile)
+      .getOrElse(throw new IllegalStateException(
+        s"no interrupted append recorded at $path"))
+    graft.StoreUtil.requireDisjoint(spark, path, dest, "recover")
+    val lines = pending.linesIterator.toSeq
+    val preMf = lines.head
+    val preFiles = lines.tail.filter(_.nonEmpty)
+    require(preFiles.nonEmpty,
+      s"pending marker at $path records no pre-batch edge files — " +
+        "it was not written by GraphStore.append")
+    val completed = graft.StoreUtil.readMarker(spark, path, ManifestFile)
+      .exists(cur => ingestsOf(cur, path) != ingestsOf(preMf, path))
+    val mf =
+      if (completed)
+        graft.StoreUtil.readMarker(spark, path, ManifestFile).get
+      else preMf
+    val edgeFiles =
+      if (completed) dataFileNames(spark, s"$path/edges") else preFiles
+    val cleanEdges = spark.read
+      .parquet(edgeFiles.map(n => s"$path/edges/$n"): _*)
+      .select(col("src"), col("dst"))
+    val buckets = graft.StoreUtil.manifestInt(mf, "buckets",
+      s"graph store at $path")
+    graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
+    graft.tree.TreeStore.writeBucketed(spark, cleanEdges, s"$dest/edges",
+      "src", buckets)
+    graft.tree.TreeStore.writeBucketed(spark,
+      cleanEdges.groupBy(col("src")).agg(count(lit(1)).as("deg")),
+      s"$dest/degrees", "src", buckets)
+    cleanEdges.select(col("src").as("id"))
+      .unionByName(cleanEdges.select(col("dst").as("id"))).distinct()
+      .write.mode("overwrite").parquet(s"$dest/nodes")
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
+      graft.StoreUtil.withCompactedAt(mf, ingestsOf(mf, path)))
   }
 
   /** Rewrite an append-grown store to one file per bucket at `dest` —
     * each append stacks another file set into every touched bucket, so
     * after k batches a rank round opens k files per bucket. The
-    * manifest (including the `last_batch` zombie guard) carries over
-    * verbatim.
+    * manifest (including the `last_batch` zombie guard and the
+    * `symmetric` assertion) carries over with `compacted_at` advanced
+    * to the ingest count, so [[needsCompact]] resets.
     */
   def compact(spark: SparkSession, path: String, dest: String): Unit = {
+    refusePending(spark, path)
     val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
       "graph store", FormatVersion)
     graft.StoreUtil.requireDisjoint(spark, path, dest, "compact")
@@ -179,6 +308,15 @@ object GraphStore {
     graft.tree.TreeStore.writeBucketed(spark, st.degrees, s"$dest/degrees",
       "src", st.buckets)
     st.nodes.write.mode("overwrite").parquet(s"$dest/nodes")
-    graft.StoreUtil.writeMarker(spark, dest, ManifestFile, mf)
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
+      graft.StoreUtil.withCompactedAt(mf, ingestsOf(mf, path)))
   }
+
+  /** The data files of a store table directory — marker/commit files
+    * (leading '_' or '.') excluded; the rollback identity [[append]]
+    * records and [[recoverAppend]] replays.
+    */
+  private def dataFileNames(spark: SparkSession, dir: String): Seq[String] =
+    graft.StoreUtil.listFileNames(spark, dir)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
 }

@@ -395,7 +395,11 @@ object Relational {
     */
   val grCcStore: Q = (s, d) => {
     val dir = graft.StoreUtil.cachedStoreDir("gstore_cc", d) { p =>
-      graft.ops.GraphStore.save(s, islandEdges(s, d), p)
+      // islandEdges filters the SYMMETRIC trade frame on a predicate
+      // that is itself symmetric in (src, dst), so both directions of
+      // every surviving link are stored — the flag the CC consumer
+      // refuses without
+      graft.ops.GraphStore.save(s, islandEdges(s, d), p, symmetric = true)
     }
     graft.ops.ClusterOps.connectedComponentsStored(
       graft.ops.GraphStore.load(s, dir))

@@ -410,7 +410,15 @@ class StoreSpec extends AnyFunSuite {
       .unionByName(Seq((50L, 51L)).toDF("src", "dst"))
     val sym = all.unionByName(
       all.select(col("dst").as("src"), col("src").as("dst")))
-    graft.ops.GraphStore.save(spark, sym, symDir, buckets = 4)
+    graft.ops.GraphStore.save(spark, sym, symDir, buckets = 4,
+      symmetric = true)
+    // a DIRECTED store (the rank store above) must refuse the CC
+    // consumer — serving it would compute reachability, not components
+    val asym = intercept[IllegalArgumentException] {
+      graft.ops.ClusterOps.connectedComponentsStored(
+        graft.ops.GraphStore.load(spark, dir))
+    }
+    assert(asym.getMessage.contains("symmetric"), asym.getMessage)
     val ccServed = graft.ops.ClusterOps.connectedComponentsStored(
         graft.ops.GraphStore.load(spark, symDir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -432,7 +440,8 @@ class StoreSpec extends AnyFunSuite {
     }
     assert(crash.getMessage.contains("crashed"), crash.getMessage)
     graft.StoreUtil.writeMarker(spark, dir, GraphStore.ManifestFile,
-      s"""{"version":1,"buckets":4,"n_edges":7,"last_batch":1}""")
+      s"""{"version":1,"buckets":4,"n_edges":7,"ingests":2,""" +
+        s""""compacted_at":1,"symmetric":false,"last_batch":1}""")
     // compact rewrites the layout and carries the manifest verbatim —
     // including the zombie guard: the re-delivered batch still no-ops
     val dest = Files.createTempDirectory("graft_gstore_c").toString + "/g"
@@ -440,6 +449,99 @@ class StoreSpec extends AnyFunSuite {
     assert(GraphStore.load(spark, dest).edges.count() == 7L)
     GraphStore.append(spark, dest, e2, Some(1L))
     assert(GraphStore.load(spark, dest).edges.count() == 7L)
+  }
+
+  test("graph store: a crashed append refuses every reader and recovers " +
+      "to exactly the pre-batch store; a completed append is kept whole") {
+    import graft.ops.GraphStore
+    import spark.implicits._
+    val e1 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val e2 = Seq((2L, 4L), (4L, 1L)).toDF("src", "dst")
+    val dir = Files.createTempDirectory("graft_gstore_rec").toString + "/g"
+    GraphStore.save(spark, e1, dir, buckets = 4, batchId = Some(0L))
+    val never = Files.createTempDirectory("graft_gstore_nev").toString + "/g"
+    GraphStore.save(spark, e1, never, buckets = 4, batchId = Some(0L))
+    def ranks(p: String) = graft.ops.ClusterOps.pageRankStored(
+        GraphStore.load(spark, p), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val goodRanks = ranks(never)
+    // simulate a crash BETWEEN the edge append and the degree rewrite:
+    // pending marker down (pre-batch manifest + pre-append file list),
+    // manifest deleted, stray batch files landed in edges/, and the
+    // degree table mid-overwrite (recovery must not read it at all)
+    val preMf = StoreUtil.readMarker(spark, dir,
+      GraphStore.ManifestFile).get
+    val preFiles = StoreUtil.listFileNames(spark, s"$dir/edges")
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    StoreUtil.writeMarker(spark, dir, GraphStore.PendingFile,
+      (preMf +: preFiles).mkString("\n"))
+    StoreUtil.deleteMarker(spark, dir, GraphStore.ManifestFile)
+    e2.write.mode("append").parquet(s"$dir/edges")
+    Seq((1L, 999L)).toDF("src", "deg").write.mode("overwrite")
+      .parquet(s"$dir/degrees")
+    intercept[IllegalStateException](GraphStore.load(spark, dir))
+    intercept[IllegalStateException](GraphStore.storeExists(spark, dir))
+    intercept[IllegalStateException](GraphStore.append(spark, dir, e2))
+    intercept[IllegalStateException](GraphStore.needsCompact(spark, dir))
+    intercept[IllegalStateException] {
+      GraphStore.compact(spark, dir,
+        Files.createTempDirectory("graft_gstore_x").toString + "/g")
+    }
+    // in-place recovery must refuse (the source is read lazily)
+    intercept[IllegalArgumentException](
+      GraphStore.recoverAppend(spark, dir, dir))
+    val dest = Files.createTempDirectory("graft_gstore_dst").toString + "/g"
+    GraphStore.recoverAppend(spark, dir, dest)
+    // the recovered store equals a never-crashed one: same edges, same
+    // degrees (rebuilt from the surviving files), same ranks
+    assert(GraphStore.load(spark, dest).edges.count() == 4L)
+    assert(ranks(dest) == goodRanks)
+    // and the batch can now be re-driven normally
+    GraphStore.append(spark, dest, e2, Some(1L))
+    assert(GraphStore.load(spark, dest).edges.count() == 6L)
+
+    // completed-append crash (marker delete lost): the manifest's
+    // ingest counter moved past the marker's snapshot, so recovery
+    // keeps the batch whole — and the zombie guard carries to dest
+    val d2 = Files.createTempDirectory("graft_gstore_done").toString + "/g"
+    GraphStore.save(spark, e1, d2, buckets = 4, batchId = Some(0L))
+    val preMf2 = StoreUtil.readMarker(spark, d2,
+      GraphStore.ManifestFile).get
+    val preFiles2 = StoreUtil.listFileNames(spark, s"$d2/edges")
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    GraphStore.append(spark, d2, e2, Some(1L))
+    StoreUtil.writeMarker(spark, d2, GraphStore.PendingFile,
+      (preMf2 +: preFiles2).mkString("\n"))
+    val dest2 = Files.createTempDirectory("graft_gstore_d2").toString + "/g"
+    GraphStore.recoverAppend(spark, d2, dest2)
+    assert(GraphStore.load(spark, dest2).edges.count() == 6L)
+    GraphStore.append(spark, dest2, e2, Some(1L)) // zombie: no-op
+    assert(GraphStore.load(spark, dest2).edges.count() == 6L)
+  }
+
+  test("graph store: the compaction nudge trips after slack appends and " +
+      "resets on compact") {
+    import graft.ops.GraphStore
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gstore_nc").toString + "/g"
+    GraphStore.save(spark, Seq((1L, 2L)).toDF("src", "dst"), dir,
+      buckets = 2)
+    assert(!GraphStore.needsCompact(spark, dir, slack = 2),
+      "a fresh save is compact by construction")
+    GraphStore.append(spark, dir, Seq((2L, 3L)).toDF("src", "dst"))
+    assert(!GraphStore.needsCompact(spark, dir, slack = 2))
+    GraphStore.append(spark, dir, Seq((3L, 4L)).toDF("src", "dst"))
+    assert(GraphStore.needsCompact(spark, dir, slack = 2))
+    val dest = Files.createTempDirectory("graft_gstore_ncd").toString + "/g"
+    GraphStore.compact(spark, dir, dest)
+    assert(!GraphStore.needsCompact(spark, dest, slack = 2),
+      "compact advances the watermark to the ingest count")
+    // and the rewrite genuinely shrank the edge file set (the nudge's
+    // whole subject): appends stacked files per bucket, compact is one
+    assert(StoreUtil.listFileNames(spark, s"$dest/edges")
+      .count(n => !n.startsWith("_") && !n.startsWith(".")) <
+      StoreUtil.listFileNames(spark, s"$dir/edges")
+        .count(n => !n.startsWith("_") && !n.startsWith(".")))
   }
 
   test("loaded tables join with zero exchanges (bucketed serving path)") {
