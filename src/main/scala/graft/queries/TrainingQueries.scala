@@ -1163,6 +1163,25 @@ object TrainingQueries {
       .select(col("doc_id"), col("pos"), col("id").as("tok_id"))
   }
 
+  /** [[txtBpeIds]] served from the persisted tokenizer artifact
+    * ([[graft.ops.BpeStore]], built once per data dir): the merge
+    * table and vocabulary load from the store — nothing is retrained
+    * or re-aggregated at encode time, the missing third leg of the
+    * trained-artifact lifecycle (LM and postings already persist).
+    * Same encoder expression under the loaded table, same broadcast
+    * id join, so the result is bit-identical and shares the oracle;
+    * the store adds an in-plan OOV guard the scan form proves total
+    * by construction.
+    */
+  val txtBpeIdsStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("bpestore", d) { p =>
+      graft.ops.BpeStore.save(s, graft.functions.Bpe.merges,
+        bpeVocabFrame(s, d), p)
+    }
+    graft.ops.BpeStore.encodeIds(graft.ops.BpeStore.load(s, dir),
+      Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
+  }
+
   /** Winnowing fingerprints (k=8 char grams, window 4) on an id window. */
   val ddWinnow: Q = (s, d) =>
     TextOps.winnowFingerprints(
@@ -1364,6 +1383,7 @@ object TrainingQueries {
     "txt_bpe_trained" -> txtBpeTrained,
     "txt_bpe_vocab" -> txtBpeVocab,
     "txt_bpe_ids" -> txtBpeIds,
+    "txt_bpe_ids_store" -> txtBpeIdsStore,
     "ann_topk" -> annTopk,
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
@@ -1849,6 +1869,27 @@ object TrainingQueries {
       |  FROM adc)
       |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin
 
+  // the id-encoded corpus replay: same tokenizer, same (count DESC,
+  // token) vocabulary ids, doc window re-encoded through them. ONE
+  // string for the scan and store-served gates.
+  private val txtBpeIdsSql: String =
+    s"""WITH tk AS (SELECT unnest(${graft.functions.Bpe.tokensSql("text")})
+       |    AS token
+       |  FROM documents WHERE text IS NOT NULL),
+       |v AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+       |vid AS (SELECT token,
+       |    CAST(row_number() OVER (ORDER BY c DESC, token) - 1
+       |      AS BIGINT) AS id
+       |  FROM v),
+       |dt AS (SELECT doc_id,
+       |    ${graft.functions.Bpe.tokensSql("text")} AS toks
+       |  FROM documents WHERE text IS NOT NULL AND doc_id < 100),
+       |enc AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       |    toks[CAST(p + 1 AS INT)] AS token
+       |  FROM dt, unnest(range(0, len(toks))) r(p))
+       |SELECT enc.doc_id, enc.pos, vid.id AS tok_id
+       |FROM enc JOIN vid USING (token)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dd_source_stats" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
@@ -2048,23 +2089,10 @@ object TrainingQueries {
          |SELECT CAST(row_number() OVER (ORDER BY c DESC, token) - 1
          |    AS BIGINT) AS id,
          |  token, c FROM v""".stripMargin,
-    "txt_bpe_ids" ->
-      s"""WITH tk AS (SELECT unnest(${graft.functions.Bpe.tokensSql("text")})
-         |    AS token
-         |  FROM documents WHERE text IS NOT NULL),
-         |v AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
-         |vid AS (SELECT token,
-         |    CAST(row_number() OVER (ORDER BY c DESC, token) - 1
-         |      AS BIGINT) AS id
-         |  FROM v),
-         |dt AS (SELECT doc_id,
-         |    ${graft.functions.Bpe.tokensSql("text")} AS toks
-         |  FROM documents WHERE text IS NOT NULL AND doc_id < 100),
-         |enc AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
-         |    toks[CAST(p + 1 AS INT)] AS token
-         |  FROM dt, unnest(range(0, len(toks))) r(p))
-         |SELECT enc.doc_id, enc.pos, vid.id AS tok_id
-         |FROM enc JOIN vid USING (token)""".stripMargin,
+    "txt_bpe_ids" -> txtBpeIdsSql,
+    // the store changes WHERE the merge table and vocabulary come from
+    // (the persisted artifact), never the encoding — shares the oracle
+    "txt_bpe_ids_store" -> txtBpeIdsSql,
     // the auto-scaled SemDeDup oracle re-derives n, k = ceil(sqrt(n)),
     // and the exact (md5(id), id)-ordered centroid set before replaying
     // the dd_semantic pipeline over it

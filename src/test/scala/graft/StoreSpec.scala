@@ -544,6 +544,79 @@ class StoreSpec extends AnyFunSuite {
         .count(n => !n.startsWith("_") && !n.startsWith(".")))
   }
 
+  test("bpe tokenizer store: trained-table round trip, refusal cases, " +
+      "and the in-plan OOV guard") {
+    import graft.ops.BpeStore
+    import graft.functions.Bpe
+    import spark.implicits._
+    // train a real 4-merge table on a tiny frequency frame and derive
+    // its total vocabulary — the artifact a pipeline would persist
+    val wf = Seq(("lower", 10L), ("lowest", 7L), ("newer", 5L),
+      ("wider", 3L)).toDF("w", "c")
+    val table = Bpe.train(wf, "w", "c", nMerges = 4)
+    val docs = Seq((1L, "lower newer"), (2L, "wider lowest lower"))
+      .toDF("doc_id", "text")
+    val vocab = docs.select(explode(Bpe.tokensCol(col("text"), table))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("id", (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("token"))) - 1).cast("long"))
+    val dir = Files.createTempDirectory("graft_bpestore").toString + "/b"
+    assert(!BpeStore.exists(spark, dir))
+    BpeStore.save(spark, table, vocab, dir)
+    assert(BpeStore.exists(spark, dir))
+    val st = BpeStore.load(spark, dir)
+    assert(st.merges == table, "rank order must survive the round trip")
+    // encoding from the LOADED artifact equals encoding with the
+    // in-memory table + vocab join, row for row
+    val served = BpeStore.encodeIds(st, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = docs
+      .select(col("doc_id"), posexplode(Bpe.tokensCol(col("text"), table)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .join(vocab.select(col("token"), col("id")), "token")
+      .select(col("doc_id"), col("pos"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == direct && served.nonEmpty)
+    // OOV input fails in-plan instead of silently dropping positions
+    val oov = intercept[Exception] {
+      BpeStore.encodeIds(st, Seq((9L, "unseenword")).toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+    }
+    assert(oov.getMessage != null &&
+      oov.getMessage.contains("not in the stored BPE vocabulary"),
+      oov.getMessage)
+    // refusals: empty merges, pipe symbols, duplicate vocab tokens
+    intercept[IllegalArgumentException](
+      BpeStore.save(spark, Seq.empty, vocab, dir + "x"))
+    intercept[IllegalArgumentException](
+      BpeStore.save(spark, Seq("a" -> "b|"), vocab, dir + "x"))
+    intercept[IllegalArgumentException](BpeStore.save(spark, table,
+      vocab.unionByName(vocab.limit(1)), dir + "x"))
+    // a NEWER format version must refuse, not misread
+    val v2 = Files.createTempDirectory("graft_bpestore_v2").toString + "/b"
+    BpeStore.save(spark, table, vocab, v2)
+    StoreUtil.writeMarker(spark, v2, BpeStore.ManifestFile,
+      s"""{"version":2,"n_merges":4,"vocab_size":9}""")
+    val ver = intercept[IllegalStateException](BpeStore.load(spark, v2))
+    assert(ver.getMessage.contains("v2"), ver.getMessage)
+    // data without a manifest is a crashed save — refused, not absent
+    StoreUtil.deleteMarker(spark, v2, BpeStore.ManifestFile)
+    val crash = intercept[IllegalStateException](BpeStore.exists(spark, v2))
+    assert(crash.getMessage.contains("crashed"), crash.getMessage)
+    // a truncated merge table (damage the data, not the manifest) is
+    // caught by the load-time count check
+    val tr = Files.createTempDirectory("graft_bpestore_tr").toString + "/b"
+    BpeStore.save(spark, table, vocab, tr)
+    spark.read.parquet(s"$tr/merges").filter(col("rank") < 2)
+      .localCheckpoint()
+      .coalesce(1).write.mode("overwrite").parquet(s"$tr/merges")
+    val trunc = intercept[IllegalArgumentException](BpeStore.load(spark, tr))
+    assert(trunc.getMessage.contains("damaged"), trunc.getMessage)
+  }
+
   test("loaded tables join with zero exchanges (bucketed serving path)") {
     // separate store dir + unpersisted load: the cached-nodes variant would
     // hide the FileSourceScan (and its "Bucketed: true") behind the cache
