@@ -27,7 +27,14 @@ object GraftSession {
       // planner keep it and move only the other side, instead of
       // re-exchanging the big side on every join's full key set. The
       // skew trade the default guards against is managed explicitly
-      // where it matters (salting, AQE skew join).
+      // where it matters (salting, AQE skew join). BLAST RADIUS: the
+      // flip is engine-wide — any future join whose one side arrives
+      // pre-partitioned on a skewed SUBSET key silently keeps that
+      // layout. The guardrails are (a) the engine only pre-partitions
+      // on keys it chose deliberately (prEdgeCache/clusterCorpus-style
+      // explicit repartition calls — audit those when adding one) and
+      // (b) PlanSpec's "subset-key canary" pins that a skewed subset
+      // layout still splits under AQE skew handling.
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -122,10 +122,21 @@ object LmBench {
       "compaction must reset the nudge")
     loadCost(s"$tmp/lm_maint_c")
     val compactLoad = time("load_after_compact")(loadCost(s"$tmp/lm_maint_c"))
-    require(compactLoad <= grownLoad * 1.2 + 0.5,
-      s"compacted load $compactLoad s vs grown $grownLoad s — " +
-        "compaction stopped paying for itself")
-    println(s"""{"maint_nudge":true,"agree":true}""")
+    // the payoff is asserted STRUCTURALLY (fewer parquet files per
+    // count table — what load cost is a function of), never on wall
+    // clock: a contended host can make the compacted measurement slow
+    // without compaction having failed. The timings above are the
+    // REPORT; the file counts are the GATE (the LshStoreSpec rule).
+    val dataFiles = (p: String, t: String) =>
+      graft.StoreUtil.listFileNames(spark, s"$p/$t")
+        .count(n => !n.startsWith("_") && !n.startsWith("."))
+    Seq("uni", "bi", "tri").foreach { t =>
+      require(dataFiles(s"$tmp/lm_maint_c", t) < dataFiles(mstore, t),
+        s"compaction did not shrink the $t file set: " +
+          s"${dataFiles(s"$tmp/lm_maint_c", t)} vs ${dataFiles(mstore, t)}")
+    }
+    println(s"""{"maint_nudge":true,"grown_load_sec":$grownLoad,""" +
+      s""""compact_load_sec":$compactLoad,"agree":true}""")
     spark.stop()
   }
 }

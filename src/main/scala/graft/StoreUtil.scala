@@ -199,6 +199,41 @@ object StoreUtil {
     manifestLong(mf, "ingests", where) - compactedAtOf(mf) >= slack
   }
 
+  /** Act on a store family's compaction nudge inside a maintenance
+    * loop: when `needs` reports the store at `current` is due, compact
+    * it into the next GENERATION directory (`…` → `…_g1` → `…_g2`) and
+    * return the new serving path; otherwise return `current`
+    * unchanged. Rotation rather than in-place rewrite because every
+    * family's compact requires a disjoint destination (the source is
+    * read lazily while the destination is written), and the
+    * generation suffix leaves the previous store intact until the
+    * caller retires it. The compacted store carries its manifest over
+    * (ingest counter, `last_batch` zombie guard, watermark advanced),
+    * so a foreachBatch loop that swaps its serving path mid-stream
+    * loses neither answers nor redelivery idempotence — StreamingSpec
+    * drives the LM, LSH, and dup-hash families through exactly this.
+    */
+  def rotateIfDue(current: String, needs: String => Boolean,
+      compact: (String, String) => Unit): String =
+    if (!needs(current)) current
+    else {
+      val dest = nextGeneration(current)
+      compact(current, dest)
+      dest
+    }
+
+  /** `p` → `p_g1`, `p_g7` → `p_g8`: the rotation naming [[rotateIfDue]]
+    * chains compactions through.
+    */
+  def nextGeneration(path: String): String = {
+    val re = "_g(\\d+)$".r
+    re.findFirstMatchIn(path) match {
+      case Some(m) =>
+        path.substring(0, m.start) + "_g" + (m.group(1).toLong + 1L)
+      case None => path + "_g1"
+    }
+  }
+
   /** The file names directly under `dir` (non-recursive, files only) —
     * how a store append records its rollback identity when its rows
     * carry no batch tag (bucketed layouts, where a per-row tag would

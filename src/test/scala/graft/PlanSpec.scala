@@ -682,6 +682,63 @@ class PlanSpec extends AnyFunSuite {
         slow.queryExecution.executedPlan)
   }
 
+  test("subset-key co-partition canary: default multi-key joins still " +
+      "exchange both sides; an opted-in skewed subset layout stays " +
+      "correct") {
+    // requireAllClusterKeysForCoPartition=false is flipped ENGINE-WIDE
+    // (GraftSession) for the big-vocab LM shape. Its blast radius is
+    // bounded by two facts this canary pins: (1) the flip never invents
+    // subset layouts — a join with NO explicit pre-partitioning still
+    // exchanges both sides on the full key set; (2) when code DOES
+    // opt a side in via repartition(col), the layout is reused (exactly
+    // the explicit exchange below the join, no re-exchange) and the
+    // answer over a heavily skewed subset key is still exact. A future
+    // join landing on a skewed subset layout is therefore a deliberate
+    // repartition() someone wrote, not planner drift.
+    import org.apache.spark.sql.functions.{col, sum, when}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val fact = spark.range(0L, 60000L).toDF("i").select(
+      when(col("i") % 16 < 15, 0L).otherwise(col("i") % 7L).as("k"),
+      (col("i") % 40L).as("j"), col("i").as("v"))
+    val dim = spark.range(0L, 7L * 40L).toDF("x")
+      .select((col("x") % 7L).as("k"), (col("x") % 40L).as("j"),
+        (col("x") * 13L % 101L).as("w"))
+    def checksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("v") * col("w"))).head().getLong(0)
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // (1) default planning unchanged by the conf flip
+      val plain = fact.join(dim, Seq("k", "j"))
+      val want = checksum(plain)
+      val pNodes = PlanWalk.nodes(plain.queryExecution.executedPlan)
+      val pJoin = pNodes.find(p => p.isInstanceOf[SortMergeJoinExec] ||
+        p.isInstanceOf[ShuffledHashJoinExec]).get
+      pJoin.children.foreach { side =>
+        assert(PlanWalk.nodes(side).count(_.isInstanceOf[ShuffleExchangeLike])
+          == 1, plain.queryExecution.executedPlan.toString)
+      }
+      // (2) the opted-in shape: the pre-partitioned side's ONLY
+      // exchange is the explicit repartition — and the skewed-key
+      // answer is exact
+      val opted = fact.repartition(col("k")).join(dim, Seq("k", "j"))
+      assert(checksum(opted) == want)
+      val oNodes = PlanWalk.nodes(opted.queryExecution.executedPlan)
+      val oJoin = oNodes.find(p => p.isInstanceOf[SortMergeJoinExec] ||
+        p.isInstanceOf[ShuffledHashJoinExec]).get
+      val factSide = oJoin.children.find(s =>
+        PlanWalk.nodes(s).exists(_.toString.contains("REPARTITION_BY_COL")))
+        .getOrElse(oJoin.children.head)
+      assert(PlanWalk.nodes(factSide)
+          .count(_.isInstanceOf[ShuffleExchangeLike]) == 1,
+        "the explicit k-layout was re-exchanged (or doubled):\n" +
+          opted.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    }
+  }
+
   test("canonicalPerCluster is an argmax aggregate — no per-component window") {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     import org.apache.spark.sql.execution.window.WindowExec

@@ -521,6 +521,155 @@ class StreamingSpec extends AnyFunSuite {
     assert(grown == one && grown.nonEmpty)
   }
 
+  test("the LM maintenance loop ACTS on its compaction nudge mid-stream: " +
+      "rotate-compact changes no scores, the zombie guard survives it") {
+    // round-10 left needsCompact as a nudge nobody acted on; this is
+    // the acting loop: every micro-batch folds counts, then the body
+    // rotates the serving path through StoreUtil.rotateIfDue whenever
+    // the watermark rule trips (slack = 2 forces several rotations in
+    // six batches) — and the final store must score bit-identically to
+    // a one-shot-trained model, with the nudge RESET and the last
+    // batch's zombie guard carried through the rotation chain
+    import graft.ops.{LmOps, LmStore}
+    val docs = Tables.documents(spark, sf)
+    val inDir = Files.createTempDirectory("graft_lmrot_in").toString
+    (0 until 6).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet", docs.filter(col("doc_id") % 6 === m))
+    }
+    var current = Files.createTempDirectory("graft_lmrot").toString + "/lm"
+    var rotations = 0
+    var batches = 0
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        LmStore.ingestBatch(spark, current, df, "text", Some(id))
+        val next = StoreUtil.rotateIfDue(current,
+          p => LmStore.needsCompact(spark, p, slack = 2),
+          (s, d) => LmStore.compact(spark, s, d))
+        if (next != current) { rotations += 1; current = next }
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 6, s"expected >= 6 micro-batches, got $batches")
+    assert(rotations >= 2, s"the nudge should have tripped repeatedly " +
+      s"at slack 2 over 6 batches; rotations = $rotations")
+    assert(!LmStore.needsCompact(spark, current, slack = 2),
+      "a rotation must RESET the nudge (compact advances the watermark)")
+    val st = LmStore.load(spark, current)
+    def scores(u: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame,
+        t: org.apache.spark.sql.DataFrame) =
+      LmOps.scoreTrigram(docs, "doc_id", "text", u, b, t,
+          broadcastCounts = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val grown = scores(st.uni, st.bi, st.tri)
+    val one = scores(LmOps.trainUnigram(docs, "text"),
+      LmOps.trainBigram(docs, "text"), LmOps.trainTrigram(docs, "text"))
+    assert(grown == one && grown.nonEmpty)
+    // zombie redelivery STRADDLING the compaction chain: the final
+    // batch id was recorded pre-rotation and must still no-op against
+    // the rotated store (compact carries last_batch)
+    val uniBefore = LmStore.load(spark, current).uni.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    LmStore.ingestBatch(spark, current, docs.filter(col("doc_id") % 6 === 5),
+      "text", Some(batches.toLong - 1L))
+    assert(LmStore.load(spark, current).uni.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == uniBefore)
+  }
+
+  test("the LSH maintenance loop ACTS on its compaction nudge mid-stream: " +
+      "the pair log and band index survive rotation unchanged") {
+    import graft.ops.{LshStore, TextOps}
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+    val inDir = Files.createTempDirectory("graft_lshrot_in").toString
+    (0 until 6).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet", docs.filter(col("doc_id") % 6 === m))
+    }
+    var current =
+      Files.createTempDirectory("graft_lshrot").toString + "/lsh"
+    var rotations = 0
+    var batches = 0
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        LshStore.ingestBatch(spark, current, df, "doc_id", "text",
+          batchId = Some(id))
+        val next = StoreUtil.rotateIfDue(current,
+          p => LshStore.needsCompact(spark, p, slack = 2),
+          (s, d) => LshStore.compact(spark, s, d))
+        if (next != current) { rotations += 1; current = next }
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 6 && rotations >= 2,
+      s"batches=$batches rotations=$rotations")
+    assert(!LshStore.needsCompact(spark, current, slack = 2))
+    // the accumulated pair log equals one-shot banding — compaction in
+    // the middle of the fold changed nothing
+    val got = LshStore.pairLog(spark, current).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = TextOps.minhashCandidates(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // zombie straddling the rotation chain: no-op on the rotated store
+    val before = LshStore.pairLog(spark, current).count()
+    LshStore.ingestBatch(spark, current,
+      docs.filter(col("doc_id") % 6 === 5), "doc_id", "text",
+      batchId = Some(batches.toLong - 1L))
+    assert(LshStore.pairLog(spark, current).count() == before)
+  }
+
+  test("the dup-hash maintenance loop ACTS on its compaction nudge " +
+      "mid-stream: a post-stream probe equals the one-shot spans") {
+    import graft.ops.{DupStore, TextOps}
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+    val hist = all.filter(col("doc_id") < 120)
+    val probe = all.filter(col("doc_id") >= 120)
+    val inDir = Files.createTempDirectory("graft_duprot_in").toString
+    (0 until 6).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet", hist.filter(col("doc_id") % 6 === m))
+    }
+    var current =
+      Files.createTempDirectory("graft_duprot").toString + "/dup"
+    var rotations = 0
+    var batches = 0
+    val stream = spark.readStream.schema(hist.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        DupStore.ingestBatch(spark, current, df, "doc_id", "text",
+          batchId = Some(id))
+        val next = StoreUtil.rotateIfDue(current,
+          p => DupStore.needsCompact(spark, p, slack = 2),
+          (s, d) => DupStore.compact(spark, s, d))
+        if (next != current) { rotations += 1; current = next }
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 6 && rotations >= 2,
+      s"batches=$batches rotations=$rotations")
+    assert(!DupStore.needsCompact(spark, current, slack = 2))
+    def spanSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "span_start", "span_end").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = spanSet(DupStore.probeSpans(DupStore.load(spark, current),
+      probe, "doc_id", "text"))
+    val want = spanSet(TextOps.duplicatedSpans(all, "doc_id", "text",
+      win = 4).filter(col("doc_id") >= 120))
+    assert(got == want && got.nonEmpty)
+    // zombie straddling the rotation chain
+    val before = DupStore.load(spark, current).hashes.count()
+    DupStore.ingestBatch(spark, current,
+      hist.filter(col("doc_id") % 6 === 5), "doc_id", "text",
+      batchId = Some(batches.toLong - 1L))
+    assert(DupStore.load(spark, current).hashes.count() == before)
+  }
+
   test("streaming corpus prep equals batch on the surviving fingerprint set") {
     // the prep_pipeline composition under streaming: row-local gates
     // stream unchanged; dedup becomes dropDuplicatesWithinWatermark on
