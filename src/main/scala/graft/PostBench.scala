@@ -63,6 +63,51 @@ object PostBench {
     require(served == mem && served2 == mem,
       "served BM25 diverged from the in-memory scorer")
     println(s"""{"docs":$n,"agree":true,"top":${served.length}}""")
+
+    // append-growth economics: each append stacks a file set into every
+    // bucket, so per-query file opens grow with batches-since-compact —
+    // the cost the ingests watermark (needsCompact) exists to surface.
+    // Grow the store by 8 batches, measure a query and the file count,
+    // compact (the nudge said so), re-measure. The GATE is structural
+    // (file count shrinks, answers identical); timings are the report.
+    val gdir = java.nio.file.Files.createTempDirectory("graft_postb_g")
+      .toString + "/p"
+    val batchN = math.max(n / 16L, 1000L)
+    graft.ops.PostingsStore.save(docs.filter(col("doc_id") < batchN),
+      "doc_id", "text", gdir, buckets)
+    (1 to 8).foreach { b =>
+      graft.ops.PostingsStore.append(spark, gdir,
+        docs.filter(col("doc_id") >= b * batchN &&
+          col("doc_id") < (b + 1) * batchN),
+        "doc_id", "text", Some(b.toLong))
+    }
+    require(graft.ops.PostingsStore.needsCompact(spark, gdir),
+      "8 appends must trip the default nudge")
+    def dataFiles(p: String): Int =
+      graft.StoreUtil.listFileNames(spark, s"$p/postings")
+        .count(f => !f.startsWith("_") && !f.startsWith("."))
+    def q(p: String): Seq[Seq[Any]] = graft.ops.PostingsStore.queryBm25(
+        graft.ops.PostingsStore.load(spark, p), terms, topK = 20)
+      .collect().map(_.toSeq).toSeq
+    q(gdir) // warm listings
+    val grownFiles = dataFiles(gdir)
+    val grownAns = timed(s"BM25 after 8 appends ($grownFiles files)")(q(gdir))
+    val cdir = java.nio.file.Files.createTempDirectory("graft_postb_c")
+      .toString + "/p"
+    timed("compact 8-append store") {
+      graft.ops.PostingsStore.compact(spark, gdir, cdir)
+    }
+    require(!graft.ops.PostingsStore.needsCompact(spark, cdir),
+      "compaction must reset the nudge")
+    q(cdir) // warm listings
+    val compactFiles = dataFiles(cdir)
+    val compactAns =
+      timed(s"BM25 after compact ($compactFiles files)")(q(cdir))
+    require(compactFiles < grownFiles,
+      s"compaction did not shrink the file set: $compactFiles vs $grownFiles")
+    require(compactAns == grownAns, "compaction changed BM25 answers")
+    println(s"""{"grown_files":$grownFiles,"compact_files":$compactFiles,""" +
+      s""""agree":true}""")
     spark.stop()
   }
 }

@@ -49,9 +49,10 @@ object PostingsStore {
       buckets: Int, version: Int)
 
   private def manifest(buckets: Int, nDocs: Long, totalLen: Long,
-      batchId: Option[Long]): String =
+      batchId: Option[Long], ingests: Long, compactedAt: Long): String =
     s"""{"version":$FormatVersion,"buckets":$buckets,"n_docs":$nDocs""" +
-      s""","total_len":$totalLen""" +
+      s""","total_len":$totalLen,"ingests":$ingests""" +
+      s""","compacted_at":$compactedAt""" +
       batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
 
   /** (postings, nDocs, totalLen) of one document batch — the single
@@ -101,8 +102,10 @@ object PostingsStore {
     graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
     graft.tree.TreeStore.writeBucketed(spark, postings,
       s"$path/postings", "term", buckets)
+    // a fresh save is compact by construction (one file per bucket):
+    // the ingest counter starts at 1 with the watermark on it
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      manifest(buckets, n, tot, batchId))
+      manifest(buckets, n, tot, batchId, ingests = 1L, compactedAt = 1L))
   }
 
   def load(spark: SparkSession, path: String): Loaded = {
@@ -141,6 +144,8 @@ object PostingsStore {
     if (batchId.isDefined && batchId == SketchOps.lastBatchId(
         spark, path, ManifestFile))
       return
+    val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "postings store", FormatVersion)
     val st = load(spark, path)
     // appending positional rows into a pre-positions store would mix
     // file schemas under postings/ (the LshStore mergeSchema lesson) —
@@ -171,8 +176,23 @@ object PostingsStore {
       s"$path/postings", "term", st.buckets)
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
       manifest(st.buckets, st.nDocs + n, st.totalLen + tot,
-        batchId.orElse(prevLast)))
+        batchId.orElse(prevLast),
+        ingests = graft.StoreUtil.manifestLong(mf, "ingests",
+          s"postings manifest at $path") + 1L,
+        compactedAt = graft.StoreUtil.compactedAtOf(mf)))
   }
+
+  /** Whether a maintenance pass is due — each [[append]] stacks another
+    * file set into every touched bucket, so after k batches a term
+    * probe opens O(k) files per bucket; same family-shared watermark
+    * rule as the fold stores ([[graft.StoreUtil.needsCompactFrom]]).
+    */
+  def needsCompact(spark: SparkSession, path: String,
+      slack: Int = 8): Boolean =
+    graft.StoreUtil.needsCompactFrom(
+      graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+        "postings store", FormatVersion),
+      slack, s"postings manifest at $path")
 
   /** BM25 top-k from the stored index: the terms filter bucket-prunes
     * the postings scan, df comes from counting the pruned rows, and the
@@ -334,9 +354,10 @@ object PostingsStore {
     * the maintenance pass every store in this family offers (LshStore/
     * TreeStore.compact): each append stacks another file set into every
     * bucket, so after k batches a term probe opens k files per bucket.
-    * The manifest string is carried over verbatim (doc counts, bucket
-    * count, AND the last_batch zombie guard — a redelivered micro-batch
-    * must still no-op against the compacted store). Destination must be
+    * The manifest carries over (doc counts, bucket count, AND the
+    * last_batch zombie guard — a redelivered micro-batch must still
+    * no-op against the compacted store) with `compacted_at` advanced to
+    * the ingest count so [[needsCompact]] resets. Destination must be
     * disjoint: the source is read lazily while dest is written.
     */
   def compact(spark: SparkSession, path: String, dest: String): Unit = {
@@ -347,6 +368,11 @@ object PostingsStore {
     graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
     graft.tree.TreeStore.writeBucketed(spark, st.postings,
       s"$dest/postings", "term", st.buckets)
-    graft.StoreUtil.writeMarker(spark, dest, ManifestFile, m)
+    // manifest carried over with the watermark advanced to the ingest
+    // count, so needsCompact resets until another `slack` appends stack
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
+      graft.StoreUtil.withCompactedAt(m,
+        graft.StoreUtil.manifestLong(m, "ingests",
+          s"postings manifest at $path")))
   }
 }

@@ -77,7 +77,7 @@ object VectorStore {
     // append branch — lastBatchId None ≠ Some(0) — and batch-0's vectors
     // land TWICE; recording it makes the redelivery a guarded no-op
     graft.StoreUtil.writeMarker(corpus.sparkSession, path, ManifestFile,
-      """{"version":1,"layout":"ivf-cell"""" +
+      """{"version":1,"layout":"ivf-cell","ingests":1,"compacted_at":1""" +
         batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}")
   }
 
@@ -107,6 +107,7 @@ object VectorStore {
     // a manual no-batchId append must not erase the recorded explicit
     // last_batch (zombie guard — same rule as appendPq/LshStore)
     val prevLast = graft.ops.SketchOps.lastBatchId(spark, path, ManifestFile)
+    val mf = graft.StoreUtil.readMarker(spark, path, ManifestFile).get
     // bracket the append with the manifest (same crash protocol as save):
     // a crash mid-append leaves committed task files beside the old data
     // with no job-level rollback, so the store must refuse to load until
@@ -119,9 +120,28 @@ object VectorStore {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
       """{"version":1,"layout":"ivf-cell"""" +
+        s""","ingests":${ingestsOf(mf, path) + 1L}""" +
+        s""","compacted_at":${graft.StoreUtil.compactedAtOf(mf)}""" +
         batchId.orElse(prevLast).map(id => s""","last_batch":$id""")
           .getOrElse("") + "}")
   }
+
+  /** Whether a maintenance pass is due — each [[append]] adds a file
+    * per touched cell directory, so probes open O(appends) files per
+    * cell until [[compact]]; same family-shared watermark rule
+    * ([[graft.StoreUtil.needsCompactFrom]]) over the cell layout's
+    * ingest counter.
+    */
+  def needsCompact(spark: SparkSession, path: String,
+      slack: Int = 8): Boolean = {
+    requireStore(spark, path)
+    graft.StoreUtil.needsCompactFrom(
+      graft.StoreUtil.readMarker(spark, path, ManifestFile).get,
+      slack, s"vector store at $path")
+  }
+
+  private def ingestsOf(mf: String, path: String): Long =
+    graft.StoreUtil.manifestLong(mf, "ingests", s"vector store at $path")
 
   /** Rewrite an append-grown store into a fresh one-file-per-cell layout
     * at `dest` — the periodic maintenance step of the append-many-times
@@ -139,6 +159,7 @@ object VectorStore {
   def compact(spark: SparkSession, path: String, dest: String): Unit = {
     requireStore(spark, path)
     requireDisjoint(spark, path, dest)
+    val mf = graft.StoreUtil.readMarker(spark, path, ManifestFile).get
     graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
     // cells are already assigned — repartition on the partition value
     // re-coalesces each cell's accumulated files into one task's output
@@ -148,8 +169,12 @@ object VectorStore {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/cells")
     spark.read.parquet(s"$path/centroids")
       .write.mode("overwrite").parquet(s"$dest/centroids")
+    // manifest carried over — the ingest counter and CRUCIALLY the
+    // last_batch zombie guard (a fresh manifest here would let a
+    // redelivered micro-batch double-append after a compaction) — with
+    // the watermark advanced so needsCompact resets
     graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
-      """{"version":1,"layout":"ivf-cell"}""")
+      graft.StoreUtil.withCompactedAt(mf, ingestsOf(mf, path)))
   }
 
   private def requireDisjoint(spark: SparkSession, path: String,

@@ -250,8 +250,39 @@ object TreeStore {
     appendBucketed(spark, t.edges, s"$path/edges", "child_id", buckets)
     t.treeMeta.write.mode("append").parquet(s"$path/tree_meta")
     t.sourceMap.write.mode("append").parquet(s"$path/source_map")
+    // bump the ingest counter BEFORE lifting the pending fence: a crash
+    // between the two leaves the store refusing (recoverable), never a
+    // counter that silently under-reports the stacked file sets
+    val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "tree store")
+    writeManifest(spark, path, buckets, ingestsOf(mf, path) + 1L,
+      graft.StoreUtil.compactedAtOf(mf))
     graft.StoreUtil.deleteMarker(spark, path, PendingFile)
   }
+
+  /** Whether a maintenance pass is due — each [[appendTree]] stacks
+    * another file set into every bucket of both big tables, so after k
+    * appends every serving join opens O(k) files per bucket; the same
+    * family-shared watermark rule as the fold stores
+    * ([[graft.StoreUtil.needsCompactFrom]]). [[save]] (and so
+    * [[compact]]/[[recoverAppend]], which rewrite through it) resets
+    * the counter to a fresh single-file-per-bucket layout.
+    */
+  def needsCompact(spark: SparkSession, path: String,
+      slack: Int = 8): Boolean = {
+    graft.StoreUtil.readMarker(spark, path, PendingFile).foreach { ids =>
+      throw new IllegalStateException(
+        s"store at $path has an interrupted append (tree_ids: $ids) — " +
+          "run TreeStore.recoverAppend before probing maintenance")
+    }
+    graft.StoreUtil.needsCompactFrom(
+      graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+        "tree store"),
+      slack, s"tree store at $path")
+  }
+
+  private def ingestsOf(mf: String, path: String): Long =
+    graft.StoreUtil.manifestLong(mf, "ingests", s"tree store at $path")
 
   /** `bucketBy` requires a catalog write, so route through a throwaway
     * external-table name and drop it after — the files (with Spark's bucket
@@ -316,9 +347,14 @@ object TreeStore {
     */
   private def tableSuffix(dir: String): String = graft.StoreUtil.pathHash(dir)
 
-  private def writeManifest(spark: SparkSession, path: String, buckets: Int): Unit =
+  /** A full [[save]] is one compact layout: the counter restarts at 1
+    * with the watermark on it.
+    */
+  private def writeManifest(spark: SparkSession, path: String, buckets: Int,
+      ingests: Long = 1L, compactedAt: Long = 1L): Unit =
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      s"""{"version":1,"buckets":$buckets}""")
+      s"""{"version":1,"buckets":$buckets,"ingests":$ingests,""" +
+        s""""compacted_at":$compactedAt}""")
 
   private def readManifest(spark: SparkSession, path: String): Int = {
     val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,

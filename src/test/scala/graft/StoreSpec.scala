@@ -300,6 +300,53 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("tree and postings stores surface the compaction nudge — trips " +
+      "after slack appends, resets on rewrite") {
+    import graft.ops.PostingsStore
+    import spark.implicits._
+    // tree store: one append at slack 1 — appendTree stacks a file set
+    // per bucket, which is exactly what the counter tracks
+    val dir = Files.createTempDirectory("graft_store_nc").toString
+    TreeStore.save(ingested, dir, buckets = 4)
+    assert(!TreeStore.needsCompact(spark, dir, slack = 1),
+      "a fresh save is compact by construction")
+    TreeStore.appendTree(spark, dir, TreeIngest.TreeSource(
+      s"$fx/gavia2.tre", s"$fx/gavia2_annotations.json",
+      s"$fx/gavia_taxonomy.tsv", "opentree5.0"))
+    assert(TreeStore.needsCompact(spark, dir, slack = 1))
+    val dest = Files.createTempDirectory("graft_store_ncd").toString
+    TreeStore.compact(spark, dir, dest)
+    assert(!TreeStore.needsCompact(spark, dest, slack = 1),
+      "a compact rewrite is a fresh single-file-per-bucket layout")
+    // postings store: two appends at slack 2, compact resets AND the
+    // data file set genuinely shrinks (the nudge's subject)
+    val docs = (1L to 30L).map(i => (i, s"term$i common shared"))
+      .toDF("doc_id", "text")
+    val pdir = Files.createTempDirectory("graft_post_nc").toString + "/p"
+    PostingsStore.save(docs.filter(col("doc_id") <= 10), "doc_id", "text",
+      pdir, buckets = 4)
+    assert(!PostingsStore.needsCompact(spark, pdir, slack = 2))
+    PostingsStore.append(spark, pdir,
+      docs.filter(col("doc_id") > 10 && col("doc_id") <= 20),
+      "doc_id", "text")
+    assert(!PostingsStore.needsCompact(spark, pdir, slack = 2))
+    PostingsStore.append(spark, pdir, docs.filter(col("doc_id") > 20),
+      "doc_id", "text")
+    assert(PostingsStore.needsCompact(spark, pdir, slack = 2))
+    val pdest = Files.createTempDirectory("graft_post_ncd").toString + "/p"
+    PostingsStore.compact(spark, pdir, pdest)
+    assert(!PostingsStore.needsCompact(spark, pdest, slack = 2))
+    def files(p: String) = StoreUtil.listFileNames(spark, s"$p/postings")
+      .count(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(files(pdest) < files(pdir), s"${files(pdest)} !< ${files(pdir)}")
+    // and the compacted index still answers identically
+    val a = PostingsStore.queryBm25(PostingsStore.load(spark, pdest),
+      Seq("common", "term5"), topK = 5).collect().map(_.toSeq).toSet
+    val b = PostingsStore.queryBm25(PostingsStore.load(spark, pdir),
+      Seq("common", "term5"), topK = 5).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("point lookup on the loaded store scans exactly one bucket") {
     // the Lucene point-hit analog (GraphBase.java:431-448): node_id = x on
     // the bucketed nodes table must read 1 of N buckets' files, not scan

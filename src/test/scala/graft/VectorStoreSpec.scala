@@ -499,4 +499,36 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(VectorStore.query(store, queries, k = 5, nprobe = 2,
       maxQueryRows = 40).collect().nonEmpty)
   }
+
+  test("the compaction nudge trips after slack appends, resets on " +
+      "compact, and the zombie guard survives compaction") {
+    val dir = Files.createTempDirectory("graft_vstore_nc").toString
+    VectorStore.save(corpus.filter(col("id") < 100), cents, dir, Some(0L))
+    assert(!VectorStore.needsCompact(spark, dir, slack = 2),
+      "a fresh save is compact by construction")
+    VectorStore.append(spark, dir,
+      corpus.filter(col("id") >= 100 && col("id") < 200), Some(1L))
+    assert(!VectorStore.needsCompact(spark, dir, slack = 2))
+    VectorStore.append(spark, dir, corpus.filter(col("id") >= 200),
+      Some(2L))
+    assert(VectorStore.needsCompact(spark, dir, slack = 2))
+    val dest = Files.createTempDirectory("graft_vstore_ncd").toString
+    VectorStore.compact(spark, dir, dest)
+    assert(!VectorStore.needsCompact(spark, dest, slack = 2),
+      "compact advances the watermark")
+    // the zombie guard must SURVIVE compaction: re-delivering the last
+    // micro-batch to the compacted store is a no-op, not a double-append
+    val before = VectorStore.load(spark, dest).cells.count()
+    VectorStore.append(spark, dest, corpus.filter(col("id") >= 200),
+      Some(2L))
+    assert(VectorStore.load(spark, dest).cells.count() == before,
+      "a redelivered batch double-appended after compaction")
+    // and compaction changed layout only: queries agree bit for bit
+    val queries = corpus.filter(col("id") < 20)
+    val a = VectorStore.query(VectorStore.load(spark, dest), queries,
+      k = 5, nprobe = 2).collect().map(_.toSeq).toSet
+    val b = VectorStore.query(store, queries, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
