@@ -240,6 +240,115 @@ object SampleOps {
     saveMixStats(ClusterOps.flatten(merged), path, batchId)
   }
 
+  /** Token-budget mixture sampling — the pretraining-recipe control
+    * knob [[temperatureSample]] cannot express: each stratum (domain,
+    * source, language) is given an absolute TOKEN budget B_d, and the
+    * sample keeps documents until the budget is reached, so the mixed
+    * corpus hits its per-domain token masses exactly — within one
+    * document: a kept set's mass lands in [B_d, B_d + crossing doc)
+    * whenever the domain has ≥ B_d tokens, and is the whole domain
+    * otherwise. Deterministic and engine-replayable like every sampler
+    * here: the keep order within a domain is (md5(salt:id), id) — a
+    * salted hash shuffle, so the prefix is an unbiased sample — and
+    * "keep" means the cumulative token mass BEFORE the document is
+    * still under budget.
+    *
+    * Scale shape (the [[SelectOps]] radix discipline): a naive
+    * per-domain running sum is a window over the whole domain — one
+    * task per domain at 100 TB. Instead the hash's first 4 hex digits
+    * bucket each domain into 65536 radix cells: per-(domain, bucket)
+    * token masses aggregate map-side (≤ 65536·|domains| rows), a
+    * TINY window over that table finds each bucket's prior mass, and
+    * buckets classify as whole-kept (prior + mass < B), dropped
+    * (prior ≥ B), or THE boundary bucket (at most one per domain —
+    * the running mass crosses B once); only the boundary bucket's
+    * docs (~1/65536 of the domain) pay a doc-level ordered scan.
+    *
+    * Strata absent from `budgets` are dropped — the budget table IS
+    * the recipe; budget 0 keeps nothing (both by the same rule, no
+    * special cases). Null ids are excluded ([[hashSample]]'s rule);
+    * a null or negative token count fails in-plan rather than
+    * silently skewing a domain's mass.
+    *
+    * @param budgets (stratumCol, budget_tok) — #strata rows, broadcast
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
+      tokCol: Column, budgets: DataFrame, salt: String): DataFrame = {
+    val reserved =
+      Seq("__h", "__b", "__ntok", "__m", "__prior", "__budget", "__before")
+    reserved.filter(df.columns.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"input already has a '$c' column (reserved by tokenBudgetSample)"))
+    val bud = broadcast(budgets.select(col(stratumCol),
+      col("budget_tok").cast("long").as("__budget")))
+    val d = df.filter(col(idCol).isNotNull)
+      .withColumn("__ntok",
+        when(tokCol.isNull || tokCol < 0, raise_error(concat(
+          lit("tokenBudgetSample: null/negative token count for id "),
+          col(idCol).cast("string"))).cast("long"))
+          .otherwise(tokCol.cast("long")))
+      .withColumn("__h",
+        md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .withColumn("__b",
+        conv(substring(col("__h"), 1, 4), 16, 10).cast("long"))
+    val wPrior = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__b"))
+      .rowsBetween(Long.MinValue, -1)
+    // the radix table: per-(stratum, bucket) token mass + prior mass —
+    // the window runs over ≤ 65536·|strata| rows, never the corpus
+    val classes = d.groupBy(col(stratumCol), col("__b"))
+      .agg(sum(col("__ntok")).as("__m"))
+      .withColumn("__prior", coalesce(sum(col("__m")).over(wPrior), lit(0L)))
+      .join(bud, Seq(stratumCol))
+    // strict <: a bucket ending EXACTLY at the budget still routes
+    // through the boundary scan, so a zero-token document sitting at
+    // the exact crossing obeys the one doc-level rule (before < B)
+    val fullKeep = classes
+      .filter(col("__prior") + col("__m") < col("__budget"))
+      .select(col(stratumCol), col("__b"))
+    val boundary = classes
+      .filter(col("__prior") < col("__budget") &&
+        col("__prior") + col("__m") >= col("__budget"))
+      .select(col(stratumCol), col("__b"), col("__prior"), col("__budget"))
+    val keep = df.columns.toIndexedSeq.map(c => col(s"`$c`"))
+    val k1 = d.join(fullKeep, Seq(stratumCol, "__b"), "left_semi")
+      .select(keep: _*)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(idCol).cast("string"))
+      .rowsBetween(Long.MinValue, -1)
+    // ≤ one boundary bucket per stratum, so this window sees ~1/65536
+    // of each domain — bounded by construction
+    val k2 = d.join(broadcast(boundary), Seq(stratumCol, "__b"))
+      .withColumn("__before",
+        col("__prior") + coalesce(sum(col("__ntok")).over(wDoc), lit(0L)))
+      .filter(col("__before") < col("__budget"))
+      .select(keep: _*)
+    k1.unionByName(k2)
+  }
+
+  /** The achieved-vs-target audit view of [[tokenBudgetSample]]: per
+    * budgeted stratum, the domain's total token mass, the budget, and
+    * the kept count/mass — what a pipeline materializes to prove the
+    * mixture landed (tok_kept ∈ [budget, budget + one doc) wherever
+    * tok_total ≥ budget, tok_kept = tok_total below it).
+    */
+  def tokenBudgetStats(df: DataFrame, idCol: String, stratumCol: String,
+      tokCol: Column, budgets: DataFrame, salt: String): DataFrame = {
+    val kept = tokenBudgetSample(df, idCol, stratumCol, tokCol, budgets,
+      salt)
+    budgets.select(col(stratumCol), col("budget_tok").cast("long")
+        .as("budget_tok"))
+      .join(df.groupBy(col(stratumCol))
+          .agg(sum(tokCol.cast("long")).as("tok_total")),
+        Seq(stratumCol), "left")
+      .join(kept.groupBy(col(stratumCol))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(tokCol.cast("long")).as("tok_kept")),
+        Seq(stratumCol), "left")
+      .na.fill(0L, Seq("tok_total", "n_kept", "tok_kept"))
+  }
+
   /** Deterministic corpus shuffle: a reproducible global training order
     * as (shard, pos). The order is a pure function of (seed, id) — any
     * engine, any partitioning, any rerun deals the identical epoch; a

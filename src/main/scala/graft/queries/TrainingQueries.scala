@@ -1231,6 +1231,42 @@ object TrainingQueries {
       .na.fill(0L, Seq("n_sampled"))
   }
 
+  /** The token-budget recipe shared by both budget gates: a domain kept
+    * whole (budget above its mass at sf0.01), two boundary domains cut
+    * mid-stream, a zero budget, and every unnamed source dropped — all
+    * four classes of [[SampleOps.tokenBudgetSample]]'s bucket algebra
+    * exercised.
+    */
+  private val budgetRecipe =
+    Seq(("src0", 600L), ("src1", 2000L), ("src2", 150L), ("src3", 0L))
+  private def budgetDf(s: SparkSession) = {
+    import s.implicits._
+    budgetRecipe.toDF("source", "budget_tok")
+  }
+  private def wsTokens = size(TextOps.tokensCol(col("text"))).cast("long")
+
+  /** Token-budget mixture sampling, audit view: per budgeted source the
+    * total token mass, the budget, and the kept count/mass — achieved
+    * mass lands within one document of the budget (the recipe knob a
+    * pretraining mixture is specified in: tokens per domain, not rates).
+    * The oracle replays the whole radix-bucket algebra: per-(source,
+    * bucket) masses, the prior-mass window, whole-kept/dropped/boundary
+    * classification, and the boundary bucket's (md5, id)-ordered
+    * doc-level crossing rule.
+    */
+  val smpBudget: Q = (s, d) =>
+    SampleOps.tokenBudgetStats(Tables.documents(s, d), "doc_id", "source",
+      wsTokens, budgetDf(s), "tb1")
+
+  /** The kept documents themselves under the same recipe — pins exact
+    * MEMBERSHIP (which docs crossed the budget line), not just the
+    * aggregate masses.
+    */
+  val smpBudgetDocs: Q = (s, d) =>
+    SampleOps.tokenBudgetSample(Tables.documents(s, d), "doc_id", "source",
+      wsTokens, budgetDf(s), "tb1")
+      .select(col("doc_id"), col("source"))
+
   /** PII scrub + normalization over text enriched with deterministic
     * synthetic PII (the fixture corpus carries none): per-doc replacement
     * counts and the md5 of the scrubbed normalized text.
@@ -1447,6 +1483,8 @@ object TrainingQueries {
     "smp_stratified" -> smpStratified,
     "smp_shuffle" -> smpShuffle,
     "smp_temperature" -> smpTemperature,
+    "smp_budget" -> smpBudget,
+    "smp_budget_docs" -> smpBudgetDocs,
     "txt_scrub" -> txtScrub,
     "pack_seqs" -> packSeqs,
     "pack_seqs_bpe" -> packSeqsBpe,
@@ -1868,6 +1906,42 @@ object TrainingQueries {
       |      AS BIGINT) AS rnk
       |  FROM adc)
       |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin
+
+  // the budget recipe rendered as a VALUES table — derived from the
+  // SAME Seq the Spark gates broadcast, so recipe and oracle cannot
+  // drift; the CTE chain replays tokenBudgetSample's whole bucket
+  // algebra and ends at `kept (doc_id, source, ntok)`. d and cl are
+  // MATERIALIZED (each is referenced twice — the DuckDB inline rule).
+  private val budgetKeptCtes: String = {
+    val values = budgetRecipe
+      .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
+    s"""bud AS (SELECT * FROM (VALUES $values) AS t(source, budget_tok)),
+       |d AS MATERIALIZED (SELECT doc_id, source,
+       |    CAST(len($toksSql) AS BIGINT) AS ntok,
+       |    md5('tb1:' || doc_id::VARCHAR) AS h,
+       |    CAST(concat('0x', substr(md5('tb1:' || doc_id::VARCHAR), 1, 4))
+       |      AS BIGINT) AS b
+       |  FROM documents),
+       |bs AS (SELECT source, b, sum(ntok) AS m FROM d GROUP BY 1, 2),
+       |cl AS MATERIALIZED (SELECT bs.source, bs.b, bs.m,
+       |    coalesce(sum(bs.m) OVER (PARTITION BY bs.source ORDER BY bs.b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS prior,
+       |    bud.budget_tok AS budget
+       |  FROM bs JOIN bud USING (source)),
+       |k1 AS (SELECT d.* FROM d JOIN cl USING (source, b)
+       |  WHERE cl.prior + cl.m < cl.budget),
+       |bdocs AS (SELECT d.*, cl.prior, cl.budget
+       |  FROM d JOIN cl USING (source, b)
+       |  WHERE cl.prior < cl.budget AND cl.prior + cl.m >= cl.budget),
+       |k2 AS (SELECT * FROM (SELECT bdocs.*,
+       |    prior + coalesce(sum(ntok) OVER (PARTITION BY source
+       |      ORDER BY h, doc_id::VARCHAR
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |  FROM bdocs) WHERE bef < budget),
+       |kept AS (SELECT doc_id, source, ntok FROM k1
+       |  UNION ALL SELECT doc_id, source, ntok FROM k2)""".stripMargin
+  }
 
   // the id-encoded corpus replay: same tokenizer, same (count DESC,
   // token) vocabulary ids, doc window re-encoded through them. ONE
@@ -2704,6 +2778,24 @@ object TrainingQueries {
          |SELECT source, count(*) AS n_total,
          |  count(*) FILTER (WHERE b < th) AS n_sampled
          |FROM f GROUP BY source""".stripMargin,
+    // the token-budget replay: same salted hash, same radix buckets,
+    // same prior-mass window and boundary crossing rule — the kept set
+    // is a pure function of (corpus, recipe, salt) both engines derive
+    "smp_budget" ->
+      s"""WITH $budgetKeptCtes
+         |SELECT bud.source, CAST(bud.budget_tok AS BIGINT) AS budget_tok,
+         |  CAST(coalesce(t.tok_total, 0) AS BIGINT) AS tok_total,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(k.tok_kept, 0) AS BIGINT) AS tok_kept
+         |FROM bud
+         |LEFT JOIN (SELECT source, sum(ntok) AS tok_total FROM d
+         |  GROUP BY 1) t USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n_kept,
+         |    sum(ntok) AS tok_kept FROM kept GROUP BY 1) k
+         |  USING (source)""".stripMargin,
+    "smp_budget_docs" ->
+      s"""WITH $budgetKeptCtes
+         |SELECT doc_id, source FROM kept""".stripMargin,
     // exact-integer replica of SampleOps.temperatureThresholds: the
     // α = 1/2 weights are floor(sqrt(count)) and the threshold an
     // integer DIV, so both engines derive the SAME k from the data

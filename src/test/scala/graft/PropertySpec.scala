@@ -559,4 +559,48 @@ class PropertySpec extends AnyFunSuite {
       Map(0L -> None, 1L -> Some(0.0), 2L -> Some(1.5)))
     assert(s == s"(a:${Newick.MinBranchLength},b:1.5)r;")
   }
+
+  test("token-budget sampling lands within one document of every budget " +
+      "on random corpora, and is invariant under repartitioning") {
+    import spark.implicits._
+    import graft.ops.SampleOps
+    (1L to 4L).foreach { seed =>
+      val rnd = new Random(seed)
+      val n = 200 + rnd.nextInt(300)
+      val rows = (0 until n).map { i =>
+        (i.toLong, s"s${rnd.nextInt(3)}", rnd.nextInt(51).toLong)
+      }
+      val df = rows.toDF("id", "dom", "ntok")
+      val budgets = Seq(("s0", 300L), ("s1", 0L), ("s2", 1000000L))
+        .toDF("dom", "budget_tok")
+      def keptOf(d: org.apache.spark.sql.DataFrame) =
+        SampleOps.tokenBudgetSample(d, "id", "dom", col("ntok"),
+          budgets, s"seed$seed")
+          .collect().map(_.getLong(0)).toSet
+      val kept = keptOf(df)
+      // the kept set is a pure function of (corpus, recipe, salt):
+      // physical layout must not matter
+      assert(keptOf(df.repartition(7)) == kept, s"seed=$seed")
+      val byId = rows.map(r => r._1 -> r).toMap
+      for ((dom, budget) <- Seq("s0" -> 300L, "s1" -> 0L,
+          "s2" -> 1000000L)) {
+        val domRows = rows.filter(_._2 == dom)
+        val keptRows = domRows.filter(r => kept.contains(r._1))
+        val keptTok = keptRows.map(_._3).sum
+        val total = domRows.map(_._3).sum
+        if (total < budget)
+          assert(keptRows.size == domRows.size,
+            s"seed=$seed $dom: under-budget domain must keep everything")
+        else {
+          // achieved ∈ [budget, budget + max kept doc): within ONE doc
+          assert(keptTok >= budget, s"seed=$seed $dom: $keptTok < $budget")
+          val maxKept = (keptRows.map(_._3) :+ 0L).max
+          assert(keptTok < budget + math.max(maxKept, 1L),
+            s"seed=$seed $dom: $keptTok overshoots $budget by > one doc")
+        }
+      }
+      assert(kept.forall(id => byId(id)._2 != "s1"),
+        s"seed=$seed: zero budget kept a document")
+    }
+  }
 }
