@@ -83,6 +83,17 @@ object PackOps {
     * drops would unbalance the oracle; the caller chooses the policy
     * (filter or truncate) explicitly.
     *
+    * The per-doc first-fit lookup runs on a max-capacity SEGMENT TREE
+    * over the open bins ([[FirstFitTree]]) — O(log bins) per document.
+    * The naive linear scan is QUADRATIC on adversarial mixes (half the
+    * docs just over ctxLen/2 — each opens a bin — then half just
+    * under: each scans every open bin before opening its own), and a
+    * shard is one task, so at 1M docs/shard the scan is the job
+    * (PackBench probes exactly this shape and pins near-linear
+    * scaling). Same answers bit for bit: both pick the lowest-indexed
+    * bin with enough remaining capacity (the in-suite linear replay
+    * and the SQL oracle pin it).
+    *
     * @return (doc_id, shard, bin, bin_off): the document's bin index
     *         (0-based, in creation order) within its shard and its
     *         token offset inside that bin
@@ -107,21 +118,73 @@ object PackOps {
       .mapPartitions { it =>
         // shards arrive as contiguous runs; state resets at each run
         var cur: String = null
-        var bins: scala.collection.mutable.ArrayBuffer[Long] = null
+        var tree: FirstFitTree = null
         it.map { case (docId, nTok, shard) =>
           if (shard != cur) {
             cur = shard
-            bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+            tree = new FirstFitTree(ctxLen.toLong)
           }
-          var i = 0
-          while (i < bins.length && bins(i) < nTok) i += 1
-          val off =
-            if (i < bins.length) { val o = ctxLen - bins(i); bins(i) -= nTok; o }
-            else { bins += (ctxLen - nTok); 0L }
-          (docId, shard, i.toLong, off)
+          val (bin, off) = tree.place(nTok)
+          (docId, shard, bin, off)
         }
       }
       .toDF("doc_id", "shard", "bin", "bin_off")
+  }
+
+  /** The first-fit state of ONE shard's fold: a max segment tree over
+    * the open bins' remaining capacities. Leaf i holds bin i's
+    * remaining tokens (unopened leaves hold 0 — never selectable,
+    * since a fitting OPEN bin always wins the leftward descent and the
+    * root check routes "nothing fits" to a new bin); an internal node
+    * holds the max of its subtree, so "lowest-indexed bin with
+    * remaining ≥ n" is one root-to-leaf descent — go left whenever the
+    * left subtree's max fits. O(log bins) per document, the classic
+    * FFD structure; the leaf array doubles (rebuild is amortized O(1)
+    * per bin) because a shard's final bin count is data-dependent.
+    */
+  private[graft] final class FirstFitTree(ctxLen: Long) {
+    private var cap = 16 // leaves (power of two)
+    private var tree = new Array[Long](2 * cap)
+    private var n = 0 // open bins
+    def openBins: Int = n
+
+    private def pullUp(leaf: Int): Unit = {
+      var j = leaf >> 1
+      while (j >= 1) {
+        tree(j) = math.max(tree(2 * j), tree(2 * j + 1))
+        j >>= 1
+      }
+    }
+
+    private def grow(): Unit = {
+      val nc = cap * 2
+      val nt = new Array[Long](2 * nc)
+      System.arraycopy(tree, cap, nt, nc, n)
+      var j = nc - 1
+      while (j >= 1) { nt(j) = math.max(nt(2 * j), nt(2 * j + 1)); j -= 1 }
+      cap = nc
+      tree = nt
+    }
+
+    /** Place an `nTok`-token document: (bin index, token offset). */
+    def place(nTok: Long): (Long, Long) = {
+      if (n == 0 || tree(1) < nTok) {
+        // no open bin fits — open the next one
+        if (n == cap) grow()
+        val leaf = cap + n
+        tree(leaf) = ctxLen - nTok
+        pullUp(leaf)
+        n += 1
+        (n - 1L, 0L)
+      } else {
+        var j = 1
+        while (j < cap) j = if (tree(2 * j) >= nTok) 2 * j else 2 * j + 1
+        val off = ctxLen - tree(j)
+        tree(j) -= nTok
+        pullUp(j)
+        ((j - cap).toLong, off)
+      }
+    }
   }
 
   /** Per-bin fill statistics for [[packFfd]] — n_docs, n_tokens, and
