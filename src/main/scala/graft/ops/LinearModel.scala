@@ -137,6 +137,21 @@ object LinearModel {
     */
   def trainOracleSql(featSql: Seq[String], labelSql: String,
       iters: Int, lrShift: Int): String = {
+    val (ctes, wLast) = trainCtesSql(featSql, labelSql, iters, lrShift)
+    val out = featSql.indices
+      .map(i => s"SELECT CAST($i AS BIGINT) AS i, c$i AS w FROM $wLast")
+      .mkString("\nUNION ALL ")
+    s"$ctes\n$out"
+  }
+
+  /** The training replay as a bare CTE chain — (chain, final weight CTE
+    * name) — so an oracle can keep going AFTER training: the
+    * store-served scoring gate trains in SQL, then scores with the
+    * weights it just derived (`sigt` stays in scope for the lookup).
+    * [[trainOracleSql]] is this plus the weight-emitting SELECT.
+    */
+  def trainCtesSql(featSql: Seq[String], labelSql: String,
+      iters: Int, lrShift: Int): (String, String) = {
     require(iters > 0 && lrShift >= 0, // train's guard, same bad inputs
       s"need iters > 0 (got $iters) and lrShift >= 0 (got $lrShift)")
     val k = featSql.size
@@ -164,9 +179,14 @@ object LinearModel {
     }
     val w0 = s"w0 AS (SELECT ${(0 until k)
       .map(i => s"CAST(0 AS BIGINT) AS c$i").mkString(", ")})"
-    val out = (0 until k)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS i, c$i AS w FROM w$iters")
-      .mkString("\nUNION ALL ")
-    s"$base,\n$w0,\n${iterCtes.mkString(",\n")}\n$out"
+    (s"$base,\n$w0,\n${iterCtes.mkString(",\n")}", s"w$iters")
   }
+
+  /** The scoring lookup as SQL over a z expression — the oracle twin of
+    * [[sigmoidFp]] (same table, same clamp, same 1/16 grid); expects
+    * the `sigt` CTE in scope.
+    */
+  def sigmoidFpSql(zSql: String): String =
+    s"sigt.l[CAST(least(127, greatest(-128, " +
+      s"floor(($zSql) / 4096.0))) AS INT) + 129]"
 }

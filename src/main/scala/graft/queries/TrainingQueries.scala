@@ -511,8 +511,10 @@ object TrainingQueries {
     */
   private def lrFeatures(docs: org.apache.spark.sql.DataFrame) =
     docs.filter(col("text").isNotNull)
-      .select(col("n_chars"), TextOps.tokensCol(col("text")).as("w"))
+      .select(col("doc_id"), col("n_chars"),
+        TextOps.tokensCol(col("text")).as("w"))
       .select(
+        col("doc_id"), // passthrough for scoring callers; train prunes it
         lit(1L).as("x0"),
         // count features are CENTERED by fixed literals near their
         // corpus means (~55 tokens, ~25 distinct): uncentered counts
@@ -529,6 +531,16 @@ object TrainingQueries {
 
   private val lrFeatCols = Seq("x0", "x1", "x2", "x3", "x4")
 
+  /** The SAME features/label as DuckDB SQL over a CTE carrying (w,
+    * n_chars) — one definition feeding both LR oracles so the trainer
+    * and the store-served scorer can never train on different columns.
+    */
+  private val lrFeatSqls = Seq("1", "len(w) - 55",
+    "len(list_distinct(w)) - 25",
+    "len(list_filter(w, t -> t = 'the'))",
+    "len(list_filter(w, t -> t = 'a'))")
+  private val lrLabelSql = "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END"
+
   /** Test access to the exact gate feature frame. */
   private[graft] def lrFeaturesForTest(docs: org.apache.spark.sql.DataFrame) =
     lrFeatures(docs)
@@ -538,11 +550,37 @@ object TrainingQueries {
     * the oracle replays the whole loop from scratch in unrolled SQL
     * ([[graft.ops.LinearModel]]).
     */
+  /** The trained weight vector, once per (session, dir) — the train
+    * gate emits it and the store gate persists it, one artifact.
+    */
+  private val lrTrained = new graft.SessionCache[Seq[Long]]()
+  private def lrWeights(s: SparkSession, d: String): Seq[Long] =
+    lrTrained.get(s, d)(LinearModel.train(
+      lrFeatures(Tables.documents(s, d)), lrFeatCols, "y",
+      iters = 8, lrShift = 4))
+
   val txtLrTrain: Q = (s, d) => {
-    val w = LinearModel.train(lrFeatures(Tables.documents(s, d)),
-      lrFeatCols, "y", iters = 8, lrShift = 4)
+    val w = lrWeights(s, d)
     import s.implicits._
     w.zipWithIndex.map { case (wv, i) => (i.toLong, wv) }.toDF("i", "w")
+  }
+
+  /** Quality scores served from the PERSISTED model
+    * ([[graft.ops.ModelStore]], built once per data dir): the weights
+    * and their feature binding load from the store — nothing is
+    * retrained at scoring time — and every document gets its
+    * fixed-point keep-probability, row-local. The oracle retrains the
+    * whole model in unrolled SQL and scores with the weights it just
+    * derived: the store is pinned end to end without any Spark-side
+    * artifact crossing over.
+    */
+  val txtLrStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("lrstore", d) { p =>
+      graft.ops.ModelStore.save(s, lrFeatCols.zip(lrWeights(s, d)), p)
+    }
+    val m = graft.ops.ModelStore.load(s, dir)
+    lrFeatures(Tables.documents(s, d))
+      .select(col("doc_id"), m.scoreFp.as("score_fp"))
   }
 
   /** The corpus-preparation pipeline end to end: quality gate →
@@ -1470,6 +1508,7 @@ object TrainingQueries {
     "emb_quantize" -> embQuantize,
     "emb_rproj" -> embRproj,
     "txt_lr_train" -> txtLrTrain,
+    "txt_lr_store" -> txtLrStore,
     "txt_tokens" -> txtTokens,
     "txt_bpe" -> txtBpe,
     "txt_bpe_chunks" -> txtBpeChunks,
@@ -2638,11 +2677,28 @@ object TrainingQueries {
       s"""WITH f AS (SELECT n_chars, $toksSql AS w FROM documents
          |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
          |${graft.ops.LinearModel.trainOracleSql(
-            Seq("1", "len(w) - 55", "len(list_distinct(w)) - 25",
-              "len(list_filter(w, t -> t = 'the'))",
-              "len(list_filter(w, t -> t = 'a'))"),
-            "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END",
-            iters = 8, lrShift = 4)}""".stripMargin,
+            lrFeatSqls, lrLabelSql, iters = 8, lrShift = 4)}""".stripMargin,
+    // the store-served scoring replay: retrain the full 8-iteration
+    // loop in SQL, then score every doc with the just-derived weights
+    // through the same inlined sigmoid table — the engine side scores
+    // with weights LOADED from the persisted model store
+    "txt_lr_store" -> {
+      val (ctes, wLast) = graft.ops.LinearModel.trainCtesSql(
+        lrFeatSqls, lrLabelSql, iters = 8, lrShift = 4)
+      // weight alias is `wt`, never `w` — fd carries a token-list
+      // column named w the feature expressions reference
+      val z = lrFeatSqls.zipWithIndex
+        .map { case (e, i) => s"($e) * wt.c$i" }.mkString(" + ")
+      s"""WITH f AS (SELECT n_chars, $toksSql AS w FROM documents
+         |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |$ctes,
+         |fd AS (SELECT doc_id, n_chars, $toksSql AS w FROM documents
+         |  WHERE text IS NOT NULL)
+         |SELECT fd.doc_id,
+         |  CAST(${graft.ops.LinearModel.sigmoidFpSql(z)} AS BIGINT)
+         |    AS score_fp
+         |FROM fd, $wLast wt, sigt""".stripMargin
+    },
     // the sign matrix is pure md5(seed:j:i) — the oracle rebuilds it and
     // the integer dot products from scratch, no Spark-side artifact
     "emb_rproj" ->

@@ -664,6 +664,52 @@ class StoreSpec extends AnyFunSuite {
     assert(trunc.getMessage.contains("damaged"), trunc.getMessage)
   }
 
+  test("model store: weight round trip with the feature binding, and " +
+      "the family refusal cases") {
+    import graft.ops.{LinearModel, ModelStore}
+    import spark.implicits._
+    val fw = Seq("x0" -> 100L, "x1" -> -3L, "x2" -> 42L)
+    val dir = Files.createTempDirectory("graft_mstore").toString + "/m"
+    assert(!ModelStore.exists(spark, dir))
+    ModelStore.save(spark, fw, dir)
+    assert(ModelStore.exists(spark, dir))
+    val m = ModelStore.load(spark, dir)
+    assert(m.featCols == fw.map(_._1) && m.weights == fw.map(_._2),
+      "training order must survive the round trip")
+    // the loaded binding scores identically to the in-memory weights
+    val frame = Seq((1L, 2L, 3L, 4L), (2L, 0L, 0L, 0L))
+      .toDF("id", "x0", "x1", "x2")
+    val a = frame.select(col("id"), m.scoreFp.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = frame.select(col("id"),
+        LinearModel.scoreFp(fw.map(_._1), fw.map(_._2)).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.nonEmpty)
+    // refusals: empty model, duplicate feature names
+    intercept[IllegalArgumentException](
+      ModelStore.save(spark, Seq.empty, dir + "x"))
+    intercept[IllegalArgumentException](ModelStore.save(spark,
+      Seq("x0" -> 1L, "x0" -> 2L), dir + "x"))
+    // newer version refused, not misread
+    StoreUtil.writeMarker(spark, dir, ModelStore.ManifestFile,
+      """{"version":2,"n_weights":3}""")
+    val ver = intercept[IllegalStateException](ModelStore.load(spark, dir))
+    assert(ver.getMessage.contains("v2"), ver.getMessage)
+    // data without a manifest is a crashed save — refused, not absent
+    StoreUtil.deleteMarker(spark, dir, ModelStore.ManifestFile)
+    val crash = intercept[IllegalStateException](ModelStore.exists(spark, dir))
+    assert(crash.getMessage.contains("crashed"), crash.getMessage)
+    // a truncated weight table is caught by the load-time count check
+    val tr = Files.createTempDirectory("graft_mstore_tr").toString + "/m"
+    ModelStore.save(spark, fw, tr)
+    spark.read.parquet(s"$tr/weights").filter(col("i") < 2)
+      .localCheckpoint()
+      .coalesce(1).write.mode("overwrite").parquet(s"$tr/weights")
+    val trunc = intercept[IllegalArgumentException](
+      ModelStore.load(spark, tr))
+    assert(trunc.getMessage.contains("damaged"), trunc.getMessage)
+  }
+
   test("loaded tables join with zero exchanges (bucketed serving path)") {
     // separate store dir + unpersisted load: the cached-nodes variant would
     // hide the FileSourceScan (and its "Bucketed: true") behind the cache

@@ -450,7 +450,9 @@ class TrainingSpec extends AnyFunSuite {
     val cols = Seq("x0", "x1", "x2", "x3", "x4")
     val w = LinearModel.train(f, cols, "y", iters = 8, lrShift = 4)
     // scalar recompute of the exact fixed-point loop, driver-side
-    val rows = f.collect().map(r =>
+    // (select by NAME — the feature frame also carries a doc_id
+    // passthrough for scoring callers)
+    val rows = f.select((cols :+ "y").map(col): _*).collect().map(r =>
       (cols.indices.map(i => r.getLong(i)).toVector, r.getLong(cols.size)))
     def sg(z: Long): Long = {
       val idx = math.max(-128L,
@@ -473,10 +475,11 @@ class TrainingSpec extends AnyFunSuite {
     assert(LinearModel.train(f.repartition(7), cols, "y", 8, 4) == w)
     // the model separates its classes
     val scored = f.withColumn("s", LinearModel.scoreFp(cols, w)).collect()
-    val acc = scored.count(r => (r.getLong(6) >= 32768L) ==
-      (r.getLong(5) == 1L)).toDouble / scored.length
+    val acc = scored.count(r => (r.getAs[Long]("s") >= 32768L) ==
+      (r.getAs[Long]("y") == 1L)).toDouble / scored.length
     assert(acc >= 0.9, s"training accuracy $acc")
-    assert(scored.forall(r => r.getLong(6) >= 0L && r.getLong(6) <= 65536L))
+    assert(scored.forall(r =>
+      r.getAs[Long]("s") >= 0L && r.getAs[Long]("s") <= 65536L))
     // arity mismatch between features and weights fails fast (zip would
     // silently drop terms); null-label rows leave the gradient AND the
     // denominator together (na.drop), so they cannot shrink the step
