@@ -304,6 +304,28 @@ object ClusterOps {
     finally e.unpersist(blocking = false)
   }
 
+  /** [[personalizedPageRank]] served from a persisted [[GraphStore]] —
+    * the same economics as [[pageRankStored]] (bucketed edges ⋈
+    * degrees, zero exchange on the stored side, no per-call
+    * prEdgeCache build), with the teleport base and initial mass
+    * masked to the seed set. One saved graph thus serves plain rank,
+    * personalized rank, and (in symmetric form) components — the
+    * reference's one-graph-many-traversals serving model
+    * (`GraphBase.java:431-448`).
+    */
+  def personalizedPageRankStored(st: GraphStore.Loaded, seeds: DataFrame,
+      iters: Int, dampingMilli: Int = 850): DataFrame = {
+    val e = st.edges.join(st.degrees, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try prKernelOn(e,
+      flatten(st.nodes.select(col("id"))
+        .join(seeds.select(col("id")).distinct()
+            .withColumn("seed", lit(true)), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("seed"), lit(false)).as("seed"))),
+      iters, dampingMilli)
+    finally e.unpersist(blocking = false)
+  }
+
   /** The shared iteration loop over an ALREADY-LAID-OUT edge frame
     * `e (src, dst, deg)` — partitioned (and ideally sorted) by `src`,
     * pinned by the caller, who also releases it.

@@ -409,11 +409,27 @@ object Relational {
     * the contamination-tracing shape (rank every node by walk proximity
     * to a known set) run over the same trade graph as [[grPagerank]].
     */
-  val grPpr: Q = (s, d) => {
-    val seeds = supplier(s, d).filter(col("s_nationkey") < 3)
+  private def pprSeeds(s: SparkSession, d: String): DataFrame =
+    supplier(s, d).filter(col("s_nationkey") < 3)
       .select((col("s_suppkey") * 2L + 1L).as("id"))
+
+  val grPpr: Q = (s, d) =>
     graft.ops.ClusterOps.personalizedPageRank(tradeEdges(s, d),
-      tradeNodes(s, d), seeds, iters = 4)
+      tradeNodes(s, d), pprSeeds(s, d), iters = 4)
+
+  /** The SAME persisted store as [[grPagerankStore]] serving the
+    * personalized variant — one saved graph, many traversal kinds (the
+    * reference's serving model); the store's node set equals
+    * [[tradeNodes]] (edge endpoints), so the two forms iterate
+    * identical maps. Bit-identical by construction — shares the
+    * oracle.
+    */
+  val grPprStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("gstore", d) { p =>
+      graft.ops.GraphStore.save(s, tradeEdges(s, d), p)
+    }
+    graft.ops.ClusterOps.personalizedPageRankStored(
+      graft.ops.GraphStore.load(s, dir), pprSeeds(s, d), iters = 4)
   }
 
   /** Fixed-point PageRank with dangling-mass redistribution over the
@@ -460,6 +476,7 @@ object Relational {
     "gr_cc" -> grCc,
     "gr_cc_store" -> grCcStore,
     "gr_ppr" -> grPpr,
+    "gr_ppr_store" -> grPprStore,
     "gr_pr_converged" -> grPrConverged,
     "gr_pr_converged_store" -> grPrConvergedStore,
     "j7_salted_join" -> j7SaltedJoin,
@@ -538,6 +555,23 @@ object Relational {
           dampingMilli = 300, redistributeDangling = true,
           fixedPoint = true)}""".stripMargin
 
+  // ONE string for the scan and store-served PPR gates — the store
+  // changes layout, never answers
+  private val grPprSql =
+    s"""WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM p
+       |  UNION ALL SELECT b AS src, a AS dst FROM p),
+       |sd AS (SELECT s_suppkey * 2 + 1 AS id FROM supplier
+       |  WHERE s_nationkey < 3),
+       |nd AS (SELECT u.id, (sd.id IS NOT NULL) AS seed FROM
+       |  (SELECT DISTINCT id FROM
+       |    (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)) u
+       |  LEFT JOIN sd ON u.id = sd.id),
+       |${graft.ops.ClusterOps.pageRankOracleSql(iters = 4,
+          personalized = true)}"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
     "gr_pagerank" -> grPagerankSql,
     "gr_pagerank_store" -> grPagerankSql,
@@ -545,20 +579,8 @@ object Relational {
     "gr_cc_store" -> grCcSql,
     "gr_pr_converged" -> grPrConvergedSql,
     "gr_pr_converged_store" -> grPrConvergedSql,
-    "gr_ppr" ->
-      s"""WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |e AS (SELECT a AS src, b AS dst FROM p
-         |  UNION ALL SELECT b AS src, a AS dst FROM p),
-         |sd AS (SELECT s_suppkey * 2 + 1 AS id FROM supplier
-         |  WHERE s_nationkey < 3),
-         |nd AS (SELECT u.id, (sd.id IS NOT NULL) AS seed FROM
-         |  (SELECT DISTINCT id FROM
-         |    (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)) u
-         |  LEFT JOIN sd ON u.id = sd.id),
-         |${graft.ops.ClusterOps.pageRankOracleSql(iters = 4,
-            personalized = true)}"""
-        .stripMargin,
+    "gr_ppr" -> grPprSql,
+    "gr_ppr_store" -> grPprSql,
     "j7_salted_join" ->
       """SELECT p_brand, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty

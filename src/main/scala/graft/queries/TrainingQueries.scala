@@ -311,6 +311,38 @@ object TrainingQueries {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("token"))
 
+  /** [[txtBpeTrained]] with the trained artifact ROUND-TRIPPED through
+    * the persisted store: the 8-merge table [[txtBpeTrain]] trains is
+    * saved (with its derived vocabulary — the pair is the artifact)
+    * and the doc window is encoded under the LOADED table — the
+    * literal train→persist→serve lifecycle, where
+    * [[txtBpeIdsStore]] persists the compiled-in production table.
+    * Bit-identical to the scan gate by construction — shares its
+    * oracle (which re-derives the table in SQL from scratch, so the
+    * store round trip is pinned against an independent replay, not
+    * against itself).
+    */
+  val txtBpeTrainedStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("bpestore_tr", d) { p =>
+      import graft.functions.Bpe
+      val table = bpeTrainedTable(s, d)
+      val vocab = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(explode(Bpe.tokensCol(col("text"), table)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .withColumn("id", (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("token"))) - 1).cast("long"))
+      graft.ops.BpeStore.save(s, table, vocab, p)
+    }
+    val st = graft.ops.BpeStore.load(s, dir)
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200 && col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(graft.functions.Bpe.tokensCol(col("text"), st.merges)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+  }
+
   /** Incremental semantic frontier ([[VectorStore.frontier]]): history
     * vec_id < 150 persisted as an IVF store once per data dir, then the
     * 150–300 batch probed against it through the cell layout — the
@@ -1455,6 +1487,7 @@ object TrainingQueries {
     "emb_frontier" -> embFrontier,
     "txt_bpe_train" -> txtBpeTrain,
     "txt_bpe_trained" -> txtBpeTrained,
+    "txt_bpe_trained_store" -> txtBpeTrainedStore,
     "txt_bpe_vocab" -> txtBpeVocab,
     "txt_bpe_ids" -> txtBpeIds,
     "txt_bpe_ids_store" -> txtBpeIdsStore,
@@ -2192,6 +2225,9 @@ object TrainingQueries {
          |FROM cells""".stripMargin,
     "txt_bpe_train" -> bpeTrainSql,
     "txt_bpe_trained" -> bpeTrainedSql,
+    // the store round-trips the TRAINED artifact; the oracle re-derives
+    // the table from scratch in SQL, so scan and store forms share it
+    "txt_bpe_trained_store" -> bpeTrainedSql,
     // the vocabulary replay: same tokenizer, same (count DESC, token)
     // id order — row_number both sides, ids dense from 0
     "txt_bpe_vocab" ->

@@ -521,6 +521,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(grown == one && grown.nonEmpty)
   }
 
+  test("the graph-store maintenance loop ACTS on its compaction nudge " +
+      "mid-stream — the BUCKETED family rotates too, ranks unchanged") {
+    // rotateIfDue is family-agnostic: the bucketed append-grown stores
+    // expose the same needsCompact/compact shape as the fold stores,
+    // so the identical loop body compacts a growing edge store whose
+    // appends stack files per bucket. slack 1 forces a rotation after
+    // every post-save append.
+    import graft.ops.{ClusterOps, GraphStore}
+    import spark.implicits._
+    val edges = (0L until 3000L)
+      .map(i => (i % 101L, (i * 13L) % 97L)).toDF("src", "dst")
+      .withColumn("part", pmod(col("src") + col("dst"), lit(3L)))
+    val inDir = Files.createTempDirectory("graft_gsrot_in").toString
+    (0 until 3).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet",
+        edges.filter(col("part") === m).drop("part"))
+    }
+    var current = Files.createTempDirectory("graft_gsrot").toString + "/g"
+    var rotations = 0
+    var batches = 0
+    val stream = spark.readStream.schema(edges.drop("part").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        if (GraphStore.storeExists(spark, current))
+          GraphStore.append(spark, current, df, Some(id))
+        else GraphStore.save(spark, df, current, buckets = 8,
+          batchId = Some(id))
+        val next = StoreUtil.rotateIfDue(current,
+          p => GraphStore.needsCompact(spark, p, slack = 1),
+          (s, d) => GraphStore.compact(spark, s, d))
+        if (next != current) { rotations += 1; current = next }
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3 && rotations >= 2,
+      s"batches=$batches rotations=$rotations")
+    assert(!GraphStore.needsCompact(spark, current, slack = 1))
+    // ranks from the rotated chain equal a one-shot build bit for bit
+    val oneDir = Files.createTempDirectory("graft_gsrot_one").toString + "/g"
+    GraphStore.save(spark, edges.drop("part"), oneDir, buckets = 8)
+    def ranks(p: String) = ClusterOps.pageRankStored(
+        GraphStore.load(spark, p), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(current) == ranks(oneDir))
+    // the zombie guard rode the rotation chain: re-delivering the last
+    // batch to the CURRENT (compacted) store is a full no-op
+    val before = GraphStore.load(spark, current).edges.count()
+    GraphStore.append(spark, current,
+      edges.filter(col("part") === 2).drop("part"),
+      graft.ops.SketchOps.lastBatchId(spark, current,
+        GraphStore.ManifestFile))
+    assert(GraphStore.load(spark, current).edges.count() == before)
+  }
+
   test("the LM maintenance loop ACTS on its compaction nudge mid-stream: " +
       "rotate-compact changes no scores, the zombie guard survives it") {
     // round-10 left needsCompact as a nudge nobody acted on; this is
