@@ -128,8 +128,7 @@ object LmBench {
     // without compaction having failed. The timings above are the
     // REPORT; the file counts are the GATE (the LshStoreSpec rule).
     val dataFiles = (p: String, t: String) =>
-      graft.StoreUtil.listFileNames(spark, s"$p/$t")
-        .count(n => !n.startsWith("_") && !n.startsWith("."))
+      graft.StoreUtil.dataFileNames(spark, s"$p/$t").size
     Seq("uni", "bi", "tri").foreach { t =>
       require(dataFiles(s"$tmp/lm_maint_c", t) < dataFiles(mstore, t),
         s"compaction did not shrink the $t file set: " +

@@ -84,8 +84,7 @@ object PostBench {
     require(graft.ops.PostingsStore.needsCompact(spark, gdir),
       "8 appends must trip the default nudge")
     def dataFiles(p: String): Int =
-      graft.StoreUtil.listFileNames(spark, s"$p/postings")
-        .count(f => !f.startsWith("_") && !f.startsWith("."))
+      graft.StoreUtil.dataFileNames(spark, s"$p/postings").size
     def q(p: String): Seq[Seq[Any]] = graft.ops.PostingsStore.queryBm25(
         graft.ops.PostingsStore.load(spark, p), terms, topK = 20)
       .collect().map(_.toSeq).toSeq

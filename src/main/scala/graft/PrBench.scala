@@ -184,6 +184,13 @@ object PrBench {
     require(fpServed.rounds == fpRebuild.rounds,
       s"served converged in ${fpServed.rounds} rounds, " +
         s"rebuild in ${fpRebuild.rounds}")
+    // node-universe equality BEFORE the value compare: an inner join
+    // would silently skip ids present on only one side — the exact
+    // has_out/node-derivation regression this A/B exists to catch
+    val (nServed, nRebuild) =
+      (fpServed.ranks.count(), fpRebuild.ranks.count())
+    require(nServed == nRebuild,
+      s"served ranks cover $nServed nodes, rebuild $nRebuild")
     val fpDrift = fpServed.ranks.withColumnRenamed("rank_micro", "a")
       .join(fpRebuild.ranks.withColumnRenamed("rank_micro", "b"), "id")
       .filter(col("a") =!= col("b")).count()

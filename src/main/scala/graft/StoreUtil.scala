@@ -168,6 +168,20 @@ object StoreUtil {
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(s"$where lacks '$key'"))
 
+  /** The INGEST-COUNTER read for the bucketed append-grown stores
+    * (graph, postings, tree, vector): a manifest written before the
+    * counter existed reads as 1 — the store behaves like a fresh save
+    * whose growth since then is untracked, and the counter starts
+    * counting from the next append. Strict parsing here would be
+    * worse than lenient: the counter is consulted inside append paths
+    * AFTER data files land, so throwing on an old store would strand
+    * a half-appended state over a missing field that carries no
+    * correctness weight.
+    */
+  def ingestsOf(manifest: String): Long =
+    "\"ingests\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(manifest)
+      .map(_.group(1).toLong).getOrElse(1L)
+
   /** The compaction watermark — the ingest count the store last
     * compacted at (0 for never, and for pre-watermark manifests).
     * ONE parsing rule shared by every family that folds batches as
@@ -246,6 +260,17 @@ object StoreUtil {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.getName)
   }
+
+  /** [[listFileNames]] restricted to DATA files — marker/commit files
+    * (leading '_' or '.') excluded. The ONE definition of the
+    * convention: it is load-bearing (GraphStore's append rollback
+    * identity is exactly this list), so a per-site copy that forgot
+    * dot-files would silently record commit markers into a pending
+    * snapshot.
+    */
+  def dataFileNames(spark: SparkSession, dir: String): Seq[String] =
+    listFileNames(spark, dir)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
 
   def readMarker(spark: SparkSession, dir: String,
       name: String): Option[String] = {

@@ -104,7 +104,17 @@ object BpeStore {
     require(rows.size.toLong == nMerges,
       s"BPE store at $path holds ${rows.size} merges but the manifest " +
         s"records $nMerges — the merge table is damaged; re-save")
-    Loaded(rows, spark.read.parquet(s"$path/vocab"))
+    // the vocab is validated against the manifest too: a DUPLICATED
+    // part file (the damage class save's uniqueness check can't see)
+    // would fan out encodeIds' join and silently duplicate positions —
+    // where a TRUNCATED vocab at least trips the OOV guard
+    val vocab = spark.read.parquet(s"$path/vocab")
+    val nVocab = vocab.count()
+    require(nVocab == graft.StoreUtil.manifestLong(mf, "vocab_size",
+        s"BPE store at $path"),
+      s"BPE store at $path holds $nVocab vocab rows but the manifest " +
+        "records a different size — the vocab table is damaged; re-save")
+    Loaded(rows, vocab)
   }
 
   /** Encode documents to (idCol, pos, tok_id) through the stored

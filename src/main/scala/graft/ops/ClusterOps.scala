@@ -294,13 +294,24 @@ object ClusterOps {
     * ingest join — `GraphBase.java:431-448`).
     */
   def pageRankStored(st: GraphStore.Loaded, iters: Int,
-      dampingMilli: Int = 850): DataFrame = {
-    val e = st.edges.join(st.degrees, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try prKernelOn(e,
+      dampingMilli: Int = 850): DataFrame =
+    withServedFrame(st)(e => prKernelOn(e,
       flatten(st.nodes.select(col("id")).distinct())
         .select(col("id"), lit(true).as("seed")),
-      iters, dampingMilli)
+      iters, dampingMilli))
+
+  /** The ONE serving-frame build every store-served rank variant rides:
+    * stored edges ⋈ degrees (bucketed-⋈-bucketed — zero exchange, the
+    * PlanSpec-locked property), pinned for the iteration span and
+    * released afterward even on failure. A per-variant copy is exactly
+    * the drift this exists to prevent — a storage-level or join-key fix
+    * must land once.
+    */
+  private def withServedFrame[A](st: GraphStore.Loaded)(
+      body: DataFrame => A): A = {
+    val e = st.edges.join(st.degrees, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(e)
     finally e.unpersist(blocking = false)
   }
 
@@ -314,17 +325,13 @@ object ClusterOps {
     * (`GraphBase.java:431-448`).
     */
   def personalizedPageRankStored(st: GraphStore.Loaded, seeds: DataFrame,
-      iters: Int, dampingMilli: Int = 850): DataFrame = {
-    val e = st.edges.join(st.degrees, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try prKernelOn(e,
+      iters: Int, dampingMilli: Int = 850): DataFrame =
+    withServedFrame(st)(e => prKernelOn(e,
       flatten(st.nodes.select(col("id"))
         .join(seeds.select(col("id")).distinct()
             .withColumn("seed", lit(true)), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("seed"), lit(false)).as("seed"))),
-      iters, dampingMilli)
-    finally e.unpersist(blocking = false)
-  }
+      iters, dampingMilli))
 
   /** The shared iteration loop over an ALREADY-LAID-OUT edge frame
     * `e (src, dst, deg)` — partitioned (and ideally sorted) by `src`,
@@ -442,18 +449,15 @@ object ClusterOps {
     */
   def pageRankFixedPointStored(st: GraphStore.Loaded, maxRounds: Int = 100,
       dampingMilli: Int = 850, redistributeDangling: Boolean = false,
-      minRounds: Int = 0): PrFixedPoint = {
-    val e = st.edges.join(st.degrees, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+      minRounds: Int = 0): PrFixedPoint =
+    withServedFrame(st) { e =>
       val n = flatten(st.nodes.select(col("id"))
         .join(st.degrees.select(col("src").as("id"))
             .withColumn("o", lit(true)), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("o"), lit(false)).as("has_out")))
       prFixedPointOn(e, n, maxRounds, dampingMilli, redistributeDangling,
         minRounds)
-    } finally e.unpersist(blocking = false)
-  }
+    }
 
   /** The shared fixed-point loop over an ALREADY-LAID-OUT edge frame
     * `e (src, dst, deg)` (partitioned by `src`, pinned and released by

@@ -80,8 +80,9 @@ object GraphStore {
   private def symmetricOf(mf: String): Boolean =
     "\"symmetric\"\\s*:\\s*true".r.findFirstIn(mf).isDefined
 
-  private def ingestsOf(mf: String, path: String): Long =
-    graft.StoreUtil.manifestLong(mf, "ingests", s"graph store at $path")
+  // lenient: a pre-counter manifest reads as ingests = 1 (StoreUtil
+  // rationale — the counter is consulted after data writes land)
+  private def ingestsOf(mf: String): Long = graft.StoreUtil.ingestsOf(mf)
 
   private def refusePending(spark: SparkSession, path: String): Unit =
     if (graft.StoreUtil.readMarker(spark, path, PendingFile).isDefined)
@@ -186,7 +187,7 @@ object GraphStore {
       mergedNodes.write.mode("overwrite").parquet(s"$path/nodes")
       graft.StoreUtil.writeMarker(spark, path, ManifestFile,
         manifest(buckets, nEdges + batchCount, batchId.orElse(prevLast),
-          ingests = ingestsOf(mf, path) + 1L,
+          ingests = ingestsOf(mf) + 1L,
           compactedAt = graft.StoreUtil.compactedAtOf(mf),
           symmetric = symmetricOf(mf) && symmetric))
       graft.StoreUtil.deleteMarker(spark, path, PendingFile)
@@ -264,7 +265,7 @@ object GraphStore {
       s"pending marker at $path records no pre-batch edge files — " +
         "it was not written by GraphStore.append")
     val completed = graft.StoreUtil.readMarker(spark, path, ManifestFile)
-      .exists(cur => ingestsOf(cur, path) != ingestsOf(preMf, path))
+      .exists(cur => ingestsOf(cur) != ingestsOf(preMf))
     val mf =
       if (completed)
         graft.StoreUtil.readMarker(spark, path, ManifestFile).get
@@ -286,7 +287,7 @@ object GraphStore {
       .unionByName(cleanEdges.select(col("dst").as("id"))).distinct()
       .write.mode("overwrite").parquet(s"$dest/nodes")
     graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
-      graft.StoreUtil.withCompactedAt(mf, ingestsOf(mf, path)))
+      graft.StoreUtil.withCompactedAt(mf, ingestsOf(mf)))
   }
 
   /** Rewrite an append-grown store to one file per bucket at `dest` —
@@ -309,14 +310,11 @@ object GraphStore {
       "src", st.buckets)
     st.nodes.write.mode("overwrite").parquet(s"$dest/nodes")
     graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
-      graft.StoreUtil.withCompactedAt(mf, ingestsOf(mf, path)))
+      graft.StoreUtil.withCompactedAt(mf, ingestsOf(mf)))
   }
 
-  /** The data files of a store table directory — marker/commit files
-    * (leading '_' or '.') excluded; the rollback identity [[append]]
-    * records and [[recoverAppend]] replays.
-    */
+  // the rollback identity [[append]] records and [[recoverAppend]]
+  // replays — the family-shared data-file convention
   private def dataFileNames(spark: SparkSession, dir: String): Seq[String] =
-    graft.StoreUtil.listFileNames(spark, dir)
-      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    graft.StoreUtil.dataFileNames(spark, dir)
 }

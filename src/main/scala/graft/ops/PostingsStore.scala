@@ -177,8 +177,10 @@ object PostingsStore {
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
       manifest(st.buckets, st.nDocs + n, st.totalLen + tot,
         batchId.orElse(prevLast),
-        ingests = graft.StoreUtil.manifestLong(mf, "ingests",
-          s"postings manifest at $path") + 1L,
+        // lenient pre-counter read (StoreUtil.ingestsOf): a strict
+        // parse here would throw AFTER the bucketed append landed,
+        // stranding an old store manifest-less
+        ingests = graft.StoreUtil.ingestsOf(mf) + 1L,
         compactedAt = graft.StoreUtil.compactedAtOf(mf)))
   }
 
@@ -371,8 +373,6 @@ object PostingsStore {
     // manifest carried over with the watermark advanced to the ingest
     // count, so needsCompact resets until another `slack` appends stack
     graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
-      graft.StoreUtil.withCompactedAt(m,
-        graft.StoreUtil.manifestLong(m, "ingests",
-          s"postings manifest at $path")))
+      graft.StoreUtil.withCompactedAt(m, graft.StoreUtil.ingestsOf(m)))
   }
 }

@@ -108,6 +108,15 @@ object VectorStore {
     // last_batch (zombie guard — same rule as appendPq/LshStore)
     val prevLast = graft.ops.SketchOps.lastBatchId(spark, path, ManifestFile)
     val mf = graft.StoreUtil.readMarker(spark, path, ManifestFile).get
+    // the post-append manifest is FULLY RENDERED before the old one is
+    // deleted: a parse failure must strike while the store is still
+    // healthy, never between the delete and the rewrite (where it
+    // would strand a manifest-less store with the batch mixed in)
+    val nextMf = """{"version":1,"layout":"ivf-cell"""" +
+      s""","ingests":${graft.StoreUtil.ingestsOf(mf) + 1L}""" +
+      s""","compacted_at":${graft.StoreUtil.compactedAtOf(mf)}""" +
+      batchId.orElse(prevLast).map(id => s""","last_batch":$id""")
+        .getOrElse("") + "}"
     // bracket the append with the manifest (same crash protocol as save):
     // a crash mid-append leaves committed task files beside the old data
     // with no job-level rollback, so the store must refuse to load until
@@ -118,12 +127,7 @@ object VectorStore {
         concat(lit("c"), col("cell")).as("cell"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-    graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      """{"version":1,"layout":"ivf-cell"""" +
-        s""","ingests":${ingestsOf(mf, path) + 1L}""" +
-        s""","compacted_at":${graft.StoreUtil.compactedAtOf(mf)}""" +
-        batchId.orElse(prevLast).map(id => s""","last_batch":$id""")
-          .getOrElse("") + "}")
+    graft.StoreUtil.writeMarker(spark, path, ManifestFile, nextMf)
   }
 
   /** Whether a maintenance pass is due — each [[append]] adds a file
@@ -140,8 +144,8 @@ object VectorStore {
       slack, s"vector store at $path")
   }
 
-  private def ingestsOf(mf: String, path: String): Long =
-    graft.StoreUtil.manifestLong(mf, "ingests", s"vector store at $path")
+  // lenient pre-counter read — the StoreUtil.ingestsOf rationale
+  private def ingestsOf(mf: String): Long = graft.StoreUtil.ingestsOf(mf)
 
   /** Rewrite an append-grown store into a fresh one-file-per-cell layout
     * at `dest` — the periodic maintenance step of the append-many-times
@@ -174,7 +178,7 @@ object VectorStore {
     // redelivered micro-batch double-append after a compaction) — with
     // the watermark advanced so needsCompact resets
     graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
-      graft.StoreUtil.withCompactedAt(mf, ingestsOf(mf, path)))
+      graft.StoreUtil.withCompactedAt(mf, ingestsOf(mf)))
   }
 
   private def requireDisjoint(spark: SparkSession, path: String,

@@ -255,7 +255,7 @@ object TreeStore {
     // counter that silently under-reports the stacked file sets
     val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
       "tree store")
-    writeManifest(spark, path, buckets, ingestsOf(mf, path) + 1L,
+    writeManifest(spark, path, buckets, graft.StoreUtil.ingestsOf(mf) + 1L,
       graft.StoreUtil.compactedAtOf(mf))
     graft.StoreUtil.deleteMarker(spark, path, PendingFile)
   }
@@ -281,8 +281,7 @@ object TreeStore {
       slack, s"tree store at $path")
   }
 
-  private def ingestsOf(mf: String, path: String): Long =
-    graft.StoreUtil.manifestLong(mf, "ingests", s"tree store at $path")
+
 
   /** `bucketBy` requires a catalog write, so route through a throwaway
     * external-table name and drop it after — the files (with Spark's bucket

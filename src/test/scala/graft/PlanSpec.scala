@@ -727,9 +727,14 @@ class PlanSpec extends AnyFunSuite {
       val oNodes = PlanWalk.nodes(opted.queryExecution.executedPlan)
       val oJoin = oNodes.find(p => p.isInstanceOf[SortMergeJoinExec] ||
         p.isInstanceOf[ShuffledHashJoinExec]).get
+      // fail LOUDLY when the marker string is missing — falling back to
+      // an arbitrary child would let the assertion pass vacuously
+      // against the dim side (which legitimately has one exchange)
       val factSide = oJoin.children.find(s =>
         PlanWalk.nodes(s).exists(_.toString.contains("REPARTITION_BY_COL")))
-        .getOrElse(oJoin.children.head)
+        .getOrElse(fail("no REPARTITION_BY_COL marker under the join — " +
+          "the canary cannot locate the opted-in side:\n" +
+          opted.queryExecution.executedPlan))
       assert(PlanWalk.nodes(factSide)
           .count(_.isInstanceOf[ShuffleExchangeLike]) == 1,
         "the explicit k-layout was re-exchanged (or doubled):\n" +

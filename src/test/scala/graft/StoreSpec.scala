@@ -336,8 +336,8 @@ class StoreSpec extends AnyFunSuite {
     val pdest = Files.createTempDirectory("graft_post_ncd").toString + "/p"
     PostingsStore.compact(spark, pdir, pdest)
     assert(!PostingsStore.needsCompact(spark, pdest, slack = 2))
-    def files(p: String) = StoreUtil.listFileNames(spark, s"$p/postings")
-      .count(n => !n.startsWith("_") && !n.startsWith("."))
+    def files(p: String) =
+      StoreUtil.dataFileNames(spark, s"$p/postings").size
     assert(files(pdest) < files(pdir), s"${files(pdest)} !< ${files(pdir)}")
     // and the compacted index still answers identically
     val a = PostingsStore.queryBm25(PostingsStore.load(spark, pdest),
@@ -518,8 +518,7 @@ class StoreSpec extends AnyFunSuite {
     // degree table mid-overwrite (recovery must not read it at all)
     val preMf = StoreUtil.readMarker(spark, dir,
       GraphStore.ManifestFile).get
-    val preFiles = StoreUtil.listFileNames(spark, s"$dir/edges")
-      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    val preFiles = StoreUtil.dataFileNames(spark, s"$dir/edges")
     StoreUtil.writeMarker(spark, dir, GraphStore.PendingFile,
       (preMf +: preFiles).mkString("\n"))
     StoreUtil.deleteMarker(spark, dir, GraphStore.ManifestFile)
@@ -554,8 +553,7 @@ class StoreSpec extends AnyFunSuite {
     GraphStore.save(spark, e1, d2, buckets = 4, batchId = Some(0L))
     val preMf2 = StoreUtil.readMarker(spark, d2,
       GraphStore.ManifestFile).get
-    val preFiles2 = StoreUtil.listFileNames(spark, s"$d2/edges")
-      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    val preFiles2 = StoreUtil.dataFileNames(spark, s"$d2/edges")
     GraphStore.append(spark, d2, e2, Some(1L))
     StoreUtil.writeMarker(spark, d2, GraphStore.PendingFile,
       (preMf2 +: preFiles2).mkString("\n"))
@@ -585,10 +583,8 @@ class StoreSpec extends AnyFunSuite {
       "compact advances the watermark to the ingest count")
     // and the rewrite genuinely shrank the edge file set (the nudge's
     // whole subject): appends stacked files per bucket, compact is one
-    assert(StoreUtil.listFileNames(spark, s"$dest/edges")
-      .count(n => !n.startsWith("_") && !n.startsWith(".")) <
-      StoreUtil.listFileNames(spark, s"$dir/edges")
-        .count(n => !n.startsWith("_") && !n.startsWith(".")))
+    assert(StoreUtil.dataFileNames(spark, s"$dest/edges").size <
+      StoreUtil.dataFileNames(spark, s"$dir/edges").size)
   }
 
   test("bpe tokenizer store: trained-table round trip, refusal cases, " +
