@@ -273,15 +273,38 @@ object SampleOps {
     * @param budgets (stratumCol, budget_tok) — #strata rows, broadcast
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
-      tokCol: Column, budgets: DataFrame, salt: String): DataFrame = {
+      tokCol: Column, budgets: DataFrame, salt: String): DataFrame =
+    tokenBudgetSampleWith(df, idCol, stratumCol, tokCol, budgets, salt,
+      tokenBucketStats(df, idCol, stratumCol, tokCol, salt))
+
+  /** The per-(stratum, radix-bucket) token masses the budget sampler's
+    * whole bucket algebra is a pure function of — (stratumCol, bucket,
+    * n_total), ≤ 65536·|strata| rows. Masses are ADDITIVE sums, and
+    * the column shape deliberately matches the [[mixStats]] store
+    * contract (every non-`n_total` column is a group key), so
+    * [[saveMixStats]]/[[appendMixStats]] maintain the table under
+    * micro-batches unchanged — a streaming pipeline keeps the radix
+    * table fresh and re-derives identical budget classifications
+    * without ever rescanning corpus history.
+    */
+  def tokenBucketStats(df: DataFrame, idCol: String, stratumCol: String,
+      tokCol: Column, salt: String): DataFrame =
+    keyed(df, idCol, stratumCol, tokCol, salt)
+      .groupBy(col(stratumCol), col("__b").as("bucket"))
+      .agg(sum(col("__ntok")).as("n_total"))
+
+  /** The shared per-doc frame: validated token count, salted hash, and
+    * radix bucket — ONE definition, so the stats builder and the
+    * sampler can never bucket differently.
+    */
+  private def keyed(df: DataFrame, idCol: String, stratumCol: String,
+      tokCol: Column, salt: String): DataFrame = {
     val reserved =
       Seq("__h", "__b", "__ntok", "__m", "__prior", "__budget", "__before")
     reserved.filter(df.columns.contains).foreach(c =>
       throw new IllegalArgumentException(
         s"input already has a '$c' column (reserved by tokenBudgetSample)"))
-    val bud = broadcast(budgets.select(col(stratumCol),
-      col("budget_tok").cast("long").as("__budget")))
-    val d = df.filter(col(idCol).isNotNull)
+    df.filter(col(idCol).isNotNull)
       .withColumn("__ntok",
         when(tokCol.isNull || tokCol < 0, raise_error(concat(
           lit("tokenBudgetSample: null/negative token count for id "),
@@ -291,13 +314,31 @@ object SampleOps {
         md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
       .withColumn("__b",
         conv(substring(col("__h"), 1, 4), 16, 10).cast("long"))
+  }
+
+  /** [[tokenBudgetSample]] with the radix table supplied EXTERNALLY —
+    * the serving entry point for a recipe maintained in a store
+    * ([[tokenBucketStats]] shape, possibly folded across micro-batches
+    * by [[appendMixStats]]): identical masses give bit-identical kept
+    * sets, however the masses were accumulated. The corpus is still
+    * scanned once for the gating filter itself (and the ≤1 boundary
+    * bucket per stratum pays its doc-level scan), but the
+    * classification never re-aggregates history.
+    */
+  def tokenBudgetSampleWith(df: DataFrame, idCol: String,
+      stratumCol: String, tokCol: Column, budgets: DataFrame,
+      salt: String, bucketStats: DataFrame): DataFrame = {
+    val bud = broadcast(budgets.select(col(stratumCol),
+      col("budget_tok").cast("long").as("__budget")))
+    val d = keyed(df, idCol, stratumCol, tokCol, salt)
     val wPrior = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(col("__b"))
       .rowsBetween(Long.MinValue, -1)
     // the radix table: per-(stratum, bucket) token mass + prior mass —
     // the window runs over ≤ 65536·|strata| rows, never the corpus
-    val classes = d.groupBy(col(stratumCol), col("__b"))
-      .agg(sum(col("__ntok")).as("__m"))
+    val classes = bucketStats
+      .select(col(stratumCol), col("bucket").as("__b"),
+        col("n_total").as("__m"))
       .withColumn("__prior", coalesce(sum(col("__m")).over(wPrior), lit(0L)))
       .join(bud, Seq(stratumCol))
     // strict <: a bucket ending EXACTLY at the budget still routes
@@ -334,13 +375,23 @@ object SampleOps {
     * tok_total ≥ budget, tok_kept = tok_total below it).
     */
   def tokenBudgetStats(df: DataFrame, idCol: String, stratumCol: String,
-      tokCol: Column, budgets: DataFrame, salt: String): DataFrame = {
-    val kept = tokenBudgetSample(df, idCol, stratumCol, tokCol, budgets,
-      salt)
+      tokCol: Column, budgets: DataFrame, salt: String): DataFrame =
+    tokenBudgetStatsWith(df, idCol, stratumCol, tokCol, budgets, salt,
+      tokenBucketStats(df, idCol, stratumCol, tokCol, salt))
+
+  /** The audit view computed against an EXTERNAL radix table (the
+    * store-served form): domain totals come from the stats — a
+    * broadcast-sized aggregate, never a second corpus pass.
+    */
+  def tokenBudgetStatsWith(df: DataFrame, idCol: String,
+      stratumCol: String, tokCol: Column, budgets: DataFrame,
+      salt: String, bucketStats: DataFrame): DataFrame = {
+    val kept = tokenBudgetSampleWith(df, idCol, stratumCol, tokCol,
+      budgets, salt, bucketStats)
     budgets.select(col(stratumCol), col("budget_tok").cast("long")
         .as("budget_tok"))
-      .join(df.groupBy(col(stratumCol))
-          .agg(sum(tokCol.cast("long")).as("tok_total")),
+      .join(bucketStats.groupBy(col(stratumCol))
+          .agg(sum(col("n_total")).as("tok_total")),
         Seq(stratumCol), "left")
       .join(kept.groupBy(col(stratumCol))
           .agg(count(lit(1)).as("n_kept"),

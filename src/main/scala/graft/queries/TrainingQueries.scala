@@ -1337,6 +1337,27 @@ object TrainingQueries {
       wsTokens, budgetDf(s), "tb1")
       .select(col("doc_id"), col("source"))
 
+  /** The same audit view SERVED from a persisted radix table: the
+    * per-(source, bucket) token masses are saved once per data dir in
+    * a mix-stats store (the [[SampleOps.tokenBucketStats]] shape is
+    * deliberately [[SampleOps.appendMixStats]]-foldable) and the
+    * classification is re-derived from the LOADED stats — domain
+    * totals included, so no second corpus aggregate runs. Identical
+    * masses give bit-identical results, so the gate shares
+    * [[smpBudget]]'s oracle; StreamingSpec proves a micro-batch-
+    * maintained stats store re-derives the exact kept set.
+    */
+  val smpBudgetStore: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dir = graft.StoreUtil.cachedStoreDir("budgetstats", d) { p =>
+      SampleOps.saveMixStats(
+        SampleOps.tokenBucketStats(docs, "doc_id", "source", wsTokens,
+          "tb1"), p)
+    }
+    SampleOps.tokenBudgetStatsWith(docs, "doc_id", "source", wsTokens,
+      budgetDf(s), "tb1", SampleOps.loadMixStats(s, dir))
+  }
+
   /** PII scrub + normalization over text enriched with deterministic
     * synthetic PII (the fixture corpus carries none): per-doc replacement
     * counts and the md5 of the scrubbed normalized text.
@@ -1557,6 +1578,7 @@ object TrainingQueries {
     "smp_temperature" -> smpTemperature,
     "smp_budget" -> smpBudget,
     "smp_budget_docs" -> smpBudgetDocs,
+    "smp_budget_store" -> smpBudgetStore,
     "txt_scrub" -> txtScrub,
     "pack_seqs" -> packSeqs,
     "pack_seqs_bpe" -> packSeqsBpe,
@@ -2014,6 +2036,22 @@ object TrainingQueries {
        |kept AS (SELECT doc_id, source, ntok FROM k1
        |  UNION ALL SELECT doc_id, source, ntok FROM k2)""".stripMargin
   }
+
+  // the audit-view replay — ONE string for the scan and store-served
+  // budget gates (the store changes where the masses come from, never
+  // the classification)
+  private val smpBudgetSql: String =
+    s"""WITH $budgetKeptCtes
+       |SELECT bud.source, CAST(bud.budget_tok AS BIGINT) AS budget_tok,
+       |  CAST(coalesce(t.tok_total, 0) AS BIGINT) AS tok_total,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(k.tok_kept, 0) AS BIGINT) AS tok_kept
+       |FROM bud
+       |LEFT JOIN (SELECT source, sum(ntok) AS tok_total FROM d
+       |  GROUP BY 1) t USING (source)
+       |LEFT JOIN (SELECT source, count(*) AS n_kept,
+       |    sum(ntok) AS tok_kept FROM kept GROUP BY 1) k
+       |  USING (source)""".stripMargin
 
   // the id-encoded corpus replay: same tokenizer, same (count DESC,
   // token) vocabulary ids, doc window re-encoded through them. ONE
@@ -2873,21 +2911,14 @@ object TrainingQueries {
     // the token-budget replay: same salted hash, same radix buckets,
     // same prior-mass window and boundary crossing rule — the kept set
     // is a pure function of (corpus, recipe, salt) both engines derive
-    "smp_budget" ->
-      s"""WITH $budgetKeptCtes
-         |SELECT bud.source, CAST(bud.budget_tok AS BIGINT) AS budget_tok,
-         |  CAST(coalesce(t.tok_total, 0) AS BIGINT) AS tok_total,
-         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-         |  CAST(coalesce(k.tok_kept, 0) AS BIGINT) AS tok_kept
-         |FROM bud
-         |LEFT JOIN (SELECT source, sum(ntok) AS tok_total FROM d
-         |  GROUP BY 1) t USING (source)
-         |LEFT JOIN (SELECT source, count(*) AS n_kept,
-         |    sum(ntok) AS tok_kept FROM kept GROUP BY 1) k
-         |  USING (source)""".stripMargin,
+    "smp_budget" -> smpBudgetSql,
     "smp_budget_docs" ->
       s"""WITH $budgetKeptCtes
          |SELECT doc_id, source FROM kept""".stripMargin,
+    // the store changes WHERE the radix masses come from (a persisted,
+    // incrementally-foldable stats table), never the classification —
+    // identical masses, identical kept set: shares smp_budget's oracle
+    "smp_budget_store" -> smpBudgetSql,
     // exact-integer replica of SampleOps.temperatureThresholds: the
     // α = 1/2 weights are floor(sqrt(count)) and the threshold an
     // integer DIV, so both engines derive the SAME k from the data

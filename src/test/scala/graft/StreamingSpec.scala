@@ -979,6 +979,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(bitSet(graft.ops.SketchOps.loadBloom(spark, store)) == bitSet(want))
   }
 
+  test("streaming-maintained radix masses re-derive the exact " +
+      "token-budget kept set") {
+    // the budget sampler's classification is a pure function of the
+    // per-(source, bucket) token masses, which are ADDITIVE — so the
+    // mix-stats store folds them across micro-batches unchanged
+    // (tokenBucketStats deliberately matches the appendMixStats
+    // contract), and sampling against the grown store must equal the
+    // one-shot sample document for document
+    import graft.ops.SampleOps
+    import graft.queries.TrainingQueries
+    val docs = Tables.documents(spark, sf)
+    val wsTok = size(graft.ops.TextOps.tokensCol(col("text"))).cast("long")
+    val inDir = Files.createTempDirectory("graft_budget_in").toString
+    (0 until 3).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet", docs.filter(col("doc_id") % 3 === m))
+    }
+    val store = Files.createTempDirectory("graft_budget_st").toString + "/b"
+    var batches = 0
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        val stats = SampleOps.tokenBucketStats(df, "doc_id", "source",
+          wsTok, "tb1")
+        if (SampleOps.mixStatsStoreExists(spark, store))
+          SampleOps.appendMixStats(spark, store, stats, Some(id))
+        else SampleOps.saveMixStats(stats, store, Some(id))
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+    import spark.implicits._
+    val budgets = Seq(("src0", 600L), ("src1", 2000L), ("src2", 150L))
+      .toDF("source", "budget_tok")
+    def keptOf(stats: org.apache.spark.sql.DataFrame) =
+      SampleOps.tokenBudgetSampleWith(docs, "doc_id", "source", wsTok,
+        budgets, "tb1", stats)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val grown = keptOf(SampleOps.loadMixStats(spark, store))
+    val oneShot = keptOf(SampleOps.tokenBucketStats(docs, "doc_id",
+      "source", wsTok, "tb1"))
+    assert(grown == oneShot && grown.nonEmpty)
+    // and the in-flight convenience form agrees too (one definition of
+    // the bucket algebra behind all three entries)
+    val direct = SampleOps.tokenBudgetSample(docs, "doc_id", "source",
+      wsTok, budgets, "tb1")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(direct == oneShot)
+  }
+
   test("streaming-maintained mix stats re-derive the exact batch temperature recipe") {
     // the sampling-recipe leg of the store-maintenance lifecycle: each
     // micro-batch's per-stratum counts fold into the persisted mix-stats
