@@ -204,13 +204,16 @@ object StoreUtil {
   }
 
   /** The family-wide maintenance nudge: batches folded since the last
-    * compaction ≥ `slack`. Reads the manifest's `ingests` counter and
-    * the [[compactedAtOf]] watermark; each family wraps this with its
-    * own pending/health checks.
+    * compaction ≥ `slack`. Reads the manifest's `ingests` counter
+    * (via the lenient [[ingestsOf]] — a pre-counter manifest reads as
+    * 1, consistent with the append paths, so the probe and the write
+    * side can never disagree about an old store) and the
+    * [[compactedAtOf]] watermark; each family wraps this with its own
+    * pending/health checks.
     */
   def needsCompactFrom(mf: String, slack: Int, where: String): Boolean = {
     require(slack >= 1, s"slack must be >= 1, got $slack")
-    manifestLong(mf, "ingests", where) - compactedAtOf(mf) >= slack
+    ingestsOf(mf) - compactedAtOf(mf) >= slack
   }
 
   /** Act on a store family's compaction nudge inside a maintenance

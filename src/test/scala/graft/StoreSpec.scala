@@ -564,6 +564,33 @@ class StoreSpec extends AnyFunSuite {
     assert(GraphStore.load(spark, dest2).edges.count() == 6L)
   }
 
+  test("a pre-counter (legacy) manifest still appends, probes, and " +
+      "compacts — the lenient ingest read, probe and write agreeing") {
+    import graft.ops.GraphStore
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gstore_old").toString + "/g"
+    GraphStore.save(spark, Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), dir,
+      buckets = 2)
+    // rewrite the manifest to the pre-round-11 shape: no ingests, no
+    // compacted_at, no symmetric — the store a deployment upgraded
+    // from an older build would hold
+    StoreUtil.writeMarker(spark, dir, GraphStore.ManifestFile,
+      """{"version":1,"buckets":2,"n_edges":2}""")
+    assert(GraphStore.load(spark, dir).symmetric == false)
+    // the probe must not throw on the missing counter (it previously
+    // would have), and append must not strand the store mid-write
+    assert(!GraphStore.needsCompact(spark, dir, slack = 8))
+    GraphStore.append(spark, dir, Seq((3L, 4L)).toDF("src", "dst"))
+    val st = GraphStore.load(spark, dir)
+    assert(st.edges.count() == 3L)
+    // the counter started counting from the append (legacy reads as 1)
+    assert(GraphStore.needsCompact(spark, dir, slack = 1))
+    val dest = Files.createTempDirectory("graft_gstore_oldc").toString + "/g"
+    GraphStore.compact(spark, dir, dest)
+    assert(!GraphStore.needsCompact(spark, dest, slack = 1))
+    assert(GraphStore.load(spark, dest).edges.count() == 3L)
+  }
+
   test("graph store: the compaction nudge trips after slack appends and " +
       "resets on compact") {
     import graft.ops.GraphStore
