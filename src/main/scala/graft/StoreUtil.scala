@@ -92,6 +92,16 @@ object StoreUtil {
     ()
   }
 
+  /** Recursively remove a retired store generation (no-op when
+    * absent) — the [[rotateIfDue]] `retire` closure's implementation;
+    * kept here so no store ever hand-rolls its own recursive delete.
+    */
+  def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    ()
+  }
+
   /** Marker content, or None when absent — callers fail fast with their
     * own store-specific message.
     */
@@ -231,11 +241,19 @@ object StoreUtil {
     * drives the LM, LSH, and dup-hash families through exactly this.
     */
   def rotateIfDue(current: String, needs: String => Boolean,
-      compact: (String, String) => Unit): String =
+      compact: (String, String) => Unit,
+      retire: String => Unit = _ => ()): String =
     if (!needs(current)) current
     else {
       val dest = nextGeneration(current)
       compact(current, dest)
+      // retirement runs only AFTER the new generation is fully written
+      // and manifested (compact's last act), so a crash inside compact
+      // leaves the old generation serving and the half-written dest
+      // refusing to load. Retiring is SINGLE-WRITER-loop-only: callers
+      // with concurrent readers on the old path must keep the default
+      // no-op and retire out of band.
+      retire(current)
       dest
     }
 

@@ -1358,6 +1358,21 @@ object TrainingQueries {
       budgetDf(s), "tb1", SampleOps.loadMixStats(s, dir))
   }
 
+  /** THE training-data pipeline composite: the budget-sampled mixture
+    * packed into fixed-token training bins — token budgets pick the
+    * per-domain document sets ([[SampleOps.tokenBudgetSample]]), FFD
+    * lays them out without splitting any document
+    * ([[PackOps.packFfd]]). Every stage is already oracle-gated alone;
+    * this pins the COMPOSITION (the budget boundary feeding the
+    * decreasing-order fold), with the oracle chaining the budget CTEs
+    * into the recursive FFD replay over the `kept` set.
+    */
+  val mixPack: Q = (s, d) =>
+    PackOps.packFfd(
+      SampleOps.tokenBudgetSample(Tables.documents(s, d), "doc_id",
+        "source", wsTokens, budgetDf(s), "tb1"),
+      "doc_id", wsTokens, ctxLen = 512, salt = "ep0")
+
   /** PII scrub + normalization over text enriched with deterministic
     * synthetic PII (the fixture corpus carries none): per-doc replacement
     * counts and the md5 of the scrubbed normalized text.
@@ -1579,6 +1594,7 @@ object TrainingQueries {
     "smp_budget" -> smpBudget,
     "smp_budget_docs" -> smpBudgetDocs,
     "smp_budget_store" -> smpBudgetStore,
+    "mix_pack" -> mixPack,
     "txt_scrub" -> txtScrub,
     "pack_seqs" -> packSeqs,
     "pack_seqs_bpe" -> packSeqsBpe,
@@ -1633,13 +1649,21 @@ object TrainingQueries {
     * override the token-count expression (`pack_ffd_bpe` budgets by
     * the real subword counts, the [[packSeqsBpe]] fidelity rule).
     */
+  /** `prefixCtes` (with trailing comma) lets a caller chain its own
+    * CTEs ahead of the fold — the mix_pack composite prepends the
+    * budget-sampling chain and packs FROM its `kept` set; internal CTE
+    * names are pf-prefixed so they can never collide with a prefix
+    * chain's.
+    */
   private def packFfdSql(finalSelect: String,
-      nTokSql: String = s"len($toksSql)"): String =
-    s"""WITH RECURSIVE k AS MATERIALIZED (SELECT doc_id,
+      nTokSql: String = s"len($toksSql)",
+      fromSql: String = "documents WHERE text IS NOT NULL",
+      prefixCtes: String = ""): String =
+    s"""WITH RECURSIVE ${prefixCtes}k AS MATERIALIZED (SELECT doc_id,
        |    CAST($nTokSql AS BIGINT) AS n_tok,
        |    substr(md5('ep0:' || doc_id::VARCHAR), 1, 1) AS shard
-       |  FROM documents WHERE text IS NOT NULL),
-       |d AS MATERIALIZED (SELECT doc_id, n_tok, shard,
+       |  FROM $fromSql),
+       |pf AS MATERIALIZED (SELECT doc_id, n_tok, shard,
        |    CAST(row_number() OVER (PARTITION BY shard
        |      ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rn
        |  FROM k),
@@ -1647,7 +1671,7 @@ object TrainingQueries {
        |  SELECT shard, CAST(0 AS BIGINT) AS rn,
        |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin,
        |    CAST(NULL AS BIGINT) AS bin_off, CAST([] AS BIGINT[]) AS bins
-       |  FROM (SELECT DISTINCT shard FROM d)
+       |  FROM (SELECT DISTINCT shard FROM pf)
        |  UNION ALL
        |  SELECT shard, rn, doc_id,
        |    CAST(CASE WHEN fit IS NULL THEN len(bins) ELSE fit - 1 END
@@ -1659,10 +1683,10 @@ object TrainingQueries {
        |      ELSE list_concat(bins[:fit-1],
        |        list_concat([bins[fit] - n_tok], bins[fit+1:])) END AS bins
        |  FROM (
-       |    SELECT d.shard, d.rn, d.doc_id, d.n_tok, f.bins,
+       |    SELECT pf.shard, pf.rn, pf.doc_id, pf.n_tok, f.bins,
        |      nullif(list_position(
-       |        list_transform(f.bins, b -> b >= d.n_tok), true), 0) AS fit
-       |    FROM ffd f JOIN d ON d.shard = f.shard AND d.rn = f.rn + 1) s
+       |        list_transform(f.bins, b -> b >= pf.n_tok), true), 0) AS fit
+       |    FROM ffd f JOIN pf ON pf.shard = f.shard AND pf.rn = f.rn + 1) s
        |)
        |$finalSelect""".stripMargin
 
@@ -2919,6 +2943,12 @@ object TrainingQueries {
     // incrementally-foldable stats table), never the classification —
     // identical masses, identical kept set: shares smp_budget's oracle
     "smp_budget_store" -> smpBudgetSql,
+    // the composite replay: the budget chain's kept set becomes the
+    // FFD fold's input — same salt, same whitespace counts (kept.ntok)
+    "mix_pack" -> packFfdSql(
+      "SELECT doc_id, shard, bin, bin_off FROM ffd WHERE doc_id IS NOT NULL",
+      nTokSql = "ntok", fromSql = "kept",
+      prefixCtes = budgetKeptCtes + ",\n"),
     // exact-integer replica of SampleOps.temperatureThresholds: the
     // α = 1/2 weights are floor(sqrt(count)) and the threshold an
     // integer DIV, so both engines derive the SAME k from the data

@@ -564,6 +564,30 @@ class StoreSpec extends AnyFunSuite {
     assert(GraphStore.load(spark, dest2).edges.count() == 6L)
   }
 
+  test("the symmetric flag survives symmetric appends and DOWNGRADES on " +
+      "a directed batch — the CC consumer refuses the downgraded store") {
+    import graft.ops.{ClusterOps, GraphStore}
+    import spark.implicits._
+    val sym1 = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val sym2 = Seq((3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val dir = Files.createTempDirectory("graft_gstore_sym").toString + "/g"
+    GraphStore.save(spark, sym1, dir, buckets = 2, symmetric = true)
+    GraphStore.append(spark, dir, sym2, symmetric = true)
+    // still symmetric: CC serves, and finds the two planted components
+    val cc = ClusterOps.connectedComponentsStored(
+        GraphStore.load(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // one DIRECTED batch downgrades the assertion — the union is what
+    // the CC kernel would traverse, so the whole store stops qualifying
+    GraphStore.append(spark, dir, Seq((5L, 1L)).toDF("src", "dst"))
+    assert(!GraphStore.load(spark, dir).symmetric)
+    val e = intercept[IllegalArgumentException] {
+      ClusterOps.connectedComponentsStored(GraphStore.load(spark, dir))
+    }
+    assert(e.getMessage.contains("symmetric"), e.getMessage)
+  }
+
   test("a pre-counter (legacy) manifest still appends, probes, and " +
       "compacts — the lenient ingest read, probe and write agreeing") {
     import graft.ops.GraphStore

@@ -595,19 +595,27 @@ class StreamingSpec extends AnyFunSuite {
     var current = Files.createTempDirectory("graft_lmrot").toString + "/lm"
     var rotations = 0
     var batches = 0
+    val retired = scala.collection.mutable.ArrayBuffer.empty[String]
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = stream.writeStream.foreachBatch {
       (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         batches += 1
         LmStore.ingestBatch(spark, current, df, "text", Some(id))
+        // this loop also RETIRES old generations (it is the single
+        // writer and reader): the chain must not accumulate one full
+        // store copy per rotation
         val next = StoreUtil.rotateIfDue(current,
           p => LmStore.needsCompact(spark, p, slack = 2),
-          (s, d) => LmStore.compact(spark, s, d))
+          (s, d) => LmStore.compact(spark, s, d),
+          p => { retired += p; StoreUtil.deleteDir(spark, p) })
         if (next != current) { rotations += 1; current = next }
         ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // every retired generation is genuinely gone from disk
+    assert(retired.nonEmpty && retired.forall(p => !new java.io.File(p).exists),
+      s"retired generations left on disk: $retired")
     assert(batches >= 6, s"expected >= 6 micro-batches, got $batches")
     assert(rotations >= 2, s"the nudge should have tripped repeatedly " +
       s"at slack 2 over 6 batches; rotations = $rotations")
