@@ -269,6 +269,38 @@ object StoreUtil {
     }
   }
 
+  /** The restart-discovery half of the rotation protocol: a maintenance
+    * loop's serving-path variable dies with the process, and with
+    * retirement on, the BASE path itself may no longer exist — so a
+    * restarted loop must find the newest surviving generation before
+    * its first ingest. Scans the base's parent directory for
+    * `name`/`name_gN` siblings and returns the highest (the base path
+    * itself when no generation survives — the fresh-start case).
+    * Retirement deletes predecessors eagerly, so at most the newest
+    * generation plus possibly the base exist; ties cannot happen.
+    */
+  def latestGeneration(spark: SparkSession, path: String): String = {
+    val stripped = "_g(\\d+)$".r.replaceFirstIn(path, "")
+    val p = new org.apache.hadoop.fs.Path(stripped)
+    val parent = p.getParent
+    val fs = fsOf(spark, stripped)
+    if (parent == null || !fs.exists(parent)) return stripped
+    val name = p.getName
+    val genRe = (java.util.regex.Pattern.quote(name) + "_g(\\d+)").r
+    val gens = fs.listStatus(parent).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .flatMap { n =>
+        if (n == name) Some(0L)
+        else genRe.findFirstMatchIn(n)
+          .filter(_.matched == n).map(_.group(1).toLong)
+      }
+    if (gens.isEmpty) stripped
+    else {
+      val g = gens.max
+      if (g == 0L) stripped else s"${stripped}_g$g"
+    }
+  }
+
   /** The file names directly under `dir` (non-recursive, files only) —
     * how a store append records its rollback identity when its rows
     * carry no batch tag (bucketed layouts, where a per-row tag would

@@ -616,6 +616,12 @@ class StreamingSpec extends AnyFunSuite {
     // every retired generation is genuinely gone from disk
     assert(retired.nonEmpty && retired.forall(p => !new java.io.File(p).exists),
       s"retired generations left on disk: $retired")
+    // restart discovery: a rebooted loop's serving-path variable is
+    // gone and the base dir was retired — latestGeneration must find
+    // the one surviving generation from the base path alone
+    assert(StoreUtil.latestGeneration(spark, retired.head) == current,
+      s"latestGeneration found ${StoreUtil.latestGeneration(spark,
+        retired.head)}, loop ended at $current")
     assert(batches >= 6, s"expected >= 6 micro-batches, got $batches")
     assert(rotations >= 2, s"the nudge should have tripped repeatedly " +
       s"at slack 2 over 6 batches; rotations = $rotations")
