@@ -214,16 +214,23 @@ object StoreUtil {
   }
 
   /** The family-wide maintenance nudge: batches folded since the last
-    * compaction ≥ `slack`. Reads the manifest's `ingests` counter
-    * (via the lenient [[ingestsOf]] — a pre-counter manifest reads as
-    * 1, consistent with the append paths, so the probe and the write
-    * side can never disagree about an old store) and the
-    * [[compactedAtOf]] watermark; each family wraps this with its own
-    * pending/health checks.
+    * compaction ≥ `slack`, reading the `ingests` counter and the
+    * [[compactedAtOf]] watermark. `strict` (the default) FAILS on a
+    * manifest without the counter — right for the fold stores, which
+    * have stamped it since their first release, so a missing field
+    * there is damage, not age. The bucketed append-grown stores
+    * (graph, postings, tree, vector) gained the counter later and
+    * pass `strict = false`: their pre-counter manifests read as
+    * ingests = 1 via [[ingestsOf]], the same lenient rule their
+    * append paths use, so probe and write side agree about a legacy
+    * store.
     */
-  def needsCompactFrom(mf: String, slack: Int, where: String): Boolean = {
+  def needsCompactFrom(mf: String, slack: Int, where: String,
+      strict: Boolean = true): Boolean = {
     require(slack >= 1, s"slack must be >= 1, got $slack")
-    ingestsOf(mf) - compactedAtOf(mf) >= slack
+    val ingests =
+      if (strict) manifestLong(mf, "ingests", where) else ingestsOf(mf)
+    ingests - compactedAtOf(mf) >= slack
   }
 
   /** Act on a store family's compaction nudge inside a maintenance
@@ -272,14 +279,22 @@ object StoreUtil {
   /** The restart-discovery half of the rotation protocol: a maintenance
     * loop's serving-path variable dies with the process, and with
     * retirement on, the BASE path itself may no longer exist — so a
-    * restarted loop must find the newest surviving generation before
+    * restarted loop must find the newest SERVABLE generation before
     * its first ingest. Scans the base's parent directory for
-    * `name`/`name_gN` siblings and returns the highest (the base path
-    * itself when no generation survives — the fresh-start case).
-    * Retirement deletes predecessors eagerly, so at most the newest
-    * generation plus possibly the base exist; ties cannot happen.
+    * `name`/`name_gN` siblings and returns the highest that passes
+    * `healthy` (the base path itself when none survives — the
+    * fresh-start case). Pass the family's own probe as `healthy`
+    * (e.g. a manifest-presence check) — a crash INSIDE compact leaves
+    * a manifest-less newest generation that must be skipped in favor
+    * of the still-serving predecessor; and a crash BETWEEN compact and
+    * retire leaves both alive, so discovery should be followed by
+    * retiring every found generation below the served one. The `_gN`
+    * suffix is RESERVED by the rotation naming: do not give a
+    * non-rotated store a name ending in `_g<digits>` — discovery
+    * strips it.
     */
-  def latestGeneration(spark: SparkSession, path: String): String = {
+  def latestGeneration(spark: SparkSession, path: String,
+      healthy: String => Boolean = _ => true): String = {
     val stripped = "_g(\\d+)$".r.replaceFirstIn(path, "")
     val p = new org.apache.hadoop.fs.Path(stripped)
     val parent = p.getParent
@@ -294,11 +309,10 @@ object StoreUtil {
         else genRe.findFirstMatchIn(n)
           .filter(_.matched == n).map(_.group(1).toLong)
       }
-    if (gens.isEmpty) stripped
-    else {
-      val g = gens.max
-      if (g == 0L) stripped else s"${stripped}_g$g"
-    }
+    val fit = gens.sorted.reverse
+      .map(g => if (g == 0L) stripped else s"${stripped}_g$g")
+      .find(healthy)
+    fit.getOrElse(stripped)
   }
 
   /** The file names directly under `dir` (non-recursive, files only) —

@@ -239,7 +239,7 @@ object GraphStore {
     graft.StoreUtil.needsCompactFrom(
       graft.StoreUtil.requireManifest(spark, path, ManifestFile,
         "graph store", FormatVersion),
-      slack, s"graph store at $path")
+      slack, s"graph store at $path", strict = false)
   }
 
   /** Roll an interrupted append back out into a clean store at `dest`:

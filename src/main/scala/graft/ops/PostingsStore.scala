@@ -194,7 +194,7 @@ object PostingsStore {
     graft.StoreUtil.needsCompactFrom(
       graft.StoreUtil.requireManifest(spark, path, ManifestFile,
         "postings store", FormatVersion),
-      slack, s"postings manifest at $path")
+      slack, s"postings manifest at $path", strict = false)
 
   /** BM25 top-k from the stored index: the terms filter bucket-prunes
     * the postings scan, df comes from counting the pruned rows, and the

@@ -381,7 +381,10 @@ object SampleOps {
 
   /** The audit view computed against an EXTERNAL radix table (the
     * store-served form): domain totals come from the stats — a
-    * broadcast-sized aggregate, never a second corpus pass.
+    * broadcast-sized aggregate, never a second corpus pass. All
+    * numbers (tok_total included) are over the SAMPLER'S universe:
+    * null-id rows have no bucket and are outside both the kept set
+    * and the totals — the oracle's replay applies the same filter.
     */
   def tokenBudgetStatsWith(df: DataFrame, idCol: String,
       stratumCol: String, tokCol: Column, budgets: DataFrame,

@@ -141,7 +141,7 @@ object VectorStore {
     requireStore(spark, path)
     graft.StoreUtil.needsCompactFrom(
       graft.StoreUtil.readMarker(spark, path, ManifestFile).get,
-      slack, s"vector store at $path")
+      slack, s"vector store at $path", strict = false)
   }
 
   // lenient pre-counter read — the StoreUtil.ingestsOf rationale

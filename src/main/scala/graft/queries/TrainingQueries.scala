@@ -1651,9 +1651,11 @@ object TrainingQueries {
     */
   /** `prefixCtes` (with trailing comma) lets a caller chain its own
     * CTEs ahead of the fold — the mix_pack composite prepends the
-    * budget-sampling chain and packs FROM its `kept` set; internal CTE
-    * names are pf-prefixed so they can never collide with a prefix
-    * chain's.
+    * budget-sampling chain and packs FROM its `kept` set. The fold's
+    * collision-prone internal name is pf-prefixed; `k` and `ffd` stay
+    * as-is because they are part of the CALLER contract (finalSelect
+    * references them), so a prefix chain must not define CTEs named
+    * `k` or `ffd`.
     */
   private def packFfdSql(finalSelect: String,
       nTokSql: String = s"len($toksSql)",
@@ -2039,7 +2041,7 @@ object TrainingQueries {
        |    md5('tb1:' || doc_id::VARCHAR) AS h,
        |    CAST(concat('0x', substr(md5('tb1:' || doc_id::VARCHAR), 1, 4))
        |      AS BIGINT) AS b
-       |  FROM documents),
+       |  FROM documents WHERE doc_id IS NOT NULL),
        |bs AS (SELECT source, b, sum(ntok) AS m FROM d GROUP BY 1, 2),
        |cl AS MATERIALIZED (SELECT bs.source, bs.b, bs.m,
        |    coalesce(sum(bs.m) OVER (PARTITION BY bs.source ORDER BY bs.b

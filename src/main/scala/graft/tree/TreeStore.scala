@@ -278,7 +278,7 @@ object TreeStore {
     graft.StoreUtil.needsCompactFrom(
       graft.StoreUtil.requireManifest(spark, path, ManifestFile,
         "tree store"),
-      slack, s"tree store at $path")
+      slack, s"tree store at $path", strict = false)
   }
 
 

@@ -622,6 +622,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(StoreUtil.latestGeneration(spark, retired.head) == current,
       s"latestGeneration found ${StoreUtil.latestGeneration(spark,
         retired.head)}, loop ended at $current")
+    // and with the family's health probe, a HALF-WRITTEN newer
+    // generation (a crash inside compact: data landed, manifest
+    // didn't) is skipped in favor of the still-serving predecessor
+    val halfDone = StoreUtil.nextGeneration(current)
+    spark.range(1).toDF("w").write.parquet(s"$halfDone/uni")
+    val servable = (p: String) =>
+      try LmStore.exists(spark, p)
+      catch { case _: IllegalStateException => false }
+    assert(StoreUtil.latestGeneration(spark, retired.head, servable)
+      == current, "discovery served a manifest-less generation")
     assert(batches >= 6, s"expected >= 6 micro-batches, got $batches")
     assert(rotations >= 2, s"the nudge should have tripped repeatedly " +
       s"at slack 2 over 6 batches; rotations = $rotations")
@@ -1002,7 +1012,6 @@ class StreamingSpec extends AnyFunSuite {
     // contract), and sampling against the grown store must equal the
     // one-shot sample document for document
     import graft.ops.SampleOps
-    import graft.queries.TrainingQueries
     val docs = Tables.documents(spark, sf)
     val wsTok = size(graft.ops.TextOps.tokensCol(col("text"))).cast("long")
     val inDir = Files.createTempDirectory("graft_budget_in").toString
