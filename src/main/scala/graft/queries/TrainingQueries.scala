@@ -606,11 +606,16 @@ object TrainingQueries {
     * derived: the store is pinned end to end without any Spark-side
     * artifact crossing over.
     */
-  val txtLrStore: Q = (s, d) => {
-    val dir = graft.StoreUtil.cachedStoreDir("lrstore", d) { p =>
+  /** The persisted quality model's store dir (built once per JVM per
+    * data dir) — shared by the scoring gate and the pipeline composite.
+    */
+  private def lrStoreDir(s: SparkSession, d: String): String =
+    graft.StoreUtil.cachedStoreDir("lrstore", d) { p =>
       graft.ops.ModelStore.save(s, lrFeatCols.zip(lrWeights(s, d)), p)
     }
-    val m = graft.ops.ModelStore.load(s, dir)
+
+  val txtLrStore: Q = (s, d) => {
+    val m = graft.ops.ModelStore.load(s, lrStoreDir(s, d))
     lrFeatures(Tables.documents(s, d))
       .select(col("doc_id"), m.scoreFp.as("score_fp"))
   }
@@ -887,15 +892,21 @@ object TrainingQueries {
     * never re-tokenized or re-hashed, only its per-hash index is
     * scanned, with the batch broadcast.
     */
-  val ddDupStore: Q = (s, d) => {
-    val dir = graft.StoreUtil.cachedStoreDir("dupstore", d) { p =>
+  /** The persisted window-hash index over the doc_id < 250 history
+    * (two ingest batches), built once per JVM per data dir — shared by
+    * the probe gate and the pipeline composite.
+    */
+  private def dupStoreDir(s: SparkSession, d: String): String =
+    graft.StoreUtil.cachedStoreDir("dupstore", d) { p =>
       val hist = Tables.documents(s, d).filter(col("doc_id") < 250)
       graft.ops.DupStore.ingestBatch(s, p,
         hist.filter(col("doc_id") < 125), "doc_id", "text")
       graft.ops.DupStore.ingestBatch(s, p,
         hist.filter(col("doc_id") >= 125), "doc_id", "text")
     }
-    graft.ops.DupStore.probeSpans(graft.ops.DupStore.load(s, dir),
+
+  val ddDupStore: Q = (s, d) => {
+    graft.ops.DupStore.probeSpans(graft.ops.DupStore.load(s, dupStoreDir(s, d)),
       Tables.documents(s, d)
         .filter(col("doc_id") >= 250 && col("doc_id") < 500),
       "doc_id", "text")
@@ -1243,12 +1254,17 @@ object TrainingQueries {
     * the store adds an in-plan OOV guard the scan form proves total
     * by construction.
     */
-  val txtBpeIdsStore: Q = (s, d) => {
-    val dir = graft.StoreUtil.cachedStoreDir("bpestore", d) { p =>
+  /** The persisted tokenizer's store dir (built once per JVM per data
+    * dir) — shared by the id-encoding gate and the pipeline composite.
+    */
+  private def bpeStoreDir(s: SparkSession, d: String): String =
+    graft.StoreUtil.cachedStoreDir("bpestore", d) { p =>
       graft.ops.BpeStore.save(s, graft.functions.Bpe.merges,
         bpeVocabFrame(s, d), p)
     }
-    graft.ops.BpeStore.encodeIds(graft.ops.BpeStore.load(s, dir),
+
+  val txtBpeIdsStore: Q = (s, d) => {
+    graft.ops.BpeStore.encodeIds(graft.ops.BpeStore.load(s, bpeStoreDir(s, d)),
       Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
   }
 
@@ -1372,6 +1388,125 @@ object TrainingQueries {
       SampleOps.tokenBudgetSample(Tables.documents(s, d), "doc_id",
         "source", wsTokens, budgetDf(s), "tb1"),
       "doc_id", wsTokens, ctxLen = 512, salt = "ep0")
+
+  /** The pipeline composite's own budget recipe, in STORED-BPE tokens
+    * over the quality-gated, history-stripped batch: two whole-kept
+    * domains, two boundary cuts, a zero budget, every unnamed source
+    * dropped — the same four-class coverage as [[budgetRecipe]], at the
+    * (smaller) masses of the derived corpus.
+    */
+  private val pipeRecipe = Seq(("src0", 100000L), ("src1", 300L),
+    ("src2", 150L), ("src3", 0L), ("src4", 100000L), ("src5", 200L))
+  private def pipeBudgetDf(s: SparkSession) = {
+    import s.implicits._
+    pipeRecipe.toDF("source", "budget_tok")
+  }
+
+  /** Keep threshold for the stored quality gate: p ≥ 1/2 in the model's
+    * 2¹⁶ fixed point — exact integer, so the boundary can never drift
+    * between the engine and the oracle's retrained replay.
+    */
+  private val pipeKeepFp = 32768L
+
+  /** THE end-to-end store-served pretraining pipeline — every persisted
+    * artifact in this library composed into the path a corpus actually
+    * takes to the trainer, with NOTHING recomputed from history:
+    *
+    *   1. quality gate: the new batch (doc_id ∈ [250, 500)) scored by
+    *      the PERSISTED logistic model ([[graft.ops.ModelStore]]) —
+    *      keep p ≥ 1/2;
+    *   2. substring dedup: survivors stripped against everything the
+    *      crawl has seen via the PERSISTED window-hash index
+    *      ([[graft.ops.DupStore.probeStrip]] — history never
+    *      re-tokenized, batch broadcast);
+    *   3. mixture: token-budget sampling of the cleaned batch, masses
+    *      served from the PERSISTED radix-stats store
+    *      ([[SampleOps.tokenBudgetSampleWith]]) with token counts from
+    *      the PERSISTED BPE tokenizer ([[graft.ops.BpeStore]] — real
+    *      model tokens, not whitespace);
+    *   4. layout: FFD packing into 512-token bins budgeted by the same
+    *      stored tokenizer ([[PackOps.packFfd]]).
+    *
+    * Every stage is oracle-gated alone; this gate pins the COMPOSITION
+    * — five stores feeding one deterministic answer. The oracle replays
+    * the whole path from raw text: LR training unrolled, the strip's
+    * keep-first rule over history∪batch, the budget bucket algebra over
+    * the re-derived clean text, the recursive FFD fold — no Spark-side
+    * artifact crosses over. StreamingSpec runs the twin where the dup
+    * and stats stores are maintained by foreachBatch loops and the
+    * packed output must match this one-shot run row for row.
+    *
+    * Scale shape: stages 1 and 4 are row-local over the batch; stage 2
+    * scans the (large) hash index once with the batch broadcast;
+    * stage 3's classification reads the (tiny) stats store. Nothing
+    * rescans corpus history.
+    */
+  val pipePretrain: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // stages 1+2: stored-model quality gate, then strip against the
+    // persisted crawl history
+    val stripped = pipeCleanBatch(s, d, dupStoreDir(s, d),
+      docs.filter(col("doc_id") >= 250 && col("doc_id") < 500))
+    val staged = pipeStagedFrame(s, d, stripped)
+    // stage 3's masses from the persisted radix store (built once per
+    // data dir; the streaming twin maintains its own via appendMixStats)
+    val statsDir = graft.StoreUtil.cachedStoreDir("pipestats", d) { p =>
+      SampleOps.saveMixStats(SampleOps.tokenBucketStats(staged, "doc_id",
+        "source", col("n_tok_bpe"), "pp1"), p)
+    }
+    pipePackStage(s, staged, SampleOps.loadMixStats(s, statsDir))
+  }
+
+  /** Stage 1 alone — the stored model's keep set applied to one
+    * delivery (doc_id, text rows). Shared by the composite and the
+    * streaming twin's foreachBatch body, so the two paths score with
+    * the same artifact and threshold by construction.
+    */
+  private[graft] def pipeQualityGate(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val model = graft.ops.ModelStore.load(s, lrStoreDir(s, d))
+    batch.select(col("doc_id"), col("text"))
+      .join(lrFeatures(batch).filter(model.scoreFp >= lit(pipeKeepFp))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+  }
+
+  /** Stages 1+2 for one delivery against the dup index at `dupDir`
+    * (the composite passes the cached history index; a maintenance
+    * loop passes its own growing store).
+    */
+  private[graft] def pipeCleanBatch(s: SparkSession, d: String,
+      dupDir: String, batch: DataFrame): DataFrame =
+    graft.ops.DupStore.probeStrip(graft.ops.DupStore.load(s, dupDir),
+      pipeQualityGate(s, d, batch), "doc_id", "text")
+
+  /** The cleaned rows joined back to their source and counted by the
+    * PERSISTED tokenizer — ONE materialization (the stats build, the
+    * sampler's gating scan, and the packer all read it, and the merge
+    * chain runs once per doc, not per consumer). The streaming twin
+    * runs this same frame per micro-batch for its stats folds.
+    */
+  private[graft] def pipeStagedFrame(s: SparkSession, d: String,
+      stripped: DataFrame): DataFrame = {
+    val bpe = graft.ops.BpeStore.load(s, bpeStoreDir(s, d))
+    ClusterOps.flatten(stripped
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("doc_id"), col("source"), col("clean_text"),
+        size(graft.functions.Bpe.tokensCol(col("clean_text"), bpe.merges))
+          .cast("long").as("n_tok_bpe")))
+  }
+
+  /** Stages 3+4 over a staged frame and a radix-mass table (however
+    * maintained): budget-sample, then FFD-pack by the stored
+    * tokenizer's counts.
+    */
+  private[graft] def pipePackStage(s: SparkSession, staged: DataFrame,
+      masses: DataFrame): DataFrame = {
+    val sampled = SampleOps.tokenBudgetSampleWith(staged, "doc_id",
+      "source", col("n_tok_bpe"), pipeBudgetDf(s), "pp1", masses)
+    PackOps.packFfd(sampled, "doc_id", col("n_tok_bpe"), ctxLen = 512,
+      salt = "ep0")
+  }
 
   /** PII scrub + normalization over text enriched with deterministic
     * synthetic PII (the fixture corpus carries none): per-doc replacement
@@ -1595,6 +1730,7 @@ object TrainingQueries {
     "smp_budget_docs" -> smpBudgetDocs,
     "smp_budget_store" -> smpBudgetStore,
     "mix_pack" -> mixPack,
+    "pipe_pretrain" -> pipePretrain,
     "txt_scrub" -> txtScrub,
     "pack_seqs" -> packSeqs,
     "pack_seqs_bpe" -> packSeqsBpe,
@@ -2032,16 +2168,21 @@ object TrainingQueries {
   // drift; the CTE chain replays tokenBudgetSample's whole bucket
   // algebra and ends at `kept (doc_id, source, ntok)`. d and cl are
   // MATERIALIZED (each is referenced twice — the DuckDB inline rule).
-  private val budgetKeptCtes: String = {
-    val values = budgetRecipe
+  // Parameterized over (recipe, input FROM clause, token expression,
+  // salt) so the pipeline composite can replay the SAME algebra over a
+  // derived corpus (quality-gated + stripped) — one definition of the
+  // bucket classification, every budget oracle shares it.
+  private def budgetKeptCtesFor(recipe: Seq[(String, Long)],
+      fromSql: String, ntokSql: String, salt: String): String = {
+    val values = recipe
       .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
     s"""bud AS (SELECT * FROM (VALUES $values) AS t(source, budget_tok)),
        |d AS MATERIALIZED (SELECT doc_id, source,
-       |    CAST(len($toksSql) AS BIGINT) AS ntok,
-       |    md5('tb1:' || doc_id::VARCHAR) AS h,
-       |    CAST(concat('0x', substr(md5('tb1:' || doc_id::VARCHAR), 1, 4))
+       |    CAST($ntokSql AS BIGINT) AS ntok,
+       |    md5('$salt:' || doc_id::VARCHAR) AS h,
+       |    CAST(concat('0x', substr(md5('$salt:' || doc_id::VARCHAR), 1, 4))
        |      AS BIGINT) AS b
-       |  FROM documents WHERE doc_id IS NOT NULL),
+       |  FROM $fromSql),
        |bs AS (SELECT source, b, sum(ntok) AS m FROM d GROUP BY 1, 2),
        |cl AS MATERIALIZED (SELECT bs.source, bs.b, bs.m,
        |    coalesce(sum(bs.m) OVER (PARTITION BY bs.source ORDER BY bs.b
@@ -2062,6 +2203,9 @@ object TrainingQueries {
        |kept AS (SELECT doc_id, source, ntok FROM k1
        |  UNION ALL SELECT doc_id, source, ntok FROM k2)""".stripMargin
   }
+
+  private val budgetKeptCtes: String = budgetKeptCtesFor(budgetRecipe,
+    "documents WHERE doc_id IS NOT NULL", s"len($toksSql)", "tb1")
 
   // the audit-view replay — ONE string for the scan and store-served
   // budget gates (the store changes where the masses come from, never
@@ -2951,6 +3095,66 @@ object TrainingQueries {
       "SELECT doc_id, shard, bin, bin_off FROM ffd WHERE doc_id IS NOT NULL",
       nTokSql = "ntok", fromSql = "kept",
       prefixCtes = budgetKeptCtes + ",\n"),
+    // the WHOLE pretraining pipeline replayed from raw text, stage by
+    // stage: LR training unrolled and the batch scored with the
+    // just-derived weights (the txt_lr_store discipline); the strip's
+    // global keep-first rule over history∪batch restricted to batch
+    // docs (the dd_dup_strip/dd_dup_store shape — history ids precede
+    // batch ids, so the store probe equals the one-shot); the budget
+    // bucket algebra over the re-derived clean text with REAL BPE
+    // counts; the recursive FFD fold over the kept set — the engine
+    // side serves each stage from its persisted artifact, the oracle
+    // derives everything from the data, and the packed layouts must
+    // agree bit for bit
+    "pipe_pretrain" -> {
+      val (lrCtes, wLast) = graft.ops.LinearModel.trainCtesSql(
+        lrFeatSqls, lrLabelSql, iters = 8, lrShift = 4)
+      val z = lrFeatSqls.zipWithIndex
+        .map { case (e, i) => s"($e) * wt.c$i" }.mkString(" + ")
+      val prefix =
+        s"""f AS (SELECT n_chars, $toksSql AS w FROM documents
+           |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+           |$lrCtes,
+           |pfd AS (SELECT doc_id, text, $toksSql AS w FROM documents
+           |  WHERE text IS NOT NULL AND doc_id >= 250 AND doc_id < 500),
+           |pq AS MATERIALIZED (SELECT pfd.doc_id, pfd.text
+           |  FROM pfd, $wLast wt, sigt
+           |  WHERE ${graft.ops.LinearModel.sigmoidFpSql(z)} >= $pipeKeepFp),
+           |psu AS (SELECT doc_id, text FROM documents
+           |  WHERE text IS NOT NULL AND doc_id < 250
+           |  UNION ALL SELECT doc_id, text FROM pq),
+           |pst AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM psu),
+           |psw AS (SELECT doc_id, CAST(p AS BIGINT) AS i,
+           |    md5(array_to_string(toks[p+1:p+4], ' ')) AS h
+           |  FROM pst, unnest(range(0, len(toks) - 4 + 1)) u(p)),
+           |psr AS (SELECT doc_id, i,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+           |    count(*) OVER (PARTITION BY h) AS cnt FROM psw),
+           |prem AS (SELECT DISTINCT doc_id, i + u.kk AS idx
+           |  FROM psr, unnest(range(0, 4)) u(kk) WHERE cnt >= 2 AND rn > 1),
+           |ptok AS (SELECT doc_id, CAST(p AS BIGINT) AS idx,
+           |    toks[p+1] AS tok
+           |  FROM pst, unnest(range(0, len(toks))) u(p)
+           |  WHERE doc_id >= 250),
+           |pkp AS (SELECT ptok.doc_id, ptok.idx, ptok.tok FROM ptok
+           |  LEFT JOIN prem
+           |    ON ptok.doc_id = prem.doc_id AND ptok.idx = prem.idx
+           |  WHERE prem.idx IS NULL),
+           |pclean AS MATERIALIZED (SELECT pst.doc_id,
+           |    coalesce(string_agg(pkp.tok, ' ' ORDER BY pkp.idx), '')
+           |      AS clean_text
+           |  FROM pst LEFT JOIN pkp ON pst.doc_id = pkp.doc_id
+           |  WHERE pst.doc_id >= 250 GROUP BY pst.doc_id),
+           |${budgetKeptCtesFor(pipeRecipe,
+                "pclean JOIN documents USING (doc_id)",
+                s"len(${graft.functions.Bpe.tokensSql("clean_text")})",
+                "pp1")},
+           |""".stripMargin
+      packFfdSql(
+        "SELECT doc_id, shard, bin, bin_off FROM ffd " +
+          "WHERE doc_id IS NOT NULL",
+        nTokSql = "ntok", fromSql = "kept", prefixCtes = prefix)
+    },
     // exact-integer replica of SampleOps.temperatureThresholds: the
     // α = 1/2 weights are floor(sqrt(count)) and the threshold an
     // integer DIV, so both engines derive the SAME k from the data

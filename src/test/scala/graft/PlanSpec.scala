@@ -347,6 +347,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p) // no single-stream global order
   }
 
+  test("mix_pack composite: recipe/boundary frames broadcast, nothing " +
+      "pairwise, no global sort") {
+    // the composite's own lock (its stages are locked separately, but a
+    // regression INTRODUCED BY THE COMPOSITION — e.g. the kept-set union
+    // forcing a sort-merge against the recipe, or the fold picking up a
+    // range partitioning — would hide between them)
+    val p = finalPlan(TrainingQueries.mixPack(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // budget recipe + boundary-bucket joins reach the corpus as
+    // broadcasts; nothing corpus-sized sort-merges
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only ordering is packFfd's WITHIN-partition shard sort — a
+    // range partitioning would mean the fold regressed to a global sort
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("pipe_pretrain composite: nothing pairwise, no global sort, " +
+      "history index scanned without a corpus-side shuffle join") {
+    val p = finalPlan(TrainingQueries.registry("pipe_pretrain")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    // the probe's history join and the sampler's recipe/boundary joins
+    // must all broadcast the bounded side — a sort-merge anywhere here
+    // means a store-sized exchange snuck into the serving path
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+  }
+
   test("salted join hash-partitions on (key, salt) and matches the plain join") {
     import org.apache.spark.sql.functions.col
     val li = Tables.lineitem(spark, sf)

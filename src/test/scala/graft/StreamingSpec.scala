@@ -1299,4 +1299,102 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("the streamed pretraining pipeline — dup index and radix masses " +
+      "maintained per micro-batch — packs the one-shot composite's " +
+      "layout row for row") {
+    // pipe_pretrain's streaming twin: the trained artifacts (quality
+    // model, BPE tokenizer) are pinned once; the two GROWING stores are
+    // maintained inside the foreachBatch body — each delivery is
+    // quality-gated with the stored model, stripped against everything
+    // the crawl has seen THEN ingested (DupStore.probeStripThenIngest),
+    // and its cleaned rows' stored-tokenizer radix masses fold into the
+    // mix-stats store. Because micro-batch order follows id order, the
+    // accumulated cleaned output equals the one-shot strip, the additive
+    // masses sum to the one-shot masses, and the budget sample + FFD
+    // pack over the maintained stores must therefore reproduce the
+    // composite gate bit for bit — the five-store composition holds
+    // under incremental maintenance, not just in one batch run.
+    import graft.ops.{DupStore, SampleOps}
+    import graft.queries.TrainingQueries
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+    val dupDir =
+      Files.createTempDirectory("graft_pipe_dup").toString + "/dup"
+    // history arrives as the same two ingests the gate's fixture folds
+    DupStore.ingestBatch(spark, dupDir,
+      hist.filter(col("doc_id") < 125), "doc_id", "text")
+    DupStore.ingestBatch(spark, dupDir,
+      hist.filter(col("doc_id") >= 125), "doc_id", "text")
+    val inDir = Files.createTempDirectory("graft_pipe_in").toString
+    // contiguous ascending id ranges per file — the ids-follow-arrival
+    // contract the strip's streamed/one-shot equality rides on
+    (0 until 3).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet",
+        batch.filter(col("doc_id") >= 250 + m * 84 &&
+          col("doc_id") < 250 + (m + 1) * 84))
+    }
+    val outDir =
+      Files.createTempDirectory("graft_pipe_out").toString + "/clean"
+    val statsDir =
+      Files.createTempDirectory("graft_pipe_stats").toString + "/mass"
+    var batches = 0
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        batches += 1
+        // stages 1+2: gate with the stored model, strip against all
+        // seen hashes, ingest this delivery's own
+        DupStore.probeStripThenIngest(spark, dupDir, outDir,
+          TrainingQueries.pipeQualityGate(spark, sf, df),
+          "doc_id", "text", batchId = id)
+        // stage-3 maintenance: fold this delivery's cleaned masses
+        val stats = SampleOps.tokenBucketStats(
+          TrainingQueries.pipeStagedFrame(spark, sf,
+            spark.read.parquet(s"$outDir/batch=$id")),
+          "doc_id", "source", col("n_tok_bpe"), "pp1")
+        if (SampleOps.mixStatsStoreExists(spark, statsDir))
+          SampleOps.appendMixStats(spark, statsDir, stats, Some(id))
+        else SampleOps.saveMixStats(stats, statsDir, Some(id))
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+    def packSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "bin", "bin_off").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val streamed = packSet(TrainingQueries.pipePackStage(spark,
+      TrainingQueries.pipeStagedFrame(spark, sf,
+        spark.read.parquet(outDir)
+          .select(col("doc_id"), col("clean_text"))),
+      SampleOps.loadMixStats(spark, statsDir)))
+    val oneShot = packSet(
+      TrainingQueries.registry("pipe_pretrain")(spark, sf))
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty, "fixture degenerated: nothing was packed")
+    // zombie redelivery of the final micro-batch: cleaned output, dup
+    // index, and mass store all manifest-guarded — the packed layout
+    // cannot drift
+    val before = DupStore.load(spark, dupDir).hashes.count()
+    DupStore.probeStripThenIngest(spark, dupDir, outDir,
+      TrainingQueries.pipeQualityGate(spark, sf,
+        batch.filter(col("doc_id") >= 250 + 2 * 84)),
+      "doc_id", "text", batchId = (batches - 1).toLong)
+    SampleOps.appendMixStats(spark, statsDir,
+      SampleOps.tokenBucketStats(
+        TrainingQueries.pipeStagedFrame(spark, sf,
+          spark.read.parquet(s"$outDir/batch=${batches - 1}")),
+        "doc_id", "source", col("n_tok_bpe"), "pp1"),
+      Some((batches - 1).toLong))
+    assert(DupStore.load(spark, dupDir).hashes.count() == before)
+    assert(packSet(TrainingQueries.pipePackStage(spark,
+      TrainingQueries.pipeStagedFrame(spark, sf,
+        spark.read.parquet(outDir)
+          .select(col("doc_id"), col("clean_text"))),
+      SampleOps.loadMixStats(spark, statsDir))) == oneShot)
+  }
 }
