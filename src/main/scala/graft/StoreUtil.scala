@@ -295,24 +295,83 @@ object StoreUtil {
     */
   def latestGeneration(spark: SparkSession, path: String,
       healthy: String => Boolean = _ => true): String = {
-    val stripped = "_g(\\d+)$".r.replaceFirstIn(path, "")
-    val p = new org.apache.hadoop.fs.Path(stripped)
+    val stripped = generationBase(path)
+    val fit = siblingGenerations(spark, stripped).sorted.reverse
+      .map(g => generationPath(stripped, g))
+      .find(healthy)
+    fit.getOrElse(stripped)
+  }
+
+  /** `p_gN` → `p`, `p` → `p` — the base name a rotation chain shares. */
+  def generationBase(path: String): String =
+    "_g(\\d+)$".r.replaceFirstIn(path, "")
+
+  /** `p` → 0, `p_gN` → N — where a path sits in its rotation chain. */
+  def generationNumber(path: String): Long =
+    "_g(\\d+)$".r.findFirstMatchIn(path)
+      .map(_.group(1).toLong).getOrElse(0L)
+
+  private def generationPath(base: String, g: Long): String =
+    if (g == 0L) base else s"${base}_g$g"
+
+  /** The generation numbers present on disk for `base`'s rotation
+    * chain (the ONE sibling-scan, shared by restart discovery and the
+    * grace GC so they can never disagree about what a generation is).
+    */
+  private def siblingGenerations(spark: SparkSession,
+      base: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(base)
     val parent = p.getParent
-    val fs = fsOf(spark, stripped)
-    if (parent == null || !fs.exists(parent)) return stripped
+    val fs = fsOf(spark, base)
+    if (parent == null || !fs.exists(parent)) return Seq.empty
     val name = p.getName
     val genRe = (java.util.regex.Pattern.quote(name) + "_g(\\d+)").r
-    val gens = fs.listStatus(parent).toSeq
+    fs.listStatus(parent).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .flatMap { n =>
         if (n == name) Some(0L)
         else genRe.findFirstMatchIn(n)
           .filter(_.matched == n).map(_.group(1).toLong)
       }
-    val fit = gens.sorted.reverse
-      .map(g => if (g == 0L) stripped else s"${stripped}_g$g")
-      .find(healthy)
-    fit.getOrElse(stripped)
+  }
+
+  /** Reader-grace GC for the rotation protocol: delete every generation
+    * of `serving`'s chain that is MORE than `grace` rotations behind it,
+    * and return the deleted paths. Immediate retirement
+    * ([[rotateIfDue]]'s `retire` closure) is only safe when the rotating
+    * loop is the sole reader; on a cluster, a long query that loaded
+    * generation g from the store's files dies mid-scan when a
+    * concurrent rotation deletes them — so a shared store keeps the
+    * last `grace` retired generations alive as a read horizon (size the
+    * grace to the longest query the store serves, the snapshot-
+    * retention rule every table format with compaction ends up with).
+    * Generations ABOVE the serving one are never touched: a crash
+    * inside a concurrent compact leaves a half-written `_g(N+1)` that
+    * recovery logic, not GC, owns.
+    */
+  def retireWithGrace(spark: SparkSession, serving: String,
+      grace: Int): Seq[String] = {
+    require(grace >= 0, s"grace must be >= 0, got $grace")
+    val base = generationBase(serving)
+    val cut = generationNumber(serving) - grace
+    siblingGenerations(spark, base).filter(_ < cut).sorted
+      .map(generationPath(base, _))
+      .map { p => deleteDir(spark, p); p }
+  }
+
+  /** [[rotateIfDue]] with the reader-grace GC applied after a rotation:
+    * compact into the next generation when due, then retire only
+    * generations more than `grace` behind the NEW serving path. The
+    * default `grace = 1` keeps exactly one retired generation readable
+    * — enough for any reader that resolved its file list before the
+    * rotation landed; loops serving longer-running readers raise it.
+    */
+  def rotateWithGrace(spark: SparkSession, current: String,
+      needs: String => Boolean, compact: (String, String) => Unit,
+      grace: Int = 1): String = {
+    val next = rotateIfDue(current, needs, compact)
+    if (next != current) retireWithGrace(spark, next, grace)
+    next
   }
 
   /** The file names directly under `dir` (non-recursive, files only) —

@@ -786,4 +786,66 @@ class StoreSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
     }
   }
+
+  test("rotation with reader grace: a store loaded two rotations ago " +
+      "still materializes, and GC removes only generations past the " +
+      "horizon") {
+    // rotateIfDue's immediate-retire closure is single-reader-only: on
+    // a cluster, a long query holding generation g's file list dies
+    // mid-scan when the maintenance loop deletes g right after
+    // compacting. rotateWithGrace keeps the last `grace` retired
+    // generations alive as a read horizon — this pins both halves:
+    // an old reader survives `grace` subsequent rotations, and the GC
+    // deletes EXACTLY the generations past the horizon, nothing newer.
+    import graft.ops.LmStore
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 160)
+    val base = Files.createTempDirectory("graft_grace").toString + "/lm"
+    var current = base
+    def fold(m: Long): Unit = {
+      LmStore.ingestBatch(spark, current,
+        docs.filter(col("doc_id") % 4 === m), "text", Some(m))
+      current = StoreUtil.rotateWithGrace(spark, current,
+        p => LmStore.needsCompact(spark, p, slack = 1),
+        (s, d) => LmStore.compact(spark, s, d), grace = 2)
+    }
+    // batch 0 creates the store; a reader loads THIS generation (its
+    // frames lazily reference the gen-0 parquet files) before any
+    // rotation lands. slack 1 → every later fold rotates.
+    LmStore.ingestBatch(spark, current,
+      docs.filter(col("doc_id") % 4 === 0), "text", Some(0L))
+    val reader = LmStore.load(spark, current)
+    val gen0Rows = reader.uni.count()
+    assert(gen0Rows > 0)
+    current = StoreUtil.rotateWithGrace(spark, current,
+      p => LmStore.needsCompact(spark, p, slack = 1),
+      (s, d) => LmStore.compact(spark, s, d), grace = 2)
+    fold(1L)
+    assert(StoreUtil.generationNumber(current) == 2L, current)
+    // two rotations after the load: the gen-0 reader still materializes
+    // (grace 2 keeps its files), and fresh loads serve the new head
+    assert(reader.uni.count() == gen0Rows,
+      "a reader inside the grace horizon lost its files")
+    // the third rotation pushes generation 0 past the horizon: GC takes
+    // exactly it, and the two newest retired generations survive
+    fold(2L)
+    assert(StoreUtil.generationNumber(current) == 3L, current)
+    assert(!new java.io.File(base).exists,
+      "generation 0 is past the grace horizon and must be GC'd")
+    Seq(1L, 2L).foreach { g =>
+      assert(new java.io.File(s"${base}_g$g").exists,
+        s"generation $g is inside the grace horizon and must survive")
+    }
+    // restart discovery still lands on the serving head from any name
+    // in the chain — grace-kept generations are older and passed over
+    assert(StoreUtil.latestGeneration(spark, base) == current)
+    // and the rotated head answers like a one-shot fold of all batches
+    val oneDir = Files.createTempDirectory("graft_grace_one").toString + "/lm"
+    (0L to 2L).foreach { m =>
+      LmStore.ingestBatch(spark, oneDir,
+        docs.filter(col("doc_id") % 4 === m), "text", Some(m))
+    }
+    def uniMap(p: String) = LmStore.load(spark, p).uni.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uniMap(current) == uniMap(oneDir))
+  }
 }

@@ -577,6 +577,206 @@ class StreamingSpec extends AnyFunSuite {
     assert(GraphStore.load(spark, current).edges.count() == before)
   }
 
+  test("the postings maintenance loop ACTS on its compaction nudge " +
+      "mid-stream — BM25 answers ride the rotation chain unchanged") {
+    // PostBench showed postings is the family that actually GROWS in
+    // production (8 appends stacked 216 files); this drives its
+    // rotate-compact loop in-stream, through rotateWithGrace: slack 1
+    // trips a rotation after every post-save append, grace 1 keeps one
+    // retired generation readable and GCs older ones.
+    import graft.ops.PostingsStore
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 240 && col("text").isNotNull)
+    val inDir = Files.createTempDirectory("graft_postrot_in").toString
+    // disjoint ascending id ranges — append indexes NEW documents only
+    (0 until 3).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet",
+        docs.filter(col("doc_id") >= m * 80 && col("doc_id") < (m + 1) * 80))
+    }
+    val base = Files.createTempDirectory("graft_postrot").toString + "/post"
+    var current = base
+    var rotations = 0
+    var batches = 0
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        if (PostingsStore.storeExists(spark, current))
+          PostingsStore.append(spark, current, df, "doc_id", "text", Some(id))
+        else PostingsStore.save(df, "doc_id", "text", current,
+          buckets = 8, batchId = Some(id))
+        val next = StoreUtil.rotateWithGrace(spark, current,
+          p => PostingsStore.needsCompact(spark, p, slack = 1),
+          (s, d) => PostingsStore.compact(spark, s, d), grace = 1)
+        if (next != current) { rotations += 1; current = next }
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3 && rotations >= 2,
+      s"batches=$batches rotations=$rotations")
+    assert(!PostingsStore.needsCompact(spark, current, slack = 1))
+    // grace GC horizon: the base generation is past grace 1 and gone,
+    // the immediately-previous generation survives for in-flight readers
+    assert(!new java.io.File(base).exists, "generation 0 past grace")
+    assert(new java.io.File(StoreUtil.nextGeneration(base)).exists,
+      "generation 1 inside the grace horizon")
+    // BM25 from the rotated head is bit-equal to a one-shot index
+    val oneDir = Files.createTempDirectory("graft_postrot_one").toString + "/p"
+    PostingsStore.save(docs, "doc_id", "text", oneDir, buckets = 8)
+    def bm25(p: String) = PostingsStore.queryBm25(
+        PostingsStore.load(spark, p), Seq("data", "table"), topK = 20)
+      .collect().map(_.toSeq).toSet
+    val got = bm25(current)
+    assert(got == bm25(oneDir))
+    assert(got.nonEmpty)
+    // zombie straddling the rotation: the last batch's id rode the
+    // compacted manifest, so redelivery to the new head is a full no-op
+    val before = PostingsStore.load(spark, current).postings.count()
+    PostingsStore.append(spark, current,
+      docs.filter(col("doc_id") >= 160), "doc_id", "text",
+      graft.ops.SketchOps.lastBatchId(spark, current,
+        PostingsStore.ManifestFile))
+    assert(PostingsStore.load(spark, current).postings.count() == before)
+    // restart discovery: a rebooted loop finds the serving head from the
+    // base name alone (grace-kept generations are older, passed over)
+    assert(StoreUtil.latestGeneration(spark, base) == current)
+  }
+
+  test("the vector-store maintenance loop ACTS on its compaction nudge " +
+      "mid-stream — ANN answers ride the rotation chain unchanged") {
+    // the IVF family: appends stack a file per touched cell directory;
+    // the loop compacts back to one file per cell without changing a
+    // single neighbor (cells are assignment-stable across the rewrite)
+    import graft.ops.VectorStore
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Tables.embeddings(spark, sf).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val inDir = Files.createTempDirectory("graft_vecrot_in").toString
+    (0 until 3).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet",
+        emb.filter(col("id") >= m * 100 && col("id") < (m + 1) * 100))
+    }
+    val base = Files.createTempDirectory("graft_vecrot").toString + "/v"
+    var current = base
+    var rotations = 0
+    var batches = 0
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        if (VectorStore.storeExists(spark, current))
+          VectorStore.append(spark, current, df, Some(id))
+        else VectorStore.save(df, cents, current, Some(id))
+        val next = StoreUtil.rotateWithGrace(spark, current,
+          p => VectorStore.needsCompact(spark, p, slack = 1),
+          (s, d) => VectorStore.compact(spark, s, d), grace = 1)
+        if (next != current) { rotations += 1; current = next }
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3 && rotations >= 2,
+      s"batches=$batches rotations=$rotations")
+    assert(!VectorStore.needsCompact(spark, current, slack = 1))
+    // ANN from the rotated head equals a one-shot store bit for bit
+    val oneDir = Files.createTempDirectory("graft_vecrot_one").toString + "/v"
+    VectorStore.save(emb, cents, oneDir)
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def topk(p: String) = VectorStore.query(VectorStore.load(spark, p),
+        queries, k = 5, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val got = topk(current)
+    assert(got == topk(oneDir))
+    assert(got.nonEmpty)
+    // zombie straddling the rotation: redelivered last batch is a no-op
+    val before = VectorStore.load(spark, current).cells.count()
+    VectorStore.append(spark, current,
+      emb.filter(col("id") >= 200),
+      graft.ops.SketchOps.lastBatchId(spark, current,
+        VectorStore.ManifestFile))
+    assert(VectorStore.load(spark, current).cells.count() == before)
+    assert(StoreUtil.latestGeneration(spark, base) == current)
+  }
+
+  test("the tree-store maintenance loop ACTS on its compaction nudge " +
+      "mid-stream — per-tree views and the duplicate guard ride the " +
+      "rotation chain") {
+    // synthesis versions arrive as a stream of trees; each delivery
+    // appends one tree (stacking a file set per bucket) and the loop
+    // rotate-compacts when due. Tree ids double as the redelivery
+    // guard: tree_meta rides the compact rewrite, so a duplicate
+    // append refuses on the NEW head too.
+    import spark.implicits._
+    def synth(base: Long, n: Int, treeId: String): graft.tree.TreeIngest.Ingested = {
+      // deterministic heap-shaped tree: node i attaches to node i/2
+      val edges = (1 to n).map(i => (base + i, base + i / 2, i % 3))
+        .toDF("child_id", "parent_id", "child_ord")
+        .withColumn("branch_length", lit(null).cast("double"))
+        .withColumn("tree_id", lit(treeId))
+      val labeled = graft.tree.TreeLabeler.label(spark, edges)
+        .withColumn("tree_id", lit(treeId))
+      graft.tree.TreeIngest.Ingested(labeled, edges, Seq(treeId).toDF("tree_id"),
+        Seq.empty[(String, String, String, String, String, String)]
+          .toDF("source_id", "git_sha", "source_tree_id", "study_id",
+            "taxonomy", "tree_id"))
+    }
+    val inDir = Files.createTempDirectory("graft_treerot_in").toString
+    (0 until 3).foreach { m =>
+      writeEventFile(inDir, s"$m.parquet", Seq(m.toLong).toDF("m"))
+    }
+    val base = Files.createTempDirectory("graft_treerot").toString + "/t"
+    var current = base
+    var rotations = 0
+    var batches = 0
+    val stream = spark.readStream
+      .schema(Seq(0L).toDF("m").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += 1
+        val m = df.collect().head.getLong(0)
+        val t = synth(1000L * (m + 1L), 20 + m.toInt, s"synth$m")
+        if (graft.StoreUtil.readMarker(spark, current,
+            graft.tree.TreeStore.ManifestFile).isDefined)
+          graft.tree.TreeStore.appendIngested(spark, current, t)
+        else graft.tree.TreeStore.save(t, current, buckets = 4)
+        val next = StoreUtil.rotateWithGrace(spark, current,
+          p => graft.tree.TreeStore.needsCompact(spark, p, slack = 1),
+          (s, d) => graft.tree.TreeStore.compact(spark, s, d), grace = 1)
+        if (next != current) { rotations += 1; current = next }
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches >= 3 && rotations >= 2,
+      s"batches=$batches rotations=$rotations")
+    assert(!graft.tree.TreeStore.needsCompact(spark, current, slack = 1))
+    // the rotated head serves exactly what a never-rotated store does
+    val oneDir = Files.createTempDirectory("graft_treerot_one").toString + "/t"
+    (0 until 3).foreach { m =>
+      val t = synth(1000L * (m + 1L), 20 + m, s"synth$m")
+      if (m == 0) graft.tree.TreeStore.save(t, oneDir, buckets = 4)
+      else graft.tree.TreeStore.appendIngested(spark, oneDir, t)
+    }
+    def sig(p: String) = graft.tree.TreeStore.loadMulti(spark, p,
+        persistNodes = false).nodes
+      .select("node_id", "pre", "post", "depth", "tree_id")
+      .collect().map(_.toSeq).toSet
+    val got = sig(current)
+    assert(got == sig(oneDir))
+    assert(got.nonEmpty)
+    // the duplicate-tree guard rode the rotation chain: re-appending a
+    // tree already in the store refuses on the compacted head
+    val ex = intercept[IllegalArgumentException] {
+      graft.tree.TreeStore.appendIngested(spark, current,
+        synth(100000L, 10, "synth2"))
+    }
+    assert(ex.getMessage.contains("already exist"), ex.getMessage)
+    assert(StoreUtil.latestGeneration(spark, base) == current)
+  }
+
   test("the LM maintenance loop ACTS on its compaction nudge mid-stream: " +
       "rotate-compact changes no scores, the zombie guard survives it") {
     // round-10 left needsCompact as a nudge nobody acted on; this is
