@@ -431,6 +431,27 @@ object VectorOps {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)
 
+  /** EXACT full-dimension squared L2 between two vectors in the SAME
+    * integer quantization the PQ path uses (floor(x·1000) per
+    * component) — the re-rank metric of the two-stage serving path
+    * ([[VectorStore.queryRerank]]): scoring the shortlist in the
+    * domain the ADC approximates keeps the comparison meaningful
+    * (exact ≤ ADC error, same units) and the whole pipeline int64
+    * bit-reproducible cross-engine, where a float kernel would differ
+    * in the last ulp per library. Row-local codegen; at 64 dims and
+    * |component| ≤ 2²¹ the sum stays far under 2⁶³.
+    */
+  def quantSqDist(a: Column, b: Column): Column =
+    sqDistL(quantFull(a), quantFull(b))
+
+  /** The whole vector under the PQ quantization rule — [[qsub]] without
+    * the subspace slice; one definition of floor(x·1000) per consumer
+    * class so the codes and the exact re-rank can never quantize
+    * differently.
+    */
+  private def quantFull(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+
   /** Sampled PQ codebook: the first `codes` corpus vectors (by id)
     * sliced into `m` quantized subvectors — (j, code, cq). A sampled
     * codebook is the standard training-free PQ baseline; swap in

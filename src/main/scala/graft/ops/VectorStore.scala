@@ -501,6 +501,24 @@ object VectorStore {
     */
   def queryAdc(st: LoadedPq, queries: DataFrame, k: Int, nprobe: Int = 2,
       maxQueryRows: Int = MaxQueryRows): DataFrame = {
+    val s = adcStage(st, queries, nprobe, maxQueryRows)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    s.adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+  }
+
+  /** The ADC scoring stage shared by [[queryAdc]] (ranks it to k) and
+    * [[queryRerank]] (shortlists it to c, then re-ranks exactly): the
+    * collected query-cell routing, the probed partition set, and the
+    * unranked per-candidate ADC sums.
+    */
+  private final case class AdcStage(qc: DataFrame, probed: Seq[String],
+      adc: DataFrame)
+
+  private def adcStage(st: LoadedPq, queries: DataFrame, nprobe: Int,
+      maxQueryRows: Int): AdcStage = {
     val spark = st.cells.sparkSession
     val qcPlan = VectorOps.assignCells(queries, st.centroids, nprobe)
       .select(col("id").as("q_id"), col("v").as("q_vec"),
@@ -509,14 +527,14 @@ object VectorStore {
     require(qcRows.length <= maxQueryRows,
       s"query set exceeds $maxQueryRows collected rows (queries × nprobe) " +
         "— use VectorOps.annIvfPq for unbounded query sets")
-    val probed = qcRows.map(_.getString(2)).distinct.sorted
+    val probed = qcRows.map(_.getString(2)).distinct.sorted.toSeq
     val qc = spark.createDataFrame(
       java.util.Arrays.asList(qcRows: _*), qcPlan.schema)
     val lut = VectorOps.pqLut(
       qc.select(col("q_id").as("id"), col("q_vec").as("vec")).distinct(),
       st.codebook, st.m, st.dim)
     val adc = st.cells
-      .filter(col("cell").isin(probed.toSeq: _*))
+      .filter(col("cell").isin(probed: _*))
       .select(col("id").as("n_id"), col("codes"), col("cell"))
       .join(broadcast(qc.select(col("q_id"), col("cell"))), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -526,10 +544,52 @@ object VectorStore {
       .join(broadcast(lut), Seq("q_id", "j", "code"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(sum(col("d2")).as("adc"))
-    val w = org.apache.spark.sql.expressions.Window
+    AdcStage(qc, probed, adc)
+  }
+
+  /** Two-stage ANN serving — the standard production shape [[queryAdc]]
+    * stops short of: the ADC pass shortlists the top `c` PQ candidates
+    * per query (cell-pruned IO, m-lookup scoring, raw vectors never
+    * read), then EXACTLY those rows are re-ranked by the full-dimension
+    * integer-quantized squared L2 over the STORED raw vectors
+    * ([[VectorOps.quantSqDist]] — the same floor(x·1000) domain the
+    * codes live in, so exact and approximate distances are comparable
+    * and the whole pipeline stays int64 bit-reproducible). Recall at a
+    * fixed nprobe jumps toward the cell-exhaustive answer while the
+    * scan cost stays cell-pruned and the exact kernel touches at most
+    * `c` rows per query — c ≈ 4–10×k is the knob a deployment turns
+    * when PQ distortion starts costing neighbors.
+    *
+    * The shortlist (≤ |queries|·c rows, request-bounded like the query
+    * routing itself) is BROADCAST into a second pruned scan of the
+    * cells, so the exact pass reads the `vec` column for candidate
+    * rows only — columnar parquet never materializes it for the rest.
+    *
+    * @return (q_id, n_id, rnk, d2) — exact quantized squared L2, rank
+    *         by (d2, n_id), top k
+    */
+  def queryRerank(st: LoadedPq, queries: DataFrame, k: Int, c: Int,
+      nprobe: Int = 2, maxQueryRows: Int = MaxQueryRows): DataFrame = {
+    require(k > 0 && c >= k,
+      s"need k > 0 and a shortlist c >= k (got k=$k, c=$c)")
+    val s = adcStage(st, queries, nprobe, maxQueryRows)
+    val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
-    adc.withColumn("rnk", row_number().over(w).cast("long"))
+    val shortlist = s.adc.withColumn("rnk", row_number().over(wc))
+      .filter(col("rnk") <= c)
+      .select(col("q_id"), col("n_id"))
+    val exact = st.cells
+      .filter(col("cell").isin(s.probed: _*))
+      .select(col("id").as("n_id"), col("vec"))
+      .join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(s.qc.select(col("q_id"), col("q_vec")).distinct()),
+        Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        VectorOps.quantSqDist(col("q_vec"), col("vec")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+    exact.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+      .select(col("q_id"), col("n_id"), col("rnk"), col("d2"))
   }
 }

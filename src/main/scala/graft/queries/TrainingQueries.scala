@@ -1044,8 +1044,11 @@ object TrainingQueries {
     * exercising the deployment path: cells as partition directories,
     * codes stored, raw vectors never read by the ADC scorer.
     */
-  val annPqStore: Q = (s, d) => {
-    val dir = graft.StoreUtil.cachedStoreDir("pqstore", d) { p =>
+  /** The persisted IVF+PQ store (built once per JVM per data dir) —
+    * shared by the ADC gate and the two-stage re-rank gate.
+    */
+  private def pqStoreDir(s: SparkSession, d: String): String =
+    graft.StoreUtil.cachedStoreDir("pqstore", d) { p =>
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
@@ -1053,13 +1056,34 @@ object TrainingQueries {
       val cb = VectorOps.pqCodebook(e, m = 4, codes = 16, dim = 64)
       VectorStore.savePq(e, cents, cb, p, m = 4, dim = 64)
     }
+
+  private def pqQueries(s: SparkSession, d: String) =
+    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  val annPqStore: Q = (s, d) => {
+    val dir = pqStoreDir(s, d)
     val st = pqstoreLoaded.get(s, dir)(VectorStore.loadPq(s, dir))
-    VectorStore.queryAdc(st,
-      Tables.embeddings(s, d).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("id"), col("embedding").as("vec")),
-      k = 5, nprobe = 2)
+    VectorStore.queryAdc(st, pqQueries(s, d), k = 5, nprobe = 2)
   }
   private val pqstoreLoaded = new graft.SessionCache[VectorStore.LoadedPq]()
+
+  /** Two-stage serving from the same persisted layout
+    * ([[VectorStore.queryRerank]]): the ADC shortlist (top 20 PQ
+    * candidates per query) re-ranked EXACTLY by the full-dimension
+    * integer-quantized squared L2 over the stored raw vectors — the
+    * recall knob a production ANN deployment turns when PQ distortion
+    * starts costing neighbors, at a cost bounded by c rows per query.
+    * The oracle replays both stages: codebook, codes, LUT, ADC
+    * shortlist, then the exact quantized distances over the candidate
+    * set — deterministic because stage 1 is integer-exact, so both
+    * engines shortlist the identical rows.
+    */
+  val annRerank: Q = (s, d) => {
+    val dir = pqStoreDir(s, d)
+    val st = pqstoreLoaded.get(s, dir)(VectorStore.loadPq(s, dir))
+    VectorStore.queryRerank(st, pqQueries(s, d), k = 5, c = 20, nprobe = 2)
+  }
 
   /** Top-3 docs by length per source via the BOUNDED [[SketchOps.TopKAgg]]
     * aggregator — bit-equal to the `row_number() <= 3` window form (both
@@ -1697,6 +1721,7 @@ object TrainingQueries {
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq,
     "ann_pq_store" -> annPqStore,
+    "ann_rerank" -> annRerank,
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
@@ -2111,7 +2136,7 @@ object TrainingQueries {
        |GROUP BY pe.item
        |HAVING min(coalesce(c.cnt, 0)) >= 60""".stripMargin
 
-  private val annIvfPqSql =
+  private val annIvfPqChain =
     """WITH ed AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
       |  FROM embeddings WHERE vec_id < 500),
       |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
@@ -2156,12 +2181,38 @@ object TrainingQueries {
       |adc AS (SELECT l.q_id, cd.id AS n_id, CAST(sum(l.d2) AS BIGINT) AS adc
       |  FROM cand JOIN codes cd ON cd.id = cand.n_id
       |  JOIN lut l ON l.q_id = cand.q_id AND l.j = cd.j AND l.code = cd.code
-      |  GROUP BY 1, 2),
-      |ranked AS (SELECT q_id, n_id, adc,
-      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id)
-      |      AS BIGINT) AS rnk
-      |  FROM adc)
-      |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val annIvfPqSql =
+    s"""$annIvfPqChain,
+       |ranked AS (SELECT q_id, n_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id)
+       |      AS BIGINT) AS rnk
+       |  FROM adc)
+       |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin
+
+  // the two-stage replay: the ADC chain shortlists top 20 per query
+  // (integer-exact, so both engines pick the identical rows), then the
+  // exact pass computes the full-dimension quantized squared L2 from
+  // the same floor(x·1000) vectors the codes derive from (`e.q`)
+  private val annRerankSql =
+    s"""$annIvfPqChain,
+       |short AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS r
+       |  FROM adc) WHERE r <= 20),
+       |ex AS (SELECT s.q_id, s.n_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (eq.q[i] - ev.q[i]) * (eq.q[i] - ev.q[i])))
+       |      AS BIGINT) AS d2
+       |  FROM short s
+       |  JOIN e eq ON eq.id = s.q_id
+       |  JOIN e ev ON ev.id = s.n_id)
+       |SELECT q_id, n_id, rnk, d2 FROM (
+       |  SELECT q_id, n_id, d2,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id)
+       |      AS BIGINT) AS rnk
+       |  FROM ex) WHERE rnk <= 5""".stripMargin
 
   // the budget recipe rendered as a VALUES table — derived from the
   // SAME Seq the Spark gates broadcast, so recipe and oracle cannot
@@ -2639,6 +2690,7 @@ object TrainingQueries {
     // reuses ann_pq's integer ADC — candidates are pairs sharing a
     // probed cell, then ranked by ADC
     "ann_ivfpq" -> annIvfPqSql,
+    "ann_rerank" -> annRerankSql,
     // the served-from-disk twin: bit-equal to annIvfPq by construction
     // (same centroids, same codebook, same candidate rule, same ADC)
     "ann_pq_store" -> annIvfPqSql,

@@ -280,6 +280,75 @@ class VectorStoreSpec extends AnyFunSuite {
       served.collect().map(_.toSeq).toSet)
   }
 
+  test("two-stage re-rank: exact pass touches only the shortlist's rows " +
+      "(broadcast + pruned), and a cell-wide shortlist recovers the " +
+      "exhaustive quantized answer") {
+    import graft.ops.VectorOps
+    val cb = VectorOps.pqCodebook(corpus, m = 4, codes = 16, dim = 64)
+    val dir = Files.createTempDirectory("graft_pqrerank").toString
+    VectorStore.savePq(corpus, cents, cb, dir, m = 4, dim = 64)
+    val st = VectorStore.loadPq(spark, dir)
+    val queries = corpus.filter(col("id") < 10)
+    // membership: every re-ranked neighbor came from the ADC shortlist
+    val rerank = VectorStore.queryRerank(st, queries, k = 5, c = 20,
+      nprobe = 2)
+    rerank.collect() // settle AQE before plan inspection below
+    val shortIds = VectorStore.queryAdc(st, queries, k = 20, nprobe = 2)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerankRows = rerank.collect()
+    assert(rerankRows.map(r => (r.getLong(0), r.getLong(1)))
+      .forall(shortIds.contains))
+    assert(rerankRows.length == 50) // 10 queries × k
+    // exact-per-query ranks are 1..k with ascending d2
+    assert(rerankRows.groupBy(_.getLong(0)).values.forall { rs =>
+      val sorted = rs.sortBy(_.getLong(2))
+      sorted.map(_.getLong(2)).toSeq == (1L to 5L) &&
+        sorted.map(_.getLong(3)).toSeq == sorted.map(_.getLong(3)).sorted.toSeq
+    })
+    // plan lock: the exact stage's raw-vector scan stays cell-pruned
+    // (partition filters, not data filters) and meets the shortlist as
+    // a BROADCAST — i.e. the full-dimension kernel runs on candidate
+    // rows only; a sort-merge here would exchange the whole cell scan
+    val scans = PlanWalk.collect(rerank.queryExecution.executedPlan) {
+        case f: FileSourceScanExec => f
+      }
+      .filter(_.output.exists(_.name == "vec"))
+    assert(scans.nonEmpty, rerank.queryExecution.executedPlan.toString)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "the exact pass lost its cell pruning")
+    val planStr = rerank.queryExecution.executedPlan.toString
+    assert(!planStr.contains("SortMergeJoin"), planStr)
+    // with the shortlist widened past every candidate, the two-stage
+    // answer IS the exhaustive integer-exact top-k over the probed
+    // cells — PQ distortion fully corrected
+    val wide = VectorStore.queryRerank(st, queries, k = 5, c = 100000,
+      nprobe = 2).collect().map(_.toSeq).toSet
+    // independent exhaustive reference: exact quantized L2 against every
+    // candidate in the probed cells (driver-side, test scale only)
+    val cellOf = st.cells.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecOf = st.cells.select("id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def quant(v: Array[Double]) = v.map(x => math.floor(x * 1000.0).toLong)
+    val qcells = VectorOps.assignCells(queries, st.centroids, 2)
+      .select(col("id"), col("cell")).collect()
+      .map(r => (r.getLong(0), "c" + r.getLong(1))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val expected = qcells.flatMap { case (q, cells) =>
+      val qv = quant(vecOf(q))
+      cellOf.filter { case (n, c) => n != q && cells.contains(c) }
+        .map { case (n, _) =>
+          val nv = quant(vecOf(n))
+          val d2 = qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum
+          (q, n, d2)
+        }
+        .toSeq.sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((qq, n, d2), i) => Seq(qq, n, (i + 1).toLong, d2) }
+    }.toSet
+    assert(wide == expected)
+  }
+
   test("appendPq crash windows: rollback drops ONLY the tagged batch; " +
       "a completed append with a lost marker delete is kept whole") {
     import graft.ops.VectorOps
