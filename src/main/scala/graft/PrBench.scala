@@ -154,6 +154,91 @@ object PrBench {
     require(storeDrift == 0L, s"$storeDrift served ranks diverge")
     println(s"""{"store_served_agree":true}""")
 
+    // batched personalization A/B: 8 probe sets ranked in ONE loop
+    // (personalizedPageRankMultiStored — (set_id, id)-keyed mass) vs 8
+    // sequential store-served jobs. The batched loop pays the edge join
+    // once per round for ALL sets; the sequential form re-pays the
+    // whole iteration floor per set — the gap is the batching win the
+    // contamination-tracing workload (many suspect sets, one graph)
+    // collects. Answers must agree bit for bit per set.
+    val sets8 = spark.range(0L, 800L).toDF("i")
+      .select((col("i") % 8L).as("set_id"),
+        pmod(xxhash64(col("i"), lit("seed8")), lit(n)).as("id"))
+      .localCheckpoint()
+    val batched = time(s"ppr_batched_8x_${n}_3it") {
+      ClusterOps.personalizedPageRankMultiStored(st, sets8, iters = 3)
+        .localCheckpoint()
+    }
+    time(s"ppr_sequential_8x_${n}_3it") {
+      (0 until 8).foreach { k =>
+        ClusterOps.personalizedPageRankStored(st,
+          sets8.filter(col("set_id") === k).select(col("id")),
+          iters = 3).count()
+      }
+    }
+    val single3 = ClusterOps.personalizedPageRankStored(st,
+      sets8.filter(col("set_id") === 3L).select(col("id")), iters = 3)
+    val b3 = batched.filter(col("set_id") === 3L)
+    require(b3.count() == single3.count(), "batched set-3 universe differs")
+    val pprDrift = b3.withColumnRenamed("rank_micro", "a")
+      .join(single3.withColumnRenamed("rank_micro", "b"), "id")
+      .filter(col("a") =!= col("b")).count()
+    require(pprDrift == 0L, s"$pprDrift batched ranks diverge from the " +
+      "single-set kernel")
+    println(s"""{"ppr_multi_agree":true}""")
+
+    // warm-start PROBE (adversarial, driver-side — small graph, same
+    // integer map): after a GraphStore.append, may the fixed-point
+    // iteration restart from the PREVIOUS fixed point instead of base?
+    // The termination proof needs the start to be a LOWER bound of the
+    // new least fixed point; edge additions BREAK that — adding
+    // out-edges to a ranked node dilutes its per-edge contribution
+    // (deg grows), so its old targets' new fixed point drops BELOW
+    // their old one. This probe constructs exactly that and requires
+    // the violation to be real; the refusal is documented at
+    // pageRankFixedPointStored. (The warm iterates, squeezed above the
+    // least fixed point, may still land on a HIGHER fixed point of the
+    // integer map — observed drift is reported either way.)
+    {
+      val dm = 500L
+      val base = (1000L - dm) * 1000L
+      def fpFrom(edges: Seq[(Int, Int)], start: Map[Int, Long],
+          nn: Int): Map[Int, Long] = {
+        val deg = edges.groupBy(_._1).map { case (u, xs) => u -> xs.size }
+        var r = start
+        var moved = true
+        var rounds = 0
+        while (moved && rounds < 500) {
+          val in = edges.groupBy(_._2).map { case (v, xs) =>
+            v -> xs.map { case (u, _) => r(u) / deg(u) }.sum
+          }
+          val nxt = (0 until nn).map(v =>
+            v -> (base + dm * in.getOrElse(v, 0L) / 1000L)).toMap
+          moved = nxt != r
+          r = nxt
+          rounds += 1
+        }
+        r
+      }
+      val nn = 30
+      val eA = Seq(0 -> 1, 0 -> 2, 10 -> 0, 11 -> 0, 12 -> 0) ++
+        (13 until 25).map(i => i -> (i - 12))
+      val baseStart = (0 until nn).map(_ -> base).toMap
+      val fpA = fpFrom(eA, baseStart, nn)
+      // the append: node 0 gains 8 new out-edges — its per-edge share
+      // to old targets 1 and 2 is diluted
+      val eB = eA ++ (20 until 28).map(0 -> _)
+      val fpB = fpFrom(eB, baseStart, nn)
+      val diluted = (0 until nn).filter(v => fpB(v) < fpA(v))
+      require(diluted.nonEmpty,
+        "dilution did not reduce any rank — probe construction broken")
+      val warm = fpFrom(eB, fpA, nn)
+      val warmDrift = (0 until nn).count(v => warm(v) != fpB(v))
+      println(s"""{"warm_start_lower_bound_violated":true,""" +
+        s""""diluted_nodes":${diluted.size},""" +
+        s""""warm_drift_components":$warmDrift}""")
+    }
+
     // the PRODUCTION variant's A/B: fixed-point iteration (converged
     // ranks + dangling redistribution) served from the store vs the
     // per-call prEdgeCache rebuild — the variant a deployment actually

@@ -333,6 +333,79 @@ object ClusterOps {
         .select(col("id"), coalesce(col("seed"), lit(false)).as("seed"))),
       iters, dampingMilli))
 
+  /** BATCHED personalized PageRank from a persisted store: rank `s`
+    * seed sets in ONE iteration loop with (set_id, id)-keyed mass —
+    * the contamination-tracing workload probes MANY suspect sets
+    * against one graph, and s sequential [[personalizedPageRankStored]]
+    * jobs re-pay the iteration floor (scheduling + the edge join's
+    * rank-side exchange) s times for walks over the SAME cached edges.
+    * Here every round joins the stored edges once and moves O(s·nodes)
+    * mass rows; the edge side still streams its bucketed layout with
+    * zero exchange (the [[prContrib]] property — the join key is
+    * unchanged, only the rank side is wider). Per-set answers are
+    * bit-identical to s independent runs by construction: set_id rides
+    * every aggregation key, so the integer arithmetic per set never
+    * mixes (PropertySpec pins it; PrBench A/Bs the economics at s=8).
+    *
+    * @param seedSets (set_id, id) — every set ranks every store node
+    * @param setIds   the set universe as a (set_id) frame — pass it
+    *                 when a requested set may have NO seeds in the
+    *                 graph (its ranks are all zero, but it must still
+    *                 answer); None derives the universe from the
+    *                 seedSets rows, under which an empty set has no
+    *                 identity to rank
+    * @return (set_id, id, rank_micro)
+    */
+  def personalizedPageRankMultiStored(st: GraphStore.Loaded,
+      seedSets: DataFrame, iters: Int, dampingMilli: Int = 850,
+      setIds: Option[DataFrame] = None): DataFrame =
+    withServedFrame(st) { e =>
+      val sets = flatten(
+        seedSets.select(col("set_id"), col("id")).distinct())
+      val universe = setIds
+        .map(_.select(col("set_id")).distinct())
+        .getOrElse(sets.select(col("set_id")).distinct())
+      // the (set × node) mass universe: set ids are a handful of rows —
+      // the cross join broadcasts them along the node scan, never the
+      // reverse
+      val n = flatten(universe
+        .crossJoin(st.nodes.select(col("id")))
+        .join(sets.withColumn("seed", lit(true)),
+          Seq("set_id", "id"), "left_outer")
+        .select(col("set_id"), col("id"),
+          coalesce(col("seed"), lit(false)).as("seed")))
+      prKernelMultiOn(e, n, iters, dampingMilli)
+    }
+
+  /** The batched twin of [[prKernelOn]]: identical integer arithmetic
+    * per (set_id, id) cell — `n` carries (set_id, id, seed), already
+    * flattened by the wrapper.
+    */
+  private def prKernelMultiOn(e: DataFrame, n: DataFrame, iters: Int,
+      dampingMilli: Int): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(dampingMilli >= 0 && dampingMilli <= 1000,
+      s"dampingMilli=$dampingMilli must be in [0, 1000]")
+    val baseOf = when(col("seed"),
+        lit((1000L - dampingMilli) * 1000L)).otherwise(lit(0L))
+    var r = n.select(col("set_id"), col("id"), col("seed"),
+      when(col("seed"), lit(1000000L)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.select(col("set_id"), col("id").as("src"), col("rank")),
+          "src")
+        .select(col("set_id"), col("dst").as("id"),
+          expr("rank div deg").as("c"))
+        .groupBy(col("set_id"), col("id")).agg(sum(col("c")).as("s"))
+      r = flatten(n.join(contrib, Seq("set_id", "id"), "left_outer")
+        .select(col("set_id"), col("id"), col("seed"),
+          (baseOf + expr(s"(cast($dampingMilli as decimal(38,0)) " +
+            "* coalesce(s, 0L)) div 1000"))
+            .as("rank")))
+    }
+    r.select(col("set_id"), col("id"), col("rank").as("rank_micro"))
+  }
+
   /** The shared iteration loop over an ALREADY-LAID-OUT edge frame
     * `e (src, dst, deg)` — partitioned (and ideally sorted) by `src`,
     * pinned by the caller, who also releases it.
@@ -446,6 +519,22 @@ object ClusterOps {
     * `GraphBase.java:431-448`). Bit-identical to the scan path by
     * construction — same kernel, same integer arithmetic; the store
     * changes layout, never answers.
+    *
+    * NO WARM START after [[GraphStore.append]] — a refusal, not an
+    * omission (the period-2-cycle discipline): restarting from the
+    * PREVIOUS fixed point is sound only if it lower-bounds the grown
+    * graph's least fixed point, and appends break that — new out-edges
+    * on a ranked node dilute its per-edge contribution (deg grows), so
+    * its old targets' new fixed point drops BELOW their old one
+    * (PrBench constructs the violation and REQUIRES it). Without the
+    * lower-bound premise the monotone termination proof does not
+    * transfer: the warm iterates are only squeezed from above by the
+    * OLD vector, so a zero delta certifies SOME fixed point of the
+    * integer map, not the canonical least one the oracle unrolls to —
+    * that it happens to coincide on a given graph (PrBench reports the
+    * drift count either way) is luck, not a contract. Rank a grown
+    * store from base — the iteration floor (~log_{1/d} 10⁶ rounds) is
+    * the price of the bit-reproducibility contract.
     */
   def pageRankFixedPointStored(st: GraphStore.Loaded, maxRounds: Int = 100,
       dampingMilli: Int = 850, redistributeDangling: Boolean = false,

@@ -432,6 +432,35 @@ object Relational {
       graft.ops.GraphStore.load(s, dir), pprSeeds(s, d), iters = 4)
   }
 
+  /** BATCHED contamination tracing: three probe sets (the suppliers of
+    * nations 0, 1, 2 — together exactly [[pprSeeds]]' universe, apart
+    * three disjoint personalizations) ranked in ONE iteration loop over
+    * the same persisted graph
+    * ([[graft.ops.ClusterOps.personalizedPageRankMultiStored]]).
+    * Per-set answers are bit-identical to three independent [[grPpr]]
+    * runs (PropertySpec pins it against the single-set kernel); the
+    * oracle replays each set's full unrolled iteration and stacks them
+    * under a set_id column.
+    */
+  private def pprSeedSets(s: SparkSession, d: String): DataFrame =
+    supplier(s, d).filter(col("s_nationkey") < 3)
+      .select(col("s_nationkey").cast("long").as("set_id"),
+        (col("s_suppkey") * 2L + 1L).as("id"))
+
+  val grPprMulti: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("gstore", d) { p =>
+      graft.ops.GraphStore.save(s, tradeEdges(s, d), p)
+    }
+    import s.implicits._
+    // the set universe is DECLARED (0, 1, 2), not derived from the
+    // seeds: at sf0.001 no supplier sits in nations 0-2, and a
+    // requested probe set with zero seeds must still answer (all-zero
+    // ranks) — exactly what the oracle's three stacked replays emit
+    graft.ops.ClusterOps.personalizedPageRankMultiStored(
+      graft.ops.GraphStore.load(s, dir), pprSeedSets(s, d), iters = 4,
+      setIds = Some(Seq(0L, 1L, 2L).toDF("set_id")))
+  }
+
   /** Fixed-point PageRank with dangling-mass redistribution over the
     * DIRECTED trade graph — customer→supplier edges only, so suppliers
     * are genuine sinks and the dangling term moves real mass. The
@@ -477,6 +506,7 @@ object Relational {
     "gr_cc_store" -> grCcStore,
     "gr_ppr" -> grPpr,
     "gr_ppr_store" -> grPprStore,
+    "gr_ppr_multi" -> grPprMulti,
     "gr_pr_converged" -> grPrConverged,
     "gr_pr_converged_store" -> grPrConvergedStore,
     "j7_salted_join" -> j7SaltedJoin,
@@ -572,6 +602,29 @@ object Relational {
           personalized = true)}"""
       .stripMargin
 
+  // the batched replay: one full unrolled single-set iteration per
+  // probe set (pageRankOracleSql reused verbatim inside a subquery —
+  // its CTE names stay scoped), stacked under a set_id column. Batched
+  // and sequential runs are the same integer map per set, so the
+  // UNION of three single-set replays IS the batched answer.
+  private def grPprMultiSetSql(k: Int): String =
+    s"""SELECT CAST($k AS BIGINT) AS set_id, id, rank_micro FROM (
+       |WITH p AS (SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM p
+       |  UNION ALL SELECT b AS src, a AS dst FROM p),
+       |sd AS (SELECT s_suppkey * 2 + 1 AS id FROM supplier
+       |  WHERE s_nationkey = $k),
+       |nd AS (SELECT u.id, (sd.id IS NOT NULL) AS seed FROM
+       |  (SELECT DISTINCT id FROM
+       |    (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)) u
+       |  LEFT JOIN sd ON u.id = sd.id),
+       |${graft.ops.ClusterOps.pageRankOracleSql(iters = 4,
+          personalized = true)})""".stripMargin
+
+  private val grPprMultiSql: String =
+    (0 to 2).map(grPprMultiSetSql).mkString("\nUNION ALL\n")
+
   val oracle: Map[String, String] = Map(
     "gr_pagerank" -> grPagerankSql,
     "gr_pagerank_store" -> grPagerankSql,
@@ -581,6 +634,7 @@ object Relational {
     "gr_pr_converged_store" -> grPrConvergedSql,
     "gr_ppr" -> grPprSql,
     "gr_ppr_store" -> grPprSql,
+    "gr_ppr_multi" -> grPprMultiSql,
     "j7_salted_join" ->
       """SELECT p_brand, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty

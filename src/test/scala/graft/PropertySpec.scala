@@ -392,6 +392,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("batched personalized pagerank equals independent single-set " +
+      "runs bit for bit") {
+    // the batched kernel's whole contract: set_id rides every
+    // aggregation key, so no integer ever mixes across sets — each
+    // set's slice of the batched answer must be the single-set stored
+    // kernel's output exactly, including the node universe
+    import spark.implicits._
+    val rnd = new Random(11L)
+    val n = 40L
+    val es = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pprm")
+      .toString + "/g"
+    graft.ops.GraphStore.save(spark, es, dir)
+    val st = graft.ops.GraphStore.load(spark, dir)
+    val sets = (0L until n).map(i => (i % 3L, i)).toDF("set_id", "id")
+    val batched = graft.ops.ClusterOps.personalizedPageRankMultiStored(
+        st, sets, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(batched.values.exists(_ > 0L))
+    (0L until 3L).foreach { k =>
+      val single = graft.ops.ClusterOps.personalizedPageRankStored(st,
+          sets.filter(col("set_id") === k).select(col("id")), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batched.keySet.filter(_._1 == k).map(_._2) == single.keySet,
+        s"set $k universes differ")
+      assert(single.forall { case (id, rk) => batched((k, id)) == rk },
+        s"set $k ranks diverged from the single-set kernel")
+    }
+  }
+
   test("malformed newick fails fast with positioned diagnostics") {
     val bad = Seq(
       "(a,(b,c);",   // stray ';' truncates the tree → unclosed '('
