@@ -1481,6 +1481,40 @@ object TrainingQueries {
     pipePackStage(s, staged, SampleOps.loadMixStats(s, statsDir))
   }
 
+  /** The composite's AUDIT view — the per-source funnel a pipeline
+    * team materializes beside every delivered mixture: batch docs in,
+    * quality survivors, post-strip token mass (stored-tokenizer
+    * counts), the budget, and what the sampler kept. Each number is a
+    * stage boundary of [[pipePretrain]]; the oracle aggregates the
+    * same replayed chain, so a drifted stage shows up as the WRONG
+    * COUNT at its boundary, not just a changed packing downstream.
+    */
+  val pipePretrainStats: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+    val stripped = pipeCleanBatch(s, d, dupStoreDir(s, d), batch)
+    val staged = pipeStagedFrame(s, d, stripped)
+    val statsDir = graft.StoreUtil.cachedStoreDir("pipestats", d) { p =>
+      SampleOps.saveMixStats(SampleOps.tokenBucketStats(staged, "doc_id",
+        "source", col("n_tok_bpe"), "pp1"), p)
+    }
+    val sampled = SampleOps.tokenBudgetSampleWith(staged, "doc_id",
+      "source", col("n_tok_bpe"), pipeBudgetDf(s), "pp1",
+      SampleOps.loadMixStats(s, statsDir))
+    pipeBudgetDf(s)
+      .select(col("source"), col("budget_tok").cast("long").as("budget_tok"))
+      .join(batch.filter(col("text").isNotNull).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_batch")), Seq("source"), "left")
+      .join(staged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tok_bpe")).as("tok_clean")), Seq("source"), "left")
+      .join(sampled.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_tok_bpe")).as("tok_sampled")), Seq("source"), "left")
+      .na.fill(0L, Seq("n_batch", "n_kept", "tok_clean", "n_sampled",
+        "tok_sampled"))
+  }
+
   /** Stage 1 alone — the stored model's keep set applied to one
     * delivery (doc_id, text rows). Shared by the composite and the
     * streaming twin's foreachBatch body, so the two paths score with
@@ -1756,6 +1790,7 @@ object TrainingQueries {
     "smp_budget_store" -> smpBudgetStore,
     "mix_pack" -> mixPack,
     "pipe_pretrain" -> pipePretrain,
+    "pipe_pretrain_stats" -> pipePretrainStats,
     "txt_scrub" -> txtScrub,
     "pack_seqs" -> packSeqs,
     "pack_seqs_bpe" -> packSeqsBpe,
@@ -2257,6 +2292,59 @@ object TrainingQueries {
 
   private val budgetKeptCtes: String = budgetKeptCtesFor(budgetRecipe,
     "documents WHERE doc_id IS NOT NULL", s"len($toksSql)", "tb1")
+
+  // the WHOLE pretraining-pipeline replay as one CTE chain, shared by
+  // the pipe_pretrain oracle (FFD fold appended) and the funnel-stats
+  // oracle (stage-boundary aggregates): LR training unrolled and the
+  // batch scored with the just-derived weights (the txt_lr_store
+  // discipline); the strip's global keep-first rule over history∪batch
+  // restricted to batch docs (the dd_dup_strip/dd_dup_store shape —
+  // history ids precede batch ids, so the store probe equals the
+  // one-shot); the budget bucket algebra over the re-derived clean
+  // text with REAL BPE counts, ending at `kept (doc_id, source, ntok)`
+  private val pipePretrainCtes: String = {
+    val (lrCtes, wLast) = graft.ops.LinearModel.trainCtesSql(
+      lrFeatSqls, lrLabelSql, iters = 8, lrShift = 4)
+    val z = lrFeatSqls.zipWithIndex
+      .map { case (e, i) => s"($e) * wt.c$i" }.mkString(" + ")
+    s"""f AS (SELECT n_chars, $toksSql AS w FROM documents
+       |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+       |$lrCtes,
+       |pfd AS (SELECT doc_id, text, $toksSql AS w FROM documents
+       |  WHERE text IS NOT NULL AND doc_id >= 250 AND doc_id < 500),
+       |pq AS MATERIALIZED (SELECT pfd.doc_id, pfd.text
+       |  FROM pfd, $wLast wt, sigt
+       |  WHERE ${graft.ops.LinearModel.sigmoidFpSql(z)} >= $pipeKeepFp),
+       |psu AS (SELECT doc_id, text FROM documents
+       |  WHERE text IS NOT NULL AND doc_id < 250
+       |  UNION ALL SELECT doc_id, text FROM pq),
+       |pst AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM psu),
+       |psw AS (SELECT doc_id, CAST(p AS BIGINT) AS i,
+       |    md5(array_to_string(toks[p+1:p+4], ' ')) AS h
+       |  FROM pst, unnest(range(0, len(toks) - 4 + 1)) u(p)),
+       |psr AS (SELECT doc_id, i,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt FROM psw),
+       |prem AS (SELECT DISTINCT doc_id, i + u.kk AS idx
+       |  FROM psr, unnest(range(0, 4)) u(kk) WHERE cnt >= 2 AND rn > 1),
+       |ptok AS (SELECT doc_id, CAST(p AS BIGINT) AS idx,
+       |    toks[p+1] AS tok
+       |  FROM pst, unnest(range(0, len(toks))) u(p)
+       |  WHERE doc_id >= 250),
+       |pkp AS (SELECT ptok.doc_id, ptok.idx, ptok.tok FROM ptok
+       |  LEFT JOIN prem
+       |    ON ptok.doc_id = prem.doc_id AND ptok.idx = prem.idx
+       |  WHERE prem.idx IS NULL),
+       |pclean AS MATERIALIZED (SELECT pst.doc_id,
+       |    coalesce(string_agg(pkp.tok, ' ' ORDER BY pkp.idx), '')
+       |      AS clean_text
+       |  FROM pst LEFT JOIN pkp ON pst.doc_id = pkp.doc_id
+       |  WHERE pst.doc_id >= 250 GROUP BY pst.doc_id),
+       |${budgetKeptCtesFor(pipeRecipe,
+            "pclean JOIN documents USING (doc_id)",
+            s"len(${graft.functions.Bpe.tokensSql("clean_text")})",
+            "pp1")}""".stripMargin
+  }
 
   // the audit-view replay — ONE string for the scan and store-served
   // budget gates (the store changes where the masses come from, never
@@ -3158,55 +3246,32 @@ object TrainingQueries {
     // side serves each stage from its persisted artifact, the oracle
     // derives everything from the data, and the packed layouts must
     // agree bit for bit
-    "pipe_pretrain" -> {
-      val (lrCtes, wLast) = graft.ops.LinearModel.trainCtesSql(
-        lrFeatSqls, lrLabelSql, iters = 8, lrShift = 4)
-      val z = lrFeatSqls.zipWithIndex
-        .map { case (e, i) => s"($e) * wt.c$i" }.mkString(" + ")
-      val prefix =
-        s"""f AS (SELECT n_chars, $toksSql AS w FROM documents
-           |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
-           |$lrCtes,
-           |pfd AS (SELECT doc_id, text, $toksSql AS w FROM documents
-           |  WHERE text IS NOT NULL AND doc_id >= 250 AND doc_id < 500),
-           |pq AS MATERIALIZED (SELECT pfd.doc_id, pfd.text
-           |  FROM pfd, $wLast wt, sigt
-           |  WHERE ${graft.ops.LinearModel.sigmoidFpSql(z)} >= $pipeKeepFp),
-           |psu AS (SELECT doc_id, text FROM documents
-           |  WHERE text IS NOT NULL AND doc_id < 250
-           |  UNION ALL SELECT doc_id, text FROM pq),
-           |pst AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM psu),
-           |psw AS (SELECT doc_id, CAST(p AS BIGINT) AS i,
-           |    md5(array_to_string(toks[p+1:p+4], ' ')) AS h
-           |  FROM pst, unnest(range(0, len(toks) - 4 + 1)) u(p)),
-           |psr AS (SELECT doc_id, i,
-           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
-           |    count(*) OVER (PARTITION BY h) AS cnt FROM psw),
-           |prem AS (SELECT DISTINCT doc_id, i + u.kk AS idx
-           |  FROM psr, unnest(range(0, 4)) u(kk) WHERE cnt >= 2 AND rn > 1),
-           |ptok AS (SELECT doc_id, CAST(p AS BIGINT) AS idx,
-           |    toks[p+1] AS tok
-           |  FROM pst, unnest(range(0, len(toks))) u(p)
-           |  WHERE doc_id >= 250),
-           |pkp AS (SELECT ptok.doc_id, ptok.idx, ptok.tok FROM ptok
-           |  LEFT JOIN prem
-           |    ON ptok.doc_id = prem.doc_id AND ptok.idx = prem.idx
-           |  WHERE prem.idx IS NULL),
-           |pclean AS MATERIALIZED (SELECT pst.doc_id,
-           |    coalesce(string_agg(pkp.tok, ' ' ORDER BY pkp.idx), '')
-           |      AS clean_text
-           |  FROM pst LEFT JOIN pkp ON pst.doc_id = pkp.doc_id
-           |  WHERE pst.doc_id >= 250 GROUP BY pst.doc_id),
-           |${budgetKeptCtesFor(pipeRecipe,
-                "pclean JOIN documents USING (doc_id)",
-                s"len(${graft.functions.Bpe.tokensSql("clean_text")})",
-                "pp1")},
-           |""".stripMargin
-      packFfdSql(
-        "SELECT doc_id, shard, bin, bin_off FROM ffd " +
-          "WHERE doc_id IS NOT NULL",
-        nTokSql = "ntok", fromSql = "kept", prefixCtes = prefix)
-    },
+    "pipe_pretrain" -> packFfdSql(
+      "SELECT doc_id, shard, bin, bin_off FROM ffd " +
+        "WHERE doc_id IS NOT NULL",
+      nTokSql = "ntok", fromSql = "kept",
+      prefixCtes = pipePretrainCtes + ",\n"),
+    // the funnel aggregated at each stage boundary of the SAME replayed
+    // chain: batch universe from the scored frame's filter, survivors
+    // and clean mass from the budget chain's per-doc frame `d`, kept
+    // counts from `kept`
+    "pipe_pretrain_stats" ->
+      s"""WITH $pipePretrainCtes
+         |SELECT bud.source, CAST(bud.budget_tok AS BIGINT) AS budget_tok,
+         |  CAST(coalesce(b.n_batch, 0) AS BIGINT) AS n_batch,
+         |  CAST(coalesce(cq.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(cq.tok_clean, 0) AS BIGINT) AS tok_clean,
+         |  CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+         |  CAST(coalesce(k.tok_sampled, 0) AS BIGINT) AS tok_sampled
+         |FROM bud
+         |LEFT JOIN (SELECT source, count(*) AS n_batch FROM documents
+         |  WHERE text IS NOT NULL AND doc_id >= 250 AND doc_id < 500
+         |  GROUP BY 1) b USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n_kept,
+         |    sum(ntok) AS tok_clean FROM d GROUP BY 1) cq USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n_sampled,
+         |    sum(ntok) AS tok_sampled FROM kept GROUP BY 1) k
+         |  USING (source)""".stripMargin,
     // exact-integer replica of SampleOps.temperatureThresholds: the
     // α = 1/2 weights are floor(sqrt(count)) and the threshold an
     // integer DIV, so both engines derive the SAME k from the data
