@@ -1481,6 +1481,44 @@ object TrainingQueries {
     pipePackStage(s, staged, SampleOps.loadMixStats(s, statsDir))
   }
 
+  /** Cluster-balanced token-budget mixture: the budget recipe applied
+    * over LEARNED strata — each document joins its embedding, routes to
+    * its nearest centroid cell ([[VectorOps.assignCells]], the IVF
+    * primitive), and the cells, not the source labels, carry the token
+    * budgets. This is the semantic rebalancing knob source-label
+    * recipes cannot express (near-duplicate web domains land in one
+    * cell and share one budget regardless of origin). Same radix
+    * bucket algebra, same engine-replayable determinism; the recipe
+    * exercises whole-kept / two boundary cuts / zero across every SF's
+    * cell masses. The oracle re-derives the cell assignment (the
+    * ann_ivf replay) and aliases the cell as the budget chain's
+    * stratum.
+    */
+  private val clusterRecipe = Seq(("c0", 1000000L), ("c1", 3000L),
+    ("c2", 1500L), ("c3", 0L))
+  private def clusterBudgetDf(s: SparkSession) = {
+    import s.implicits._
+    clusterRecipe.toDF("cell", "budget_tok")
+  }
+
+  val mixClusterBudget: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = VectorOps.assignCells(
+        docs.join(emb.select(col("vec_id").as("doc_id"),
+            col("embedding").as("vec")), "doc_id")
+          .select(col("doc_id").as("id"), col("vec")),
+        cents, nprobe = 1)
+      .select(col("id").as("doc_id"),
+        concat(lit("c"), col("cell")).as("cell"))
+    SampleOps.tokenBudgetSample(
+      docs.select(col("doc_id"), col("text")).join(assigned, "doc_id"),
+      "doc_id", "cell", wsTokens, clusterBudgetDf(s), "cb1")
+      .select(col("doc_id"), col("cell"))
+  }
+
   /** The composite's AUDIT view — the per-source funnel a pipeline
     * team materializes beside every delivered mixture: batch docs in,
     * quality survivors, post-strip token mass (stored-tokenizer
@@ -1791,6 +1829,7 @@ object TrainingQueries {
     "mix_pack" -> mixPack,
     "pipe_pretrain" -> pipePretrain,
     "pipe_pretrain_stats" -> pipePretrainStats,
+    "mix_cluster_budget" -> mixClusterBudget,
     "txt_scrub" -> txtScrub,
     "pack_seqs" -> packSeqs,
     "pack_seqs_bpe" -> packSeqsBpe,
@@ -3251,6 +3290,33 @@ object TrainingQueries {
         "WHERE doc_id IS NOT NULL",
       nTokSql = "ntok", fromSql = "kept",
       prefixCtes = pipePretrainCtes + ",\n"),
+    // the learned-strata replay: the ann_ivf cell-assignment chain
+    // (cosine DESC, lowest cid tie — assignCells' max_by rule) feeds
+    // the budget algebra with the cell aliased as its stratum column
+    "mix_cluster_budget" -> {
+      val cellsFrom =
+        s"""cbe AS (SELECT d.doc_id,
+           |    list_transform(e.embedding, x -> x::DOUBLE) AS v
+           |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+           |  WHERE d.text IS NOT NULL),
+           |cbc AS (SELECT vec_id AS cid,
+           |    list_transform(embedding, x -> x::DOUBLE) AS cv
+           |  FROM embeddings WHERE vec_id < 4),
+           |cbcells AS (SELECT doc_id, 'c' || cid::VARCHAR AS source FROM (
+           |  SELECT cbe.doc_id, cbc.cid,
+           |    row_number() OVER (PARTITION BY cbe.doc_id ORDER BY
+           |      list_dot_product(cbe.v, cbc.cv) /
+           |        (sqrt(list_dot_product(cbe.v, cbe.v)) *
+           |         sqrt(list_dot_product(cbc.cv, cbc.cv)))
+           |      DESC, cbc.cid) AS r
+           |  FROM cbe, cbc) WHERE r = 1)""".stripMargin
+      s"""WITH $cellsFrom,
+         |${budgetKeptCtesFor(clusterRecipe,
+              "(SELECT d2.doc_id, cbcells.source, d2.text " +
+                "FROM cbcells JOIN documents d2 USING (doc_id)) t",
+              s"len($toksSql)", "cb1")}
+         |SELECT doc_id, source AS cell FROM kept""".stripMargin
+    },
     // the funnel aggregated at each stage boundary of the SAME replayed
     // chain: batch universe from the scored frame's filter, survivors
     // and clean mass from the budget chain's per-doc frame `d`, kept
