@@ -16,27 +16,27 @@ object Bench {
     def run(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // Host-speed calibration rider: ONE fixed CPU-bound kernel (the
-    // CcBench windowed-graph shape at 200k nodes, warmed at 20k) timed
-    // in-session and emitted beside the results, so cross-round BENCH
-    // artifacts self-normalize against host drift without out-of-band
-    // calibration runs — judges and regression scripts divide by this
-    // instead of re-running CcBench on their own host.
-    val calibSec = {
-      import org.apache.spark.sql.functions._
-      def edges(lo: Long, hi: Long) = spark.range(lo, hi).toDF("a")
-        .withColumn("w0", (col("a") / 1000L).cast("long") * 1000L)
-        .withColumn("wlen", least(lit(1000L), lit(hi) - col("w0")))
-        .withColumn("b", col("w0") + pmod(xxhash64(col("a")), col("wlen")))
-        .filter(col("a") =!= col("b"))
-        .select(col("a"), col("b"))
-      graft.ops.ClusterOps.connectedComponents(edges(0L, 20000L),
-        spark.range(0L, 20000L).toDF("id")).count()
-      val t0 = System.nanoTime()
-      graft.ops.ClusterOps.connectedComponents(edges(0L, 200000L),
-        spark.range(0L, 200000L).toDF("id")).count()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // Host-speed calibration rider: ONE fixed CPU-bound kernel
+    // (CcBench's OWN windowed-graph builder at 200k nodes, warmed at
+    // 20k — shared definition, so the two can never measure different
+    // kernels) timed in-session and emitted beside the results, so
+    // cross-round BENCH artifacts self-normalize against host drift
+    // without out-of-band calibration runs. Full-suite runs only: the
+    // single-query isolation mode exists for fast regression chasing
+    // and must not pay a fixed multi-second CC job per invocation
+    // (its numbers are compared within one session, not across hosts).
+    val calibSec =
+      if (args.nonEmpty) -1.0
+      else {
+        graft.ops.ClusterOps.connectedComponents(
+          CcBench.windowedEdges(spark, 0L, 20000L),
+          spark.range(0L, 20000L).toDF("id")).count()
+        val t0 = System.nanoTime()
+        graft.ops.ClusterOps.connectedComponents(
+          CcBench.windowedEdges(spark, 0L, 200000L),
+          spark.range(0L, 200000L).toDF("id")).count()
+        (System.nanoTime() - t0) / 1e9
+      }
     // Warmup pass: pays SparkSession/codegen/parquet-footer startup AND the
     // one-time ingest-style builds (tree labeling, fixture ingest) outside
     // the timed region — the reference likewise builds its DB before

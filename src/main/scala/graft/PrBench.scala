@@ -165,6 +165,9 @@ object PrBench {
       .select((col("i") % 8L).as("set_id"),
         pmod(xxhash64(col("i"), lit("seed8")), lit(n)).as("id"))
       .localCheckpoint()
+    // SYMMETRIC terminal action on both sides (localCheckpoint): a
+    // count-only sequential side would skip the row materialization the
+    // batched side pays, overstating the batching win
     val batched = time(s"ppr_batched_8x_${n}_3it") {
       ClusterOps.personalizedPageRankMultiStored(st, sets8, iters = 3)
         .localCheckpoint()
@@ -173,7 +176,7 @@ object PrBench {
       (0 until 8).foreach { k =>
         ClusterOps.personalizedPageRankStored(st,
           sets8.filter(col("set_id") === k).select(col("id")),
-          iters = 3).count()
+          iters = 3).localCheckpoint()
       }
     }
     val single3 = ClusterOps.personalizedPageRankStored(st,

@@ -362,6 +362,21 @@ object ClusterOps {
     withServedFrame(st) { e =>
       val sets = flatten(
         seedSets.select(col("set_id"), col("id")).distinct())
+      // a seed row whose set_id is missing from a DECLARED universe
+      // would be silently dropped by the universe×nodes join below, and
+      // a consumer would read the absent set as "no contamination
+      // found" — fail fast instead (both frames are request-bounded,
+      // so the probe is one tiny job)
+      setIds.foreach { u =>
+        val orphan = sets.select(col("set_id")).distinct()
+          .join(u.select(col("set_id")).distinct(), Seq("set_id"),
+            "left_anti")
+          .head(1)
+        require(orphan.isEmpty,
+          s"seedSets carry set_id ${orphan.head.get(0)} absent from " +
+            "the declared setIds universe — it would be silently " +
+            "dropped; declare it or remove its seeds")
+      }
       val universe = setIds
         .map(_.select(col("set_id")).distinct())
         .getOrElse(sets.select(col("set_id")).distinct())

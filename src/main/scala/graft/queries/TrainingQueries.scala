@@ -1465,20 +1465,34 @@ object TrainingQueries {
     * stage 3's classification reads the (tiny) stats store. Nothing
     * rescans corpus history.
     */
-  val pipePretrain: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    // stages 1+2: stored-model quality gate, then strip against the
-    // persisted crawl history
-    val stripped = pipeCleanBatch(s, d, dupStoreDir(s, d),
-      docs.filter(col("doc_id") >= 250 && col("doc_id") < 500))
-    val staged = pipeStagedFrame(s, d, stripped)
-    // stage 3's masses from the persisted radix store (built once per
-    // data dir; the streaming twin maintains its own via appendMixStats)
-    val statsDir = graft.StoreUtil.cachedStoreDir("pipestats", d) { p =>
+  val pipePretrain: Q = (s, d) =>
+    pipePackStage(s, pipeStaged(s, d),
+      SampleOps.loadMixStats(s, pipeStatsDir(s, d)))
+
+  /** The pipeline's staged frame (stages 1+2 plus the stored-tokenizer
+    * counts), computed ONCE per (session, data dir): both pipeline
+    * gates read it, so the strip's evidence pass — the composite's
+    * dominant cost — never runs twice in a session.
+    */
+  private val pipeShared = new graft.SessionCache[DataFrame]()
+  private def pipeStaged(s: SparkSession, d: String): DataFrame =
+    pipeShared.get(s, "staged|" + d)(pipeStagedFrame(s, d,
+      pipeCleanBatch(s, d, dupStoreDir(s, d),
+        Tables.documents(s, d)
+          .filter(col("doc_id") >= 250 && col("doc_id") < 500))))
+
+  /** The persisted radix-mass store for stage 3 — the ONE builder of
+    * the `pipestats` cache key (cachedStoreDir is first-writer-wins per
+    * JVM, so two independently written builder closures would make the
+    * store's content depend on gate execution order; the streaming twin
+    * maintains its own store via appendMixStats instead).
+    */
+  private def pipeStatsDir(s: SparkSession, d: String): String = {
+    val staged = pipeStaged(s, d)
+    graft.StoreUtil.cachedStoreDir("pipestats", d) { p =>
       SampleOps.saveMixStats(SampleOps.tokenBucketStats(staged, "doc_id",
         "source", col("n_tok_bpe"), "pp1"), p)
     }
-    pipePackStage(s, staged, SampleOps.loadMixStats(s, statsDir))
   }
 
   /** Cluster-balanced token-budget mixture: the budget recipe applied
@@ -1530,15 +1544,10 @@ object TrainingQueries {
   val pipePretrainStats: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
-    val stripped = pipeCleanBatch(s, d, dupStoreDir(s, d), batch)
-    val staged = pipeStagedFrame(s, d, stripped)
-    val statsDir = graft.StoreUtil.cachedStoreDir("pipestats", d) { p =>
-      SampleOps.saveMixStats(SampleOps.tokenBucketStats(staged, "doc_id",
-        "source", col("n_tok_bpe"), "pp1"), p)
-    }
+    val staged = pipeStaged(s, d)
     val sampled = SampleOps.tokenBudgetSampleWith(staged, "doc_id",
       "source", col("n_tok_bpe"), pipeBudgetDf(s), "pp1",
-      SampleOps.loadMixStats(s, statsDir))
+      SampleOps.loadMixStats(s, pipeStatsDir(s, d)))
     pipeBudgetDf(s)
       .select(col("source"), col("budget_tok").cast("long").as("budget_tok"))
       .join(batch.filter(col("text").isNotNull).groupBy(col("source"))
