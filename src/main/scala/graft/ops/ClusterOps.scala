@@ -392,6 +392,19 @@ object ClusterOps {
       prKernelMultiOn(e, n, iters, dampingMilli)
     }
 
+  /** One batched round's contribution sums — [[prContrib]] with set_id
+    * riding the rank side and every aggregation key; the edge side's
+    * join key is unchanged (src), so the stored/cached layout streams
+    * exactly as in the single-set kernel (the PlanSpec lock inspects
+    * THIS helper, not a test replica).
+    */
+  private[graft] def prContribMulti(e: DataFrame, r: DataFrame): DataFrame =
+    e.join(r.select(col("set_id"), col("id").as("src"), col("rank")),
+        "src")
+      .select(col("set_id"), col("dst").as("id"),
+        expr("rank div deg").as("c"))
+      .groupBy(col("set_id"), col("id")).agg(sum(col("c")).as("s"))
+
   /** The batched twin of [[prKernelOn]]: identical integer arithmetic
     * per (set_id, id) cell — `n` carries (set_id, id, seed), already
     * flattened by the wrapper.
@@ -406,12 +419,7 @@ object ClusterOps {
     var r = n.select(col("set_id"), col("id"), col("seed"),
       when(col("seed"), lit(1000000L)).otherwise(lit(0L)).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(r.select(col("set_id"), col("id").as("src"), col("rank")),
-          "src")
-        .select(col("set_id"), col("dst").as("id"),
-          expr("rank div deg").as("c"))
-        .groupBy(col("set_id"), col("id")).agg(sum(col("c")).as("s"))
+      val contrib = prContribMulti(e, r)
       r = flatten(n.join(contrib, Seq("set_id", "id"), "left_outer")
         .select(col("set_id"), col("id"), col("seed"),
           (baseOf + expr(s"(cast($dampingMilli as decimal(38,0)) " +

@@ -511,6 +511,60 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("batched ppr round streams the pinned store frame: no exchange, " +
+      "no sort on the edge side despite the wider rank vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins._
+    import org.apache.spark.sql.functions.{col, lit}
+    // the batching contract: set_id widens only the RANK side — the
+    // edge join key stays src, so the pinned bucketed frame must stream
+    // through a batched round exactly as through a single-set one; an
+    // exchange or sort under the edge side means batching silently
+    // re-pays the layout every round × every set
+    val edges = (0L until 2000L).map(i => (i % 97L, (i * 7L) % 89L))
+      .toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstore_mppr")
+      .toString + "/g"
+    graft.ops.GraphStore.save(spark, edges, dir, buckets = 8)
+    val st = graft.ops.GraphStore.load(spark, dir)
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pinned = st.edges.join(st.degrees, "src").persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.count()
+      val r0 = Seq(0L, 1L, 2L).toDF("set_id")
+        .crossJoin(st.nodes.select(col("id")))
+        .withColumn("rank", lit(1000000L))
+      val round = graft.ops.ClusterOps.prContribMulti(pinned, r0)
+      round.collect()
+      def containsCache(p: SparkPlan): Boolean =
+        PlanWalk.nodes(p).exists(_.isInstanceOf[InMemoryTableScanExec])
+      val joins = PlanWalk.nodes(round.queryExecution.executedPlan)
+        .filter(p => p.isInstanceOf[BroadcastHashJoinExec] ||
+          p.isInstanceOf[SortMergeJoinExec] ||
+          p.isInstanceOf[ShuffledHashJoinExec])
+      assert(joins.exists(containsCache),
+        "no join over the pinned store frame:\n" +
+          round.queryExecution.executedPlan)
+      joins.filter(containsCache).foreach { j =>
+        j.children.filter(containsCache).foreach { side =>
+          val moved = PlanWalk.nodes(side).filter(p =>
+            p.isInstanceOf[ShuffleExchangeLike] || p.isInstanceOf[SortExec])
+          assert(moved.isEmpty,
+            "stored edge side re-shuffled or re-sorted in a batched " +
+              "round:\n" + round.queryExecution.executedPlan)
+        }
+      }
+      pinned.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+    }
+  }
+
   test("store-served fixed-point pagerank: stored frame moves nothing, " +
       "and converged ranks + rounds equal the scan path bit for bit") {
     import spark.implicits._
