@@ -56,6 +56,37 @@ object PqBench {
       VectorStore.queryAdc(stPq, queries, k = 10, nprobe = 4).collect())
     require(exact.length == adc.length && adc.nonEmpty)
 
+    // recall economics of the two-stage path: ground truth is the
+    // EXACT integer-quantized-L2 top-10 within the probed cells
+    // (queryRerank with a cell-wide shortlist — the metric the rerank
+    // corrects toward); measure how much of it ADC's top-10 misses and
+    // how much a c=40 shortlist recovers, at a cost bounded by c rows
+    // per query. This is the knob's justification in numbers: recall
+    // must be monotone ADC ≤ rerank(c=40) ≤ 1.0.
+    val truth = time("serve_exact_in_cells") {
+      VectorStore.queryRerank(stPq, queries, k = 10, c = Int.MaxValue,
+        nprobe = 4).collect()
+    }
+    val rr40 = time("serve_rerank_c40") {
+      VectorStore.queryRerank(stPq, queries, k = 10, c = 40,
+        nprobe = 4).collect()
+    }
+    def byQuery(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(got: Map[Long, Set[Long]], want: Map[Long, Set[Long]]) = {
+      val per = want.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val truthSets = byQuery(truth)
+    val rAdc = recall(byQuery(adc), truthSets)
+    val rRr = recall(byQuery(rr40), truthSets)
+    require(rRr >= rAdc,
+      f"rerank recall $rRr%.3f below ADC recall $rAdc%.3f")
+    println(f"""{"recall_adc":$rAdc%.3f,"recall_rerank_c40":$rRr%.3f}""")
+
     // verification slice: served ADC == in-memory composite
     val vn = math.min(n, 20000L)
     val slice = corpus.filter(col("id") < vn).localCheckpoint()
