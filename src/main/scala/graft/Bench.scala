@@ -62,8 +62,13 @@ object Bench {
     val total = results.filter(_._3).map(_._2).sum
     // calib_sec rides EARLY in the line: the driver's artifact keeps a
     // truncated tail of long lines, and the calibration constant is the
-    // one field every cross-round comparison needs
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // one field every cross-round comparison needs. Single-query runs
+    // OMIT the field entirely — an in-band sentinel like -1 would flow
+    // through a normalizer's division as silent garbage, where a missing
+    // key fails unmistakably
+    val calibField =
+      if (calibSec >= 0) s""""calib_sec":$calibSec,""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$calibField"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,6 +63,13 @@ object PqBench {
     // how much a c=40 shortlist recovers, at a cost bounded by c rows
     // per query. This is the knob's justification in numbers: recall
     // must be monotone ADC ≤ rerank(c=40) ≤ 1.0.
+    // warm BOTH rerank plans (the c literal changes the plan, so each
+    // pays its own codegen) — the ADC/exact paths above were warmed,
+    // and a cold-vs-warm comparison would overstate the two-stage cost
+    VectorStore.queryRerank(stPq, queries, k = 10, c = Int.MaxValue,
+      nprobe = 4).collect()
+    VectorStore.queryRerank(stPq, queries, k = 10, c = 40,
+      nprobe = 4).collect()
     val truth = time("serve_exact_in_cells") {
       VectorStore.queryRerank(stPq, queries, k = 10, c = Int.MaxValue,
         nprobe = 4).collect()

@@ -181,8 +181,16 @@ object PrBench {
     }
     val single3 = ClusterOps.personalizedPageRankStored(st,
       sets8.filter(col("set_id") === 3L).select(col("id")), iters = 3)
+      .localCheckpoint()
     val b3 = batched.filter(col("set_id") === 3L)
-    require(b3.count() == single3.count(), "batched set-3 universe differs")
+    // universe equality as SET equality (both exceptAll directions), not
+    // a count compare — equal-size but different-membership universes
+    // would otherwise pass, with the inner join below silently dropping
+    // the mismatched ids
+    require(b3.select(col("id")).exceptAll(single3.select(col("id")))
+        .isEmpty &&
+      single3.select(col("id")).exceptAll(b3.select(col("id"))).isEmpty,
+      "batched set-3 universe differs from the single-set kernel's")
     val pprDrift = b3.withColumnRenamed("rank_micro", "a")
       .join(single3.withColumnRenamed("rank_micro", "b"), "id")
       .filter(col("a") =!= col("b")).count()
