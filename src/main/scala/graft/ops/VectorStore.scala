@@ -166,13 +166,24 @@ object VectorStore {
     val mf = graft.StoreUtil.readMarker(spark, path, ManifestFile).get
     graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
     // cells are already assigned — repartition on the partition value
-    // re-coalesces each cell's accumulated files into one task's output
+    // re-coalesces each cell's accumulated files into one task's output.
+    // ALL columns are carried: a column-pruning select here silently
+    // DESTROYED a PQ store (codes and ingest tags dropped, so the
+    // compacted generation declared layout ivf-pq but could not serve
+    // ADC and had no rollback identity) — layout-agnostic rewrite, one
+    // definition for both families
     spark.read.parquet(s"$path/cells")
-      .select(col("id"), col("vec"), col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/cells")
     spark.read.parquet(s"$path/centroids")
       .write.mode("overwrite").parquet(s"$dest/centroids")
+    // the PQ layout's codebook travels with the store (queries MUST
+    // build their LUTs against the exact codebook the codes were
+    // assigned with) — a compact that dropped it stranded the new
+    // generation unloadable while rotation retired the old one
+    if (graft.StoreUtil.pathExists(spark, path, "codebook"))
+      spark.read.parquet(s"$path/codebook")
+        .write.mode("overwrite").parquet(s"$dest/codebook")
     // manifest carried over — the ingest counter and CRUCIALLY the
     // last_batch zombie guard (a fresh manifest here would let a
     // redelivered micro-batch double-append after a compaction) — with
@@ -363,10 +374,20 @@ object VectorStore {
       pqManifest(m, dim, appends = 0L, batchId))
   }
 
+  /** The PQ manifest carries BOTH counters: `appends` is the rollback
+    * identity [[recoverAppendPq]] keys on (counter snapshot in the
+    * pending marker), and `ingests`/`compacted_at` are the
+    * family-shared maintenance watermark ([[needsCompact]] reads them
+    * through the one shared rule) — without them a PQ store's nudge
+    * read the lenient legacy defaults forever and compaction could
+    * never reset it. ingests = appends + 1 (the creating save counts
+    * as the first ingest, same as the plain layout).
+    */
   private def pqManifest(m: Int, dim: Int, appends: Long,
-      batchId: Option[Long]): String =
+      batchId: Option[Long], compactedAt: Long = 1L): String =
     s"""{"version":1,"layout":"ivf-pq","m":$m,"dim":$dim""" +
-      s""","appends":$appends""" +
+      s""","appends":$appends,"ingests":${appends + 1L}""" +
+      s""","compacted_at":$compactedAt""" +
       batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
 
   /** The append counter; 0 for stores written before it existed. */
@@ -427,7 +448,10 @@ object VectorStore {
     val prevLast = "\"last_batch\"\\s*:\\s*(-?\\d+)".r
       .findFirstMatchIn(mfPre).map(_.group(1).toLong)
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      pqManifest(st.m, st.dim, appends + 1L, batchId.orElse(prevLast)))
+      pqManifest(st.m, st.dim, appends + 1L, batchId.orElse(prevLast),
+        // the watermark survives the append-rewritten manifest — a
+        // reset here would re-arm needsCompact's clock from zero
+        graft.StoreUtil.compactedAtOf(mfPre)))
     graft.StoreUtil.deleteMarker(spark, path, PendingFile)
   }
 

@@ -349,6 +349,50 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(wide == expected)
   }
 
+  test("PQ store compaction preserves codes, codebook, and ingest tags " +
+      "— ADC and rerank identical across the rotation, nudge resets, " +
+      "zombie guard carried") {
+    // regression: compact's column-pruning select silently DESTROYED a
+    // PQ store (codes + tags dropped, codebook not copied) — the new
+    // generation declared layout ivf-pq but could not load, while
+    // rotation retired the old one
+    import graft.ops.VectorOps
+    val cb = VectorOps.pqCodebook(corpus, m = 4, codes = 16, dim = 64)
+    val dir = Files.createTempDirectory("graft_pqcpt").toString + "/pq"
+    VectorStore.savePq(corpus.filter(col("id") < 100), cents, cb, dir,
+      m = 4, dim = 64, batchId = Some(0L))
+    VectorStore.appendPq(spark, dir,
+      corpus.filter(col("id") >= 100 && col("id") < 200), Some(1L))
+    VectorStore.appendPq(spark, dir,
+      corpus.filter(col("id") >= 200), Some(2L))
+    // the PQ manifest now carries the family watermark: two appends on
+    // a fresh save trip the nudge at slack 2
+    assert(VectorStore.needsCompact(spark, dir, slack = 2))
+    val queries = corpus.filter(col("id") < 10)
+    def rerankSet(p: String) = VectorStore.queryRerank(
+        VectorStore.loadPq(spark, p), queries, k = 5, c = 20, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val before = rerankSet(dir)
+    val next = StoreUtil.rotateWithGrace(spark, dir,
+      p => VectorStore.needsCompact(spark, p, slack = 2),
+      (s, d) => VectorStore.compact(spark, s, d), grace = 1)
+    assert(next != dir, "the nudge should have rotated")
+    assert(!VectorStore.needsCompact(spark, next, slack = 2),
+      "compaction must advance the watermark")
+    // loadPq would THROW before the fix (codebook gone); answers must
+    // be bit-identical across the rewrite
+    assert(rerankSet(next) == before)
+    val st2 = VectorStore.loadPq(spark, next)
+    assert(st2.cells.columns.contains("ingest_batch") &&
+      st2.cells.columns.contains("ingest_seq"),
+      "rollback identity (ingest tags) lost in the rewrite")
+    // the zombie guard rode the rotation chain
+    val n0 = st2.cells.count()
+    VectorStore.appendPq(spark, next,
+      corpus.filter(col("id") >= 200), Some(2L))
+    assert(VectorStore.loadPq(spark, next).cells.count() == n0)
+  }
+
   test("appendPq crash windows: rollback drops ONLY the tagged batch; " +
       "a completed append with a lost marker delete is kept whole") {
     import graft.ops.VectorOps
