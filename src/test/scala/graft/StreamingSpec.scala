@@ -1520,13 +1520,14 @@ class StreamingSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val hist = docs.filter(col("doc_id") < 250)
     val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
-    val dupDir =
+    var dupDir =
       Files.createTempDirectory("graft_pipe_dup").toString + "/dup"
     // history arrives as the same two ingests the gate's fixture folds
     DupStore.ingestBatch(spark, dupDir,
       hist.filter(col("doc_id") < 125), "doc_id", "text")
     DupStore.ingestBatch(spark, dupDir,
       hist.filter(col("doc_id") >= 125), "doc_id", "text")
+    var rotations = 0
     val inDir = Files.createTempDirectory("graft_pipe_in").toString
     // contiguous ascending id ranges per file — the ids-follow-arrival
     // contract the strip's streamed/one-shot equality rides on
@@ -1551,6 +1552,14 @@ class StreamingSpec extends AnyFunSuite {
         DupStore.probeStripThenIngest(spark, dupDir, outDir,
           TrainingQueries.pipeQualityGate(spark, sf, df),
           "doc_id", "text", batchId = id)
+        // the dup index is a LIVE maintained store: its rotate-compact
+        // loop runs INSIDE the pipeline body (slack 1 trips every
+        // batch) — the composite's answers must be oblivious to where
+        // in the generation chain each delivery landed
+        val nextDup = StoreUtil.rotateWithGrace(spark, dupDir,
+          p => DupStore.needsCompact(spark, p, slack = 1),
+          (s2, d2) => DupStore.compact(spark, s2, d2), grace = 1)
+        if (nextDup != dupDir) { rotations += 1; dupDir = nextDup }
         // stage-3 maintenance: fold this delivery's cleaned masses
         val stats = SampleOps.tokenBucketStats(
           TrainingQueries.pipeStagedFrame(spark, sf,
@@ -1563,6 +1572,9 @@ class StreamingSpec extends AnyFunSuite {
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+    assert(rotations >= 2,
+      s"the in-pipeline rotation should have tripped at slack 1; " +
+        s"rotations = $rotations")
     def packSet(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "shard", "bin", "bin_off").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
