@@ -25,9 +25,9 @@ object Bench {
     // single-query isolation mode exists for fast regression chasing
     // and must not pay a fixed multi-second CC job per invocation
     // (its numbers are compared within one session, not across hosts).
-    val calibSec =
-      if (args.nonEmpty) -1.0
-      else {
+    val calibSec: Option[Double] =
+      if (args.nonEmpty) None
+      else Some {
         graft.ops.ClusterOps.connectedComponents(
           CcBench.windowedEdges(spark, 0L, 20000L),
           spark.range(0L, 20000L).toDF("id")).count()
@@ -67,7 +67,7 @@ object Bench {
     // through a normalizer's division as silent garbage, where a missing
     // key fails unmistakably
     val calibField =
-      if (calibSec >= 0) s""""calib_sec":$calibSec,""" else ""
+      calibSec.map(c => s""""calib_sec":$c,""").getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec",$calibField"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -362,13 +362,14 @@ object ClusterOps {
     withServedFrame(st) { e =>
       val sets = flatten(
         seedSets.select(col("set_id"), col("id")).distinct())
+      val seedSetIds = sets.select(col("set_id")).distinct()
       // a seed row whose set_id is missing from a DECLARED universe
       // would be silently dropped by the universe×nodes join below, and
       // a consumer would read the absent set as "no contamination
       // found" — fail fast instead (both frames are request-bounded,
-      // so the probe is one tiny job)
+      // so the probe is one tiny job over the flattened seeds)
       setIds.foreach { u =>
-        val orphan = sets.select(col("set_id")).distinct()
+        val orphan = seedSetIds
           .join(u.select(col("set_id")).distinct(), Seq("set_id"),
             "left_anti")
           .head(1)
@@ -379,7 +380,7 @@ object ClusterOps {
       }
       val universe = setIds
         .map(_.select(col("set_id")).distinct())
-        .getOrElse(sets.select(col("set_id")).distinct())
+        .getOrElse(seedSetIds)
       // the (set × node) mass universe: set ids are a handful of rows —
       // the cross join broadcasts them along the node scan, never the
       // reverse
@@ -391,6 +392,17 @@ object ClusterOps {
           coalesce(col("seed"), lit(false)).as("seed")))
       prKernelMultiOn(e, n, iters, dampingMilli)
     }
+
+  /** The damped contribution term over a round's summed column `s`,
+    * riding decimal(38,0) against long overflow (a hub's contribution
+    * sum is bounded only by total rank mass) — ONE definition for all
+    * three iteration kernels; `extra` is the fixed-point variant's
+    * per-node dangling share (0 elsewhere, arithmetic-identical to its
+    * absence).
+    */
+  private def dampedTerm(dampingMilli: Int, extra: Long = 0L) =
+    expr(s"(cast($dampingMilli as decimal(38,0)) * " +
+      s"(coalesce(s, 0L) + $extra)) div 1000")
 
   /** One batched round's contribution sums — [[prContrib]] with set_id
     * riding the rank side and every aggregation key; the edge side's
@@ -422,9 +434,7 @@ object ClusterOps {
       val contrib = prContribMulti(e, r)
       r = flatten(n.join(contrib, Seq("set_id", "id"), "left_outer")
         .select(col("set_id"), col("id"), col("seed"),
-          (baseOf + expr(s"(cast($dampingMilli as decimal(38,0)) " +
-            "* coalesce(s, 0L)) div 1000"))
-            .as("rank")))
+          (baseOf + dampedTerm(dampingMilli)).as("rank")))
     }
     r.select(col("set_id"), col("id"), col("rank").as("rank_micro"))
   }
@@ -455,9 +465,7 @@ object ClusterOps {
       // the oracle computes the same term in HUGEINT.
       r = flatten(n.join(contrib, n("id") === contrib("dst"), "left_outer")
         .select(col("id"), col("seed"),
-          (baseOf + expr(s"(cast($dampingMilli as decimal(38,0)) " +
-            "* coalesce(s, 0L)) div 1000"))
-            .as("rank")))
+          (baseOf + dampedTerm(dampingMilli)).as("rank")))
     }
     r.select(col("id"), col("rank").as("rank_micro"))
   }
@@ -608,8 +616,7 @@ object ClusterOps {
         val next = flatten(
           r.join(contrib, r("id") === contrib("dst"), "left_outer")
             .select(col("id"), col("has_out"), col("rank").as("prev"),
-              (lit(base) + expr(s"(cast($dampingMilli as decimal(38,0))" +
-                s" * (coalesce(s, 0L) + $share)) div 1000")).as("rank"))
+              (lit(base) + dampedTerm(dampingMilli, share)).as("rank"))
             .observe(obs,
               sum(abs(col("rank") - col("prev")).cast("decimal(38,0)"))
                 .as("delta"),
