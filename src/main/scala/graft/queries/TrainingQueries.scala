@@ -1515,7 +1515,11 @@ object TrainingQueries {
     clusterRecipe.toDF("cell", "budget_tok")
   }
 
-  val mixClusterBudget: Q = (s, d) => {
+  /** The cell-assigned corpus (doc_id, text, cell) the cluster-budget
+    * gates share — one definition of the routing, so the scan and
+    * store-served twins can never assign differently.
+    */
+  private def clusterCellFrame(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
     val cents = emb.filter(col("vec_id") < 4)
@@ -1527,9 +1531,31 @@ object TrainingQueries {
         cents, nprobe = 1)
       .select(col("id").as("doc_id"),
         concat(lit("c"), col("cell")).as("cell"))
-    SampleOps.tokenBudgetSample(
-      docs.select(col("doc_id"), col("text")).join(assigned, "doc_id"),
+    docs.select(col("doc_id"), col("text")).join(assigned, "doc_id")
+  }
+
+  val mixClusterBudget: Q = (s, d) =>
+    SampleOps.tokenBudgetSample(clusterCellFrame(s, d),
       "doc_id", "cell", wsTokens, clusterBudgetDf(s), "cb1")
+      .select(col("doc_id"), col("cell"))
+
+  /** The same kept set SERVED from persisted cell masses: the
+    * per-(cell, radix-bucket) token table saves once per data dir in a
+    * mix-stats store — the [[SampleOps.tokenBucketStats]] shape is
+    * stratum-agnostic, so the appendMixStats maintenance contract
+    * carries over to LEARNED strata unchanged — and the classification
+    * re-derives from the LOADED masses. Identical masses, identical
+    * kept set: shares the scan twin's oracle (the store changes where
+    * the masses come from, never the classification).
+    */
+  val mixClusterBudgetStore: Q = (s, d) => {
+    val withCell = clusterCellFrame(s, d)
+    val dir = graft.StoreUtil.cachedStoreDir("cellstats", d) { p =>
+      SampleOps.saveMixStats(SampleOps.tokenBucketStats(withCell,
+        "doc_id", "cell", wsTokens, "cb1"), p)
+    }
+    SampleOps.tokenBudgetSampleWith(withCell, "doc_id", "cell", wsTokens,
+      clusterBudgetDf(s), "cb1", SampleOps.loadMixStats(s, dir))
       .select(col("doc_id"), col("cell"))
   }
 
@@ -1839,6 +1865,7 @@ object TrainingQueries {
     "pipe_pretrain" -> pipePretrain,
     "pipe_pretrain_stats" -> pipePretrainStats,
     "mix_cluster_budget" -> mixClusterBudget,
+    "mix_cluster_budget_store" -> mixClusterBudgetStore,
     "txt_scrub" -> txtScrub,
     "pack_seqs" -> packSeqs,
     "pack_seqs_bpe" -> packSeqsBpe,
@@ -2340,6 +2367,31 @@ object TrainingQueries {
 
   private val budgetKeptCtes: String = budgetKeptCtesFor(budgetRecipe,
     "documents WHERE doc_id IS NOT NULL", s"len($toksSql)", "tb1")
+
+  private val mixClusterBudgetSql: String = {
+      val cellsFrom =
+        s"""cbe AS (SELECT d.doc_id,
+           |    list_transform(e.embedding, x -> x::DOUBLE) AS v
+           |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+           |  WHERE d.text IS NOT NULL),
+           |cbc AS (SELECT vec_id AS cid,
+           |    list_transform(embedding, x -> x::DOUBLE) AS cv
+           |  FROM embeddings WHERE vec_id < 4),
+           |cbcells AS (SELECT doc_id, 'c' || cid::VARCHAR AS source FROM (
+           |  SELECT cbe.doc_id, cbc.cid,
+           |    row_number() OVER (PARTITION BY cbe.doc_id ORDER BY
+           |      list_dot_product(cbe.v, cbc.cv) /
+           |        (sqrt(list_dot_product(cbe.v, cbe.v)) *
+           |         sqrt(list_dot_product(cbc.cv, cbc.cv)))
+           |      DESC, cbc.cid) AS r
+           |  FROM cbe, cbc) WHERE r = 1)""".stripMargin
+      s"""WITH $cellsFrom,
+         |${budgetKeptCtesFor(clusterRecipe,
+              "(SELECT d2.doc_id, cbcells.source, d2.text " +
+                "FROM cbcells JOIN documents d2 USING (doc_id)) t",
+              s"len($toksSql)", "cb1")}
+         |SELECT doc_id, source AS cell FROM kept""".stripMargin
+  }
 
   // the WHOLE pretraining-pipeline replay as one CTE chain, shared by
   // the pipe_pretrain oracle (FFD fold appended) and the funnel-stats
@@ -3301,31 +3353,11 @@ object TrainingQueries {
       prefixCtes = pipePretrainCtes + ",\n"),
     // the learned-strata replay: the ann_ivf cell-assignment chain
     // (cosine DESC, lowest cid tie — assignCells' max_by rule) feeds
-    // the budget algebra with the cell aliased as its stratum column
-    "mix_cluster_budget" -> {
-      val cellsFrom =
-        s"""cbe AS (SELECT d.doc_id,
-           |    list_transform(e.embedding, x -> x::DOUBLE) AS v
-           |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-           |  WHERE d.text IS NOT NULL),
-           |cbc AS (SELECT vec_id AS cid,
-           |    list_transform(embedding, x -> x::DOUBLE) AS cv
-           |  FROM embeddings WHERE vec_id < 4),
-           |cbcells AS (SELECT doc_id, 'c' || cid::VARCHAR AS source FROM (
-           |  SELECT cbe.doc_id, cbc.cid,
-           |    row_number() OVER (PARTITION BY cbe.doc_id ORDER BY
-           |      list_dot_product(cbe.v, cbc.cv) /
-           |        (sqrt(list_dot_product(cbe.v, cbe.v)) *
-           |         sqrt(list_dot_product(cbc.cv, cbc.cv)))
-           |      DESC, cbc.cid) AS r
-           |  FROM cbe, cbc) WHERE r = 1)""".stripMargin
-      s"""WITH $cellsFrom,
-         |${budgetKeptCtesFor(clusterRecipe,
-              "(SELECT d2.doc_id, cbcells.source, d2.text " +
-                "FROM cbcells JOIN documents d2 USING (doc_id)) t",
-              s"len($toksSql)", "cb1")}
-         |SELECT doc_id, source AS cell FROM kept""".stripMargin
-    },
+    // the budget algebra with the cell aliased as its stratum column.
+    // ONE string for the scan and store-served twins — the store
+    // changes where the masses come from, never the classification
+    "mix_cluster_budget" -> mixClusterBudgetSql,
+    "mix_cluster_budget_store" -> mixClusterBudgetSql,
     // the funnel aggregated at each stage boundary of the SAME replayed
     // chain: batch universe from the scored frame's filter, survivors
     // and clean mass from the budget chain's per-doc frame `d`, kept

@@ -1520,8 +1520,9 @@ class StreamingSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val hist = docs.filter(col("doc_id") < 250)
     val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
-    var dupDir =
+    val dupBase =
       Files.createTempDirectory("graft_pipe_dup").toString + "/dup"
+    var dupDir = dupBase
     // history arrives as the same two ingests the gate's fixture folds
     DupStore.ingestBatch(spark, dupDir,
       hist.filter(col("doc_id") < 125), "doc_id", "text")
@@ -1575,6 +1576,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(rotations >= 2,
       s"the in-pipeline rotation should have tripped at slack 1; " +
         s"rotations = $rotations")
+    // restart discovery: a rebooted pipeline's serving-path variable is
+    // gone — latestGeneration must land on the chain's serving head
+    // from the base name alone, skipping the grace-kept older one
+    assert(StoreUtil.latestGeneration(spark, dupBase) == dupDir,
+      s"discovery found ${StoreUtil.latestGeneration(spark, dupBase)}, " +
+        s"pipeline ended at $dupDir")
     def packSet(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "shard", "bin", "bin_off").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
