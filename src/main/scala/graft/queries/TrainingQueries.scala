@@ -1588,6 +1588,24 @@ object TrainingQueries {
         "tok_sampled"))
   }
 
+  /** The delivered mixture's BIN audit — per-bin docs, tokens, and
+    * padding of [[pipePretrain]]'s packed layout (sum(pad) IS the
+    * training-token waste of this delivery, the number the FFD stage
+    * exists to minimize). With [[pipePretrainStats]] (the funnel) this
+    * completes the composite's observability pair.
+    */
+  val pipePretrainBins: Q = (s, d) => {
+    val staged = pipeStaged(s, d)
+    val sampled = SampleOps.tokenBudgetSampleWith(staged, "doc_id",
+      "source", col("n_tok_bpe"), pipeBudgetDf(s), "pp1",
+      SampleOps.loadMixStats(s, pipeStatsDir(s, d)))
+    PackOps.packFfdStats(
+      PackOps.packFfd(sampled, "doc_id", col("n_tok_bpe"), ctxLen = 512,
+        salt = "ep0"),
+      staged.select(col("doc_id"), col("n_tok_bpe").as("n_tok")),
+      ctxLen = 512)
+  }
+
   /** Stage 1 alone — the stored model's keep set applied to one
     * delivery (doc_id, text rows). Shared by the composite and the
     * streaming twin's foreachBatch body, so the two paths score with
@@ -1864,6 +1882,7 @@ object TrainingQueries {
     "mix_pack" -> mixPack,
     "pipe_pretrain" -> pipePretrain,
     "pipe_pretrain_stats" -> pipePretrainStats,
+    "pipe_pretrain_bins" -> pipePretrainBins,
     "mix_cluster_budget" -> mixClusterBudget,
     "mix_cluster_budget_store" -> mixClusterBudgetStore,
     "txt_scrub" -> txtScrub,
@@ -3349,6 +3368,16 @@ object TrainingQueries {
     "pipe_pretrain" -> packFfdSql(
       "SELECT doc_id, shard, bin, bin_off FROM ffd " +
         "WHERE doc_id IS NOT NULL",
+      nTokSql = "ntok", fromSql = "kept",
+      prefixCtes = pipePretrainCtes + ",\n"),
+    // the bin audit over the same chained fold — the pack_ffd_stats
+    // tail (join k for token counts) on the pipeline's kept set
+    "pipe_pretrain_bins" -> packFfdSql(
+      """SELECT f.shard, f.bin, count(*) AS n_docs,
+        |  CAST(sum(k.n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(512 - sum(k.n_tok) AS BIGINT) AS pad
+        |FROM ffd f JOIN k ON k.doc_id = f.doc_id
+        |WHERE f.doc_id IS NOT NULL GROUP BY 1, 2""".stripMargin,
       nTokSql = "ntok", fromSql = "kept",
       prefixCtes = pipePretrainCtes + ",\n"),
     // the learned-strata replay: the ann_ivf cell-assignment chain
