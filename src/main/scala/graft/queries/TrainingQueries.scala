@@ -1761,6 +1761,47 @@ object TrainingQueries {
       .filter(col("n_shared") >= 2)
   }
 
+  /** Detector AGREEMENT matrix — the evaluation artifact a dedup
+    * pipeline builds before picking its production detector: every
+    * pair flagged by ANY of the three near-dup methods over one window
+    * (exact all-pairs Jaccard ≥ 0.5 — the ground truth; MinHash-LSH
+    * banding verified at the same threshold — the scalable
+    * approximation, whose misses here ARE its recall gap; winnowing
+    * ≥ 2 shared fingerprints — the substring-overlap family), with one
+    * flag per method. All three are oracle-gated alone; this pins
+    * their JOINT behavior on identical data, so a drifted detector
+    * shows up as a flipped flag, not a silently different candidate
+    * population downstream.
+    */
+  val ddMethodAgree: Q = (s, d) => {
+    val w = Tables.documents(s, d).filter(col("doc_id") < 50)
+    val jac = TextOps.jaccardVerify(TextOps.allPairs(w, "doc_id"), w,
+      "doc_id", "text", 0.5).select(col("a"), col("b"))
+    val lsh = TextOps.jaccardVerify(
+      TextOps.minhashCandidates(w, "doc_id", "text"), w,
+      "doc_id", "text", 0.5).select(col("a"), col("b"))
+    val fps = TextOps.winnowFingerprints(w, "doc_id", "text")
+    val win = fps.select(col("id").as("a"), col("fp"))
+      .join(fps.select(col("id").as("b"), col("fp")), "fp")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("fp")).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select(col("a"), col("b"))
+    val all = jac.unionByName(lsh).unionByName(win).distinct()
+    all
+      .join(jac.withColumn("by_jaccard", lit(true)), Seq("a", "b"),
+        "left_outer")
+      .join(lsh.withColumn("by_lsh", lit(true)), Seq("a", "b"),
+        "left_outer")
+      .join(win.withColumn("by_winnow", lit(true)), Seq("a", "b"),
+        "left_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("by_jaccard"), lit(false)).as("by_jaccard"),
+        coalesce(col("by_lsh"), lit(false)).as("by_lsh"),
+        coalesce(col("by_winnow"), lit(false)).as("by_winnow"))
+  }
+
   /** Contamination scan: docs ≥ 10 sharing ≥ 2 distinct trigrams with the
     * "benchmark" (docs 0-9).
     */
@@ -1871,6 +1912,7 @@ object TrainingQueries {
     "txt_chunks" -> txtChunks,
     "dd_winnow" -> ddWinnow,
     "dd_winnow_pairs" -> ddWinnowPairs,
+    "dd_method_agree" -> ddMethodAgree,
     "txt_langid" -> txtLangid,
     "smp_hash" -> smpHash,
     "smp_stratified" -> smpStratified,
@@ -3540,6 +3582,65 @@ object TrainingQueries {
         |SELECT x.doc_id AS a, y.doc_id AS b, count(DISTINCT x.fp) AS n_shared
         |FROM f x JOIN f y ON y.fp = x.fp AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2""".stripMargin,
+    // the agreement replay: all three detector chains re-derived at the
+    // shared window, flags via left joins over the UNION of flagged
+    // pairs — each chain is the verbatim shape of its standalone oracle
+    "dd_method_agree" ->
+      s"""WITH mt AS (SELECT doc_id, list_distinct($toksSql) AS toks
+         |  FROM documents WHERE doc_id < 50),
+         |mex AS (SELECT doc_id, unnest(toks) AS tok FROM mt),
+         |msz AS (SELECT doc_id, len(toks) AS n FROM mt),
+         |mp AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |  FROM mex x JOIN mex y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |mj AS (SELECT a, b FROM mp
+         |  JOIN msz xa ON xa.doc_id = a JOIN msz xb ON xb.doc_id = b
+         |  WHERE floor(inter::DOUBLE / (xa.n + xb.n - inter) * 10000.0)
+         |    / 10000.0 >= 0.5),
+         |mmh AS (SELECT doc_id, list_transform(range(0, 8),
+         |    s -> list_min(list_transform(toks,
+         |      w -> md5(s::VARCHAR || ':' || w)))) AS sig
+         |  FROM mt),
+         |mbands AS (SELECT doc_id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bk
+         |  FROM mmh, unnest(range(0, 4)) u(b)),
+         |mcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM mbands x JOIN mbands y
+         |    ON x.bk = y.bk AND x.b = y.b AND x.doc_id < y.doc_id),
+         |ml AS (SELECT c.a, c.b FROM mcand c
+         |  JOIN mt ta ON ta.doc_id = c.a JOIN mt tb ON tb.doc_id = c.b
+         |  WHERE floor(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+         |      / (len(ta.toks) + len(tb.toks)
+         |        - len(list_intersect(ta.toks, tb.toks))) * 10000.0)
+         |    / 10000.0 >= 0.5),
+         |mtx AS (SELECT doc_id, lower(text) AS tx
+         |  FROM documents WHERE doc_id < 50),
+         |mg AS (SELECT doc_id,
+         |    CASE WHEN length(tx) >= 8 THEN
+         |      list_transform(range(0, length(tx) - 8 + 1),
+         |        i -> md5(substr(tx, CAST(i + 1 AS INT), 8)))
+         |    ELSE [] END AS grams
+         |  FROM mtx),
+         |msel AS (SELECT doc_id,
+         |    CASE WHEN len(grams) >= 4 THEN
+         |      list_distinct(list_transform(range(0, len(grams) - 4 + 1),
+         |        j -> list_min(grams[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))
+         |    ELSE [] END AS fps
+         |  FROM mg),
+         |mf AS (SELECT doc_id, unnest(fps) AS fp FROM msel
+         |  WHERE len(fps) > 0),
+         |mw AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM mf x JOIN mf y ON y.fp = x.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(DISTINCT x.fp) >= 2),
+         |mall AS (SELECT a, b FROM mj UNION
+         |  SELECT a, b FROM ml UNION SELECT a, b FROM mw)
+         |SELECT p.a, p.b,
+         |  coalesce(j.f, false) AS by_jaccard,
+         |  coalesce(l.f, false) AS by_lsh,
+         |  coalesce(w.f, false) AS by_winnow
+         |FROM mall p
+         |LEFT JOIN (SELECT a, b, true AS f FROM mj) j USING (a, b)
+         |LEFT JOIN (SELECT a, b, true AS f FROM ml) l USING (a, b)
+         |LEFT JOIN (SELECT a, b, true AS f FROM mw) w USING (a, b)""".stripMargin,
     "txt_langid" ->
       s"""WITH b AS (SELECT doc_id,
          |  len(list_filter($toksSql, t -> t IN ('the','and','of','to','a'))) AS s_en,
