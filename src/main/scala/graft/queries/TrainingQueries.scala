@@ -1571,8 +1571,7 @@ object TrainingQueries {
     val docs = Tables.documents(s, d)
     val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
     val staged = pipeStaged(s, d)
-    val sampled = SampleOps.tokenBudgetSampleWith(staged, "doc_id",
-      "source", col("n_tok_bpe"), pipeBudgetDf(s), "pp1",
+    val sampled = pipeSampled(s, staged,
       SampleOps.loadMixStats(s, pipeStatsDir(s, d)))
     pipeBudgetDf(s)
       .select(col("source"), col("budget_tok").cast("long").as("budget_tok"))
@@ -1596,12 +1595,9 @@ object TrainingQueries {
     */
   val pipePretrainBins: Q = (s, d) => {
     val staged = pipeStaged(s, d)
-    val sampled = SampleOps.tokenBudgetSampleWith(staged, "doc_id",
-      "source", col("n_tok_bpe"), pipeBudgetDf(s), "pp1",
-      SampleOps.loadMixStats(s, pipeStatsDir(s, d)))
     PackOps.packFfdStats(
-      PackOps.packFfd(sampled, "doc_id", col("n_tok_bpe"), ctxLen = 512,
-        salt = "ep0"),
+      pipePackStage(s, staged,
+        SampleOps.loadMixStats(s, pipeStatsDir(s, d))),
       staged.select(col("doc_id"), col("n_tok_bpe").as("n_tok")),
       ctxLen = 512)
   }
@@ -1645,17 +1641,24 @@ object TrainingQueries {
           .cast("long").as("n_tok_bpe")))
   }
 
-  /** Stages 3+4 over a staged frame and a radix-mass table (however
-    * maintained): budget-sample, then FFD-pack by the stored
-    * tokenizer's counts.
+  /** Stage 3 alone — the budget-sampled mixture over a staged frame
+    * and a radix-mass table (however maintained). ONE definition of the
+    * pipeline's sampling call: the packer, the funnel audit, and the
+    * bin audit all route through it, so the recipe/salt/stats source
+    * can never drift between the delivered pack and its audits.
+    */
+  private[graft] def pipeSampled(s: SparkSession, staged: DataFrame,
+      masses: DataFrame): DataFrame =
+    SampleOps.tokenBudgetSampleWith(staged, "doc_id", "source",
+      col("n_tok_bpe"), pipeBudgetDf(s), "pp1", masses)
+
+  /** Stages 3+4: [[pipeSampled]] FFD-packed by the stored tokenizer's
+    * counts.
     */
   private[graft] def pipePackStage(s: SparkSession, staged: DataFrame,
-      masses: DataFrame): DataFrame = {
-    val sampled = SampleOps.tokenBudgetSampleWith(staged, "doc_id",
-      "source", col("n_tok_bpe"), pipeBudgetDf(s), "pp1", masses)
-    PackOps.packFfd(sampled, "doc_id", col("n_tok_bpe"), ctxLen = 512,
-      salt = "ep0")
-  }
+      masses: DataFrame): DataFrame =
+    PackOps.packFfd(pipeSampled(s, staged, masses), "doc_id",
+      col("n_tok_bpe"), ctxLen = 512, salt = "ep0")
 
   /** PII scrub + normalization over text enriched with deterministic
     * synthetic PII (the fixture corpus carries none): per-doc replacement
@@ -1775,19 +1778,19 @@ object TrainingQueries {
     */
   val ddMethodAgree: Q = (s, d) => {
     val w = Tables.documents(s, d).filter(col("doc_id") < 50)
-    val jac = TextOps.jaccardVerify(TextOps.allPairs(w, "doc_id"), w,
-      "doc_id", "text", 0.5).select(col("a"), col("b"))
-    val lsh = TextOps.jaccardVerify(
-      TextOps.minhashCandidates(w, "doc_id", "text"), w,
-      "doc_id", "text", 0.5).select(col("a"), col("b"))
-    val fps = TextOps.winnowFingerprints(w, "doc_id", "text")
-    val win = fps.select(col("id").as("a"), col("fp"))
-      .join(fps.select(col("id").as("b"), col("fp")), "fp")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(countDistinct(col("fp")).as("n_shared"))
-      .filter(col("n_shared") >= 2)
-      .select(col("a"), col("b"))
+    // each detector frame is pinned once (flatten): the union AND its
+    // flag join both read it, and the matrix's winnow leg IS the gated
+    // ddWinnowPairs definition, not a replica — a tuned detector
+    // changes this gate with it
+    val jac = ClusterOps.flatten(
+      TextOps.jaccardVerify(TextOps.allPairs(w, "doc_id"), w,
+        "doc_id", "text", 0.5).select(col("a"), col("b")))
+    val lsh = ClusterOps.flatten(
+      TextOps.jaccardVerify(
+        TextOps.minhashCandidates(w, "doc_id", "text"), w,
+        "doc_id", "text", 0.5).select(col("a"), col("b")))
+    val win = ClusterOps.flatten(
+      ddWinnowPairs(s, d).select(col("a"), col("b")))
     val all = jac.unionByName(lsh).unionByName(win).distinct()
     all
       .join(jac.withColumn("by_jaccard", lit(true)), Seq("a", "b"),
