@@ -470,6 +470,68 @@ object VectorOps {
       .select(col("pos").as("j"), col("code"), col("col").as("cq"))
   }
 
+  /** TRAINED PQ codebook: the sampled entries of [[pqCodebook]] refined
+    * by `iters` Lloyd rounds PER SUBSPACE — each corpus subvector joins
+    * the (broadcast, m·codes-row) entry table, takes its nearest entry
+    * by the same int64 squared-L2 the encoder uses (ties to the smaller
+    * code — [[pqCodesCol]]'s rule, so training and encoding can never
+    * disagree about "nearest"), and each entry moves to the
+    * floor-division mean of its members. INTEGER-EXACT end to end:
+    * members are the floor(x·1000) quantized longs, sums are int64, and
+    * the mean is the explicit floor division (s − pmod(s, n)) / n — no
+    * float enters the loop, so the trained entries are bit-reproducible
+    * and a SQL engine replays them exactly (the property the sampled
+    * baseline's doc promises this swap-in keeps). Entries that attract
+    * no members carry over unchanged, exactly like the oracle's
+    * left-join-coalesce. Per round: one broadcast join + two bounded
+    * aggregations over (j, code, pos) — corpus-sized map side, m·codes·
+    * sub-row reduce side; rounds flatten through [[ClusterOps.flatten]]
+    * so the plan stays iteration-independent.
+    *
+    * Recall economics vs the sampled baseline are measured by PqBench
+    * (`recall_adc` sampled < trained on the benchmark corpus) — the
+    * nprobe-at-fixed-recall lever a 100 TB deployment tunes.
+    */
+  def pqCodebookTrained(corpus: DataFrame, m: Int, codes: Int, dim: Int,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val sub = dim / m
+    // quantized subvector rows (id, j, sq) — ONE quantization pass,
+    // re-read each round (the corpus is parquet-backed at every caller)
+    val subs = corpus.filter(col("vec").isNotNull)
+      .select(col("id"), posexplode(subsOf(col("vec"), m, sub)))
+      .select(col("id"), col("pos").as("j"), col("col").as("sq"))
+    var cb = pqCodebook(corpus, m, codes, dim)
+    for (_ <- 0 until iters) {
+      val entries = broadcast(cb.select(col("j"), col("code"), col("cq")))
+      // nearest entry per (id, j): struct-min over (d2, code, sq) IS the
+      // (d2 ASC, code ASC) rule — (d2, code) is unique per group, so the
+      // trailing sq never participates in the ordering, it just rides
+      val best = subs.join(entries, Seq("j"))
+        .groupBy(col("id"), col("j"))
+        .agg(min(struct(sqDistL(col("sq"), col("cq")).as("d2"),
+          col("code").as("code"), col("sq").as("msq"))).as("b"))
+        .select(col("j"), col("b.code").as("code"),
+          posexplode(col("b.msq")))
+      val means = best
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        // floor division, NOT the truncating long `/`: member components
+        // are signed, and a truncate-vs-floor mismatch against the
+        // oracle's replay flips every negative mean's last unit
+        .select(col("j"), col("code"), col("pos"),
+          ((col("s") - pmod(col("s"), col("n"))) / col("n"))
+            .cast("long").as("cq_i"))
+        .groupBy(col("j"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("cq_i")))), x => x("cq_i")).as("cq_new"))
+      cb = ClusterOps.flatten(cb.join(means, Seq("j", "code"), "left_outer")
+        .select(col("j"), col("code"),
+          coalesce(col("cq_new"), col("cq")).as("cq")))
+    }
+    cb
+  }
+
   /** All `m` quantized subvectors as one array — built BEFORE any
     * explode, so the vector is quantized exactly once (each dim lands
     * in exactly one slice), not once per exploded subspace row.

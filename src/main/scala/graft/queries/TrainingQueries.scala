@@ -100,6 +100,26 @@ object TrainingQueries {
     VectorOps.annIvf(e.filter(col("id") < 20), e, cents, k = 5, nprobe = 2)
   }
 
+  /** IVF over TRAINED centroids: the 8 seeds refined by three full
+    * Lloyd rounds ([[VectorOps.kmeansCentroids]] — the km_step kernel
+    * iterated, fixed iteration count so both engines stop at the same
+    * partition of the corpus), then the identical cells/nprobe/tie
+    * search as `ann_ivf`. Recall at fixed nprobe is the 100 TB
+    * deployment's cost lever, and trained cells are how it moves: the
+    * oracle replays all three rounds (assignment, quantized means,
+    * reassembly) before the search chain, so a drifted training step
+    * changes the cells and fails the hash — the trained ARTIFACT is
+    * gated, not just the search over it.
+    */
+  val annIvfTrained: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val seeds = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cents = VectorOps.kmeansCentroids(e, seeds, iters = 3)
+    VectorOps.annIvf(e.filter(col("id") < 20), e, cents, k = 5, nprobe = 2)
+  }
+
   private val vstoreLoaded = new graft.SessionCache[VectorStore.Loaded]()
 
   /** IVF store, built once per data dir and SERVED thereafter: the first
@@ -609,7 +629,7 @@ object TrainingQueries {
   /** The persisted quality model's store dir (built once per JVM per
     * data dir) — shared by the scoring gate and the pipeline composite.
     */
-  private def lrStoreDir(s: SparkSession, d: String): String =
+  private[graft] def lrStoreDir(s: SparkSession, d: String): String =
     graft.StoreUtil.cachedStoreDir("lrstore", d) { p =>
       graft.ops.ModelStore.save(s, lrFeatCols.zip(lrWeights(s, d)), p)
     }
@@ -896,7 +916,7 @@ object TrainingQueries {
     * (two ingest batches), built once per JVM per data dir — shared by
     * the probe gate and the pipeline composite.
     */
-  private def dupStoreDir(s: SparkSession, d: String): String =
+  private[graft] def dupStoreDir(s: SparkSession, d: String): String =
     graft.StoreUtil.cachedStoreDir("dupstore", d) { p =>
       val hist = Tables.documents(s, d).filter(col("doc_id") < 250)
       graft.ops.DupStore.ingestBatch(s, p,
@@ -1083,6 +1103,37 @@ object TrainingQueries {
     val dir = pqStoreDir(s, d)
     val st = pqstoreLoaded.get(s, dir)(VectorStore.loadPq(s, dir))
     VectorStore.queryRerank(st, pqQueries(s, d), k = 5, c = 20, nprobe = 2)
+  }
+
+  /** The persisted IVF+PQ store with a TRAINED codebook
+    * ([[VectorOps.pqCodebookTrained]], two integer-exact Lloyd rounds
+    * over the sampled entries) — same centroids, same layout, same
+    * serving path as `ann_pq_store`; the codebook is the ONE variable.
+    * Built once per JVM per data dir.
+    */
+  private def pqTrainedStoreDir(s: SparkSession, d: String): String =
+    graft.StoreUtil.cachedStoreDir("pqtrained", d) { p =>
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = VectorOps.pqCodebookTrained(e, m = 4, codes = 16, dim = 64,
+        iters = 2)
+      VectorStore.savePq(e, cents, cb, p, m = 4, dim = 64)
+    }
+
+  /** ADC serving from the trained-codebook store: the `ann_pq_store`
+    * query path verbatim over [[pqTrainedStoreDir]]'s layout. The
+    * oracle replays BOTH Lloyd rounds (integer assignment, floor-
+    * division means, no-member carry-over) before the shared
+    * encode/LUT/ADC tail — the trained artifact is hash-gated end to
+    * end, and PqBench measures what the training buys
+    * (recall_adc sampled < trained at the same nprobe).
+    */
+  val annPqTrained: Q = (s, d) => {
+    val dir = pqTrainedStoreDir(s, d)
+    val st = pqstoreLoaded.get(s, dir)(VectorStore.loadPq(s, dir))
+    VectorStore.queryAdc(st, pqQueries(s, d), k = 5, nprobe = 2)
   }
 
   /** Top-3 docs by length per source via the BOUNDED [[SketchOps.TopKAgg]]
@@ -1281,7 +1332,7 @@ object TrainingQueries {
   /** The persisted tokenizer's store dir (built once per JVM per data
     * dir) — shared by the id-encoding gate and the pipeline composite.
     */
-  private def bpeStoreDir(s: SparkSession, d: String): String =
+  private[graft] def bpeStoreDir(s: SparkSession, d: String): String =
     graft.StoreUtil.cachedStoreDir("bpestore", d) { p =>
       graft.ops.BpeStore.save(s, graft.functions.Bpe.merges,
         bpeVocabFrame(s, d), p)
@@ -1494,6 +1545,77 @@ object TrainingQueries {
         "source", col("n_tok_bpe"), "pp1"), p)
     }
   }
+
+  /** The provenance rows for ONE concrete set of serving paths — the
+    * composite gate passes its cached store dirs; the streaming twin
+    * passes its OWN rotated serving heads, so the recorded generations
+    * are whatever the pack actually read, not what a fresh build would
+    * say. Each row is (artifact, generation, ingests, compacted_at,
+    * params): the counters come from the stores' manifests via the ONE
+    * family-wide parsing rules ([[graft.StoreUtil.ingestsOf]] /
+    * [[graft.StoreUtil.compactedAtOf]]), the generation from the
+    * serving path's rotation suffix, and params carries the per-stage
+    * constants a retrain would need to reproduce the delivery (keep
+    * threshold, dedup window, radix salt, merge count, pack salt +
+    * context). Manifest reads are driver-side: four kilobyte marker
+    * files, not data.
+    */
+  private[graft] def pipeProvenanceFrame(s: SparkSession, lrDir: String,
+      dupDir: String, statsDir: String, bpeDir: String): DataFrame = {
+    import s.implicits._
+    import graft.StoreUtil.{generationNumber, ingestsOf, compactedAtOf}
+    def mf(dir: String, marker: String, kind: String): String =
+      graft.StoreUtil.readMarker(s, dir, marker).getOrElse(throw new
+        IllegalStateException(s"provenance: $dir is not a $kind " +
+          s"(no $marker)"))
+    val lrMf = mf(lrDir, graft.ops.ModelStore.ManifestFile, "model store")
+    val dupMf = mf(dupDir, graft.ops.DupStore.ManifestFile, "dup store")
+    val stMf = mf(statsDir, graft.ops.SampleOps.MixManifestFile,
+      "mix-stats store")
+    val bpeMf = mf(bpeDir, graft.ops.BpeStore.ManifestFile, "BPE store")
+    def row(artifact: String, dir: String, m: String, params: String) =
+      (artifact, Some(generationNumber(dir)), Some(ingestsOf(m)),
+        Some(compactedAtOf(m)), params)
+    Seq(
+      row("quality_model", lrDir, lrMf,
+        s"n_weights=${graft.StoreUtil.manifestLong(lrMf, "n_weights",
+          "model manifest")},keep_fp=$pipeKeepFp"),
+      row("dup_index", dupDir, dupMf,
+        s"win=${graft.StoreUtil.manifestInt(dupMf, "win",
+          "dup manifest")}"),
+      row("mix_stats", statsDir, stMf,
+        s"radix_salt=pp1,recipe_strata=${pipeRecipe.size}"),
+      row("tokenizer", bpeDir, bpeMf,
+        s"n_merges=${graft.StoreUtil.manifestLong(bpeMf, "n_merges",
+          "BPE manifest")}"),
+      // the delivery itself is the fifth artifact: not a store (no
+      // counters — NULLs, not zeros, so they can never be confused
+      // with a real generation), but the row that stamps the pack
+      // recipe the four stores fed
+      ("delivery", Option.empty[Long], Option.empty[Long],
+        Option.empty[Long], "salt=ep0,ctx_len=512"))
+      .toDF("artifact", "generation", "ingests", "compacted_at", "params")
+  }
+
+  /** Delivery provenance manifest for [[pipePretrain]] — the table a
+    * pipeline team ships BESIDE every packed delivery, stamping exactly
+    * which persisted artifacts produced it: for each of the four stores
+    * the composite read (quality model, dup index, radix masses,
+    * tokenizer) the serving generation, ingest counter, and compaction
+    * watermark from its manifest, plus a fifth row for the delivery
+    * recipe itself (pack salt, context length). The reference stamps
+    * every synthesized tree the same way — tree_id, date, taxonomy
+    * version, sources[] (`IngestSynthesisData.java:304-349`); this is
+    * that contract for training-data deliveries. The oracle is the
+    * independently-stated constants + counter algebra (two dup ingests,
+    * single-save stores, generation 0 for never-rotated dirs): a
+    * manifest that drifts — an extra ingest, a lost watermark, a
+    * changed salt — flips the row. StreamingSpec asserts the rotated
+    * twin records the generations of the heads it ACTUALLY read.
+    */
+  val pipeProvenance: Q = (s, d) =>
+    pipeProvenanceFrame(s, lrStoreDir(s, d), dupStoreDir(s, d),
+      pipeStatsDir(s, d), bpeStoreDir(s, d))
 
   /** Cluster-balanced token-budget mixture: the budget recipe applied
     * over LEARNED strata — each document joins its embedding, routes to
@@ -1891,6 +2013,8 @@ object TrainingQueries {
     "ann_ivfpq" -> annIvfPq,
     "ann_pq_store" -> annPqStore,
     "ann_rerank" -> annRerank,
+    "ann_ivf_trained" -> annIvfTrained,
+    "ann_pq_trained" -> annPqTrained,
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
@@ -1928,6 +2052,7 @@ object TrainingQueries {
     "pipe_pretrain" -> pipePretrain,
     "pipe_pretrain_stats" -> pipePretrainStats,
     "pipe_pretrain_bins" -> pipePretrainBins,
+    "pipe_provenance" -> pipeProvenance,
     "mix_cluster_budget" -> mixClusterBudget,
     "mix_cluster_budget_store" -> mixClusterBudgetStore,
     "txt_scrub" -> txtScrub,
@@ -2075,6 +2200,67 @@ object TrainingQueries {
       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
       |  FROM scored)
       |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** One full-vector Lloyd round (c(r-1) → c(r)) — the km_step kernel's
+    * replay iterated: nearest-cell assignment by cosine (ties to the
+    * smaller cid), per-position quantized means (floor(x·10⁶) longs
+    * summed exactly, ONE double division at the end — the km_step
+    * oracle's arithmetic verbatim), centroids reassembled in position
+    * order. Cells with no members drop out in both engines (inner
+    * GROUP BY here, Spark's groupBy there).
+    */
+  private def lloydRoundSql(r: Int): String = {
+    val prev = if (r == 1) "c" else s"c${r - 1}"
+    s"""a$r AS (SELECT id, v, cell FROM (
+       |  SELECT e.id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.id ORDER BY
+       |      list_dot_product(e.v, c.cv) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |      DESC, c.cid) AS rr
+       |  FROM e, $prev c) WHERE rr = 1),
+       |m$r AS (SELECT cell AS cid, p - 1 AS pos,
+       |    CAST(sum(CAST(floor(v[CAST(p AS INT)] * 1000000.0) AS BIGINT))
+       |      AS BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0) AS val
+       |  FROM a$r, unnest(range(1, len(v) + 1)) u(p) GROUP BY 1, 2),
+       |c$r AS (SELECT cid, list(val ORDER BY pos) AS cv FROM m$r
+       |  GROUP BY cid)""".stripMargin
+  }
+
+  /** `ann_ivf` with the seed centroids replaced by three replayed Lloyd
+    * rounds — the search chain (cells, nprobe 2, cosine rank ≤ 5) is the
+    * annIvfSql text with `c3` as the centroid table.
+    */
+  private val annIvfTrainedSql =
+    s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings WHERE vec_id < 300),
+       |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |${lloydRoundSql(1)},
+       |${lloydRoundSql(2)},
+       |${lloydRoundSql(3)},
+       |corpus_cells AS (SELECT id, v, cid AS cell FROM (
+       |  SELECT e.id, e.v, c.cid,
+       |    row_number() OVER (PARTITION BY e.id ORDER BY
+       |      list_dot_product(e.v, c.cv) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |      DESC, c.cid) AS r
+       |  FROM e, c3 c) WHERE r = 1),
+       |query_cells AS (SELECT id, v, cid AS cell FROM (
+       |  SELECT e.id, e.v, c.cid,
+       |    row_number() OVER (PARTITION BY e.id ORDER BY
+       |      list_dot_product(e.v, c.cv) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |      DESC, c.cid) AS r
+       |  FROM e, c3 c WHERE e.id < 20) WHERE r <= 2),
+       |scored AS (SELECT DISTINCT qc.id AS q_id, cc.id AS n_id,
+       |    round(list_dot_product(qc.v, cc.v) /
+       |      (sqrt(list_dot_product(qc.v, qc.v)) * sqrt(list_dot_product(cc.v, cc.v))), 6) AS cos
+       |  FROM query_cells qc JOIN corpus_cells cc
+       |    ON cc.cell = qc.cell AND cc.id <> qc.id),
+       |ranked AS (SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin
 
   /** The integer BM25 oracle — rational idf, k1/b as exact ratios,
     * HUGEINT products (see [[graft.ops.TextOps.bm25]]).
@@ -2310,7 +2496,10 @@ object TrainingQueries {
        |GROUP BY pe.item
        |HAVING min(coalesce(c.cnt, 0)) >= 60""".stripMargin
 
-  private val annIvfPqChain =
+  /** The cells + quantized-corpus + sampled-codebook prefix the IVF+PQ
+    * replays share (through `cb`, the sampled entries).
+    */
+  private val ivfPqPrefix =
     """WITH ed AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
       |  FROM embeddings WHERE vec_id < 500),
       |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
@@ -2337,25 +2526,68 @@ object TrainingQueries {
       |  FROM embeddings WHERE vec_id < 500),
       |js AS (SELECT j FROM unnest(range(0, 4)) u(j)),
       |cb AS (SELECT e.id AS code, js.j, e.q[js.j*16+1 : js.j*16+16] AS cq
-      |  FROM e, js WHERE e.id < 16),
-      |enc0 AS (SELECT e.id, cb.j, cb.code,
-      |    CAST(list_sum(list_transform(range(1, 17),
-      |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
-      |      AS BIGINT) AS d2
-      |  FROM e, cb),
-      |codes AS (SELECT id, j, code FROM (
-      |  SELECT id, j, code,
-      |    row_number() OVER (PARTITION BY id, j ORDER BY d2, code) AS r
-      |  FROM enc0) WHERE r = 1),
-      |lut AS (SELECT e.id AS q_id, cb.j, cb.code,
-      |    CAST(list_sum(list_transform(range(1, 17),
-      |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
-      |      AS BIGINT) AS d2
-      |  FROM e, cb WHERE e.id < 10),
-      |adc AS (SELECT l.q_id, cd.id AS n_id, CAST(sum(l.d2) AS BIGINT) AS adc
-      |  FROM cand JOIN codes cd ON cd.id = cand.n_id
-      |  JOIN lut l ON l.q_id = cand.q_id AND l.j = cd.j AND l.code = cd.code
-      |  GROUP BY 1, 2)""".stripMargin
+      |  FROM e, js WHERE e.id < 16)""".stripMargin
+
+  /** The encode → LUT → ADC tail over codebook CTE `cbn` — one text for
+    * the sampled and trained chains, so "which codebook" is the ONLY
+    * difference between their replays.
+    */
+  private def ivfPqTail(cbn: String): String =
+    s"""enc0 AS (SELECT e.id, cb.j, cb.code,
+       |    CAST(list_sum(list_transform(range(1, 17),
+       |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
+       |      AS BIGINT) AS d2
+       |  FROM e, $cbn cb),
+       |codes AS (SELECT id, j, code FROM (
+       |  SELECT id, j, code,
+       |    row_number() OVER (PARTITION BY id, j ORDER BY d2, code) AS r
+       |  FROM enc0) WHERE r = 1),
+       |lut AS (SELECT e.id AS q_id, cb.j, cb.code,
+       |    CAST(list_sum(list_transform(range(1, 17),
+       |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
+       |      AS BIGINT) AS d2
+       |  FROM e, $cbn cb WHERE e.id < 10),
+       |adc AS (SELECT l.q_id, cd.id AS n_id, CAST(sum(l.d2) AS BIGINT) AS adc
+       |  FROM cand JOIN codes cd ON cd.id = cand.n_id
+       |  JOIN lut l ON l.q_id = cand.q_id AND l.j = cd.j AND l.code = cd.code
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val annIvfPqChain = ivfPqPrefix + ",\n" + ivfPqTail("cb")
+
+  /** One integer-exact PQ Lloyd round (pcb(r-1) → pcb(r)): nearest entry
+    * by int64 squared L2 (ties to the smaller code — the encoder's
+    * rule), floor-division means per position, no-member entries carried
+    * over. The exact replay of [[graft.ops.VectorOps.pqCodebookTrained]]
+    * one round at a time; `pcb0` aliases the sampled `cb`.
+    */
+  private def pqRoundSql(r: Int): String = {
+    val prev = if (r == 1) "cb" else s"pcb${r - 1}"
+    s"""pa$r AS (SELECT id, j, code FROM (
+       |  SELECT e.id, cb.j, cb.code,
+       |    row_number() OVER (PARTITION BY e.id, cb.j ORDER BY
+       |      CAST(list_sum(list_transform(range(1, 17),
+       |        i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
+       |        AS BIGINT), cb.code) AS rr
+       |  FROM e, $prev cb) WHERE rr = 1),
+       |ps$r AS (SELECT a.j, a.code, u.i,
+       |    CAST(sum(e.q[CAST(a.j*16 + u.i AS INT)]) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM pa$r a JOIN e ON e.id = a.id, unnest(range(1, 17)) u(i)
+       |  GROUP BY 1, 2, 3),
+       |pm$r AS (SELECT j, code,
+       |    list((s - ((s % n) + n) % n) // n ORDER BY i) AS cq
+       |  FROM ps$r GROUP BY 1, 2),
+       |pcb$r AS (SELECT cb.j, cb.code, coalesce(m.cq, cb.cq) AS cq
+       |  FROM $prev cb LEFT JOIN pm$r m
+       |    ON m.j = cb.j AND m.code = cb.code)""".stripMargin
+  }
+
+  /** The IVF+PQ chain with the codebook TRAINED for two integer-exact
+    * Lloyd rounds before encode/LUT/ADC — everything else (cells,
+    * quantization, tie rules) textually identical to the sampled chain.
+    */
+  private val annIvfPqTrainedChain = ivfPqPrefix + ",\n" +
+    pqRoundSql(1) + ",\n" + pqRoundSql(2) + ",\n" + ivfPqTail("pcb2")
 
   private val annIvfPqSql =
     s"""$annIvfPqChain,
@@ -2943,6 +3175,18 @@ object TrainingQueries {
     // probed cell, then ranked by ADC
     "ann_ivfpq" -> annIvfPqSql,
     "ann_rerank" -> annRerankSql,
+    // the trained-centroid search: three replayed Lloyd rounds feed the
+    // ann_ivf chain with c3 as the centroid table
+    "ann_ivf_trained" -> annIvfTrainedSql,
+    // the trained-codebook ADC: two integer-exact PQ Lloyd rounds feed
+    // the SAME encode/LUT/ADC tail the sampled chain uses
+    "ann_pq_trained" ->
+      s"""$annIvfPqTrainedChain,
+         |ranked AS (SELECT q_id, n_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id)
+         |      AS BIGINT) AS rnk
+         |  FROM adc)
+         |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin,
     // the served-from-disk twin: bit-equal to annIvfPq by construction
     // (same centroids, same codebook, same candidate rule, same ADC)
     "ann_pq_store" -> annIvfPqSql,
@@ -3425,6 +3669,30 @@ object TrainingQueries {
         |WHERE f.doc_id IS NOT NULL GROUP BY 1, 2""".stripMargin,
       nTokSql = "ntok", fromSql = "kept",
       prefixCtes = pipePretrainCtes + ",\n"),
+    // the provenance manifest's oracle is the independently-stated
+    // constants + counter algebra of the composite's fixture: the dup
+    // index folds history as TWO ingests (never compacted), the model /
+    // stats / tokenizer stores are single saves (ingests read as 1),
+    // every cached dir is generation 0, and the per-stage params are
+    // the pipeline's declared constants — n_weights from the feature
+    // binding, keep_fp 32768 (p >= 1/2 in 2^16 fixed point), win 4,
+    // radix salt pp1 over a 6-stratum recipe, the merge-table size,
+    // the ep0/512 pack recipe. A drifted manifest flips its row.
+    "pipe_provenance" ->
+      s"""SELECT * FROM (VALUES
+         |  ('quality_model', CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         |   CAST(0 AS BIGINT), 'n_weights=5,keep_fp=32768'),
+         |  ('dup_index', CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+         |   CAST(0 AS BIGINT), 'win=4'),
+         |  ('mix_stats', CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         |   CAST(0 AS BIGINT), 'radix_salt=pp1,recipe_strata=6'),
+         |  ('tokenizer', CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         |   CAST(0 AS BIGINT),
+         |   'n_merges=${graft.functions.Bpe.merges.size}'),
+         |  ('delivery', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |   CAST(NULL AS BIGINT), 'salt=ep0,ctx_len=512')
+         |) AS t(artifact, generation, ingests, compacted_at, params)
+         |""".stripMargin,
     // the learned-strata replay: the ann_ivf cell-assignment chain
     // (cosine DESC, lowest cid tie — assignCells' max_by rule) feeds
     // the budget algebra with the cell aliased as its stratum column.

@@ -1595,6 +1595,28 @@ class StreamingSpec extends AnyFunSuite {
       TrainingQueries.registry("pipe_pretrain")(spark, sf))
     assert(streamed == oneShot)
     assert(streamed.nonEmpty, "fixture degenerated: nothing was packed")
+    // the provenance manifest stamps the serving heads this twin
+    // ACTUALLY read — after in-stream rotations, the recorded dup
+    // generation must equal the rotated head's, not the base path's
+    val prov = TrainingQueries.pipeProvenanceFrame(spark,
+        TrainingQueries.lrStoreDir(spark, sf), dupDir, statsDir,
+        TrainingQueries.bpeStoreDir(spark, sf))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prov("dup_index").getLong(1) ==
+      StoreUtil.generationNumber(dupDir),
+      s"recorded dup generation ${prov("dup_index").getLong(1)} != " +
+        s"serving head ${StoreUtil.generationNumber(dupDir)}")
+    assert(prov("dup_index").getLong(1) >= 2,
+      "the rotations should have moved the recorded generation past 2")
+    // 2 history ingests + one per micro-batch, carried across every
+    // compact — a rotation that reset the counter would show here
+    assert(prov("dup_index").getLong(2) == 2L + batches,
+      s"dup ingest counter ${prov("dup_index").getLong(2)} != " +
+        s"${2 + batches}")
+    assert(prov("mix_stats").getLong(1) == 0L,
+      "the never-rotated stats store must record generation 0")
+    assert(prov("delivery").isNullAt(1),
+      "the delivery row is not a store — counters must be NULL")
     // zombie redelivery of the final micro-batch: cleaned output, dup
     // index, and mass store all manifest-guarded — the packed layout
     // cannot drift
