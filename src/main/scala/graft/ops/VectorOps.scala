@@ -438,8 +438,19 @@ object VectorOps {
     * domain the ADC approximates keeps the comparison meaningful
     * (exact ≤ ADC error, same units) and the whole pipeline int64
     * bit-reproducible cross-engine, where a float kernel would differ
-    * in the last ulp per library. Row-local codegen; at 64 dims and
-    * |component| ≤ 2²¹ the sum stays far under 2⁶³.
+    * in the last ulp per library. Row-local codegen.
+    *
+    * CALLER CONTRACT (public, dimension- and magnitude-agnostic — the
+    * function does NOT guard this, because a per-element check would
+    * put a branch inside the innermost codegen'd fold): with quantized
+    * components bounded by B = 1000·max|x|, the accumulator is bounded
+    * by dim·(2B)², which must stay under 2⁶³. Every realistic embedding
+    * is orders of magnitude inside (dim 4096, |x| ≤ 10⁶ → ~2⁵⁵); a
+    * caller feeding wider vectors or larger magnitudes must check
+    * dim·4B² < 2⁶³ itself or the long sum overflows SILENTLY. The
+    * serving wire-in ([[VectorStore.queryRerank]]) inherits the stored
+    * corpus's dim (≤ thousands) and unit-scale components — inside the
+    * bound by construction.
     */
   def quantSqDist(a: Column, b: Column): Column =
     sqDistL(quantFull(a), quantFull(b))

@@ -602,10 +602,19 @@ object VectorStore {
     val shortlist = s.adc.withColumn("rnk", row_number().over(wc))
       .filter(col("rnk") <= c)
       .select(col("q_id"), col("n_id"))
+    // Memory contract of the broadcast: the shortlist is ≤ |queries|·c
+    // rows, request-bounded like the routing table — but ONLY while c
+    // is. A caller probing the cell-exhaustive truth (c = ∞, PqBench's
+    // ground-truth pass) would broadcast a corpus-scale candidate set
+    // and exhaust driver/executor memory as n grows, so past
+    // maxQueryRows the hint is dropped and the join plans as a shuffle:
+    // the truth probe trades latency, the serving path (c ≈ 4–10×k)
+    // keeps its broadcast.
+    val sl = if (c <= maxQueryRows) broadcast(shortlist) else shortlist
     val exact = st.cells
       .filter(col("cell").isin(s.probed: _*))
       .select(col("id").as("n_id"), col("vec"))
-      .join(broadcast(shortlist), Seq("n_id"))
+      .join(sl, Seq("n_id"))
       .join(broadcast(s.qc.select(col("q_id"), col("q_vec")).distinct()),
         Seq("q_id"))
       .select(col("q_id"), col("n_id"),
