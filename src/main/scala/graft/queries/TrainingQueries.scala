@@ -1843,6 +1843,28 @@ object TrainingQueries {
       "doc_id", size(TextOps.tokensCol(col("text"))), ctxLen = 512,
       salt = "ep0")
 
+  /** Multi-epoch FFD delivery — the consumption pattern a trainer
+    * actually has: N passes over ONE document universe, each epoch
+    * reshuffled by its salt (`ep0`/`ep1`/`ep2` — the parameter
+    * [[PackOps.packFfd]] carries precisely for this, exercised here at
+    * more than one value for the first time) so no two epochs present
+    * bins in the same order, while the packed universe and every
+    * per-doc token count are epoch-invariant (PropertySpec pins that
+    * algebra; this gate pins the exact layouts). The oracle replays the
+    * per-shard recursive fold ONCE PER SALT and unions the epochs — an
+    * epoch-collision bug (salt ignored, identical bin order) would
+    * collapse the union's distinct layouts and fail the hash.
+    */
+  val packEpochs: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    (0 until 3).map { e =>
+      PackOps.packFfd(docs, "doc_id",
+        size(TextOps.tokensCol(col("text"))), ctxLen = 512,
+        salt = s"ep$e")
+        .withColumn("epoch", lit(e.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   /** [[packFfd]] budgeted by REAL BPE counts (the [[packSeqsBpe]]
     * fidelity rule applied to the bin packer): `n_tok` is the true
     * subword count, so a 512-token bin holds 512 model tokens — the
@@ -2060,6 +2082,7 @@ object TrainingQueries {
     "pack_seqs_bpe" -> packSeqsBpe,
     "pack_stats" -> packStatsQ,
     "pack_ffd" -> packFfd,
+    "pack_epochs" -> packEpochs,
     "pack_ffd_bpe" -> packFfdBpe,
     "pack_ffd_stats" -> packFfdStats,
     "txt_tfidf" -> txtTfidf,
@@ -2120,10 +2143,10 @@ object TrainingQueries {
   private def packFfdSql(finalSelect: String,
       nTokSql: String = s"len($toksSql)",
       fromSql: String = "documents WHERE text IS NOT NULL",
-      prefixCtes: String = ""): String =
+      prefixCtes: String = "", salt: String = "ep0"): String =
     s"""WITH RECURSIVE ${prefixCtes}k AS MATERIALIZED (SELECT doc_id,
        |    CAST($nTokSql AS BIGINT) AS n_tok,
-       |    substr(md5('ep0:' || doc_id::VARCHAR), 1, 1) AS shard
+       |    substr(md5('$salt:' || doc_id::VARCHAR), 1, 1) AS shard
        |  FROM $fromSql),
        |pf AS MATERIALIZED (SELECT doc_id, n_tok, shard,
        |    CAST(row_number() OVER (PARTITION BY shard
@@ -3809,6 +3832,15 @@ object TrainingQueries {
         |  CAST(512 - sum(k.n_tok) AS BIGINT) AS pad
         |FROM ffd f JOIN k ON k.doc_id = f.doc_id
         |WHERE f.doc_id IS NOT NULL GROUP BY 1, 2""".stripMargin),
+    // the epoch union: the SAME recursive fold once per salt, each
+    // wrapped as a subquery so the k/pf/ffd CTE names stay scoped,
+    // stamped with its epoch column
+    "pack_epochs" -> (0 until 3).map { e =>
+      "SELECT * FROM (" + packFfdSql(
+        s"SELECT doc_id, shard, bin, bin_off, CAST($e AS BIGINT) AS epoch " +
+          "FROM ffd WHERE doc_id IS NOT NULL",
+        salt = s"ep$e") + s") ep$e"
+    }.mkString("\nUNION ALL\n"),
     "dd_contaminate" ->
       s"""WITH sh AS (SELECT doc_id,
          |    unnest(list_distinct(list_transform(

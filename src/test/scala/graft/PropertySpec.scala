@@ -635,4 +635,45 @@ class PropertySpec extends AnyFunSuite {
         s"seed=$seed: zero budget kept a document")
     }
   }
+
+  test("FFD epochs on random corpora: every epoch packs the SAME doc " +
+      "universe FFD-validly, and no two epoch layouts coincide") {
+    import spark.implicits._
+    import graft.ops.PackOps
+    val ctx = 128L
+    (21L to 23L).foreach { seed =>
+      val rnd = new Random(seed)
+      val n = 150 + rnd.nextInt(150)
+      val rows = (0 until n).map(i => (i.toLong, 1L + rnd.nextInt(120)))
+      val nTok = rows.toMap
+      val df = rows.toDF("id", "ntok")
+      val epochs = (0 until 3).map { e =>
+        PackOps.packFfd(df, "id", col("ntok"), ctx.toInt, s"ep$e")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3)))
+      }
+      // the universe and the per-doc token counts are epoch-invariant:
+      // a salt must reshuffle WHERE a document lands, never WHETHER
+      epochs.foreach { ep =>
+        assert(ep.map(_._1).toSet == nTok.keySet, s"seed=$seed")
+        // FFD-valid: bins never overfill and offsets tile each bin
+        ep.groupBy(p => (p._2, p._3)).foreach { case ((sh, bin), ps) =>
+          assert(ps.map(p => nTok(p._1)).sum <= ctx,
+            s"seed=$seed bin $sh/$bin overfilled")
+          var off = 0L
+          ps.sortBy(_._4).foreach { p =>
+            assert(p._4 == off, s"seed=$seed bin $sh/$bin gaps")
+            off += nTok(p._1)
+          }
+        }
+      }
+      // epoch collision = the salt is dead: every pair of epochs must
+      // place at least one document differently
+      val layouts = epochs.map(_.map(p => p._1 -> (p._2, p._3, p._4)).toMap)
+      for (a <- layouts.indices; b <- layouts.indices if a < b)
+        assert(layouts(a) != layouts(b),
+          s"seed=$seed: epochs $a and $b produced identical layouts")
+    }
+  }
 }
