@@ -356,8 +356,61 @@ object StoreUtil {
     val cut = generationNumber(serving) - grace
     siblingGenerations(spark, base).filter(_ < cut).sorted
       .map(generationPath(base, _))
+      .filterNot(isPinned(spark, _))
       .map { p => deleteDir(spark, p); p }
   }
+
+  /** Reader-pin markers: the escape hatch for a reader LONGER than the
+    * grace horizon. The count-based horizon dies for any query that
+    * outlives `grace` rotations (size grace ≥ ⌈longest-query /
+    * rotation-period⌉ as the baseline rule); a reader that cannot bound
+    * its own runtime instead PINS the generation it resolved
+    * ([[pinGeneration]]) and the GC skips pinned generations until
+    * every pin is removed ([[unpinGeneration]]). Pins are one marker
+    * file per (generation, token) — cheap, idempotent, and visible to
+    * operators as plain files.
+    *
+    * PIN-WHILE-PROTECTED is the caller's contract: place the pin while
+    * the generation is still inside the grace horizon (which a reader
+    * does naturally — it pins the path it just resolved, at resolve
+    * time, before the next rotation can age it out). Pinning a
+    * generation that is ALREADY past the horizon races the GC's list —
+    * the pin may land after deletion started — and is NOT recovered
+    * from; this is the same fundamental race every snapshot-retention
+    * design has, resolved the same way (protect, then read). A crashed
+    * reader leaks its pin and blocks GC of that one generation until an
+    * operator deletes the marker file — the failure mode is retained
+    * disk, never a reader killed mid-scan, which is the right side of
+    * the trade for a serving store.
+    */
+  val PinPrefix = "_graft_pin_"
+
+  /** Pin `dir` against the grace GC under `token` (one pin per reader;
+    * tokens are caller-chosen — a query id, a session id). Idempotent.
+    */
+  def pinGeneration(spark: SparkSession, dir: String,
+      token: String): Unit = {
+    require(token.nonEmpty && !token.contains('/'),
+      s"pin token must be a plain name, got '$token'")
+    writeMarker(spark, dir, PinPrefix + token,
+      ProcessHandle.current().pid().toString)
+  }
+
+  /** Remove this reader's pin (no-op when absent — the generation may
+    * already have been GC'd after an earlier unpin).
+    */
+  def unpinGeneration(spark: SparkSession, dir: String,
+      token: String): Unit = {
+    require(token.nonEmpty && !token.contains('/'),
+      s"pin token must be a plain name, got '$token'")
+    deleteMarker(spark, dir, PinPrefix + token)
+  }
+
+  /** Whether any reader pin protects `dir` — the GC's probe (absent
+    * directories report unpinned and fall through to the no-op delete).
+    */
+  def isPinned(spark: SparkSession, dir: String): Boolean =
+    listFileNames(spark, dir).exists(_.startsWith(PinPrefix))
 
   /** [[rotateIfDue]] with the reader-grace GC applied after a rotation:
     * compact into the next generation when due, then retire only

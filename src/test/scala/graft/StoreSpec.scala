@@ -848,4 +848,67 @@ class StoreSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(uniMap(current) == uniMap(oneDir))
   }
+
+  test("reader pins outlive the grace horizon: a pinned generation " +
+      "survives any number of rotations and GC reclaims it on unpin") {
+    // the count-based horizon dies for a reader LONGER than `grace`
+    // rotations; the pin-marker protocol is the escape hatch — a
+    // reader pins the generation it resolved (while it is protected:
+    // pin-while-protected is the contract), the GC skips pinned
+    // generations however far they fall behind, and the first GC after
+    // unpin reclaims them. Also pinned: a SECOND reader's pin on the
+    // same generation keeps it alive after the first unpins.
+    import graft.ops.LmStore
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 160)
+    val base = Files.createTempDirectory("graft_pin").toString + "/lm"
+    var current = base
+    LmStore.ingestBatch(spark, current,
+      docs.filter(col("doc_id") % 4 === 0), "text", Some(0L))
+    // a long reader resolves generation 0 and pins it AT RESOLVE TIME —
+    // before any rotation can age it past the horizon
+    val reader = LmStore.load(spark, current)
+    val gen0Rows = reader.uni.count()
+    StoreUtil.pinGeneration(spark, current, "query42")
+    StoreUtil.pinGeneration(spark, current, "query43")
+    val gen0 = current
+    def fold(m: Long): Unit = {
+      LmStore.ingestBatch(spark, current,
+        docs.filter(col("doc_id") % 4 === m), "text", Some(m))
+      current = StoreUtil.rotateWithGrace(spark, current,
+        p => LmStore.needsCompact(spark, p, slack = 1),
+        (s, d) => LmStore.compact(spark, s, d), grace = 1)
+    }
+    current = StoreUtil.rotateWithGrace(spark, current,
+      p => LmStore.needsCompact(spark, p, slack = 1),
+      (s, d) => LmStore.compact(spark, s, d), grace = 1)
+    fold(1L); fold(2L); fold(3L)
+    assert(StoreUtil.generationNumber(current) == 4L, current)
+    // three generations past a grace-1 horizon: only the pins hold it
+    assert(new java.io.File(gen0).exists,
+      "a pinned generation must survive GC past the horizon")
+    assert(reader.uni.count() == gen0Rows,
+      "the pinned reader lost its files")
+    // unpinned-but-not-last: the second pin still protects it
+    StoreUtil.unpinGeneration(spark, gen0, "query42")
+    assert(StoreUtil.retireWithGrace(spark, current, 1).isEmpty)
+    assert(new java.io.File(gen0).exists,
+      "one unpin must not release a generation another reader pins")
+    // last unpin: the next GC reclaims exactly the released generation
+    StoreUtil.unpinGeneration(spark, gen0, "query43")
+    val gone = StoreUtil.retireWithGrace(spark, current, 1)
+    assert(gone.contains(gen0),
+      s"GC after the last unpin must reclaim $gen0, got $gone")
+    assert(!new java.io.File(gen0).exists)
+    // unpin after GC is a safe no-op (the unpin-twice / late-unpin path)
+    StoreUtil.unpinGeneration(spark, gen0, "query43")
+    // and the serving head still answers like a one-shot fold
+    val oneDir = Files.createTempDirectory("graft_pin_one").toString + "/lm"
+    (0L to 3L).foreach { m =>
+      LmStore.ingestBatch(spark, oneDir,
+        docs.filter(col("doc_id") % 4 === m), "text", Some(m))
+    }
+    def uniMap(p: String) = LmStore.load(spark, p).uni.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uniMap(current) == uniMap(oneDir))
+  }
 }
