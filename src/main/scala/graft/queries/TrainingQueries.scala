@@ -1921,7 +1921,23 @@ object TrainingQueries {
     * population downstream.
     */
   val ddMethodAgree: Q = (s, d) => {
-    val w = Tables.documents(s, d).filter(col("doc_id") < 50)
+    val wRaw = Tables.documents(s, d).filter(col("doc_id") < 50)
+    // IN-PLAN window bound (the scaladoc's rule, enforced where it can
+    // fail loudly): the exact all-pairs leg is O(|w|²) BY DESIGN on an
+    // evaluation window — a future caller widening the id filter would
+    // silently make it corpus-sized, so an oversized window fails the
+    // JOB via raise_error. One extra count over a tiny frame, paid once
+    // (the guarded frame feeds all three detectors).
+    val w = wRaw.crossJoin(
+      wRaw.agg(count(lit(1)).as("n_w"))
+        .select(when(col("n_w") <= lit(1000L), lit(1L))
+          .otherwise(raise_error(concat(
+            lit("dd_method_agree: evaluation window holds "),
+            col("n_w").cast("string"),
+            lit(" docs; the exact all-pairs leg is bounded at 1000 — " +
+              "use the LSH/winnow detectors alone at corpus scale"))))
+          .as("w_ok")))
+      .drop("w_ok")
     // each detector frame is pinned once (flatten): the union AND its
     // flag join both read it, and the matrix's winnow leg IS the gated
     // ddWinnowPairs definition, not a replica — a tuned detector
