@@ -120,6 +120,29 @@ object TrainingQueries {
     VectorOps.annIvf(e.filter(col("id") < 20), e, cents, k = 5, nprobe = 2)
   }
 
+  /** The trained centroids SERVED from the persisted IVF layout — the
+    * deployment shape of [[annIvfTrained]]: train once
+    * ([[VectorOps.kmeansCentroids]], three rounds), save the
+    * cell-partitioned store under the TRAINED cells, answer every query
+    * from load + partition-pruned scan. Bit-identical to the scan form
+    * by construction (same centroids, same nprobe, same tie order), so
+    * it shares the replayed-Lloyd oracle — the store changes layout,
+    * never answers.
+    */
+  val annIvfTrainedStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("vstoretrained", d) { p =>
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val seeds = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      VectorStore.save(e, VectorOps.kmeansCentroids(e, seeds, iters = 3), p)
+    }
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val st = vstoreLoaded.get(s, dir)(VectorStore.load(s, dir))
+    VectorStore.query(st, queries, k = 5, nprobe = 2)
+  }
+
   private val vstoreLoaded = new graft.SessionCache[VectorStore.Loaded]()
 
   /** IVF store, built once per data dir and SERVED thereafter: the first
@@ -2052,6 +2075,7 @@ object TrainingQueries {
     "ann_pq_store" -> annPqStore,
     "ann_rerank" -> annRerank,
     "ann_ivf_trained" -> annIvfTrained,
+    "ann_ivf_trained_store" -> annIvfTrainedStore,
     "ann_pq_trained" -> annPqTrained,
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
@@ -3215,8 +3239,10 @@ object TrainingQueries {
     "ann_ivfpq" -> annIvfPqSql,
     "ann_rerank" -> annRerankSql,
     // the trained-centroid search: three replayed Lloyd rounds feed the
-    // ann_ivf chain with c3 as the centroid table
+    // ann_ivf chain with c3 as the centroid table; the store twin
+    // changes layout, never answers — ONE oracle for both
     "ann_ivf_trained" -> annIvfTrainedSql,
+    "ann_ivf_trained_store" -> annIvfTrainedSql,
     // the trained-codebook ADC: two integer-exact PQ Lloyd rounds feed
     // the SAME encode/LUT/ADC tail the sampled chain uses
     "ann_pq_trained" ->
