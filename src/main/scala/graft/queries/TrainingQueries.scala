@@ -1684,6 +1684,35 @@ object TrainingQueries {
       "doc_id", "cell", wsTokens, clusterBudgetDf(s), "cb1")
       .select(col("doc_id"), col("cell"))
 
+  /** [[mixClusterBudget]] with the strata ACTUALLY LEARNED: the four
+    * seed centroids are refined by two full Lloyd rounds over the
+    * doc-joined embedding corpus ([[VectorOps.kmeansCentroids]] — the
+    * gated km_step kernel iterated) before any document routes, so the
+    * budget recipe rebalances over cells that fit the corpus's density
+    * instead of four arbitrary member vectors. Same routing rule, same
+    * radix bucket algebra, same recipe; the oracle replays both
+    * training rounds and the whole budget chain — the learned strata
+    * are hash-gated end to end, completing the trained-artifact story
+    * for the mixture knob the way ann_ivf_trained does for search.
+    */
+  val mixClusterBudgetTrained: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val corpus = docs.join(emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("vec")), "doc_id")
+      .select(col("doc_id").as("id"), col("vec"))
+    val seeds = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cents = VectorOps.kmeansCentroids(corpus, seeds, iters = 2)
+    val assigned = VectorOps.assignCells(corpus, cents, nprobe = 1)
+      .select(col("id").as("doc_id"),
+        concat(lit("c"), col("cell")).as("cell"))
+    SampleOps.tokenBudgetSample(
+      docs.select(col("doc_id"), col("text")).join(assigned, "doc_id"),
+      "doc_id", "cell", wsTokens, clusterBudgetDf(s), "cb1")
+      .select(col("doc_id"), col("cell"))
+  }
+
   /** The same kept set SERVED from persisted cell masses: the
     * per-(cell, radix-bucket) token table saves once per data dir in a
     * mix-stats store — the [[SampleOps.tokenBucketStats]] shape is
@@ -2117,6 +2146,7 @@ object TrainingQueries {
     "pipe_provenance" -> pipeProvenance,
     "mix_cluster_budget" -> mixClusterBudget,
     "mix_cluster_budget_store" -> mixClusterBudgetStore,
+    "mix_cluster_budget_trained" -> mixClusterBudgetTrained,
     "txt_scrub" -> txtScrub,
     "pack_seqs" -> packSeqs,
     "pack_seqs_bpe" -> packSeqsBpe,
@@ -2272,20 +2302,21 @@ object TrainingQueries {
     * order. Cells with no members drop out in both engines (inner
     * GROUP BY here, Spark's groupBy there).
     */
-  private def lloydRoundSql(r: Int): String = {
-    val prev = if (r == 1) "c" else s"c${r - 1}"
-    s"""a$r AS (SELECT id, v, cell FROM (
+  private def lloydRoundSql(r: Int, eName: String = "e",
+      base: String = "c", p: String = ""): String = {
+    val prev = if (r == 1) base else s"${p}c${r - 1}"
+    s"""${p}a$r AS (SELECT id, v, cell FROM (
        |  SELECT e.id, e.v, c.cid AS cell,
        |    row_number() OVER (PARTITION BY e.id ORDER BY
        |      list_dot_product(e.v, c.cv) /
        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
        |      DESC, c.cid) AS rr
-       |  FROM e, $prev c) WHERE rr = 1),
-       |m$r AS (SELECT cell AS cid, p - 1 AS pos,
+       |  FROM $eName e, $prev c) WHERE rr = 1),
+       |${p}m$r AS (SELECT cell AS cid, p - 1 AS pos,
        |    CAST(sum(CAST(floor(v[CAST(p AS INT)] * 1000000.0) AS BIGINT))
        |      AS BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0) AS val
-       |  FROM a$r, unnest(range(1, len(v) + 1)) u(p) GROUP BY 1, 2),
-       |c$r AS (SELECT cid, list(val ORDER BY pos) AS cv FROM m$r
+       |  FROM ${p}a$r, unnest(range(1, len(v) + 1)) u(p) GROUP BY 1, 2),
+       |${p}c$r AS (SELECT cid, list(val ORDER BY pos) AS cv FROM ${p}m$r
        |  GROUP BY cid)""".stripMargin
   }
 
@@ -2744,6 +2775,39 @@ object TrainingQueries {
            |         sqrt(list_dot_product(cbc.cv, cbc.cv)))
            |      DESC, cbc.cid) AS r
            |  FROM cbe, cbc) WHERE r = 1)""".stripMargin
+      s"""WITH $cellsFrom,
+         |${budgetKeptCtesFor(clusterRecipe,
+              "(SELECT d2.doc_id, cbcells.source, d2.text " +
+                "FROM cbcells JOIN documents d2 USING (doc_id)) t",
+              s"len($toksSql)", "cb1")}
+         |SELECT doc_id, source AS cell FROM kept""".stripMargin
+  }
+
+  /** `mix_cluster_budget` with the strata ACTUALLY learned: two full
+    * Lloyd rounds over the doc-joined embedding corpus refine the four
+    * seeds before routing — the same budget algebra over `kc2`'s cells
+    * instead of the raw seeds'.
+    */
+  private val mixClusterBudgetTrainedSql: String = {
+      val cellsFrom =
+        s"""cbe AS (SELECT d.doc_id,
+           |    list_transform(e.embedding, x -> x::DOUBLE) AS v
+           |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+           |  WHERE d.text IS NOT NULL),
+           |cbc AS (SELECT vec_id AS cid,
+           |    list_transform(embedding, x -> x::DOUBLE) AS cv
+           |  FROM embeddings WHERE vec_id < 4),
+           |ce AS (SELECT doc_id AS id, v FROM cbe),
+           |${lloydRoundSql(1, "ce", "cbc", "k")},
+           |${lloydRoundSql(2, "ce", "cbc", "k")},
+           |cbcells AS (SELECT doc_id, 'c' || cid::VARCHAR AS source FROM (
+           |  SELECT cbe.doc_id, cbc.cid,
+           |    row_number() OVER (PARTITION BY cbe.doc_id ORDER BY
+           |      list_dot_product(cbe.v, cbc.cv) /
+           |        (sqrt(list_dot_product(cbe.v, cbe.v)) *
+           |         sqrt(list_dot_product(cbc.cv, cbc.cv)))
+           |      DESC, cbc.cid) AS r
+           |  FROM cbe, kc2 cbc) WHERE r = 1)""".stripMargin
       s"""WITH $cellsFrom,
          |${budgetKeptCtesFor(clusterRecipe,
               "(SELECT d2.doc_id, cbcells.source, d2.text " +
@@ -3765,6 +3829,10 @@ object TrainingQueries {
     // changes where the masses come from, never the classification
     "mix_cluster_budget" -> mixClusterBudgetSql,
     "mix_cluster_budget_store" -> mixClusterBudgetSql,
+    // the learned-strata replay with the learning replayed too: two
+    // Lloyd rounds over the doc-joined corpus, then the same cell
+    // routing and budget chain over kc2's centroids
+    "mix_cluster_budget_trained" -> mixClusterBudgetTrainedSql,
     // the funnel aggregated at each stage boundary of the SAME replayed
     // chain: batch universe from the scored frame's filter, survivors
     // and clean mass from the budget chain's per-doc frame `d`, kept
