@@ -919,6 +919,49 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("trained PQ codebook: zero rounds is the sampled identity, the " +
+      "loop is deterministic and shape-preserving, and training " +
+      "reduces the fixture's quantization error") {
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 500)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def cbMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        r.getSeq[Long](2).toSeq).toMap
+    val sampled = cbMap(VectorOps.pqCodebook(e, m = 4, codes = 16,
+      dim = 64))
+    // iters = 0 IS the sampled baseline — the training loop adds, never
+    // replaces, the training-free contract
+    assert(cbMap(VectorOps.pqCodebookTrained(e, m = 4, codes = 16,
+      dim = 64, iters = 0)) == sampled)
+    val trained = cbMap(VectorOps.pqCodebookTrained(e, m = 4, codes = 16,
+      dim = 64, iters = 2))
+    // deterministic (a second run is bit-identical), shape-preserving
+    // (same (j, code) keys, sub-width entries), and it actually moved
+    assert(cbMap(VectorOps.pqCodebookTrained(e, m = 4, codes = 16,
+      dim = 64, iters = 2)) == trained)
+    assert(trained.keySet == sampled.keySet)
+    assert(trained.values.forall(_.length == 16))
+    assert(trained != sampled, "two Lloyd rounds changed nothing")
+    // Lloyd's point: total min squared distance of every corpus
+    // subvector to its nearest entry must DROP vs the sampled entries
+    // (floor-division means shift each coordinate < 1 unit, noise
+    // against the fixture's improvement)
+    val subs = e.collect().map { r =>
+      val q = r.getSeq[Float](1).map(x => math.floor(x * 1000.0).toLong)
+      (0 until 4).map(j => (j, q.slice(j * 16, (j + 1) * 16)))
+    }
+    def err(cb: Map[(Int, Long), Seq[Long]]): BigInt =
+      subs.map(_.map { case (j, sq) =>
+        (0L until 16L).map { c =>
+          val cq = cb((j, c))
+          BigInt(sq.zip(cq).map { case (a, b) =>
+            (a - b) * (a - b) }.sum)
+        }.min
+      }.sum).sum
+    val (es, et) = (err(sampled), err(trained))
+    assert(et < es, s"trained error $et !< sampled $es")
+  }
+
   test("bucketed near-dup pairs are a subset of brute pairs, probing " +
       "widens recall monotonically, and the keep policy is consistent") {
     val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
