@@ -43,7 +43,12 @@ object PqBench {
         d => u(concat(lit("c"), pmod(col("id"), lit(groups))), d) +
           u(col("id").cast("string"), d) * lit(0.15))
         .as("vec"))
-    val corpus = vecs(spark.range(0L, n).toDF("id"))
+    // pinned once: the builds, the sampled codebook, and BOTH Lloyd
+    // rounds of the trained one re-read the corpus — without the
+    // checkpoint each pass regenerates n·dims md5 components (two md5s
+    // per element under the clustered formula) and the build walls
+    // measure corpus synthesis, not store layout
+    val corpus = vecs(spark.range(0L, n).toDF("id")).localCheckpoint()
     val cents = vecs(spark.range(0L, cells.toLong).toDF("id"))
       .select(col("id").as("cid"), col("vec").as("cvec"))
     val queries = vecs(spark.range(0L, 8L).toDF("id")).localCheckpoint()

@@ -392,6 +392,17 @@ object StoreUtil {
       token: String): Unit = {
     require(token.nonEmpty && !token.contains('/'),
       s"pin token must be a plain name, got '$token'")
+    // a pin on a generation the GC already took must FAIL LOUDLY at pin
+    // time: writeMarker's create would resurrect a ghost directory
+    // holding only the marker — the reader believes it is protected and
+    // dies mid-scan on missing data files instead, and the ghost is
+    // listed as a real generation until someone unpins it. This is the
+    // too-late half of the pin-while-protected contract, surfaced as an
+    // error so the reader re-resolves the serving head.
+    if (!fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(dir)))
+      throw new IllegalStateException(
+        s"cannot pin $dir: the generation no longer exists (GC took " +
+          "it) — re-resolve the serving head and pin at resolve time")
     writeMarker(spark, dir, PinPrefix + token,
       ProcessHandle.current().pid().toString)
   }

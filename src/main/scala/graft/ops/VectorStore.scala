@@ -539,7 +539,7 @@ object VectorStore {
     * unranked per-candidate ADC sums.
     */
   private final case class AdcStage(qc: DataFrame, probed: Seq[String],
-      adc: DataFrame)
+      adc: DataFrame, nQueries: Long)
 
   private def adcStage(st: LoadedPq, queries: DataFrame, nprobe: Int,
       maxQueryRows: Int): AdcStage = {
@@ -568,7 +568,8 @@ object VectorStore {
       .join(broadcast(lut), Seq("q_id", "j", "code"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(sum(col("d2")).as("adc"))
-    AdcStage(qc, probed, adc)
+    AdcStage(qc, probed, adc,
+      qcRows.iterator.map(_.get(0)).toSet.size.toLong)
   }
 
   /** Two-stage ANN serving — the standard production shape [[queryAdc]]
@@ -603,14 +604,18 @@ object VectorStore {
       .filter(col("rnk") <= c)
       .select(col("q_id"), col("n_id"))
     // Memory contract of the broadcast: the shortlist is ≤ |queries|·c
-    // rows, request-bounded like the routing table — but ONLY while c
-    // is. A caller probing the cell-exhaustive truth (c = ∞, PqBench's
-    // ground-truth pass) would broadcast a corpus-scale candidate set
-    // and exhaust driver/executor memory as n grows, so past
-    // maxQueryRows the hint is dropped and the join plans as a shuffle:
-    // the truth probe trades latency, the serving path (c ≈ 4–10×k)
-    // keeps its broadcast.
-    val sl = if (c <= maxQueryRows) broadcast(shortlist) else shortlist
+    // rows, and the broadcast hint is safe only while that PRODUCT is
+    // request-bounded — bounding c alone admits a 40k-query × 5k-c
+    // multi-GB broadcast, and c = ∞ (PqBench's cell-exhaustive truth
+    // probe) admits a corpus-scale one. The query count is known
+    // driver-side (the routing table was collected), so past
+    // nQueries·c > maxQueryRows the hint is dropped and the join plans
+    // as a shuffle: the truth probe trades latency, the serving path
+    // (bounded queries, c ≈ 4–10×k) keeps its broadcast.
+    val sl =
+      if (s.nQueries == 0L || c.toLong <= maxQueryRows.toLong / s.nQueries)
+        broadcast(shortlist)
+      else shortlist
     val exact = st.cells
       .filter(col("cell").isin(s.probed: _*))
       .select(col("id").as("n_id"), col("vec"))

@@ -1972,15 +1972,20 @@ object TrainingQueries {
     * shows up as a flipped flag, not a silently different candidate
     * population downstream.
     */
-  val ddMethodAgree: Q = (s, d) => {
-    val wRaw = Tables.documents(s, d).filter(col("doc_id") < 50)
-    // IN-PLAN window bound (the scaladoc's rule, enforced where it can
-    // fail loudly): the exact all-pairs leg is O(|w|²) BY DESIGN on an
-    // evaluation window — a future caller widening the id filter would
-    // silently make it corpus-sized, so an oversized window fails the
-    // JOB via raise_error. One extra count over a tiny frame, paid once
-    // (the guarded frame feeds all three detectors).
-    val w = wRaw.crossJoin(
+  /** IN-PLAN window bound for the agreement matrix (the scaladoc's
+    * rule, enforced where it can fail loudly): the exact all-pairs leg
+    * is O(|w|²) BY DESIGN on an evaluation window — a future caller
+    * widening the id filter would silently make it corpus-sized, so an
+    * oversized window fails the JOB via raise_error. The guard column
+    * must stay REFERENCED (a dropped projection is deleted by column
+    * pruning and the raise_error never evaluates — verified against
+    * this Spark build), so it gates through a filter every legal row
+    * passes, then leaves the schema. One extra count over a tiny
+    * frame, paid once (the guarded frame feeds all three detectors);
+    * TrainingSpec proves the guard fires at 1001 rows.
+    */
+  private[graft] def boundedAgreeWindow(wRaw: DataFrame): DataFrame =
+    wRaw.crossJoin(
       wRaw.agg(count(lit(1)).as("n_w"))
         .select(when(col("n_w") <= lit(1000L), lit(1L))
           .otherwise(raise_error(concat(
@@ -1989,7 +1994,12 @@ object TrainingQueries {
             lit(" docs; the exact all-pairs leg is bounded at 1000 — " +
               "use the LSH/winnow detectors alone at corpus scale"))))
           .as("w_ok")))
+      .filter(col("w_ok") === lit(1L))
       .drop("w_ok")
+
+  val ddMethodAgree: Q = (s, d) => {
+    val w = boundedAgreeWindow(
+      Tables.documents(s, d).filter(col("doc_id") < 50))
     // each detector frame is pinned once (flatten): the union AND its
     // flag join both read it, and the matrix's winnow leg IS the gated
     // ddWinnowPairs definition, not a replica — a tuned detector

@@ -901,6 +901,15 @@ class StoreSpec extends AnyFunSuite {
     assert(!new java.io.File(gen0).exists)
     // unpin after GC is a safe no-op (the unpin-twice / late-unpin path)
     StoreUtil.unpinGeneration(spark, gen0, "query43")
+    // the too-late half of pin-while-protected: pinning a generation
+    // the GC already took must FAIL LOUDLY (a silent marker write would
+    // resurrect a ghost directory and false-protect the reader)
+    val late = intercept[IllegalStateException] {
+      StoreUtil.pinGeneration(spark, gen0, "query44")
+    }
+    assert(late.getMessage.contains("no longer exists"), late.getMessage)
+    assert(!new java.io.File(gen0).exists,
+      "a refused pin must not recreate the directory")
     // and the serving head still answers like a one-shot fold
     val oneDir = Files.createTempDirectory("graft_pin_one").toString + "/lm"
     (0L to 3L).foreach { m =>

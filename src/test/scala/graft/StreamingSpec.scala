@@ -1602,10 +1602,13 @@ class StreamingSpec extends AnyFunSuite {
         TrainingQueries.lrStoreDir(spark, sf), dupDir, statsDir,
         TrainingQueries.bpeStoreDir(spark, sf))
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(prov("dup_index").getLong(1) ==
-      StoreUtil.generationNumber(dupDir),
+    // the expectation is INDEPENDENTLY derived from the loop's own
+    // rotation count (each rotation advances the chain by one from the
+    // base at 0) — not from generationNumber(dupDir), which is what the
+    // provenance frame itself computes
+    assert(prov("dup_index").getLong(1) == rotations.toLong,
       s"recorded dup generation ${prov("dup_index").getLong(1)} != " +
-        s"serving head ${StoreUtil.generationNumber(dupDir)}")
+        s"the $rotations in-stream rotations this twin performed")
     assert(prov("dup_index").getLong(1) >= 2,
       "the rotations should have moved the recorded generation past 2")
     // 2 history ingests + one per micro-batch, carried across every

@@ -919,6 +919,29 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_method_agree's window guard actually fires: 1001 rows fail " +
+      "the job, a legal window passes unchanged") {
+    import spark.implicits._
+    // the guard must survive the optimizer (a dropped raise_error
+    // projection is pruned away and never evaluates — the bug this
+    // test exists to keep dead)
+    val big = spark.range(0L, 1001L).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+    val e = intercept[Exception] {
+      TrainingQueries.boundedAgreeWindow(big).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage).getOrElse("")) +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(e).contains("bounded at 1000"), rootMsg(e).take(300))
+    val small = spark.range(0L, 50L).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+    val out = TrainingQueries.boundedAgreeWindow(small)
+    assert(out.columns.toSeq == Seq("doc_id", "text"),
+      "the guard must leave the schema untouched")
+    assert(out.count() == 50L)
+  }
+
   test("trained PQ codebook: zero rounds is the sampled identity, the " +
       "loop is deterministic and shape-preserving, and training " +
       "reduces the fixture's quantization error") {
