@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.DupBench [nDocs] [batchDocs]
   */
 object DupBench {
+  /** The ONE synthetic boilerplate corpus the dedup benches share
+    * (PipeBench decorates it with pipeline columns): every doc is 40
+    * tokens — 10 unique lead tokens, then one of 64 shared 10-token
+    * boilerplate blocks (cross-doc duplication the store must find),
+    * then 20 more unique tokens. Duplicated spans therefore exist
+    * throughout, at a known extent, across every batch boundary; a
+    * change to the block scheme changes every consumer's regime
+    * together instead of silently diverging per-bench copies.
+    */
+  private[graft] def boilerplateDocs(
+      spark: org.apache.spark.sql.SparkSession, from: Long,
+      until: Long): org.apache.spark.sql.DataFrame =
+    spark.range(from, until).toDF("doc_id")
+      .withColumn("blk", pmod(xxhash64(col("doc_id")), lit(64L)))
+      .withColumn("toks", concat(
+        transform(sequence(lit(0), lit(9)),
+          i => concat(lit("u"), col("doc_id"), lit("x"), i)),
+        transform(sequence(lit(0), lit(9)),
+          i => concat(lit("b"), col("blk"), lit("x"), i)),
+        transform(sequence(lit(10), lit(29)),
+          i => concat(lit("u"), col("doc_id"), lit("x"), i))))
+      .select(col("doc_id"), array_join(col("toks"), " ").as("text"))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build(cpus)
@@ -25,23 +48,8 @@ object DupBench {
     val n = args.headOption.map(_.toLong).getOrElse(100000L)
     val bn = args.drop(1).headOption.map(_.toLong).getOrElse(2500L)
 
-    // synthetic boilerplate corpus: every doc is 40 tokens — 10 unique
-    // lead tokens, then one of 64 shared 10-token boilerplate blocks
-    // (cross-doc duplication the store must find), then 20 more unique
-    // tokens. Duplicated spans therefore exist throughout, at a known
-    // extent, across every batch boundary.
     def docsOf(from: Long, until: Long) =
-      spark.range(from, until).toDF("doc_id")
-        .withColumn("blk", pmod(xxhash64(col("doc_id")), lit(64L)))
-        .withColumn("toks", concat(
-          transform(sequence(lit(0), lit(9)),
-            i => concat(lit("u"), col("doc_id"), lit("x"), i)),
-          transform(sequence(lit(0), lit(9)),
-            i => concat(lit("b"), col("blk"), lit("x"), i)),
-          transform(sequence(lit(10), lit(29)),
-            i => concat(lit("u"), col("doc_id"), lit("x"), i))))
-        .select(col("doc_id"), array_join(col("toks"), " ").as("text"))
-        .localCheckpoint()
+      boilerplateDocs(spark, from, until).localCheckpoint()
 
     // the corpus lives on parquet, as in production — the re-run baseline
     // must pay the real read+tokenize+hash+shuffle over history, exactly

@@ -36,23 +36,13 @@ object PipeBench {
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     require(mult >= 2, s"histMult must be >= 2, got $mult")
 
-    // DupBench's boilerplate corpus, plus the pipeline columns: every
-    // doc is 40 tokens (10 unique, one of 64 shared 10-token blocks —
-    // cross-doc duplication the strip must find — then 20 unique),
-    // a 4-way source label, and n_chars for the quality features.
+    // DupBench's shared boilerplate corpus (ONE generator — see
+    // DupBench.boilerplateDocs), decorated with the pipeline columns:
+    // a 4-way source label and n_chars for the quality features.
     def docsOf(from: Long, until: Long) =
-      spark.range(from, until).toDF("doc_id")
-        .withColumn("blk", pmod(xxhash64(col("doc_id")), lit(64L)))
-        .withColumn("toks", concat(
-          transform(sequence(lit(0), lit(9)),
-            i => concat(lit("u"), col("doc_id"), lit("x"), i)),
-          transform(sequence(lit(0), lit(9)),
-            i => concat(lit("b"), col("blk"), lit("x"), i)),
-          transform(sequence(lit(10), lit(29)),
-            i => concat(lit("u"), col("doc_id"), lit("x"), i))))
-        .select(col("doc_id"),
-          array_join(col("toks"), " ").as("text"),
-          concat(lit("s"), pmod(col("doc_id"), lit(4L))).as("source"))
+      DupBench.boilerplateDocs(spark, from, until)
+        .withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(4L))))
         .withColumn("n_chars", length(col("text")).cast("long"))
     // vocabulary-disjoint filler history: "f"-prefixed tokens shared by
     // NOTHING in the batch, so growing the index with it cannot change
@@ -156,13 +146,18 @@ object PipeBench {
     same(strip1, strip2, "probeStrip output")
     same(pack1, pack2, "packed delivery")
     require(pack1.count() > 0, "fixture degenerated: nothing was packed")
-    // the shape lock: a history RESCAN would move the probe by ~mult×;
-    // the legitimate index-scan term must keep growth far under that
-    // (measured 1.27× for 10× index at the 100k default — O(batch)
-    // terms dominate, the extra cost is the cheap columnar scan)
-    require(probe2 < probe1 * 3.0,
+    // the shape lock, scaled to the requested growth: a history RESCAN
+    // moves the probe by ~mult×, while the legitimate index-scan term
+    // adds a small per-mult increment (measured 1.27–1.45× for 10×
+    // history at the 100k default, i.e. ~0.03–0.05 per extra history
+    // unit — O(batch) terms dominate). A FIXED threshold would reject
+    // healthy linear scan growth at large mult and wave a true rescan
+    // through at small mult, so the bound is mult-relative: generous
+    // 0.15/unit headroom, still far under rescan shape at every mult.
+    require(probe2 < probe1 * (1.0 + 0.15 * mult),
       f"probe wall grew ${probe2 / probe1}%.2fx across ${mult}x history " +
-        "— a rescan or shuffle crept into the evidence pass")
+        f"(bound ${1.0 + 0.15 * mult}%.2fx) — a rescan or shuffle crept " +
+        "into the evidence pass")
     println(f"""{"batch_docs":$bn,"hist_mult":$mult,""" +
       f""""probe_ratio":${probe2 / probe1}%.2f,"agree":true}""")
     spark.stop()

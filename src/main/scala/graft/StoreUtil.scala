@@ -399,12 +399,33 @@ object StoreUtil {
     // listed as a real generation until someone unpins it. This is the
     // too-late half of the pin-while-protected contract, surfaced as an
     // error so the reader re-resolves the serving head.
-    if (!fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(dir)))
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p))
       throw new IllegalStateException(
         s"cannot pin $dir: the generation no longer exists (GC took " +
           "it) — re-resolve the serving head and pin at resolve time")
     writeMarker(spark, dir, PinPrefix + token,
       ProcessHandle.current().pid().toString)
+    // POST-WRITE VERIFY against a concurrent GC: writeMarker's create
+    // recreates a just-deleted directory as a ghost holding only this
+    // marker (false protection — the reader dies later on missing data
+    // files), and a delete in flight can take the marker with the tree.
+    // Re-checking that the directory holds something BESIDES pin
+    // markers, and that this pin survived, turns both common outcomes
+    // of a too-late pin into the loud error the contract promises. A
+    // window remains (GC lists pins, then this pin lands, then GC's
+    // delete starts) — filesystem-atomic protection needs a lock the
+    // deployment layer owns; pin-while-protected stays the contract and
+    // this check is the backstop, not the guarantee.
+    val entries = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    val ghost = entries.forall(_.startsWith(PinPrefix))
+    if (ghost || !entries.contains(PinPrefix + token)) {
+      if (ghost) deleteDir(spark, dir) // remove the marker-only ghost
+      throw new IllegalStateException(
+        s"cannot pin $dir: the generation was GC'd while the pin " +
+          "landed — re-resolve the serving head and pin at resolve time")
+    }
   }
 
   /** Remove this reader's pin (no-op when absent — the generation may

@@ -489,12 +489,17 @@ object VectorOps {
     * disagree about "nearest"), and each entry moves to the
     * floor-division mean of its members. INTEGER-EXACT end to end:
     * members are the floor(x·1000) quantized longs, sums are int64, and
-    * the mean is the explicit floor division (s − pmod(s, n)) / n — no
-    * float enters the loop, so the trained entries are bit-reproducible
-    * and a SQL engine replays them exactly (the property the sampled
-    * baseline's doc promises this swap-in keeps). Entries that attract
-    * no members carry over unchanged, exactly like the oracle's
-    * left-join-coalesce. Per round: one broadcast join + two bounded
+    * the mean is the integral-division floor (s − pmod(s, n)) div n —
+    * no float enters the loop, so the trained entries are
+    * bit-reproducible and a SQL engine replays them exactly (the
+    * property the sampled baseline's doc promises this swap-in keeps).
+    * Entries that attract no members carry over unchanged, exactly like
+    * the oracle's left-join-coalesce. CALLER CONTRACT (the
+    * [[quantSqDist]] rule's training-side twin): per-(entry, position)
+    * member sums must stay inside int64 — |s| ≤ members·1000·max|x|, so
+    * ~10⁹ unit-scale members per entry are still orders inside; beyond
+    * that the long sum wraps silently and the caller must pre-aggregate
+    * or rescale. Per round: one broadcast join + two bounded
     * aggregations over (j, code, pos) — corpus-sized map side, m·codes·
     * sub-row reduce side; rounds flatten through [[ClusterOps.flatten]]
     * so the plan stays iteration-independent.
@@ -527,12 +532,16 @@ object VectorOps {
       val means = best
         .groupBy(col("j"), col("code"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        // floor division, NOT the truncating long `/`: member components
-        // are signed, and a truncate-vs-floor mismatch against the
-        // oracle's replay flips every negative mean's last unit
+        // floor division in INT64 end to end: subtracting pmod makes the
+        // dividend exactly divisible, so the integral `div` (which stays
+        // in long arithmetic) returns the exact floor — the `/` operator
+        // would cast both sides to double and round once a member sum
+        // passed 2^53, silently drifting from the oracle's exact BIGINT
+        // replay. (The truncating long `/` alone is wrong too: member
+        // components are signed, and truncate-vs-floor flips every
+        // negative mean's last unit.)
         .select(col("j"), col("code"), col("pos"),
-          ((col("s") - pmod(col("s"), col("n"))) / col("n"))
-            .cast("long").as("cq_i"))
+          expr("(s - pmod(s, n)) div n").as("cq_i"))
         .groupBy(col("j"), col("code"))
         .agg(transform(array_sort(collect_list(struct(col("pos"),
           col("cq_i")))), x => x("cq_i")).as("cq_new"))

@@ -1960,18 +1960,6 @@ object TrainingQueries {
       .filter(col("n_shared") >= 2)
   }
 
-  /** Detector AGREEMENT matrix — the evaluation artifact a dedup
-    * pipeline builds before picking its production detector: every
-    * pair flagged by ANY of the three near-dup methods over one window
-    * (exact all-pairs Jaccard ≥ 0.5 — the ground truth; MinHash-LSH
-    * banding verified at the same threshold — the scalable
-    * approximation, whose misses here ARE its recall gap; winnowing
-    * ≥ 2 shared fingerprints — the substring-overlap family), with one
-    * flag per method. All three are oracle-gated alone; this pins
-    * their JOINT behavior on identical data, so a drifted detector
-    * shows up as a flipped flag, not a silently different candidate
-    * population downstream.
-    */
   /** IN-PLAN window bound for the agreement matrix (the scaladoc's
     * rule, enforced where it can fail loudly): the exact all-pairs leg
     * is O(|w|²) BY DESIGN on an evaluation window — a future caller
@@ -1997,6 +1985,18 @@ object TrainingQueries {
       .filter(col("w_ok") === lit(1L))
       .drop("w_ok")
 
+  /** Detector AGREEMENT matrix — the evaluation artifact a dedup
+    * pipeline builds before picking its production detector: every
+    * pair flagged by ANY of the three near-dup methods over one window
+    * (exact all-pairs Jaccard ≥ 0.5 — the ground truth; MinHash-LSH
+    * banding verified at the same threshold — the scalable
+    * approximation, whose misses here ARE its recall gap; winnowing
+    * ≥ 2 shared fingerprints — the substring-overlap family), with one
+    * flag per method. All three are oracle-gated alone; this pins
+    * their JOINT behavior on identical data, so a drifted detector
+    * shows up as a flipped flag, not a silently different candidate
+    * population downstream.
+    */
   val ddMethodAgree: Q = (s, d) => {
     val w = boundedAgreeWindow(
       Tables.documents(s, d).filter(col("doc_id") < 50))
