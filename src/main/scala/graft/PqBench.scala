@@ -38,10 +38,15 @@ object PqBench {
         d: org.apache.spark.sql.Column) =
       conv(substring(md5(concat(seed, lit(":"), d)), 1, 8), 16, 10)
         .cast("double") / lit((1L << 32).toDouble) * 2.0 - 1.0
+    // energy decay across dimensions (w_d = 1/(1 + d/8)): real
+    // embedding spectra concentrate variance in leading dims; uniform
+    // per-dim energy is the degenerate case where a first-N sample is
+    // already a near-optimal codebook and training has nothing to move
     def vecs(ids: org.apache.spark.sql.DataFrame) = ids.select(col("id"),
       transform(sequence(lit(0), lit(dims - 1)),
-        d => u(concat(lit("c"), pmod(col("id"), lit(groups))), d) +
-          u(col("id").cast("string"), d) * lit(0.15))
+        d => (u(concat(lit("c"), pmod(col("id"), lit(groups))), d) +
+          u(col("id").cast("string"), d) * lit(0.15)) /
+          (lit(1.0) + d.cast("double") / lit(8.0)))
         .as("vec"))
     // pinned once: the builds, the sampled codebook, and BOTH Lloyd
     // rounds of the trained one re-read the corpus — without the
@@ -51,7 +56,10 @@ object PqBench {
     val corpus = vecs(spark.range(0L, n).toDF("id")).localCheckpoint()
     val cents = vecs(spark.range(0L, cells.toLong).toDF("id"))
       .select(col("id").as("cid"), col("vec").as("cvec"))
-    val queries = vecs(spark.range(0L, 8L).toDF("id")).localCheckpoint()
+    // 32 queries x top-10 = 320 truth pairs: the 8-query meter moved by
+    // whole points per borderline neighbor, too coarse to separate
+    // codebooks
+    val queries = vecs(spark.range(0L, 32L).toDF("id")).localCheckpoint()
     val cb = VectorOps.pqCodebook(corpus, m, codes = 16, dim = dims)
       .localCheckpoint()
 
