@@ -352,7 +352,14 @@ object SampleOps {
         col("__prior") + col("__m") >= col("__budget"))
       .select(col(stratumCol), col("__b"), col("__prior"), col("__budget"))
     val keep = df.columns.toIndexedSeq.map(c => col(s"`$c`"))
-    val k1 = d.join(fullKeep, Seq(stratumCol, "__b"), "left_semi")
+    // fullKeep is ≤ 65536·|strata| rows BY CONSTRUCTION (the radix
+    // table minus the boundary), so it carries the explicit broadcast
+    // hint its sibling frames (bud, boundary, thresholds) already do —
+    // without it, a stats mis-estimate upstream (e.g. a checkpointed
+    // stratum frame with unknown sizes) lets the planner sort-merge
+    // this semi-join and shuffle the FULL CORPUS on (stratum, bucket)
+    val k1 = d.join(broadcast(fullKeep), Seq(stratumCol, "__b"),
+        "left_semi")
       .select(keep: _*)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))

@@ -377,6 +377,42 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
   }
 
+  test("trained-PQ serving plan: training changes the codebook, never " +
+      "the shape — ADC stays broadcast-joined, nothing pairwise") {
+    // the trained store serves through the same queryAdc path the
+    // sampled one does; this pins that wiring the TRAINED artifact in
+    // (a different codebook literal, a different store dir) cannot
+    // regress the serving plan to a corpus-sized exchange
+    val p = finalPlan(TrainingQueries.registry("ann_pq_trained")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("trained cluster-budget composite: recipe/boundary frames still " +
+      "broadcast, nothing pairwise, no global sort") {
+    // same lock as mix_pack, over the TRAINED-strata composition: the
+    // two Lloyd rounds run behind a flatten, so the served plan must
+    // look exactly like the untrained twin's — cells broadcast-crossed
+    // into the corpus (assignCells' n·k scoring: the ONE legitimate
+    // nested-loop, always with the bounded centroid side as the build),
+    // budget algebra broadcast, no sort-merge anywhere. This lock
+    // caught the kept-set semi-join regressing to a corpus-wide
+    // sort-merge when upstream stats were checkpoint-opaque — the
+    // broadcast hint on fullKeep is the fix it pins.
+    val p = finalPlan(
+      TrainingQueries.registry("mix_cluster_budget_trained")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"non-cross nested loop joins: $bnlj")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
   test("salted join hash-partitions on (key, salt) and matches the plain join") {
     import org.apache.spark.sql.functions.col
     val li = Tables.lineitem(spark, sf)
