@@ -1541,6 +1541,12 @@ class StreamingSpec extends AnyFunSuite {
       Files.createTempDirectory("graft_pipe_out").toString + "/clean"
     val statsDir =
       Files.createTempDirectory("graft_pipe_stats").toString + "/mass"
+    val provDir =
+      Files.createTempDirectory("graft_pipe_prov").toString + "/ledger"
+    // the per-delivery expectation, captured INSIDE the loop at append
+    // time — the ledger must replay these, not whatever the final
+    // state happens to be
+    val genByBatch = scala.collection.mutable.Map.empty[Long, Long]
     var batches = 0
     val stream = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -1569,6 +1575,17 @@ class StreamingSpec extends AnyFunSuite {
         if (SampleOps.mixStatsStoreExists(spark, statsDir))
           SampleOps.appendMixStats(spark, statsDir, stats, Some(id))
         else SampleOps.saveMixStats(stats, statsDir, Some(id))
+        // the delivery LEDGER: each micro-batch appends the provenance
+        // rows of the stores it ACTUALLY read, stamped with its
+        // delivery id — the audit trail that answers "which dup-index
+        // generation cleaned batch N" after any number of rotations
+        graft.ops.ProvenanceLog.append(spark, provDir,
+          TrainingQueries.pipeProvenanceFrame(spark,
+            TrainingQueries.lrStoreDir(spark, sf), dupDir, statsDir,
+            TrainingQueries.bpeStoreDir(spark, sf))
+            .withColumn("delivery_id", lit(id)),
+          Some(id))
+        genByBatch(id) = StoreUtil.generationNumber(dupDir)
         ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -1620,6 +1637,31 @@ class StreamingSpec extends AnyFunSuite {
       "the never-rotated stats store must record generation 0")
     assert(prov("delivery").isNullAt(1),
       "the delivery row is not a store — counters must be NULL")
+    // the LEDGER replays per-delivery history: each delivery's recorded
+    // dup generation equals what the loop captured at append time (the
+    // generations CLIMB through the rotation chain — the final state
+    // alone could never show that), and a zombie re-append of the last
+    // delivery is a full no-op
+    val ledger = graft.ops.ProvenanceLog.load(spark, provDir).collect()
+    assert(ledger.length == batches * 5,
+      s"ledger holds ${ledger.length} rows for $batches deliveries")
+    val dupByDelivery = ledger
+      .filter(_.getString(0) == "dup_index")
+      .map(r => r.getLong(5) -> r.getLong(1)).toMap
+    assert(dupByDelivery == genByBatch.toMap,
+      s"ledger generations $dupByDelivery != captured $genByBatch")
+    val climb = dupByDelivery.toSeq.sorted.map(_._2)
+    assert(climb == climb.sorted && climb.distinct.length > 1,
+      s"per-delivery dup generations should climb through the chain: " +
+        s"$climb")
+    graft.ops.ProvenanceLog.append(spark, provDir,
+      TrainingQueries.pipeProvenanceFrame(spark,
+        TrainingQueries.lrStoreDir(spark, sf), dupDir, statsDir,
+        TrainingQueries.bpeStoreDir(spark, sf))
+        .withColumn("delivery_id", lit((batches - 1).toLong)),
+      Some((batches - 1).toLong))
+    assert(graft.ops.ProvenanceLog.load(spark, provDir).count() ==
+      batches * 5L, "zombie re-append must be a full no-op")
     // zombie redelivery of the final micro-batch: cleaned output, dup
     // index, and mass store all manifest-guarded — the packed layout
     // cannot drift
