@@ -128,7 +128,8 @@ object PqBench {
     // layout, same serving path, same nprobe — recall against the SAME
     // cell-exhaustive truth is the training's value in one number, and
     // it must not regress below the training-free baseline (ties
-    // allowed: 8 queries × top-10 is a coarse meter).
+    // allowed: one borderline neighbor still moves the 320-pair meter
+    // by ~0.3 points).
     val cbT = VectorOps.pqCodebookTrained(corpus, m, codes = 16,
       dim = dims, iters = 2).localCheckpoint()
     val pqT = java.nio.file.Files
@@ -143,9 +144,9 @@ object PqBench {
     // the no-regression REQUIRE holds only at the pinned default
     // config, where the claim is calibrated: Lloyd minimizes
     // quantization error (TrainingSpec pins THAT invariant), not
-    // recall@10, and on arbitrary n/dims/cells the 8×10-pair meter can
-    // legitimately dip by one borderline neighbor — a warning, not a
-    // code defect
+    // recall@10, and on arbitrary n/dims/cells even the 320-pair meter
+    // can legitimately dip by a few borderline neighbors — a warning,
+    // not a code defect
     if (args.isEmpty)
       require(rAdcT >= rAdc,
         f"trained-codebook recall $rAdcT%.3f regressed below the " +

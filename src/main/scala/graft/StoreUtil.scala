@@ -127,6 +127,26 @@ object StoreUtil {
   def pathExists(spark: SparkSession, dir: String, name: String): Boolean =
     fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, name))
 
+  /** The broken-vs-absent probe every [[saveManifested]] family shares:
+    * manifest present → healthy; data present WITHOUT a manifest → a
+    * crashed save that must REFUSE (reading it as absent would let a
+    * maintenance loop silently reset history); neither → absent. ONE
+    * definition so a future crash-protocol strengthening (temp-dir +
+    * atomic rename changing what "broken" looks like, say) lands in
+    * every family at once — exactly the drift channel the per-store
+    * copies this replaces kept warning about.
+    */
+  def manifestedStoreExists(spark: SparkSession, path: String,
+      subdir: String, marker: String, what: String,
+      advice: String): Boolean = {
+    val healthy = readMarker(spark, path, marker).isDefined
+    if (!healthy && pathExists(spark, path, subdir))
+      throw new IllegalStateException(
+        s"$path holds $what but no $marker — a previous save crashed " +
+          s"mid-write; $advice")
+    healthy
+  }
+
   /** Manifest content, or fail fast with a store-kind-specific message.
     * `supported` is the newest layout version this build reads (1 for
     * every store that never changed layout; PostingsStore passes its

@@ -33,16 +33,10 @@ object ProvenanceLog {
     * broken-vs-absent rule: rows without a manifest are a crashed save
     * and REFUSE rather than silently reset the ledger).
     */
-  def exists(spark: SparkSession, path: String): Boolean = {
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "rows"))
-      throw new IllegalStateException(
-        s"$path holds rows but no $ManifestFile — a previous append " +
-          "crashed mid-write; restore a copy (a ledger cannot be " +
-          "recounted from its stores' CURRENT state)")
-    healthy
-  }
+  def exists(spark: SparkSession, path: String): Boolean =
+    graft.StoreUtil.manifestedStoreExists(spark, path, "rows",
+      ManifestFile, "rows", "restore a copy (a ledger cannot be " +
+        "recounted from its stores' CURRENT state)")
 
   /** Append one delivery's provenance rows. Re-delivered batchIds are
     * full no-ops (the manifest's `last_batch` guard); the first append

@@ -207,15 +207,9 @@ object SampleOps {
     * absent would let a maintenance loop silently reset count history.
     */
   def mixStatsStoreExists(spark: org.apache.spark.sql.SparkSession,
-      path: String): Boolean = {
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, MixManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "stats"))
-      throw new IllegalStateException(
-        s"$path holds stats but no $MixManifestFile — a previous save " +
-          "crashed mid-write; restore a copy or re-count the corpus")
-    healthy
-  }
+      path: String): Boolean =
+    graft.StoreUtil.manifestedStoreExists(spark, path, "stats",
+      MixManifestFile, "stats", "restore a copy or re-count the corpus")
 
   /** Fold a micro-batch's [[mixStats]] into the store: counts sum by
     * stratum (every non-`n_total` column is group key). Re-delivered
@@ -353,13 +347,23 @@ object SampleOps {
       .select(col(stratumCol), col("__b"), col("__prior"), col("__budget"))
     val keep = df.columns.toIndexedSeq.map(c => col(s"`$c`"))
     // fullKeep is ≤ 65536·|strata| rows BY CONSTRUCTION (the radix
-    // table minus the boundary), so it carries the explicit broadcast
-    // hint its sibling frames (bud, boundary, thresholds) already do —
-    // without it, a stats mis-estimate upstream (e.g. a checkpointed
-    // stratum frame with unknown sizes) lets the planner sort-merge
-    // this semi-join and shuffle the FULL CORPUS on (stratum, bucket)
-    val k1 = d.join(broadcast(fullKeep), Seq(stratumCol, "__b"),
-        "left_semi")
+    // table minus the boundary), so it should broadcast like its
+    // sibling frames (bud, boundary, thresholds) — without the hint, a
+    // stats mis-estimate upstream (e.g. a checkpointed stratum frame
+    // with unknown sizes) lets the planner sort-merge this semi-join
+    // and shuffle the FULL CORPUS on (stratum, bucket). But unlike the
+    // |strata|-row siblings the bound MULTIPLIES by 65536, and a forced
+    // broadcast bypasses autoBroadcastJoinThreshold entirely — a
+    // generated recipe with thousands of strata would hard-fail where
+    // the planner's sort-merge degrades gracefully. The recipe is
+    // driver-countable for pennies (a literal or near-literal frame),
+    // so the hint engages only while the product stays comfortably
+    // broadcastable (≤ 128 strata ⇒ ≤ 8.4M rows).
+    val fullKeepHinted =
+      if (budgets.select(col(stratumCol)).distinct().count() <= 128L)
+        broadcast(fullKeep)
+      else fullKeep
+    val k1 = d.join(fullKeepHinted, Seq(stratumCol, "__b"), "left_semi")
       .select(keep: _*)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))

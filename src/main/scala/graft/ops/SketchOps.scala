@@ -269,15 +269,9 @@ object SketchOps {
     * per store; a restarted-query overlap with its own zombie batch is
     * what the [[appendCm]] batchId guard covers, not concurrency.
     */
-  def cmStoreExists(spark: SparkSession, path: String): Boolean = {
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, CmManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "counters"))
-      throw new IllegalStateException(
-        s"$path holds counters but no $CmManifestFile — a previous save " +
-          "crashed mid-write; restore a copy or re-sketch the corpus")
-    healthy
-  }
+  def cmStoreExists(spark: SparkSession, path: String): Boolean =
+    graft.StoreUtil.manifestedStoreExists(spark, path, "counters",
+      CmManifestFile, "counters", "restore a copy or re-sketch the corpus")
 
   def saveCm(sk: CmSketch, path: String, batchId: Option[Long] = None): Unit =
     // crash protocol lives in StoreUtil.saveManifested: manifest deleted
@@ -327,15 +321,9 @@ object SketchOps {
     * files without a manifest mean a crashed save, which must refuse, not
     * read as absent.
     */
-  def kmvStoreExists(spark: SparkSession, path: String): Boolean = {
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, KmvManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "state"))
-      throw new IllegalStateException(
-        s"$path holds state but no $KmvManifestFile — a previous save " +
-          "crashed mid-write; restore a copy or re-sketch the corpus")
-    healthy
-  }
+  def kmvStoreExists(spark: SparkSession, path: String): Boolean =
+    graft.StoreUtil.manifestedStoreExists(spark, path, "state",
+      KmvManifestFile, "state", "restore a copy or re-sketch the corpus")
 
   /** Fold a new batch's per-group KMV states into the persisted store at
     * `path`, in place — the KMV leg of the build-once/append/serve
@@ -647,15 +635,10 @@ object SketchOps {
     * the no-false-negative filter into one that false-negatives all of
     * history.
     */
-  def bloomStoreExists(spark: SparkSession, path: String): Boolean = {
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, BloomManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "bits"))
-      throw new IllegalStateException(
-        s"$path holds bloom bits but no $BloomManifestFile — a previous " +
-          "save crashed mid-write; restore a copy or rebuild the filter")
-    healthy
-  }
+  def bloomStoreExists(spark: SparkSession, path: String): Boolean =
+    graft.StoreUtil.manifestedStoreExists(spark, path, "bits",
+      BloomManifestFile, "bloom bits",
+      "restore a copy or rebuild the filter")
 
   /** Persist a built filter: the sparse bit table plus a shape-carrying
     * manifest ([[StoreUtil.saveManifested]] crash protocol). Build once
@@ -871,15 +854,9 @@ object SketchOps {
   }
 
   /** Same single-writer probe discipline as [[cmStoreExists]]. */
-  def histStoreExists(spark: SparkSession, path: String): Boolean = {
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, HistManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "bins"))
-      throw new IllegalStateException(
-        s"$path holds bins but no $HistManifestFile — a previous save " +
-          "crashed mid-write; restore a copy or re-sketch the corpus")
-    healthy
-  }
+  def histStoreExists(spark: SparkSession, path: String): Boolean =
+    graft.StoreUtil.manifestedStoreExists(spark, path, "bins",
+      HistManifestFile, "bins", "restore a copy or re-sketch the corpus")
 
   /** Fold a batch's bins into the store, in place — history is never
     * rescanned (the bins ARE the summary; integer sums are exact, so
