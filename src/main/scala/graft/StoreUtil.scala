@@ -138,12 +138,11 @@ object StoreUtil {
     */
   def manifestedStoreExists(spark: SparkSession, path: String,
       subdir: String, marker: String, what: String,
-      advice: String): Boolean = {
+      diagnosis: String): Boolean = {
     val healthy = readMarker(spark, path, marker).isDefined
     if (!healthy && pathExists(spark, path, subdir))
       throw new IllegalStateException(
-        s"$path holds $what but no $marker — a previous save crashed " +
-          s"mid-write; $advice")
+        s"$path holds $what but no $marker — $diagnosis")
     healthy
   }
 

@@ -79,15 +79,10 @@ object BpeStore {
   }
 
   /** Healthy-store probe with the family's broken-vs-absent rule. */
-  def exists(spark: SparkSession, path: String): Boolean = {
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "merges"))
-      throw new IllegalStateException(
-        s"$path holds a merge table but no $ManifestFile — a save " +
-          "crashed mid-write; re-save the trained artifact")
-    healthy
-  }
+  def exists(spark: SparkSession, path: String): Boolean =
+    graft.StoreUtil.manifestedStoreExists(spark, path, "merges",
+      ManifestFile, "a merge table",
+      "a save crashed mid-write; re-save the trained artifact")
 
   /** Load and VALIDATE the artifact: the collected merge count must
     * match the manifest's — a truncated merge table would not fail

@@ -76,13 +76,10 @@ object DupStore {
     */
   def exists(spark: SparkSession, path: String): Boolean = {
     refusePending(spark, path)
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "hashes"))
-      throw new IllegalStateException(
-        s"$path holds hash rows but no $ManifestFile — the first ingest " +
-          "crashed mid-write; delete the directory and re-ingest the batch")
-    healthy
+    graft.StoreUtil.manifestedStoreExists(spark, path, "hashes",
+      ManifestFile, "hash rows",
+      "the first ingest crashed mid-write; delete the directory and " +
+        "re-ingest the batch")
   }
 
   def load(spark: SparkSession, path: String): Loaded = {

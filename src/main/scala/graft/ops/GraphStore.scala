@@ -216,14 +216,10 @@ object GraphStore {
     */
   def storeExists(spark: SparkSession, path: String): Boolean = {
     refusePending(spark, path)
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "edges"))
-      throw new IllegalStateException(
-        s"$path holds edges but no $ManifestFile — a save crashed " +
-          "mid-write; rebuild from source (or re-drive the batch " +
-          "through save) rather than resetting history")
-    healthy
+    graft.StoreUtil.manifestedStoreExists(spark, path, "edges",
+      ManifestFile, "edges",
+      "a save crashed mid-write; rebuild from source (or re-drive the " +
+        "batch through save) rather than resetting history")
   }
 
   /** Whether a maintenance pass is due: each [[append]] stacks another

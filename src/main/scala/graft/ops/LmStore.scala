@@ -78,13 +78,10 @@ object LmStore {
   /** Healthy-store probe with the family's broken-vs-absent rule. */
   def exists(spark: SparkSession, path: String): Boolean = {
     refusePending(spark, path)
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "uni"))
-      throw new IllegalStateException(
-        s"$path holds count rows but no $ManifestFile — the first ingest " +
-          "crashed mid-write; delete the directory and re-ingest the batch")
-    healthy
+    graft.StoreUtil.manifestedStoreExists(spark, path, "uni",
+      ManifestFile, "count rows",
+      "the first ingest crashed mid-write; delete the directory and " +
+        "re-ingest the batch")
   }
 
   /** The aggregated count views: per-ingest rows group-sum back to one

@@ -104,13 +104,10 @@ object LshStore {
     */
   def exists(spark: SparkSession, path: String): Boolean = {
     refusePending(spark, path)
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "bands"))
-      throw new IllegalStateException(
-        s"$path holds band rows but no $ManifestFile — the first ingest " +
-          "crashed mid-write; delete the directory and re-ingest the batch")
-    healthy
+    graft.StoreUtil.manifestedStoreExists(spark, path, "bands",
+      ManifestFile, "band rows",
+      "the first ingest crashed mid-write; delete the directory and " +
+        "re-ingest the batch")
   }
 
   /** Open a persisted index; fails fast on a directory that is not one,

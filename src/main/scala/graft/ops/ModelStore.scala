@@ -55,15 +55,10 @@ object ModelStore {
   }
 
   /** Healthy-store probe with the family's broken-vs-absent rule. */
-  def exists(spark: SparkSession, path: String): Boolean = {
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "weights"))
-      throw new IllegalStateException(
-        s"$path holds weights but no $ManifestFile — a save crashed " +
-          "mid-write; re-save the trained model")
-    healthy
-  }
+  def exists(spark: SparkSession, path: String): Boolean =
+    graft.StoreUtil.manifestedStoreExists(spark, path, "weights",
+      ManifestFile, "weights",
+      "a save crashed mid-write; re-save the trained model")
 
   /** Load and VALIDATE: the collected weight count must match the
     * manifest's — a truncated weight table would not fail a join, it

@@ -123,15 +123,11 @@ object PostingsStore {
   /** Same probe discipline as the sibling stores: postings without a
     * manifest mean a crashed write — refuse, never treat as absent.
     */
-  def storeExists(spark: SparkSession, path: String): Boolean = {
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "postings"))
-      throw new IllegalStateException(
-        s"$path holds postings but no $ManifestFile — a save or append " +
-          "crashed mid-write; rebuild the index from source")
-    healthy
-  }
+  def storeExists(spark: SparkSession, path: String): Boolean =
+    graft.StoreUtil.manifestedStoreExists(spark, path, "postings",
+      ManifestFile, "postings",
+      "a save or append crashed mid-write; rebuild the index from " +
+        "source")
 
   /** Index NEW documents into the store: their postings append into the
     * same bucket layout (new files beside the old, bucket ids in the

@@ -35,8 +35,9 @@ object ProvenanceLog {
     */
   def exists(spark: SparkSession, path: String): Boolean =
     graft.StoreUtil.manifestedStoreExists(spark, path, "rows",
-      ManifestFile, "rows", "restore a copy (a ledger cannot be " +
-        "recounted from its stores' CURRENT state)")
+      ManifestFile, "rows",
+      "a previous append crashed mid-write; restore a copy (a ledger " +
+        "cannot be recounted from its stores' CURRENT state)")
 
   /** Append one delivery's provenance rows. Re-delivered batchIds are
     * full no-ops (the manifest's `last_batch` guard); the first append
@@ -47,19 +48,30 @@ object ProvenanceLog {
       batchId: Option[Long] = None): Unit = {
     require(rows.columns.contains("delivery_id"),
       "provenance rows must carry a delivery_id column")
-    val present = exists(spark, path)
-    if (present && batchId.isDefined &&
-        batchId == SketchOps.lastBatchId(spark, path, ManifestFile))
-      return
-    val ingests: Long =
-      if (present)
-        graft.StoreUtil.manifestLong(
-          graft.StoreUtil.requireManifest(spark, path, ManifestFile,
-            "provenance log"),
-          "ingests", s"provenance log at $path")
-      else 0L
+    // ONE manifest read serves the broken-vs-absent probe, the zombie
+    // guard, and the ingest counter — exists()/lastBatchId()/load()
+    // would each re-read the same kilobyte marker (three object-store
+    // round-trips per delivery for nothing)
+    val mfOpt = graft.StoreUtil.readMarker(spark, path, ManifestFile)
+    if (mfOpt.isEmpty && graft.StoreUtil.pathExists(spark, path, "rows"))
+      throw new IllegalStateException(
+        s"$path holds rows but no $ManifestFile — a previous append " +
+          "crashed mid-write; restore a copy (a ledger cannot be " +
+          "recounted from its stores' CURRENT state)")
+    val present = mfOpt.isDefined
+    // sign-tolerant last_batch parse — SketchOps.lastBatchId's rule
+    val last = mfOpt.flatMap(
+      "\"last_batch\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1).toLong)
+    if (present && batchId.isDefined && batchId == last) return
+    val ingests: Long = mfOpt.map(m => {
+      graft.StoreUtil.requireVersion(m, 1, s"provenance log at $path")
+      graft.StoreUtil.manifestLong(m, "ingests",
+        s"provenance log at $path")
+    }).getOrElse(0L)
     val merged =
-      if (present) load(spark, path).unionByName(rows) else rows
+      if (present) spark.read.parquet(s"$path/rows").unionByName(rows)
+      else rows
     // materialize off the source files before overwriting them (the
     // union lazily reads the very parquet the write replaces)
     graft.StoreUtil.saveManifested(ClusterOps.flatten(merged), path,

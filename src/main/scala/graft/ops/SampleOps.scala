@@ -209,7 +209,9 @@ object SampleOps {
   def mixStatsStoreExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean =
     graft.StoreUtil.manifestedStoreExists(spark, path, "stats",
-      MixManifestFile, "stats", "restore a copy or re-count the corpus")
+      MixManifestFile, "stats",
+      "a previous save crashed mid-write; restore a copy or re-count " +
+        "the corpus")
 
   /** Fold a micro-batch's [[mixStats]] into the store: counts sum by
     * stratum (every non-`n_total` column is group key). Re-delivered
@@ -356,12 +358,14 @@ object SampleOps {
     // broadcast bypasses autoBroadcastJoinThreshold entirely — a
     // generated recipe with thousands of strata would hard-fail where
     // the planner's sort-merge degrades gracefully. The recipe is
-    // driver-countable for pennies (a literal or near-literal frame),
-    // so the hint engages only while the product stays comfortably
-    // broadcastable (≤ 128 strata ⇒ ≤ 8.4M rows).
+    // driver-countable for pennies (a literal or near-literal frame —
+    // and limit() bounds the probe even for a derived one; budgets is
+    // #strata rows by contract, so no dedup pass is needed), so the
+    // hint engages only while the product stays comfortably
+    // broadcastable (≤ 128 strata ⇒ ≤ 8.4M rows). Past the cliff the
+    // planner decides from its own stats — the pre-hint behavior.
     val fullKeepHinted =
-      if (budgets.select(col(stratumCol)).distinct().count() <= 128L)
-        broadcast(fullKeep)
+      if (budgets.limit(129).count() <= 128L) broadcast(fullKeep)
       else fullKeep
     val k1 = d.join(fullKeepHinted, Seq(stratumCol, "__b"), "left_semi")
       .select(keep: _*)

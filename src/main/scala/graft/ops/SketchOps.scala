@@ -271,7 +271,9 @@ object SketchOps {
     */
   def cmStoreExists(spark: SparkSession, path: String): Boolean =
     graft.StoreUtil.manifestedStoreExists(spark, path, "counters",
-      CmManifestFile, "counters", "restore a copy or re-sketch the corpus")
+      CmManifestFile, "counters",
+      "a previous save crashed mid-write; restore a copy or re-sketch " +
+        "the corpus")
 
   def saveCm(sk: CmSketch, path: String, batchId: Option[Long] = None): Unit =
     // crash protocol lives in StoreUtil.saveManifested: manifest deleted
@@ -323,7 +325,9 @@ object SketchOps {
     */
   def kmvStoreExists(spark: SparkSession, path: String): Boolean =
     graft.StoreUtil.manifestedStoreExists(spark, path, "state",
-      KmvManifestFile, "state", "restore a copy or re-sketch the corpus")
+      KmvManifestFile, "state",
+      "a previous save crashed mid-write; restore a copy or re-sketch " +
+        "the corpus")
 
   /** Fold a new batch's per-group KMV states into the persisted store at
     * `path`, in place — the KMV leg of the build-once/append/serve
@@ -638,7 +642,8 @@ object SketchOps {
   def bloomStoreExists(spark: SparkSession, path: String): Boolean =
     graft.StoreUtil.manifestedStoreExists(spark, path, "bits",
       BloomManifestFile, "bloom bits",
-      "restore a copy or rebuild the filter")
+      "a previous save crashed mid-write; restore a copy or rebuild " +
+        "the filter")
 
   /** Persist a built filter: the sparse bit table plus a shape-carrying
     * manifest ([[StoreUtil.saveManifested]] crash protocol). Build once
@@ -856,7 +861,9 @@ object SketchOps {
   /** Same single-writer probe discipline as [[cmStoreExists]]. */
   def histStoreExists(spark: SparkSession, path: String): Boolean =
     graft.StoreUtil.manifestedStoreExists(spark, path, "bins",
-      HistManifestFile, "bins", "restore a copy or re-sketch the corpus")
+      HistManifestFile, "bins",
+      "a previous save crashed mid-write; restore a copy or re-sketch " +
+        "the corpus")
 
   /** Fold a batch's bins into the store, in place — history is never
     * rescanned (the bins ARE the summary; integer sums are exact, so

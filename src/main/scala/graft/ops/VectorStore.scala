@@ -222,17 +222,12 @@ object VectorStore {
     * silently resetting history (for a frontier store, every prior
     * survivor could then re-enter as "novel").
     */
-  def storeExists(spark: SparkSession, path: String): Boolean = {
-    val healthy =
-      graft.StoreUtil.readMarker(spark, path, ManifestFile).isDefined
-    if (!healthy && graft.StoreUtil.pathExists(spark, path, "cells"))
-      throw new IllegalStateException(
-        s"$path holds cells but no $ManifestFile — a save or append " +
-          "crashed mid-write; recover (recoverAppendPq for a pending " +
-          "PQ append) or rebuild from source rather than resetting " +
-          "history")
-    healthy
-  }
+  def storeExists(spark: SparkSession, path: String): Boolean =
+    graft.StoreUtil.manifestedStoreExists(spark, path, "cells",
+      ManifestFile, "cells",
+      "a save or append crashed mid-write; recover (recoverAppendPq " +
+        "for a pending PQ append) or rebuild from source rather than " +
+        "resetting history")
 
   /** ANN top-k against the stored layout. The bounded query side is routed
     * to its `nprobe` best cells (broadcast centroids); the distinct probed

@@ -1554,6 +1554,10 @@ class StreamingSpec extends AnyFunSuite {
       (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
         batches += 1
+        // the head this delivery is CLEANED AGAINST — captured before
+        // the in-batch rotation can advance it, because that is the
+        // generation the ledger must attribute the strip to
+        val cleanedWith = dupDir
         // stages 1+2: gate with the stored model, strip against all
         // seen hashes, ingest this delivery's own
         DupStore.probeStripThenIngest(spark, dupDir, outDir,
@@ -1576,16 +1580,21 @@ class StreamingSpec extends AnyFunSuite {
           SampleOps.appendMixStats(spark, statsDir, stats, Some(id))
         else SampleOps.saveMixStats(stats, statsDir, Some(id))
         // the delivery LEDGER: each micro-batch appends the provenance
-        // rows of the stores it ACTUALLY read, stamped with its
-        // delivery id — the audit trail that answers "which dup-index
-        // generation cleaned batch N" after any number of rotations
+        // rows of the stores it ACTUALLY read — the dup row stamps the
+        // PRE-rotation head the strip ran against (the in-batch
+        // rotation advances dupDir BEFORE this point, so stamping the
+        // current head would attribute the clean to the generation
+        // compacted AFTER it) — stamped with its delivery id: the
+        // audit trail that answers "which dup-index generation cleaned
+        // batch N" after any number of rotations. The grace horizon is
+        // what keeps cleanedWith's manifest readable here.
         graft.ops.ProvenanceLog.append(spark, provDir,
           TrainingQueries.pipeProvenanceFrame(spark,
-            TrainingQueries.lrStoreDir(spark, sf), dupDir, statsDir,
+            TrainingQueries.lrStoreDir(spark, sf), cleanedWith, statsDir,
             TrainingQueries.bpeStoreDir(spark, sf))
             .withColumn("delivery_id", lit(id)),
           Some(id))
-        genByBatch(id) = StoreUtil.generationNumber(dupDir)
+        genByBatch(id) = StoreUtil.generationNumber(cleanedWith)
         ()
     }.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
