@@ -85,6 +85,27 @@ object StoreUtil {
     finally out.close()
   }
 
+  /** Replace a marker file through a swap-file rename — the manifest
+    * COMMIT for stores whose manifest content is load-bearing state
+    * (the provenance ledger's parts list): the new content lands fully
+    * in a dot-prefixed sibling, the old marker is deleted, the sibling
+    * renamed into place. A crash before the delete leaves the old
+    * marker intact (store healthy); between delete and rename, the
+    * marker is ABSENT (broken-refuse, both old data and the complete
+    * new marker still on disk) — an in-place overwrite could instead
+    * strand a TRUNCATED marker that parses as garbage.
+    */
+  def replaceMarker(spark: SparkSession, dir: String, name: String,
+      content: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val swap = new org.apache.hadoop.fs.Path(dir, s".swap_$name")
+    writeMarker(spark, dir, s".swap_$name", content)
+    deleteMarker(spark, dir, name)
+    if (!fs.rename(swap, new org.apache.hadoop.fs.Path(dir, name)))
+      throw new IllegalStateException(
+        s"replaceMarker: could not swap $swap into place as $name")
+  }
+
   /** Remove a marker file (no-op when absent). */
   def deleteMarker(spark: SparkSession, dir: String, name: String): Unit = {
     val fs = fsOf(spark, dir)
@@ -102,21 +123,84 @@ object StoreUtil {
     ()
   }
 
-  /** Marker content, or None when absent — callers fail fast with their
-    * own store-specific message.
+  private val retireSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Retire a generation ATOMICALLY from the viewpoint of late pins and
+    * readers: rename it to a dot-prefixed tombstone (one
+    * filesystem-atomic op — after it the generation path simply does
+    * not exist, so a too-late [[pinGeneration]] sees a missing
+    * directory or a fresh marker-only ghost, never a half-deleted
+    * tree), then recursively delete the tombstone. This is what
+    * narrows the pin/GC race to two clean outcomes: with a bare
+    * recursive delete, a pin could land INSIDE a tree mid-teardown and
+    * partially survive. A crash between rename and delete leaks a
+    * coherent tombstone no generation scan ever lists (dot prefix);
+    * [[retireWithGrace]] sweeps its base's leftovers first.
     */
-  /** The small-store crash protocol, shared by the CM and KMV sketch
-    * stores: manifest deleted FIRST, data overwritten, manifest rewritten
-    * LAST — a crash mid-save leaves a manifest-less store that load fails
-    * fast on, never a stale manifest read against re-shaped data. One
-    * definition so a future strengthening (e.g. temp-dir + atomic rename)
-    * cannot land in one store and silently miss the other.
+  def retireDir(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) return
+    val tomb = new org.apache.hadoop.fs.Path(p.getParent,
+      s".retiring_${p.getName}_p${ProcessHandle.current().pid()}_" +
+        retireSeq.incrementAndGet())
+    if (!fs.rename(p, tomb))
+      throw new IllegalStateException(
+        s"retireDir: could not rename $dir to its tombstone $tomb")
+    fs.delete(tomb, true)
+    ()
+  }
+
+  /** Delete tombstones a crashed [[retireDir]] left for `base`'s chain
+    * (prefix match is on the base NAME, so a sibling store whose name
+    * extends this one can have its tombstones swept too — harmless:
+    * a tombstone is condemned data wherever it came from).
+    */
+  private def sweepTombstones(spark: SparkSession, base: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val parent = p.getParent
+    val fs = fsOf(spark, base)
+    if (parent == null || !fs.exists(parent)) return
+    fs.listStatus(parent).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s".retiring_${p.getName}"))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** The small-store crash protocol, shared by every saveManifested
+    * family (CM/KMV/Bloom/Hist sketches, mix-stats, provenance ledger):
+    * the FULL new row set is written to a dot-prefixed swap directory
+    * first, then manifest deleted (the reader fence), old data swapped
+    * out by an ATOMIC directory rename, manifest rewritten last. The
+    * crash exposure this buys over delete-then-rewrite: the old window
+    * spanned the entire data-rewrite job (a crash anywhere inside it
+    * left a manifest-less store whose rows were HALF-WRITTEN — for a
+    * non-recomputable store like the ledger, history gone); the new
+    * window is two filesystem metadata ops (delete + rename), during
+    * which the live subdir only ever holds a COMPLETE row set — the
+    * old one before the rename, the new one after — and the swap dir
+    * keeps the full replacement on disk for manual recovery. A crash
+    * before the fence leaves the store untouched-healthy plus an
+    * orphan swap dir, which the next save overwrites and a successful
+    * save renames away entirely. Atomicity is the filesystem's dir
+    * rename (local/HDFS); an object-store rename degrades to
+    * copy+delete — correct, just a wider window. One definition so a
+    * protocol strengthening lands in every family at once.
     */
   def saveManifested(df: org.apache.spark.sql.DataFrame, path: String,
       subdir: String, marker: String, manifest: String): Unit = {
     val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    val live = new org.apache.hadoop.fs.Path(path, subdir)
+    val swap = new org.apache.hadoop.fs.Path(path, s".swap_$subdir")
+    df.coalesce(1).write.mode("overwrite").parquet(swap.toString)
     deleteMarker(spark, path, marker)
-    df.coalesce(1).write.mode("overwrite").parquet(s"$path/$subdir")
+    fs.delete(live, true)
+    if (!fs.rename(swap, live))
+      throw new IllegalStateException(
+        s"saveManifested: could not swap $swap into place at $live — " +
+          "the complete new rows remain in the swap directory; rename " +
+          "it to the data subdir and rewrite the manifest to recover")
     writeMarker(spark, path, marker, manifest)
   }
 
@@ -372,11 +456,12 @@ object StoreUtil {
       grace: Int): Seq[String] = {
     require(grace >= 0, s"grace must be >= 0, got $grace")
     val base = generationBase(serving)
+    sweepTombstones(spark, base)
     val cut = generationNumber(serving) - grace
     siblingGenerations(spark, base).filter(_ < cut).sorted
       .map(generationPath(base, _))
       .filterNot(isPinned(spark, _))
-      .map { p => deleteDir(spark, p); p }
+      .map { p => retireDir(spark, p); p }
   }
 
   /** Reader-pin markers: the escape hatch for a reader LONGER than the
@@ -426,18 +511,29 @@ object StoreUtil {
           "it) — re-resolve the serving head and pin at resolve time")
     writeMarker(spark, dir, PinPrefix + token,
       ProcessHandle.current().pid().toString)
-    // POST-WRITE VERIFY against a concurrent GC: writeMarker's create
-    // recreates a just-deleted directory as a ghost holding only this
-    // marker (false protection — the reader dies later on missing data
-    // files), and a delete in flight can take the marker with the tree.
-    // Re-checking that the directory holds something BESIDES pin
-    // markers, and that this pin survived, turns both common outcomes
-    // of a too-late pin into the loud error the contract promises. A
-    // window remains (GC lists pins, then this pin lands, then GC's
-    // delete starts) — filesystem-atomic protection needs a lock the
-    // deployment layer owns; pin-while-protected stays the contract and
-    // this check is the backstop, not the guarantee.
-    val entries = fs.listStatus(p).toSeq.map(_.getPath.getName)
+    // POST-WRITE VERIFY against a concurrent GC. Retirement is a
+    // tombstone RENAME ([[retireDir]]) — atomic, so a too-late pin has
+    // exactly two outcomes, both caught here: (a) the pin landed before
+    // the rename — the marker traveled with the renamed tree, and the
+    // listStatus below finds the path GONE (FileNotFoundException,
+    // mapped to the contract's error); (b) the pin landed after —
+    // writeMarker's create resurrected the path as a ghost holding only
+    // pin markers (false protection: the reader would die later on
+    // missing data files), which the all-pins probe catches and
+    // removes. The mid-delete partial-tree outcomes the pre-rename GC
+    // admitted (pin survives inside a half-deleted tree) no longer
+    // exist. A window remains (GC lists pins, then this pin lands, then
+    // GC's rename) — but it now always resolves to (a) or (b), i.e.
+    // a LOUD error, never a reader scanning a partial generation.
+    val entries =
+      try fs.listStatus(p).toSeq.map(_.getPath.getName)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"cannot pin $dir: the generation was GC'd while the pin " +
+              "landed — re-resolve the serving head and pin at resolve " +
+              "time")
+      }
     val ghost = entries.forall(_.startsWith(PinPrefix))
     if (ghost || !entries.contains(PinPrefix + token)) {
       if (ghost) deleteDir(spark, dir) // remove the marker-only ghost

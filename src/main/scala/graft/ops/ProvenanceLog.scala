@@ -7,42 +7,71 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[graft.queries.TrainingQueries.pipeProvenanceFrame]] shape plus a
   * `delivery_id`), so an auditor can answer "which generation of which
   * store produced batch N" for the whole history of the pipeline, not
-  * just the latest run. The reference stamps each synthesized tree the
-  * same way and KEEPS the stamps (`IngestSynthesisData.java:304-349`);
-  * this is that ledger for training-data deliveries.
+  * just the latest run — and [[graft.queries.TrainingQueries
+  * .pipeReplay]] can re-run the composite against exactly those
+  * generations. The reference stamps each synthesized tree the same way
+  * and KEEPS the stamps (`IngestSynthesisData.java:304-349`); this is
+  * that ledger for training-data deliveries.
   *
-  * Protocol: the small-store crash rule ([[graft.StoreUtil
-  * .saveManifested]] — manifest deleted first, data rewritten, manifest
-  * last), with the manifest carrying `ingests` and `last_batch` so a
-  * redelivered foreachBatch id is a FULL no-op (appending the same
-  * delivery twice would duplicate ledger rows — unlike a content store,
-  * a log has no idempotent fold to hide behind). The log is METADATA —
-  * a handful of rows per delivery — so read-union-rewrite stays cheap
-  * at any realistic delivery count; a deployment retiring ledgers by
-  * age does it by date partition outside this object.
+  * Layout (v2): each delivery is its own IMMUTABLE part directory under
+  * `rows/` (`rows/d<n>`, `n` = the ingest counter at append time), and
+  * the manifest carries the COMMITTED part list alongside `ingests` and
+  * the `last_batch` zombie guard. An append writes one new part and
+  * commits it by swapping the manifest ([[graft.StoreUtil
+  * .replaceMarker]]) — O(1) per delivery, never a read-union-rewrite of
+  * history, so a crashed append loses at most its own uncommitted part
+  * (invisible to [[load]], overwritten by the retried delivery) and can
+  * NEVER take committed history with it — the property a
+  * non-recomputable ledger actually needs ("a ledger cannot be
+  * recounted from its stores' CURRENT state"). Re-delivered batchIds
+  * are full no-ops via `last_batch`, exactly as before. A deployment
+  * retiring ledger history drops part names from the manifest (the same
+  * swap commit) and deletes their directories — each delivery being its
+  * own part is what makes age-based retirement a metadata operation.
+  *
+  * v1 ledgers (one flat `rows/` row set, rewritten per append) are
+  * migrated in place on the first v2 append: the flat directory is
+  * renamed to part `d0` (two filesystem metadata ops, no data rewrite)
+  * and committed as the first part. A crash between the rename and the
+  * commit leaves a v1 manifest over the nested layout — loads fail
+  * loudly; rename `rows/d0`'s contents back under `rows/` to recover.
   */
 object ProvenanceLog {
 
   val ManifestFile = "_graft_provlog.json"
 
-  private def manifest(ingests: Long, batchId: Option[Long]): String =
-    s"""{"version":1,"ingests":$ingests""" +
+  private def manifest(ingests: Long, parts: Seq[String],
+      batchId: Option[Long]): String =
+    s"""{"version":2,"ingests":$ingests""" +
+      s""","parts":"${parts.mkString(",")}"""" +
       batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
 
+  /** The committed part list — absent field (a v1 manifest) reads as
+    * empty; [[load]] branches to the flat layout on version instead.
+    */
+  private def partsOf(mf: String): Seq[String] =
+    "\"parts\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(mf)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+
   /** Whether a healthy log exists at `path` (the family's
-    * broken-vs-absent rule: rows without a manifest are a crashed save
+    * broken-vs-absent rule: rows without a manifest are a crashed
+    * FIRST append — later crashes leave the previous manifest intact —
     * and REFUSE rather than silently reset the ledger).
     */
   def exists(spark: SparkSession, path: String): Boolean =
     graft.StoreUtil.manifestedStoreExists(spark, path, "rows",
       ManifestFile, "rows",
-      "a previous append crashed mid-write; restore a copy (a ledger " +
-        "cannot be recounted from its stores' CURRENT state)")
+      "the first append crashed before its commit; if this ledger " +
+        "never held a committed delivery, delete the directory and " +
+        "re-append — otherwise rebuild the manifest from the intact " +
+        "part directories (a ledger cannot be recounted from its " +
+        "stores' CURRENT state)")
 
-  /** Append one delivery's provenance rows. Re-delivered batchIds are
-    * full no-ops (the manifest's `last_batch` guard); the first append
-    * creates the log. The rows must carry a `delivery_id` column — the
-    * ledger key an auditor scans by.
+  /** Append one delivery's provenance rows as a new immutable part.
+    * Re-delivered batchIds are full no-ops (the manifest's `last_batch`
+    * guard); the first append creates the log. The rows must carry a
+    * `delivery_id` column — the ledger key an auditor scans by.
     */
   def append(spark: SparkSession, path: String, rows: DataFrame,
       batchId: Option[Long] = None): Unit = {
@@ -55,32 +84,54 @@ object ProvenanceLog {
     val mfOpt = graft.StoreUtil.readMarker(spark, path, ManifestFile)
     if (mfOpt.isEmpty && graft.StoreUtil.pathExists(spark, path, "rows"))
       throw new IllegalStateException(
-        s"$path holds rows but no $ManifestFile — a previous append " +
-          "crashed mid-write; restore a copy (a ledger cannot be " +
-          "recounted from its stores' CURRENT state)")
-    val present = mfOpt.isDefined
+        s"$path holds rows but no $ManifestFile — the first append " +
+          "crashed before its commit; delete the directory and " +
+          "re-append the delivery")
     // sign-tolerant last_batch parse — SketchOps.lastBatchId's rule
     val last = mfOpt.flatMap(
       "\"last_batch\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(_))
       .map(_.group(1).toLong)
-    if (present && batchId.isDefined && batchId == last) return
-    val ingests: Long = mfOpt.map(m => {
-      graft.StoreUtil.requireVersion(m, 1, s"provenance log at $path")
-      graft.StoreUtil.manifestLong(m, "ingests",
+    if (mfOpt.isDefined && batchId.isDefined && batchId == last) return
+    val (ingests, parts) = mfOpt.map { m =>
+      graft.StoreUtil.requireVersion(m, 2, s"provenance log at $path")
+      val n = graft.StoreUtil.manifestLong(m, "ingests",
         s"provenance log at $path")
-    }).getOrElse(0L)
-    val merged =
-      if (present) spark.read.parquet(s"$path/rows").unionByName(rows)
-      else rows
-    // materialize off the source files before overwriting them (the
-    // union lazily reads the very parquet the write replaces)
-    graft.StoreUtil.saveManifested(ClusterOps.flatten(merged), path,
-      "rows", ManifestFile, manifest(ingests + 1L, batchId))
+      if (graft.StoreUtil.manifestVersion(m) == 1)
+        (n, Seq(migrateV1(spark, path)))
+      else (n, partsOf(m))
+    }.getOrElse((0L, Seq.empty[String]))
+    val part = s"d${ingests + 1L}"
+    // the part write is the delivery's only data IO; overwrite mode
+    // replaces the orphan a crashed attempt at this same counter left
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$path/rows/$part")
+    // the manifest swap IS the commit — before it, load() cannot see
+    // the new part; after it, the part is history and never rewritten
+    graft.StoreUtil.replaceMarker(spark, path, ManifestFile,
+      manifest(ingests + 1L, parts :+ part, batchId))
+  }
+
+  /** Rename a v1 flat `rows/` into part `d0` — metadata ops only. */
+  private def migrateV1(spark: SparkSession, path: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = new org.apache.hadoop.fs.Path(path, "rows")
+    val hold = new org.apache.hadoop.fs.Path(path, ".mig_rows")
+    if (!fs.rename(rows, hold) || !fs.mkdirs(rows) ||
+        !fs.rename(hold, new org.apache.hadoop.fs.Path(s"$path/rows", "d0")))
+      throw new IllegalStateException(
+        s"could not migrate the v1 ledger at $path to the part layout")
+    "d0"
   }
 
   def load(spark: SparkSession, path: String): DataFrame = {
-    graft.StoreUtil.requireManifest(spark, path, ManifestFile,
-      "provenance log")
-    spark.read.parquet(s"$path/rows")
+    val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "provenance log", supported = 2)
+    if (graft.StoreUtil.manifestVersion(mf) == 1)
+      spark.read.parquet(s"$path/rows")
+    else {
+      val parts = partsOf(mf)
+      require(parts.nonEmpty, s"provenance log at $path commits no parts")
+      spark.read.parquet(parts.map(p => s"$path/rows/$p"): _*)
+    }
   }
 }

@@ -276,9 +276,9 @@ object SketchOps {
         "the corpus")
 
   def saveCm(sk: CmSketch, path: String, batchId: Option[Long] = None): Unit =
-    // crash protocol lives in StoreUtil.saveManifested: manifest deleted
-    // first, rewritten last — partial counters silently served would
-    // violate never-undercount
+    // crash protocol lives in StoreUtil.saveManifested: full swap-dir
+    // write, manifest fence, atomic rename — partial counters silently
+    // served would violate never-undercount
     graft.StoreUtil.saveManifested(sk.counters, path, "counters",
       CmManifestFile,
       s"""{"version":1,"depth":${sk.depth},"width":${sk.width}""" +

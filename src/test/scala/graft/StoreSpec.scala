@@ -920,4 +920,154 @@ class StoreSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(uniMap(current) == uniMap(oneDir))
   }
+
+  test("saveManifested swap protocol: an orphan swap dir leaves the " +
+      "store healthy and the next save clears it; the fence window " +
+      "refuses loudly — across three families") {
+    import graft.ops.{SampleOps, SketchOps}
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+    // family 1: CM sketch (counters)
+    val cm = Files.createTempDirectory("graft_swap_cm").toString + "/cm"
+    val sk = SketchOps.cmSketch(
+      docs.select(col("source").as("item")), "item", 3, 16)
+    SketchOps.saveCm(sk, cm)
+    // a successful save leaves NO swap dir behind (it was renamed into
+    // place, not copied)
+    assert(!new java.io.File(s"$cm/.swap_counters").exists)
+    val served = SketchOps.loadCm(spark, cm).counters.collect()
+      .map(_.toSeq).toSet
+    // crash during the swap-dir write: the complete old store plus an
+    // orphan swap dir — the store stays HEALTHY and answers unchanged
+    new java.io.File(s"$cm/.swap_counters").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$cm/.swap_counters/junk"),
+      "half-written")
+    assert(SketchOps.cmStoreExists(spark, cm))
+    assert(SketchOps.loadCm(spark, cm).counters.collect()
+      .map(_.toSeq).toSet == served)
+    // the next save overwrites the orphan and renames it away
+    SketchOps.saveCm(sk, cm)
+    assert(!new java.io.File(s"$cm/.swap_counters").exists)
+    assert(SketchOps.loadCm(spark, cm).counters.collect()
+      .map(_.toSeq).toSet == served)
+    // crash INSIDE the fence window (manifest deleted, rename pending):
+    // data present without a manifest must REFUSE, never read as absent
+    StoreUtil.deleteMarker(spark, cm, SketchOps.CmManifestFile)
+    intercept[IllegalStateException] { SketchOps.cmStoreExists(spark, cm) }
+    // family 2: mix-stats store (stats)
+    val ms = Files.createTempDirectory("graft_swap_ms").toString + "/ms"
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_total"))
+    SampleOps.saveMixStats(stats, ms)
+    assert(!new java.io.File(s"$ms/.swap_stats").exists)
+    new java.io.File(s"$ms/.swap_stats").mkdirs()
+    assert(SampleOps.mixStatsStoreExists(spark, ms))
+    val want = stats.collect().map(_.toSeq).toSet
+    assert(SampleOps.loadMixStats(spark, ms).collect()
+      .map(_.toSeq).toSet == want)
+    SampleOps.saveMixStats(stats, ms)
+    assert(!new java.io.File(s"$ms/.swap_stats").exists)
+    StoreUtil.deleteMarker(spark, ms, SampleOps.MixManifestFile)
+    intercept[IllegalStateException] {
+      SampleOps.mixStatsStoreExists(spark, ms)
+    }
+    // family 3: bloom store (bits)
+    val bl = Files.createTempDirectory("graft_swap_bloom").toString + "/bloom"
+    val bsk = SketchOps.bloomSketch(
+      docs.select(md5(col("text")).as("h")), "h", depth = 3, width = 256)
+    SketchOps.saveBloom(bsk, bl)
+    assert(!new java.io.File(s"$bl/.swap_bits").exists)
+    new java.io.File(s"$bl/.swap_bits").mkdirs()
+    assert(SketchOps.bloomStoreExists(spark, bl))
+    StoreUtil.deleteMarker(spark, bl, SketchOps.BloomManifestFile)
+    intercept[IllegalStateException] {
+      SketchOps.bloomStoreExists(spark, bl)
+    }
+  }
+
+  test("the provenance ledger appends O(1): a delivery writes only its " +
+      "own immutable part, committed by the manifest swap") {
+    import graft.ops.ProvenanceLog
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ledger_o1").toString + "/led"
+    def rowsFor(id: Long) = Seq(("dup_index", id, 2L + id),
+      ("tokenizer", id, 1L)).toDF("artifact", "delivery_id", "ingests")
+    ProvenanceLog.append(spark, dir, rowsFor(0L), Some(0L))
+    ProvenanceLog.append(spark, dir, rowsFor(1L), Some(1L))
+    // per-delivery part dirs exist; capture the committed parts' exact
+    // file state (names + mtimes) before a third append
+    def fileState(p: String): Set[(String, Long)] = {
+      val d = new java.io.File(p)
+      assert(d.isDirectory, s"$p missing")
+      d.listFiles().map(f => (f.getName, f.lastModified)).toSet
+    }
+    val d1 = fileState(s"$dir/rows/d1")
+    val d2 = fileState(s"$dir/rows/d2")
+    ProvenanceLog.append(spark, dir, rowsFor(2L), Some(2L))
+    // the third delivery touched NOTHING but its own part — history is
+    // never rewritten (the O(deliveries²) read-union-rewrite is gone,
+    // and with it the crash mode that could lose the whole ledger)
+    assert(fileState(s"$dir/rows/d1") == d1,
+      "an append rewrote a committed part")
+    assert(fileState(s"$dir/rows/d2") == d2,
+      "an append rewrote a committed part")
+    assert(new java.io.File(s"$dir/rows/d3").isDirectory)
+    // answers: the loaded ledger is the union of every committed part
+    val got = ProvenanceLog.load(spark, dir)
+      .select("artifact", "delivery_id", "ingests").collect()
+      .map(_.toSeq).toSet
+    val want = (0L to 2L).flatMap(id => rowsFor(id).collect().map(_.toSeq))
+      .toSet
+    assert(got == want)
+    // zombie re-append of the last delivery is a full no-op
+    ProvenanceLog.append(spark, dir, rowsFor(2L), Some(2L))
+    assert(ProvenanceLog.load(spark, dir).count() == 6L)
+    // an uncommitted orphan part (a crashed in-flight append) is
+    // INVISIBLE to load and exists stays healthy — the crash loses at
+    // most the in-flight batch, never history
+    rowsFor(3L).write.mode("overwrite").parquet(s"$dir/rows/d4")
+    assert(ProvenanceLog.exists(spark, dir))
+    assert(ProvenanceLog.load(spark, dir).count() == 6L,
+      "an uncommitted part leaked into load()")
+    // the retried delivery overwrites its own orphan and commits it
+    ProvenanceLog.append(spark, dir, rowsFor(3L), Some(3L))
+    assert(ProvenanceLog.load(spark, dir).count() == 8L)
+    // rows without a manifest: the broken-vs-absent refusal holds
+    StoreUtil.deleteMarker(spark, dir, ProvenanceLog.ManifestFile)
+    intercept[IllegalStateException] { ProvenanceLog.exists(spark, dir) }
+  }
+
+  test("a v1 flat-layout ledger migrates to the part layout on its " +
+      "first v2 append, keeping every committed row") {
+    import graft.ops.ProvenanceLog
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ledger_mig").toString + "/led"
+    // hand-build the round-13 layout: one flat rows/ set + v1 manifest
+    val legacy = Seq(("dup_index", 0L, 2L), ("dup_index", 1L, 3L))
+      .toDF("artifact", "delivery_id", "ingests")
+    legacy.coalesce(1).write.parquet(s"$dir/rows")
+    StoreUtil.writeMarker(spark, dir, ProvenanceLog.ManifestFile,
+      """{"version":1,"ingests":2,"last_batch":1}""")
+    // v1 loads still answer (no forced migration on read)
+    assert(ProvenanceLog.load(spark, dir).count() == 2L)
+    ProvenanceLog.append(spark, dir,
+      Seq(("dup_index", 2L, 4L)).toDF("artifact", "delivery_id", "ingests"),
+      Some(2L))
+    // the flat history became part d0 (metadata rename, no rewrite) and
+    // the new delivery its own part
+    assert(new java.io.File(s"$dir/rows/d0").isDirectory)
+    assert(new java.io.File(s"$dir/rows/d3").isDirectory)
+    val got = ProvenanceLog.load(spark, dir)
+      .select("artifact", "delivery_id", "ingests").collect()
+      .map(_.toSeq).toSet
+    assert(got == Set(Seq("dup_index", 0L, 2L), Seq("dup_index", 1L, 3L),
+      Seq("dup_index", 2L, 4L)))
+    // the migrated manifest is v2 and the zombie guard carried over
+    val mf = StoreUtil.readMarker(spark, dir, ProvenanceLog.ManifestFile).get
+    assert(StoreUtil.manifestVersion(mf) == 2, mf)
+    ProvenanceLog.append(spark, dir,
+      Seq(("dup_index", 2L, 9L)).toDF("artifact", "delivery_id", "ingests"),
+      Some(2L))
+    assert(ProvenanceLog.load(spark, dir).count() == 3L,
+      "zombie re-append after migration must stay a no-op")
+  }
 }
