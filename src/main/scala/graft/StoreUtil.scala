@@ -414,7 +414,11 @@ object StoreUtil {
     "_g(\\d+)$".r.findFirstMatchIn(path)
       .map(_.group(1).toLong).getOrElse(0L)
 
-  private def generationPath(base: String, g: Long): String =
+  /** `(p, 0)` → `p`, `(p, N)` → `p_gN` — the inverse of
+    * [[generationNumber]], public because a replay resolves a
+    * LEDGER-RECORDED generation number back to its directory.
+    */
+  def generationPath(base: String, g: Long): String =
     if (g == 0L) base else s"${base}_g$g"
 
   /** The generation numbers present on disk for `base`'s rotation

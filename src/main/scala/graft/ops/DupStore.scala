@@ -90,6 +90,36 @@ object DupStore {
       graft.StoreUtil.manifestInt(m, "win", s"dup manifest at $path"), path)
   }
 
+  /** The index AS OF ingest watermark `asOf` — the historical read a
+    * ledger-driven replay needs: every row carries the counter value of
+    * the ingest that wrote it (`ingest_seq`), so "the store as the
+    * strip saw it" is a FILTER, not a reconstruction — later ingests
+    * into the same generation (including the probed delivery's own
+    * [[probeStripThenIngest]] ingest) drop out, and the replayed strip
+    * is bit-identical to the original. Compacted rows merge their seqs
+    * away (seq 0), which is sound exactly while the compaction
+    * watermark is at or under `asOf` — every merged row was already
+    * visible then; a state OLDER than the compaction cannot be
+    * reconstructed from this generation and is refused (replay from the
+    * earlier generation the ledger recorded instead). Pre-seq legacy
+    * rows are likewise refused — no rollback identity, no time travel.
+    */
+  def loadAsOf(spark: SparkSession, path: String, asOf: Long): Loaded = {
+    val st = load(spark, path)
+    val mf = graft.StoreUtil.readMarker(spark, path, ManifestFile).get
+    val compactedAt = graft.StoreUtil.compactedAtOf(mf)
+    if (compactedAt > asOf)
+      throw new IllegalStateException(
+        s"$path was compacted at ingest $compactedAt, past the requested " +
+          s"as-of state $asOf — that state only exists in an earlier " +
+          "generation of this chain")
+    if (!st.hashes.columns.contains("ingest_seq"))
+      throw new IllegalStateException(
+        s"$path carries no ingest_seq tags (pre-tag store) — as-of reads " +
+          "need the per-ingest rollback identity")
+    st.copy(hashes = st.hashes.filter(col("ingest_seq") <= asOf))
+  }
+
   /** Ingest one batch: aggregate its window hashes (count + min (doc,
     * pos) site per hash) and append them, creating the store on the
     * first batch. The window length is validated against the manifest on

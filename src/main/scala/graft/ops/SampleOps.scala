@@ -192,8 +192,19 @@ object SampleOps {
 
   def saveMixStats(stats: DataFrame, path: String,
       batchId: Option[Long] = None): Unit =
+    saveMixStatsAt(stats, path, batchId, ingests = 1L)
+
+  /** The shared writer with the ingest counter explicit — a fresh save
+    * is ingest 1, [[appendMixStats]] advances it. The counter is what
+    * lets a delivery's provenance row later PROVE the store was not
+    * folded into between the delivery and a replay (a pre-counter
+    * manifest reads as 1 via the family's lenient rule, so old stores
+    * keep loading).
+    */
+  private def saveMixStatsAt(stats: DataFrame, path: String,
+      batchId: Option[Long], ingests: Long): Unit =
     graft.StoreUtil.saveManifested(stats, path, "stats", MixManifestFile,
-      s"""{"version":1""" + batchField(batchId) + "}")
+      s"""{"version":1,"ingests":$ingests""" + batchField(batchId) + "}")
 
   def loadMixStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
@@ -223,6 +234,10 @@ object SampleOps {
     if (batchId.isDefined &&
         batchId == SketchOps.lastBatchId(spark, path, MixManifestFile))
       return
+    val ingests = graft.StoreUtil.ingestsOf(
+      graft.StoreUtil.readMarker(spark, path, MixManifestFile).getOrElse(
+        throw new IllegalStateException(
+          s"$path is not a mix-stats store (no $MixManifestFile)")))
     val stored = loadMixStats(spark, path)
     require(batchStats.columns.sorted.toSeq == stored.columns.sorted.toSeq,
       s"batch stats (${batchStats.columns.mkString(",")}) do not match " +
@@ -233,7 +248,7 @@ object SampleOps {
       .agg(sum(col("n_total")).as("n_total"))
     // materialize off the source files before overwriting them (the
     // merge plan lazily reads the very parquet the write replaces)
-    saveMixStats(ClusterOps.flatten(merged), path, batchId)
+    saveMixStatsAt(ClusterOps.flatten(merged), path, batchId, ingests + 1L)
   }
 
   /** Token-budget mixture sampling — the pretraining-recipe control

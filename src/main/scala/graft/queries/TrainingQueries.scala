@@ -1579,12 +1579,20 @@ object TrainingQueries {
     * [[graft.StoreUtil.compactedAtOf]]), the generation from the
     * serving path's rotation suffix, and params carries the per-stage
     * constants a retrain would need to reproduce the delivery (keep
-    * threshold, dedup window, radix salt, merge count, pack salt +
-    * context). Manifest reads are driver-side: four kilobyte marker
-    * files, not data.
+    * threshold, dedup window + the strip's AS-OF watermark, radix salt,
+    * merge count, pack salt + context). Manifest reads are driver-side:
+    * four kilobyte marker files, not data.
+    *
+    * `dupIngestedThisDelivery`: a strip-then-ingest pipeline reads the
+    * dup manifest AFTER its own ingest bumped the counter, so the state
+    * the strip actually consumed is one ingest earlier — the flag makes
+    * the recorded `strip_asof` the watermark [[pipeReplay]] must load
+    * the index as of ([[graft.ops.DupStore.loadAsOf]]); a read-only
+    * composite (the gate fixture) records the manifest's own count.
     */
   private[graft] def pipeProvenanceFrame(s: SparkSession, lrDir: String,
-      dupDir: String, statsDir: String, bpeDir: String): DataFrame = {
+      dupDir: String, statsDir: String, bpeDir: String,
+      dupIngestedThisDelivery: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.StoreUtil.{generationNumber, ingestsOf, compactedAtOf}
     def mf(dir: String, marker: String, kind: String): String =
@@ -1605,7 +1613,8 @@ object TrainingQueries {
           "model manifest")},keep_fp=$pipeKeepFp"),
       row("dup_index", dupDir, dupMf,
         s"win=${graft.StoreUtil.manifestInt(dupMf, "win",
-          "dup manifest")}"),
+          "dup manifest")},strip_asof=${ingestsOf(dupMf) -
+          (if (dupIngestedThisDelivery) 1L else 0L)}"),
       row("mix_stats", statsDir, stMf,
         s"radix_salt=pp1,recipe_strata=${pipeRecipe.size}"),
       row("tokenizer", bpeDir, bpeMf,
@@ -1639,6 +1648,192 @@ object TrainingQueries {
   val pipeProvenance: Q = (s, d) =>
     pipeProvenanceFrame(s, lrStoreDir(s, d), dupStoreDir(s, d),
       pipeStatsDir(s, d), bpeStoreDir(s, d))
+
+  /** One artifact's ledger row for a delivery, params parsed. */
+  private final case class LedgerEntry(generation: Long, ingests: Long,
+      params: Map[String, String])
+
+  private def ledgerEntries(s: SparkSession, ledgerPath: String,
+      deliveryId: Long): Map[String, LedgerEntry] = {
+    val rows = graft.ops.ProvenanceLog.load(s, ledgerPath)
+      .filter(col("delivery_id") === deliveryId)
+      .select(col("artifact"), col("generation"), col("ingests"),
+        col("params"))
+      .collect()
+    if (rows.isEmpty) throw new IllegalStateException(
+      s"the ledger at $ledgerPath records no delivery $deliveryId")
+    rows.map { r =>
+      val params = r.getString(3).split(',').iterator
+        .map(_.split("=", 2))
+        .map(kv => kv(0) -> (if (kv.length > 1) kv(1) else ""))
+        .toMap
+      r.getString(0) -> LedgerEntry(
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), params)
+    }.toMap
+  }
+
+  private def ledgerEntry(led: Map[String, LedgerEntry], deliveryId: Long,
+      artifact: String): LedgerEntry =
+    led.getOrElse(artifact, throw new IllegalStateException(
+      s"delivery $deliveryId's ledger rows record no '$artifact' artifact"))
+
+  /** Pin every dir for the scope of `body`, unpinning whatever was
+    * actually pinned on ANY exit — a refused pin (GC beat us to a
+    * generation) propagates after releasing the earlier pins, so a
+    * failed replay never strands markers that would block the GC.
+    */
+  private def withPins[A](s: SparkSession, dirs: Seq[String],
+      token: String)(body: => A): A = {
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      dirs.distinct.foreach { p =>
+        graft.StoreUtil.pinGeneration(s, p, token); pinned += p
+      }
+      body
+    } finally pinned.foreach(graft.StoreUtil.unpinGeneration(s, _, token))
+  }
+
+  /** Refuse a replay whose recorded store state is gone: the in-place
+    * stores (model, masses, tokenizer) have no per-row history, so the
+    * manifest's ingest counter must still equal what the ledger row
+    * recorded — a store folded into since the delivery cannot serve
+    * the recorded state and replaying against it would be silently
+    * wrong, the one thing a reproducibility path must never be.
+    */
+  private def requireRecordedState(s: SparkSession, dir: String,
+      marker: String, what: String, recorded: Long): Unit = {
+    val mf = graft.StoreUtil.readMarker(s, dir, marker).getOrElse(
+      throw new IllegalStateException(
+        s"replay: $dir is not a $what (no $marker)"))
+    val now = graft.StoreUtil.ingestsOf(mf)
+    if (now != recorded)
+      throw new IllegalStateException(
+        s"replay: the $what at $dir has ingests=$now but the delivery " +
+          s"recorded $recorded — the store was folded into since this " +
+          "delivery, so its recorded state cannot be reconstructed in " +
+          "place; replay from a pinned pre-fold generation instead")
+  }
+
+  /** Stages 1+2 for a recorded delivery, dirs already resolved and
+    * pinned by the caller: quality gate with the recorded model
+    * generation, strip against the dup index AS OF the recorded
+    * watermark — the delivery's own ingest (and any later one into the
+    * same generation) filtered back out by its seq tag.
+    */
+  private def replayCleanedCore(s: SparkSession,
+      led: Map[String, LedgerEntry], deliveryId: Long, lrDir: String,
+      dupDir: String, batch: DataFrame): DataFrame = {
+    requireRecordedState(s, lrDir, graft.ops.ModelStore.ManifestFile,
+      "model store", ledgerEntry(led, deliveryId, "quality_model").ingests)
+    val asOf = ledgerEntry(led, deliveryId, "dup_index").params
+      .getOrElse("strip_asof", throw new IllegalStateException(
+        s"delivery $deliveryId's dup_index row carries no strip_asof — " +
+          "a pre-replay ledger row; re-record the delivery"))
+      .toLong
+    graft.ops.DupStore.probeStrip(
+      graft.ops.DupStore.loadAsOf(s, dupDir, asOf),
+      pipeQualityGateWith(s, lrDir, batch), "doc_id", "text")
+  }
+
+  /** Replay ONE delivery's cleaned rows (stages 1+2 — the per-batch
+    * product a strip-then-ingest pipeline writes out) from the ledger:
+    * resolve the recorded generations, pin them, re-run, materialize
+    * inside the pin scope. StreamingSpec replays delivery 0 through
+    * this after further rotations and GC, against the output captured
+    * at delivery time.
+    */
+  private[graft] def pipeReplayCleaned(s: SparkSession, ledgerPath: String,
+      deliveryId: Long, batch: DataFrame, lrBase: String,
+      dupBase: String): DataFrame = {
+    val led = ledgerEntries(s, ledgerPath, deliveryId)
+    val lrDir = graft.StoreUtil.generationPath(lrBase,
+      ledgerEntry(led, deliveryId, "quality_model").generation)
+    val dupDir = graft.StoreUtil.generationPath(dupBase,
+      ledgerEntry(led, deliveryId, "dup_index").generation)
+    withPins(s, Seq(lrDir, dupDir), s"replay_d$deliveryId") {
+      ClusterOps.flatten(
+        replayCleanedCore(s, led, deliveryId, lrDir, dupDir, batch))
+    }
+  }
+
+  /** REPLAY a ledger-recorded delivery end to end: resolve the store
+    * generations delivery `deliveryId`'s provenance rows recorded, pin
+    * them ([[graft.StoreUtil.pinGeneration]] — the reader-pin protocol
+    * exists for exactly this reader), re-run the composite's four
+    * stages against THOSE artifacts, and return a pack bit-identical
+    * to the one delivered — the payoff of keeping the ledger at all:
+    * an audit that REPRODUCES batch N, not just names its inputs (the
+    * reference keeps its synthesis stamps for the same traceability,
+    * `IngestSynthesisData.java:304-349`). The caller supplies the
+    * delivery's raw batch rows (input retention is the pipeline's
+    * business, not the ledger's) and each store family's BASE path;
+    * the generations come from the ledger. Stage 2 reads the dup index
+    * AS OF the recorded strip watermark ([[graft.ops.DupStore
+    * .loadAsOf]]), so a generation the delivery itself ingested into
+    * replays the PRE-ingest state; the in-place stores (model, masses,
+    * tokenizer) must still carry their recorded ingest counters — a
+    * folded-into store is REFUSED loudly rather than replayed wrong.
+    * The pack salt and context length are parsed from the delivery
+    * row's params: the ledger is the recipe of record, not the code's
+    * current constants. The result is materialized inside the pin
+    * scope (pins protect the READ — returning a lazy plan would scan
+    * after the unpin).
+    */
+  private[graft] def pipeReplay(s: SparkSession, d: String,
+      ledgerPath: String, deliveryId: Long, batch: DataFrame,
+      lrBase: String, dupBase: String, statsBase: String,
+      bpeBase: String): DataFrame = {
+    val led = ledgerEntries(s, ledgerPath, deliveryId)
+    def dirOf(artifact: String, base: String): String =
+      graft.StoreUtil.generationPath(base,
+        ledgerEntry(led, deliveryId, artifact).generation)
+    val lrDir = dirOf("quality_model", lrBase)
+    val dupDir = dirOf("dup_index", dupBase)
+    val statsDir = dirOf("mix_stats", statsBase)
+    val bpeDir = dirOf("tokenizer", bpeBase)
+    withPins(s, Seq(lrDir, dupDir, statsDir, bpeDir),
+        s"replay_d$deliveryId") {
+      requireRecordedState(s, statsDir,
+        graft.ops.SampleOps.MixManifestFile, "mix-stats store",
+        ledgerEntry(led, deliveryId, "mix_stats").ingests)
+      requireRecordedState(s, bpeDir, graft.ops.BpeStore.ManifestFile,
+        "BPE store", ledgerEntry(led, deliveryId, "tokenizer").ingests)
+      val cleaned =
+        replayCleanedCore(s, led, deliveryId, lrDir, dupDir, batch)
+      val staged = pipeStagedFrameWith(s, d, bpeDir, cleaned)
+      val recipe = ledgerEntry(led, deliveryId, "delivery").params
+      ClusterOps.flatten(PackOps.packFfd(
+        pipeSampled(s, staged, SampleOps.loadMixStats(s, statsDir)),
+        "doc_id", col("n_tok_bpe"),
+        ctxLen = recipe("ctx_len").toInt, salt = recipe("salt")))
+    }
+  }
+
+  /** The `pipe_replay` gate: ledger → pins → replay. The fixture
+    * appends the one-shot composite's provenance as delivery 0 of a
+    * cached ledger, then reproduces the delivery from NOTHING but the
+    * ledger rows and the store base paths — the result must be
+    * bit-identical to [[pipePretrain]], so the gate shares that
+    * oracle's replayed-from-raw-text CTE chain verbatim. StreamingSpec
+    * drives the rotated form: delivery 0 replayed AFTER further
+    * rotations and GC, through an audit pin placed at append time.
+    */
+  val pipeReplayQ: Q = (s, d) => {
+    val lr = lrStoreDir(s, d)
+    val dup = dupStoreDir(s, d)
+    val stats = pipeStatsDir(s, d)
+    val bpe = bpeStoreDir(s, d)
+    val ledger = graft.StoreUtil.cachedStoreDir("pipeledger", d) { p =>
+      graft.ops.ProvenanceLog.append(s, p,
+        pipeProvenanceFrame(s, lr, dup, stats, bpe)
+          .withColumn("delivery_id", lit(0L)), Some(0L))
+    }
+    pipeReplay(s, d, ledger, 0L,
+      Tables.documents(s, d)
+        .filter(col("doc_id") >= 250 && col("doc_id") < 500),
+      lr, dup, stats, bpe)
+  }
 
   /** Cluster-balanced token-budget mixture: the budget recipe applied
     * over LEARNED strata — each document joins its embedding, routes to
@@ -1782,8 +1977,15 @@ object TrainingQueries {
     * the same artifact and threshold by construction.
     */
   private[graft] def pipeQualityGate(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame =
+    pipeQualityGateWith(s, lrStoreDir(s, d), batch)
+
+  /** The same stage with the model store EXPLICIT — the replay path
+    * passes the ledger-resolved generation instead of the fixture dir.
+    */
+  private[graft] def pipeQualityGateWith(s: SparkSession, lrDir: String,
       batch: DataFrame): DataFrame = {
-    val model = graft.ops.ModelStore.load(s, lrStoreDir(s, d))
+    val model = graft.ops.ModelStore.load(s, lrDir)
     batch.select(col("doc_id"), col("text"))
       .join(lrFeatures(batch).filter(model.scoreFp >= lit(pipeKeepFp))
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -1805,8 +2007,13 @@ object TrainingQueries {
     * runs this same frame per micro-batch for its stats folds.
     */
   private[graft] def pipeStagedFrame(s: SparkSession, d: String,
-      stripped: DataFrame): DataFrame = {
-    val bpe = graft.ops.BpeStore.load(s, bpeStoreDir(s, d))
+      stripped: DataFrame): DataFrame =
+    pipeStagedFrameWith(s, d, bpeStoreDir(s, d), stripped)
+
+  /** The same stage with the tokenizer store EXPLICIT (replay path). */
+  private[graft] def pipeStagedFrameWith(s: SparkSession, d: String,
+      bpeDir: String, stripped: DataFrame): DataFrame = {
+    val bpe = graft.ops.BpeStore.load(s, bpeDir)
     ClusterOps.flatten(stripped
       .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
         "doc_id")
@@ -2154,6 +2361,7 @@ object TrainingQueries {
     "pipe_pretrain_stats" -> pipePretrainStats,
     "pipe_pretrain_bins" -> pipePretrainBins,
     "pipe_provenance" -> pipeProvenance,
+    "pipe_replay" -> pipeReplayQ,
     "mix_cluster_budget" -> mixClusterBudget,
     "mix_cluster_budget_store" -> mixClusterBudgetStore,
     "mix_cluster_budget_trained" -> mixClusterBudgetTrained,
@@ -2827,7 +3035,9 @@ object TrainingQueries {
   }
 
   // the WHOLE pretraining-pipeline replay as one CTE chain, shared by
-  // the pipe_pretrain oracle (FFD fold appended) and the funnel-stats
+  // the pipe_pretrain oracle (FFD fold appended), shared verbatim by
+  // pipe_replay (the replay is defined bit-identical to the delivery),
+  // and the funnel-stats
   // oracle (stage-boundary aggregates): LR training unrolled and the
   // batch scored with the just-derived weights (the txt_lr_store
   // discipline); the strip's global keep-first rule over history∪batch
@@ -2878,6 +3088,15 @@ object TrainingQueries {
             s"len(${graft.functions.Bpe.tokensSql("clean_text")})",
             "pp1")}""".stripMargin
   }
+
+  // the full pipe_pretrain replay (chained CTEs + the FFD fold) — ONE
+  // string, shared verbatim with pipe_replay: the replay gate must be
+  // bit-identical to the delivery it reproduces
+  private lazy val pipePretrainOracle: String = packFfdSql(
+    "SELECT doc_id, shard, bin, bin_off FROM ffd " +
+      "WHERE doc_id IS NOT NULL",
+    nTokSql = "ntok", fromSql = "kept",
+    prefixCtes = pipePretrainCtes + ",\n")
 
   // the audit-view replay — ONE string for the scan and store-served
   // budget gates (the store changes where the masses come from, never
@@ -3793,11 +4012,11 @@ object TrainingQueries {
     // side serves each stage from its persisted artifact, the oracle
     // derives everything from the data, and the packed layouts must
     // agree bit for bit
-    "pipe_pretrain" -> packFfdSql(
-      "SELECT doc_id, shard, bin, bin_off FROM ffd " +
-        "WHERE doc_id IS NOT NULL",
-      nTokSql = "ntok", fromSql = "kept",
-      prefixCtes = pipePretrainCtes + ",\n"),
+    "pipe_pretrain" -> pipePretrainOracle,
+    // the replay is DEFINED bit-identical to the delivery it replays —
+    // same oracle string; what the gate adds is the path the result
+    // took (ledger rows → resolved generations → pins → as-of strip)
+    "pipe_replay" -> pipePretrainOracle,
     // the bin audit over the same chained fold — the pack_ffd_stats
     // tail (join k for token counts) on the pipeline's kept set
     "pipe_pretrain_bins" -> packFfdSql(
@@ -3814,7 +4033,9 @@ object TrainingQueries {
     // stats / tokenizer stores are single saves (ingests read as 1),
     // every cached dir is generation 0, and the per-stage params are
     // the pipeline's declared constants — n_weights from the feature
-    // binding, keep_fp 32768 (p >= 1/2 in 2^16 fixed point), win 4,
+    // binding, keep_fp 32768 (p >= 1/2 in 2^16 fixed point), win 4
+    // with the strip's as-of watermark at the fixture's two history
+    // ingests (the read-only composite never ingests its batch),
     // radix salt pp1 over a 6-stratum recipe, the merge-table size,
     // the ep0/512 pack recipe. A drifted manifest flips its row.
     "pipe_provenance" ->
@@ -3822,7 +4043,7 @@ object TrainingQueries {
          |  ('quality_model', CAST(0 AS BIGINT), CAST(1 AS BIGINT),
          |   CAST(0 AS BIGINT), 'n_weights=5,keep_fp=32768'),
          |  ('dup_index', CAST(0 AS BIGINT), CAST(2 AS BIGINT),
-         |   CAST(0 AS BIGINT), 'win=4'),
+         |   CAST(0 AS BIGINT), 'win=4,strip_asof=2'),
          |  ('mix_stats', CAST(0 AS BIGINT), CAST(1 AS BIGINT),
          |   CAST(0 AS BIGINT), 'radix_salt=pp1,recipe_strata=6'),
          |  ('tokenizer', CAST(0 AS BIGINT), CAST(1 AS BIGINT),

@@ -1563,6 +1563,12 @@ class StreamingSpec extends AnyFunSuite {
         DupStore.probeStripThenIngest(spark, dupDir, outDir,
           TrainingQueries.pipeQualityGate(spark, sf, df),
           "doc_id", "text", batchId = id)
+        // an AUDIT pin on delivery 0's generation, placed while it is
+        // still the serving head (pin-while-protected: BEFORE the
+        // in-batch rotation can age it past the grace horizon) — the
+        // replay below needs this generation alive after rotations the
+        // grace GC would otherwise reclaim it through
+        if (id == 0L) StoreUtil.pinGeneration(spark, cleanedWith, "audit0")
         // the dup index is a LIVE maintained store: its rotate-compact
         // loop runs INSIDE the pipeline body (slack 1 trips every
         // batch) — the composite's answers must be oblivious to where
@@ -1591,7 +1597,10 @@ class StreamingSpec extends AnyFunSuite {
         graft.ops.ProvenanceLog.append(spark, provDir,
           TrainingQueries.pipeProvenanceFrame(spark,
             TrainingQueries.lrStoreDir(spark, sf), cleanedWith, statsDir,
-            TrainingQueries.bpeStoreDir(spark, sf))
+            TrainingQueries.bpeStoreDir(spark, sf),
+            // the strip consumed the PRE-ingest state — the recorded
+            // as-of watermark is what makes the delivery replayable
+            dupIngestedThisDelivery = true)
             .withColumn("delivery_id", lit(id)),
           Some(id))
         genByBatch(id) = StoreUtil.generationNumber(cleanedWith)
@@ -1691,5 +1700,45 @@ class StreamingSpec extends AnyFunSuite {
         spark.read.parquet(outDir)
           .select(col("doc_id"), col("clean_text"))),
       SampleOps.loadMixStats(spark, statsDir))) == oneShot)
+    // ---- REPLAY delivery 0 from the ledger, through the audit pin ----
+    // the generations between delivery 0's and the grace horizon were
+    // GC'd by the in-stream rotations; ONLY the pin kept generation 0
+    assert(new java.io.File(dupBase).exists,
+      "the audit pin must have held delivery 0's generation through GC")
+    assert(!new java.io.File(s"${dupBase}_g1").exists,
+      "an unpinned generation past the horizon should be gone — " +
+        "without the pin, delivery 0's would be too")
+    val batch0 = batch.filter(col("doc_id") >= 250 &&
+      col("doc_id") < 250 + 84)
+    val replayed = TrainingQueries.pipeReplayCleaned(spark, provDir, 0L,
+        batch0, TrainingQueries.lrStoreDir(spark, sf), dupBase)
+      .select(col("doc_id"), col("clean_text"))
+    // the delivery captured at append time IS the comparison target —
+    // exceptAll both ways, so extra rows and missing rows both fail
+    val delivered = spark.read.parquet(s"$outDir/batch=0")
+      .select(col("doc_id"), col("clean_text"))
+    assert(replayed.exceptAll(delivered).isEmpty &&
+      delivered.exceptAll(replayed).isEmpty,
+      "the ledger replay of delivery 0 must be bit-identical to the " +
+        "delivery it recorded")
+    assert(delivered.count() > 0, "fixture degenerated: empty delivery 0")
+    // the FULL composite replay must REFUSE: the mix-stats store was
+    // folded into twice since delivery 0, so its recorded state is
+    // gone — replaying against the current masses would be silently
+    // wrong, and the ingest counter is what catches it
+    val drifted = intercept[IllegalStateException] {
+      TrainingQueries.pipeReplay(spark, sf, provDir, 0L, batch0,
+        TrainingQueries.lrStoreDir(spark, sf), dupBase, statsDir,
+        TrainingQueries.bpeStoreDir(spark, sf))
+    }
+    assert(drifted.getMessage.contains("folded into"), drifted.getMessage)
+    // the refused replay released its pins: the audit pin is the only
+    // thing left holding generation 0, and the first GC after unpin
+    // reclaims it
+    StoreUtil.unpinGeneration(spark, dupBase, "audit0")
+    val reclaimed = StoreUtil.retireWithGrace(spark, dupDir, 1)
+    assert(reclaimed.contains(dupBase),
+      s"GC after the audit unpin must reclaim $dupBase, got $reclaimed")
+    assert(!new java.io.File(dupBase).exists)
   }
 }
