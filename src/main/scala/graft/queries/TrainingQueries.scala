@@ -1159,6 +1159,25 @@ object TrainingQueries {
     VectorStore.queryAdc(st, pqQueries(s, d), k = 5, nprobe = 2)
   }
 
+  /** The trained-codebook store served AFTER MAINTENANCE: the
+    * [[pqTrainedStoreDir]] layout compacted into its next generation —
+    * the rotation step a long-lived deployment actually runs — and
+    * every query answered from the compacted files. Bit-identical to
+    * [[annPqTrained]] by construction (compaction is a layout rewrite
+    * that must preserve cells, codes, and ABOVE ALL the trained
+    * codebook — the round-12 defect class, where a column-pruning
+    * compact destroyed a PQ store), so the gate shares the
+    * replayed-Lloyd oracle verbatim; `VectorStoreSpec` pins the
+    * trained-codebook equality across the rewrite directly.
+    */
+  val annPqTrainedStore: Q = (s, d) => {
+    val dir = graft.StoreUtil.cachedStoreDir("pqtrainedg1", d) { p =>
+      VectorStore.compact(s, pqTrainedStoreDir(s, d), p)
+    }
+    val st = pqstoreLoaded.get(s, dir)(VectorStore.loadPq(s, dir))
+    VectorStore.queryAdc(st, pqQueries(s, d), k = 5, nprobe = 2)
+  }
+
   /** Top-3 docs by length per source via the BOUNDED [[SketchOps.TopKAgg]]
     * aggregator — bit-equal to the `row_number() <= 3` window form (both
     * orders total: score desc, id asc) but with ≤ k pairs of aggregation
@@ -2323,6 +2342,7 @@ object TrainingQueries {
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_store" -> annIvfTrainedStore,
     "ann_pq_trained" -> annPqTrained,
+    "ann_pq_trained_store" -> annPqTrainedStore,
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
@@ -2900,6 +2920,17 @@ object TrainingQueries {
     */
   private val annIvfPqTrainedChain = ivfPqPrefix + ",\n" +
     pqRoundSql(1) + ",\n" + pqRoundSql(2) + ",\n" + ivfPqTail("pcb2")
+
+  // ONE string for the trained-codebook ADC gates: the fresh-store scan
+  // (ann_pq_trained) and its compacted-generation twin share it — the
+  // rewrite changes layout, never answers
+  private val annPqTrainedSql =
+    s"""$annIvfPqTrainedChain,
+       |ranked AS (SELECT q_id, n_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id)
+       |      AS BIGINT) AS rnk
+       |  FROM adc)
+       |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin
 
   private val annIvfPqSql =
     s"""$annIvfPqChain,
@@ -3537,14 +3568,10 @@ object TrainingQueries {
     "ann_ivf_trained" -> annIvfTrainedSql,
     "ann_ivf_trained_store" -> annIvfTrainedSql,
     // the trained-codebook ADC: two integer-exact PQ Lloyd rounds feed
-    // the SAME encode/LUT/ADC tail the sampled chain uses
-    "ann_pq_trained" ->
-      s"""$annIvfPqTrainedChain,
-         |ranked AS (SELECT q_id, n_id, adc,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id)
-         |      AS BIGINT) AS rnk
-         |  FROM adc)
-         |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin,
+    // the SAME encode/LUT/ADC tail the sampled chain uses; the
+    // compacted-store twin changes layout, never answers — ONE oracle
+    "ann_pq_trained" -> annPqTrainedSql,
+    "ann_pq_trained_store" -> annPqTrainedSql,
     // the served-from-disk twin: bit-equal to annIvfPq by construction
     // (same centroids, same codebook, same candidate rule, same ADC)
     "ann_pq_store" -> annIvfPqSql,

@@ -355,9 +355,13 @@ class VectorStoreSpec extends AnyFunSuite {
     // regression: compact's column-pruning select silently DESTROYED a
     // PQ store (codes + tags dropped, codebook not copied) — the new
     // generation declared layout ivf-pq but could not load, while
-    // rotation retired the old one
+    // rotation retired the old one. The codebook here is the TRAINED
+    // one (the recall lever ann_pq_trained_store serves): the artifact
+    // a compaction must carry verbatim is exactly the one a deployment
+    // paid training for
     import graft.ops.VectorOps
-    val cb = VectorOps.pqCodebook(corpus, m = 4, codes = 16, dim = 64)
+    val cb = VectorOps.pqCodebookTrained(corpus, m = 4, codes = 16,
+      dim = 64, iters = 2)
     val dir = Files.createTempDirectory("graft_pqcpt").toString + "/pq"
     VectorStore.savePq(corpus.filter(col("id") < 100), cents, cb, dir,
       m = 4, dim = 64, batchId = Some(0L))
@@ -383,6 +387,13 @@ class VectorStoreSpec extends AnyFunSuite {
     // be bit-identical across the rewrite
     assert(rerankSet(next) == before)
     val st2 = VectorStore.loadPq(spark, next)
+    // the TRAINED codebook itself crossed the rewrite row for row —
+    // answers-equal alone could mask a codebook/codes pair drifting
+    // together
+    def cbSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq).toSet
+    assert(cbSet(st2.codebook) == cbSet(cb),
+      "the trained codebook did not survive compaction verbatim")
     assert(st2.cells.columns.contains("ingest_batch") &&
       st2.cells.columns.contains("ingest_seq"),
       "rollback identity (ingest tags) lost in the rewrite")
