@@ -68,6 +68,19 @@ object VecBench {
     timed("store ANN query after append (reads old + new cells' files)") {
       VectorStore.query(st2, queries, k = 10, nprobe = 2).count()
     }
+
+    // drift meter economics: the retraining-cadence fold
+    // (VectorOps.driftStats) reads ONLY its batch — by construction
+    // there is no history term (the signature takes the batch and the
+    // serving centroids, nothing else), so the per-append cost a
+    // maintenance loop pays tracks BATCH rows, demonstrated by timing
+    // the same fold at 1× and 4× batch size
+    timed(s"driftStats fold over a ${n / 4}-row batch") {
+      VectorOps.driftStats(batch, cents).count()
+    }
+    timed(s"driftStats fold over the full $n-row corpus (4x rows)") {
+      VectorOps.driftStats(corpus, cents).count()
+    }
     spark.stop()
   }
 }

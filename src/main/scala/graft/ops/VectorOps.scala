@@ -335,6 +335,29 @@ object VectorOps {
     cents
   }
 
+  /** Drift meter for a served centroid set: per-cell occupancy and
+    * total quantized squared error of `batch` against the SERVING
+    * centroids — the statistic a deployment folds per append to decide
+    * RETRAINING cadence (trained centroids are built once; appended
+    * data drifts the corpus distribution, and rising mean error /
+    * skewing occupancy is the signal). Shape `(cell, n, err_sum)` is
+    * ADDITIVE: fold batches by summing per cell — the sketch-store
+    * discipline, each fold reads ONLY its batch, history never
+    * rescanned (cost is one broadcast assignment pass + a map-side
+    * combining aggregate over the batch). Exact integers end to end:
+    * assignment is [[assignCells]]' deterministic argmax, the error is
+    * [[quantSqDist]]'s floor(x·1000) int64 kernel — so the fold is
+    * order-free and the statistic engine-replayable (mean error =
+    * err_sum / n, derived exactly by the reader).
+    */
+  def driftStats(batch: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(batch, centroids, 1)
+      .join(broadcast(centroids.select(col("cid").as("cell"),
+        toDouble(col("cvec")).as("cv"))), Seq("cell"))
+      .select(col("cell"), quantSqDist(col("v"), col("cv")).as("err"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("err")).as("err_sum"))
+
   /** IVF-style ANN: assign every vector to its nearest centroid cell, and
     * answer queries from the union of their `nprobe` nearest cells only.
     * Centroids are caller-provided — typically a k-means output; any

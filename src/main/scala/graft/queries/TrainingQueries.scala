@@ -111,12 +111,29 @@ object TrainingQueries {
     * changes the cells and fails the hash — the trained ARTIFACT is
     * gated, not just the search over it.
     */
+  /** The trained-IVF fixture — (corpus, three-round Lloyd centroids) —
+    * computed ONCE per (session, data dir): the scan gate, the store
+    * builder, and the drift meter all read the same trained artifact,
+    * so the 300-corpus/8-seed/3-iteration constants exist in ONE place
+    * and can never drift from the shared oracle (`annIvfTrainedSql`
+    * replays them for every consumer). The centroids come back
+    * checkpointed (kmeansCentroids flattens per round), so reuse is a
+    * table read, not a retrain.
+    */
+  private val trainedIvfCache =
+    new graft.SessionCache[(DataFrame, DataFrame)]()
+  private def trainedIvf(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    trainedIvfCache.get(s, d) {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val seeds = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      (e, VectorOps.kmeansCentroids(e, seeds, iters = 3))
+    }
+
   val annIvfTrained: Q = (s, d) => {
-    val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val seeds = Tables.embeddings(s, d).filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val cents = VectorOps.kmeansCentroids(e, seeds, iters = 3)
+    val (e, cents) = trainedIvf(s, d)
     VectorOps.annIvf(e.filter(col("id") < 20), e, cents, k = 5, nprobe = 2)
   }
 
@@ -131,16 +148,29 @@ object TrainingQueries {
     */
   val annIvfTrainedStore: Q = (s, d) => {
     val dir = graft.StoreUtil.cachedStoreDir("vstoretrained", d) { p =>
-      val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val seeds = Tables.embeddings(s, d).filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      VectorStore.save(e, VectorOps.kmeansCentroids(e, seeds, iters = 3), p)
+      val (e, cents) = trainedIvf(s, d)
+      VectorStore.save(e, cents, p)
     }
     val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val st = vstoreLoaded.get(s, dir)(VectorStore.load(s, dir))
     VectorStore.query(st, queries, k = 5, nprobe = 2)
+  }
+
+  /** Drift meter over the SERVING trained centroids
+    * ([[VectorOps.driftStats]]): per-cell occupancy and exact
+    * quantized squared error of the corpus against the artifact
+    * `ann_ivf_trained` serves — the retraining-cadence signal trained
+    * artifacts otherwise lack (they are built once; appends drift the
+    * corpus and nothing else says when the cells stopped fitting). The
+    * statistic is additive per batch (PropertySpec pins the fold
+    * algebra), so a maintenance loop folds it per append and never
+    * rescans history; the oracle replays the three Lloyd rounds, the
+    * assignment, and the integer error sums end to end.
+    */
+  val annDrift: Q = (s, d) => {
+    val (e, cents) = trainedIvf(s, d)
+    VectorOps.driftStats(e, cents)
   }
 
   private val vstoreLoaded = new graft.SessionCache[VectorStore.Loaded]()
@@ -2341,6 +2371,7 @@ object TrainingQueries {
     "ann_rerank" -> annRerank,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_store" -> annIvfTrainedStore,
+    "ann_drift" -> annDrift,
     "ann_pq_trained" -> annPqTrained,
     "ann_pq_trained_store" -> annPqTrainedStore,
     "sk_cm_store" -> skCmStore,
@@ -2593,6 +2624,40 @@ object TrainingQueries {
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
        |  FROM scored)
        |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** The drift-meter replay: the trained-search chain's three Lloyd
+    * rounds and cosine nearest-cell assignment (textually the
+    * annIvfTrainedSql corpus_cells rule), then per-vector exact integer
+    * squared error against the assigned centroid in the quantSqDist
+    * domain — floor(x·1000) per component, int64 sums, so both engines
+    * fold to the same (cell, n, err_sum) rows bit for bit.
+    */
+  private val annDriftSql =
+    s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings WHERE vec_id < 300),
+       |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |${lloydRoundSql(1)},
+       |${lloydRoundSql(2)},
+       |${lloydRoundSql(3)},
+       |asg AS (SELECT id, v, cell FROM (
+       |  SELECT e.id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.id ORDER BY
+       |      list_dot_product(e.v, c.cv) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |      DESC, c.cid) AS r
+       |  FROM e, c3 c) WHERE r = 1),
+       |perid AS (SELECT t.cell, t.id,
+       |    CAST(sum(t.dx * t.dx) AS BIGINT) AS err
+       |  FROM (SELECT a.cell, a.id,
+       |      CAST(floor(a.v[CAST(u.p AS INT)] * 1000.0) AS BIGINT)
+       |        - CAST(floor(c.cv[CAST(u.p AS INT)] * 1000.0) AS BIGINT) AS dx
+       |    FROM asg a JOIN c3 c ON c.cid = a.cell,
+       |      unnest(range(1, len(a.v) + 1)) u(p)) t
+       |  GROUP BY 1, 2)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(err) AS BIGINT) AS err_sum
+       |FROM perid GROUP BY cell""".stripMargin
 
   /** The integer BM25 oracle — rational idf, k1/b as exact ratios,
     * HUGEINT products (see [[graft.ops.TextOps.bm25]]).
@@ -3567,6 +3632,10 @@ object TrainingQueries {
     // changes layout, never answers — ONE oracle for both
     "ann_ivf_trained" -> annIvfTrainedSql,
     "ann_ivf_trained_store" -> annIvfTrainedSql,
+    // the drift meter's replay: the same three Lloyd rounds and cosine
+    // assignment as the trained-search chain, then exact integer error
+    // sums in the quantSqDist domain (floor(x·1000) per component)
+    "ann_drift" -> annDriftSql,
     // the trained-codebook ADC: two integer-exact PQ Lloyd rounds feed
     // the SAME encode/LUT/ADC tail the sampled chain uses; the
     // compacted-store twin changes layout, never answers — ONE oracle

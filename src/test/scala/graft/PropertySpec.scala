@@ -676,4 +676,31 @@ class PropertySpec extends AnyFunSuite {
           s"seed=$seed: epochs $a and $b produced identical layouts")
     }
   }
+
+  test("drift stats are additive: per-batch folds sum to the one-shot " +
+      "statistic, for any split of the corpus") {
+    // the retraining-cadence meter's maintenance contract: a loop folds
+    // driftStats(batch) per append (sum n / err_sum by cell) and the
+    // accumulated rows must equal a full-corpus recomputation — exact
+    // integers, so equality is bitwise, not approximate
+    import graft.ops.VectorOps
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Tables.embeddings(spark, sf).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def statsSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val oneShot = statsSet(VectorOps.driftStats(emb, cents))
+    val rnd = new Random(7)
+    for (_ <- 0 until 3) {
+      val cut = 1 + rnd.nextInt(298)
+      val folded = VectorOps.driftStats(emb.filter(col("id") < cut), cents)
+        .unionByName(
+          VectorOps.driftStats(emb.filter(col("id") >= cut), cents))
+        .groupBy(col("cell"))
+        .agg(sum(col("n")).as("n"), sum(col("err_sum")).as("err_sum"))
+      assert(statsSet(folded) == oneShot, s"cut=$cut")
+    }
+  }
 }
