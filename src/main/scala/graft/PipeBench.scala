@@ -104,9 +104,16 @@ object PipeBench {
       val warmG = ClusterOps.flatten(gateOf(batch))
       ClusterOps.flatten(DupStore.probeStrip(st, warmG, "doc_id", "text"))
       val gated = time(s"gate_$label")(ClusterOps.flatten(gateOf(batch)))
-      val (stripped, probeSec) = timed(s"probe_strip_$label")(
-        ClusterOps.flatten(
+      // the probe wall feeds a hard require below, so it is the MEDIAN
+      // of three timed passes (Bench.scala's calib_sec discipline) — a
+      // single measurement on a loaded or thermally-throttled host can
+      // spuriously fail a healthy run; the median rejects one bad draw
+      val probes = (1 to 3).map { i =>
+        timed(s"probe_strip_${label}_r$i")(ClusterOps.flatten(
           DupStore.probeStrip(st, gated, "doc_id", "text")))
+      }
+      val stripped = probes.head._1
+      val probeSec = probes.map(_._2).sorted.apply(1)
       val staged = ClusterOps.flatten(stripped
         .join(batch.select(col("doc_id"), col("source")), "doc_id")
         .select(col("doc_id"), col("source"),

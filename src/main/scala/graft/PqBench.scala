@@ -152,7 +152,9 @@ object PqBench {
         f"trained-codebook recall $rAdcT%.3f regressed below the " +
           f"sampled baseline $rAdc%.3f at the pinned default config")
     else if (rAdcT < rAdc)
-      println(f"""{"warn":"trained recall below sampled at non-default config","sampled":$rAdc%.3f,"trained":$rAdcT%.3f}""")
+      // the config rides in the warning so a scraped line is actionable
+      // without the invocation that produced it
+      println(f"""{"warn":"trained recall below sampled at non-default config","sampled":$rAdc%.3f,"trained":$rAdcT%.3f,"n":$n,"dims":$dims,"cells":$cells,"m":$m}""")
     println(f"""{"recall_adc_sampled":$rAdc%.3f,"recall_adc_trained":$rAdcT%.3f}""")
 
     // verification slice: served ADC == in-memory composite

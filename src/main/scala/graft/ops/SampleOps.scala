@@ -336,6 +336,8 @@ object SampleOps {
     * bucket per stratum pays its doc-level scan), but the
     * classification never re-aggregates history.
     */
+  private val strataProbe = new graft.SessionCache[Long]()
+
   def tokenBudgetSampleWith(df: DataFrame, idCol: String,
       stratumCol: String, tokCol: Column, budgets: DataFrame,
       salt: String, bucketStats: DataFrame): DataFrame = {
@@ -371,16 +373,25 @@ object SampleOps {
     // and shuffle the FULL CORPUS on (stratum, bucket). But unlike the
     // |strata|-row siblings the bound MULTIPLIES by 65536, and a forced
     // broadcast bypasses autoBroadcastJoinThreshold entirely — a
-    // generated recipe with thousands of strata would hard-fail where
-    // the planner's sort-merge degrades gracefully. The recipe is
-    // driver-countable for pennies (a literal or near-literal frame —
-    // and limit() bounds the probe even for a derived one; budgets is
-    // #strata rows by contract, so no dedup pass is needed), so the
-    // hint engages only while the product stays comfortably
-    // broadcastable (≤ 128 strata ⇒ ≤ 8.4M rows). Past the cliff the
-    // planner decides from its own stats — the pre-hint behavior.
+    // generated recipe with even hundreds of strata would pin hundreds
+    // of MB as an executor hash relation where the planner's sort-merge
+    // degrades gracefully. The recipe is driver-countable for pennies
+    // (a literal or near-literal frame — and limit() bounds the probe
+    // even for a derived one; budgets is #strata rows by contract, so
+    // no dedup pass is needed), so the hint engages only while the
+    // product stays COMFORTABLY inside every executor (≤ 16 strata ⇒
+    // ≤ 1M (stratum, bucket) rows). Past the cliff the planner decides
+    // from its own stats — the pre-hint behavior. The probe itself is
+    // memoized per (session, recipe plan): a streaming loop re-calling
+    // this per micro-batch with the same recipe frame pays ONE driver
+    // job, not one per batch; a semantic-hash collision could only
+    // mis-steer the HINT (performance, never answers).
+    val nStrata = strataProbe.get(df.sparkSession,
+      "strata|" + budgets.queryExecution.analyzed.semanticHash()) {
+      budgets.limit(17).count()
+    }
     val fullKeepHinted =
-      if (budgets.limit(129).count() <= 128L) broadcast(fullKeep)
+      if (nStrata <= 16L) broadcast(fullKeep)
       else fullKeep
     val k1 = d.join(fullKeepHinted, Seq(stratumCol, "__b"), "left_semi")
       .select(keep: _*)
