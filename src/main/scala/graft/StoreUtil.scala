@@ -212,21 +212,35 @@ object StoreUtil {
     fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, name))
 
   /** The broken-vs-absent probe every [[saveManifested]] family shares:
-    * manifest present → healthy; data present WITHOUT a manifest → a
-    * crashed save that must REFUSE (reading it as absent would let a
-    * maintenance loop silently reset history); neither → absent. ONE
-    * definition so a future crash-protocol strengthening (temp-dir +
-    * atomic rename changing what "broken" looks like, say) lands in
-    * every family at once — exactly the drift channel the per-store
-    * copies this replaces kept warning about.
+    * manifest present → healthy; data OR a swap sibling present WITHOUT
+    * a manifest → a crashed save that must REFUSE (reading it as absent
+    * would let a maintenance loop silently reset history); neither →
+    * absent. The swap probes are load-bearing, not belt-and-braces:
+    * [[saveManifested]]'s delete-live-then-rename window (and
+    * [[replaceMarker]]'s delete-then-rename window) leave the LIVE
+    * subdir or marker absent while the complete replacement sits in the
+    * dot-prefixed swap sibling — without probing it, that crash would
+    * read as ABSENT and a restarted create-or-append loop would reset
+    * accumulated history, the exact failure this rule exists to refuse.
+    * ONE definition so a crash-protocol strengthening lands in every
+    * family at once — exactly the drift channel the per-store copies
+    * this replaces kept warning about.
     */
   def manifestedStoreExists(spark: SparkSession, path: String,
       subdir: String, marker: String, what: String,
       diagnosis: String): Boolean = {
     val healthy = readMarker(spark, path, marker).isDefined
-    if (!healthy && pathExists(spark, path, subdir))
-      throw new IllegalStateException(
-        s"$path holds $what but no $marker — $diagnosis")
+    if (!healthy) {
+      val swapped = pathExists(spark, path, s".swap_$subdir") ||
+        pathExists(spark, path, s".swap_$marker")
+      if (pathExists(spark, path, subdir) || swapped)
+        throw new IllegalStateException(
+          s"$path holds $what but no $marker — $diagnosis" +
+            (if (swapped) " (a crashed swap left the complete " +
+              "replacement in the dot-prefixed swap sibling — rename " +
+              "it into place to recover)"
+             else ""))
+    }
     healthy
   }
 

@@ -82,11 +82,11 @@ object ProvenanceLog {
     // would each re-read the same kilobyte marker (three object-store
     // round-trips per delivery for nothing)
     val mfOpt = graft.StoreUtil.readMarker(spark, path, ManifestFile)
-    if (mfOpt.isEmpty && graft.StoreUtil.pathExists(spark, path, "rows"))
-      throw new IllegalStateException(
-        s"$path holds rows but no $ManifestFile — the first append " +
-          "crashed before its commit; delete the directory and " +
-          "re-append the delivery")
+    // the ONE shared broken-vs-absent rule (exists() covers the crashed
+    // first append AND the crashed manifest swap, with the right
+    // remedies); it re-reads the marker, but only on the rare
+    // no-manifest path — ledger creation or damage, never per delivery
+    if (mfOpt.isEmpty) { exists(spark, path); () }
     // sign-tolerant last_batch parse — SketchOps.lastBatchId's rule
     val last = mfOpt.flatMap(
       "\"last_batch\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(_))
@@ -105,19 +105,35 @@ object ProvenanceLog {
     // replaces the orphan a crashed attempt at this same counter left
     rows.coalesce(1).write.mode("overwrite").parquet(s"$path/rows/$part")
     // the manifest swap IS the commit — before it, load() cannot see
-    // the new part; after it, the part is history and never rewritten
+    // the new part; after it, the part is history and never rewritten.
+    // An explicit batchId advances the zombie guard; a manual
+    // no-batchId append must NOT erase the recorded one (the family's
+    // orElse rule — dropping it would let a redelivered batch append
+    // twice after a catch-up append)
     graft.StoreUtil.replaceMarker(spark, path, ManifestFile,
-      manifest(ingests + 1L, parts :+ part, batchId))
+      manifest(ingests + 1L, parts :+ part, batchId.orElse(last)))
   }
 
-  /** Rename a v1 flat `rows/` into part `d0` — metadata ops only. */
+  /** Rename a v1 flat `rows/` into part `d0` — metadata ops only, and
+    * IDEMPOTENT under redelivery: the commit (the v2 manifest swap)
+    * happens later in [[append]], so a crash after these renames
+    * re-enters with the v1 manifest still in place — the finished
+    * layout (`rows/d0` present) is recognized and returned, a
+    * half-migrated one (`.mig_rows` held, `rows/` gone) is completed.
+    * Blindly re-renaming would nest the committed history
+    * (`rows/d0/d0`) and fold any crashed orphan part into it.
+    */
   private def migrateV1(spark: SparkSession, path: String): String = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = new org.apache.hadoop.fs.Path(path, "rows")
     val hold = new org.apache.hadoop.fs.Path(path, ".mig_rows")
-    if (!fs.rename(rows, hold) || !fs.mkdirs(rows) ||
-        !fs.rename(hold, new org.apache.hadoop.fs.Path(s"$path/rows", "d0")))
+    val d0 = new org.apache.hadoop.fs.Path(s"$path/rows", "d0")
+    if (fs.exists(d0)) return "d0" // a crashed retry already migrated
+    if (!fs.exists(hold) && !fs.rename(rows, hold))
+      throw new IllegalStateException(
+        s"could not migrate the v1 ledger at $path to the part layout")
+    if (!fs.mkdirs(rows) || !fs.rename(hold, d0))
       throw new IllegalStateException(
         s"could not migrate the v1 ledger at $path to the part layout")
     "d0"

@@ -246,9 +246,10 @@ object SampleOps {
     val merged = stored.unionByName(batchStats)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n_total")).as("n_total"))
-    // materialize off the source files before overwriting them (the
-    // merge plan lazily reads the very parquet the write replaces)
-    saveMixStatsAt(ClusterOps.flatten(merged), path, batchId, ingests + 1L)
+    // no checkpoint needed: saveManifested's swap protocol consumes the
+    // merge plan into the swap directory while the live stats files are
+    // still intact — the lazy read and the overwrite never overlap
+    saveMixStatsAt(merged, path, batchId, ingests + 1L)
   }
 
   /** Token-budget mixture sampling — the pretraining-recipe control
@@ -327,6 +328,10 @@ object SampleOps {
         conv(substring(col("__h"), 1, 4), 16, 10).cast("long"))
   }
 
+  // per-(session, recipe plan) memo for the strata-count broadcast-hint
+  // probe below
+  private val strataProbe = new graft.SessionCache[Long]()
+
   /** [[tokenBudgetSample]] with the radix table supplied EXTERNALLY —
     * the serving entry point for a recipe maintained in a store
     * ([[tokenBucketStats]] shape, possibly folded across micro-batches
@@ -336,8 +341,6 @@ object SampleOps {
     * bucket per stratum pays its doc-level scan), but the
     * classification never re-aggregates history.
     */
-  private val strataProbe = new graft.SessionCache[Long]()
-
   def tokenBudgetSampleWith(df: DataFrame, idCol: String,
       stratumCol: String, tokCol: Column, budgets: DataFrame,
       salt: String, bucketStats: DataFrame): DataFrame = {

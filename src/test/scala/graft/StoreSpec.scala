@@ -970,6 +970,17 @@ class StoreSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       SampleOps.mixStatsStoreExists(spark, ms)
     }
+    // the delete-live-then-rename window: manifest gone, live subdir
+    // gone, the COMPLETE replacement stranded in the swap dir — this
+    // must read as BROKEN (with the swap-recovery hint), never as
+    // absent, or a restarted create-or-append loop would silently
+    // reset history with one batch
+    StoreUtil.deleteDir(spark, s"$ms/stats")
+    new java.io.File(s"$ms/.swap_stats").mkdirs()
+    val midSwap = intercept[IllegalStateException] {
+      SampleOps.mixStatsStoreExists(spark, ms)
+    }
+    assert(midSwap.getMessage.contains("swap"), midSwap.getMessage)
     // family 3: bloom store (bits)
     val bl = Files.createTempDirectory("graft_swap_bloom").toString + "/bloom"
     val bsk = SketchOps.bloomSketch(
@@ -1031,9 +1042,18 @@ class StoreSpec extends AnyFunSuite {
     // the retried delivery overwrites its own orphan and commits it
     ProvenanceLog.append(spark, dir, rowsFor(3L), Some(3L))
     assert(ProvenanceLog.load(spark, dir).count() == 8L)
-    // rows without a manifest: the broken-vs-absent refusal holds
+    // rows without a manifest: the broken-vs-absent refusal holds —
+    // and because a crashed replaceMarker strands the complete new
+    // manifest in its swap sibling, that state must refuse too (with
+    // the recovery hint), via append's shared probe as well
     StoreUtil.deleteMarker(spark, dir, ProvenanceLog.ManifestFile)
     intercept[IllegalStateException] { ProvenanceLog.exists(spark, dir) }
+    StoreUtil.writeMarker(spark, dir,
+      s".swap_${ProvenanceLog.ManifestFile}", """{"version":2}""")
+    val swapCrash = intercept[IllegalStateException] {
+      ProvenanceLog.append(spark, dir, rowsFor(9L), Some(9L))
+    }
+    assert(swapCrash.getMessage.contains("swap"), swapCrash.getMessage)
   }
 
   test("a v1 flat-layout ledger migrates to the part layout on its " +
@@ -1069,5 +1089,57 @@ class StoreSpec extends AnyFunSuite {
       Some(2L))
     assert(ProvenanceLog.load(spark, dir).count() == 3L,
       "zombie re-append after migration must stay a no-op")
+  }
+
+  test("a crashed v1 migration retries idempotently: the finished " +
+      "layout is recognized, never re-nested") {
+    import graft.ops.ProvenanceLog
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ledger_remig").toString + "/l"
+    // simulate a crash AFTER migrateV1's renames but BEFORE the v2
+    // commit: v1 manifest still in place over the already-migrated
+    // nested layout (rows/d0) — the redelivered append must NOT rename
+    // rows/ again (that would nest committed history as rows/d0/d0)
+    val legacy = Seq(("dup_index", 0L, 2L))
+      .toDF("artifact", "delivery_id", "ingests")
+    legacy.coalesce(1).write.parquet(s"$dir/rows/d0")
+    StoreUtil.writeMarker(spark, dir, ProvenanceLog.ManifestFile,
+      """{"version":1,"ingests":1,"last_batch":0}""")
+    ProvenanceLog.append(spark, dir,
+      Seq(("dup_index", 1L, 3L)).toDF("artifact", "delivery_id", "ingests"),
+      Some(1L))
+    assert(!new java.io.File(s"$dir/rows/d0/d0").exists,
+      "a retried migration re-nested the committed history")
+    assert(ProvenanceLog.load(spark, dir)
+      .select("artifact", "delivery_id", "ingests").collect()
+      .map(_.toSeq).toSet ==
+      Set(Seq("dup_index", 0L, 2L), Seq("dup_index", 1L, 3L)))
+    // the half-migrated state (.mig_rows held, rows/ gone) completes too
+    val dir2 = Files.createTempDirectory("graft_ledger_hold").toString + "/l"
+    legacy.coalesce(1).write.parquet(s"$dir2/.mig_rows")
+    StoreUtil.writeMarker(spark, dir2, ProvenanceLog.ManifestFile,
+      """{"version":1,"ingests":1,"last_batch":0}""")
+    ProvenanceLog.append(spark, dir2,
+      Seq(("dup_index", 1L, 3L)).toDF("artifact", "delivery_id", "ingests"),
+      Some(1L))
+    assert(ProvenanceLog.load(spark, dir2)
+      .select("artifact", "delivery_id", "ingests").collect()
+      .map(_.toSeq).toSet ==
+      Set(Seq("dup_index", 0L, 2L), Seq("dup_index", 1L, 3L)))
+  }
+
+  test("a manual no-batchId ledger append preserves the zombie guard") {
+    import graft.ops.ProvenanceLog
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ledger_zg").toString + "/l"
+    def rows(id: Long) = Seq(("dup_index", id, 2L))
+      .toDF("artifact", "delivery_id", "ingests")
+    ProvenanceLog.append(spark, dir, rows(5L), Some(5L))
+    // a catch-up append without a batchId must not erase last_batch...
+    ProvenanceLog.append(spark, dir, rows(6L), None)
+    // ...so the zombie redelivery of batch 5 is still a full no-op
+    ProvenanceLog.append(spark, dir, rows(5L), Some(5L))
+    assert(ProvenanceLog.load(spark, dir).count() == 2L,
+      "the no-batchId append disarmed the zombie guard")
   }
 }
