@@ -309,6 +309,16 @@ object StoreUtil {
     "\"ingests\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(manifest)
       .map(_.group(1).toLong).getOrElse(1L)
 
+  /** The string-level `last_batch` parse — ONE rule (sign-tolerant: a
+    * negative explicit id must read back, or the idempotence guard
+    * silently disarms), shared by [[graft.ops.SketchOps.lastBatchId]]
+    * (the file-reading form) and every append that already holds the
+    * manifest string and must not pay a second marker read for it.
+    */
+  def lastBatchOf(manifest: String): Option[Long] =
+    "\"last_batch\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(manifest)
+      .map(_.group(1).toLong)
+
   /** The compaction watermark — the ingest count the store last
     * compacted at (0 for never, and for pre-watermark manifests).
     * ONE parsing rule shared by every family that folds batches as

@@ -65,6 +65,10 @@ object BpeStore {
     require(v.select(col("token")).distinct().count() == n,
       "vocabulary tokens must be unique — a duplicate would fan out " +
         "the encode join and duplicate positions")
+    // save counter — the ModelStore rationale: a retrain in place must
+    // advance it so a ledger-driven replay can refuse the wrong tokenizer
+    val saves = graft.StoreUtil.readMarker(spark, path, ManifestFile)
+      .map(graft.StoreUtil.ingestsOf).getOrElse(0L) + 1L
     graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
     val spark2 = v.sparkSession
     import spark2.implicits._
@@ -75,7 +79,7 @@ object BpeStore {
     v.coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
       s"""{"version":$FormatVersion,"n_merges":${merges.size},""" +
-        s""""vocab_size":$n}""")
+        s""""vocab_size":$n,"ingests":$saves}""")
   }
 
   /** Healthy-store probe with the family's broken-vs-absent rule. */

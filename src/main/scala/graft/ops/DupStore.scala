@@ -113,10 +113,17 @@ object DupStore {
         s"$path was compacted at ingest $compactedAt, past the requested " +
           s"as-of state $asOf — that state only exists in an earlier " +
           "generation of this chain")
-    if (!st.hashes.columns.contains("ingest_seq"))
+    // the column-presence probe alone misses a MIXED store (pre-tag
+    // files appended to after tags existed read back with NULL seqs,
+    // and `null <= asOf` would silently drop that legacy history from
+    // the replayed strip); the null scan is one bounded job on a
+    // replay-only path
+    if (!st.hashes.columns.contains("ingest_seq") ||
+        !st.hashes.filter(col("ingest_seq").isNull).isEmpty)
       throw new IllegalStateException(
-        s"$path carries no ingest_seq tags (pre-tag store) — as-of reads " +
-          "need the per-ingest rollback identity")
+        s"$path carries untagged hash rows (pre-tag store or mixed " +
+          "legacy files) — as-of reads need the per-ingest rollback " +
+          "identity on every row")
     st.copy(hashes = st.hashes.filter(col("ingest_seq") <= asOf))
   }
 

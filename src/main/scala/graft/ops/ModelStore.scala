@@ -44,6 +44,13 @@ object ModelStore {
     require(featWeights.map(_._1).distinct.size == featWeights.size,
       "feature names must be unique — a duplicate would mis-align " +
         "scoring")
+    // the save COUNTER: a re-save over an existing store (a retrain in
+    // place) advances it, which is what lets a delivery's provenance
+    // row later prove the model a replay scores with is the model the
+    // delivery scored with — without it, retrain-then-replay would be
+    // silently wrong (pre-counter manifests read as 1, the lenient rule)
+    val saves = graft.StoreUtil.readMarker(spark, path, ManifestFile)
+      .map(graft.StoreUtil.ingestsOf).getOrElse(0L) + 1L
     graft.StoreUtil.deleteMarker(spark, path, ManifestFile)
     import spark.implicits._
     featWeights.zipWithIndex
@@ -51,7 +58,8 @@ object ModelStore {
       .toDF("i", "feat", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
-      s"""{"version":$FormatVersion,"n_weights":${featWeights.size}}""")
+      s"""{"version":$FormatVersion,"n_weights":${featWeights.size},""" +
+        s""""ingests":$saves}""")
   }
 
   /** Healthy-store probe with the family's broken-vs-absent rule. */

@@ -40,19 +40,47 @@ object ProvenanceLog {
 
   val ManifestFile = "_graft_provlog.json"
 
-  private def manifest(ingests: Long, parts: Seq[String],
+  private def manifest(ingests: Long, parts: Seq[Long],
       batchId: Option[Long]): String =
     s"""{"version":2,"ingests":$ingests""" +
-      s""","parts":"${parts.mkString(",")}"""" +
+      s""","parts":"${encodeParts(parts)}"""" +
       batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
 
-  /** The committed part list — absent field (a v1 manifest) reads as
-    * empty; [[load]] branches to the flat layout on version instead.
+  /** The committed part numbers (part `k` lives at `rows/d<k>`),
+    * RANGE-encoded ("0,2-5" = d0, d2..d5): the common append (no
+    * retirement gaps) extends one run, so the manifest the commit
+    * rewrites stays O(gaps) bytes — a plain comma list would quietly
+    * grow the "O(1) append" back to O(deliveries) metadata at a
+    * long-lived pipeline's delivery counts.
     */
-  private def partsOf(mf: String): Seq[String] =
+  private def encodeParts(ks: Seq[Long]): String = {
+    val s = ks.distinct.sorted
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      var j = i
+      while (j + 1 < s.length && s(j + 1) == s(j) + 1L) j += 1
+      if (out.nonEmpty) out += ','
+      out ++= (if (i == j) s(i).toString else s"${s(i)}-${s(j)}")
+      i = j + 1
+    }
+    out.toString
+  }
+
+  /** Absent field (a v1 manifest) reads as empty; [[load]] branches to
+    * the flat layout on version instead.
+    */
+  private def partsOf(mf: String): Seq[Long] =
     "\"parts\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(mf)
       .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+      .map(_.split(',').toSeq.flatMap { t =>
+        t.split('-') match {
+          case Array(a) => Seq(a.toLong)
+          case Array(a, b) => a.toLong to b.toLong
+          case _ => throw new IllegalStateException(
+            s"unparseable parts token '$t' in a provenance manifest")
+        }
+      }).getOrElse(Seq.empty)
 
   /** Whether a healthy log exists at `path` (the family's
     * broken-vs-absent rule: rows without a manifest are a crashed
@@ -87,10 +115,8 @@ object ProvenanceLog {
     // remedies); it re-reads the marker, but only on the rare
     // no-manifest path — ledger creation or damage, never per delivery
     if (mfOpt.isEmpty) { exists(spark, path); () }
-    // sign-tolerant last_batch parse — SketchOps.lastBatchId's rule
-    val last = mfOpt.flatMap(
-      "\"last_batch\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(_))
-      .map(_.group(1).toLong)
+    // the ONE sign-tolerant last_batch rule
+    val last = mfOpt.flatMap(graft.StoreUtil.lastBatchOf)
     if (mfOpt.isDefined && batchId.isDefined && batchId == last) return
     val (ingests, parts) = mfOpt.map { m =>
       graft.StoreUtil.requireVersion(m, 2, s"provenance log at $path")
@@ -99,7 +125,7 @@ object ProvenanceLog {
       if (graft.StoreUtil.manifestVersion(m) == 1)
         (n, Seq(migrateV1(spark, path)))
       else (n, partsOf(m))
-    }.getOrElse((0L, Seq.empty[String]))
+    }.getOrElse((0L, Seq.empty[Long]))
     val part = s"d${ingests + 1L}"
     // the part write is the delivery's only data IO; overwrite mode
     // replaces the orphan a crashed attempt at this same counter left
@@ -111,7 +137,7 @@ object ProvenanceLog {
     // orElse rule — dropping it would let a redelivered batch append
     // twice after a catch-up append)
     graft.StoreUtil.replaceMarker(spark, path, ManifestFile,
-      manifest(ingests + 1L, parts :+ part, batchId.orElse(last)))
+      manifest(ingests + 1L, parts :+ (ingests + 1L), batchId.orElse(last)))
   }
 
   /** Rename a v1 flat `rows/` into part `d0` — metadata ops only, and
@@ -123,20 +149,20 @@ object ProvenanceLog {
     * Blindly re-renaming would nest the committed history
     * (`rows/d0/d0`) and fold any crashed orphan part into it.
     */
-  private def migrateV1(spark: SparkSession, path: String): String = {
+  private def migrateV1(spark: SparkSession, path: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = new org.apache.hadoop.fs.Path(path, "rows")
     val hold = new org.apache.hadoop.fs.Path(path, ".mig_rows")
     val d0 = new org.apache.hadoop.fs.Path(s"$path/rows", "d0")
-    if (fs.exists(d0)) return "d0" // a crashed retry already migrated
+    if (fs.exists(d0)) return 0L // a crashed retry already migrated
     if (!fs.exists(hold) && !fs.rename(rows, hold))
       throw new IllegalStateException(
         s"could not migrate the v1 ledger at $path to the part layout")
     if (!fs.mkdirs(rows) || !fs.rename(hold, d0))
       throw new IllegalStateException(
         s"could not migrate the v1 ledger at $path to the part layout")
-    "d0"
+    0L
   }
 
   def load(spark: SparkSession, path: String): DataFrame = {
@@ -147,7 +173,7 @@ object ProvenanceLog {
     else {
       val parts = partsOf(mf)
       require(parts.nonEmpty, s"provenance log at $path commits no parts")
-      spark.read.parquet(parts.map(p => s"$path/rows/$p"): _*)
+      spark.read.parquet(parts.map(k => s"$path/rows/d$k"): _*)
     }
   }
 }

@@ -192,14 +192,19 @@ object SampleOps {
 
   def saveMixStats(stats: DataFrame, path: String,
       batchId: Option[Long] = None): Unit =
-    saveMixStatsAt(stats, path, batchId, ingests = 1L)
+    // a re-save over an existing store (a history reset) advances the
+    // counter like a fold would — the ModelStore.save rule, so a
+    // ledger-driven replay can refuse EITHER kind of drift
+    saveMixStatsAt(stats, path, batchId,
+      graft.StoreUtil.readMarker(stats.sparkSession, path, MixManifestFile)
+        .map(graft.StoreUtil.ingestsOf).getOrElse(0L) + 1L)
 
   /** The shared writer with the ingest counter explicit — a fresh save
-    * is ingest 1, [[appendMixStats]] advances it. The counter is what
-    * lets a delivery's provenance row later PROVE the store was not
-    * folded into between the delivery and a replay (a pre-counter
-    * manifest reads as 1 via the family's lenient rule, so old stores
-    * keep loading).
+    * is ingest 1, [[appendMixStats]] (and a re-save) advances it. The
+    * counter is what lets a delivery's provenance row later PROVE the
+    * store was not folded into between the delivery and a replay (a
+    * pre-counter manifest reads as 1 via the family's lenient rule, so
+    * old stores keep loading).
     */
   private def saveMixStatsAt(stats: DataFrame, path: String,
       batchId: Option[Long], ingests: Long): Unit =
@@ -231,14 +236,16 @@ object SampleOps {
     */
   def appendMixStats(spark: org.apache.spark.sql.SparkSession, path: String,
       batchStats: DataFrame, batchId: Option[Long] = None): Unit = {
-    if (batchId.isDefined &&
-        batchId == SketchOps.lastBatchId(spark, path, MixManifestFile))
-      return
-    val ingests = graft.StoreUtil.ingestsOf(
-      graft.StoreUtil.readMarker(spark, path, MixManifestFile).getOrElse(
-        throw new IllegalStateException(
-          s"$path is not a mix-stats store (no $MixManifestFile)")))
-    val stored = loadMixStats(spark, path)
+    // ONE manifest read serves the existence check, the zombie guard,
+    // and the ingest counter (the ProvenanceLog.append discipline —
+    // each is a kilobyte marker round-trip per micro-batch otherwise)
+    val mf = graft.StoreUtil.readMarker(spark, path, MixManifestFile)
+      .getOrElse(throw new IllegalStateException(
+        s"$path is not a mix-stats store (no $MixManifestFile)"))
+    graft.StoreUtil.requireVersion(mf, 1, s"mix-stats store at $path")
+    val last = graft.StoreUtil.lastBatchOf(mf)
+    if (batchId.isDefined && batchId == last) return
+    val stored = spark.read.parquet(s"$path/stats")
     require(batchStats.columns.sorted.toSeq == stored.columns.sorted.toSeq,
       s"batch stats (${batchStats.columns.mkString(",")}) do not match " +
         s"the stored schema (${stored.columns.mkString(",")})")
@@ -248,8 +255,11 @@ object SampleOps {
       .agg(sum(col("n_total")).as("n_total"))
     // no checkpoint needed: saveManifested's swap protocol consumes the
     // merge plan into the swap directory while the live stats files are
-    // still intact — the lazy read and the overwrite never overlap
-    saveMixStatsAt(merged, path, batchId, ingests + 1L)
+    // still intact — the lazy read and the overwrite never overlap. A
+    // no-batchId fold must not erase the recorded last_batch (the
+    // family's orElse zombie rule).
+    saveMixStatsAt(merged, path, batchId.orElse(last),
+      graft.StoreUtil.ingestsOf(mf) + 1L)
   }
 
   /** Token-budget mixture sampling — the pretraining-recipe control

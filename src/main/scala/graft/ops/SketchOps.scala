@@ -214,14 +214,11 @@ object SketchOps {
     */
   def lastBatchId(spark: SparkSession, path: String,
       manifestFile: String): Option[Long] =
+    // the parse itself is StoreUtil.lastBatchOf — ONE sign-tolerant
+    // rule, shared with every append that already holds the manifest
+    // string (appendPq's prevLast, appendMixStats, ProvenanceLog)
     graft.StoreUtil.readMarker(spark, path, manifestFile)
-      // sign-tolerant: foreachBatch ids are >= 0, but nothing stops a
-      // caller recording a negative explicit id, and a parser that
-      // can't read it back would silently disarm the idempotence guard
-      // (Some(-7) != None on redelivery). Must stay in lockstep with
-      // appendPq's prevLast parser (VectorStore.scala) — one sign rule.
-      .flatMap("\"last_batch\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(_))
-      .map(_.group(1).toLong)
+      .flatMap(graft.StoreUtil.lastBatchOf)
 
   private def batchField(batchId: Option[Long]): String =
     batchId.map(id => s""","last_batch":$id""").getOrElse("")

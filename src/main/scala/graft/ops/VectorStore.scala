@@ -440,8 +440,7 @@ object VectorStore {
     // last_batch — the LshStore zombie-guard rule: a catch-up append
     // between a streaming crash and its restart would otherwise let
     // the redelivered batch append twice
-    val prevLast = "\"last_batch\"\\s*:\\s*(-?\\d+)".r
-      .findFirstMatchIn(mfPre).map(_.group(1).toLong)
+    val prevLast = graft.StoreUtil.lastBatchOf(mfPre)
     graft.StoreUtil.writeMarker(spark, path, ManifestFile,
       pqManifest(st.m, st.dim, appends + 1L, batchId.orElse(prevLast),
         // the watermark survives the append-rewritten manifest — a

@@ -1201,8 +1201,13 @@ object TrainingQueries {
     * trained-codebook equality across the rewrite directly.
     */
   val annPqTrainedStore: Q = (s, d) => {
+    // hoisted OUT of the builder closure: a cachedStoreDir builder must
+    // never call cachedStoreDir (nested computeIfAbsent on one map —
+    // same-bin keys throw "Recursive update"); the pipeReplayQ fixture
+    // follows the same hoist discipline
+    val src = pqTrainedStoreDir(s, d)
     val dir = graft.StoreUtil.cachedStoreDir("pqtrainedg1", d) { p =>
-      VectorStore.compact(s, pqTrainedStoreDir(s, d), p)
+      VectorStore.compact(s, src, p)
     }
     val st = pqstoreLoaded.get(s, dir)(VectorStore.loadPq(s, dir))
     VectorStore.queryAdc(st, pqQueries(s, d), k = 5, nprobe = 2)
@@ -1727,6 +1732,18 @@ object TrainingQueries {
     led.getOrElse(artifact, throw new IllegalStateException(
       s"delivery $deliveryId's ledger rows record no '$artifact' artifact"))
 
+  /** Per-invocation replay pin token: the delivery id for the audit
+    * trail, plus pid + a counter so two CONCURRENT replays of the same
+    * delivery hold independent pins — a shared token would let the
+    * first to finish unpin the generation out from under the other,
+    * the reader-killed-mid-scan failure the pin protocol exists to
+    * prevent.
+    */
+  private val replayNonce = new java.util.concurrent.atomic.AtomicLong()
+  private def replayToken(deliveryId: Long): String =
+    s"replay_d${deliveryId}_p${ProcessHandle.current().pid()}_" +
+      replayNonce.incrementAndGet()
+
   /** Pin every dir for the scope of `body`, unpinning whatever was
     * actually pinned on ANY exit — a refused pin (GC beat us to a
     * generation) propagates after releasing the earlier pins, so a
@@ -1800,7 +1817,7 @@ object TrainingQueries {
       ledgerEntry(led, deliveryId, "quality_model").generation)
     val dupDir = graft.StoreUtil.generationPath(dupBase,
       ledgerEntry(led, deliveryId, "dup_index").generation)
-    withPins(s, Seq(lrDir, dupDir), s"replay_d$deliveryId") {
+    withPins(s, Seq(lrDir, dupDir), replayToken(deliveryId)) {
       ClusterOps.flatten(
         replayCleanedCore(s, led, deliveryId, lrDir, dupDir, batch))
     }
@@ -1842,7 +1859,7 @@ object TrainingQueries {
     val statsDir = dirOf("mix_stats", statsBase)
     val bpeDir = dirOf("tokenizer", bpeBase)
     withPins(s, Seq(lrDir, dupDir, statsDir, bpeDir),
-        s"replay_d$deliveryId") {
+        replayToken(deliveryId)) {
       requireRecordedState(s, statsDir,
         graft.ops.SampleOps.MixManifestFile, "mix-stats store",
         ledgerEntry(led, deliveryId, "mix_stats").ingests)
