@@ -165,6 +165,43 @@ object ProvenanceLog {
     0L
   }
 
+  /** Age-based retirement — the operation the part layout exists for:
+    * drop every committed part numbered below `minPart` from the
+    * manifest (the same atomic swap commit), then delete the dropped
+    * directories; returns the deleted paths. Parts are numbered by the
+    * append-time ingest counter, i.e. in delivery ORDER, so "retire
+    * everything before part k" is the ledger's age cut. Metadata-only
+    * with respect to the retained history (nothing rewritten). A crash
+    * between the commit and the deletes leaves orphan directories no
+    * load can see — retained disk, never wrong answers. SINGLE WRITER
+    * (the append owner runs retirement): a concurrent retire could not
+    * distinguish an in-flight append's uncommitted part from garbage.
+    */
+  def retireBefore(spark: SparkSession, path: String,
+      minPart: Long): Seq[String] = {
+    val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
+      "provenance log", supported = 2)
+    if (graft.StoreUtil.manifestVersion(mf) == 1)
+      throw new IllegalStateException(
+        s"$path is a v1 flat ledger — retirement needs the part layout " +
+          "(append once to migrate)")
+    val parts = partsOf(mf)
+    val (drop, keep) = parts.partition(_ < minPart)
+    if (drop.isEmpty) return Seq.empty
+    require(keep.nonEmpty,
+      s"refusing to retire every part of the ledger at $path — delete " +
+        "the directory if the whole history is truly condemned")
+    graft.StoreUtil.replaceMarker(spark, path, ManifestFile,
+      manifest(graft.StoreUtil.manifestLong(mf, "ingests",
+        s"provenance log at $path"), keep,
+        graft.StoreUtil.lastBatchOf(mf)))
+    drop.map { k =>
+      val p = s"$path/rows/d$k"
+      graft.StoreUtil.deleteDir(spark, p)
+      p
+    }
+  }
+
   def load(spark: SparkSession, path: String): DataFrame = {
     val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
       "provenance log", supported = 2)

@@ -1128,6 +1128,37 @@ class StoreSpec extends AnyFunSuite {
       Set(Seq("dup_index", 0L, 2L), Seq("dup_index", 1L, 3L)))
   }
 
+  test("ledger retirement drops only the condemned parts: answers, " +
+      "zombie guard, and later appends all carry on") {
+    import graft.ops.ProvenanceLog
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ledger_ret").toString + "/l"
+    def rows(id: Long) = Seq(("dup_index", id, 2L))
+      .toDF("artifact", "delivery_id", "ingests")
+    (0L to 2L).foreach(id => ProvenanceLog.append(spark, dir, rows(id),
+      Some(id)))
+    val gone = ProvenanceLog.retireBefore(spark, dir, minPart = 3L)
+    assert(gone.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("d1", "d2"), gone.toString)
+    assert(!new java.io.File(s"$dir/rows/d1").exists)
+    // the retained history answers; the retired deliveries are gone
+    assert(ProvenanceLog.load(spark, dir).select("delivery_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    // retirement preserved the zombie guard and the counter: a zombie
+    // re-append of the last delivery no-ops, a new one lands at d4
+    ProvenanceLog.append(spark, dir, rows(2L), Some(2L))
+    assert(ProvenanceLog.load(spark, dir).count() == 1L)
+    ProvenanceLog.append(spark, dir, rows(3L), Some(3L))
+    assert(new java.io.File(s"$dir/rows/d4").isDirectory)
+    assert(ProvenanceLog.load(spark, dir).select("delivery_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // retiring EVERYTHING is refused — a ledger with no committed part
+    // cannot be told apart from a crashed first append
+    intercept[IllegalArgumentException] {
+      ProvenanceLog.retireBefore(spark, dir, minPart = 99L)
+    }
+  }
+
   test("a manual no-batchId ledger append preserves the zombie guard") {
     import graft.ops.ProvenanceLog
     import spark.implicits._
