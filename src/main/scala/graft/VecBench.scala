@@ -81,6 +81,21 @@ object VecBench {
     timed(s"driftStats fold over the full $n-row corpus (4x rows)") {
       VectorOps.driftStats(corpus, cents).count()
     }
+
+    // the PQ-codebook twin (VectorOps.pqDriftStats): same contract —
+    // the fold reads only its batch, and the encode half is the
+    // scan-local literal projection (no join, no shuffle before the
+    // m-rows-per-vector aggregate), so per-append cost tracks batch
+    // rows exactly like the centroid meter above
+    val m = if (dims % 4 == 0) 4 else 1
+    val cb = VectorOps.pqCodebook(corpus, m = m, codes = 16, dim = dims)
+      .localCheckpoint()
+    timed(s"pqDriftStats fold over a ${n / 4}-row batch") {
+      VectorOps.pqDriftStats(batch, cb, m = m, dim = dims).count()
+    }
+    timed(s"pqDriftStats fold over the full $n-row corpus (4x rows)") {
+      VectorOps.pqDriftStats(corpus, cb, m = m, dim = dims).count()
+    }
     spark.stop()
   }
 }

@@ -202,6 +202,28 @@ object ProvenanceLog {
     }
   }
 
+  /** Forward impact lookup — the ledger's OTHER direction: [[load]] +
+    * a delivery filter answers "which generations produced batch N";
+    * this answers "which deliveries consumed generation `generation` of
+    * `artifact`" — the blast-radius question an operator asks the
+    * moment a store generation is found bad (poisoned ingest, corrupt
+    * compaction), because every delivery that read it is tainted and
+    * each can then be re-produced via the replay path to requalify or
+    * re-cut it. A plain scan-and-filter: the ledger is metadata-sized
+    * by construction (a handful of rows per delivery), so at any
+    * deployment scale this is a kilobyte-range parquet read — no index
+    * needed, and retirement ([[retireBefore]]) already bounds the scan
+    * to live history.
+    */
+  def taintedDeliveries(spark: SparkSession, path: String,
+      artifact: String, generation: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    load(spark, path)
+      .filter(col("artifact") === artifact &&
+        col("generation") === generation)
+      .select(col("delivery_id"), col("ingests"), col("params"))
+  }
+
   def load(spark: SparkSession, path: String): DataFrame = {
     val mf = graft.StoreUtil.requireManifest(spark, path, ManifestFile,
       "provenance log", supported = 2)

@@ -611,6 +611,19 @@ object VectorOps {
     * builds do — a null vector has no codes and must not be encoded).
     */
   def pqCodesCol(vec: Column, codebook: DataFrame, m: Int,
+      dim: Int): Column =
+    transform(pqBestsCol(vec, codebook, m, dim), b => b.getField("code"))
+
+  /** The per-subspace argmin WITH its distance — array of struct(d2,
+    * code), one element per subspace: [[pqCodesCol]] keeps only the
+    * `code` field (storage discards the distance), [[pqDriftStats]]
+    * also reads `d2` (the quantization error the codes carry
+    * implicitly). ONE definition of "nearest entry" for both consumers,
+    * so the drift meter can never disagree with the encoder about which
+    * code a vector takes. Same EAGER collect contract as
+    * [[pqCodesCol]]'s doc states.
+    */
+  def pqBestsCol(vec: Column, codebook: DataFrame, m: Int,
       dim: Int): Column = {
     val sub = dim / m
     // cbMat(j)(code) = quantized centroid subvector
@@ -630,9 +643,30 @@ object VectorOps {
         c => struct(
           sqDistL(sq, element_at(element_at(typedLit(cbMat), j + 1), c + 1))
             .as("d2"),
-          c.cast("long").as("code"))))
-        .getField("code"))
+          c.cast("long").as("code")))))
   }
+
+  /** Drift meter for a served PQ codebook — [[driftStats]]' twin for
+    * the OTHER trained artifact: per-(subspace, code) occupancy and
+    * exact integer quantization error of `batch` against the SERVING
+    * entries, the statistic that says when appended data stopped
+    * fitting the codebook (rising err_sum/n per subspace, occupancy
+    * collapsing onto few codes). Same additive contract: fold batches
+    * by summing (n, err_sum) per (j, code) — each fold reads ONLY its
+    * batch, and the whole pass is the encoder's scan-local literal
+    * projection ([[pqBestsCol]]) plus one map-side-combining aggregate
+    * over m rows per vector; history is never rescanned. Exact int64
+    * end to end (the [[quantSqDist]] floor(x·1000) domain), so the fold
+    * is order-free and SQL-replayable.
+    */
+  def pqDriftStats(batch: DataFrame, codebook: DataFrame, m: Int,
+      dim: Int): DataFrame =
+    batch.filter(col("vec").isNotNull)
+      .select(posexplode(pqBestsCol(col("vec"), codebook, m, dim)))
+      .select(col("pos").cast("long").as("j"), col("col.code").as("code"),
+        col("col.d2").as("err"))
+      .groupBy(col("j"), col("code"))
+      .agg(count(lit(1)).as("n"), sum(col("err")).as("err_sum"))
 
   def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int,
       dim: Int): DataFrame =

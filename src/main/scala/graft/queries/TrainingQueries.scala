@@ -1213,6 +1213,27 @@ object TrainingQueries {
     VectorStore.queryAdc(st, pqQueries(s, d), k = 5, nprobe = 2)
   }
 
+  /** Drift meter over the SERVING trained PQ codebook
+    * ([[VectorOps.pqDriftStats]]) — `ann_drift`'s twin for the second
+    * trained artifact family: per-(subspace, code) occupancy and exact
+    * integer quantization error of the corpus against the codebook the
+    * `ann_pq_trained` store actually serves (loaded from the persisted
+    * layout, not re-derived — drift is measured against what answers
+    * queries). Additive per batch like [[annDrift]]'s statistic
+    * (PropertySpec pins the fold algebra), so the maintenance loop
+    * folds it per append and history is never rescanned; the oracle
+    * replays both PQ Lloyd rounds, the per-subspace encode (ties to
+    * the smaller code — the one nearest-entry rule), and the integer
+    * error sums end to end.
+    */
+  val annDriftPq: Q = (s, d) => {
+    val dir = pqTrainedStoreDir(s, d)
+    val st = pqstoreLoaded.get(s, dir)(VectorStore.loadPq(s, dir))
+    val batch = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    VectorOps.pqDriftStats(batch, st.codebook, m = st.m, dim = st.dim)
+  }
+
   /** Top-3 docs by length per source via the BOUNDED [[SketchOps.TopKAgg]]
     * aggregator — bit-equal to the `row_number() <= 3` window form (both
     * orders total: score desc, id asc) but with ≤ k pairs of aggregation
@@ -1901,6 +1922,41 @@ object TrainingQueries {
       lr, dup, stats, bpe)
   }
 
+  /** The `pipe_taint` gate — the ledger queried in its FORWARD
+    * direction ([[graft.ops.ProvenanceLog.taintedDeliveries]]): given
+    * an (artifact, generation) found bad after the fact, which
+    * deliveries consumed it and are therefore suspect. The fixture is
+    * a three-delivery lifecycle appended through the real v2 part
+    * layout (one immutable part per delivery — this gate is also the
+    * suite's multi-part READ exercise): the dup index takes one more
+    * ingest between deliveries 0 and 1 but stays on generation 0, then
+    * rotates to generation 1 before delivery 2; the quality model is
+    * retrained (generation bump) at the same cut. Asking "who read
+    * dup_index generation 0" must return deliveries 0 and 1 with the
+    * ingest watermarks each actually consumed — the rows a deployment
+    * feeds straight into [[pipeReplay]] to requalify each tainted
+    * batch. The oracle restates the appended lifecycle as independent
+    * VALUES constants and applies the same relational question.
+    */
+  val pipeTaint: Q = (s, d) => {
+    import s.implicits._
+    val ledger = graft.StoreUtil.cachedStoreDir("taintledger", d) { p =>
+      def deliver(id: Long,
+          rows: Seq[(String, Long, Long, Long, String)]): Unit =
+        graft.ops.ProvenanceLog.append(s, p,
+          rows.toDF("artifact", "generation", "ingests", "compacted_at",
+              "params")
+            .withColumn("delivery_id", lit(id)), Some(id))
+      deliver(0L, Seq(("quality_model", 0L, 1L, 0L, "n_weights=5"),
+        ("dup_index", 0L, 2L, 0L, "win=4,strip_asof=2")))
+      deliver(1L, Seq(("quality_model", 0L, 1L, 0L, "n_weights=5"),
+        ("dup_index", 0L, 3L, 0L, "win=4,strip_asof=3")))
+      deliver(2L, Seq(("quality_model", 1L, 2L, 0L, "n_weights=5"),
+        ("dup_index", 1L, 5L, 4L, "win=4,strip_asof=5")))
+    }
+    graft.ops.ProvenanceLog.taintedDeliveries(s, ledger, "dup_index", 0L)
+  }
+
   /** Cluster-balanced token-budget mixture: the budget recipe applied
     * over LEARNED strata — each document joins its embedding, routes to
     * its nearest centroid cell ([[VectorOps.assignCells]], the IVF
@@ -2389,6 +2445,7 @@ object TrainingQueries {
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_store" -> annIvfTrainedStore,
     "ann_drift" -> annDrift,
+    "ann_drift_pq" -> annDriftPq,
     "ann_pq_trained" -> annPqTrained,
     "ann_pq_trained_store" -> annPqTrainedStore,
     "sk_cm_store" -> skCmStore,
@@ -2430,6 +2487,7 @@ object TrainingQueries {
     "pipe_pretrain_bins" -> pipePretrainBins,
     "pipe_provenance" -> pipeProvenance,
     "pipe_replay" -> pipeReplayQ,
+    "pipe_taint" -> pipeTaint,
     "mix_cluster_budget" -> mixClusterBudget,
     "mix_cluster_budget_store" -> mixClusterBudgetStore,
     "mix_cluster_budget_trained" -> mixClusterBudgetTrained,
@@ -2675,6 +2733,35 @@ object TrainingQueries {
        |SELECT cell, CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(err) AS BIGINT) AS err_sum
        |FROM perid GROUP BY cell""".stripMargin
+
+  /** The PQ drift meter's replay: the sampled codebook and both PQ
+    * Lloyd rounds exactly as the trained-ADC chain derives them, then
+    * the per-subspace encode (min int64 d2, ties to the smaller code —
+    * the `pa` CTE shape) with the winning distance KEPT, summed per
+    * (subspace, code).
+    */
+  private val annDriftPqSql =
+    s"""WITH e AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE vec_id < 500),
+       |js AS (SELECT j FROM unnest(range(0, 4)) u(j)),
+       |cb AS (SELECT e.id AS code, js.j, e.q[js.j*16+1 : js.j*16+16] AS cq
+       |  FROM e, js WHERE e.id < 16),
+       |${pqRoundSql(1)},
+       |${pqRoundSql(2)},
+       |enc AS (SELECT id, j, code, d2 FROM (
+       |  SELECT e.id, cb.j, cb.code,
+       |    CAST(list_sum(list_transform(range(1, 17),
+       |      i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
+       |      AS BIGINT) AS d2,
+       |    row_number() OVER (PARTITION BY e.id, cb.j ORDER BY
+       |      CAST(list_sum(list_transform(range(1, 17),
+       |        i -> (e.q[cb.j*16+i] - cb.cq[i]) * (e.q[cb.j*16+i] - cb.cq[i])))
+       |        AS BIGINT), cb.code) AS rr
+       |  FROM e, pcb2 cb) WHERE rr = 1)
+       |SELECT j, code, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(d2) AS BIGINT) AS err_sum
+       |FROM enc GROUP BY j, code""".stripMargin
 
   /** The integer BM25 oracle — rational idf, k1/b as exact ratios,
     * HUGEINT products (see [[graft.ops.TextOps.bm25]]).
@@ -3653,6 +3740,9 @@ object TrainingQueries {
     // assignment as the trained-search chain, then exact integer error
     // sums in the quantSqDist domain (floor(x·1000) per component)
     "ann_drift" -> annDriftSql,
+    // the PQ twin: both Lloyd rounds replayed, then the encoder's
+    // nearest-entry rule with the winning distance kept and summed
+    "ann_drift_pq" -> annDriftPqSql,
     // the trained-codebook ADC: two integer-exact PQ Lloyd rounds feed
     // the SAME encode/LUT/ADC tail the sampled chain uses; the
     // compacted-store twin changes layout, never answers — ONE oracle
@@ -4166,6 +4256,26 @@ object TrainingQueries {
          |   CAST(NULL AS BIGINT), 'salt=ep0,ctx_len=512')
          |) AS t(artifact, generation, ingests, compacted_at, params)
          |""".stripMargin,
+    // the forward lookup: the three-delivery lifecycle the gate appends
+    // is restated as independent constants, then the same relational
+    // question — deliveries that consumed dup_index generation 0
+    "pipe_taint" ->
+      """WITH led AS (SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'quality_model', CAST(0 AS BIGINT),
+        |   CAST(1 AS BIGINT), 'n_weights=5'),
+        |  (CAST(0 AS BIGINT), 'dup_index', CAST(0 AS BIGINT),
+        |   CAST(2 AS BIGINT), 'win=4,strip_asof=2'),
+        |  (CAST(1 AS BIGINT), 'quality_model', CAST(0 AS BIGINT),
+        |   CAST(1 AS BIGINT), 'n_weights=5'),
+        |  (CAST(1 AS BIGINT), 'dup_index', CAST(0 AS BIGINT),
+        |   CAST(3 AS BIGINT), 'win=4,strip_asof=3'),
+        |  (CAST(2 AS BIGINT), 'quality_model', CAST(1 AS BIGINT),
+        |   CAST(2 AS BIGINT), 'n_weights=5'),
+        |  (CAST(2 AS BIGINT), 'dup_index', CAST(1 AS BIGINT),
+        |   CAST(5 AS BIGINT), 'win=4,strip_asof=5')
+        |) AS t(delivery_id, artifact, generation, ingests, params))
+        |SELECT delivery_id, ingests, params FROM led
+        |WHERE artifact = 'dup_index' AND generation = 0""".stripMargin,
     // the learned-strata replay: the ann_ivf cell-assignment chain
     // (cosine DESC, lowest cid tie — assignCells' max_by rule) feeds
     // the budget algebra with the cell aliased as its stratum column.

@@ -703,4 +703,35 @@ class PropertySpec extends AnyFunSuite {
       assert(statsSet(folded) == oneShot, s"cut=$cut")
     }
   }
+
+  test("PQ drift stats are additive per (subspace, code), for any " +
+      "split of the corpus") {
+    // the codebook twin of the centroid-drift contract: per-batch folds
+    // (sum n / err_sum by (j, code)) must equal a full recomputation —
+    // exact int64, so equality is bitwise
+    import graft.ops.VectorOps
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // localCheckpoint: pqDriftStats collects the codebook eagerly
+    // (pqBestsCol's literal inlining) — pin the trained entries once
+    // instead of replaying the Lloyd round per fold
+    val cb = VectorOps.pqCodebookTrained(emb, m = 4, codes = 16, dim = 64,
+      iters = 1).localCheckpoint()
+    def statsSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val oneShot = statsSet(VectorOps.pqDriftStats(emb, cb, m = 4, dim = 64))
+    val rnd = new Random(11)
+    for (_ <- 0 until 3) {
+      val cut = 1 + rnd.nextInt(298)
+      val folded =
+        VectorOps.pqDriftStats(emb.filter(col("id") < cut), cb, 4, 64)
+          .unionByName(
+            VectorOps.pqDriftStats(emb.filter(col("id") >= cut), cb, 4, 64))
+          .groupBy(col("j"), col("code"))
+          .agg(sum(col("n")).as("n"), sum(col("err_sum")).as("err_sum"))
+      assert(statsSet(folded) == oneShot, s"cut=$cut")
+    }
+  }
 }

@@ -1173,4 +1173,38 @@ class StoreSpec extends AnyFunSuite {
     assert(ProvenanceLog.load(spark, dir).count() == 2L,
       "the no-batchId append disarmed the zombie guard")
   }
+
+  test("taint lookup finds every delivery that consumed a generation, " +
+      "and age-based retirement trims it consistently") {
+    import graft.ops.ProvenanceLog
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ledger_taint").toString + "/l"
+    def deliver(id: Long, gen: Long, ing: Long): Unit =
+      ProvenanceLog.append(spark, dir,
+        Seq(("dup_index", gen, ing, s"strip_asof=$ing"))
+          .toDF("artifact", "generation", "ingests", "params")
+          .withColumn("delivery_id", lit(id)), Some(id))
+    // the lifecycle: two deliveries read generation 0 (at different
+    // ingest watermarks), the third reads the rotated generation 1
+    deliver(0L, gen = 0L, ing = 2L)
+    deliver(1L, gen = 0L, ing = 3L)
+    deliver(2L, gen = 1L, ing = 5L)
+    def taint(gen: Long): Set[(Long, Long)] =
+      ProvenanceLog.taintedDeliveries(spark, dir, "dup_index", gen)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // blast radius of generation 0 = deliveries 0 and 1, each with the
+    // ingest watermark it actually consumed (what pipeReplay needs)
+    assert(taint(0L) == Set((0L, 2L), (1L, 3L)))
+    assert(taint(1L) == Set((2L, 5L)))
+    // unknown generation or artifact: empty, never an error
+    assert(ProvenanceLog.taintedDeliveries(spark, dir, "dup_index", 9L)
+      .isEmpty)
+    assert(ProvenanceLog.taintedDeliveries(spark, dir, "quality_model", 0L)
+      .isEmpty)
+    // retirement bounds the scan to live history: after parting with
+    // delivery 0 (part d1), the taint set for generation 0 shrinks to
+    // what the ledger still holds
+    ProvenanceLog.retireBefore(spark, dir, minPart = 2L)
+    assert(taint(0L) == Set((1L, 3L)))
+  }
 }
