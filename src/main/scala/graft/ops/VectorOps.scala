@@ -532,7 +532,20 @@ object VectorOps {
     * nprobe-at-fixed-recall lever a 100 TB deployment tunes.
     */
   def pqCodebookTrained(corpus: DataFrame, m: Int, codes: Int, dim: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    pqCodebookRefined(corpus, pqCodebook(corpus, m, codes, dim), m, dim,
+      iters)
+
+  /** The Lloyd loop of [[pqCodebookTrained]] with the STARTING entries
+    * caller-supplied — the retraining path: a deployment warm-starts
+    * from the codebook its store currently SERVES (k and the code
+    * space stay fixed, entries move toward where the appended data
+    * went) instead of re-sampling from scratch. Same integer-exact
+    * rounds, same tie rule, same caller contract as the cold-start
+    * form — which is this function applied to the sampled baseline.
+    */
+  def pqCodebookRefined(corpus: DataFrame, cb0: DataFrame, m: Int,
+      dim: Int, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val sub = dim / m
     // quantized subvector rows (id, j, sq) — ONE quantization pass,
@@ -540,7 +553,7 @@ object VectorOps {
     val subs = corpus.filter(col("vec").isNotNull)
       .select(col("id"), posexplode(subsOf(col("vec"), m, sub)))
       .select(col("id"), col("pos").as("j"), col("col").as("sq"))
-    var cb = pqCodebook(corpus, m, codes, dim)
+    var cb = cb0
     for (_ <- 0 until iters) {
       val entries = broadcast(cb.select(col("j"), col("code"), col("cq")))
       // nearest entry per (id, j): struct-min over (d2, code, sq) IS the

@@ -197,6 +197,86 @@ object VectorStore {
     graft.StoreUtil.requireDisjoint(spark, path, dest, "compaction")
   }
 
+  /** Retrain the serving centroids on the store's CURRENT corpus and
+    * write the result as a fresh generation at `dest` — the ACTION the
+    * drift meter's signal ([[VectorOps.driftStats]]) calls for, and the
+    * "re-train and save a fresh store" step [[append]]'s centroid-drift
+    * doc promises. Warm-started from the centroids the store serves (k
+    * and the cell ids stay fixed; entries move toward where the
+    * appended data went) by `iters` Lloyd rounds, then EVERY vector
+    * reassigns against the new table — the cell layout must match the
+    * routing table or partition pruning would lie. This is deliberately
+    * the one full-corpus pass in the maintenance family: training is
+    * build-time by definition, paid per retrain DECISION (which the
+    * drift fold makes cheap to take on evidence), never per query or
+    * append. The manifest carries over with the compaction watermark
+    * advanced — crucially including `last_batch`, so a redelivered
+    * micro-batch is still a no-op against the retrained generation.
+    * Rotation into service and GC of the stale generation are the
+    * caller's existing [[graft.StoreUtil]] rotation protocol.
+    */
+  def retrain(spark: SparkSession, path: String, dest: String,
+      iters: Int): Unit = {
+    requireStore(spark, path)
+    requireDisjoint(spark, path, dest)
+    val mf = graft.StoreUtil.readMarker(spark, path, ManifestFile).get
+    require(!mf.contains(""""layout":"ivf-pq""""),
+      s"$path is an IVF+PQ store — retrainPq refines its codebook " +
+        "(the cell table is retrained separately if its own drift says so)")
+    graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
+    val corpus = spark.read.parquet(s"$path/cells")
+      .select(col("id"), col("vec"))
+    // localCheckpoint: the trained table is read by the assignment pass
+    // AND written below — without it the iterated Lloyd lineage replays
+    // once per consumer
+    val cents = VectorOps.kmeansCentroids(corpus,
+      spark.read.parquet(s"$path/centroids"), iters).localCheckpoint()
+    VectorOps.assignCells(corpus, cents, 1)
+      .select(col("id"), col("v").as("vec"),
+        concat(lit("c"), col("cell")).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/cells")
+    cents.select(col("cid"), VectorOps.toDouble(col("cvec")).as("cvec"))
+      .write.mode("overwrite").parquet(s"$dest/centroids")
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
+      graft.StoreUtil.withCompactedAt(mf, ingestsOf(mf)))
+  }
+
+  /** Retrain a PQ store's CODEBOOK on its current corpus and write the
+    * result as a fresh generation — [[retrain]]'s twin for the artifact
+    * [[VectorOps.pqDriftStats]] meters. The codebook warm-starts from
+    * the entries the store serves ([[VectorOps.pqCodebookRefined]]) and
+    * every row RE-ENCODES against the refined entries (codes and
+    * codebook are one artifact — serving refined entries over stale
+    * codes is exactly the corruption the compact-preserves-codebook
+    * invariant guards against, from the other side). Cell routing is
+    * untouched: the rows keep their cells (and their ingest tags — the
+    * rollback identity survives retraining), so the rewrite is a
+    * per-cell re-projection, no corpus-wide reshuffle beyond the
+    * file-coalescing repartition every generation rewrite pays.
+    */
+  def retrainPq(spark: SparkSession, path: String, dest: String,
+      iters: Int): Unit = {
+    requireDisjoint(spark, path, dest)
+    val mf = graft.StoreUtil.readMarker(spark, path, ManifestFile)
+      .getOrElse(throw new IllegalStateException(
+        s"$path is not a vector store (no manifest)"))
+    val st = loadPq(spark, path)
+    graft.StoreUtil.deleteMarker(spark, dest, ManifestFile)
+    val cb = VectorOps.pqCodebookRefined(
+      st.cells.select(col("id"), col("vec")), st.codebook, st.m, st.dim,
+      iters).localCheckpoint()
+    st.cells
+      .withColumn("codes", VectorOps.pqCodesCol(col("vec"), cb, st.m,
+        st.dim))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/cells")
+    st.centroids.write.mode("overwrite").parquet(s"$dest/centroids")
+    cb.write.mode("overwrite").parquet(s"$dest/codebook")
+    graft.StoreUtil.writeMarker(spark, dest, ManifestFile,
+      graft.StoreUtil.withCompactedAt(mf, ingestsOf(mf)))
+  }
+
   /** Open a saved store. Fails fast on a directory that is not a vector
     * store (missing manifest) instead of misreading arbitrary parquet.
     */

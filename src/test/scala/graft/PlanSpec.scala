@@ -391,6 +391,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("PQ drift fold is join-free: literal-projection encode, one " +
+      "exchange for the (j, code) aggregate") {
+    // the meter's 100 TB claim is structural — the encode half must
+    // stay pqBestsCol's scan-local literal projection (never a join
+    // back to a codebook frame) and the whole fold must shuffle only
+    // the partial-aggregate rows (m·codes-bounded, not batch-sized)
+    val p = finalPlan(TrainingQueries.registry("ann_drift_pq")(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
   test("trained cluster-budget composite: recipe/boundary frames still " +
       "broadcast, nothing pairwise, no global sort") {
     // same lock as mix_pack, over the TRAINED-strata composition: the

@@ -404,6 +404,101 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(VectorStore.loadPq(spark, next).cells.count() == n0)
   }
 
+  test("retraining moves the serving centroids to the drifted corpus: " +
+      "quantization error falls, cells re-route, the zombie guard " +
+      "survives the generation swap") {
+    // the drift scenario the meter exists to catch: both serving
+    // centroids point at cluster A's direction, cluster B (appended
+    // later in a real lifecycle) has no nearby cell — every B vector
+    // quantizes terribly. retrain() is the ACTION: warm-start Lloyd on
+    // the current corpus, reassign, fresh generation.
+    import spark.implicits._
+    import graft.ops.VectorOps
+    def mk(hi: Range, i: Int): Seq[Double] =
+      Seq.tabulate(8)(d => if (hi.contains(d)) 1.0 + 0.01 * (i % 3)
+        else 0.01)
+    val a = (0 until 30).map(i => (i.toLong, mk(0 until 4, i)))
+    val b = (30 until 60).map(i => (i.toLong, mk(4 until 8, i)))
+    val corpus2 = (a ++ b).toDF("id", "vec")
+    // stale seeds: one ON cluster A, one NEAR it (no seed anywhere
+    // close to B's direction)
+    val seeds = Seq((0L, mk(0 until 4, 0)),
+      (1L, Seq.tabulate(8)(d => if (d < 4) 1.0 else 0.2)))
+      .toDF("cid", "cvec")
+    val base = Files.createTempDirectory("graft_vretrain").toString
+    val g0 = s"$base/g0"
+    VectorStore.save(corpus2, seeds, g0, batchId = Some(7L))
+    def totalErr(cents: org.apache.spark.sql.DataFrame): Long =
+      VectorOps.driftStats(corpus2, cents)
+        .agg(sum(col("err_sum"))).head.getLong(0)
+    val errStale = totalErr(VectorStore.load(spark, g0).centroids)
+    val g1 = s"$base/g1"
+    VectorStore.retrain(spark, g0, g1, iters = 3)
+    val st1 = VectorStore.load(spark, g1)
+    val errNew = totalErr(st1.centroids)
+    assert(errNew < errStale, s"retraining must cut the meter's error " +
+      s"on the corpus it trained on: $errNew !< $errStale")
+    // routing followed the moved table: the two clusters now occupy
+    // one cell each (the stale layout crammed them by A-direction)
+    val occ = VectorOps.driftStats(corpus2, st1.centroids)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(occ == Seq(30L, 30L), s"occupancy $occ")
+    assert(st1.cells.count() == 60L, "retraining must not lose rows")
+    // stored cells agree with a fresh assignment against the new table
+    val expect = VectorOps.assignCells(corpus2, st1.centroids, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = st1.cells.select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expect.map { case (id, c) => id -> s"c$c" })
+    // the carried manifest keeps last_batch: redelivering the creating
+    // batch against the retrained generation appends NOTHING
+    VectorStore.append(spark, g1, corpus2, batchId = Some(7L))
+    assert(VectorStore.load(spark, g1).cells.count() == 60L,
+      "zombie redelivery appended through the retrained generation")
+    // and the generation serves
+    assert(VectorStore.query(st1, corpus2.filter(col("id") < 3),
+      k = 2, nprobe = 1).count() > 0)
+  }
+
+  test("PQ codebook retraining refines the served entries on the " +
+      "current corpus: error falls, rows re-encode, tags survive") {
+    import graft.ops.VectorOps
+    val g0 = Files.createTempDirectory("graft_pq_retrain").toString + "/g0"
+    // the sampled baseline IS the stale state (training-free, never
+    // refined); savePq with it, then retrain two rounds in place of a
+    // from-scratch re-derivation
+    val cb0 = VectorOps.pqCodebook(corpus, m = 4, codes = 16, dim = 64)
+    VectorStore.savePq(corpus, cents, cb0, g0, m = 4, dim = 64,
+      batchId = Some(3L))
+    def totalErr(cb: org.apache.spark.sql.DataFrame): Long =
+      VectorOps.pqDriftStats(corpus, cb, m = 4, dim = 64)
+        .agg(sum(col("err_sum"))).head.getLong(0)
+    val errStale = totalErr(VectorStore.loadPq(spark, g0).codebook)
+    val g1 = Files.createTempDirectory("graft_pq_retrain").toString + "/g1"
+    VectorStore.retrainPq(spark, g0, g1, iters = 2)
+    val st1 = VectorStore.loadPq(spark, g1)
+    // the same strict decrease the trained-codebook invariant test
+    // observes on this fixture, now through the store lifecycle
+    val errNew = totalErr(st1.codebook)
+    assert(errNew < errStale, s"$errNew !< $errStale")
+    // codes and codebook moved TOGETHER: every stored row's codes equal
+    // a fresh encode against the refined entries (serving refined
+    // entries over stale codes is the corruption class the compaction
+    // regression test guards from the other side)
+    val expect = VectorOps.pqEncode(corpus, st1.codebook, m = 4, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = st1.cells.select(col("id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == expect, "stored codes drifted from the refined codebook")
+    // rollback identity and routing survive the rewrite untouched
+    assert(st1.cells.columns.contains("ingest_seq") &&
+      st1.cells.filter(col("ingest_seq").isNull).count() == 0L)
+    assert(st1.cells.count() == corpus.count())
+    // and the refined generation serves ADC
+    assert(VectorStore.queryAdc(st1, corpus.filter(col("id") < 5),
+      k = 3, nprobe = 2).count() > 0)
+  }
+
   test("appendPq crash windows: rollback drops ONLY the tagged batch; " +
       "a completed append with a lost marker delete is kept whole") {
     import graft.ops.VectorOps
