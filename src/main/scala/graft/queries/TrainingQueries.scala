@@ -173,6 +173,51 @@ object TrainingQueries {
     VectorOps.driftStats(e, cents)
   }
 
+  /** The drift statistic ACCUMULATED through the persisted store
+    * ([[graft.ops.DriftStore]]) — the maintenance shape the meter's
+    * additivity exists for: the corpus arrives as TWO batches, each
+    * folds only itself in (save, then append), and the loaded store
+    * must hash-equal the one-shot [[annDrift]] — so the gate shares
+    * `annDriftSql` VERBATIM, which puts the fold algebra itself under
+    * the DuckDB oracle (a broken merge would hash-mismatch, not just
+    * fail a unit test).
+    */
+  val annDriftStore: Q = (s, d) => {
+    // hoisted: a cachedStoreDir builder must never call cachedStoreDir
+    // (trainedIvf uses its own SessionCache — safe inside)
+    val dir = graft.StoreUtil.cachedStoreDir("driftstats", d) { p =>
+      val (e, cents) = trainedIvf(s, d)
+      graft.ops.DriftStore.save(
+        VectorOps.driftStats(e.filter(col("id") < 150), cents), p,
+        Some(0L))
+      graft.ops.DriftStore.append(s, p,
+        VectorOps.driftStats(e.filter(col("id") >= 150), cents),
+        Some(1L))
+    }
+    graft.ops.DriftStore.load(s, dir)
+  }
+
+  /** [[annDriftPq]] accumulated the same way — two batch folds through
+    * the drift store, the (j, code) key inferred from the schema (ONE
+    * store family serves both meters), output hash-equal to the
+    * one-shot scan so `annDriftPqSql` is shared verbatim.
+    */
+  val annDriftPqStore: Q = (s, d) => {
+    val pqDir = pqTrainedStoreDir(s, d) // hoisted out of the builder
+    val dir = graft.StoreUtil.cachedStoreDir("pqdriftstats", d) { p =>
+      val st = pqstoreLoaded.get(s, pqDir)(VectorStore.loadPq(s, pqDir))
+      val batch = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ops.DriftStore.save(
+        VectorOps.pqDriftStats(batch.filter(col("id") < 250),
+          st.codebook, st.m, st.dim), p, Some(0L))
+      graft.ops.DriftStore.append(s, p,
+        VectorOps.pqDriftStats(batch.filter(col("id") >= 250),
+          st.codebook, st.m, st.dim), Some(1L))
+    }
+    graft.ops.DriftStore.load(s, dir)
+  }
+
   private val vstoreLoaded = new graft.SessionCache[VectorStore.Loaded]()
 
   /** IVF store, built once per data dir and SERVED thereafter: the first
@@ -2445,7 +2490,9 @@ object TrainingQueries {
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_store" -> annIvfTrainedStore,
     "ann_drift" -> annDrift,
+    "ann_drift_store" -> annDriftStore,
     "ann_drift_pq" -> annDriftPq,
+    "ann_drift_pq_store" -> annDriftPqStore,
     "ann_pq_trained" -> annPqTrained,
     "ann_pq_trained_store" -> annPqTrainedStore,
     "sk_cm_store" -> skCmStore,
@@ -3740,9 +3787,14 @@ object TrainingQueries {
     // assignment as the trained-search chain, then exact integer error
     // sums in the quantSqDist domain (floor(x·1000) per component)
     "ann_drift" -> annDriftSql,
+    // the two-batch fold through the drift store is DEFINED equal to
+    // the one-shot statistic (exact integer additivity) — shared
+    // oracle, so the store's merge algebra is itself DuckDB-gated
+    "ann_drift_store" -> annDriftSql,
     // the PQ twin: both Lloyd rounds replayed, then the encoder's
     // nearest-entry rule with the winning distance kept and summed
     "ann_drift_pq" -> annDriftPqSql,
+    "ann_drift_pq_store" -> annDriftPqSql,
     // the trained-codebook ADC: two integer-exact PQ Lloyd rounds feed
     // the SAME encode/LUT/ADC tail the sampled chain uses; the
     // compacted-store twin changes layout, never answers — ONE oracle

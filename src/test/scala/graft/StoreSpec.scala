@@ -1174,6 +1174,37 @@ class StoreSpec extends AnyFunSuite {
       "the no-batchId append disarmed the zombie guard")
   }
 
+  test("drift store folds additively, refuses schema drift and the " +
+      "broken state, and zombie re-folds are no-ops") {
+    import graft.ops.DriftStore
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_driftstore").toString + "/ds"
+    def stats(rows: (Long, Long, Long)*) =
+      rows.toSeq.toDF("cell", "n", "err_sum")
+    DriftStore.save(stats((0L, 10L, 100L), (1L, 5L, 50L)), dir, Some(0L))
+    assert(DriftStore.exists(spark, dir))
+    // fold: sums by key, new keys appear, untouched keys carry
+    DriftStore.append(spark, dir, stats((0L, 2L, 8L), (2L, 1L, 9L)),
+      Some(1L))
+    def served: Set[(Long, Long, Long)] = DriftStore.load(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(served == Set((0L, 12L, 108L), (1L, 5L, 50L), (2L, 1L, 9L)))
+    // zombie redelivery: folding batch 1 again must change NOTHING
+    // (counts are not idempotent under merge — the guard is the store)
+    DriftStore.append(spark, dir, stats((0L, 2L, 8L), (2L, 1L, 9L)),
+      Some(1L))
+    assert(served == Set((0L, 12L, 108L), (1L, 5L, 50L), (2L, 1L, 9L)))
+    // a batch with a different key schema is refused loudly
+    intercept[IllegalArgumentException] {
+      DriftStore.append(spark, dir,
+        Seq((0L, 0L, 1L, 1L)).toDF("j", "code", "n", "err_sum"), Some(2L))
+    }
+    // broken-vs-absent: stats without a manifest REFUSES, never resets
+    StoreUtil.deleteMarker(spark, dir, DriftStore.ManifestFile)
+    intercept[IllegalStateException] { DriftStore.exists(spark, dir) }
+  }
+
   test("taint lookup finds every delivery that consumed a generation, " +
       "and age-based retirement trims it consistently") {
     import graft.ops.ProvenanceLog
