@@ -460,6 +460,98 @@ class VectorStoreSpec extends AnyFunSuite {
       k = 2, nprobe = 1).count() > 0)
   }
 
+  test("drift-triggered maintenance loop: per-batch folds accumulate " +
+      "in the drift store, the crossed signal retrains and rotates, " +
+      "the fresh generation re-baselines and serves") {
+    // the whole retraining-cadence story composed and STREAM-DRIVEN:
+    // meter (driftStats) → persisted signal (DriftStore folds per
+    // micro-batch) → decision (mean error vs the trained-time
+    // baseline) → action (retrain) → rotation (the existing grace
+    // protocol) → re-baseline for the fresh artifact. Two in-direction
+    // batches fit the serving centroids; the first drifted batch
+    // crosses the threshold and must trigger EXACTLY one retrain.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ops.{DriftStore, VectorOps}
+    def mk(hi: Range, i: Int): Seq[Double] =
+      Seq.tabulate(8)(d => if (hi.contains(d)) 1.0 + 0.01 * (i % 3)
+        else 0.01)
+    val all = ((0 until 30).map(i => (i.toLong, mk(0 until 4, i))) ++
+      (30 until 60).map(i => (i.toLong, mk(4 until 8, i))))
+      .toDF("id", "vec")
+    val seeds = Seq((0L, mk(0 until 4, 0)),
+      (1L, Seq.tabulate(8)(d => if (d < 4) 1.0 else 0.2)))
+      .toDF("cid", "cvec")
+    val inDir = Files.createTempDirectory("graft_drift_loop_in").toString
+    writeOneFile(inDir, "b0.parquet", all.filter(col("id") < 15))
+    writeOneFile(inDir, "b1.parquet",
+      all.filter(col("id") >= 15 && col("id") < 30))
+    writeOneFile(inDir, "b2.parquet",
+      all.filter(col("id") >= 30 && col("id") < 45))
+    writeOneFile(inDir, "b3.parquet", all.filter(col("id") >= 45))
+    val base = Files.createTempDirectory("graft_drift_loop").toString
+    var serving = s"$base/v"
+    var driftDir = s"$base/drift_g0"
+    var baseline = -1.0
+    var retrains = List.empty[Long]
+    def meanErr(p: String): Double = {
+      val r = DriftStore.load(spark, p)
+        .agg(sum(col("err_sum")), sum(col("n"))).head
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream.foreachBatch {
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (VectorStore.storeExists(spark, serving))
+          VectorStore.append(spark, serving, df, Some(id))
+        else VectorStore.save(df, seeds, serving, Some(id))
+        val cents = VectorStore.load(spark, serving).centroids
+        if (DriftStore.exists(spark, driftDir))
+          DriftStore.append(spark, driftDir,
+            VectorOps.driftStats(df, cents), Some(id))
+        else DriftStore.save(VectorOps.driftStats(df, cents), driftDir,
+          Some(id))
+        if (baseline < 0) baseline = meanErr(driftDir)
+        if (meanErr(driftDir) > 5.0 * baseline) {
+          retrains ::= id
+          serving = StoreUtil.rotateWithGrace(spark, serving, _ => true,
+            (s, d) => VectorStore.retrain(spark, s, d, iters = 3),
+            grace = 1)
+          // a fresh artifact gets fresh statistics: the retired
+          // generation's error must not accuse its successor. The
+          // re-baseline fold reads the corpus the retrain just fit.
+          driftDir = s"$base/drift_g${retrains.size}"
+          val st = VectorStore.load(spark, serving)
+          DriftStore.save(VectorOps.driftStats(
+            st.cells.select(col("id"), col("vec")), st.centroids),
+            driftDir, Some(id))
+          baseline = meanErr(driftDir)
+        }
+        ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // exactly ONE retrain, at the first drifted batch (b2 = batch 2);
+    // the fitted follow-up batch must NOT re-trigger
+    assert(retrains == List(2L), s"retrains fired at $retrains")
+    assert(serving != s"$base/v", "the trigger must have rotated")
+    val st = VectorStore.load(spark, serving)
+    assert(st.cells.count() == 60L, "rows lost across the rotation")
+    // the retrained table fits the full corpus better than the seeds,
+    // and the two directions now occupy one cell each
+    def totalErr(c: org.apache.spark.sql.DataFrame): Long =
+      VectorOps.driftStats(all, c).agg(sum(col("err_sum"))).head.getLong(0)
+    assert(totalErr(st.centroids) < totalErr(seeds))
+    assert(VectorOps.driftStats(all, st.centroids)
+      .collect().map(_.getLong(1)).sorted.toSeq == Seq(30L, 30L))
+    // the serving drift store's signal is back under the trigger
+    assert(meanErr(driftDir) <= 5.0 * baseline)
+    // and the rotated generation answers
+    assert(VectorStore.query(st, all.filter(col("id") < 3), k = 2,
+      nprobe = 1).count() > 0)
+  }
+
   test("PQ codebook retraining refines the served entries on the " +
       "current corpus: error falls, rows re-encode, tags survive") {
     import graft.ops.VectorOps
