@@ -319,6 +319,67 @@ object StoreUtil {
     "\"last_batch\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(manifest)
       .map(_.group(1).toLong)
 
+  /** Shared additive counting-store machinery — ONE definition of the
+    * ingest-advance rule, the batchId zombie guard, the schema gate,
+    * and the unionByName+groupBy fold, for every family that persists
+    * bounded exact-count statistics (the mix-stats store's `n_total`,
+    * the drift store's `(n, err_sum)`). The per-family copies were
+    * exactly the drift channel [[manifestedStoreExists]]'s
+    * consolidation closed for the PROBES; a crash-protocol or
+    * zombie-guard strengthening must land on every counting fold at
+    * once the same way. Value columns are the parameter; every other
+    * column is the group key.
+    */
+  def foldStoreSave(stats: org.apache.spark.sql.DataFrame, path: String,
+      sub: String, mfFile: String, batchId: Option[Long]): Unit =
+    // a re-save over an existing store (a history reset) advances the
+    // counter like a fold would — the ModelStore.save rule, so a
+    // ledger-driven replay can refuse EITHER kind of drift
+    foldStoreSaveAt(stats, path, sub, mfFile, batchId,
+      readMarker(stats.sparkSession, path, mfFile)
+        .map(ingestsOf).getOrElse(0L) + 1L)
+
+  private def foldStoreSaveAt(stats: org.apache.spark.sql.DataFrame,
+      path: String, sub: String, mfFile: String, batchId: Option[Long],
+      ingests: Long): Unit =
+    saveManifested(stats, path, sub, mfFile,
+      s"""{"version":1,"ingests":$ingests""" +
+        batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}")
+
+  /** Fold one batch's statistics in: value columns sum by every other
+    * column. Re-delivered batchIds are full no-ops — counts, unlike
+    * sketch states, are not idempotent under merge. ONE manifest read
+    * serves the existence check, the zombie guard, and the ingest
+    * counter (the ProvenanceLog.append discipline). A no-batchId fold
+    * must not erase the recorded last_batch (the family's orElse rule).
+    */
+  def foldStoreAppend(spark: SparkSession, path: String, sub: String,
+      mfFile: String, batchStats: org.apache.spark.sql.DataFrame,
+      batchId: Option[Long], valueCols: Seq[String],
+      desc: String): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val mf = readMarker(spark, path, mfFile)
+      .getOrElse(throw new IllegalStateException(
+        s"$path is not a $desc (no $mfFile)"))
+    requireVersion(mf, 1, s"$desc at $path")
+    val last = lastBatchOf(mf)
+    if (batchId.isDefined && batchId == last) return
+    val stored = spark.read.parquet(s"$path/$sub")
+    require(batchStats.columns.sorted.toSeq == stored.columns.sorted.toSeq,
+      s"batch stats (${batchStats.columns.mkString(",")}) do not match " +
+        s"the stored schema (${stored.columns.mkString(",")})")
+    val keys = stored.columns.filterNot(valueCols.contains).toSeq
+    val sums = valueCols.map(c => sum(col(c)).as(c))
+    val merged = stored.unionByName(batchStats)
+      .groupBy(keys.map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+    // no checkpoint needed: saveManifested's swap protocol consumes the
+    // merge plan into the swap directory while the live files are
+    // still intact — the lazy read and the overwrite never overlap
+    foldStoreSaveAt(merged, path, sub, mfFile, batchId.orElse(last),
+      ingestsOf(mf) + 1L)
+  }
+
   /** The compaction watermark — the ingest count the store last
     * compacted at (0 for never, and for pre-watermark manifests).
     * ONE parsing rule shared by every family that folds batches as

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Persisted drift statistics — the retraining-cadence meters
   * ([[VectorOps.driftStats]], [[VectorOps.pqDriftStats]]) accumulated
@@ -23,29 +22,24 @@ object DriftStore {
 
   val ManifestFile = "_graft_driftstore.json"
 
-  private def manifest(ingests: Long, batchId: Option[Long]): String =
-    s"""{"version":1,"ingests":$ingests""" +
-      batchId.map(id => s""","last_batch":$id""").getOrElse("") + "}"
-
-  /** Create (or reset) the store from one batch's statistics. A re-save
-    * over an existing store advances the ingest counter like a fold
-    * would — the ModelStore.save rule, so a provenance row can refuse
-    * either kind of history drift on replay.
+  /** Create (or reset) the store from one batch's statistics — the
+    * shared counting-fold machinery ([[graft.StoreUtil.foldStoreSave]])
+    * under this family's manifest. A re-save over an existing store
+    * advances the ingest counter like a fold would — the
+    * ModelStore.save rule, so a provenance row can refuse either kind
+    * of history drift on replay.
     */
   def save(stats: DataFrame, path: String,
-      batchId: Option[Long] = None): Unit =
-    saveAt(stats, path, batchId,
-      graft.StoreUtil.readMarker(stats.sparkSession, path, ManifestFile)
-        .map(graft.StoreUtil.ingestsOf).getOrElse(0L) + 1L)
+      batchId: Option[Long] = None): Unit = {
+    requireShape(stats)
+    graft.StoreUtil.foldStoreSave(stats, path, "stats", ManifestFile,
+      batchId)
+  }
 
-  private def saveAt(stats: DataFrame, path: String,
-      batchId: Option[Long], ingests: Long): Unit = {
+  private def requireShape(stats: DataFrame): Unit =
     require(stats.columns.contains("n") && stats.columns.contains("err_sum"),
       s"drift stats must carry (n, err_sum); got " +
         stats.columns.mkString(","))
-    graft.StoreUtil.saveManifested(stats, path, "stats", ManifestFile,
-      manifest(ingests, batchId))
-  }
 
   def load(spark: SparkSession, path: String): DataFrame = {
     graft.StoreUtil.requireManifest(spark, path, ManifestFile,
@@ -69,29 +63,13 @@ object DriftStore {
     * meters (cell-keyed and (j, code)-keyed) without declaring either.
     * Re-delivered batchIds are full no-ops: double-folding would
     * genuinely corrupt the statistic (counts, unlike sketch states,
-    * are not idempotent under merge).
+    * are not idempotent under merge). The guard, the schema gate, and
+    * the merge are [[graft.StoreUtil.foldStoreAppend]] — shared with
+    * the mix-stats family, so a protocol strengthening lands on every
+    * counting fold at once.
     */
   def append(spark: SparkSession, path: String, batchStats: DataFrame,
-      batchId: Option[Long] = None): Unit = {
-    val mf = graft.StoreUtil.readMarker(spark, path, ManifestFile)
-      .getOrElse(throw new IllegalStateException(
-        s"$path is not a drift store (no $ManifestFile)"))
-    graft.StoreUtil.requireVersion(mf, 1, s"drift store at $path")
-    val last = graft.StoreUtil.lastBatchOf(mf)
-    if (batchId.isDefined && batchId == last) return
-    val stored = spark.read.parquet(s"$path/stats")
-    require(batchStats.columns.sorted.toSeq == stored.columns.sorted.toSeq,
-      s"batch stats (${batchStats.columns.mkString(",")}) do not match " +
-        s"the stored schema (${stored.columns.mkString(",")})")
-    val keys = stored.columns.filterNot(c => c == "n" || c == "err_sum")
-      .toSeq
-    val merged = stored.unionByName(batchStats)
-      .groupBy(keys.map(col): _*)
-      .agg(sum(col("n")).as("n"), sum(col("err_sum")).as("err_sum"))
-    // saveManifested's swap protocol consumes the lazy merge into the
-    // swap dir while the live files are intact; a no-batchId fold must
-    // not erase the recorded last_batch (the family's orElse rule)
-    saveAt(merged, path, batchId.orElse(last),
-      graft.StoreUtil.ingestsOf(mf) + 1L)
-  }
+      batchId: Option[Long] = None): Unit =
+    graft.StoreUtil.foldStoreAppend(spark, path, "stats", ManifestFile,
+      batchStats, batchId, Seq("n", "err_sum"), "drift store")
 }

@@ -187,29 +187,18 @@ object SampleOps {
     */
   val MixManifestFile = "_graft_mixstore.json"
 
-  private def batchField(batchId: Option[Long]): String =
-    batchId.map(id => s""","last_batch":$id""").getOrElse("")
-
-  def saveMixStats(stats: DataFrame, path: String,
-      batchId: Option[Long] = None): Unit =
-    // a re-save over an existing store (a history reset) advances the
-    // counter like a fold would — the ModelStore.save rule, so a
-    // ledger-driven replay can refuse EITHER kind of drift
-    saveMixStatsAt(stats, path, batchId,
-      graft.StoreUtil.readMarker(stats.sparkSession, path, MixManifestFile)
-        .map(graft.StoreUtil.ingestsOf).getOrElse(0L) + 1L)
-
-  /** The shared writer with the ingest counter explicit — a fresh save
-    * is ingest 1, [[appendMixStats]] (and a re-save) advances it. The
+  /** Create (or reset) the store — [[graft.StoreUtil.foldStoreSave]]
+    * under this family's manifest: a re-save advances the ingest
+    * counter like a fold would (the ModelStore.save rule), and that
     * counter is what lets a delivery's provenance row later PROVE the
     * store was not folded into between the delivery and a replay (a
     * pre-counter manifest reads as 1 via the family's lenient rule, so
     * old stores keep loading).
     */
-  private def saveMixStatsAt(stats: DataFrame, path: String,
-      batchId: Option[Long], ingests: Long): Unit =
-    graft.StoreUtil.saveManifested(stats, path, "stats", MixManifestFile,
-      s"""{"version":1,"ingests":$ingests""" + batchField(batchId) + "}")
+  def saveMixStats(stats: DataFrame, path: String,
+      batchId: Option[Long] = None): Unit =
+    graft.StoreUtil.foldStoreSave(stats, path, "stats", MixManifestFile,
+      batchId)
 
   def loadMixStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
@@ -235,32 +224,9 @@ object SampleOps {
     * would genuinely corrupt the recipe.
     */
   def appendMixStats(spark: org.apache.spark.sql.SparkSession, path: String,
-      batchStats: DataFrame, batchId: Option[Long] = None): Unit = {
-    // ONE manifest read serves the existence check, the zombie guard,
-    // and the ingest counter (the ProvenanceLog.append discipline —
-    // each is a kilobyte marker round-trip per micro-batch otherwise)
-    val mf = graft.StoreUtil.readMarker(spark, path, MixManifestFile)
-      .getOrElse(throw new IllegalStateException(
-        s"$path is not a mix-stats store (no $MixManifestFile)"))
-    graft.StoreUtil.requireVersion(mf, 1, s"mix-stats store at $path")
-    val last = graft.StoreUtil.lastBatchOf(mf)
-    if (batchId.isDefined && batchId == last) return
-    val stored = spark.read.parquet(s"$path/stats")
-    require(batchStats.columns.sorted.toSeq == stored.columns.sorted.toSeq,
-      s"batch stats (${batchStats.columns.mkString(",")}) do not match " +
-        s"the stored schema (${stored.columns.mkString(",")})")
-    val keys = stored.columns.filterNot(_ == "n_total").toSeq
-    val merged = stored.unionByName(batchStats)
-      .groupBy(keys.map(col): _*)
-      .agg(sum(col("n_total")).as("n_total"))
-    // no checkpoint needed: saveManifested's swap protocol consumes the
-    // merge plan into the swap directory while the live stats files are
-    // still intact — the lazy read and the overwrite never overlap. A
-    // no-batchId fold must not erase the recorded last_batch (the
-    // family's orElse zombie rule).
-    saveMixStatsAt(merged, path, batchId.orElse(last),
-      graft.StoreUtil.ingestsOf(mf) + 1L)
-  }
+      batchStats: DataFrame, batchId: Option[Long] = None): Unit =
+    graft.StoreUtil.foldStoreAppend(spark, path, "stats", MixManifestFile,
+      batchStats, batchId, Seq("n_total"), "mix-stats store")
 
   /** Token-budget mixture sampling — the pretraining-recipe control
     * knob [[temperatureSample]] cannot express: each stratum (domain,

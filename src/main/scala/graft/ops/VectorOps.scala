@@ -335,6 +335,34 @@ object VectorOps {
     cents
   }
 
+  /** [[kmeansCentroids]] with k FIXED: a cell that attracts no members
+    * in a round carries its entry over unchanged (per round — the
+    * carried entry keeps competing as an attractor in later rounds)
+    * instead of disappearing with the aggregate. This is
+    * [[pqCodebookRefined]]'s left-join-coalesce rule applied to the
+    * full-vector trainer, and it is what a SERVING-table retrain
+    * ([[VectorStore.retrain]]) needs: the store's cell count is an
+    * operator-configured property of the layout, and a vacated region
+    * must keep its (stale) routing entry rather than silently shrink
+    * every later query's nprobe universe. Seeds widen to double at
+    * entry so the carry branch and the moved branch agree in type.
+    */
+  def kmeansCentroidsKept(corpus: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    var cents = seeds.select(col("cid"), toDouble(col("cvec")).as("cvec"))
+    for (_ <- 0 until iters) {
+      val moved = kmeansStep(corpus, cents)
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("val")))), x => x("val")).as("cvec_new"))
+      cents = ClusterOps.flatten(cents
+        .join(moved, Seq("cid"), "left_outer")
+        .select(col("cid"),
+          coalesce(col("cvec_new"), col("cvec")).as("cvec")))
+    }
+    cents
+  }
+
   /** Drift meter for a served centroid set: per-cell occupancy and
     * total quantized squared error of `batch` against the SERVING
     * centroids — the statistic a deployment folds per append to decide

@@ -203,7 +203,12 @@ object VectorStore {
     * "re-train and save a fresh store" step [[append]]'s centroid-drift
     * doc promises. Warm-started from the centroids the store serves (k
     * and the cell ids stay fixed; entries move toward where the
-    * appended data went) by `iters` Lloyd rounds, then EVERY vector
+    * appended data went) by `iters` Lloyd rounds — the k-FIXED variant
+    * ([[VectorOps.kmeansCentroidsKept]]): a cell the corpus has fully
+    * vacated keeps its stale entry instead of disappearing with the
+    * round's aggregate, because the cell count is an
+    * operator-configured property of the layout and plain Lloyd would
+    * let repeated retrains ratchet it down silently. Then EVERY vector
     * reassigns against the new table — the cell layout must match the
     * routing table or partition pruning would lie. This is deliberately
     * the one full-corpus pass in the maintenance family: training is
@@ -229,7 +234,7 @@ object VectorStore {
     // localCheckpoint: the trained table is read by the assignment pass
     // AND written below — without it the iterated Lloyd lineage replays
     // once per consumer
-    val cents = VectorOps.kmeansCentroids(corpus,
+    val cents = VectorOps.kmeansCentroidsKept(corpus,
       spark.read.parquet(s"$path/centroids"), iters).localCheckpoint()
     VectorOps.assignCells(corpus, cents, 1)
       .select(col("id"), col("v").as("vec"),

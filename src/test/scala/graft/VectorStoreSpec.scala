@@ -552,6 +552,39 @@ class VectorStoreSpec extends AnyFunSuite {
       nprobe = 1).count() > 0)
   }
 
+  test("retraining keeps k fixed: a fully vacated cell carries its " +
+      "stale entry instead of disappearing with the Lloyd round") {
+    // every vector shares one direction; seed 1 points where no data
+    // is. Plain Lloyd drops the memberless cell in round one — a
+    // retrained generation would silently serve k-1 cells, and
+    // repeated retrains would ratchet the operator's configured cell
+    // count down with no signal. The k-fixed trainer carries the
+    // stale entry (still a routing-table row, still probeable).
+    import spark.implicits._
+    import graft.ops.VectorOps
+    def dirA(i: Int): Seq[Double] =
+      Seq.tabulate(8)(d => if (d < 4) 1.0 + 0.01 * (i % 3) else 0.01)
+    val corpus3 = (0 until 20).map(i => (i.toLong, dirA(i)))
+      .toDF("id", "vec")
+    val vacated = Seq.tabulate(8)(d => if (d < 4) 0.01 else 1.0)
+    val seeds = Seq((0L, dirA(0)), (1L, vacated)).toDF("cid", "cvec")
+    val base = Files.createTempDirectory("graft_vretrain_k").toString
+    VectorStore.save(corpus3, seeds, s"$base/g0", batchId = Some(0L))
+    VectorStore.retrain(spark, s"$base/g0", s"$base/g1", iters = 2)
+    val st = VectorStore.load(spark, s"$base/g1")
+    val cents = st.centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.keySet == Set(0L, 1L),
+      s"retraining must preserve k; got cells ${cents.keySet}")
+    assert(cents(1L) == vacated,
+      "the vacated cell must carry its stale entry verbatim")
+    assert(st.cells.count() == 20L)
+    // probing both cells still answers (the empty cell prunes to
+    // nothing, it does not error)
+    assert(VectorStore.query(st, corpus3.filter(col("id") < 2), k = 3,
+      nprobe = 2).count() > 0)
+  }
+
   test("PQ codebook retraining refines the served entries on the " +
       "current corpus: error falls, rows re-encode, tags survive") {
     import graft.ops.VectorOps
