@@ -327,13 +327,22 @@ object VectorOps {
   def kmeansCentroids(corpus: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     var cents = seeds
     for (_ <- 0 until iters) {
-      cents = ClusterOps.flatten(kmeansStep(corpus, cents)
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("val")))),
-          x => x("val")).as("cvec")))
+      cents = ClusterOps.flatten(lloydMoved(corpus, cents))
     }
     cents
   }
+
+  /** One Lloyd round's MOVED entries — (cid, cvec) for every cell that
+    * attracted members, [[kmeansStep]]'s long form reassembled into
+    * seed shape. ONE definition of the pos-sort reassembly (downstream
+    * oracle hashes replay its tie rule), shared by the standard and
+    * k-fixed trainers.
+    */
+  private def lloydMoved(corpus: DataFrame, cents: DataFrame): DataFrame =
+    kmeansStep(corpus, cents)
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("val")))),
+        x => x("val")).as("cvec"))
 
   /** [[kmeansCentroids]] with k FIXED: a cell that attracts no members
     * in a round carries its entry over unchanged (per round — the
@@ -351,10 +360,8 @@ object VectorOps {
       iters: Int): DataFrame = {
     var cents = seeds.select(col("cid"), toDouble(col("cvec")).as("cvec"))
     for (_ <- 0 until iters) {
-      val moved = kmeansStep(corpus, cents)
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"),
-          col("val")))), x => x("val")).as("cvec_new"))
+      val moved = lloydMoved(corpus, cents)
+        .withColumnRenamed("cvec", "cvec_new")
       cents = ClusterOps.flatten(cents
         .join(moved, Seq("cid"), "left_outer")
         .select(col("cid"),

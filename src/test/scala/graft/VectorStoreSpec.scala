@@ -561,7 +561,6 @@ class VectorStoreSpec extends AnyFunSuite {
     // count down with no signal. The k-fixed trainer carries the
     // stale entry (still a routing-table row, still probeable).
     import spark.implicits._
-    import graft.ops.VectorOps
     def dirA(i: Int): Seq[Double] =
       Seq.tabulate(8)(d => if (d < 4) 1.0 + 0.01 * (i % 3) else 0.01)
     val corpus3 = (0 until 20).map(i => (i.toLong, dirA(i)))
