@@ -146,10 +146,35 @@ object TrainingQueries {
     * it shares the replayed-Lloyd oracle — the store changes layout,
     * never answers.
     */
-  val annIvfTrainedStore: Q = (s, d) => {
-    val dir = graft.StoreUtil.cachedStoreDir("vstoretrained", d) { p =>
+  private def trainedIvfStoreDir(s: SparkSession, d: String): String =
+    graft.StoreUtil.cachedStoreDir("vstoretrained", d) { p =>
       val (e, cents) = trainedIvf(s, d)
       VectorStore.save(e, cents, p)
+    }
+
+  val annIvfTrainedStore: Q = (s, d) => {
+    val dir = trainedIvfStoreDir(s, d)
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val st = vstoreLoaded.get(s, dir)(VectorStore.load(s, dir))
+    VectorStore.query(st, queries, k = 5, nprobe = 2)
+  }
+
+  /** The trained store RETRAINED one more round through the
+    * maintenance ACTION ([[VectorStore.retrain]] — warm-start from the
+    * SERVING centroids, the k-FIXED Lloyd variant) and served from the
+    * fresh generation. This hash-gates the retrain path end to end:
+    * the oracle replays the three training rounds, then the retrain
+    * round WITH the carry rule (a memberless cell keeps its entry —
+    * `coalesce` over a left join, exactly
+    * [[VectorOps.kmeansCentroidsKept]]'s round), then the unchanged
+    * search chain over the retrained table — so a store rotated by the
+    * drift loop's trigger serves answers a SQL engine re-derives.
+    */
+  val annIvfRetrainedStore: Q = (s, d) => {
+    val src = trainedIvfStoreDir(s, d) // hoisted out of the builder
+    val dir = graft.StoreUtil.cachedStoreDir("vstoreretrained", d) { p =>
+      VectorStore.retrain(s, src, p, iters = 1)
     }
     val queries = Tables.embeddings(s, d).filter(col("vec_id") < 20)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -2489,6 +2514,7 @@ object TrainingQueries {
     "ann_rerank" -> annRerank,
     "ann_ivf_trained" -> annIvfTrained,
     "ann_ivf_trained_store" -> annIvfTrainedStore,
+    "ann_ivf_retrained_store" -> annIvfRetrainedStore,
     "ann_drift" -> annDrift,
     "ann_drift_store" -> annDriftStore,
     "ann_drift_pq" -> annDriftPq,
@@ -2737,6 +2763,59 @@ object TrainingQueries {
        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
        |      DESC, c.cid) AS r
        |  FROM e, c3 c WHERE e.id < 20) WHERE r <= 2),
+       |scored AS (SELECT DISTINCT qc.id AS q_id, cc.id AS n_id,
+       |    round(list_dot_product(qc.v, cc.v) /
+       |      (sqrt(list_dot_product(qc.v, qc.v)) * sqrt(list_dot_product(cc.v, cc.v))), 6) AS cos
+       |  FROM query_cells qc JOIN corpus_cells cc
+       |    ON cc.cell = qc.cell AND cc.id <> qc.id),
+       |ranked AS (SELECT q_id, n_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** The retrain replay: the three training rounds exactly as
+    * annIvfTrainedSql derives them, then the RETRAIN round with the
+    * k-fixed carry (`kc` — a cell the corpus vacated keeps its c3
+    * entry via the left-join coalesce, replaying
+    * [[graft.ops.VectorOps.kmeansCentroidsKept]]'s rule), then the
+    * identical search chain over the retrained table.
+    */
+  private val annIvfRetrainedSql =
+    s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings WHERE vec_id < 300),
+       |c AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |${lloydRoundSql(1)},
+       |${lloydRoundSql(2)},
+       |${lloydRoundSql(3)},
+       |ka AS (SELECT id, v, cell FROM (
+       |  SELECT e.id, e.v, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.id ORDER BY
+       |      list_dot_product(e.v, c.cv) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |      DESC, c.cid) AS rr
+       |  FROM e, c3 c) WHERE rr = 1),
+       |km AS (SELECT cell AS cid, p - 1 AS pos,
+       |    CAST(sum(CAST(floor(v[CAST(p AS INT)] * 1000000.0) AS BIGINT))
+       |      AS BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0) AS val
+       |  FROM ka, unnest(range(1, len(v) + 1)) u(p) GROUP BY 1, 2),
+       |kmv AS (SELECT cid, list(val ORDER BY pos) AS cv FROM km GROUP BY cid),
+       |kc AS (SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+       |  FROM c3 p LEFT JOIN kmv m ON m.cid = p.cid),
+       |corpus_cells AS (SELECT id, v, cid AS cell FROM (
+       |  SELECT e.id, e.v, c.cid,
+       |    row_number() OVER (PARTITION BY e.id ORDER BY
+       |      list_dot_product(e.v, c.cv) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |      DESC, c.cid) AS r
+       |  FROM e, kc c) WHERE r = 1),
+       |query_cells AS (SELECT id, v, cid AS cell FROM (
+       |  SELECT e.id, e.v, c.cid,
+       |    row_number() OVER (PARTITION BY e.id ORDER BY
+       |      list_dot_product(e.v, c.cv) /
+       |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |      DESC, c.cid) AS r
+       |  FROM e, kc c WHERE e.id < 20) WHERE r <= 2),
        |scored AS (SELECT DISTINCT qc.id AS q_id, cc.id AS n_id,
        |    round(list_dot_product(qc.v, cc.v) /
        |      (sqrt(list_dot_product(qc.v, qc.v)) * sqrt(list_dot_product(cc.v, cc.v))), 6) AS cos
@@ -3783,6 +3862,9 @@ object TrainingQueries {
     // changes layout, never answers — ONE oracle for both
     "ann_ivf_trained" -> annIvfTrainedSql,
     "ann_ivf_trained_store" -> annIvfTrainedSql,
+    // the retrain ACTION hash-gated: three training rounds, then the
+    // k-fixed retrain round (left-join-coalesce carry), same search
+    "ann_ivf_retrained_store" -> annIvfRetrainedSql,
     // the drift meter's replay: the same three Lloyd rounds and cosine
     // assignment as the trained-search chain, then exact integer error
     // sums in the quantSqDist domain (floor(x·1000) per component)
