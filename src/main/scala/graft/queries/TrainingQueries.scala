@@ -1283,6 +1283,25 @@ object TrainingQueries {
     VectorStore.queryAdc(st, pqQueries(s, d), k = 5, nprobe = 2)
   }
 
+  /** The trained PQ store RETRAINED one more round through
+    * [[VectorStore.retrainPq]] (warm-start from the SERVING codebook,
+    * every row re-encoded) and served from the fresh generation —
+    * [[annIvfRetrainedStore]]'s twin for the codebook artifact. The
+    * oracle simply chains a THIRD replayed PQ Lloyd round: `pqRoundSql`
+    * already carries memberless entries (the left-join coalesce), so
+    * one more oracle round IS [[VectorOps.pqCodebookRefined]]'s
+    * semantics — training, retraining, and serving all hash-gated by
+    * the same round builder.
+    */
+  val annPqRetrainedStore: Q = (s, d) => {
+    val src = pqTrainedStoreDir(s, d) // hoisted out of the builder
+    val dir = graft.StoreUtil.cachedStoreDir("pqretrained", d) { p =>
+      VectorStore.retrainPq(s, src, p, iters = 1)
+    }
+    val st = pqstoreLoaded.get(s, dir)(VectorStore.loadPq(s, dir))
+    VectorStore.queryAdc(st, pqQueries(s, d), k = 5, nprobe = 2)
+  }
+
   /** Drift meter over the SERVING trained PQ codebook
     * ([[VectorOps.pqDriftStats]]) — `ann_drift`'s twin for the second
     * trained artifact family: per-(subspace, code) occupancy and exact
@@ -2521,6 +2540,7 @@ object TrainingQueries {
     "ann_drift_pq_store" -> annDriftPqStore,
     "ann_pq_trained" -> annPqTrained,
     "ann_pq_trained_store" -> annPqTrainedStore,
+    "ann_pq_retrained_store" -> annPqRetrainedStore,
     "sk_cm_store" -> skCmStore,
     "sk_kmv_store" -> skKmvStore,
     "dd_spans" -> ddSpans,
@@ -3882,6 +3902,19 @@ object TrainingQueries {
     // compacted-store twin changes layout, never answers — ONE oracle
     "ann_pq_trained" -> annPqTrainedSql,
     "ann_pq_trained_store" -> annPqTrainedSql,
+    // the retrain is ONE more replayed round — pqRoundSql already
+    // carries memberless entries, so round 3 IS pqCodebookRefined
+    "ann_pq_retrained_store" ->
+      s"""$ivfPqPrefix,
+         |${pqRoundSql(1)},
+         |${pqRoundSql(2)},
+         |${pqRoundSql(3)},
+         |${ivfPqTail("pcb3")},
+         |ranked AS (SELECT q_id, n_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id)
+         |      AS BIGINT) AS rnk
+         |  FROM adc)
+         |SELECT q_id, n_id, rnk, adc FROM ranked WHERE rnk <= 5""".stripMargin,
     // the served-from-disk twin: bit-equal to annIvfPq by construction
     // (same centroids, same codebook, same candidate rule, same ADC)
     "ann_pq_store" -> annIvfPqSql,
