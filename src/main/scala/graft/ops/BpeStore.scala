@@ -140,4 +140,31 @@ object BpeStore {
             lit("' — the corpus outgrew the artifact; retrain and " +
               "save a new store"))))
           .otherwise(col("id")).as("tok_id"))
+
+  /** Tokenizer drift meter — [[encodeIds]]' OOV guard as a STATISTIC
+    * instead of a failure: tokenize a batch under the stored merge
+    * table and fold per served token id — `n` = occurrences, `err_sum`
+    * = total characters those occurrences cover — with id −1 (never a
+    * real id; ids are dense from 0) collecting the out-of-vocabulary
+    * mass the guard would have raised on. The two retrain signals a
+    * tokenizer deployment actually watches fall out exactly: the −1
+    * row's share of Σn is the OOV rate (a vocabulary the corpus
+    * outgrew), and Σerr_sum/Σn is characters-per-token (a stale MERGE
+    * table fragments new text into more, shorter tokens, so the mean
+    * falls against the trained-time baseline). Both are exact int64
+    * and additive by `tok_id` — the [[VectorOps.driftStats]] shape, so
+    * a maintenance loop folds one statistic per batch through
+    * [[DriftStore]] and never rescans history; the key space is
+    * ≤ vocab_size + 1 rows regardless of corpus size. Same row-local
+    * merge chain and broadcast vocab join as serving — the batch is
+    * never shuffled, only the bounded (tok_id) aggregate is.
+    */
+  def driftStats(st: Loaded, docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(
+        graft.functions.Bpe.tokensCol(col(textCol), st.merges)).as("token"))
+      .join(broadcast(st.vocab.select(col("token"), col("id"))),
+        Seq("token"), "left")
+      .groupBy(coalesce(col("id"), lit(-1L)).as("tok_id"))
+      .agg(count(lit(1)).as("n"), sum(length(col("token"))).as("err_sum"))
 }

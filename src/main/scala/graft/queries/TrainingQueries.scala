@@ -763,6 +763,50 @@ object TrainingQueries {
       .select(col("doc_id"), m.scoreFp.as("score_fp"))
   }
 
+  /** Quality-model drift meter — the score DISTRIBUTION of a batch
+    * under the SERVED classifier, folded into 17 fixed-point buckets
+    * (score_fp ∈ [0, 2¹⁶], bucket = score_fp div 4096): `n` = docs,
+    * `err_sum` = total score mass in the bucket. A quality gate's
+    * staleness shows up as distribution shift — the kept fraction at
+    * the deployed threshold moving, mass migrating between buckets —
+    * long before any label is available to re-measure accuracy, so
+    * the histogram against the trained-time baseline is the retrain
+    * trigger (the third trained-artifact family metered: centroids/
+    * codebook, tokenizer, now the quality LR; its action is
+    * [[graft.ops.ModelStore.save]]'s counter-advancing re-save).
+    * Bounded (17 rows), exact int64, additive per batch — the
+    * [[graft.ops.DriftStore]] contract. The oracle retrains the full
+    * 8-iteration GD loop in unrolled SQL, scores the batch with the
+    * just-derived weights, and builds the same histogram.
+    */
+  private def lrDriftStats(m: graft.ops.ModelStore.Loaded,
+      docs: DataFrame): DataFrame =
+    lrFeatures(docs)
+      .select(m.scoreFp.as("score_fp"))
+      .groupBy(expr("score_fp div 4096").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("score_fp")).as("err_sum"))
+
+  val txtLrDrift: Q = (s, d) =>
+    lrDriftStats(graft.ops.ModelStore.load(s, lrStoreDir(s, d)),
+      Tables.documents(s, d).filter(col("doc_id") >= 250))
+
+  /** [[txtLrDrift]] accumulated through [[graft.ops.DriftStore]] — two
+    * batch folds over the bucket key, loaded store hash-equal to the
+    * one-shot meter (shares `txtLrDriftSql` verbatim).
+    */
+  val txtLrDriftStore: Q = (s, d) => {
+    // hoisted: a cachedStoreDir builder must never call cachedStoreDir
+    val m = graft.ops.ModelStore.load(s, lrStoreDir(s, d))
+    val dir = graft.StoreUtil.cachedStoreDir("lrdriftstats", d) { p =>
+      val batch = Tables.documents(s, d).filter(col("doc_id") >= 250)
+      graft.ops.DriftStore.save(
+        lrDriftStats(m, batch.filter(col("doc_id") < 400)), p, Some(0L))
+      graft.ops.DriftStore.append(s, p,
+        lrDriftStats(m, batch.filter(col("doc_id") >= 400)), Some(1L))
+    }
+    graft.ops.DriftStore.load(s, dir)
+  }
+
   /** The corpus-preparation pipeline end to end: quality gate →
     * repetition gate → exact dedup by token-set fingerprint (smallest id
     * survives). This is the composition a real training run executes
@@ -1116,17 +1160,80 @@ object TrainingQueries {
     * the LM lifecycle at 100 TB: train once (or fold batches as the
     * crawl grows), persist, score forever without re-reading history.
     */
-  val lmScoreStore: Q = (s, d) => {
-    val dir = graft.StoreUtil.cachedStoreDir("lmstore", d) { p =>
+  /** The persisted LM's store dir (the <250 training half folded in as
+    * two ingest batches; built once per JVM per data dir) — shared by
+    * the scoring gate and the drift meter.
+    */
+  private[graft] def lmStoreDir(s: SparkSession, d: String): String =
+    graft.StoreUtil.cachedStoreDir("lmstore", d) { p =>
       val train = Tables.documents(s, d).filter(col("doc_id") < 250)
       graft.ops.LmStore.ingestBatch(s, p,
         train.filter(col("doc_id") < 125), "text")
       graft.ops.LmStore.ingestBatch(s, p,
         train.filter(col("doc_id") >= 125), "text")
     }
-    val st = graft.ops.LmStore.load(s, dir)
+
+  val lmScoreStore: Q = (s, d) => {
+    val st = graft.ops.LmStore.load(s, lmStoreDir(s, d))
     graft.ops.LmOps.scoreTrigram(Tables.documents(s, d), "doc_id", "text",
       st.uni, st.bi, st.tri, broadcastCounts = true)
+  }
+
+  /** LM drift meter — mean surprisal of the POST-training batch
+    * (doc_id ≥ 250) under the SERVED n-gram model, folded per mixture
+    * SOURCE: `n` = scored tokens, `err_sum` = total integer micronat
+    * cost ([[graft.ops.LmOps.scoreTrigram]]'s exact arithmetic), so
+    * err_sum/n is per-source perplexity drift against the
+    * trained-time baseline — the signal that tells a pipeline WHICH
+    * stratum of the crawl moved away from the model (a rising mean on
+    * one source is a vocabulary/domain shift there, not global decay).
+    * Keyed by source the statistic is bounded by the mixture recipe,
+    * additive per batch, and exact — the [[graft.ops.DriftStore]]
+    * contract — and its ACTION is the LM family's own lifecycle:
+    * counts are additive, so folding the drifted batch in
+    * ([[graft.ops.LmStore.ingestBatch]]) IS the adaptation step, no
+    * retrain-from-scratch needed (LmSpec proves the fold lowers the
+    * folded batch's surprisal, bit-equal to a one-shot retrain). The
+    * oracle replays tokenization,
+    * all three count orders, and the full backoff chain from raw text,
+    * then aggregates by source.
+    */
+  /** The meter body, ONCE (the trained-IVF-fixture lesson: a scan gate
+    * and its store twin sharing an oracle must share the construction
+    * too, or the constants silently diverge): score `docs` under the
+    * served model `st`, fold (n, err_sum) by source.
+    */
+  private def lmDriftStats(s: SparkSession, d: String,
+      st: graft.ops.LmStore.Loaded, docs: DataFrame): DataFrame =
+    graft.ops.LmOps.scoreTrigram(docs, "doc_id", "text",
+        st.uni, st.bi, st.tri, broadcastCounts = true)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n"),
+        sum(col("cost_micronats")).as("err_sum"))
+
+  val lmDrift: Q = (s, d) =>
+    lmDriftStats(s, d, graft.ops.LmStore.load(s, lmStoreDir(s, d)),
+      Tables.documents(s, d).filter(col("doc_id") >= 250))
+
+  /** [[lmDrift]] accumulated through [[graft.ops.DriftStore]] — two
+    * batch folds over the source key, loaded store hash-equal to the
+    * one-shot meter (shares `lmDriftSql` verbatim).
+    */
+  val lmDriftStore: Q = (s, d) => {
+    val src = lmStoreDir(s, d) // hoisted out of the builder
+    val dir = graft.StoreUtil.cachedStoreDir("lmdriftstats", d) { p =>
+      val st = graft.ops.LmStore.load(s, src)
+      val batch = Tables.documents(s, d).filter(col("doc_id") >= 250)
+      graft.ops.DriftStore.save(
+        lmDriftStats(s, d, st, batch.filter(col("doc_id") < 400)),
+        p, Some(0L))
+      graft.ops.DriftStore.append(s, p,
+        lmDriftStats(s, d, st, batch.filter(col("doc_id") >= 400)),
+        Some(1L))
+    }
+    graft.ops.DriftStore.load(s, dir)
   }
 
   /** Count-min heavy hitters: token counts sketched into 3×32 counters
@@ -1474,8 +1581,13 @@ object TrainingQueries {
     * distinct token — bounded by construction, the SemDeDup-centroid
     * rule), not the corpus.
     */
-  private def bpeVocabFrame(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).filter(col("text").isNotNull)
+  /** The vocabulary aggregate over an arbitrary doc frame — ONE
+    * definition of "dense ids, (count DESC, token) order" shared by the
+    * corpus-wide artifact below and the drift fixture's ≤250 window,
+    * so the two can never rank ids differently.
+    */
+  private def bpeVocabOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(explode(graft.functions.Bpe.tokensCol(col("text")))
         .as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
@@ -1483,6 +1595,9 @@ object TrainingQueries {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("c").desc, col("token"))) - 1).cast("long"))
       .select(col("id"), col("token"), col("c"))
+
+  private def bpeVocabFrame(s: SparkSession, d: String): DataFrame =
+    bpeVocabOf(Tables.documents(s, d))
 
   val txtBpeVocab: Q = (s, d) => bpeVocabFrame(s, d)
 
@@ -1528,6 +1643,64 @@ object TrainingQueries {
   val txtBpeIdsStore: Q = (s, d) => {
     graft.ops.BpeStore.encodeIds(graft.ops.BpeStore.load(s, bpeStoreDir(s, d)),
       Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text")
+  }
+
+  /** The drift fixture's tokenizer: trained BEFORE the batch it will be
+    * measured against (vocabulary over doc_id < 250 only — the honest
+    * drift scenario; the production `bpestore` vocabulary is
+    * corpus-wide and can never see OOV, which is exactly what makes it
+    * the wrong artifact to meter). Built once per JVM per data dir.
+    */
+  private def bpeDriftStoreDir(s: SparkSession, d: String): String =
+    graft.StoreUtil.cachedStoreDir("bpedrift", d) { p =>
+      graft.ops.BpeStore.save(s, graft.functions.Bpe.merges,
+        bpeVocabOf(Tables.documents(s, d).filter(col("doc_id") < 250)), p)
+    }
+
+  private val bpeDriftLoaded = new graft.SessionCache[graft.ops.BpeStore.Loaded]()
+
+  /** Tokenizer drift meter ([[graft.ops.BpeStore.driftStats]]): the
+    * post-training batch (doc_id ≥ 250) tokenized under the SERVED
+    * artifact and folded per token id — the −1 row is the OOV mass
+    * [[graft.ops.BpeStore.encodeIds]]' in-plan guard raises on, here as
+    * the statistic a deployment reads to schedule retraining BEFORE the
+    * guard starts failing jobs; Σerr_sum/Σn is characters-per-token,
+    * the fragmentation signal of a stale merge table. Extends the
+    * retraining-cadence story (`ann_drift` family) to the tokenizer:
+    * every trained artifact now has a meter, and this one's ACTION is
+    * [[graft.ops.BpeStore.save]] itself (retrain whole, re-save — the
+    * store's documented lifecycle; the save counter advances so replay
+    * refuses the retrained artifact). The oracle re-derives the ≤250
+    * vocabulary and the batch tokenization from raw text in SQL.
+    */
+  val txtBpeDrift: Q = (s, d) => {
+    val dir = bpeDriftStoreDir(s, d)
+    val st = bpeDriftLoaded.get(s, dir)(graft.ops.BpeStore.load(s, dir))
+    graft.ops.BpeStore.driftStats(st,
+      Tables.documents(s, d).filter(col("doc_id") >= 250), "text")
+  }
+
+  /** [[txtBpeDrift]] ACCUMULATED through the persisted
+    * [[graft.ops.DriftStore]] — the batch arrives as two folds (save,
+    * then append) and the loaded store must hash-equal the one-shot
+    * meter, so the gate shares `txtBpeDriftSql` VERBATIM: the store's
+    * merge algebra over the (tok_id) key is itself DuckDB-gated. ONE
+    * DriftStore family now serves three key shapes (cell, (j, code),
+    * tok_id) — the key-columns-inferred design carrying its weight.
+    */
+  val txtBpeDriftStore: Q = (s, d) => {
+    val src = bpeDriftStoreDir(s, d) // hoisted out of the builder
+    val dir = graft.StoreUtil.cachedStoreDir("bpedriftstats", d) { p =>
+      val st = bpeDriftLoaded.get(s, src)(graft.ops.BpeStore.load(s, src))
+      val batch = Tables.documents(s, d).filter(col("doc_id") >= 250)
+      graft.ops.DriftStore.save(
+        graft.ops.BpeStore.driftStats(st,
+          batch.filter(col("doc_id") < 400), "text"), p, Some(0L))
+      graft.ops.DriftStore.append(s, p,
+        graft.ops.BpeStore.driftStats(st,
+          batch.filter(col("doc_id") >= 400), "text"), Some(1L))
+    }
+    graft.ops.DriftStore.load(s, dir)
   }
 
   /** Winnowing fingerprints (k=8 char grams, window 4) on an id window. */
@@ -2495,6 +2668,8 @@ object TrainingQueries {
     "txt_bpe_vocab" -> txtBpeVocab,
     "txt_bpe_ids" -> txtBpeIds,
     "txt_bpe_ids_store" -> txtBpeIdsStore,
+    "txt_bpe_drift" -> txtBpeDrift,
+    "txt_bpe_drift_store" -> txtBpeDriftStore,
     "ann_topk" -> annTopk,
     "txt_quality" -> txtQuality,
     "txt_repetition" -> txtRepetition,
@@ -2553,10 +2728,14 @@ object TrainingQueries {
     "lm_train_tri" -> lmTrainTri,
     "lm_score_tri" -> lmScoreTri,
     "lm_score_store" -> lmScoreStore,
+    "lm_drift" -> lmDrift,
+    "lm_drift_store" -> lmDriftStore,
     "emb_quantize" -> embQuantize,
     "emb_rproj" -> embRproj,
     "txt_lr_train" -> txtLrTrain,
     "txt_lr_store" -> txtLrStore,
+    "txt_lr_drift" -> txtLrDrift,
+    "txt_lr_drift_store" -> txtLrDriftStore,
     "txt_tokens" -> txtTokens,
     "txt_bpe" -> txtBpe,
     "txt_bpe_chunks" -> txtBpeChunks,
@@ -3481,6 +3660,68 @@ object TrainingQueries {
        |SELECT enc.doc_id, enc.pos, vid.id AS tok_id
        |FROM enc JOIN vid USING (token)""".stripMargin
 
+  // the tokenizer drift replay: the ≤250 vocabulary re-derived from
+  // raw text (same (count DESC, token) id order), the ≥250 batch
+  // re-tokenized, per-id occupancy + covered characters with the OOV
+  // mass on id −1. ONE string for the scan meter and the DriftStore
+  // fold (the store changes accumulation, never the statistic).
+  private val txtBpeDriftSql: String =
+    s"""WITH tk AS (SELECT unnest(${graft.functions.Bpe.tokensSql("text")})
+       |    AS token
+       |  FROM documents WHERE text IS NOT NULL AND doc_id < 250),
+       |v AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+       |vid AS (SELECT token,
+       |    CAST(row_number() OVER (ORDER BY c DESC, token) - 1
+       |      AS BIGINT) AS id
+       |  FROM v),
+       |bt AS (SELECT unnest(${graft.functions.Bpe.tokensSql("text")})
+       |    AS token
+       |  FROM documents WHERE text IS NOT NULL AND doc_id >= 250)
+       |SELECT coalesce(vid.id, -1) AS tok_id,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(len(bt.token)) AS BIGINT) AS err_sum
+       |FROM bt LEFT JOIN vid USING (token) GROUP BY 1""".stripMargin
+
+  // the LM drift replay: train on <250, score ≥250 through the full
+  // backoff chain (the lm_score_tri CTEs, nested so the per-doc scores
+  // can fold by source), per-source token and micronat sums. Shared by
+  // the scan meter and its DriftStore fold.
+  private lazy val lmDriftSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t
+       |  FROM documents WHERE text IS NOT NULL AND doc_id >= 250),
+       |tr AS (SELECT $toksSql AS t
+       |  FROM documents WHERE text IS NOT NULL AND doc_id < 250),
+       |sc AS (WITH ${graft.ops.LmOps.scoreTrigramOracleSql()})
+       |SELECT d.source, CAST(sum(sc.n_tokens) AS BIGINT) AS n,
+       |  CAST(sum(sc.cost_micronats) AS BIGINT) AS err_sum
+       |FROM sc JOIN documents d USING (doc_id) GROUP BY 1""".stripMargin
+
+  // the quality-model drift replay: retrain the 8-iteration GD loop in
+  // unrolled SQL, score the ≥250 batch with the just-derived weights,
+  // histogram by 4096-wide fixed-point bucket. Shared by the scan
+  // meter and its DriftStore fold.
+  private lazy val txtLrDriftSql: String = {
+    val (ctes, wLast) = graft.ops.LinearModel.trainCtesSql(
+      lrFeatSqls, lrLabelSql, iters = 8, lrShift = 4)
+    // weight alias is `wt`, never `w` — fd carries a token-list
+    // column named w the feature expressions reference
+    val z = lrFeatSqls.zipWithIndex
+      .map { case (e, i) => s"($e) * wt.c$i" }.mkString(" + ")
+    s"""WITH f AS (SELECT n_chars, $toksSql AS w FROM documents
+       |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+       |$ctes,
+       |fd AS (SELECT doc_id, n_chars, $toksSql AS w FROM documents
+       |  WHERE text IS NOT NULL AND doc_id >= 250),
+       |sc AS (SELECT fd.doc_id,
+       |    CAST(${graft.ops.LinearModel.sigmoidFpSql(z)} AS BIGINT)
+       |      AS score_fp
+       |  FROM fd, $wLast wt, sigt)
+       |SELECT CAST(score_fp // 4096 AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(score_fp) AS BIGINT) AS err_sum
+       |FROM sc GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dd_source_stats" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
@@ -3687,6 +3928,10 @@ object TrainingQueries {
     // the store changes WHERE the merge table and vocabulary come from
     // (the persisted artifact), never the encoding — shares the oracle
     "txt_bpe_ids_store" -> txtBpeIdsSql,
+    // the tokenizer drift meter and its DriftStore fold share one
+    // replay — the store changes accumulation, never the statistic
+    "txt_bpe_drift" -> txtBpeDriftSql,
+    "txt_bpe_drift_store" -> txtBpeDriftSql,
     // the auto-scaled SemDeDup oracle re-derives n, k = ceil(sqrt(n)),
     // and the exact (md5(id), id)-ordered centroid set before replaying
     // the dd_semantic pipeline over it
@@ -3849,6 +4094,11 @@ object TrainingQueries {
          |  FROM documents WHERE text IS NOT NULL),
          |tr AS (SELECT t FROM t WHERE doc_id < 250),
          |${graft.ops.LmOps.scoreTrigramOracleSql()}""".stripMargin,
+    // per-source surprisal of the post-training batch under the served
+    // LM — the store fold is bit-equal to the one-shot meter (additive
+    // integer sums by source), ONE oracle for both
+    "lm_drift" -> lmDriftSql,
+    "lm_drift_store" -> lmDriftSql,
     // the store-served CM probe is defined bit-identical to the fresh
     // sketch (order-independent sums; shape from the manifest) — shared
     // oracle, same as ann_store/ann_ivf
@@ -4219,6 +4469,10 @@ object TrainingQueries {
          |    AS score_fp
          |FROM fd, $wLast wt, sigt""".stripMargin
     },
+    // the score-distribution drift meter and its DriftStore fold share
+    // one full-retrain replay — additive integer histogram by bucket
+    "txt_lr_drift" -> txtLrDriftSql,
+    "txt_lr_drift_store" -> txtLrDriftSql,
     // the sign matrix is pure md5(seed:j:i) — the oracle rebuilds it and
     // the integer dot products from scratch, no Spark-side artifact
     "emb_rproj" ->

@@ -156,6 +156,47 @@ class LmSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$cd/uni").count() == oneUni.size)
   }
 
+  test("LM drift action: folding the drifted batch into the store " +
+      "lowers its surprisal, bit-equal to a one-shot retrain") {
+    // the lm_drift meter's ACTION is the LM family's own additivity:
+    // counts fold, so ingesting the drifted batch IS the adaptation
+    // step. Two claims, each independent of the other: (1) direction —
+    // a vocabulary-disjoint batch pays the full backoff chain before
+    // the fold and must cost strictly less after its n-grams are seen;
+    // (2) exactness — the adapted store scores bit-identically to a
+    // model trained ONE-SHOT on train+batch via LmOps.train* (the
+    // trainers, not the store — so the fold is checked against an
+    // independent construction, not against itself)
+    import graft.ops.LmStore
+    import spark.implicits._
+    val train = Seq((0L, "alpha beta gamma delta"),
+      (1L, "beta gamma alpha beta")).toDF("doc_id", "text")
+    // omega/sigma/tau never occur in train — disjoint by construction
+    val batch = Seq((10L, "omega sigma tau omega sigma"),
+      (11L, "sigma tau omega tau")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lmd")
+      .toString + "/lm"
+    LmStore.ingestBatch(spark, dir, train, "text", Some(0L))
+    def cost(uni: org.apache.spark.sql.DataFrame,
+        bi: org.apache.spark.sql.DataFrame,
+        tri: org.apache.spark.sql.DataFrame): Long =
+      LmOps.scoreTrigram(batch, "doc_id", "text", uni, bi, tri,
+          broadcastCounts = true)
+        .agg(sum(col("cost_micronats"))).head.getLong(0)
+    val st0 = LmStore.load(spark, dir)
+    val before = cost(st0.uni, st0.bi, st0.tri)
+    LmStore.ingestBatch(spark, dir, batch, "text", Some(1L))
+    val st1 = LmStore.load(spark, dir)
+    val after = cost(st1.uni, st1.bi, st1.tri)
+    assert(after < before,
+      s"adapting to the batch must lower its surprisal ($before -> $after)")
+    val both = train.unionByName(batch)
+    val oneShot = cost(LmOps.trainUnigram(both, "text"),
+      LmOps.trainBigram(both, "text"), LmOps.trainTrigram(both, "text"))
+    assert(after == oneShot,
+      "the folded store must score bit-identically to a one-shot retrain")
+  }
+
   test("LM store: needsCompact nudges after slack ingests and resets at " +
       "the compaction watermark") {
     import graft.ops.LmStore

@@ -704,6 +704,62 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer drift stats: character conservation, OOV mass lands " +
+      "on id -1, additivity over any split") {
+    // the text twin of the centroid-drift contract, with expectations
+    // derived INDEPENDENTLY of the meter: (1) BPE tokens partition each
+    // word's characters, so Σ err_sum must equal the corpus's
+    // non-whitespace character count — a law the meter cannot satisfy
+    // by construction if it drops or double-counts tokens; (2) a batch
+    // whose characters are disjoint from the training corpus can share
+    // no token with the vocabulary, so ALL of its mass must land on the
+    // OOV row; (3) per-batch folds sum to the one-shot statistic
+    import graft.ops.BpeStore
+    import graft.functions.Bpe
+    import spark.implicits._
+    val train = Seq((0L, "the cat sat on the mat"),
+      (1L, "a cat and a hat"), (2L, "the rat sat")).toDF("doc_id", "text")
+    // z/q never occur in the training text — disjoint by construction
+    val alien = Seq((10L, "zzq qqz zz"), (11L, "qq zqz")).toDF("doc_id", "text")
+    val vocab = train
+      .select(explode(Bpe.tokensCol(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("id", (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("token"))) - 1).cast("long"))
+    val st = BpeStore.Loaded(Bpe.merges, vocab)
+    def nonWs(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(length(regexp_replace(col("text"), "\\s", ""))))
+        .head.getLong(0)
+    def statsSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // conservation over a mixed corpus (known + alien tokens)
+    val mixed = train.unionByName(alien)
+    val mixedStats = BpeStore.driftStats(st, mixed, "text")
+    assert(mixedStats.agg(sum(col("err_sum"))).head.getLong(0)
+      == nonWs(mixed))
+    // the all-alien batch: every token OOV, so the -1 row carries the
+    // batch's whole character mass and no other row exists
+    val alienStats = statsSet(BpeStore.driftStats(st, alien, "text"))
+    assert(alienStats.map(_._1) == Set(-1L))
+    assert(alienStats.head._3 == nonWs(alien))
+    // the training corpus against its own vocabulary: zero OOV mass
+    assert(!statsSet(BpeStore.driftStats(st, train, "text"))
+      .exists(_._1 == -1L))
+    // additivity: any doc split folds to the one-shot statistic
+    val oneShot = statsSet(mixedStats)
+    for (cut <- Seq(1L, 2L, 11L)) {
+      val folded =
+        BpeStore.driftStats(st, mixed.filter(col("doc_id") < cut), "text")
+          .unionByName(BpeStore.driftStats(st,
+            mixed.filter(col("doc_id") >= cut), "text"))
+          .groupBy(col("tok_id"))
+          .agg(sum(col("n")).as("n"), sum(col("err_sum")).as("err_sum"))
+      assert(statsSet(folded) == oneShot, s"cut=$cut")
+    }
+  }
+
   test("PQ drift stats are additive per (subspace, code), for any " +
       "split of the corpus") {
     // the codebook twin of the centroid-drift contract: per-batch folds
