@@ -2219,6 +2219,113 @@ object TrainingQueries {
     graft.ops.ProvenanceLog.taintedDeliveries(s, ledger, "dup_index", 0L)
   }
 
+  /** The requalification fixture: ONE dup store whose per-ingest tags
+    * hold both sides of the question — delivery 0 is recorded in a
+    * ledger while the index holds the 2-ingest history, THEN the
+    * contamination evidence lands as ingest 3 (a fixed-length prefix
+    * of boundary-stratum batch docs, re-keyed to ids that sort before
+    * all history so the keep-first rule attributes their windows to
+    * evidence). The as-of read reconstructs the delivery's state; the
+    * head is the corrected index. One builder closure (ledger + store
+    * under one cached dir) — the first-writer-wins rule.
+    */
+  /** The evidence window, ONCE for the fixture and its oracle (the
+    * round-13 lesson: a constant living in two places silently
+    * diverges — and its first draft did exactly that, caught by the
+    * tri-SF hash sweep): prefix length in chars, the batch id window,
+    * and the boundary-stratum sources.
+    */
+  private val requalEvidLen = 400
+  private val requalEvidIds = (250L, 500L)
+  private val requalEvidSources = Seq("src1", "src2", "src5")
+
+  private def requalFixtureDir(s: SparkSession, d: String): String = {
+    // hoisted: a cachedStoreDir builder must never call cachedStoreDir
+    val lr = lrStoreDir(s, d)
+    val stats = pipeStatsDir(s, d)
+    val bpe = bpeStoreDir(s, d)
+    graft.StoreUtil.cachedStoreDir("requalfix", d) { p =>
+      val hist = Tables.documents(s, d).filter(col("doc_id") < 250)
+      graft.ops.DupStore.ingestBatch(s, s"$p/dup",
+        hist.filter(col("doc_id") < 125), "doc_id", "text")
+      graft.ops.DupStore.ingestBatch(s, s"$p/dup",
+        hist.filter(col("doc_id") >= 125), "doc_id", "text")
+      // the ledger row is appended AT delivery time — the dup manifest
+      // it stamps still reads ingests=2, so strip_asof records the
+      // pre-evidence watermark without any subtraction
+      graft.ops.ProvenanceLog.append(s, s"$p/ledger",
+        pipeProvenanceFrame(s, lr, s"$p/dup", stats, bpe)
+          .withColumn("delivery_id", lit(0L)), Some(0L))
+      // evidence targets the recipe's BOUNDARY strata (src1/src2/src5
+      // carry partial budgets): stripping a budgeted doc moves its
+      // token count, so the budget cut lands differently and the diff
+      // is non-empty — evidence in an unbudgeted source would strip
+      // text the recipe never reads. The n_chars floor keeps short
+      // docs out of the evidence (a doc shorter than the prefix would
+      // strip to empty — legal, but a degenerate fixture).
+      val evidence = Tables.documents(s, d)
+        .filter(col("doc_id") >= requalEvidIds._1 &&
+          col("doc_id") < requalEvidIds._2 &&
+          col("text").isNotNull && col("n_chars") > 300 &&
+          col("source").isin(requalEvidSources: _*))
+        .select((lit(-1000L) - col("doc_id")).as("doc_id"),
+          substring(col("text"), 1, requalEvidLen).as("text"))
+      graft.ops.DupStore.ingestBatch(s, s"$p/dup", evidence, "doc_id",
+        "text")
+    }
+  }
+
+  /** REQUALIFY a tainted delivery — the action [[pipeTaint]]'s blast
+    * radius feeds: the dup index that served delivery 0 was found to
+    * be MISSING evidence (a contamination source discovered after the
+    * fact and ingested since), so the delivery's doc set is suspect.
+    * The original set is reproduced from NOTHING but the ledger row —
+    * [[pipeReplayCleaned]] pins the recorded generation and reads the
+    * index AS OF the recorded strip watermark (the evidence ingest is
+    * a later seq tag, filtered out) — while the corrected set re-runs
+    * the same stages against the CURRENT head, with stage-3 masses
+    * recomputed from the re-stripped batch (a requalification must
+    * re-classify at the corrected masses, not the stale ones). The
+    * output is the PATCH a deployment actually ships, diffed BOTH ways
+    * (`dropped` / `added`). This fixture's evolution only ever ADDS:
+    * stripping makes docs cheaper, priors in the budget's hash order
+    * fall weakly, so every previously-kept doc stays kept and the freed
+    * budget pulls new ones in — monotone by construction (the oracle
+    * MATCHING an empty `dropped` side at every SF is that argument,
+    * hash-checked). The `dropped` direction belongs to evolutions that
+    * raise costs or shrink keeps — a stricter retrained quality model,
+    * a budget cut — and the diff computes it regardless.
+    * The oracle replays BOTH pipelines from raw text (the
+    * pipe chain twice — once plain, once with the evidence rows in
+    * history) and diffs the kept sets; provenance loop closed:
+    * trace back (`pipe_provenance`), reproduce (`pipe_replay`), trace
+    * forward (`pipe_taint`), CORRECT (`pipe_requalify`).
+    */
+  val pipeRequalify: Q = (s, d) => {
+    val fix = requalFixtureDir(s, d)
+    val lr = lrStoreDir(s, d)
+    val bpe = bpeStoreDir(s, d)
+    val batch = Tables.documents(s, d)
+      .filter(col("doc_id") >= 250 && col("doc_id") < 500)
+    // the delivered set, reproduced from the ledger through pins and
+    // the as-of dup state (stage 3 reads the recorded masses store)
+    val orig = pipeSampled(s,
+      pipeStagedFrameWith(s, d, bpe,
+        pipeReplayCleaned(s, s"$fix/ledger", 0L, batch, lr, s"$fix/dup")),
+      SampleOps.loadMixStats(s, pipeStatsDir(s, d)))
+      .select(col("doc_id"))
+    // the corrected set against the current head, masses recomputed
+    val staged2 = pipeStagedFrameWith(s, d, bpe,
+      graft.ops.DupStore.probeStrip(
+        graft.ops.DupStore.load(s, s"$fix/dup"),
+        pipeQualityGateWith(s, lr, batch), "doc_id", "text"))
+    val requal = SampleOps.tokenBudgetSample(staged2, "doc_id", "source",
+      col("n_tok_bpe"), pipeBudgetDf(s), "pp1")
+      .select(col("doc_id"))
+    orig.except(requal).withColumn("status", lit("dropped"))
+      .unionByName(requal.except(orig).withColumn("status", lit("added")))
+  }
+
   /** Cluster-balanced token-budget mixture: the budget recipe applied
     * over LEARNED strata — each document joins its embedding, routes to
     * its nearest centroid cell ([[VectorOps.assignCells]], the IVF
@@ -2760,6 +2867,7 @@ object TrainingQueries {
     "pipe_provenance" -> pipeProvenance,
     "pipe_replay" -> pipeReplayQ,
     "pipe_taint" -> pipeTaint,
+    "pipe_requalify" -> pipeRequalify,
     "mix_cluster_budget" -> mixClusterBudget,
     "mix_cluster_budget_store" -> mixClusterBudgetStore,
     "mix_cluster_budget_trained" -> mixClusterBudgetTrained,
@@ -3570,7 +3678,7 @@ object TrainingQueries {
   // history ids precede batch ids, so the store probe equals the
   // one-shot); the budget bucket algebra over the re-derived clean
   // text with REAL BPE counts, ending at `kept (doc_id, source, ntok)`
-  private val pipePretrainCtes: String = {
+  private def pipePretrainCtesWith(extraHistorySql: String): String = {
     val (lrCtes, wLast) = graft.ops.LinearModel.trainCtesSql(
       lrFeatSqls, lrLabelSql, iters = 8, lrShift = 4)
     val z = lrFeatSqls.zipWithIndex
@@ -3585,6 +3693,7 @@ object TrainingQueries {
        |  WHERE ${graft.ops.LinearModel.sigmoidFpSql(z)} >= $pipeKeepFp),
        |psu AS (SELECT doc_id, text FROM documents
        |  WHERE text IS NOT NULL AND doc_id < 250
+       |  $extraHistorySql
        |  UNION ALL SELECT doc_id, text FROM pq),
        |pst AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM psu),
        |psw AS (SELECT doc_id, CAST(p AS BIGINT) AS i,
@@ -3614,6 +3723,8 @@ object TrainingQueries {
             "pp1")}""".stripMargin
   }
 
+  private lazy val pipePretrainCtes: String = pipePretrainCtesWith("")
+
   // the full pipe_pretrain replay (chained CTEs + the FFD fold) — ONE
   // string, shared verbatim with pipe_replay: the replay gate must be
   // bit-identical to the delivery it reproduces
@@ -3622,6 +3733,33 @@ object TrainingQueries {
       "WHERE doc_id IS NOT NULL",
     nTokSql = "ntok", fromSql = "kept",
     prefixCtes = pipePretrainCtes + ",\n")
+
+  // the requalification replay: the SAME pipe chain twice — the plain
+  // history (the delivered kept set) and the history with the evidence
+  // rows folded in (the corrected kept set) — then the two-way doc
+  // diff. Each chain lives in its own nested WITH scope, so the shared
+  // CTE names never collide; the evidence SQL mirrors the fixture's
+  // frame exactly (the requalEvid* constants, re-keyed below every
+  // history id).
+  private lazy val pipeRequalifySql: String = {
+    val evidenceSql =
+      s"""UNION ALL SELECT -1000 - doc_id AS doc_id,
+         |    substr(text, 1, $requalEvidLen) AS text FROM documents
+         |    WHERE text IS NOT NULL AND doc_id >= ${requalEvidIds._1}
+         |    AND doc_id < ${requalEvidIds._2} AND n_chars > 300
+         |    AND source IN (${requalEvidSources
+               .map(x => s"'$x'").mkString(", ")})""".stripMargin
+    s"""WITH orig AS (WITH ${pipePretrainCtesWith("")}
+       |  SELECT doc_id FROM kept),
+       |req AS (WITH ${pipePretrainCtesWith(evidenceSql)}
+       |  SELECT doc_id FROM kept)
+       |SELECT doc_id, 'dropped' AS status FROM
+       |  (SELECT doc_id FROM orig EXCEPT SELECT doc_id FROM req)
+       |UNION ALL
+       |SELECT doc_id, 'added' AS status FROM
+       |  (SELECT doc_id FROM req EXCEPT SELECT doc_id FROM orig)"""
+      .stripMargin
+  }
 
   // the audit-view replay — ONE string for the scan and store-served
   // budget gates (the store changes where the masses come from, never
@@ -4641,6 +4779,12 @@ object TrainingQueries {
     // same oracle string; what the gate adds is the path the result
     // took (ledger rows → resolved generations → pins → as-of strip)
     "pipe_replay" -> pipePretrainOracle,
+    // requalification: the pipe chain replayed TWICE from raw text —
+    // once plain (the delivered set), once with the evidence rows in
+    // the strip history (the corrected set) — and the kept doc sets
+    // diffed both ways. Nested WITH scopes keep the two chains' CTE
+    // names independent.
+    "pipe_requalify" -> pipeRequalifySql,
     // the bin audit over the same chained fold — the pack_ffd_stats
     // tail (join k for token counts) on the pipeline's kept set
     "pipe_pretrain_bins" -> packFfdSql(

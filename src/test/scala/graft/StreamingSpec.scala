@@ -1741,4 +1741,105 @@ class StreamingSpec extends AnyFunSuite {
       s"GC after the audit unpin must reclaim $dupBase, got $reclaimed")
     assert(!new java.io.File(dupBase).exists)
   }
+
+  test("LM drift-adaptation loop: per-batch surprisal folds accumulate " +
+      "in a drift store, the crossed signal folds the batch INTO the " +
+      "LM and re-baselines — adaptation without rotation") {
+    // the text-family member of the drift-triggered maintenance story
+    // (VectorStoreSpec drives the rotate-and-retrain variant for the
+    // vector artifacts): the LM's corrective action is the family's own
+    // count additivity — ingest the drifted batch and its n-grams are
+    // seen — so the loop adapts IN PLACE, no rotation, and the drift
+    // store re-baselines per adaptation (a retired signal must not
+    // accuse the adapted model). Two in-domain batches hold the signal
+    // at baseline; the first out-of-domain batch crosses and must
+    // trigger EXACTLY one adaptation; the follow-up batch from the SAME
+    // new domain scores cheap against the adapted counts and must not
+    // re-trigger.
+    import spark.implicits._
+    import graft.ops.{DriftStore, LmOps, LmStore}
+    def docs(ids: Range, words: Seq[String], src: String) =
+      ids.map(i => (i.toLong,
+          Seq.tabulate(6)(k => words((i + k) % words.size)).mkString(" "),
+          src))
+        .toDF("doc_id", "text", "source")
+    val domA = Seq("alpha", "beta", "gamma", "delta")
+    val domB = Seq("omega", "sigma", "tau", "rho")
+    val inDir = Files.createTempDirectory("graft_lmdrift_in").toString
+    writeEventFile(inDir, "b0.parquet", docs(0 until 5, domA, "a"))
+    writeEventFile(inDir, "b1.parquet", docs(5 until 10, domA, "a"))
+    writeEventFile(inDir, "b2.parquet", docs(10 until 15, domB, "b"))
+    writeEventFile(inDir, "b3.parquet", docs(15 until 20, domB, "b"))
+    val base = Files.createTempDirectory("graft_lmdrift").toString
+    val lmDir = s"$base/lm"
+    var driftDir = s"$base/drift_g0"
+    var baseline = -1.0
+    var adapts = List.empty[Long]
+    def surprisalStats(df: org.apache.spark.sql.DataFrame) = {
+      val st = LmStore.load(spark, lmDir)
+      LmOps.scoreTrigram(df, "doc_id", "text", st.uni, st.bi, st.tri,
+          broadcastCounts = true)
+        .join(df.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("n"),
+          sum(col("cost_micronats")).as("err_sum"))
+    }
+    def meanErr(p: String): Double = {
+      val r = DriftStore.load(spark, p)
+        .agg(sum(col("err_sum")), sum(col("n"))).head
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val schema = docs(0 until 1, domA, "a").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          if (!LmStore.exists(spark, lmDir)) {
+            // the initial training batch IS the first model; its drift
+            // is measured against itself — the trained-time baseline
+            LmStore.ingestBatch(spark, lmDir, df, "text", Some(id))
+            DriftStore.save(surprisalStats(df), driftDir, Some(id))
+            baseline = meanErr(driftDir)
+          } else {
+            // measure BEFORE the fold — the signal is the batch against
+            // the model that would have served it
+            DriftStore.append(spark, driftDir, surprisalStats(df),
+              Some(id))
+            val crossed = meanErr(driftDir) > 1.5 * baseline
+            // the crawl folds every batch (the LM store's growing
+            // lifecycle); for the drifted batch this fold IS the
+            // corrective action — counts are additive, so no rotation
+            LmStore.ingestBatch(spark, lmDir, df, "text", Some(id))
+            if (crossed) {
+              adapts ::= id
+              driftDir = s"$base/drift_g${adapts.size}"
+              DriftStore.save(surprisalStats(df), driftDir, Some(id))
+              baseline = meanErr(driftDir)
+            }
+          }
+          ()
+      }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(adapts == List(2L), s"adaptations fired at $adapts")
+    // the re-baselined signal sits under the trigger after b3
+    assert(meanErr(driftDir) <= 1.5 * baseline)
+    // and the adaptation genuinely lowered the new domain's surprisal:
+    // domain-B text under the final store costs less per token than it
+    // did under the pre-adaptation (domain-A-only) counts
+    val preA = docs(0 until 10, domA, "a")
+    val st = LmStore.load(spark, lmDir)
+    def cost(u: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame,
+        t: org.apache.spark.sql.DataFrame): Double = {
+      val r = LmOps.scoreTrigram(docs(15 until 20, domB, "b"), "doc_id",
+          "text", u, b, t, broadcastCounts = true)
+        .agg(sum(col("cost_micronats")), sum(col("n_tokens"))).head
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    assert(cost(st.uni, st.bi, st.tri) <
+      cost(LmOps.trainUnigram(preA, "text"),
+        LmOps.trainBigram(preA, "text"),
+        LmOps.trainTrigram(preA, "text")))
+  }
 }
