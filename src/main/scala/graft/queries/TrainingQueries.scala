@@ -1203,18 +1203,19 @@ object TrainingQueries {
     * too, or the constants silently diverge): score `docs` under the
     * served model `st`, fold (n, err_sum) by source.
     */
-  private def lmDriftStats(s: SparkSession, d: String,
-      st: graft.ops.LmStore.Loaded, docs: DataFrame): DataFrame =
+  private def lmDriftStats(st: graft.ops.LmStore.Loaded,
+      docs: DataFrame): DataFrame =
     graft.ops.LmOps.scoreTrigram(docs, "doc_id", "text",
         st.uni, st.bi, st.tri, broadcastCounts = true)
-      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
-        "doc_id")
+      // the batch frame already carries source — joining it back beats
+      // a second documents scan for the one column
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("n"),
         sum(col("cost_micronats")).as("err_sum"))
 
   val lmDrift: Q = (s, d) =>
-    lmDriftStats(s, d, graft.ops.LmStore.load(s, lmStoreDir(s, d)),
+    lmDriftStats(graft.ops.LmStore.load(s, lmStoreDir(s, d)),
       Tables.documents(s, d).filter(col("doc_id") >= 250))
 
   /** [[lmDrift]] accumulated through [[graft.ops.DriftStore]] — two
@@ -1227,10 +1228,10 @@ object TrainingQueries {
       val st = graft.ops.LmStore.load(s, src)
       val batch = Tables.documents(s, d).filter(col("doc_id") >= 250)
       graft.ops.DriftStore.save(
-        lmDriftStats(s, d, st, batch.filter(col("doc_id") < 400)),
+        lmDriftStats(st, batch.filter(col("doc_id") < 400)),
         p, Some(0L))
       graft.ops.DriftStore.append(s, p,
-        lmDriftStats(s, d, st, batch.filter(col("doc_id") >= 400)),
+        lmDriftStats(st, batch.filter(col("doc_id") >= 400)),
         Some(1L))
     }
     graft.ops.DriftStore.load(s, dir)
@@ -2260,13 +2261,15 @@ object TrainingQueries {
       // carry partial budgets): stripping a budgeted doc moves its
       // token count, so the budget cut lands differently and the diff
       // is non-empty — evidence in an unbudgeted source would strip
-      // text the recipe never reads. The n_chars floor keeps short
-      // docs out of the evidence (a doc shorter than the prefix would
-      // strip to empty — legal, but a degenerate fixture).
+      // text the recipe never reads. The n_chars floor is the prefix
+      // length itself: a doc shorter than the prefix would strip to
+      // empty (legal, but the degenerate case), so every evidence doc
+      // keeps a genuine tail and the PARTIAL-strip path is what the
+      // gate exercises.
       val evidence = Tables.documents(s, d)
         .filter(col("doc_id") >= requalEvidIds._1 &&
           col("doc_id") < requalEvidIds._2 &&
-          col("text").isNotNull && col("n_chars") > 300 &&
+          col("text").isNotNull && col("n_chars") > requalEvidLen &&
           col("source").isin(requalEvidSources: _*))
         .select((lit(-1000L) - col("doc_id")).as("doc_id"),
           substring(col("text"), 1, requalEvidLen).as("text"))
@@ -2303,22 +2306,21 @@ object TrainingQueries {
     */
   val pipeRequalify: Q = (s, d) => {
     val fix = requalFixtureDir(s, d)
-    val lr = lrStoreDir(s, d)
-    val bpe = bpeStoreDir(s, d)
     val batch = Tables.documents(s, d)
       .filter(col("doc_id") >= 250 && col("doc_id") < 500)
     // the delivered set, reproduced from the ledger through pins and
     // the as-of dup state (stage 3 reads the recorded masses store)
     val orig = pipeSampled(s,
-      pipeStagedFrameWith(s, d, bpe,
-        pipeReplayCleaned(s, s"$fix/ledger", 0L, batch, lr, s"$fix/dup")),
+      pipeStagedFrame(s, d,
+        pipeReplayCleaned(s, s"$fix/ledger", 0L, batch,
+          lrStoreDir(s, d), s"$fix/dup")),
       SampleOps.loadMixStats(s, pipeStatsDir(s, d)))
       .select(col("doc_id"))
-    // the corrected set against the current head, masses recomputed
-    val staged2 = pipeStagedFrameWith(s, d, bpe,
-      graft.ops.DupStore.probeStrip(
-        graft.ops.DupStore.load(s, s"$fix/dup"),
-        pipeQualityGateWith(s, lr, batch), "doc_id", "text"))
+    // the corrected set against the current head, masses recomputed —
+    // stages 1+2 are the pipeline's own composition, not a hand-rolled
+    // copy, so a plumbing change there lands here too
+    val staged2 = pipeStagedFrame(s, d,
+      pipeCleanBatch(s, d, s"$fix/dup", batch))
     val requal = SampleOps.tokenBudgetSample(staged2, "doc_id", "source",
       col("n_tok_bpe"), pipeBudgetDf(s), "pp1")
       .select(col("doc_id"))
@@ -3746,7 +3748,8 @@ object TrainingQueries {
       s"""UNION ALL SELECT -1000 - doc_id AS doc_id,
          |    substr(text, 1, $requalEvidLen) AS text FROM documents
          |    WHERE text IS NOT NULL AND doc_id >= ${requalEvidIds._1}
-         |    AND doc_id < ${requalEvidIds._2} AND n_chars > 300
+         |    AND doc_id < ${requalEvidIds._2}
+         |    AND n_chars > $requalEvidLen
          |    AND source IN (${requalEvidSources
                .map(x => s"'$x'").mkString(", ")})""".stripMargin
     s"""WITH orig AS (WITH ${pipePretrainCtesWith("")}
