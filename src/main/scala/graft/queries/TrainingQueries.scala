@@ -2328,6 +2328,43 @@ object TrainingQueries {
       .unionByName(requal.except(orig).withColumn("status", lit("added")))
   }
 
+  /** The corrected recipe for the budget-cut requalification: the
+    * contaminated domain's budget halved, everything else untouched.
+    * ONE definition feeding the Spark frame and the oracle chain.
+    */
+  private val requalCutRecipe: Seq[(String, Long)] =
+    pipeRecipe.map { case ("src1", _) => ("src1", 150L); case x => x }
+
+  /** The OTHER requalification direction — [[pipeRequalify]]'s strip
+    * evolution can only ADD (stripping makes docs cheaper; the kept
+    * set grows monotonically), so this gate exercises `dropped`: the
+    * recipe itself is the tainted artifact (a domain found
+    * contaminated at the MIXTURE level — its budget is cut in half),
+    * and the patch is the docs the delivered pack must PULL. Stages
+    * 1–2 and the radix masses are untouched by a budget change, so
+    * both sides read the SAME staged frame and recorded masses — the
+    * requalification costs one re-classification over the cached
+    * frame, no re-strip, no re-scan (the cheap end of the
+    * requalification spectrum, as a budget-only correction should
+    * be). Monotone the other way: budgets only shrink, so the diff is
+    * pure `dropped` — both directions still computed, and the oracle
+    * (the pipe chain under the cut recipe vs the delivered chain)
+    * hash-checks the empty `added` side the same way pipe_requalify
+    * hash-checks the empty `dropped` side.
+    */
+  val pipeRequalifyBudget: Q = (s, d) => {
+    import s.implicits._
+    val staged = pipeStaged(s, d)
+    val masses = SampleOps.loadMixStats(s, pipeStatsDir(s, d))
+    val orig = pipeSampled(s, staged, masses).select(col("doc_id"))
+    val requal = SampleOps.tokenBudgetSampleWith(staged, "doc_id",
+        "source", col("n_tok_bpe"), requalCutRecipe.toDF("source",
+          "budget_tok"), "pp1", masses)
+      .select(col("doc_id"))
+    orig.except(requal).withColumn("status", lit("dropped"))
+      .unionByName(requal.except(orig).withColumn("status", lit("added")))
+  }
+
   /** Cluster-balanced token-budget mixture: the budget recipe applied
     * over LEARNED strata — each document joins its embedding, routes to
     * its nearest centroid cell ([[VectorOps.assignCells]], the IVF
@@ -2870,6 +2907,7 @@ object TrainingQueries {
     "pipe_replay" -> pipeReplayQ,
     "pipe_taint" -> pipeTaint,
     "pipe_requalify" -> pipeRequalify,
+    "pipe_requalify_budget" -> pipeRequalifyBudget,
     "mix_cluster_budget" -> mixClusterBudget,
     "mix_cluster_budget_store" -> mixClusterBudgetStore,
     "mix_cluster_budget_trained" -> mixClusterBudgetTrained,
@@ -3680,7 +3718,8 @@ object TrainingQueries {
   // history ids precede batch ids, so the store probe equals the
   // one-shot); the budget bucket algebra over the re-derived clean
   // text with REAL BPE counts, ending at `kept (doc_id, source, ntok)`
-  private def pipePretrainCtesWith(extraHistorySql: String): String = {
+  private def pipePretrainCtesWith(extraHistorySql: String,
+      recipe: Seq[(String, Long)] = pipeRecipe): String = {
     val (lrCtes, wLast) = graft.ops.LinearModel.trainCtesSql(
       lrFeatSqls, lrLabelSql, iters = 8, lrShift = 4)
     val z = lrFeatSqls.zipWithIndex
@@ -3719,7 +3758,7 @@ object TrainingQueries {
        |      AS clean_text
        |  FROM pst LEFT JOIN pkp ON pst.doc_id = pkp.doc_id
        |  WHERE pst.doc_id >= 250 GROUP BY pst.doc_id),
-       |${budgetKeptCtesFor(pipeRecipe,
+       |${budgetKeptCtesFor(recipe,
             "pclean JOIN documents USING (doc_id)",
             s"len(${graft.functions.Bpe.tokensSql("clean_text")})",
             "pp1")}""".stripMargin
@@ -3763,6 +3802,22 @@ object TrainingQueries {
        |  (SELECT doc_id FROM req EXCEPT SELECT doc_id FROM orig)"""
       .stripMargin
   }
+
+  // the budget-cut requalification: the same pipe chain under the
+  // delivered recipe and under the cut recipe, kept sets diffed both
+  // ways (the `added` side is provably empty — budgets only shrank —
+  // and the hash check proves it stays so)
+  private lazy val pipeRequalifyBudgetSql: String =
+    s"""WITH orig AS (WITH ${pipePretrainCtesWith("")}
+       |  SELECT doc_id FROM kept),
+       |req AS (WITH ${pipePretrainCtesWith("", requalCutRecipe)}
+       |  SELECT doc_id FROM kept)
+       |SELECT doc_id, 'dropped' AS status FROM
+       |  (SELECT doc_id FROM orig EXCEPT SELECT doc_id FROM req)
+       |UNION ALL
+       |SELECT doc_id, 'added' AS status FROM
+       |  (SELECT doc_id FROM req EXCEPT SELECT doc_id FROM orig)"""
+      .stripMargin
 
   // the audit-view replay — ONE string for the scan and store-served
   // budget gates (the store changes where the masses come from, never
@@ -4788,6 +4843,8 @@ object TrainingQueries {
     // diffed both ways. Nested WITH scopes keep the two chains' CTE
     // names independent.
     "pipe_requalify" -> pipeRequalifySql,
+    // the budget-cut direction: same chain, the recipe is what moved
+    "pipe_requalify_budget" -> pipeRequalifyBudgetSql,
     // the bin audit over the same chained fold — the pack_ffd_stats
     // tail (join k for token counts) on the pipeline's kept set
     "pipe_pretrain_bins" -> packFfdSql(
