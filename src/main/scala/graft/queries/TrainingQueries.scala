@@ -1833,9 +1833,14 @@ object TrainingQueries {
     */
   private val pipeRecipe = Seq(("src0", 100000L), ("src1", 300L),
     ("src2", 150L), ("src3", 0L), ("src4", 100000L), ("src5", 200L))
-  private def pipeBudgetDf(s: SparkSession) = {
+  /** A recipe as the budget frame the sampler broadcasts — ONE
+    * definition of the (source, budget_tok) column contract, for the
+    * delivered recipe and any corrected one.
+    */
+  private def pipeBudgetDf(s: SparkSession,
+      recipe: Seq[(String, Long)] = pipeRecipe) = {
     import s.implicits._
-    pipeRecipe.toDF("source", "budget_tok")
+    recipe.toDF("source", "budget_tok")
   }
 
   /** Keep threshold for the stored quality gate: p ≥ 1/2 in the model's
@@ -2324,9 +2329,17 @@ object TrainingQueries {
     val requal = SampleOps.tokenBudgetSample(staged2, "doc_id", "source",
       col("n_tok_bpe"), pipeBudgetDf(s), "pp1")
       .select(col("doc_id"))
+    requalDiff(orig, requal)
+  }
+
+  /** The two-way patch — ONE definition of the diff both
+    * requalification gates ship, so the dropped/added mirror (which
+    * each gate's monotonicity argument leans on) can never flip in
+    * one place only.
+    */
+  private def requalDiff(orig: DataFrame, requal: DataFrame): DataFrame =
     orig.except(requal).withColumn("status", lit("dropped"))
       .unionByName(requal.except(orig).withColumn("status", lit("added")))
-  }
 
   /** The corrected recipe for the budget-cut requalification: the
     * contaminated domain's budget halved, everything else untouched.
@@ -2353,16 +2366,14 @@ object TrainingQueries {
     * hash-checks the empty `dropped` side.
     */
   val pipeRequalifyBudget: Q = (s, d) => {
-    import s.implicits._
     val staged = pipeStaged(s, d)
     val masses = SampleOps.loadMixStats(s, pipeStatsDir(s, d))
     val orig = pipeSampled(s, staged, masses).select(col("doc_id"))
     val requal = SampleOps.tokenBudgetSampleWith(staged, "doc_id",
-        "source", col("n_tok_bpe"), requalCutRecipe.toDF("source",
-          "budget_tok"), "pp1", masses)
+        "source", col("n_tok_bpe"), pipeBudgetDf(s, requalCutRecipe),
+        "pp1", masses)
       .select(col("doc_id"))
-    orig.except(requal).withColumn("status", lit("dropped"))
-      .unionByName(requal.except(orig).withColumn("status", lit("added")))
+    requalDiff(orig, requal)
   }
 
   /** Cluster-balanced token-budget mixture: the budget recipe applied
@@ -3791,9 +3802,19 @@ object TrainingQueries {
          |    AND n_chars > $requalEvidLen
          |    AND source IN (${requalEvidSources
                .map(x => s"'$x'").mkString(", ")})""".stripMargin
-    s"""WITH orig AS (WITH ${pipePretrainCtesWith("")}
+    requalDiffSql(pipePretrainCtesWith(""),
+      pipePretrainCtesWith(evidenceSql))
+  }
+
+  /** The two-oracle scaffold, ONCE (the Spark-side twin is
+    * [[requalDiff]]): each chain in its own nested WITH scope so the
+    * shared CTE names never collide, then the mirrored dropped/added
+    * EXCEPT diff.
+    */
+  private def requalDiffSql(origCtes: String, reqCtes: String): String =
+    s"""WITH orig AS (WITH $origCtes
        |  SELECT doc_id FROM kept),
-       |req AS (WITH ${pipePretrainCtesWith(evidenceSql)}
+       |req AS (WITH $reqCtes
        |  SELECT doc_id FROM kept)
        |SELECT doc_id, 'dropped' AS status FROM
        |  (SELECT doc_id FROM orig EXCEPT SELECT doc_id FROM req)
@@ -3801,23 +3822,14 @@ object TrainingQueries {
        |SELECT doc_id, 'added' AS status FROM
        |  (SELECT doc_id FROM req EXCEPT SELECT doc_id FROM orig)"""
       .stripMargin
-  }
 
   // the budget-cut requalification: the same pipe chain under the
   // delivered recipe and under the cut recipe, kept sets diffed both
   // ways (the `added` side is provably empty — budgets only shrank —
   // and the hash check proves it stays so)
   private lazy val pipeRequalifyBudgetSql: String =
-    s"""WITH orig AS (WITH ${pipePretrainCtesWith("")}
-       |  SELECT doc_id FROM kept),
-       |req AS (WITH ${pipePretrainCtesWith("", requalCutRecipe)}
-       |  SELECT doc_id FROM kept)
-       |SELECT doc_id, 'dropped' AS status FROM
-       |  (SELECT doc_id FROM orig EXCEPT SELECT doc_id FROM req)
-       |UNION ALL
-       |SELECT doc_id, 'added' AS status FROM
-       |  (SELECT doc_id FROM req EXCEPT SELECT doc_id FROM orig)"""
-      .stripMargin
+    requalDiffSql(pipePretrainCtesWith(""),
+      pipePretrainCtesWith("", requalCutRecipe))
 
   // the audit-view replay — ONE string for the scan and store-served
   // budget gates (the store changes where the masses come from, never
