@@ -404,6 +404,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 
+  test("tokenizer drift fold: row-local encode, broadcast vocab id " +
+      "join, one exchange for the (tok_id) aggregate") {
+    // the text twin of the PQ-drift plan lock — the meter's per-append
+    // price is structural: tokenization must stay the scan-local
+    // literal replace chain, the token→id lookup a BROADCAST join
+    // (vocab-bounded — if it ever sort-merges, the exploded batch pays
+    // a corpus-scale exchange on a string key), and the only shuffle
+    // the partial-aggregate rows (≤ vocab+1, never the token stream)
+    val p = finalPlan(TrainingQueries.registry("txt_bpe_drift")(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("trained cluster-budget composite: recipe/boundary frames still " +
       "broadcast, nothing pairwise, no global sort") {
     // same lock as mix_pack, over the TRAINED-strata composition: the
