@@ -122,6 +122,46 @@ object BpeBench {
       require(got == want, s"mismatch on '${r.getString(0).take(60)}…'")
     }
     println(s"""{"sample_docs":${sample.length},"agree":true}""")
+
+    // drift-meter economics (the VecBench driftStats probe's text
+    // twin): BpeStore.driftStats reads ONLY its batch — no history
+    // input exists in its signature — so cost must track batch rows
+    // (with the scheduling floor), and the character-conservation law
+    // (Σ err_sum = the batch's non-whitespace characters, because BPE
+    // tokens PARTITION each word) cross-checks the fold EXACTLY at
+    // this scale, not just on the unit-test fixture.
+    val vocabDf = c1
+      .select(explode(graft.functions.Bpe.tokensCol(col("text")))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("id", (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("token"))) - 1).cast("long"))
+      .localCheckpoint()
+    val st = graft.ops.BpeStore.Loaded(graft.functions.Bpe.merges, vocabDf)
+    def timedV[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val v = body
+      (v, (System.nanoTime() - t0) / 1e9)
+    }
+    def foldErr(docs: org.apache.spark.sql.DataFrame): Long =
+      graft.ops.BpeStore.driftStats(st, docs, "text")
+        .agg(sum(col("err_sum"))).head.getLong(0)
+    val (err1, t1) = timedV(foldErr(c1))
+    val (err2, t2) = timedV(foldErr(c2))
+    println(f"""{"which":"bpe_drift_fold","rows_1x":$n,"sec_1x":$t1%.2f,"sec_2x":$t2%.2f}""")
+    val nonWs = c1
+      .agg(sum(length(regexp_replace(col("text"), "\\s", ""))))
+      .head.getLong(0)
+    require(err1 == nonWs,
+      s"conservation broken: fold covered $err1 chars, batch holds $nonWs")
+    require(err2 > err1, "2x batch must cover more characters")
+    // generous headroom (the PipeBench lesson: single wall-clock
+    // measurements on a shared host need slack, and the floor
+    // dominates small runs) — the failure this catches is the
+    // superlinear re-evaluation class, not a 20% wobble
+    require(t2 < t1 * 4.0 + 5.0,
+      f"2x rows cost ${t2 / t1}%.1fx — the fold is superlinear in its batch")
     spark.stop()
   }
 }
