@@ -119,9 +119,14 @@ object BpeStore {
   /** Encode documents to (idCol, pos, tok_id) through the stored
     * tokenizer: the row-local merge chain under the loaded table, then
     * a broadcast token→id join. Out-of-vocabulary tokens RAISE in-plan
-    * (first `when` branch — free while the invariant holds): the store
-    * was built with a total vocabulary, so an OOV token means the
-    * corpus outgrew the artifact and the ids would desync downstream.
+    * — through a FILTER, not a projection (the dd_method_agree
+    * lesson: a guard living only in a projected column dies to column
+    * pruning the moment a caller counts rows without reading tok_id,
+    * which is exactly when a silent id desync would go unnoticed).
+    * The filter is free while the invariant holds: the store was
+    * built with a total vocabulary, so an OOV token means the corpus
+    * outgrew the artifact ([[driftStats]]' −1 row is this failure as
+    * a statistic, read to retrain BEFORE jobs start dying here).
     */
   def encodeIds(st: Loaded, docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
@@ -132,14 +137,14 @@ object BpeStore {
         col("col").as("token"))
       .join(broadcast(st.vocab.select(col("token"), col("id"))),
         Seq("token"), "left")
-      .select(col(idCol), col("pos"),
-        when(col("id").isNull,
-          raise_error(concat(
-            lit("token not in the stored BPE vocabulary: '"),
-            col("token"),
-            lit("' — the corpus outgrew the artifact; retrain and " +
-              "save a new store"))))
-          .otherwise(col("id")).as("tok_id"))
+      .filter(when(col("id").isNull,
+        raise_error(concat(
+          lit("token not in the stored BPE vocabulary: '"),
+          col("token"),
+          lit("' — the corpus outgrew the artifact; retrain and " +
+            "save a new store"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(col(idCol), col("pos"), col("id").as("tok_id"))
 
   /** Tokenizer drift meter — [[encodeIds]]' OOV guard as a STATISTIC
     * instead of a failure: tokenize a batch under the stored merge

@@ -1842,4 +1842,126 @@ class StreamingSpec extends AnyFunSuite {
         LmOps.trainBigram(preA, "text"),
         LmOps.trainTrigram(preA, "text")))
   }
+
+  test("tokenizer drift-retrain loop: the OOV share crosses, the " +
+      "artifact is retrained WHOLE and re-saved in place, the counter " +
+      "advances — the third action shape, stream-driven") {
+    // the three trained-artifact action shapes, each now driven by its
+    // drift signal in a stream: the vector stores ROTATE through a
+    // retrained generation (VectorStoreSpec), the LM FOLDS the batch
+    // in (previous test), and the tokenizer — whose store documents
+    // that inserting merges would re-rank history, so growing means
+    // retraining WHOLE — RE-SAVES in place with the save counter
+    // advancing (the hook that lets a ledger replay refuse the
+    // retrained artifact). The signal is the meter's OOV share: the
+    // mass encodeIds' in-plan guard would have raised on, read here to
+    // retrain BEFORE the guard starts failing jobs.
+    import spark.implicits._
+    import graft.ops.{BpeStore, DriftStore}
+    import graft.functions.Bpe
+    def docs(ids: Range, words: Seq[String], src: String) =
+      ids.map(i => (i.toLong,
+          Seq.tabulate(6)(k => words((i + k) % words.size)).mkString(" "),
+          src))
+        .toDF("doc_id", "text", "source")
+    val domA = Seq("alpha", "beta", "gamma", "delta")
+    // CHARACTER-disjoint from domA (the PropertySpec lesson): a merely
+    // word-disjoint domain still tokenizes into single chars the old
+    // vocab knows, and the OOV share never moves
+    val domB = Seq("zorro", "quix", "funk", "vows")
+    val inDir = Files.createTempDirectory("graft_bpedrift_in").toString
+    writeEventFile(inDir, "b0.parquet", docs(0 until 5, domA, "a"))
+    writeEventFile(inDir, "b1.parquet", docs(5 until 10, domA, "a"))
+    writeEventFile(inDir, "b2.parquet", docs(10 until 15, domB, "b"))
+    writeEventFile(inDir, "b3.parquet", docs(15 until 20, domB, "b"))
+    val base = Files.createTempDirectory("graft_bpedrift").toString
+    val bpeDir = s"$base/bpe"
+    var driftDir = s"$base/drift_g0"
+    var retrains = List.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def trainAndSave(corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val wf = corpus
+        .select(explode(Bpe.wordsCol(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val merges = Bpe.train(wf, "w", "c", nMerges = 8)
+      val vocab = corpus
+        .select(explode(Bpe.tokensCol(col("text"), merges)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .withColumn("id", (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("token"))) - 1).cast("long"))
+      BpeStore.save(spark, merges, vocab, bpeDir)
+    }
+    def oovShare(p: String): Double = {
+      val r = DriftStore.load(spark, p)
+        .agg(sum(when(col("tok_id") === -1L, col("n")).otherwise(0L)),
+          sum(col("n"))).head
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val schema = docs(0 until 1, domA, "a").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          seen ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+          val corpus = seen.toSeq.toDF("doc_id", "text")
+          if (!BpeStore.exists(spark, bpeDir)) {
+            trainAndSave(corpus)
+            DriftStore.save(BpeStore.driftStats(
+              BpeStore.load(spark, bpeDir), df.toDF(), "text"),
+              driftDir, Some(id))
+          } else {
+            // measure against the SERVING artifact before any action
+            DriftStore.append(spark, driftDir, BpeStore.driftStats(
+              BpeStore.load(spark, bpeDir), df.toDF(), "text"), Some(id))
+            if (oovShare(driftDir) > 0.3) {
+              retrains ::= id
+              trainAndSave(corpus) // retrain WHOLE, re-save in place
+              driftDir = s"$base/drift_g${retrains.size}"
+              DriftStore.save(BpeStore.driftStats(
+                BpeStore.load(spark, bpeDir), df.toDF(), "text"),
+                driftDir, Some(id))
+            }
+          }
+          ()
+      }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // exactly one retrain, at the first out-of-domain batch; b3 from
+    // the same new domain stays under the trigger against the
+    // retrained artifact
+    assert(retrains == List(2L), s"retrains fired at $retrains")
+    assert(oovShare(driftDir) <= 0.3)
+    // the save counter advanced: initial train + one retrain — the
+    // value a ledger-driven replay checks to REFUSE the retrained
+    // tokenizer in place of the recorded one
+    val mf = StoreUtil.readMarker(spark, bpeDir, BpeStore.ManifestFile).get
+    assert(StoreUtil.ingestsOf(mf) == 2L, mf)
+    // and the adaptation holds where the guard would have failed: the
+    // retrained artifact id-encodes the new domain in-plan
+    val st = BpeStore.load(spark, bpeDir)
+    assert(BpeStore.encodeIds(st, docs(15 until 20, domB, "b"),
+      "doc_id", "text").count() > 0)
+    // whereas a domain-A-only artifact raises its OOV guard on it —
+    // the meter is that failure, caught as a statistic one batch early
+    val aOnly = Files.createTempDirectory("graft_bpedrift_a").toString
+    val wfA = docs(0 until 10, domA, "a")
+      .select(explode(Bpe.wordsCol(col("text"))).as("w"))
+      .filter(col("w") =!= "").groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val mA = Bpe.train(wfA, "w", "c", nMerges = 8)
+    BpeStore.save(spark, mA, docs(0 until 10, domA, "a")
+      .select(explode(Bpe.tokensCol(col("text"), mA)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("id", (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("token"))) - 1).cast("long")),
+      aOnly)
+    val ex = intercept[Exception] {
+      BpeStore.encodeIds(BpeStore.load(spark, aOnly),
+        docs(15 until 20, domB, "b"), "doc_id", "text").count()
+    }
+    assert(ex.getMessage.contains("not in the stored BPE vocabulary"),
+      ex.getMessage)
+  }
 }
