@@ -47,8 +47,27 @@ object ClusterOps {
     * Any DataFrame loop that checkpoints per round must route through
     * this (CC below, VectorOps.kmeansCentroids).
     */
-  private[graft] def flatten(df: DataFrame): DataFrame =
+  private[graft] def flatten(df: DataFrame): DataFrame = {
+    explainDump(df)
     df.sparkSession.createDataFrame(df.localCheckpoint().rdd, df.schema)
+  }
+
+  /** Debug-only plan capture: when GRAFT_EXPLAIN_DIR names a directory,
+    * every materialization routed through [[flatten]] first writes its
+    * formatted plan there — the only way to SEE the real executed round
+    * plans of the iterative kernels, whose returned frames are RDD-backed
+    * (their own explain is just `Scan ExistingRDD`). Zero cost unset.
+    */
+  private val explainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def explainDump(df: DataFrame): Unit =
+    sys.env.get("GRAFT_EXPLAIN_DIR").foreach { dir =>
+      val n = explainSeq.incrementAndGet()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$dir/flatten_$n%03d.txt"),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
 
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxRounds: Int = 60): DataFrame = {
