@@ -11,6 +11,43 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a NARROW frame across the session's parallelism before
+    * row-heavy compute (the 64-rule BPE encode, n-gram surprisal
+    * scoring, span stripping — kernels whose cost per row dwarfs the
+    * exchange). The driver testdata ships every table as ONE parquet
+    * row group, so a bare scan is a single task and everything stacked
+    * above it runs on one core of 32 until the first exchange —
+    * measured 2.0 s → 0.4 s for the corpus BPE encode at sf0.1 from
+    * this alone (guide §2.5: unsplittable input ⇒ repartition right
+    * after the read). Three deliberate design points:
+    *   - SCALE-ADAPTIVE, not a constant: no-op when the input already
+    *     carries at least the session's parallelism in splits, so a
+    *     production-scale table (thousands of row groups) keeps its
+    *     layout and pays nothing.
+    *   - EXPLICIT partition count (the session's core count, itself
+    *     the driver's scaling knob): a bare repartition(col) leaves
+    *     the exchange AQE-coalescible, and these frames are tiny BY
+    *     BYTES (~1.5 MB of text), so AQE folds them straight back to
+    *     one partition — bytes are the wrong proxy for CPU-bound
+    *     expression work (measured: the coalescible form gave the
+    *     whole win back).
+    *   - SURGICAL, not blanket: a first cut spread documents() and
+    *     embeddings() at the source, and the full-suite A/B showed
+    *     ~20 cheap-aggregation gates (sk_exact_pct*, smp_*, the pipe
+    *     composites' 250-row windows) each losing 0.3–1.2 s to the
+    *     pointless extra exchange while only the row-heavy kernels
+    *     won. The exchange belongs to the OPERATOR that needs it.
+    * Placement is hash-by-key, so it is deterministic and results
+    * cannot depend on it; predicates written above still push into
+    * the scan (Catalyst moves filters through RepartitionByExpression
+    * — see the committed plans' PushedFilters).
+    */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df
+    else df.repartition(par, col(key))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")

@@ -99,7 +99,12 @@ object LmOps {
     val uni = ClusterOps.flatten(uni0)
     def h(df: DataFrame) = if (broadcastCounts) broadcast(df) else df
     val nFrame = uni.agg(sum(col("c")).as("n_total"))
-    val pos = docs.filter(col(textCol).isNotNull)
+    // spread the raw doc rows before the tokenize+explode+surprisal
+    // chain (graft.Tables.spread — scale-gated, no-op at production
+    // split counts): the exchange carries doc rows, never the exploded
+    // token stream, so the scoring plan's shuffle contract stands
+    val pos = graft.Tables.spread(docs, idCol)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), TextOps.tokensCol(col(textCol)).as("t"))
       .select(col("id"), col("t"), posexplode(col("t")))
       .select(col("id"), col("pos").as("p"), col("col").as("w2"),
@@ -172,7 +177,12 @@ object LmOps {
     val bi = ClusterOps.flatten(bi0)
     def h(df: DataFrame) = if (broadcastCounts) broadcast(df) else df
     val nFrame = uni.agg(sum(col("c")).as("n_total"))
-    val pos = docs.filter(col(textCol).isNotNull)
+    // spread the raw doc rows before the tokenize+explode+surprisal
+    // chain (graft.Tables.spread — scale-gated, no-op at production
+    // split counts): the exchange carries doc rows, never the exploded
+    // token stream, so the scoring plan's shuffle contract stands
+    val pos = graft.Tables.spread(docs, idCol)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), TextOps.tokensCol(col(textCol)).as("t"))
       .select(col("id"), col("t"), posexplode(col("t")))
       .select(col("id"), col("pos").as("p"), col("col").as("w2"),

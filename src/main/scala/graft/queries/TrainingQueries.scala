@@ -996,7 +996,8 @@ object TrainingQueries {
     * boilerplate from prose. Same integer-millinat discipline.
     */
   val txtBigram: Q = (s, d) =>
-    Tables.documents(s, d).filter(col("text").isNotNull)
+    Tables.spread(Tables.documents(s, d), "doc_id")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.functions.Unigram.bigramSurpriseOfTokens(
           graft.functions.Bpe.wordsCol(col("text"))).as("sc"))
@@ -1562,7 +1563,10 @@ object TrainingQueries {
     * identical merge table rule for rule.
     */
   val txtBpe: Q = (s, d) =>
-    Tables.documents(s, d).filter(col("text").isNotNull)
+    // spread before the 64-rule encode: row-heavy compute over a
+    // single-row-group scan (see Tables.spread)
+    Tables.spread(Tables.documents(s, d), "doc_id")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         // bind the tokenizer ONCE through the single-element-array
         // fence (chunksOfTokens precedent): two direct references
@@ -1588,7 +1592,8 @@ object TrainingQueries {
     * so the two can never rank ids differently.
     */
   private def bpeVocabOf(docs: DataFrame): DataFrame =
-    docs.filter(col("text").isNotNull)
+    // the corpus-wide tokenize dominates; spread it (Tables.spread)
+    Tables.spread(docs, "doc_id").filter(col("text").isNotNull)
       .select(explode(graft.functions.Bpe.tokensCol(col("text")))
         .as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
@@ -1677,8 +1682,12 @@ object TrainingQueries {
   val txtBpeDrift: Q = (s, d) => {
     val dir = bpeDriftStoreDir(s, d)
     val st = bpeDriftLoaded.get(s, dir)(graft.ops.BpeStore.load(s, dir))
+    // spread the raw batch rows before the merge-chain encode
+    // (Tables.spread): the added exchange carries doc rows, below the
+    // explode — the meter's token stream still never shuffles
     graft.ops.BpeStore.driftStats(st,
-      Tables.documents(s, d).filter(col("doc_id") >= 250), "text")
+      Tables.spread(Tables.documents(s, d), "doc_id")
+        .filter(col("doc_id") >= 250), "text")
   }
 
   /** [[txtBpeDrift]] ACCUMULATED through the persisted
@@ -1693,7 +1702,8 @@ object TrainingQueries {
     val src = bpeDriftStoreDir(s, d) // hoisted out of the builder
     val dir = graft.StoreUtil.cachedStoreDir("bpedriftstats", d) { p =>
       val st = bpeDriftLoaded.get(s, src)(graft.ops.BpeStore.load(s, src))
-      val batch = Tables.documents(s, d).filter(col("doc_id") >= 250)
+      val batch = Tables.spread(Tables.documents(s, d), "doc_id")
+        .filter(col("doc_id") >= 250)
       graft.ops.DriftStore.save(
         graft.ops.BpeStore.driftStats(st,
           batch.filter(col("doc_id") < 400), "text"), p, Some(0L))
@@ -2434,9 +2444,10 @@ object TrainingQueries {
   val mixClusterBudgetTrained: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val corpus = docs.join(emb.select(col("vec_id").as("doc_id"),
-        col("embedding").as("vec")), "doc_id")
-      .select(col("doc_id").as("id"), col("vec"))
+    val corpus = Tables.spread(
+      docs.join(emb.select(col("vec_id").as("doc_id"),
+          col("embedding").as("vec")), "doc_id")
+        .select(col("doc_id").as("id"), col("vec")), "id")
     val seeds = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val cents = VectorOps.kmeansCentroids(corpus, seeds, iters = 2)
@@ -2591,7 +2602,7 @@ object TrainingQueries {
       lit(" contact user"), col("doc_id"), lit("@example.com or "),
       lit("https://ex.org/d/"), col("doc_id"), lit("?ref=1 case 1234567"),
       col("doc_id"))
-    Tables.documents(s, d).select(
+    Tables.spread(Tables.documents(s, d), "doc_id").select(
       col("doc_id"),
       regexp_count(enriched, lit(TextOps.emailRe)).cast("long").as("n_emails"),
       regexp_count(enriched, lit(TextOps.urlRe)).cast("long").as("n_urls"),
@@ -2613,7 +2624,8 @@ object TrainingQueries {
     * whitespace-count form under-budgets by the subword ratio.
     */
   val packSeqsBpe: Q = (s, d) =>
-    PackOps.packSequences(Tables.documents(s, d), "doc_id",
+    PackOps.packSequences(Tables.spread(Tables.documents(s, d), "doc_id"),
+      "doc_id",
       size(graft.functions.Bpe.tokensCol(col("text"))), ctxLen = 512,
       salt = "ep0")
 
@@ -2674,7 +2686,9 @@ object TrainingQueries {
     * count swapped in.
     */
   val packFfdBpe: Q = (s, d) =>
-    PackOps.packFfd(Tables.documents(s, d).filter(col("text").isNotNull),
+    PackOps.packFfd(
+      Tables.spread(Tables.documents(s, d), "doc_id")
+        .filter(col("text").isNotNull),
       "doc_id", size(graft.functions.Bpe.tokensCol(col("text"))),
       ctxLen = 512, salt = "ep0")
 
@@ -2779,7 +2793,7 @@ object TrainingQueries {
     * "benchmark" (docs 0-9).
     */
   val ddContaminate: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.spread(Tables.documents(s, d), "doc_id")
     TextOps.contamination(docs.filter(col("doc_id") >= 10),
       docs.filter(col("doc_id") < 10), "doc_id", "text")
   }

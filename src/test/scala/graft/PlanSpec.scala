@@ -204,10 +204,17 @@ class PlanSpec extends AnyFunSuite {
   test("BPE and surprisal gates are scan-local: zero exchanges, pruned " +
       "reads, pushed null filter") {
     // 64 merge passes / the LM table lookup are pure projections — the
-    // moment either plans an exchange, the 100 TB story is gone
-    for (g <- Seq("txt_bpe", "txt_surprise")) {
+    // moment either plans an exchange CARRYING ITS OUTPUT, the 100 TB
+    // story is gone. txt_bpe's r14 exception: ONE scale-gated spread of
+    // the RAW doc rows below the encode (Tables.spread — a no-op at
+    // production split counts, where the scan already carries ≥ the
+    // session's parallelism), so the encoded rows still never shuffle;
+    // the pruned read and pushed null filter must survive the spread.
+    for ((g, spreads) <- Seq(("txt_bpe", 1), ("txt_surprise", 0))) {
       val p = finalPlan(graft.queries.TrainingQueries.registry(g)(spark, sf))
-      assert(!p.contains("Exchange"), s"$g:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == spreads,
+        s"$g:\n$p")
+      assert(!p.contains("rangepartitioning"), s"$g:\n$p")
       assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
         s"$g:\n$p")
       assert(p.contains("IsNotNull(text)"), s"$g:\n$p")
@@ -410,13 +417,17 @@ class PlanSpec extends AnyFunSuite {
     // price is structural: tokenization must stay the scan-local
     // literal replace chain, the token→id lookup a BROADCAST join
     // (vocab-bounded — if it ever sort-merges, the exploded batch pays
-    // a corpus-scale exchange on a string key), and the only shuffle
-    // the partial-aggregate rows (≤ vocab+1, never the token stream)
+    // a corpus-scale exchange on a string key), and the only shuffles
+    // are the partial-aggregate rows (≤ vocab+1, never the token
+    // stream) plus — since r14 — ONE scale-gated spread of the RAW
+    // batch rows below the encode (Tables.spread; a no-op at
+    // production split counts): 2 hash exchanges total, token stream
+    // still never moves
     val p = finalPlan(TrainingQueries.registry("txt_bpe_drift")(spark, sf))
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
   }
 
   test("trained cluster-budget composite: recipe/boundary frames still " +
@@ -755,9 +766,13 @@ class PlanSpec extends AnyFunSuite {
     // vocabulary-sized side — and every exchange that remains (the
     // per-doc aggregate, the lazily-built trigram count table, the
     // single-row N total) must sit directly above a PARTIAL aggregate:
-    // raw exploded token rows never enter a shuffle
+    // raw exploded token rows never enter a shuffle. r14 exception,
+    // same shape as the txt_bpe lock: ONE scale-gated spread of the
+    // RAW doc rows below the tokenize (Tables.spread — no Generate in
+    // its subtree, so it can never carry the exploded stream).
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.GenerateExec
     val df = graft.queries.TrainingQueries.registry("lm_score_tri")(spark, sf)
     df.collect()
     val all = PlanWalk.nodes(df.queryExecution.executedPlan)
@@ -767,7 +782,16 @@ class PlanSpec extends AnyFunSuite {
     assert(all.count(_.isInstanceOf[BroadcastHashJoinExec]) == 5, plan)
     val exchanges = all.collect { case e: ShuffleExchangeLike => e }
     assert(exchanges.nonEmpty, plan)
-    exchanges.foreach { e =>
+    val (spreads, aggEx) = exchanges.partition { e =>
+      !PlanWalk.nodes(e.asInstanceOf[
+          org.apache.spark.sql.execution.SparkPlan].children.head)
+        .exists(n => n.isInstanceOf[GenerateExec] ||
+          n.isInstanceOf[BaseAggregateExec])
+    }
+    assert(spreads.length <= 1,
+      s"more than the one pre-tokenize spread exchange:\n$plan")
+    assert(aggEx.nonEmpty, plan)
+    aggEx.foreach { e =>
       val firstAgg = PlanWalk.nodes(e.asInstanceOf[
           org.apache.spark.sql.execution.SparkPlan].children.head)
         .collectFirst { case a: BaseAggregateExec => a }
