@@ -41,6 +41,16 @@ object Tables {
     * cannot depend on it; predicates written above still push into
     * the scan (Catalyst moves filters through RepartitionByExpression
     * — see the committed plans' PushedFilters).
+    *
+    * APPLY TO PLAIN SCANS (or scan+filter) ONLY: the narrowness probe
+    * (`df.rdd.getNumPartitions`) finalizes the plan, and under AQE a
+    * DERIVED frame (anything with an exchange below — a join, an
+    * aggregate) materializes its query stages to answer, i.e. the
+    * probe EXECUTES the subquery once and the real query then runs it
+    * again. Measured: spreading a docs⋈embeddings join input cost
+    * mix_cluster_budget_trained 2.7 s → 4.0 s; the same experiment on
+    * TextOps' kernels (join-shaped or flatten-backed inputs) regressed
+    * every touched gate and was reverted wholesale.
     */
   def spread(df: DataFrame, key: String): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism

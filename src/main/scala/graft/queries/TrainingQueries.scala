@@ -2444,10 +2444,9 @@ object TrainingQueries {
   val mixClusterBudgetTrained: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val corpus = Tables.spread(
-      docs.join(emb.select(col("vec_id").as("doc_id"),
-          col("embedding").as("vec")), "doc_id")
-        .select(col("doc_id").as("id"), col("vec")), "id")
+    val corpus = docs.join(emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("vec")), "doc_id")
+      .select(col("doc_id").as("id"), col("vec"))
     val seeds = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val cents = VectorOps.kmeansCentroids(corpus, seeds, iters = 2)
