@@ -42,21 +42,47 @@ object Tables {
     * the scan (Catalyst moves filters through RepartitionByExpression
     * — see the committed plans' PushedFilters).
     *
-    * APPLY TO PLAIN SCANS (or scan+filter) ONLY: the narrowness probe
-    * (`df.rdd.getNumPartitions`) finalizes the plan, and under AQE a
-    * DERIVED frame (anything with an exchange below — a join, an
-    * aggregate) materializes its query stages to answer, i.e. the
-    * probe EXECUTES the subquery once and the real query then runs it
-    * again. Measured: spreading a docs⋈embeddings join input cost
-    * mix_cluster_budget_trained 2.7 s → 4.0 s; the same experiment on
-    * TextOps' kernels (join-shaped or flatten-backed inputs) regressed
-    * every touched gate and was reverted wholesale.
+    * PLAIN SCANS (or scan+filter/project) ONLY, now ENFORCED
+    * structurally: the narrowness probe (`df.rdd.getNumPartitions`)
+    * finalizes the plan, and under AQE a DERIVED frame (anything with
+    * an exchange below — a join, an aggregate) materializes its query
+    * stages to answer, i.e. the probe EXECUTES the subquery once and
+    * the real query then runs it again. Measured: spreading a
+    * docs⋈embeddings join input cost mix_cluster_budget_trained
+    * 2.7 s → 4.0 s; the same experiment on TextOps' kernels
+    * (join-shaped or flatten-backed inputs) regressed every touched
+    * gate and was reverted wholesale. A scaladoc rule alone already
+    * shipped one such bug (reverted in 7ef54bb), so the guard is now
+    * code: any frame that is not a leaf under filters/projects/aliases
+    * is returned UNCHANGED without ever running the probe — spread is
+    * opportunistic, and "no exchange added" is its documented no-op
+    * behavior for already-wide inputs anyway.
     */
-  def spread(df: DataFrame, key: String): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df
-    else df.repartition(par, col(key))
-  }
+  def spread(df: DataFrame, key: String): DataFrame =
+    if (!scanShaped(df.queryExecution.analyzed)) df
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= par) df
+      else df.repartition(par, col(key))
+    }
+
+  /** True when the analyzed plan is a relation leaf (parquet scan,
+    * local table, RDD-backed flatten output) under nothing but
+    * row-local operators — the only shapes whose probe is free (no
+    * exchange below means finalizing the plan schedules no stages).
+    */
+  private def scanShaped(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        scanShaped(f.child)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        scanShaped(pr.child)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        scanShaped(a.child)
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+      case _ => false
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")

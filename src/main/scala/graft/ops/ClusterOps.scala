@@ -61,12 +61,19 @@ object ClusterOps {
   private val explainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private def explainDump(df: DataFrame): Unit =
     sys.env.get("GRAFT_EXPLAIN_DIR").foreach { dir =>
-      val n = explainSeq.incrementAndGet()
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f"$dir/flatten_$n%03d.txt"),
-        df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      // best-effort: a stale env var pointing at an unwritable dir must
+      // not fail the iterative kernels' hot loop it instruments
+      try {
+        val n = explainSeq.incrementAndGet()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(f"$dir/flatten_$n%03d.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"GRAFT_EXPLAIN_DIR dump skipped: $e")
+      }
     }
 
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
