@@ -205,7 +205,13 @@ object DupStore {
   private def dupPositions(ev: Evidence): DataFrame = {
     val batchDup = ev.w.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("h"))
-    val dupH = batchDup.union(ev.histDup).distinct()
+    // dupH is O(batch windows) — the same bound as the already-broadcast
+    // probe hash set in [[evidence]] — but it hangs off a checkpointed
+    // RDD whose default stats make the planner sort-merge, exchanging
+    // ev.w on h for nothing. The explicit hint keeps the batch's window
+    // table unmoved (one fewer exchange = one fewer serialized AQE
+    // stage job per probe).
+    val dupH = broadcast(batchDup.union(ev.histDup).distinct())
     ev.w.join(dupH, "h").select(col("id"), col("i"))
   }
 
@@ -240,18 +246,27 @@ object DupStore {
   def probeStrip(st: Loaded, batch: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val ev = evidence(st, batch, idCol, textCol)
-    val firstInBatch = ev.w.groupBy(col("h"))
+    // both join sides below are O(batch windows) — firstInBatch is one
+    // row per distinct batch hash, histDup the store-matched subset of
+    // the same — i.e. the bound the probe's design already broadcasts
+    // (the evidence hash set). Without the hints the checkpointed w's
+    // default stats drive both joins to sort-merge, exchanging the
+    // window table twice; with them w never moves and each probe runs
+    // two fewer exchange stages (each one a serialized AQE job).
+    val firstInBatch = broadcast(ev.w.groupBy(col("h"))
       .agg(min(struct(col("id"), col("i"))).as("first"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n")))
     // removal = every site of a history-known hash, else every
     // non-first site of a batch-repeated hash
     val rem = ev.w
       .join(firstInBatch, "h")
-      .join(ev.histDup.withColumn("hist", lit(true)), Seq("h"), "left_outer")
+      .join(broadcast(ev.histDup.withColumn("hist", lit(true))),
+        Seq("h"), "left_outer")
       .filter(coalesce(col("hist"), lit(false)) ||
         (col("n") >= 2 && struct(col("id"), col("i")) =!= col("first")))
       .select(col("id"), col("i"))
-    TextOps.stripFromRemovalWindows(batch, idCol, textCol, rem, st.win)
+    TextOps.stripFromRemovalWindows(batch, idCol, textCol, rem, st.win,
+      broadcastCut = true)
   }
 
   /** The crawl-cleaning micro-batch body, packaged: strip `batch`

@@ -775,14 +775,25 @@ object TextOps {
     * a handful of ranges instead of a 40k-element index array, and the
     * per-token membership test is O(regions), not O(removed tokens).
     */
+  /** `broadcastCut = true` is the BATCH-bounded caller's opt-in (the
+    * [[DupStore]] probe, whose whole input is one delivery): the cut
+    * table is ≤ one row per input doc, so it broadcasts at the same
+    * bound the probe's hash set already does, and the tokenized doc
+    * side never exchanges on id. The one-shot corpus strip must NOT
+    * set it — there the cut table is O(corpus docs with dup spans) and
+    * the planner's sort-merge degrades gracefully where a forced
+    * broadcast would pin a corpus-sized hash relation.
+    */
   private[graft] def stripFromRemovalWindows(docs: DataFrame, idCol: String,
-      textCol: String, rem: DataFrame, win: Int): DataFrame = {
+      textCol: String, rem: DataFrame, win: Int,
+      broadcastCut: Boolean = false): DataFrame = {
     val islands = spansFromPositions("id", rem, win)
-    val remArr = islands.groupBy(col("id"))
+    val remArr0 = islands.groupBy(col("id"))
       .agg(sort_array(collect_list(
           struct(col("span_start").as("s"), col("span_end").as("e"))))
         .as("cut"),
         sum(col("span_len")).as("n_removed"))
+    val remArr = if (broadcastCut) broadcast(remArr0) else remArr0
     val noCut = array().cast("array<struct<s:bigint,e:bigint>>")
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), tokensCol(col(textCol)).as("toks"))

@@ -2323,23 +2323,41 @@ object TrainingQueries {
     val fix = requalFixtureDir(s, d)
     val batch = Tables.documents(s, d)
       .filter(col("doc_id") >= 250 && col("doc_id") < 500)
-    // the delivered set, reproduced from the ledger through pins and
-    // the as-of dup state (stage 3 reads the recorded masses store)
-    val orig = pipeSampled(s,
-      pipeStagedFrame(s, d,
-        pipeReplayCleaned(s, s"$fix/ledger", 0L, batch,
-          lrStoreDir(s, d), s"$fix/dup")),
-      SampleOps.loadMixStats(s, pipeStatsDir(s, d)))
-      .select(col("doc_id"))
-    // the corrected set against the current head, masses recomputed —
-    // stages 1+2 are the pipeline's own composition, not a hand-rolled
-    // copy, so a plumbing change there lands here too
-    val staged2 = pipeStagedFrame(s, d,
-      pipeCleanBatch(s, d, s"$fix/dup", batch))
-    val requal = SampleOps.tokenBudgetSample(staged2, "doc_id", "source",
-      col("n_tok_bpe"), pipeBudgetDf(s), "pp1")
-      .select(col("doc_id"))
-    requalDiff(orig, requal)
+    // The two sides are INDEPENDENT chains of eager flatten
+    // materializations (profiled: one gate run is ~80 strictly
+    // sequential single-task jobs whose summed walls are ~96% of the
+    // gate wall), so they are built on two driver threads and their
+    // jobs overlap (guide §2.6 — Spark schedules concurrent jobs
+    // FIFO; the second chain's tasks back-fill the cores the first
+    // chain's serial stages leave idle). Shared one-time builds
+    // (lrStoreDir, pipeStatsDir, bpeStoreDir) are computeIfAbsent
+    // memos — a racing build blocks the loser until the winner's
+    // artifact is ready, so concurrency cannot double-build.
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val origF = scala.concurrent.Future {
+      // the delivered set, reproduced from the ledger through pins and
+      // the as-of dup state (stage 3 reads the recorded masses store)
+      pipeSampled(s,
+        pipeStagedFrame(s, d,
+          pipeReplayCleaned(s, s"$fix/ledger", 0L, batch,
+            lrStoreDir(s, d), s"$fix/dup")),
+        SampleOps.loadMixStats(s, pipeStatsDir(s, d)))
+        .select(col("doc_id"))
+    }
+    val requalF = scala.concurrent.Future {
+      // the corrected set against the current head, masses recomputed —
+      // stages 1+2 are the pipeline's own composition, not a hand-rolled
+      // copy, so a plumbing change there lands here too
+      val staged2 = pipeStagedFrame(s, d,
+        pipeCleanBatch(s, d, s"$fix/dup", batch))
+      SampleOps.tokenBudgetSample(staged2, "doc_id", "source",
+        col("n_tok_bpe"), pipeBudgetDf(s), "pp1")
+        .select(col("doc_id"))
+    }
+    import scala.concurrent.duration.Duration
+    requalDiff(scala.concurrent.Await.result(origF, Duration.Inf),
+      scala.concurrent.Await.result(requalF, Duration.Inf))
   }
 
   /** The two-way patch — ONE definition of the diff both

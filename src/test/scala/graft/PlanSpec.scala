@@ -782,11 +782,17 @@ class PlanSpec extends AnyFunSuite {
     assert(all.count(_.isInstanceOf[BroadcastHashJoinExec]) == 5, plan)
     val exchanges = all.collect { case e: ShuffleExchangeLike => e }
     assert(exchanges.nonEmpty, plan)
+    // spread = the one exchange carrying RAW doc rows: its subtree must
+    // hold no Generate (exploded stream), no aggregate (count frames),
+    // and no JOIN — an exchange above e.g. a broadcast-join output would
+    // carry corpus-scale widened rows, which is not the stated "raw doc
+    // rows below the tokenize" invariant
     val (spreads, aggEx) = exchanges.partition { e =>
       !PlanWalk.nodes(e.asInstanceOf[
           org.apache.spark.sql.execution.SparkPlan].children.head)
         .exists(n => n.isInstanceOf[GenerateExec] ||
-          n.isInstanceOf[BaseAggregateExec])
+          n.isInstanceOf[BaseAggregateExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
     }
     assert(spreads.length <= 1,
       s"more than the one pre-tokenize spread exchange:\n$plan")
