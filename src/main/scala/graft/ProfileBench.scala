@@ -61,6 +61,15 @@ object ProfileBench {
               r.cpuMs.addAndGet(m.executorCpuTime / 1000000L)
               r.fetchMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
               r.gcMs.addAndGet(m.jvmGCTime)
+              if (sys.env.contains("GRAFT_PROFILE_STAGES"))
+                println(s"""{"stage":${si.stageId},"job":${r.id},""" +
+                  s""""name":${"\"" + si.name.replace("\"", "'") + "\""},""" +
+                  s""""tasks":${si.numTasks},"run_ms":${m.executorRunTime},""" +
+                  s""""cpu_ms":${m.executorCpuTime / 1000000L},""" +
+                  s""""deser_ms":${m.executorDeserializeTime},""" +
+                  s""""sched_delay_note":"run excludes scheduler delay",""" +
+                  s""""shuffle_read_mb":${m.shuffleReadMetrics.totalBytesRead / 1048576},""" +
+                  s""""gc_ms":${m.jvmGCTime}}""")
             }
             r.tasks.addAndGet(si.numTasks)
             r.stages.incrementAndGet()

@@ -465,6 +465,33 @@ object ClusterOps {
     r.select(col("set_id"), col("id"), col("rank").as("rank_micro"))
   }
 
+  /** Run `body` with AQE disabled, restoring the prior value. Scoped to
+    * the FIXED-POINT rank loop only, on measurement: AQE materializes
+    * every exchange as its own serialized barrier job (profiled: 5-7
+    * driver-round-trip jobs per round where one suffices), and the
+    * fixed-point kernel pays that floor for ~15 rounds — A/B'd at
+    * gr_pr_converged 10.8→9.0 / 11.3→9.5 s (alternating same-session
+    * runs), jobs 101→24. The FIXED-ITERATION kernels (pageRank 4-iter,
+    * PPR, the batched multi) measured neutral-to-worse without AQE —
+    * its runtime broadcast demotion of the O(nodes) contrib frame in
+    * the round-update join is worth more than the stage-job floor at 4
+    * rounds — so they keep AQE (the CC kernel too: 3.3→85 s task time
+    * without the demotions). Scale note: the per-round job floor is
+    * paid per ROUND at any data size, and the fixed-point round count
+    * (~log_{1/d} 10⁶) is size-independent, so the trade carries.
+    */
+  private def withoutAqe[A](df: DataFrame)(body: => A): A =
+    // GRAFT_KERNEL_AQE=on restores AQE inside the rank loops — the
+    // measurement/ops escape hatch (and how the A/B below was run)
+    if (sys.env.get("GRAFT_KERNEL_AQE").contains("on")) body
+    else {
+      val conf = df.sparkSession.conf
+      val k = "spark.sql.adaptive.enabled"
+      val prev = conf.get(k)
+      conf.set(k, "false")
+      try body finally conf.set(k, prev)
+    }
+
   /** The shared iteration loop over an ALREADY-LAID-OUT edge frame
     * `e (src, dst, deg)` — partitioned (and ideally sorted) by `src`,
     * pinned by the caller, who also releases it.
@@ -611,7 +638,7 @@ object ClusterOps {
     */
   private def prFixedPointOn(e: DataFrame, n: DataFrame, maxRounds: Int,
       dampingMilli: Int, redistributeDangling: Boolean,
-      minRounds: Int): PrFixedPoint = {
+      minRounds: Int): PrFixedPoint = withoutAqe(e) {
     require(maxRounds >= 1, s"maxRounds=$maxRounds must be >= 1")
     // an idempotence probe asking for more forced rounds than the cap
     // would silently truncate and "pass" with fewer rounds than claimed
