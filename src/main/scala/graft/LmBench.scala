@@ -136,6 +136,28 @@ object LmBench {
     }
     println(s"""{"maint_nudge":true,"grown_load_sec":$grownLoad,""" +
       s""""compact_load_sec":$compactLoad,"agree":true}""")
+
+    // drift-meter economics (the BpeBench bpe_drift_fold twin): the
+    // lm_drift meter scores its BATCH under the served model — no
+    // history input exists in its shape — so cost must track batch
+    // rows, not corpus/history size. Score 1x and 2x batches against
+    // the SAME loaded store and require subquadratic growth (generous
+    // slack: single wall-clock samples on a shared host).
+    val mst = LmStore.load(spark, s"$tmp/lm_maint_c")
+    def driftCost(docs: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      LmOps.scoreTrigram(docs, "doc_id", "text", mst.uni, mst.bi, mst.tri,
+          broadcastCounts = true)
+        .agg(sum(col("cost_micronats"))).head.getLong(0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    driftCost(batch) // warm
+    val d1 = driftCost(batch)
+    val d2 = driftCost(corpus(10000000L, 10020000L))
+    println(f"""{"which":"lm_drift_fold","rows_1x":10000,"sec_1x":$d1%.2f,"sec_2x":$d2%.2f}""")
+    require(d2 < d1 * 4.0 + 5.0,
+      f"2x batch cost ${d2 / d1}%.1fx — the drift meter is superlinear " +
+        "in its batch")
     spark.stop()
   }
 }
