@@ -25,6 +25,50 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("spread no-ops on a derived frame WITHOUT materializing stages — " +
+      "and still widens a plain scan") {
+    import org.apache.spark.sql.functions.col
+    // the r14 hazard this guard exists for: spread's narrowness probe
+    // (df.rdd) on a frame with an exchange below makes AQE materialize
+    // the query stages to answer — the caller's subquery executes twice
+    // (mix_cluster_budget_trained 2.7→4.0 s before its revert). The
+    // guard must return a join/aggregate frame UNCHANGED without
+    // running a single Spark job.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val docs = Tables.documents(spark, sf)
+    val joined = docs.select(col("doc_id"), col("source"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val agged = docs.groupBy(col("source"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    spark.sparkContext.addSparkListener(l)
+    val (outJ, outA) =
+      try (Tables.spread(joined, "doc_id"), Tables.spread(agged, "source"))
+      finally {
+        Thread.sleep(500) // listener bus drains asynchronously
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(outJ eq joined, "derived join frame must come back UNCHANGED")
+    assert(outA eq agged, "aggregate frame must come back UNCHANGED")
+    assert(jobs.get == 0,
+      s"spread's probe materialized ${jobs.get} job(s) on a derived frame")
+    // the positive half: a plain scan(+filter) still spreads when narrow
+    val scan = docs.filter(col("text").isNotNull)
+    val out = Tables.spread(scan, "doc_id")
+    if (scan.rdd.getNumPartitions <
+        spark.sparkContext.defaultParallelism) {
+      assert(out.rdd.getNumPartitions ==
+        spark.sparkContext.defaultParallelism,
+        "scan-shaped frame below parallelism must be repartitioned")
+    }
+  }
+
   test("point lookup pushes the equality filter into the parquet scan") {
     val p = finalPlan(Relational.p1PointLookup(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"), p)
