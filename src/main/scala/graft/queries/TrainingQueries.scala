@@ -2782,16 +2782,27 @@ object TrainingQueries {
     // each detector frame is pinned once (flatten): the union AND its
     // flag join both read it, and the matrix's winnow leg IS the gated
     // ddWinnowPairs definition, not a replica — a tuned detector
-    // changes this gate with it
-    val jac = ClusterOps.flatten(
+    // changes this gate with it. The three detectors are INDEPENDENT
+    // eager materializations over the same window, so they build on
+    // three driver threads and their little jobs overlap (the
+    // pipeRequalify §2.6 treatment; profiled serial: 25 strictly
+    // sequential jobs with ~60% of gate wall spent in between-job
+    // driver gaps)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val jacF = scala.concurrent.Future(ClusterOps.flatten(
       TextOps.jaccardVerify(TextOps.allPairs(w, "doc_id"), w,
-        "doc_id", "text", 0.5).select(col("a"), col("b")))
-    val lsh = ClusterOps.flatten(
+        "doc_id", "text", 0.5).select(col("a"), col("b"))))
+    val lshF = scala.concurrent.Future(ClusterOps.flatten(
       TextOps.jaccardVerify(
         TextOps.minhashCandidates(w, "doc_id", "text"), w,
-        "doc_id", "text", 0.5).select(col("a"), col("b")))
-    val win = ClusterOps.flatten(
-      ddWinnowPairs(s, d).select(col("a"), col("b")))
+        "doc_id", "text", 0.5).select(col("a"), col("b"))))
+    val winF = scala.concurrent.Future(ClusterOps.flatten(
+      ddWinnowPairs(s, d).select(col("a"), col("b"))))
+    import scala.concurrent.duration.Duration
+    val jac = scala.concurrent.Await.result(jacF, Duration.Inf)
+    val lsh = scala.concurrent.Await.result(lshF, Duration.Inf)
+    val win = scala.concurrent.Await.result(winF, Duration.Inf)
     val all = jac.unionByName(lsh).unionByName(win).distinct()
     all
       .join(jac.withColumn("by_jaccard", lit(true)), Seq("a", "b"),
